@@ -1,0 +1,19 @@
+"""dqspark — a PySpark-native data-quality / quality-filter engine.
+
+A from-scratch reimplementation of the query and data-processing
+capabilities of the reference data-quality checker (a single-process
+pandas engine), re-expressed as lazy Spark DataFrame transformations:
+
+- per-table anomaly detectors (numeric z-score/IQR, rare categories,
+  duplicates, missing-required, FK heuristics, deletion/update checks)
+- cross-table relationship checks (cardinality, referential, conflicts)
+- a flagship source-code quality-filter pipeline (language-ID,
+  char-trigram perplexity, heuristic metrics, PII/toxicity scrub)
+- web-scale extras: dedup (exact/MinHash-LSH/SimHash), similarity
+  search, text analysis, multimodal column plumbing.
+
+Everything is built on public pyspark.sql DataFrame APIs; per-row work
+only happens inside Arrow-vectorized pandas UDFs.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,13 @@
+from dqspark.functions.text_metrics import with_text_metrics, TEXT_METRIC_COLS
+from dqspark.functions.scrub import scrub_text, SCRUB_PATTERNS, TOXICITY_TERMS
+from dqspark.functions.hashing import content_sha256, content_fingerprint
+
+__all__ = [
+    "with_text_metrics",
+    "TEXT_METRIC_COLS",
+    "scrub_text",
+    "SCRUB_PATTERNS",
+    "TOXICITY_TERMS",
+    "content_sha256",
+    "content_fingerprint",
+]

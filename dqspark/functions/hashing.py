@@ -1,0 +1,40 @@
+"""Content hashing and document fingerprinting.
+
+Row identity: the reference keys every anomaly event on the pandas
+integer index (ml/anomaly_scorer.py:13). Spark has no implicit index,
+so the engine keys on natural keys plus `sha256(content)` — which is
+also the per-row invariant the north rule checks (content unchanged ⇔
+hash unchanged) and the duplicate-detection grouping key at scale
+(hash-partitioned window instead of a whole-row driver-side sort,
+cf. ml/insertion_anomaly.py:9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_sha256(c: Column | str) -> Column:
+    """Lowercase-hex sha256; identical output to DuckDB's sha256()."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sha2(col, 256)
+
+
+def content_fingerprint(c: Column | str) -> Column:
+    """Normalized-content fingerprint: lowercase, whitespace collapsed,
+    then sha256 — stable under reformatting; used for near-identity
+    grouping in text analysis."""
+    col = F.col(c) if isinstance(c, str) else c
+    normalized = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.sha2(normalized, 256)
+
+
+def fingerprint_oracle_expr(text_col: str = "text") -> str:
+    return (
+        f"sha256(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))"
+    )
+
+
+def with_content_hash(df: DataFrame, text_col: str = "content") -> DataFrame:
+    return df.withColumn("content_sha256", content_sha256(text_col))

@@ -1,0 +1,67 @@
+"""PII / toxicity scrub pass (north_rule: emails, key-shaped tokens,
+IPs, toxicity terms → redaction tokens).
+
+Generalizes the reference's regex machinery (backend/api/upload.py:57-58
+null-string fullmatch; ml/update_anomaly.py:92-121 per-value pattern
+validation) into a single chained `regexp_replace` projection — JVM-side
+compiled regexes, zero Python per row. Hit counts come from
+`regexp_count` in the same projection, so the per-row sha256 invariant
+("content unchanged ⇔ zero hits") is checkable columnar-ly.
+
+Patterns are applied in declaration order on both the Spark side and
+the DuckDB oracle side (order matters for overlapping spans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately mild stand-in term list — the mechanism (word-boundary
+# alternation, case-insensitive) is what's under test, not the lexicon.
+TOXICITY_TERMS = ("jackass", "dumbass", "bastard", "moron", "scumbag")
+
+# (name, java/RE2-compatible regex, replacement) — applied in order.
+SCRUB_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<KEY>"),
+    ("secret", r"\b(?:api[_-]?key|secret|token)[\s:=]+[A-Za-z0-9/+=_-]{12,}", "<SECRET>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("toxicity", r"(?i)\b(?:" + "|".join(TOXICITY_TERMS) + r")\b", "<TOX>"),
+)
+
+
+def scrub_text(
+    df: DataFrame, text_col: str = "content", out_col: str = "scrubbed_content"
+) -> DataFrame:
+    """Append ``out_col`` (redacted text), per-pattern ``scrub_<name>``
+    hit counts, and ``scrub_hits`` (total)."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pattern, repl in SCRUB_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pattern)).cast("long").alias(f"scrub_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, repl)
+    df = df.select("*", *counts, scrubbed.alias(out_col))
+    total = sum((F.col(f"scrub_{name}") for name, _, _ in SCRUB_PATTERNS), F.lit(0))
+    return df.withColumn("scrub_hits", total.cast("long"))
+
+
+def scrub_oracle_exprs(text_col: str = "text") -> tuple[str, list[str]]:
+    """DuckDB equivalents: (scrubbed-text SQL expr, per-pattern count exprs).
+
+    DuckDB regexp_replace needs the explicit 'g' flag for global
+    replacement; counting uses len(regexp_extract_all(...)). Counts are
+    computed on the same partially-scrubbed input as Spark (pattern i
+    counts on text after patterns 0..i-1 applied).
+    """
+    expr = text_col
+    count_exprs = []
+    for name, pattern, repl in SCRUB_PATTERNS:
+        pat = pattern.replace("'", "''")
+        count_exprs.append(
+            f"len(regexp_extract_all({expr}, '{pat}'))::bigint AS scrub_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr, count_exprs

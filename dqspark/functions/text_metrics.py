@@ -1,0 +1,92 @@
+"""Per-file/document text metrics — the numeric feature columns the
+quality pipeline feeds to the z-score/IQR detector.
+
+The reference computes per-column numeric stats on whatever numeric
+columns exist (ml/numeric_anomaly.py:7); the quality-filter north rule
+derives the numeric columns FROM the text: line-length stats,
+alphanumeric ratio, repetition rate. Everything here is built-in
+`pyspark.sql.functions` — higher-order array functions over
+`split(content, '\\n')` — so it stays inside whole-stage codegen; no
+Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# metric columns appended by with_text_metrics, in output order
+TEXT_METRIC_COLS = (
+    "n_chars",
+    "n_lines",
+    "max_line_len",
+    "avg_line_len",
+    "alnum_ratio",
+    "repetition_rate",
+    "n_tokens",
+)
+
+
+def _lines(c: Column) -> Column:
+    # limit=-1 keeps trailing empty strings (matches DuckDB string_split)
+    return F.split(c, "\n", -1)
+
+
+def with_text_metrics(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Append TEXT_METRIC_COLS derived from ``text_col``.
+
+    One projection; Catalyst computes the `split` once per row via
+    common-subexpression reuse inside the generated code.
+    """
+    c = F.col(text_col)
+    lines = _lines(c)
+    n_chars = F.length(c)
+    n_lines = F.size(lines)
+    # characters excluding the newline separators, averaged over lines
+    body_chars = n_chars - (n_lines - F.lit(1))
+    alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", ""))
+    distinct_lines = F.size(F.array_distinct(lines))
+    # trim() strips spaces only — strip ALL whitespace before tokenizing
+    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    tokens = F.split(stripped, r"\s+", -1)
+    return df.select(
+        "*",
+        n_chars.cast("double").alias("n_chars"),
+        n_lines.cast("double").alias("n_lines"),
+        F.coalesce(F.array_max(F.transform(lines, F.length)), F.lit(0))
+        .cast("double")
+        .alias("max_line_len"),
+        (body_chars / F.greatest(n_lines, F.lit(1))).cast("double").alias("avg_line_len"),
+        (alnum / F.greatest(n_chars, F.lit(1))).cast("double").alias("alnum_ratio"),
+        (F.lit(1.0) - distinct_lines / F.greatest(n_lines, F.lit(1)))
+        .cast("double")
+        .alias("repetition_rate"),
+        F.when(F.length(stripped) == 0, F.lit(0))
+        .otherwise(F.size(tokens))
+        .cast("double")
+        .alias("n_tokens"),
+    )
+
+
+def text_metrics_oracle_exprs(text_col: str = "text") -> dict[str, str]:
+    """DuckDB-SQL equivalents of each metric, for oracle_sql() entries."""
+    t = text_col
+    lines = f"string_split({t}, chr(10))"
+    return {
+        "n_chars": f"length({t})::double",
+        "n_lines": f"len({lines})::double",
+        "max_line_len": f"coalesce(list_max(list_transform({lines}, x -> length(x))), 0)::double",
+        "avg_line_len": f"((length({t}) - (len({lines}) - 1))::double / greatest(len({lines}), 1))",
+        "alnum_ratio": (
+            f"(length(regexp_replace({t}, '[^A-Za-z0-9]', '', 'g'))::double"
+            f" / greatest(length({t}), 1))"
+        ),
+        "repetition_rate": (
+            f"(1.0 - len(list_distinct({lines}))::double / greatest(len({lines}), 1))"
+        ),
+        "n_tokens": (
+            f"(case when length(regexp_replace({t}, '^\\s+|\\s+$', '', 'g')) = 0 then 0"
+            f" else len(string_split_regex("
+            f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g'), '\\s+')) end)::double"
+        ),
+    }

@@ -1,0 +1,42 @@
+from dqspark.operators.events import EVENT_COLS, empty_events, finalize_events
+from dqspark.operators.numeric import detect_numeric_outliers, numeric_column_stats
+from dqspark.operators.categorical import detect_rare_categories
+from dqspark.operators.duplicates import detect_duplicate_records
+from dqspark.operators.missing import detect_missing_required_fields
+from dqspark.operators.foreign_keys import (
+    detect_invalid_foreign_keys,
+    detect_orphaned_records,
+    detect_referential_integrity_violations,
+)
+from dqspark.operators.deletions import detect_accidental_deletions
+from dqspark.operators.updates import (
+    detect_inconsistent_updates,
+    detect_partial_updates,
+    detect_data_type_violations,
+)
+from dqspark.operators.profile import column_profile
+from dqspark.operators.scoring import assemble_scores, rank_by_severity, ISSUE_WEIGHTS
+from dqspark.operators.report import quality_report
+
+__all__ = [
+    "EVENT_COLS",
+    "empty_events",
+    "finalize_events",
+    "detect_numeric_outliers",
+    "numeric_column_stats",
+    "detect_rare_categories",
+    "detect_duplicate_records",
+    "detect_missing_required_fields",
+    "detect_invalid_foreign_keys",
+    "detect_orphaned_records",
+    "detect_referential_integrity_violations",
+    "detect_accidental_deletions",
+    "detect_inconsistent_updates",
+    "detect_partial_updates",
+    "detect_data_type_violations",
+    "column_profile",
+    "assemble_scores",
+    "rank_by_severity",
+    "ISSUE_WEIGHTS",
+    "quality_report",
+]

@@ -1,0 +1,71 @@
+"""Rare-category detector (reference: ml/categorical_anomaly.py:2-17).
+
+Semantics: per string/categorical column, compute the relative
+frequency of each non-null value; values with frequency < min_freq
+(default 1%) are "rare", and EVERY row holding a rare value is
+flagged.
+
+Execution: per column, one groupBy(value) aggregation produces the
+(tiny) rare-value set, which is broadcast-joined back to the base
+table — the reference's O(n·k) list-membership loop
+(categorical_anomaly.py:10-11) becomes a broadcast hash join. The
+non-null total rides along in the same aggregation (grouping-set-free:
+a window-less two-level agg), so there is exactly one shuffle per
+column and zero driver-side data beyond the rare set itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from dqspark.operators.events import finalize_events, union_events, empty_events
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+
+
+def rare_values(df: DataFrame, column: str, min_freq: float = 0.01) -> DataFrame:
+    """DataFrame[value string] of categories with freq < min_freq among
+    non-null rows of ``column``."""
+    counts = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # total via a single-row cross join (tiny) — avoids a second scan
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") / F.col("total") < F.lit(min_freq))
+        .select("value")
+    )
+
+
+def detect_rare_categories(
+    df: DataFrame,
+    key_cols: list[str],
+    columns: list[str] | None = None,
+    min_freq: float = 0.01,
+) -> DataFrame:
+    columns = columns if columns is not None else string_columns(df)
+    columns = [c for c in columns if c not in key_cols]
+    parts = []
+    for c in columns:
+        rare = rare_values(df, c, min_freq)
+        flagged = df.join(
+            F.broadcast(rare), df[c] == rare["value"], "inner"
+        ).select(
+            *key_cols,
+            F.lit(c).alias("column"),
+            F.col(c).cast("string").alias("value"),
+            F.lit("rare_category").alias("issue_type"),
+            F.lit(1.0).alias("confidence"),
+        )
+        parts.append(finalize_events(flagged, key_cols))
+    if not parts:
+        key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+        return empty_events(df.sparkSession, key_schema)
+    return union_events(parts)

@@ -1,0 +1,102 @@
+"""Accidental-deletion detector — consecutive-null runs (reference:
+ml/deletion_anomaly.py:65-97).
+
+Semantics: "critical" columns (null fraction < 0.05 AND distinct ratio
+> 0.8) are scanned for runs of consecutive nulls; if the longest run
+exceeds 5, the FIRST 10 null rows of the column are flagged with
+confidence 0.7.
+
+"Consecutive" requires a total order — the pandas index in the
+reference; here an explicit ``order_col`` (documented divergence: the
+caller must supply the ordering, e.g. an event timestamp or ingest id).
+
+Execution: classic gaps-and-islands with window functions —
+``lag(isnull)`` → change flag → running sum = island id → per-island
+count. The order-by window is a single range partition sort; at scale
+the order column should be a monotone ingest key so the sort is nearly
+pre-sorted within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.events import finalize_events, union_events, empty_events
+from dqspark.operators.missing import null_fractions
+
+
+def critical_columns(
+    df: DataFrame,
+    null_frac_max: float = 0.05,
+    distinct_ratio_min: float = 0.8,
+) -> list[str]:
+    """One combined agg pass for null fractions + distinct ratios
+    (reference computes them table-wide too, deletion_anomaly.py:69-74)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in df.columns:
+        aggs.append(F.avg(F.col(c).isNull().cast("int")).alias(f"{c}__nf"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__ndv"))
+    row = df.agg(*aggs).collect()[0]
+    n = max(row["_n"], 1)
+    return [
+        c
+        for c in df.columns
+        if (row[f"{c}__nf"] or 0.0) < null_frac_max
+        and row[f"{c}__ndv"] / n > distinct_ratio_min
+    ]
+
+
+def detect_accidental_deletions(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    critical: list[str] | None = None,
+    max_run: int = 5,
+    report_rows: int = 10,
+) -> DataFrame:
+    if critical is None:
+        critical = critical_columns(df)
+    w = Window.orderBy(order_col)
+    parts = []
+    for c in critical:
+        if c not in df.columns:
+            continue
+        isnull = F.col(c).isNull().cast("int")
+        marked = df.select(*key_cols, order_col, F.col(c)).withColumn(
+            "_chg",
+            F.when(
+                F.lag(isnull).over(w).isNull() | (F.lag(isnull).over(w) != isnull),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        islands = marked.withColumn(
+            "_island", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        run_w = Window.partitionBy("_island")
+        runs = islands.withColumn("_run", F.count(F.lit(1)).over(run_w))
+        max_null_run = (
+            runs.where(F.col(c).isNull())
+            .agg(F.max("_run").alias("m"))
+            .collect()[0]["m"]
+        )
+        if max_null_run is None or max_null_run <= max_run:
+            continue
+        first_nulls = (
+            df.where(F.col(c).isNull())
+            .orderBy(order_col)
+            .limit(report_rows)
+            .select(
+                *key_cols,
+                F.lit(c).alias("column"),
+                F.lit(f"NULL in {c}").alias("value"),
+                F.lit("potential_accidental_deletion").alias("issue_type"),
+                F.lit(0.7).alias("confidence"),
+                F.lit(f"Potential accidental deletion detected in {c}").alias("details"),
+            )
+        )
+        parts.append(finalize_events(first_nulls, key_cols))
+    if not parts:
+        key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+        return empty_events(df.sparkSession, key_schema)
+    return union_events(parts)

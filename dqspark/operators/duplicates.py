@@ -1,0 +1,49 @@
+"""Duplicate-record detector (reference: ml/insertion_anomaly.py:5-21).
+
+Semantics: pandas ``duplicated(subset, keep=False)`` — ALL copies of a
+duplicated row are flagged, not just the extras.
+
+Execution: groupBy(subset) → keys with count > 1 → join back. At code-
+corpus scale the subset is a single ``sha256(content)`` column, so the
+shuffle moves 64-byte digests, never the content itself; AQE turns the
+join back into a broadcast when the duplicate-key set is small, and
+skew-join splitting handles a pathological all-identical corpus.
+(The whole-row window alternative sorts full rows — strictly worse.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.events import finalize_events
+
+
+def detect_duplicate_records(
+    df: DataFrame,
+    key_cols: list[str],
+    subset: list[str] | None = None,
+) -> DataFrame:
+    subset = subset or [c for c in df.columns]
+    dup_keys = (
+        df.groupBy(*subset)
+        .agg(F.count(F.lit(1)).alias("_dup_cnt"))
+        .where(F.col("_dup_cnt") > 1)
+        .select(*subset)
+    )
+    # null-safe equality to mirror pandas (NaN == NaN counts as duplicate)
+    cond = None
+    right = dup_keys
+    for c in subset:
+        clause = df[c].eqNullSafe(right[c])
+        cond = clause if cond is None else (cond & clause)
+    flagged = df.join(right, cond, "left_semi")
+    events = flagged.select(
+        *key_cols,
+        F.lit(None).cast("string").alias("column"),
+        F.lit("Duplicate data").alias("value"),
+        F.lit("duplicate_record").alias("issue_type"),
+        F.lit(1.0).alias("confidence"),
+        F.lit(f"Duplicate found in columns: {', '.join(subset)}").alias("details"),
+    )
+    return finalize_events(events, key_cols)

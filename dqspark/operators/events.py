@@ -1,0 +1,54 @@
+"""Anomaly-event DataFrame conventions.
+
+The reference's inter-detector IR is a pandas DataFrame of records
+``{row_index, column?, value, issue_type, confidence?, details?}``
+(ml/numeric_anomaly.py:28-33, ml/insertion_anomaly.py:13-19). Here an
+event stream is a DataFrame of
+
+    <key columns...>, column, value, issue_type, confidence, anomaly_score, details
+
+where ``<key columns>`` replace the pandas integer index (Spark has no
+implicit row identity): natural keys for relational tables,
+``(repo, path, commit)`` for the code corpus.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# non-key columns every event DataFrame carries
+EVENT_COLS = ("column", "value", "issue_type", "confidence", "anomaly_score", "details")
+
+
+def finalize_events(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Project to the standard layout, filling absent event columns."""
+    cols = [F.col(k) for k in key_cols]
+    for c in EVENT_COLS:
+        if c in df.columns:
+            cast = {"confidence": "double", "anomaly_score": "double"}.get(c, "string")
+            cols.append(F.col(c).cast(cast).alias(c))
+        else:
+            dtype = "double" if c in ("confidence", "anomaly_score") else "string"
+            cols.append(F.lit(None).cast(dtype).alias(c))
+    return df.select(*cols)
+
+
+def empty_events(spark, key_schema: list[tuple[str, str]]) -> DataFrame:
+    fields = ", ".join(f"{n} {t}" for n, t in key_schema)
+    schema = (
+        f"{fields}, column string, value string, issue_type string, "
+        "confidence double, anomaly_score double, details string"
+    )
+    return spark.createDataFrame([], schema)
+
+
+def union_events(dfs: list[DataFrame]) -> DataFrame:
+    """Bag union across detectors (reference: pd.concat,
+    ml/insertion_anomaly.py:104-106)."""
+    dfs = [d for d in dfs if d is not None]
+    if not dfs:
+        raise ValueError("no event DataFrames to union")
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)

@@ -1,0 +1,152 @@
+"""Foreign-key heuristic detectors (reference:
+ml/insertion_anomaly.py:44-79, ml/deletion_anomaly.py:5-63).
+
+Candidate FK columns are those named ``*_id`` / ``*Id`` (schema
+metadata, resolved driver-side — no data touched).
+
+invalid_foreign_key (insertion_anomaly.py:47-79):
+  numeric column:  value < 0            → confidence 0.8
+                   value > 999 999 999  → confidence 0.6
+  non-numeric column: every non-null value flagged → confidence 0.7
+  (the reference tests ``isinstance(value, (int, float))`` per row —
+  in a typed column that is a per-COLUMN property, so it is resolved
+  from the schema here.)
+
+potential_orphaned_record (deletion_anomaly.py:5-28): a numeric FK
+value that appears exactly once AND is > 1000 → confidence 0.6.
+One groupBy per column on the FK value — the count table is tiny
+relative to the data and joins back broadcast under AQE.
+
+referential_integrity_violation (deletion_anomaly.py:30-63):
+  value < 1 → confidence 0.9; value > 999 999 999 → confidence 0.8.
+  Reference quirk preserved: the original raises on non-numeric
+  columns (``'str' < 1``), killing the whole detector — so this
+  implementation only considers numeric FK columns, which is the only
+  configuration under which the reference produces output at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from dqspark.operators.events import finalize_events, union_events, empty_events
+
+FK_MAX = 999_999_999
+
+
+def fk_candidate_columns(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c.endswith("_id") or c.endswith("Id")]
+
+
+def _is_numeric(df: DataFrame, c: str) -> bool:
+    return isinstance(df.schema[c].dataType, NumericType)
+
+
+def _empty(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+    return empty_events(df.sparkSession, key_schema)
+
+
+def detect_invalid_foreign_keys(
+    df: DataFrame, key_cols: list[str], fk_columns: list[str] | None = None
+) -> DataFrame:
+    fk_columns = fk_columns if fk_columns is not None else fk_candidate_columns(df)
+    parts = []
+    for c in fk_columns:
+        if c not in df.columns:
+            continue
+        val = F.col(c)
+        if _is_numeric(df, c):
+            verdict = (
+                F.when(val < 0, F.struct(F.lit(0.8).alias("confidence"),
+                                         F.lit(f"Negative foreign key value in {c}").alias("details")))
+                .when(val > FK_MAX, F.struct(F.lit(0.6).alias("confidence"),
+                                             F.lit(f"Suspiciously large foreign key value in {c}").alias("details")))
+            )
+        else:
+            verdict = F.when(
+                val.isNotNull(),
+                F.struct(F.lit(0.7).alias("confidence"),
+                         F.lit(f"Non-numeric foreign key value in {c}").alias("details")),
+            )
+        events = (
+            df.select(*key_cols, val.alias("_v"), verdict.alias("_verdict"))
+            .where(F.col("_verdict").isNotNull() & F.col("_v").isNotNull())
+            .select(
+                *key_cols,
+                F.lit(c).alias("column"),
+                F.concat(F.lit(f"{c}: "), F.col("_v").cast("string")).alias("value"),
+                F.lit("invalid_foreign_key").alias("issue_type"),
+                F.col("_verdict.confidence").alias("confidence"),
+                F.col("_verdict.details").alias("details"),
+            )
+        )
+        parts.append(finalize_events(events, key_cols))
+    return union_events(parts) if parts else _empty(df, key_cols)
+
+
+def detect_orphaned_records(
+    df: DataFrame, key_cols: list[str], fk_columns: list[str] | None = None
+) -> DataFrame:
+    fk_columns = fk_columns if fk_columns is not None else fk_candidate_columns(df)
+    parts = []
+    for c in fk_columns:
+        if c not in df.columns or not _is_numeric(df, c):
+            continue
+        counts = df.groupBy(F.col(c).alias("_v")).agg(F.count(F.lit(1)).alias("_n"))
+        singles = counts.where((F.col("_n") == 1) & (F.col("_v") > 1000)).select("_v")
+        events = df.join(F.broadcast(singles), df[c] == singles["_v"], "left_semi").select(
+            *key_cols,
+            F.lit(c).alias("column"),
+            F.concat(F.lit(f"{c}: "), F.col(c).cast("string")).alias("value"),
+            F.lit("potential_orphaned_record").alias("issue_type"),
+            F.lit(0.6).alias("confidence"),
+            F.concat(
+                F.lit(f"Potential orphaned record - {c} value "),
+                F.col(c).cast("string"),
+                F.lit(" appears only once"),
+            ).alias("details"),
+        )
+        parts.append(finalize_events(events, key_cols))
+    return union_events(parts) if parts else _empty(df, key_cols)
+
+
+def detect_referential_integrity_violations(
+    df: DataFrame,
+    key_cols: list[str],
+    fk_columns: list[str] | None = None,
+    min_value: int = 1,
+    max_value: int = FK_MAX,
+) -> DataFrame:
+    fk_columns = fk_columns if fk_columns is not None else fk_candidate_columns(df)
+    parts = []
+    for c in fk_columns:
+        if c not in df.columns or not _is_numeric(df, c):
+            continue
+        val = F.col(c)
+        verdict = (
+            F.when(val < min_value, F.struct(
+                F.lit(0.9).alias("confidence"),
+                F.concat(F.lit("Value "), val.cast("string"),
+                         F.lit(f" below minimum {min_value} for {c}")).alias("details")))
+            .when(val > max_value, F.struct(
+                F.lit(0.8).alias("confidence"),
+                F.concat(F.lit("Value "), val.cast("string"),
+                         F.lit(f" above maximum {max_value} for {c}")).alias("details")))
+        )
+        events = (
+            df.select(*key_cols, val.alias("_v"), verdict.alias("_verdict"))
+            .where(F.col("_verdict").isNotNull() & F.col("_v").isNotNull())
+            .select(
+                *key_cols,
+                F.lit(c).alias("column"),
+                F.concat(F.lit(f"{c}: "), F.col("_v").cast("string")).alias("value"),
+                F.lit("referential_integrity_violation").alias("issue_type"),
+                F.col("_verdict.confidence").alias("confidence"),
+                F.col("_verdict.details").alias("details"),
+            )
+        )
+        parts.append(finalize_events(events, key_cols))
+    return union_events(parts) if parts else _empty(df, key_cols)

@@ -1,0 +1,55 @@
+"""Missing-required-field detector (reference:
+ml/insertion_anomaly.py:23-42).
+
+Semantics: "required" columns are inferred as those with null fraction
+< 0.1 (one ``df.isnull().mean()`` pass in the reference); every null
+in a required column is an event with confidence 0.9.
+
+Execution: the null fractions for ALL columns come from a single
+aggregate pass (partial+final, no shuffle of data rows); the flagging
+is a pure filter — fully pushed down to the scan when the source is
+parquet (IS NULL is a pushable predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.events import finalize_events, union_events, empty_events
+
+
+def null_fractions(df: DataFrame, columns: list[str] | None = None) -> dict[str, float]:
+    columns = columns or df.columns
+    row = df.agg(
+        *[F.avg(F.col(c).isNull().cast("int")).alias(c) for c in columns]
+    ).collect()[0]
+    return {c: (row[c] if row[c] is not None else 0.0) for c in columns}
+
+
+def detect_missing_required_fields(
+    df: DataFrame,
+    key_cols: list[str],
+    required_columns: list[str] | None = None,
+    null_frac_threshold: float = 0.1,
+) -> DataFrame:
+    if required_columns is None:
+        fracs = null_fractions(df)
+        required_columns = [c for c, f in fracs.items() if f < null_frac_threshold]
+    parts = []
+    for c in required_columns:
+        if c not in df.columns:
+            continue
+        events = df.where(F.col(c).isNull()).select(
+            *key_cols,
+            F.lit(c).alias("column"),
+            F.lit(f"NULL in {c}").alias("value"),
+            F.lit("missing_required_field").alias("issue_type"),
+            F.lit(0.9).alias("confidence"),
+            F.lit(f"Required field '{c}' is missing").alias("details"),
+        )
+        parts.append(finalize_events(events, key_cols))
+    if not parts:
+        key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+        return empty_events(df.sparkSession, key_schema)
+    return union_events(parts)

@@ -1,0 +1,124 @@
+"""Numeric outlier detector — z-score ∪ IQR (reference:
+ml/numeric_anomaly.py:4-35).
+
+Semantics to preserve exactly:
+- z-score is POPULATION (scipy.stats.zscore default ddof=0) → Spark
+  ``stddev_pop``, not ``stddev`` (sample). Silent parity killer.
+- quantiles are linear-interpolated (pandas default) → exact
+  ``F.percentile``, not percentile_approx.
+- a column is skipped when it has < 10 non-null numeric values.
+- a row is flagged when |z| > 3 OR value outside
+  [q1 − 1.5·IQR, q3 + 1.5·IQR]; the two index sets are unioned
+  (set-union in the reference → a single boolean OR here, no dedupe
+  shuffle needed).
+
+Execution: TWO-PHASE. Phase 1 is one aggregate pass computing
+count/mean/stddev_pop/q1/q3 for ALL numeric columns at once (the
+reference loops columns one at a time); the result is a handful of
+doubles, collected to the driver. Phase 2 embeds those stats as
+literals in a single flagging projection — no join, no second shuffle,
+and the scan only reads the metric columns (column pruning).
+At 100 TB this is one partial+final agg plus one map-side projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from dqspark.operators.events import finalize_events
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+
+
+def numeric_column_stats(
+    df: DataFrame, columns: list[str] | None = None
+) -> dict[str, dict[str, float]]:
+    """One aggregate pass: {col: {cnt, mean, std_pop, q1, q3}}."""
+    columns = columns or numeric_columns(df)
+    if not columns:
+        return {}
+    aggs = []
+    for c in columns:
+        # try_cast = pandas to_numeric(errors='coerce'): malformed → null
+        col = F.col(c).try_cast("double")
+        aggs += [
+            F.count(col).alias(f"{c}__cnt"),
+            F.avg(col).alias(f"{c}__mean"),
+            F.stddev_pop(col).alias(f"{c}__std"),
+            F.percentile(col, F.lit(0.25)).alias(f"{c}__q1"),
+            F.percentile(col, F.lit(0.75)).alias(f"{c}__q3"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: {
+            "cnt": row[f"{c}__cnt"],
+            "mean": row[f"{c}__mean"],
+            "std": row[f"{c}__std"],
+            "q1": row[f"{c}__q1"],
+            "q3": row[f"{c}__q3"],
+        }
+        for c in columns
+    }
+
+
+def detect_numeric_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    columns: list[str] | None = None,
+    z_thresh: float = 3.0,
+    iqr_mult: float = 1.5,
+    min_support: int = 10,
+    stats: dict[str, dict[str, float]] | None = None,
+) -> DataFrame:
+    """Event stream of numeric_outlier flags, one row per (row, column).
+
+    Emits in long format via an exploded array of per-column structs —
+    a single map-side projection, no per-column union of scans.
+    """
+    columns = columns or numeric_columns(df)
+    stats = stats if stats is not None else numeric_column_stats(df, columns)
+
+    structs = []
+    for c in columns:
+        s = stats.get(c) or {}
+        if (s.get("cnt") or 0) < min_support:
+            continue
+        mean, std, q1, q3 = s["mean"], s["std"], s["q1"], s["q3"]
+        iqr = q3 - q1
+        lo, hi = q1 - iqr_mult * iqr, q3 + iqr_mult * iqr
+        val = F.col(c).try_cast("double")
+        z_flag = (
+            F.lit(False)
+            if not std  # std==0 → scipy z-scores are NaN → nothing flagged
+            else (F.abs((val - F.lit(mean)) / F.lit(std)) > z_thresh)
+        )
+        iqr_flag = (val < F.lit(lo)) | (val > F.lit(hi))
+        flagged = val.isNotNull() & (z_flag | iqr_flag)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                val.cast("string").alias("value"),
+                flagged.alias("flagged"),
+            )
+        )
+    if not structs:
+        from dqspark.operators.events import empty_events
+
+        key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+        return empty_events(df.sparkSession, key_schema)
+
+    exploded = df.select(*key_cols, F.explode(F.array(*structs)).alias("e")).where(
+        F.col("e.flagged")
+    )
+    events = exploded.select(
+        *key_cols,
+        F.col("e.column").alias("column"),
+        F.col("e.value").alias("value"),
+        F.lit("numeric_outlier").alias("issue_type"),
+        F.lit(1.0).alias("confidence"),
+    )
+    return finalize_events(events, key_cols)

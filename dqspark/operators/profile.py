@@ -1,0 +1,43 @@
+"""Column profiling: null fraction, distinct ratio, dtype histogram
+(reference: ml/insertion_anomaly.py:26-27, ml/deletion_anomaly.py:69-74,
+ml/update_anomaly.py:12, ml/anomaly_ensemble.py:100).
+
+One aggregate pass over the whole table for all columns — the
+reference does three separate full-table pandas passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
+    """DataFrame[column, null_fraction, distinct_ratio, dtype] — one row
+    per column. ``exact_distinct=False`` switches to HLL
+    ``approx_count_distinct`` for the 100 TB path (documented
+    divergence; exact parity kept at test scale)."""
+    ndv = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in df.columns:
+        aggs.append(F.avg(F.col(c).isNull().cast("int")).alias(f"{c}__nf"))
+        aggs.append(ndv(F.col(c)).alias(f"{c}__ndv"))
+    row = df.agg(*aggs).collect()[0]
+    n = max(row["_n"], 1)
+    dtypes = dict(df.dtypes)
+    spark = df.sparkSession
+    data = [
+        (c, float(row[f"{c}__nf"] or 0.0), row[f"{c}__ndv"] / n, dtypes[c])
+        for c in df.columns
+    ]
+    return spark.createDataFrame(
+        data, "column string, null_fraction double, distinct_ratio double, dtype string"
+    )
+
+
+def dtype_histogram(df: DataFrame) -> dict[str, int]:
+    """Driver-side over schema metadata (no data pass)."""
+    hist: dict[str, int] = {}
+    for _, t in df.dtypes:
+        hist[t] = hist.get(t, 0) + 1
+    return hist

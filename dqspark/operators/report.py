@@ -1,0 +1,108 @@
+"""Quality report aggregation (reference: ml/anomaly_ensemble.py:88-150,
+ml/anomaly_scorer.py:42-65).
+
+Quirk preserved: anomaly_percentage counts EVENTS over ROWS
+(anomaly_ensemble.py:92 vs 94) — it can exceed 100; quality_score
+clamps at 0 (``max(0, 100 - pct)``), rounded to 2 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quality_report(
+    df: DataFrame, ranked_events: DataFrame, key_cols: list[str]
+) -> dict:
+    """Driver-side report dict — every number comes from an aggregate;
+    only tiny results are collected."""
+    total_rows = df.count()
+    ev = ranked_events.where(F.col("issue_type") != "feature_importance")
+    summary_row = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("confidence").alias("conf_min"),
+        F.max("confidence").alias("conf_max"),
+        F.countDistinct(*key_cols).alias("unique_rows_flagged"),
+    ).collect()[0]
+    n_events = summary_row["n_events"]
+    top_issues = {
+        r["issue_type"]: r["cnt"]
+        for r in ev.groupBy("issue_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(5)
+        .collect()
+    }
+    method_breakdown = (
+        {
+            r["method"]: r["cnt"]
+            for r in ev.groupBy("method")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"))
+            .collect()
+        }
+        if "method" in ev.columns
+        else {}
+    )
+    methods_used = list(method_breakdown)
+    pct = (n_events / total_rows) * 100 if total_rows > 0 else 0.0
+    quality_score = max(0.0, 100.0 - pct)
+    top_anomalies = [
+        r.asDict() for r in ev.orderBy(F.desc("severity_score")).limit(10).collect()
+    ] if "severity_score" in ev.columns else []
+    return {
+        "dataset_info": {
+            "total_rows": total_rows,
+            "total_columns": len(df.columns),
+            "data_types": _dtype_hist(df),
+        },
+        "anomaly_summary": {
+            "total_anomalies": n_events,
+            "methods_used": methods_used,
+            "confidence_range": (
+                summary_row["conf_min"] or 0,
+                summary_row["conf_max"] or 0,
+            ),
+            "top_issues": top_issues,
+        },
+        "quality_metrics": {
+            "anomaly_percentage": round(pct, 2),
+            "quality_score": round(quality_score, 2),
+        },
+        "top_anomalies": top_anomalies,
+        "unique_rows_flagged": summary_row["unique_rows_flagged"],
+        "anomaly_event_count": n_events,
+        "method_breakdown": method_breakdown,
+    }
+
+
+def _dtype_hist(df: DataFrame) -> dict[str, int]:
+    hist: dict[str, int] = {}
+    for _, t in df.dtypes:
+        hist[t] = hist.get(t, 0) + 1
+    return hist
+
+
+def recommendations(report: dict) -> list[str]:
+    """Text recommendations (anomaly_ensemble.py:116-150) — driver-side."""
+    recs = []
+    score = report["quality_metrics"]["quality_score"]
+    if score < 50:
+        recs.append("Critical: data quality is very poor; immediate cleaning required.")
+    elif score < 80:
+        recs.append("Warning: data quality needs improvement.")
+    else:
+        recs.append("Good: data quality is acceptable.")
+    hints = {
+        "numeric": "Numeric outliers detected: review extreme values.",
+        "categorical": "Rare categories found: check for typos or inconsistent labels.",
+        "pattern": "Complex pattern anomalies detected: review unusual value combinations.",
+        "insertion": "Insertion anomalies: check duplicates, missing fields, foreign keys.",
+        "deletion": "Deletion anomalies: review orphaned records / integrity violations.",
+        "update": "Update anomalies: look for inconsistent or partial updates.",
+    }
+    for m in report["anomaly_summary"]["methods_used"]:
+        if m in hints:
+            recs.append(hints[m])
+    return recs

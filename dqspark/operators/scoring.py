@@ -1,0 +1,79 @@
+"""Score assembly, confidence filtering, severity ranking (reference:
+ml/anomaly_scorer.py).
+
+Reference quirks preserved deliberately (SURVEY.md §7.3):
+- calculate_anomaly_scores OVERWRITES detector-written confidences:
+  confidence := anomaly_score when the record has one (only the
+  model-based detector writes it), else 1.0 (anomaly_scorer.py:15).
+  The 0.6–0.9 confidences written by insertion/deletion/update
+  detectors are discarded.
+- severity weights key off ``issue_type``, not ``method``
+  (anomaly_scorer.py:86), default weight 0.5.
+- the pipeline filter is confidence ≥ 0.3 (anomaly_ensemble.py:84) —
+  `set_anomaly_thresholds` in the reference is dead code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.events import union_events
+
+# issue_type → severity weight (anomaly_scorer.py:71-85); default 0.5
+ISSUE_WEIGHTS = {
+    "complex_pattern_anomaly": 1.0,
+    "numeric_outlier": 0.8,
+    "rare_category": 0.6,
+    "duplicate_record": 1.0,
+    "missing_required_field": 0.9,
+    "invalid_foreign_key": 0.8,
+    "potential_orphaned_record": 0.7,
+    "referential_integrity_violation": 1.0,
+    "potential_accidental_deletion": 0.7,
+    "inconsistent_update": 0.9,
+    "partial_update": 0.7,
+    "data_type_violation": 0.9,
+}
+DEFAULT_WEIGHT = 0.5
+MIN_CONFIDENCE = 0.3
+
+
+def assemble_scores(method_events: dict[str, DataFrame]) -> DataFrame:
+    """Union per-detector event streams with a ``method`` tag and the
+    reference's confidence semantics (anomaly_scorer.py:5-20)."""
+    parts = []
+    for method, events in method_events.items():
+        if events is None:
+            continue
+        parts.append(
+            events.withColumn("method", F.lit(method)).withColumn(
+                "confidence", F.coalesce(F.col("anomaly_score"), F.lit(1.0))
+            )
+        )
+    return union_events(parts)
+
+
+def weight_expr(issue_col: str = "issue_type"):
+    """issue_type → weight via an inline literal map (12 entries — a
+    broadcast-join would be overkill); coalesce → default 0.5."""
+    pairs = []
+    for k, v in ISSUE_WEIGHTS.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return F.coalesce(
+        F.create_map(*pairs)[F.col(issue_col)], F.lit(DEFAULT_WEIGHT)
+    )
+
+
+def rank_by_severity(
+    scores: DataFrame, min_confidence: float = MIN_CONFIDENCE
+) -> DataFrame:
+    """Filter (≥ min_confidence), weight, severity, rank descending.
+    The global sort only ever feeds top-k consumers, which Spark plans
+    as TakeOrderedAndProject — no full global sort materializes."""
+    return (
+        scores.where(F.col("confidence") >= F.lit(min_confidence))
+        .withColumn("method_weight", weight_expr())
+        .withColumn("severity_score", F.col("confidence") * F.col("method_weight"))
+        .orderBy(F.desc("severity_score"))
+    )

@@ -1,0 +1,238 @@
+"""Update-anomaly detectors (reference: ml/update_anomaly.py).
+
+inconsistent_update (update_anomaly.py:5-39): candidate key columns
+(``*_id``/``*Id``/``*_key`` names, else distinct-ratio > 0.9; first 3)
+— for each key, groups of size > 1 where a non-key column holds > 1
+distinct non-null value flag EVERY row of the group, one event per
+(row, offending column), confidence 0.8. The reference's
+O(groups × cols × rows) nested Python loop becomes one window over the
+key per table: ``count over w`` + ``size(collect_set(col) over w)``.
+
+partial_update (update_anomaly.py:41-74): columns grouped by their
+``name.split('_')[0]`` prefix; a row with SOME but not ALL of a
+group's columns non-null is flagged, confidence 0.7 — pure arithmetic
+over isNotNull casts, no shuffle at all.
+
+data_type_violation (update_anomaly.py:76-121): expected type per
+column inferred from the first 100 non-null values (numeric →
+datetime → string); a non-null value failing the expected parse is
+flagged, confidence 0.9. Here inference uses try_cast success rates
+over a LIMIT sample, and the violation predicates are columnar
+try-casts (``cast(c as double) IS NULL AND c IS NOT NULL``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType, TimestampType, DateType
+
+from dqspark.operators.events import finalize_events, union_events, empty_events
+
+
+def _empty(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+    return empty_events(df.sparkSession, key_schema)
+
+
+def candidate_key_columns(df: DataFrame, max_keys: int = 3) -> list[str]:
+    named = [
+        c
+        for c in df.columns
+        if c.endswith("_id") or c.endswith("Id") or c.endswith("_key")
+    ]
+    if len(named) >= max_keys:
+        return named[:max_keys]
+    # distinct-ratio candidates need a data pass — one combined agg
+    rest = [c for c in df.columns if c not in named]
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.countDistinct(F.col(c)).alias(c) for c in rest
+    ]
+    row = df.agg(*aggs).collect()[0]
+    n = max(row["_n"], 1)
+    ratio_keys = [c for c in rest if row[c] / n > 0.9]
+    return (named + ratio_keys)[:max_keys]
+
+
+def detect_inconsistent_updates(
+    df: DataFrame, key_cols: list[str], key_columns: list[str] | None = None
+) -> DataFrame:
+    if key_columns is None:
+        key_columns = candidate_key_columns(df)
+    if not key_columns:
+        return _empty(df, key_cols)
+    parts = []
+    for key in key_columns:
+        if key not in df.columns:
+            continue
+        w = Window.partitionBy(key)
+        group_size = F.count(F.lit(1)).over(w)
+        value_cols = [c for c in df.columns if c != key]
+        with_stats = df.select(
+            *df.columns,
+            group_size.alias("_gs"),
+            *[
+                F.size(F.collect_set(F.col(c)).over(w)).alias(f"_ndv_{c}")
+                for c in value_cols
+            ],
+        ).where(F.col("_gs") > 1)
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.concat(
+                    F.lit(f"{key}="),
+                    F.col(key).cast("string"),
+                    F.lit(f", {c}="),
+                    F.coalesce(F.col(c).cast("string"), F.lit("nan")),
+                ).alias("value"),
+                (F.col(f"_ndv_{c}") > 1).alias("flagged"),
+                F.lit(f"Inconsistent {c} values for same {key}").alias("details"),
+            )
+            for c in value_cols
+        ]
+        exploded = with_stats.select(
+            *key_cols, F.explode(F.array(*structs)).alias("e")
+        ).where(F.col("e.flagged"))
+        events = exploded.select(
+            *key_cols,
+            F.col("e.column").alias("column"),
+            F.col("e.value").alias("value"),
+            F.lit("inconsistent_update").alias("issue_type"),
+            F.lit(0.8).alias("confidence"),
+            F.col("e.details").alias("details"),
+        )
+        parts.append(finalize_events(events, key_cols))
+    return union_events(parts) if parts else _empty(df, key_cols)
+
+
+def prefix_column_groups(columns: list[str]) -> list[list[str]]:
+    groups: dict[str, list[str]] = {}
+    for c in columns:
+        prefix = c.split("_")[0] if "_" in c else c
+        groups.setdefault(prefix, []).append(c)
+    return [cols for cols in groups.values() if len(cols) > 1]
+
+
+def detect_partial_updates(
+    df: DataFrame,
+    key_cols: list[str],
+    related_column_groups: list[list[str]] | None = None,
+) -> DataFrame:
+    if related_column_groups is None:
+        related_column_groups = prefix_column_groups(df.columns)
+    parts = []
+    for group in related_column_groups:
+        group = [c for c in group if c in df.columns]
+        if len(group) < 2:
+            continue
+        non_null = sum(
+            (F.col(c).isNotNull().cast("int") for c in group), F.lit(0)
+        )
+        present = F.concat_ws(
+            ", ", *[F.when(F.col(c).isNotNull(), F.lit(c)) for c in group]
+        )
+        missing = F.concat_ws(
+            ", ", *[F.when(F.col(c).isNull(), F.lit(c)) for c in group]
+        )
+        events = (
+            df.withColumn("_nn", non_null)
+            .where((F.col("_nn") > 0) & (F.col("_nn") < len(group)))
+            .select(
+                *key_cols,
+                F.lit(None).cast("string").alias("column"),
+                F.concat(
+                    F.lit("Updated: "), present, F.lit(", Missing: "), missing
+                ).alias("value"),
+                F.lit("partial_update").alias("issue_type"),
+                F.lit(0.7).alias("confidence"),
+                F.lit(
+                    "Partial update detected - some related columns updated, others missing"
+                ).alias("details"),
+            )
+        )
+        parts.append(finalize_events(events, key_cols))
+    return union_events(parts) if parts else _empty(df, key_cols)
+
+
+def infer_expected_types(df: DataFrame, sample_n: int = 100) -> dict[str, str]:
+    """numeric → datetime → string, per the reference's first-100-values
+    probe (update_anomaly.py:79-90). Typed non-string columns resolve
+    from the schema without touching data."""
+    expected: dict[str, str] = {}
+    string_cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, NumericType):
+            expected[f.name] = "numeric"
+        elif isinstance(f.dataType, (TimestampType, DateType)):
+            expected[f.name] = "datetime"
+        elif isinstance(f.dataType, StringType):
+            string_cols.append(f.name)
+        else:
+            expected[f.name] = "string"
+    for c in string_cols:
+        sample = [
+            r[0]
+            for r in df.select(c).where(F.col(c).isNotNull()).limit(sample_n).collect()
+        ]
+        if not sample:
+            continue
+        pdf_ok = all(_parses_float(v) for v in sample)
+        if pdf_ok:
+            expected[c] = "numeric"
+            continue
+        import pandas as pd
+
+        try:
+            pd.to_datetime(pd.Series(sample))
+            expected[c] = "datetime"
+        except (ValueError, TypeError):
+            expected[c] = "string"
+    return expected
+
+
+def _parses_float(v) -> bool:
+    try:
+        float(v)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def detect_data_type_violations(
+    df: DataFrame,
+    key_cols: list[str],
+    expected_types: dict[str, str] | None = None,
+) -> DataFrame:
+    if expected_types is None:
+        expected_types = infer_expected_types(df)
+    parts = []
+    for c, expected in expected_types.items():
+        if c not in df.columns:
+            continue
+        val = F.col(c)
+        # try_cast (null on malformed) mirrors pandas to_numeric(errors=
+        # 'coerce'); a plain cast would throw under Spark 4 ANSI mode
+        if expected == "numeric":
+            violation = val.isNotNull() & val.try_cast("double").isNull()
+        elif expected == "datetime":
+            violation = (
+                val.isNotNull()
+                & F.try_to_timestamp(val.cast("string")).isNull()
+                & val.try_cast("date").isNull()
+            )
+        else:
+            # reference: a numeric value whose repr exceeds 1000 chars —
+            # unreachable for fixed-width numerics; kept for fidelity
+            violation = val.isNotNull() & (F.length(val.cast("string")) > 1000) & F.lit(
+                not isinstance(df.schema[c].dataType, StringType)
+            )
+        events = df.where(violation).select(
+            *key_cols,
+            F.lit(c).alias("column"),
+            F.concat(F.lit(f"{c}: "), val.cast("string")).alias("value"),
+            F.lit("data_type_violation").alias("issue_type"),
+            F.lit(0.9).alias("confidence"),
+            F.lit(f"Expected {expected} in {c}").alias("details"),
+        )
+        parts.append(finalize_events(events, key_cols))
+    return union_events(parts) if parts else _empty(df, key_cols)

@@ -1,0 +1,574 @@
+"""Driver-contract queries: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Conventions for oracle comparability (the driver hashes values after
+sorting columns by name):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- no float→string casts cross the comparison boundary (Java vs DuckDB
+  double formatting differs) — floats are compared as rounded doubles;
+- aggregates over doubles are rounded (4 dp) on BOTH sides;
+- `column` (reserved-ish) is exposed as `col_name`;
+- no LIMIT without a total ORDER BY.
+
+Derived/planted columns (nullif/case over events) exist because the
+driver tables are clean — detectors need defects to flag; the plants
+are deterministic expressions applied identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.functions.hashing import content_fingerprint, fingerprint_oracle_expr
+from dqspark.functions.text_metrics import (
+    TEXT_METRIC_COLS,
+    text_metrics_oracle_exprs,
+    with_text_metrics,
+)
+from dqspark.operators.categorical import detect_rare_categories
+from dqspark.operators.deletions import detect_accidental_deletions
+from dqspark.operators.duplicates import detect_duplicate_records
+from dqspark.operators.foreign_keys import (
+    detect_invalid_foreign_keys,
+    detect_orphaned_records,
+    detect_referential_integrity_violations,
+)
+from dqspark.operators.missing import detect_missing_required_fields
+from dqspark.operators.numeric import detect_numeric_outliers
+from dqspark.operators.profile import column_profile
+from dqspark.operators.scoring import assemble_scores, rank_by_severity
+from dqspark.operators.updates import (
+    detect_data_type_violations,
+    detect_inconsistent_updates,
+    detect_partial_updates,
+)
+from dqspark.sources.catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1-A3: numeric z-score ∪ IQR outliers (ml/numeric_anomaly.py:4-35)
+# ---------------------------------------------------------------------------
+
+_NUMERIC_ORACLE = """
+WITH s AS (
+  SELECT count(value) AS cnt, avg(value) AS mean, stddev_pop(value) AS std,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events
+)
+SELECT e.event_id, 'value' AS col_name, e.value AS value_num,
+       'numeric_outlier' AS issue_type, 1.0::double AS confidence
+FROM events e, s
+WHERE e.value IS NOT NULL AND (
+      (s.std > 0 AND abs((e.value - s.mean) / s.std) > 3)
+   OR e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+   OR e.value > s.q3 + 1.5 * (s.q3 - s.q1))
+"""
+
+
+@register("numeric_outliers", _NUMERIC_ORACLE)
+def q_numeric_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_numeric_outliers(ev, key_cols=["event_id"], columns=["value"])
+    return out.select(
+        "event_id",
+        F.col("column").alias("col_name"),
+        F.col("value").cast("double").alias("value_num"),
+        "issue_type",
+        "confidence",
+    )
+
+
+_STATS_ORACLE = """
+SELECT count(l_extendedprice) AS cnt,
+       round(avg(l_extendedprice), 4) AS mean,
+       round(stddev_pop(l_extendedprice), 4) AS std_pop,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+FROM lineitem
+"""
+
+
+@register("numeric_stats", _STATS_ORACLE)
+def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice").cast("double")
+    return li.agg(
+        F.count(c).alias("cnt"),
+        F.round(F.avg(c), 4).alias("mean"),
+        F.round(F.stddev_pop(c), 4).alias("std_pop"),
+        F.round(F.percentile(c, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(c, F.lit(0.75)), 4).alias("q3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A5: rare categories (ml/categorical_anomaly.py:2-17); min_freq is the
+# detector's parameter — 0.15 exercises a non-empty rare set on this data
+# ---------------------------------------------------------------------------
+
+_RARE_ORACLE = """
+WITH counts AS (
+  SELECT lang AS value, count(*) AS cnt FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), tot AS (SELECT sum(cnt) AS total FROM counts),
+rare AS (SELECT value FROM counts, tot WHERE cnt * 1.0 / total < 0.15)
+SELECT d.doc_id, d.lang AS value, 'rare_category' AS issue_type, 1.0::double AS confidence
+FROM documents d JOIN rare r ON d.lang = r.value
+"""
+
+
+@register("rare_categories", _RARE_ORACLE)
+def q_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = detect_rare_categories(docs, key_cols=["doc_id"], columns=["lang"], min_freq=0.15)
+    return out.select("doc_id", "value", "issue_type", "confidence")
+
+
+# ---------------------------------------------------------------------------
+# A9: duplicate records, keep=False semantics (ml/insertion_anomaly.py:5-21)
+# ---------------------------------------------------------------------------
+
+_DUP_ORACLE = """
+WITH doubled AS (
+  SELECT * FROM customer WHERE c_custkey <= 100
+  UNION ALL
+  SELECT * FROM customer WHERE c_custkey <= 100
+)
+SELECT c_custkey, 'duplicate_record' AS issue_type, 1.0::double AS confidence FROM doubled
+"""
+
+
+@register("duplicate_records", _DUP_ORACLE)
+def q_duplicate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    doubled = cust.unionAll(cust)
+    out = detect_duplicate_records(doubled, key_cols=["c_custkey"])
+    return out.select("c_custkey", "issue_type", "confidence")
+
+
+_DUP_KEY_ORACLE = """
+SELECT o_orderkey, o_custkey, 'duplicate_record' AS issue_type
+FROM (SELECT o_orderkey, o_custkey, count(*) OVER (PARTITION BY o_custkey) AS n FROM orders)
+WHERE n > 1
+"""
+
+
+@register("duplicate_by_key", _DUP_KEY_ORACLE)
+def q_duplicate_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = detect_duplicate_records(orders, key_cols=["o_orderkey", "o_custkey"], subset=["o_custkey"])
+    return out.select("o_orderkey", "o_custkey", "issue_type")
+
+
+# ---------------------------------------------------------------------------
+# A6: missing required fields (ml/insertion_anomaly.py:23-42) — nulls are
+# planted deterministically (the driver tables are fully populated)
+# ---------------------------------------------------------------------------
+
+_MISSING_ORACLE = """
+SELECT event_id, 'props2' AS col_name, 'missing_required_field' AS issue_type, 0.9::double AS confidence
+FROM events WHERE event_id % 97 = 0
+"""
+
+
+@register("missing_required", _MISSING_ORACLE)
+def q_missing_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "props2", F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(F.col("props"))
+    )
+    out = detect_missing_required_fields(ev, key_cols=["event_id"])
+    return out.select(
+        "event_id", F.col("column").alias("col_name"), "issue_type", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: invalid FK heuristics (ml/insertion_anomaly.py:44-79)
+# ---------------------------------------------------------------------------
+
+_INVALID_FK_ORACLE = """
+WITH derived AS (
+  SELECT event_id,
+         CASE WHEN event_id % 101 = 0 THEN -(event_id % 50 + 1)
+              WHEN event_id % 103 = 0 THEN 9999999999
+              ELSE user_id END AS ref_id
+  FROM events
+)
+SELECT event_id, 'ref_id' AS col_name, 'invalid_foreign_key' AS issue_type,
+       (CASE WHEN ref_id < 0 THEN 0.8 ELSE 0.6 END)::double AS confidence
+FROM derived WHERE ref_id < 0 OR ref_id > 999999999
+"""
+
+
+@register("invalid_foreign_keys", _INVALID_FK_ORACLE)
+def q_invalid_foreign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ref_id",
+        F.when(F.col("event_id") % 101 == 0, -(F.col("event_id") % 50 + 1))
+        .when(F.col("event_id") % 103 == 0, F.lit(9999999999))
+        .otherwise(F.col("user_id")),
+    )
+    out = detect_invalid_foreign_keys(ev, key_cols=["event_id"], fk_columns=["ref_id"])
+    return out.select(
+        "event_id", F.col("column").alias("col_name"), "issue_type", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: orphaned records (ml/deletion_anomaly.py:5-28) — event_id is unique and
+# mostly > 1000, so the value_count==1 ∧ value>1000 rule fires on it
+# ---------------------------------------------------------------------------
+
+_ORPHAN_ORACLE = """
+WITH counts AS (SELECT event_id AS v, count(*) AS n FROM events GROUP BY event_id)
+SELECT e.event_id, 'event_id' AS col_name, 'potential_orphaned_record' AS issue_type,
+       0.6::double AS confidence
+FROM events e JOIN counts c ON e.event_id = c.v
+WHERE c.n = 1 AND c.v > 1000
+UNION ALL
+SELECT e.event_id, 'user_id' AS col_name, 'potential_orphaned_record' AS issue_type,
+       0.6::double AS confidence
+FROM events e JOIN (SELECT user_id AS v, count(*) AS n FROM events GROUP BY user_id) c
+  ON e.user_id = c.v
+WHERE c.n = 1 AND c.v > 1000
+"""
+
+
+@register("orphaned_records", _ORPHAN_ORACLE)
+def q_orphaned_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_orphaned_records(ev, key_cols=["event_id"])
+    return out.select(
+        "event_id", F.col("column").alias("col_name"), "issue_type", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity bounds (ml/deletion_anomaly.py:30-63)
+# ---------------------------------------------------------------------------
+
+_REF_ORACLE = """
+SELECT event_id, 'event_id' AS col_name, 'referential_integrity_violation' AS issue_type,
+       0.9::double AS confidence
+FROM events WHERE event_id < 1
+UNION ALL
+SELECT event_id, 'user_id' AS col_name, 'referential_integrity_violation' AS issue_type,
+       0.9::double AS confidence
+FROM events WHERE user_id < 1
+"""
+
+
+@register("referential_integrity", _REF_ORACLE)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_referential_integrity_violations(ev, key_cols=["event_id"])
+    return out.select(
+        "event_id", F.col("column").alias("col_name"), "issue_type", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10/J7: inconsistent updates — group-consistency window
+# (ml/update_anomaly.py:5-39)
+# ---------------------------------------------------------------------------
+
+_INCONSISTENT_ORACLE = """
+WITH g AS (
+  SELECT o_custkey, count(*) AS gs,
+         count(DISTINCT o_orderkey) AS nd_o_orderkey,
+         count(DISTINCT o_orderstatus) AS nd_o_orderstatus,
+         count(DISTINCT o_totalprice) AS nd_o_totalprice,
+         count(DISTINCT o_orderdate) AS nd_o_orderdate,
+         count(DISTINCT o_orderpriority) AS nd_o_orderpriority
+  FROM orders GROUP BY o_custkey
+), flagged AS (SELECT * FROM g WHERE gs > 1)
+SELECT o.o_orderkey, c.col_name, 'inconsistent_update' AS issue_type, 0.8::double AS confidence
+FROM orders o
+JOIN flagged f ON o.o_custkey = f.o_custkey
+CROSS JOIN (VALUES ('o_orderkey'), ('o_orderstatus'), ('o_totalprice'),
+                   ('o_orderdate'), ('o_orderpriority')) AS c(col_name)
+WHERE (c.col_name = 'o_orderkey' AND f.nd_o_orderkey > 1)
+   OR (c.col_name = 'o_orderstatus' AND f.nd_o_orderstatus > 1)
+   OR (c.col_name = 'o_totalprice' AND f.nd_o_totalprice > 1)
+   OR (c.col_name = 'o_orderdate' AND f.nd_o_orderdate > 1)
+   OR (c.col_name = 'o_orderpriority' AND f.nd_o_orderpriority > 1)
+"""
+
+
+@register("inconsistent_updates", _INCONSISTENT_ORACLE)
+def q_inconsistent_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = detect_inconsistent_updates(
+        orders, key_cols=["o_orderkey"], key_columns=["o_custkey"]
+    )
+    return out.select(
+        "o_orderkey", F.col("column").alias("col_name"), "issue_type", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial updates (ml/update_anomaly.py:41-74) — prefix-grouped columns
+# ---------------------------------------------------------------------------
+
+_PARTIAL_ORACLE = """
+SELECT event_id, 'partial_update' AS issue_type, 0.7::double AS confidence
+FROM events WHERE event_id % 89 = 0
+"""
+
+
+@register("partial_updates", _PARTIAL_ORACLE)
+def q_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_type2",
+        F.when(F.col("event_id") % 89 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    out = detect_partial_updates(
+        ev, key_cols=["event_id"], related_column_groups=[["event_id", "event_type2"]]
+    )
+    return out.select("event_id", "issue_type", "confidence")
+
+
+# ---------------------------------------------------------------------------
+# P7: data-type violations (ml/update_anomaly.py:76-121)
+# ---------------------------------------------------------------------------
+
+_TYPEVIOL_ORACLE = """
+WITH derived AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN 'not-a-number'
+              ELSE cast(event_id AS varchar) END AS numstr
+  FROM events
+)
+SELECT event_id, 'numstr' AS col_name, 'data_type_violation' AS issue_type, 0.9::double AS confidence
+FROM derived WHERE numstr IS NOT NULL AND try_cast(numstr AS double) IS NULL
+"""
+
+
+@register("data_type_violations", _TYPEVIOL_ORACLE)
+def q_data_type_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "numstr",
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-a-number")).otherwise(
+            F.col("event_id").cast("string")
+        ),
+    )
+    out = detect_data_type_violations(
+        ev, key_cols=["event_id"], expected_types={"numstr": "numeric"}
+    )
+    return out.select(
+        "event_id", F.col("column").alias("col_name"), "issue_type", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: gaps-and-islands consecutive-null runs (ml/deletion_anomaly.py:65-97)
+# ---------------------------------------------------------------------------
+
+_DELETION_ORACLE = """
+WITH derived AS (
+  SELECT event_id,
+         CASE WHEN event_id BETWEEN 5000 AND 5010 THEN NULL ELSE value END AS value2
+  FROM events
+), marked AS (
+  SELECT event_id, value2,
+         CASE WHEN lag((value2 IS NULL)::int) OVER (ORDER BY event_id) IS NULL
+                OR lag((value2 IS NULL)::int) OVER (ORDER BY event_id) <> (value2 IS NULL)::int
+              THEN 1 ELSE 0 END AS chg
+  FROM derived
+), islands AS (
+  SELECT *, sum(chg) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS island FROM marked
+), runs AS (
+  SELECT *, count(*) OVER (PARTITION BY island) AS run FROM islands
+), mx AS (SELECT max(run) AS max_run FROM runs WHERE value2 IS NULL)
+SELECT event_id, 'value2' AS col_name, 'potential_accidental_deletion' AS issue_type,
+       0.7::double AS confidence
+FROM derived, mx
+WHERE value2 IS NULL AND mx.max_run > 5
+ORDER BY event_id LIMIT 10
+"""
+
+
+@register("accidental_deletions", _DELETION_ORACLE)
+def q_accidental_deletions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value2",
+        F.when(F.col("event_id").between(5000, 5010), F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    out = detect_accidental_deletions(
+        ev, key_cols=["event_id"], order_col="event_id", critical=["value2"]
+    )
+    return out.select(
+        "event_id", F.col("column").alias("col_name"), "issue_type", "confidence"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7: column profile (null fraction + distinct ratio)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH n AS (SELECT count(*) AS total FROM events)
+SELECT 'event_id' AS col_name,
+       round(avg((event_id IS NULL)::int), 4) AS null_fraction,
+       round(count(DISTINCT event_id) * 1.0 / total, 4) AS distinct_ratio
+FROM events, n GROUP BY total
+UNION ALL
+SELECT 'user_id', round(avg((user_id IS NULL)::int), 4),
+       round(count(DISTINCT user_id) * 1.0 / total, 4) FROM events, n GROUP BY total
+UNION ALL
+SELECT 'event_type', round(avg((event_type IS NULL)::int), 4),
+       round(count(DISTINCT event_type) * 1.0 / total, 4) FROM events, n GROUP BY total
+UNION ALL
+SELECT 'value', round(avg((value IS NULL)::int), 4),
+       round(count(DISTINCT value) * 1.0 / total, 4) FROM events, n GROUP BY total
+"""
+
+
+@register("column_profile", _PROFILE_ORACLE)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    prof = column_profile(ev)
+    return prof.select(
+        F.col("column").alias("col_name"),
+        F.round("null_fraction", 4).alias("null_fraction"),
+        F.round("distinct_ratio", 4).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6/P9/P10: score assembly + severity ranking (ml/anomaly_scorer.py)
+# ---------------------------------------------------------------------------
+
+_SEVERITY_ORACLE = """
+WITH ev AS (
+  SELECT 'referential_integrity_violation' AS issue_type, 'deletion' AS method
+  FROM events WHERE event_id < 1 OR user_id < 1
+  UNION ALL
+  SELECT 'numeric_outlier', 'numeric' FROM events e,
+    (SELECT avg(value) AS mean, stddev_pop(value) AS std,
+            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events) s
+  WHERE e.value IS NOT NULL AND ((s.std > 0 AND abs((e.value - s.mean)/s.std) > 3)
+     OR e.value < s.q1 - 1.5*(s.q3-s.q1) OR e.value > s.q3 + 1.5*(s.q3-s.q1))
+)
+SELECT issue_type, method, 1.0::double AS confidence,
+       (CASE issue_type WHEN 'referential_integrity_violation' THEN 1.0
+                       WHEN 'numeric_outlier' THEN 0.8 ELSE 0.5 END)::double AS method_weight,
+       (CASE issue_type WHEN 'referential_integrity_violation' THEN 1.0
+                       WHEN 'numeric_outlier' THEN 0.8 ELSE 0.5 END)::double AS severity_score,
+       count(*) AS n
+FROM ev GROUP BY issue_type, method
+"""
+
+
+@register("severity_ranking", _SEVERITY_ORACLE)
+def q_severity_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    numeric = detect_numeric_outliers(ev, key_cols=["event_id"], columns=["value"])
+    refi = detect_referential_integrity_violations(ev, key_cols=["event_id"])
+    scores = assemble_scores({"numeric": numeric, "deletion": refi})
+    ranked = rank_by_severity(scores)
+    return ranked.groupBy("issue_type", "method", "confidence", "method_weight", "severity_score").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13: quality score (ml/anomaly_ensemble.py:88-114)
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH ev AS (
+  SELECT event_id FROM events e,
+    (SELECT avg(value) AS mean, stddev_pop(value) AS std,
+            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events) s
+  WHERE e.value IS NOT NULL AND ((s.std > 0 AND abs((e.value - s.mean)/s.std) > 3)
+     OR e.value < s.q1 - 1.5*(s.q3-s.q1) OR e.value > s.q3 + 1.5*(s.q3-s.q1))
+), agg AS (
+  SELECT (SELECT count(*) FROM events) AS total_rows,
+         (SELECT count(*) FROM ev) AS anomaly_event_count,
+         (SELECT count(DISTINCT event_id) FROM ev) AS unique_rows_flagged
+)
+SELECT total_rows, anomaly_event_count, unique_rows_flagged,
+       round(anomaly_event_count * 100.0 / total_rows, 2)::double AS anomaly_percentage,
+       round(greatest(0, 100 - anomaly_event_count * 100.0 / total_rows), 2)::double AS quality_score
+FROM agg
+"""
+
+
+@register("quality_score", _QUALITY_ORACLE)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    numeric = detect_numeric_outliers(ev, key_cols=["event_id"], columns=["value"])
+    total = ev.agg(F.count(F.lit(1)).alias("total_rows"))
+    evagg = numeric.agg(
+        F.count(F.lit(1)).alias("anomaly_event_count"),
+        F.countDistinct("event_id").alias("unique_rows_flagged"),
+    )
+    joined = total.crossJoin(evagg)
+    pct = F.col("anomaly_event_count") * 100.0 / F.col("total_rows")
+    return joined.select(
+        "total_rows",
+        "anomaly_event_count",
+        "unique_rows_flagged",
+        F.round(pct, 2).alias("anomaly_percentage"),
+        F.round(F.greatest(F.lit(0.0), 100.0 - pct), 2).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text metrics over documents (quality-pipeline feature stage)
+# ---------------------------------------------------------------------------
+
+def _text_metrics_oracle() -> str:
+    exprs = text_metrics_oracle_exprs("text")
+    cols = ",\n       ".join(f"round({exprs[m]}, 4) AS {m}" for m in TEXT_METRIC_COLS)
+    return f"SELECT doc_id,\n       {cols}\nFROM documents"
+
+
+@register("text_metrics", _text_metrics_oracle())
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_text_metrics(docs, text_col="text")
+    return out.select(
+        "doc_id", *[F.round(m, 4).alias(m) for m in TEXT_METRIC_COLS]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (sha256 of normalized text)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, sha256(text) AS text_sha256,
+       {fingerprint_oracle_expr('text')} AS fingerprint
+FROM documents
+"""
+
+
+@register("fingerprint", _FINGERPRINT_ORACLE)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        content_fingerprint("text").alias("fingerprint"),
+    )

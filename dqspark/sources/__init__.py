@@ -1,0 +1,11 @@
+from dqspark.sources.catalog import load_table, load_tables, register_views
+from dqspark.sources.readers import read_any, sanitize_columns, normalize_null_strings
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_any",
+    "sanitize_columns",
+    "normalize_null_strings",
+]

@@ -1,0 +1,76 @@
+"""Table catalog: the Spark-native replacement for the reference's
+process-global ``in_memory_tables`` dict (backend/api/upload.py:16,66).
+
+Tables live in the session catalog as temp views (test scale) or as
+partitioned parquet/Iceberg tables (cluster scale). Iceberg needs its
+runtime jar — not present in this sandbox — so the writer degrades to
+a partitioned-parquet layout with the same directory semantics; the
+DDL path is gated behind a capability probe, not an import of any
+non-public package.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table (TESTDATA.md layout)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TPCH_TABLES) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for an Iceberg catalog implementation on the classpath."""
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001 — capability probe only
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    path_or_ident: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a managed table: Iceberg when the runtime jar is present,
+    otherwise a partitioned-parquet directory with identical layout.
+
+    At cluster scale this is the audit/output sink; commit-level
+    idempotency comes from Spark's file-commit protocol (parquet) or
+    Iceberg snapshots (see plans/checkpoint.py for the resume logic).
+    """
+    spark = df.sparkSession
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if iceberg_available(spark) and "/" not in path_or_ident:
+        writer.format("iceberg").saveAsTable(path_or_ident)
+    else:
+        writer.parquet(path_or_ident)

@@ -1,0 +1,66 @@
+"""File ingestion (reference: backend/api/upload.py:36-75).
+
+The reference reads CSV/Excel/JSON into pandas, sanitizes column
+names with two regex rewrites (upload.py:19-22), and coerces the
+literal string "null" (case-insensitive full match) to missing
+(upload.py:56-61, repeated in ml/anomaly_checker.py:17-21). Here the
+reads are native Spark sources, the renames are driver-side metadata
+ops, and the null normalization is ONE columnar projection instead of
+two full-table Python ``applymap`` passes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sanitize_column_name(name: str) -> str:
+    """Same rewrite as the reference: non-[a-zA-Z0-9_] → '_', and a
+    leading character that isn't a letter/underscore gets prefixed."""
+    clean = re.sub(r"[^a-zA-Z0-9_]", "_", name)
+    if not re.match(r"^[a-zA-Z_]", clean):
+        clean = "_" + clean
+    return clean
+
+
+def sanitize_columns(df: DataFrame) -> DataFrame:
+    return df.toDF(*[sanitize_column_name(c) for c in df.columns])
+
+
+def normalize_null_strings(df: DataFrame) -> DataFrame:
+    """'null' (ci, full match) → NULL in every string column — one
+    projection, whole-stage-codegen'd; Catalyst collapses it into
+    adjacent projects."""
+    exprs = []
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "string":
+            c = F.col(field.name)
+            exprs.append(
+                F.when(F.upper(c) == F.lit("NULL"), F.lit(None)).otherwise(c).alias(field.name)
+            )
+        else:
+            exprs.append(F.col(field.name))
+    return df.select(*exprs)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Format-dispatch read (upload.py:43-50): csv/json/parquet native;
+    Excel has no Spark source — read driver-side via pandas and lift
+    through Arrow (acceptable: spreadsheets are small by construction)."""
+    fmt = fmt or path.rsplit(".", 1)[-1].lower()
+    if fmt == "csv":
+        df = spark.read.csv(path, header=True, inferSchema=True)
+    elif fmt == "json":
+        df = spark.read.json(path)
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt in ("xlsx", "xls"):
+        import pandas as pd  # driver-side only; Excel files are small
+
+        df = spark.createDataFrame(pd.read_excel(path))
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    return normalize_null_strings(sanitize_columns(df))

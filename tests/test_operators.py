@@ -1,0 +1,128 @@
+"""Operator unit tests with hand-built inputs (exact expected outputs)
+plus invariants from SURVEY.md §5.2.3-4."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.categorical import detect_rare_categories
+from dqspark.operators.duplicates import detect_duplicate_records
+from dqspark.operators.missing import detect_missing_required_fields, null_fractions
+from dqspark.operators.numeric import detect_numeric_outliers, numeric_column_stats
+from dqspark.operators.scoring import assemble_scores, rank_by_severity
+from dqspark.operators.updates import detect_partial_updates
+
+
+def test_numeric_outlier_population_std(spark):
+    # 11 values: ten 1.0s and one 1000.0 — population std flags the spike
+    rows = [(i, 1.0) for i in range(10)] + [(10, 1000.0)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    ev = detect_numeric_outliers(df, key_cols=["id"], columns=["x"]).collect()
+    assert [r["id"] for r in ev] == [10]
+    assert ev[0]["issue_type"] == "numeric_outlier"
+    assert ev[0]["confidence"] == 1.0
+
+
+def test_numeric_min_support_gate(spark):
+    # < 10 non-null values → column skipped entirely (numeric_anomaly.py:9)
+    rows = [(i, float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    assert detect_numeric_outliers(df, key_cols=["id"], columns=["x"]).count() == 0
+
+
+def test_numeric_stats_population_not_sample(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "id long, x double")
+    s = numeric_column_stats(df, ["x"])["x"]
+    # population std of [1,2,3] = sqrt(2/3); sample would be 1.0
+    assert abs(s["std"] - (2.0 / 3.0) ** 0.5) < 1e-12
+
+
+def test_numeric_flags_invariant_to_partitioning(spark):
+    rows = [(i, 1.0) for i in range(20)] + [(20, 500.0), (21, -500.0)]
+    df1 = spark.createDataFrame(rows, "id long, x double").repartition(1)
+    df8 = spark.createDataFrame(rows, "id long, x double").repartition(8)
+    ids1 = sorted(r["id"] for r in detect_numeric_outliers(df1, ["id"], ["x"]).collect())
+    ids8 = sorted(r["id"] for r in detect_numeric_outliers(df8, ["id"], ["x"]).collect())
+    assert ids1 == ids8 == [20, 21]
+
+
+def test_rare_category_threshold(spark):
+    # 99 'a' + 1 'b' → freq(b)=0.01 is NOT < 0.01; 199 'a' + 1 'b' → 0.005 flagged
+    rows = [(i, "a") for i in range(199)] + [(199, "b")]
+    df = spark.createDataFrame(rows, "id long, c string")
+    ev = detect_rare_categories(df, key_cols=["id"], columns=["c"]).collect()
+    assert [(r["id"], r["value"]) for r in ev] == [(199, "b")]
+
+    rows2 = [(i, "a") for i in range(99)] + [(99, "b")]
+    df2 = spark.createDataFrame(rows2, "id long, c string")
+    assert detect_rare_categories(df2, key_cols=["id"], columns=["c"]).count() == 0
+
+
+def test_duplicates_flag_all_copies(spark):
+    # keep=False semantics: both copies flagged (insertion_anomaly.py:9)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, v string"
+    )
+    ev = detect_duplicate_records(df, key_cols=["id"], subset=["v"]).collect()
+    assert sorted(r["id"] for r in ev) == [1, 2]
+
+
+def test_duplicates_null_safe(spark):
+    # pandas duplicated treats NaN == NaN as equal
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    assert detect_duplicate_records(df, key_cols=["id"], subset=["v"]).count() == 2
+
+
+def test_missing_required_inference(spark):
+    # v null-frac 1/10 = 0.1 → NOT < 0.1 → not required → no events;
+    # w null-frac 0.0 → required but never null → no events;
+    # u null-frac 1/20 < 0.1 → required → its one null flagged
+    rows = [(i, "a" if i != 0 else None, "b", "c" if i != 5 else None) for i in range(10)]
+    rows += [(i, "a", "b", "c") for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "id long, v string, w string, u string")
+    fr = null_fractions(df)
+    assert fr["v"] == 0.05 and fr["u"] == 0.05
+    ev = detect_missing_required_fields(df, key_cols=["id"]).collect()
+    assert sorted((r["id"], r["column"]) for r in ev) == [(0, "v"), (5, "u")]
+
+
+def test_partial_updates(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "b"), (2, "a", None), (3, None, None)],
+        "id long, grp_x string, grp_y string",
+    )
+    ev = detect_partial_updates(df, key_cols=["id"]).collect()
+    assert [r["id"] for r in ev] == [2]
+    assert ev[0]["confidence"] == 0.7
+
+
+def test_scorer_discards_detector_confidences(spark):
+    # anomaly_scorer.py:15 — confidence := anomaly_score if present else 1.0
+    ev = spark.createDataFrame(
+        [(1, "missing_required_field", 0.9, None), (2, "complex_pattern_anomaly", None, 0.65)],
+        "id long, issue_type string, confidence double, anomaly_score double",
+    )
+    ranked = rank_by_severity(assemble_scores({"m": ev})).collect()
+    by_id = {r["id"]: r for r in ranked}
+    assert by_id[1]["confidence"] == 1.0          # 0.9 discarded
+    assert by_id[2]["confidence"] == 0.65          # model score kept
+    assert by_id[1]["severity_score"] == 1.0 * 0.9  # weight(missing_required_field)
+    assert by_id[2]["severity_score"] == 0.65 * 1.0
+
+
+def test_confidence_filter_boundary(spark):
+    ev = spark.createDataFrame(
+        [(1, "complex_pattern_anomaly", None, 0.3), (2, "complex_pattern_anomaly", None, 0.29)],
+        "id long, issue_type string, confidence double, anomaly_score double",
+    )
+    ranked = rank_by_severity(assemble_scores({"m": ev})).collect()
+    assert [r["id"] for r in ranked] == [1]  # ≥ 0.3 inclusive (anomaly_ensemble.py:84)
+
+
+def test_default_weight(spark):
+    ev = spark.createDataFrame(
+        [(1, "totally_new_issue", None, None)],
+        "id long, issue_type string, confidence double, anomaly_score double",
+    )
+    r = rank_by_severity(assemble_scores({"m": ev})).collect()[0]
+    assert r["method_weight"] == 0.5 and r["severity_score"] == 0.5

@@ -1,0 +1,95 @@
+"""Self-check harness mimicking the driver's oracle-differential gate:
+run each queries() entry on Spark and its oracle_sql() on DuckDB over
+the same parquet tables; compare row count, column names, and
+order-insensitive values.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dqspark.session import get_spark  # noqa: E402
+from dqspark.sources.catalog import TPCH_TABLES  # noqa: E402
+
+
+def normalize(df) -> list[tuple]:
+    """Sort columns by name, round floats, sort rows — order-insensitive
+    value comparison."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(round(v, 6))
+            else:
+                vals.append(str(v))
+        rows.append(tuple(vals))
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows={len(sdf)} (no oracle — rows-only check)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        else:
+            s, o = normalize(sdf), normalize(odf)
+            if s != o:
+                diff = [i for i, (a, b) in enumerate(zip(s, o)) if a != b][:3]
+                sample = [(s[i], o[i]) for i in diff]
+                problems.append(f"values mismatch; first diffs: {sample}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"PASS {name}: rows={len(sdf)}")
+    spark.stop()
+    print(f"\n{len(failures)} failures" if failures else "\nall passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
