@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark for the dqspark engine.
+
+Runs the flagship queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed via the noop sink (``format("noop")``) so the full
+plan runs on executors without driver-side collect — the same shape a
+cluster job has.  ``value`` is total wall seconds across headline queries;
+``files_per_sec`` reports quality-pipeline throughput (rows/sec over the
+documents table), the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dqspark.session import get_spark  # noqa: E402
+
+
+def _run(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(app_name="dqspark-bench")
+
+    from dqspark.plans import driver_queries
+
+    headline = [
+        "numeric_outliers",
+        "rare_categories",
+        "duplicate_by_key",
+        "inconsistent_updates",
+        "text_metrics",
+        "quality_score",
+        "fingerprint",
+    ]
+    # queries added after round-1 core (quality pipeline, dedup, knn)
+    for extra in (
+        "quality_pipeline",
+        "minhash_dedup",
+        "simhash_dedup",
+        "embedding_knn",
+    ):
+        if extra in driver_queries.QUERIES:
+            headline.append(extra)
+
+    times: dict[str, float] = {}
+    for name in headline:
+        fn = driver_queries.QUERIES[name]
+        try:
+            times[name] = round(_run(fn(spark, sf_dir)), 3)
+        except Exception as exc:  # keep the bench line intact on one failure
+            times[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+
+    # throughput on the quality pipeline's own input (files/sec headline)
+    files_per_sec = None
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_docs = docs.count()
+        key = "quality_pipeline" if "quality_pipeline" in times else "text_metrics"
+        if times.get(key, -1) > 0:
+            files_per_sec = round(n_docs / times[key], 1)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if files_per_sec is not None:
+        out["files_per_sec"] = files_per_sec
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
