@@ -20,9 +20,12 @@ from dqspark.plans import driver_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: numeric z-score∪IQR outlier events over sf0.001 events
-    (the reference's headline detector, ml/numeric_anomaly.py:4-35)."""
-    return driver_queries.q_numeric_outliers(spark, "/root/testdata/sf0.001")
+    """Flagship: the full quality-filter pipeline (langid + perplexity +
+    heuristic rules + PII/toxicity scrub → keep/drop per file) over the
+    sf0.001 documents corpus (north_rule)."""
+    from dqspark.plans import pipeline_queries
+
+    return pipeline_queries.q_quality_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,57 @@
+"""spark-submit entry point for the quality-filter job.
+
+Usage (cluster)::
+
+    spark-submit --py-files dqspark.zip dqspark/job.py \
+        --input  /data/codefiles   \
+        --output /data/codefiles_filtered \
+        --audit  /data/codefiles_audit \
+        --chunks 64 --partitions 4096
+
+The input is the Iceberg/parquet table ``(repo, path, commit, lang,
+content)``; output is the enriched keep/drop table written in resumable
+chunks (see pipeline/checkpoint.py) plus the per-(repo, salt) audit
+table.  Re-running the same command after a failure resumes from the
+commit manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="dqspark quality-filter job")
+    ap.add_argument("--input", required=True, help="codefiles table path")
+    ap.add_argument("--output", required=True, help="result/checkpoint dir")
+    ap.add_argument("--audit", default=None, help="audit table output path")
+    ap.add_argument("--chunks", type=int, default=8, help="resumable slices")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--no-models", action="store_true", help="heuristics only")
+    args = ap.parse_args(argv)
+
+    from dqspark.pipeline.checkpoint import run_checkpointed
+    from dqspark.pipeline.quality import audit_summary
+    from dqspark.session import get_spark
+    from dqspark.sources.catalog import write_table
+
+    spark = get_spark(app_name="dqspark-quality-job")
+    df = spark.read.parquet(args.input)
+    result = run_checkpointed(
+        df,
+        args.output,
+        chunks=args.chunks,
+        n_partitions=args.partitions,
+        with_models=not args.no_models,
+    )
+    if args.audit:
+        write_table(audit_summary(result), args.audit)
+    kept = result.where("keep").count()
+    total = result.count()
+    print(f"quality job complete: {kept}/{total} files kept", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+"""Flagship quality-filter pipeline (BASELINE.json north_rule).
+
+Language-ID + perplexity + heuristic quality rules + PII/toxicity scrub
+over a source-code table ``(repo, path, commit, lang, content)``,
+emitting a keep/drop label and scrubbed content per file, with a
+per-partition audit table and commit-level checkpoint/resume.
+"""

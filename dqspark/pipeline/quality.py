@@ -1,0 +1,288 @@
+"""The flagship quality-filter job (north_rule): one lazy DataFrame
+pipeline over ``codefiles(repo, path, commit, lang, content)`` emitting
+per-file keep/drop + scrubbed content + audit metrics.
+
+Spark-first restatement of the reference's detector battery
+(ml/anomaly_ensemble.py:12-73) — every stage is a
+``DataFrame → DataFrame`` function, shuffles are limited to (1) the
+salted repartition by repo, (2) the content-hash dedupe window, and
+(3) the tiny stats/frequency aggregates (collected driver-side and
+re-embedded as literals, mirroring the reference's eager per-column
+stats, ml/numeric_anomaly.py:14-23).
+
+Model scoring (langid + perplexity) runs in ONE Arrow-batched pandas
+UDF over broadcast numpy models — the Spark-native version of the
+reference's driver-trained model + full-table inference
+(ml/lightgbm_anomaly.py:28-78); no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StructType
+
+from dqspark.functions.hashing import content_sha256
+from dqspark.functions.scrub import scrub_text
+from dqspark.functions.text_metrics import with_text_metrics
+from dqspark.pipeline import corpus, spec
+from dqspark.pipeline.models import LangIdModel, TrigramLM, deserialize, serialize
+
+SALT_BUCKETS = 64  # sub-splits per mega-repo (north_rule skew breaker)
+
+MODEL_SCHEMA = "lang_pred string, lang_conf double, log_ppl double"
+
+
+@lru_cache(maxsize=1)
+def train_default_models() -> tuple[LangIdModel, TrigramLM]:
+    """Deterministic driver-side training on the fixture template corpus
+    (mirrors ml/lightgbm_anomaly.py:28-61: tiny model, pinned seed,
+    single-threaded)."""
+    texts, labels, clean = corpus.training_texts()
+    return LangIdModel.train(texts, labels), TrigramLM.train(clean)
+
+
+def salted_repartition(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Repartition on (repo, crc32(path) % SALT_BUCKETS): files of one
+    mega-repo spread across SALT_BUCKETS tasks instead of one straggler."""
+    salt = F.pmod(F.crc32(F.col("path").cast("binary")), F.lit(SALT_BUCKETS))
+    if n_partitions:
+        return df.repartition(n_partitions, F.col("repo"), salt)
+    return df.repartition(F.col("repo"), salt)
+
+
+def normalize(df: DataFrame) -> DataFrame:
+    """Null-string normalize on the label column (upload.py:56-61 — one
+    columnar projection instead of the reference's double applymap)."""
+    return df.withColumn(
+        "lang", F.when(F.lower(F.col("lang")) == "null", None).otherwise(F.col("lang"))
+    )
+
+
+def with_model_scores(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Append (lang_pred, lang_conf, log_ppl) from ONE pandas UDF over
+    broadcast models — Arrow batches in, numpy-vectorized scoring."""
+    spark = df.sparkSession
+    lid, lm = train_default_models()
+    bc = spark.sparkContext.broadcast((serialize(lid), serialize(lm)))
+
+    def score(batches):
+        lid_m = lm_m = None
+        for pdf in batches:
+            if lid_m is None:
+                d1, d2 = bc.value
+                lid_m, lm_m = deserialize(d1), deserialize(d2)
+            texts = pdf[text_col].fillna("").tolist()
+            import numpy as np
+
+            pred_idx, conf = lid_m.predict_batch(texts)
+            out = pdf.copy()
+            out["lang_pred"] = np.array(lid_m.langs, dtype=object)[pred_idx]
+            out["lang_conf"] = conf
+            out["log_ppl"] = lm_m.log_ppl_batch(texts)
+            yield out
+
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(score, f"{schema_str}, {MODEL_SCHEMA}")
+
+
+def _collect_outlier_bounds(df: DataFrame) -> dict[str, dict[str, float]]:
+    """One agg pass: count/mean/stddev_pop/q1/q3 for every metric column
+    (single-pass multi-column — SURVEY.md §4.2.2)."""
+    aggs = []
+    for c in spec.OUTLIER_METRICS:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__cnt"),
+            F.avg(col).alias(f"{c}__mean"),
+            F.stddev_pop(col).alias(f"{c}__std"),
+            F.percentile(col, F.lit(0.25)).alias(f"{c}__q1"),
+            F.percentile(col, F.lit(0.75)).alias(f"{c}__q3"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {
+        c: {k: row[f"{c}__{k}"] for k in ("cnt", "mean", "std", "q1", "q3")}
+        for c in spec.OUTLIER_METRICS
+    }
+
+
+def _outlier_flag(c: str, b: dict[str, float]) -> Column:
+    """z>3 (population σ) ∪ 1.5·IQR fences as literal-bound predicates
+    (exact reference semantics, ml/numeric_anomaly.py:17-23)."""
+    if b["cnt"] is None or b["cnt"] < spec.MIN_SUPPORT:
+        return F.lit(False)
+    col = F.col(c)
+    iqr = b["q3"] - b["q1"]
+    fence = (col < b["q1"] - spec.IQR_K * iqr) | (col > b["q3"] + spec.IQR_K * iqr)
+    if b["std"] and b["std"] > 0:
+        z = F.abs((col - b["mean"]) / b["std"]) > spec.Z_THRESHOLD
+        return F.coalesce(z | fence, F.lit(False))
+    return F.coalesce(fence, F.lit(False))
+
+
+def _collect_rare_langs(df: DataFrame) -> list[str]:
+    """Rare labels (< RARE_FREQ of non-null) — label cardinality is tiny,
+    so the frequency table collects to the driver (broadcast-style)."""
+    counts = df.where(F.col("lang").isNotNull()).groupBy("lang").count().collect()
+    total = sum(r["count"] for r in counts)
+    if total == 0:
+        return []
+    return [r["lang"] for r in counts if r["count"] / total < spec.RARE_FREQ]
+
+
+def compute_corpus_stats(df: DataFrame) -> dict:
+    """Global corpus statistics (outlier bounds + rare-label set) as a
+    JSON-able dict.  Computed ONCE over the full input so chunked /
+    resumed runs flag against identical thresholds (see checkpoint.py)."""
+    d = with_text_metrics(normalize(df), text_col="content")
+    d = d.persist()
+    bounds = _collect_outlier_bounds(d)
+    rare = _collect_rare_langs(d)
+    d.unpersist()
+    return {
+        "bounds": {
+            c: {k: (None if v is None else float(v)) for k, v in b.items()}
+            for c, b in bounds.items()
+        },
+        "rare_langs": rare,
+    }
+
+
+def run_quality_pipeline(
+    df: DataFrame,
+    n_partitions: int | None = None,
+    stats: dict | None = None,
+    with_models: bool = True,
+) -> DataFrame:
+    """codefiles → enriched keep/drop frame.
+
+    Output columns: input cols + metrics + lang_pred/lang_conf/log_ppl +
+    scrub counts + scrubbed_content + content_sha256/scrubbed_sha256 +
+    issue_types (sorted array) + severity + keep.
+
+    ``stats``: precomputed ``compute_corpus_stats`` result (chunked runs);
+    ``with_models=False`` skips the model UDF stage (pure-heuristic mode,
+    fully SQL-expressible — used by the oracle differential).
+    """
+    if stats is None:
+        stats = compute_corpus_stats(df)
+    bounds = stats["bounds"]
+    rare = stats["rare_langs"]
+
+    df = normalize(df)
+    df = salted_repartition(df, n_partitions)
+    df = with_text_metrics(df, text_col="content")
+    df = df.withColumn("content_sha256", content_sha256("content"))
+    if with_models:
+        df = with_model_scores(df)
+    else:
+        df = df.select(
+            "*",
+            F.lit(None).cast("string").alias("lang_pred"),
+            F.lit(0.0).alias("lang_conf"),
+            F.lit(0.0).alias("log_ppl"),
+        )
+    df = scrub_text(df, text_col="content", out_col="scrubbed_content")
+    df = df.withColumn("scrubbed_sha256", content_sha256(F.col("scrubbed_content")))
+
+    # duplicate window on the content hash (hash-partitioned — the scale
+    # answer to the reference's whole-table duplicated(), insertion_anomaly.py:9)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_sha256")
+    ident = F.struct("repo", "path", "commit")
+    df = df.withColumn("_dup_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_canonical", F.min(ident).over(w) == ident
+    )
+
+    numeric_flag = None
+    for c in spec.OUTLIER_METRICS:
+        f = _outlier_flag(c, bounds[c])
+        numeric_flag = f if numeric_flag is None else (numeric_flag | f)
+
+    flags: dict[str, tuple[Column, Column]] = {  # issue → (flag, confidence)
+        "numeric_outlier": (numeric_flag, F.lit(1.0)),
+        "rare_category": (
+            F.col("lang").isin(rare) if rare else F.lit(False),
+            F.lit(1.0),
+        ),
+        "duplicate_record": (F.col("_dup_n") > 1, F.lit(1.0)),
+        "missing_required_field": (
+            (F.regexp_replace(F.col("content"), r"\s", "") == "")
+            | F.col("lang").isNull(),
+            F.lit(1.0),
+        ),
+        "gibberish": (
+            F.col("log_ppl") > spec.GIBBERISH_LOG_PPL,
+            F.least(F.lit(1.0), F.col("log_ppl") / spec.GIBBERISH_PPL_SCALE),
+        ),
+        "wrong_language": (
+            F.col("lang").isNotNull()
+            & (F.col("lang_pred") != F.col("lang"))
+            & (F.col("lang_conf") >= spec.WRONG_LANG_MIN_CONF),
+            F.col("lang_conf"),
+        ),
+        "toxicity_density": (
+            F.col("scrub_toxicity") >= spec.TOXICITY_DROP_HITS,
+            F.lit(1.0),
+        ),
+    }
+
+    issue_entries, sev_entries, drop_entries = [], [], []
+    for issue, (flag, conf) in flags.items():
+        weight = spec.WEIGHTS.get(issue, spec.DEFAULT_WEIGHT)
+        live = flag & (conf >= spec.CONFIDENCE_FLOOR)
+        sev = F.when(live, conf * F.lit(weight)).otherwise(F.lit(0.0))
+        issue_entries.append(F.when(live, F.lit(issue)))
+        sev_entries.append(sev)
+        dropping = live & (sev >= spec.CONFIDENCE_FLOOR)
+        if issue == "duplicate_record":
+            dropping = dropping & ~F.col("_canonical")
+        drop_entries.append(F.coalesce(dropping, F.lit(False)))
+
+    drop = None
+    for d in drop_entries:
+        drop = d if drop is None else (drop | d)
+
+    out = df.select(
+        "*",
+        F.array_sort(
+            F.filter(F.array(*issue_entries), lambda x: x.isNotNull())
+        ).alias("issue_types"),
+        F.greatest(*sev_entries).alias("severity"),
+        (~drop).alias("keep"),
+    ).drop("_dup_n", "_canonical")
+    return out
+
+
+def audit_summary(result: DataFrame) -> DataFrame:
+    """Per-(repo, salt-bucket) audit row (north_rule lineage+metrics;
+    quality-score semantics from ml/anomaly_ensemble.py:91-93: counts
+    EVENTS not rows, clamped at 0)."""
+    salt = F.pmod(F.crc32(F.col("path").cast("binary")), F.lit(SALT_BUCKETS))
+    events = F.size("issue_types")
+    return (
+        result.groupBy(F.col("repo"), salt.alias("salt_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+            F.sum(F.col("scrub_hits")).alias("scrub_hits"),
+            F.sum(events.cast("long")).alias("anomaly_event_count"),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    100.0 - F.col("anomaly_event_count") * 100.0 / F.col("n_files"),
+                ),
+                2,
+            ),
+        )
+    )

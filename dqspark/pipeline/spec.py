@@ -1,0 +1,54 @@
+"""Decision spec shared by the Spark pipeline and the golden-label
+oracle — constants only, no logic, so the two implementations stay
+independent restatements of the same rules.
+
+Semantics carried over from the reference (cited per constant):
+
+- events below CONFIDENCE_FLOOR are discarded before scoring
+  (ml/anomaly_scorer.py:39-40; ml/anomaly_ensemble.py:84);
+- severity = confidence × issue-type weight, default weight 0.5
+  (ml/anomaly_scorer.py:71-87);
+- rule-hit confidence is 1.0 — the reference scorer overwrites
+  detector-written confidences unless a model score exists
+  (ml/anomaly_scorer.py:15, SURVEY.md §7.4);
+- model-hit confidence is the model score itself.
+"""
+
+from __future__ import annotations
+
+CONFIDENCE_FLOOR = 0.3
+
+# issue_type → severity weight (anomaly_scorer.py:71-86 analog)
+WEIGHTS = {
+    "numeric_outlier": 0.8,
+    "rare_category": 0.6,
+    "duplicate_record": 0.9,
+    "missing_required_field": 0.85,
+    "gibberish": 0.9,
+    "wrong_language": 0.7,
+    "toxicity_density": 0.8,
+}
+DEFAULT_WEIGHT = 0.5
+
+# a file is dropped when any event of these types reaches severity ≥
+# CONFIDENCE_FLOOR; scrub-only hits (pii/toxicity below density) keep
+# the file with redacted content
+DROP_TYPES = frozenset(WEIGHTS)
+
+# z-score / IQR detector inputs: the metric columns derived from content
+OUTLIER_METRICS = ("max_line_len", "alnum_ratio", "repetition_rate")
+Z_THRESHOLD = 3.0
+IQR_K = 1.5
+MIN_SUPPORT = 10  # skip metric when fewer non-null values (numeric_anomaly.py:9)
+
+# categorical rare-value threshold on the lang label
+# (ml/categorical_anomaly.py:8 uses 0.01)
+RARE_FREQ = 0.01
+
+# model thresholds
+GIBBERISH_LOG_PPL = 3.0
+GIBBERISH_PPL_SCALE = 6.0  # confidence = min(1, log_ppl / scale)
+WRONG_LANG_MIN_CONF = 0.3
+
+# toxicity: ≥ this many term hits → drop instead of scrub
+TOXICITY_DROP_HITS = 3

@@ -572,3 +572,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         content_fingerprint("text").alias("fingerprint"),
     )
+
+
+# registered last: these modules import `register` from here
+from dqspark.plans import pipeline_queries  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,245 @@
+"""Driver-contract queries for the flagship quality pipeline.
+
+``quality_heuristic`` runs the pipeline in heuristic mode (no model UDF
+stage) over the ``documents`` table with deterministically planted
+defects, and carries a COMPLETE DuckDB oracle — metrics, corpus stats,
+z∪IQR flags, rare labels, dedupe window + canonical pick, scrub chain,
+severity and keep/drop are all re-derived in ANSI-ish SQL.
+
+``quality_pipeline`` / ``langid_scores`` add the model stages (langid,
+perplexity) — not SQL-expressible, so the driver records the weaker
+rows-only check for them (documented divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.functions.scrub import SCRUB_PATTERNS, scrub_oracle_exprs
+from dqspark.functions.text_metrics import text_metrics_oracle_exprs
+from dqspark.pipeline import spec
+from dqspark.pipeline.quality import run_quality_pipeline
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# planted-defect corpus over documents (identical derivation on both sides)
+# ---------------------------------------------------------------------------
+
+_TOX_SUFFIX = "\\njackass moron dumbass jackass"
+_PII_SUFFIX = "\\ncontact: alice@example.com from 10.1.2.3"
+
+_PLANTS_SQL = f"""
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL  -- exact duplicates (all copies must be flagged)
+  SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 20 = 0
+  UNION ALL  -- blank content → missing_required_field
+  SELECT doc_id + 2000000, '   ', lang, source FROM documents WHERE doc_id % 50 = 0
+  UNION ALL  -- null label → missing_required_field
+  SELECT doc_id + 3000000, text, NULL, source FROM documents WHERE doc_id % 45 = 0
+  UNION ALL  -- rare label (<1%) → rare_category
+  SELECT doc_id + 4000000, text, 'xx', source FROM documents WHERE doc_id IN (1, 2, 3)
+  UNION ALL  -- ≥3 toxicity hits → toxicity_density drop
+  SELECT doc_id + 5000000, text || e'{_TOX_SUFFIX}', lang, source
+  FROM documents WHERE doc_id % 41 = 0
+  UNION ALL  -- PII → scrub, keep
+  SELECT doc_id + 6000000, text || e'{_PII_SUFFIX}', lang, source
+  FROM documents WHERE doc_id % 43 = 0
+  UNION ALL  -- pathological line length → numeric_outlier
+  SELECT doc_id + 7000000, text || e'\\n' || repeat('=', 4000), lang, source
+  FROM documents WHERE doc_id % 37 = 0
+"""
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    d = F.col("doc_id")
+    parts = [
+        docs,
+        docs.where(d % 20 == 0).withColumn("doc_id", d + 1000000),
+        docs.where(d % 50 == 0)
+        .withColumn("doc_id", d + 2000000)
+        .withColumn("text", F.lit("   ")),
+        docs.where(d % 45 == 0)
+        .withColumn("doc_id", d + 3000000)
+        .withColumn("lang", F.lit(None).cast("string")),
+        docs.where(d.isin(1, 2, 3))
+        .withColumn("doc_id", d + 4000000)
+        .withColumn("lang", F.lit("xx")),
+        docs.where(d % 41 == 0)
+        .withColumn("doc_id", d + 5000000)
+        .withColumn("text", F.concat("text", F.lit("\njackass moron dumbass jackass"))),
+        docs.where(d % 43 == 0)
+        .withColumn("doc_id", d + 6000000)
+        .withColumn("text", F.concat("text", F.lit("\ncontact: alice@example.com from 10.1.2.3"))),
+        docs.where(d % 37 == 0)
+        .withColumn("doc_id", d + 7000000)
+        .withColumn("text", F.concat("text", F.lit("\n"), F.repeat(F.lit("="), 4000))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _to_codefiles(planted: DataFrame) -> DataFrame:
+    return planted.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the full heuristic-mode oracle
+# ---------------------------------------------------------------------------
+
+def _quality_heuristic_oracle() -> str:
+    tm = text_metrics_oracle_exprs("content")
+    scrub_expr, scrub_counts = scrub_oracle_exprs("content")
+    w = spec.WEIGHTS
+    return f"""
+WITH plants AS ({_PLANTS_SQL}),
+corpus AS (
+  SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, 'c0' AS cmt,
+         lang, text AS content, doc_id
+  FROM plants
+),
+m AS (
+  SELECT *,
+         {tm["max_line_len"]} AS max_line_len,
+         {tm["alnum_ratio"]} AS alnum_ratio,
+         {tm["repetition_rate"]} AS repetition_rate,
+         {", ".join(scrub_counts)},
+         {scrub_expr} AS scrubbed
+  FROM corpus
+),
+stats AS (
+  SELECT
+    count(max_line_len) AS mll_cnt, avg(max_line_len) AS mll_mean,
+    stddev_pop(max_line_len) AS mll_std,
+    quantile_cont(max_line_len, 0.25) AS mll_q1, quantile_cont(max_line_len, 0.75) AS mll_q3,
+    count(alnum_ratio) AS ar_cnt, avg(alnum_ratio) AS ar_mean,
+    stddev_pop(alnum_ratio) AS ar_std,
+    quantile_cont(alnum_ratio, 0.25) AS ar_q1, quantile_cont(alnum_ratio, 0.75) AS ar_q3,
+    count(repetition_rate) AS rr_cnt, avg(repetition_rate) AS rr_mean,
+    stddev_pop(repetition_rate) AS rr_std,
+    quantile_cont(repetition_rate, 0.25) AS rr_q1, quantile_cont(repetition_rate, 0.75) AS rr_q3
+  FROM m
+),
+rare AS (
+  SELECT lang FROM (
+    SELECT lang, count(*) AS cnt FROM corpus WHERE lang IS NOT NULL GROUP BY lang
+  ), (SELECT count(lang) AS tot FROM corpus)
+  WHERE cnt * 1.0 / tot < {spec.RARE_FREQ}
+),
+dup AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY content) AS dup_n,
+         row_number() OVER (PARTITION BY content ORDER BY repo, path, cmt) AS rn
+  FROM corpus
+),
+flags AS (
+  SELECT m.doc_id, m.scrubbed,
+         {" + ".join(f"scrub_{n}" for n, _, _ in SCRUB_PATTERNS)} AS scrub_hits,
+         (
+           (s.mll_cnt >= {spec.MIN_SUPPORT} AND (
+             (s.mll_std > 0 AND abs((m.max_line_len - s.mll_mean) / s.mll_std) > {spec.Z_THRESHOLD})
+             OR m.max_line_len < s.mll_q1 - {spec.IQR_K} * (s.mll_q3 - s.mll_q1)
+             OR m.max_line_len > s.mll_q3 + {spec.IQR_K} * (s.mll_q3 - s.mll_q1)))
+           OR
+           (s.ar_cnt >= {spec.MIN_SUPPORT} AND (
+             (s.ar_std > 0 AND abs((m.alnum_ratio - s.ar_mean) / s.ar_std) > {spec.Z_THRESHOLD})
+             OR m.alnum_ratio < s.ar_q1 - {spec.IQR_K} * (s.ar_q3 - s.ar_q1)
+             OR m.alnum_ratio > s.ar_q3 + {spec.IQR_K} * (s.ar_q3 - s.ar_q1)))
+           OR
+           (s.rr_cnt >= {spec.MIN_SUPPORT} AND (
+             (s.rr_std > 0 AND abs((m.repetition_rate - s.rr_mean) / s.rr_std) > {spec.Z_THRESHOLD})
+             OR m.repetition_rate < s.rr_q1 - {spec.IQR_K} * (s.rr_q3 - s.rr_q1)
+             OR m.repetition_rate > s.rr_q3 + {spec.IQR_K} * (s.rr_q3 - s.rr_q1)))
+         ) AS f_numeric,
+         (m.lang IN (SELECT lang FROM rare)) AS f_rare,
+         (d.dup_n > 1) AS f_dup,
+         (d.rn = 1) AS canonical,
+         (regexp_replace(m.content, '\\s', '', 'g') = '' OR m.lang IS NULL) AS f_missing,
+         (scrub_toxicity >= {spec.TOXICITY_DROP_HITS}) AS f_tox
+  FROM m, stats s
+  JOIN dup d ON m.doc_id = d.doc_id
+)
+SELECT doc_id,
+       NOT (coalesce(f_numeric, false) OR coalesce(f_rare, false)
+            OR (f_dup AND NOT canonical) OR f_missing OR f_tox) AS keep,
+       round(greatest(
+         0.0,
+         CASE WHEN coalesce(f_numeric, false) THEN {w["numeric_outlier"]} ELSE 0 END,
+         CASE WHEN coalesce(f_rare, false) THEN {w["rare_category"]} ELSE 0 END,
+         CASE WHEN f_dup THEN {w["duplicate_record"]} ELSE 0 END,
+         CASE WHEN f_missing THEN {w["missing_required_field"]} ELSE 0 END,
+         CASE WHEN f_tox THEN {w["toxicity_density"]} ELSE 0 END
+       ), 4)::double AS severity,
+       coalesce(array_to_string(list_sort(list_filter([
+         CASE WHEN coalesce(f_numeric, false) THEN 'numeric_outlier' END,
+         CASE WHEN coalesce(f_rare, false) THEN 'rare_category' END,
+         CASE WHEN f_dup THEN 'duplicate_record' END,
+         CASE WHEN f_missing THEN 'missing_required_field' END,
+         CASE WHEN f_tox THEN 'toxicity_density' END
+       ], x -> x IS NOT NULL)), ','), '') AS issues,
+       scrub_hits::bigint AS scrub_hits,
+       sha256(scrubbed) AS scrubbed_sha256
+FROM flags
+"""
+
+
+@register("quality_heuristic", _quality_heuristic_oracle())
+def q_quality_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = _to_codefiles(_planted_corpus(spark, sf_dir))
+    res = run_quality_pipeline(cf, with_models=False)
+    return res.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "keep",
+        F.round("severity", 4).alias("severity"),
+        F.array_join("issue_types", ",").alias("issues"),
+        F.col("scrub_hits").cast("bigint").alias("scrub_hits"),
+        "scrubbed_sha256",
+    )
+
+
+# ---------------------------------------------------------------------------
+# model-based stages — rows-only driver check (not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@register("quality_pipeline")
+def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full flagship pipeline (heuristics + langid + perplexity)."""
+    cf = _to_codefiles(_planted_corpus(spark, sf_dir))
+    res = run_quality_pipeline(cf)
+    return res.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "keep",
+        F.round("severity", 4).alias("severity"),
+        F.array_join("issue_types", ",").alias("issues"),
+        "lang_pred",
+        F.round("log_ppl", 4).alias("log_ppl"),
+        "scrubbed_sha256",
+    )
+
+
+@register("langid_scores")
+def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-model langid + perplexity scores alone (M4 analog)."""
+    from dqspark.pipeline.quality import with_model_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = with_model_scores(docs)
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.round("lang_conf", 4).alias("lang_conf"),
+        F.round("log_ppl", 4).alias("log_ppl"),
+    )

@@ -1,0 +1,169 @@
+"""Flagship quality-pipeline tests (SURVEY.md §5.2; BASELINE.json metric):
+golden-label F1 parity, the content-sha256 invariant, scrub idempotence,
+duplicate canonical-keep, partition-count invariance, checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dqspark.pipeline import corpus, golden, quality
+from dqspark.pipeline.checkpoint import run_checkpointed
+
+N = 2000
+RESULT_COLS = [
+    "repo", "path", "commit", "keep", "issue_types", "severity",
+    "scrub_hits", "content_sha256", "scrubbed_sha256",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return corpus.gen_pandas(N)
+
+
+@pytest.fixture(scope="module")
+def golden_pdf(corpus_pdf):
+    lid, lm = quality.train_default_models()
+    return golden.generate_golden(corpus_pdf.drop(columns=["defect_class"]), lid, lm)
+
+
+@pytest.fixture(scope="module")
+def result_pdf(spark, corpus_pdf):
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    return (
+        quality.run_quality_pipeline(sdf)
+        .select(*RESULT_COLS, "scrubbed_content")
+        .toPandas()
+    )
+
+
+def _merged(golden_pdf, result_pdf):
+    m = golden_pdf.merge(
+        result_pdf, on=["repo", "path", "commit"], suffixes=("_g", "_s")
+    )
+    assert len(m) == len(golden_pdf) == len(result_pdf)
+    return m
+
+
+def test_keep_f1_parity(golden_pdf, result_pdf):
+    """North metric: keep/drop F1 ≥ 0.99 vs the golden (reference) labels."""
+    m = _merged(golden_pdf, result_pdf)
+    tp = (m.keep_g & m.keep_s).sum()
+    fp = (~m.keep_g & m.keep_s).sum()
+    fn = (m.keep_g & ~m.keep_s).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1={f1}"
+    # both directions must flag real volumes, not trivially keep-all
+    assert 0 < m.keep_g.sum() < len(m)
+
+
+def test_issue_types_and_scrub_parity(golden_pdf, result_pdf):
+    m = _merged(golden_pdf, result_pdf)
+    same_issues = (
+        m.issue_types_g.map(tuple) == m.issue_types_s.map(tuple)
+    ).mean()
+    assert same_issues >= 0.99
+    assert (m.scrubbed_sha256_g == m.scrubbed_sha256_s).all()
+    assert (m.scrub_hits_g == m.scrub_hits_s).all()
+
+
+def test_sha256_invariant(result_pdf):
+    """input_hint invariant: zero scrub hits ⇔ content bytes unchanged."""
+    clean = result_pdf[result_pdf.scrub_hits == 0]
+    assert (clean.content_sha256 == clean.scrubbed_sha256).all()
+    hit = result_pdf[result_pdf.scrub_hits > 0]
+    assert len(hit) > 0
+    assert (hit.content_sha256 != hit.scrubbed_sha256).all()
+
+
+def test_scrub_idempotence(spark, result_pdf):
+    """scrub(scrub(x)) == scrub(x) — redaction tokens are fixed points."""
+    from dqspark.functions.scrub import scrub_text
+
+    sample = result_pdf[["scrubbed_content"]].head(300)
+    df = spark.createDataFrame(sample).withColumnRenamed(
+        "scrubbed_content", "content"
+    )
+    again = scrub_text(df).select("content", "scrubbed_content").toPandas()
+    assert (again.content == again.scrubbed_content).all()
+
+
+def test_duplicate_canonical_keep(corpus_pdf, result_pdf):
+    """keep=False semantics flag ALL copies (insertion_anomaly.py:9), but
+    exactly one canonical copy per group survives the drop."""
+    merged = result_pdf.merge(
+        corpus_pdf[["repo", "path", "commit", "defect_class", "content"]],
+        on=["repo", "path", "commit"],
+    )
+    dups = merged[merged.defect_class == "duplicate_record"]
+    assert len(dups) > 0
+    assert dups.issue_types.map(lambda t: "duplicate_record" in t).all()
+    kept_per_group = dups.groupby("content").keep.sum()
+    assert (kept_per_group <= 1).all()
+    assert kept_per_group.sum() > 0
+
+
+def test_partition_invariance(spark, corpus_pdf, result_pdf):
+    """Results must not depend on physical parallelism (SURVEY.md §7.3.8)."""
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"])).repartition(3)
+    alt = (
+        quality.run_quality_pipeline(sdf, n_partitions=5)
+        .select("repo", "path", "commit", "keep", "severity")
+        .toPandas()
+    )
+    m = result_pdf.merge(alt, on=["repo", "path", "commit"], suffixes=("", "_alt"))
+    assert len(m) == len(result_pdf)
+    assert (m.keep == m.keep_alt).all()
+    assert np.allclose(m.severity, m.severity_alt)
+
+
+def test_checkpoint_resume(spark, corpus_pdf, result_pdf, tmp_path):
+    """Interrupted run resumes from the manifest: completed chunks are
+    not recomputed, the union equals the uninterrupted result, and a
+    second run is a no-op."""
+    out = str(tmp_path / "ckpt")
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+
+    full = run_checkpointed(sdf, out, chunks=4, with_models=False)
+    n_full = full.count()
+    assert n_full == N
+
+    # simulate a crash: forget the last two chunks in the manifest
+    manifest = os.path.join(out, "_manifest.json")
+    with open(manifest) as fh:
+        done = json.load(fh)["completed_chunks"]
+    with open(manifest, "w") as fh:
+        json.dump({"completed_chunks": done[:2]}, fh)
+    chunk_mtime = os.path.getmtime(os.path.join(out, f"chunk={done[0]}"))
+
+    resumed = run_checkpointed(sdf, out, chunks=4, with_models=False)
+    assert resumed.count() == n_full
+    # completed chunk untouched (not recomputed)
+    assert os.path.getmtime(os.path.join(out, f"chunk={done[0]}")) == chunk_mtime
+    # keep decisions identical to the single-shot pipeline in heuristic mode
+    a = resumed.select("repo", "path", "commit", "keep").toPandas()
+    g = quality.run_quality_pipeline(sdf, with_models=False).select(
+        "repo", "path", "commit", "keep"
+    ).toPandas()
+    m = a.merge(g, on=["repo", "path", "commit"], suffixes=("", "_ref"))
+    assert len(m) == N and (m.keep == m.keep_ref).all()
+
+
+def test_audit_summary(spark, result_pdf):
+    from dqspark.pipeline.quality import audit_summary
+
+    res = spark.createDataFrame(
+        result_pdf[["repo", "path", "keep", "scrub_hits", "issue_types"]]
+    )
+    audit = audit_summary(res).toPandas()
+    assert audit.n_files.sum() == len(result_pdf)
+    assert (audit.n_keep + audit.n_drop == audit.n_files).all()
+    assert audit.quality_score.between(0, 100).all()
+    # the mega-repo must be split across many salt buckets (skew breaker)
+    mega = audit[audit.repo == "megacorp/monorepo"]
+    assert len(mega) > 8
