@@ -1,0 +1,314 @@
+"""Large-scale deduplication operators (training-data pipeline suite):
+exact content dedup, char-shingle MinHash + LSH banding, SimHash, and
+exact n-gram Jaccard pairs.
+
+Scale design: MinHash signatures and SimHash values are computed
+**shuffle-free, per row** with higher-order array functions (`transform`
+/ `aggregate` / `array_min`) inside whole-stage codegen — no explode, no
+Python.  The only shuffles are the final LSH band self-join (keyed on
+band signature — tiny vs the corpus) and the exact-Jaccard shingle join
+(the quadratic-risk baseline, guarded by a document-frequency cap).
+
+Cross-engine determinism: token/shingle hashes are the first 15 hex
+digits of md5 parsed as int64 — identical in Spark
+(``conv(substr(md5(x),1,15),16,10)``) and DuckDB (hex fold via
+``list_reduce``), so every operator here is oracle-checkable value-for-
+value.  (The reference's only dedupe is a whole-table
+``duplicated(keep=False)``, ml/insertion_anomaly.py:5-21 — these
+operators are its web-scale generalization.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+P31 = 2147483647  # 2^31 - 1, Mersenne prime — minhash modulus
+
+# deterministic permutation constants (shared with the SQL oracles)
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(k):
+        a = (i * 2654435761 + 104729) % P31 or 1
+        b = (i * 40503 + 9973) % P31
+        out.append((a, b))
+    return out
+
+
+# --- portable md5 → int64 ---------------------------------------------------
+
+def md5_long(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_oracle(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({expr}), 1, 15), ''),"
+        f" c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"
+    )
+
+
+# --- normalization + shingling ----------------------------------------------
+
+def normalized(c: Column) -> Column:
+    """lower + collapse whitespace — same normalization as the content
+    fingerprint, so near-dup grouping ignores formatting noise."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def normalized_oracle(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def shingle_hashes(c: Column, n: int = 4) -> Column:
+    """array<long> of md5-int64 hashes of the char n-grams of
+    normalized(c) — one projection, no explode."""
+    t = normalized(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: md5_long(F.substring(t, i, n)))
+
+
+def shingle_hashes_oracle(expr: str, n: int = 4) -> str:
+    t = normalized_oracle(expr)
+    h = md5_long_oracle(f"substr({t}, i, {n})")
+    return (
+        f"list_transform(range(1, greatest(length({t}) - {n - 1}, 0) + 1),"
+        f" i -> {h})"
+    )
+
+
+# --- exact dedup (A9 at scale) ----------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], text_col: str) -> DataFrame:
+    """Append dup_count + is_canonical over exact content groups
+    (hash-partitioned window on sha256 — never a driver-side sort)."""
+    sha = F.sha2(F.col(text_col), 256)
+    d = df.withColumn("_sha", sha)
+    w = Window.partitionBy("_sha")
+    ident = F.struct(*[F.col(k) for k in key_cols])
+    return (
+        d.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.min(ident).over(w) == ident)
+        .drop("_sha")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def with_minhash(
+    df: DataFrame, text_col: str, k: int = 16, shingle_n: int = 4
+) -> DataFrame:
+    """Append mh_0..mh_{k-1} int64 minhash columns — per-row, shuffle-free."""
+    H = shingle_hashes(F.col(text_col), shingle_n)
+    d = df.withColumn("_H", H)
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % P31) + b) % P31
+
+    cols = []
+    for i, (a, b) in enumerate(minhash_coeffs(k)):
+        mh = F.array_min(F.transform(F.col("_H"), perm(a, b)))
+        cols.append(F.coalesce(mh, F.lit(P31)).alias(f"mh_{i}"))
+    return d.select("*", *cols).drop("_H")
+
+
+def minhash_signature_col(k: int = 16) -> Column:
+    return F.concat_ws("_", *[F.col(f"mh_{i}") for i in range(k)])
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    key_col: str,
+    k: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Band the signatures, self-join per band, estimate similarity from
+    matching minhash fraction.  The join key is (band_id, band_signature)
+    — buckets are tiny, so the shuffle moves signatures, not documents.
+    """
+    r = k // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws("_", *[F.col(f"mh_{j * r + i}") for i in range(r)]).alias("sig"),
+            )
+            for j in range(bands)
+        ]
+    )
+    sig = sigs.select(
+        F.col(key_col).alias("k"),
+        minhash_signature_col(k).alias("full_sig"),
+        F.explode(band_arr).alias("b"),
+    ).select("k", "full_sig", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+    left = sig.alias("l")
+    right = sig.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(
+            F.col("l.k").alias("key1"),
+            F.col("r.k").alias("key2"),
+            F.col("l.full_sig").alias("sig1"),
+            F.col("r.full_sig").alias("sig2"),
+        )
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig1", "_"), F.split("sig2", "_"), lambda x, y: x == y
+            ),
+            lambda e: e,
+        )
+    )
+    est = (matches.cast("double") / k).alias("est_jaccard")
+    return pairs.select("key1", "key2", est).where(F.col("est_jaccard") >= min_est_jaccard)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """32-bit SimHash over whitespace tokens of normalized text — one
+    per-row aggregate chain, no shuffle, no Python."""
+    t = normalized(F.col(text_col))
+    tokens = F.filter(F.split(t, " "), lambda x: F.length(x) > 0)
+    H = F.transform(tokens, md5_long)
+    d = df.withColumn("_H", H)
+
+    def bit_acc(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    value = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        bitsum = F.aggregate(F.col("_H"), F.lit(0).cast("long"), bit_acc(1 << b))
+        value = value + F.when(bitsum > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return d.select("*", value.alias(out_col)).drop("_H")
+
+
+def simhash_oracle(expr: str) -> str:
+    t = normalized_oracle(expr)
+    h = md5_long_oracle("tok")
+    harr = (
+        f"list_transform(list_filter(string_split({t}, ' '), x -> length(x) > 0),"
+        f" tok -> {h})"
+    )
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        bitsum = (
+            f"list_sum(list_transform(__H, h -> CASE WHEN (h & {1 << b}) != 0"
+            f" THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(
+            f"(CASE WHEN coalesce({bitsum}, 0) > 0 THEN {1 << b}::bigint ELSE 0 END)"
+        )
+    # DuckDB lacks lateral column reuse inside one SELECT item; the caller
+    # wraps this in a subquery aliasing __H
+    return harr, " + ".join(bit_terms)
+
+
+def simhash_near_pairs(
+    df: DataFrame, key_col: str, simhash_col: str = "simhash", max_hamming: int = 7
+) -> DataFrame:
+    """Near-dup pairs with hamming ≤ max_hamming.  Pigeonhole banding:
+    splitting 32 bits into (max_hamming + 1) bands guarantees any pair
+    within the bound shares at least one exact band, so the banded join
+    + hamming filter returns EXACTLY the brute-force result while
+    joining on small band buckets instead of the full cross product."""
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands + (1 if SIMHASH_BITS % n_bands else 0)
+    s = F.col(simhash_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(s, j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("sig"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    sig = df.select(
+        F.col(key_col).alias("k"), s.alias("sh"), F.explode(bands).alias("b")
+    ).select("k", "sh", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    pairs = (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(
+            F.col("l.k").alias("key1"),
+            F.col("r.k").alias("key2"),
+            F.col("l.sh").alias("sh1"),
+            F.col("r.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return pairs.select("key1", "key2", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100000,
+) -> DataFrame:
+    """Exact Jaccard over distinct char-shingle sets via explode +
+    self-join.  ``max_doc_freq`` drops shingles present in more than
+    that many documents (stopword-shingle guard — the standard fix for
+    the quadratic hot-shingle blowup; logged divergence vs the naive
+    formula only when a pair's overlap is exclusively stop-shingles)."""
+    sh = df.select(
+        F.col(key_col).alias("k"),
+        F.explode(F.array_distinct(shingle_hashes(F.col(text_col), shingle_n))).alias("s"),
+    )
+    sh = sh.persist()
+    sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    filtered = sh.join(F.broadcast(freq.where(F.col("df") <= max_doc_freq)), "s")
+    inter = (
+        filtered.alias("l")
+        .join(
+            filtered.alias("r"),
+            (F.col("l.s") == F.col("r.s")) & (F.col("l.k") < F.col("r.k")),
+        )
+        .groupBy(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("k", "key1").withColumnRenamed("sz", "sz1"), "key1")
+        .join(sizes.withColumnRenamed("k", "key2").withColumnRenamed("sz", "sz2"), "key2")
+        .select(
+            "key1",
+            "key2",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

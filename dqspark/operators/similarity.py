@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (`array<float>`):
+brute-force cosine top-k (exact baseline) and an IVF-style
+cluster-pruned variant (the scale path).
+
+Brute force is expressed with built-in higher-order functions
+(`zip_with` + `aggregate` dot products) so the candidate join stays
+JVM-side; at N×Q pairs it is the exact-answer baseline the approximate
+variant is measured against.  The IVF variant trains a tiny k-means
+coarse quantizer driver-side (deterministic numpy, pinned seed, mirrors
+the reference's driver-trained model pattern, ml/lightgbm_anomaly.py:28-61),
+broadcasts the centroids, assigns every vector in one Arrow-batched
+pandas UDF, and joins only within the query's ``nprobe`` nearest cells —
+shuffle volume drops from N×Q to N×Q/cells·nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_oracle(a: str, b: str) -> str:
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def cosine_oracle(a: str, b: str) -> str:
+    return (
+        f"({dot_oracle(a, b)} / (sqrt({dot_oracle(a, a)}) * sqrt({dot_oracle(b, b)})))"
+    )
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    Rank orders by cosine rounded to 6 dp with the neighbor id as the
+    tiebreaker — deterministic under float reassociation and identical
+    to the SQL oracle's ordering.  Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(key_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = vectors.select(
+        F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    sims = (
+        q.crossJoin(v)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (key1 < key2) — the exact
+    embedding near-dup baseline (cross join; the LSH/IVF variants are
+    the scale path)."""
+    a = df.select(F.col(key_col).alias("key1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(key_col).alias("key2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("key1") < F.col("key2"))
+        .select(
+            "key1",
+            "key2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# --- IVF (approximate, scale path) ------------------------------------------
+
+def train_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (kmeans++ -lite
+    init from the seeded RNG).  Centroids are L2-normalized so cell
+    assignment = argmax dot product."""
+    rows = vectors.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Append array<int> of the nprobe nearest cell ids (Arrow-batched
+    pandas UDF over broadcast centroids)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.array(v.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return df.withColumn(out_col, cells(F.col(vec_col)))
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Approximate cosine top-k: join only inside the query's nprobe
+    nearest cells, then exact rerank within candidates."""
+    v = assign_cells(vectors, centroids, vec_col, nprobe=1).select(
+        F.col(key_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.explode("cells").alias("cell"),
+    )
+    q = assign_cells(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(key_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode("cells").alias("cell"),
+    )
+    cands = (
+        q.join(v, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

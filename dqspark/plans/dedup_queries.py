@@ -1,0 +1,312 @@
+"""Driver-contract queries for the dedup + similarity-search suite, each
+with a value-exact DuckDB oracle built from the same portable md5-int64
+hash primitive (operators/dedup.py).
+
+Near-duplicate pairs are planted deterministically on both sides
+(documents are otherwise mostly unique).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import (
+    P31,
+    exact_dedup,
+    lsh_candidate_pairs,
+    md5_long_oracle,
+    minhash_coeffs,
+    minhash_signature_col,
+    ngram_jaccard_pairs,
+    normalized_oracle,
+    shingle_hashes_oracle,
+    simhash_near_pairs,
+    simhash_oracle,
+    with_minhash,
+    with_simhash,
+)
+from dqspark.operators.similarity import (
+    cosine_oracle,
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+K_MINHASH = 16
+LSH_BANDS = 4
+
+# ---------------------------------------------------------------------------
+# planted corpora (identical derivations both sides)
+# ---------------------------------------------------------------------------
+
+_NEAR_SUFFIX = " extra trailing words appended here"
+
+_DOCS_EXACT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+"""
+
+_DOCS_NEAR_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || '{_NEAR_SUFFIX}' FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.where(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+
+
+def _docs_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.where(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat("text", F.lit(_NEAR_SUFFIX)))
+    )
+
+
+_EMB_SQL = """
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.001::float)
+  FROM embeddings WHERE vec_id % 40 = 0
+"""
+
+
+def _emb_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.unionByName(
+        emb.where(F.col("vec_id") % 40 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH corpus AS ({_DOCS_EXACT_SQL})
+SELECT doc_id,
+       count(*) OVER (PARTITION BY sha256(text)) AS dup_count,
+       (doc_id = min(doc_id) OVER (PARTITION BY sha256(text))) AS is_canonical
+FROM corpus
+"""
+
+
+@register("exact_dedup", _EXACT_DEDUP_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = exact_dedup(_docs_exact(spark, sf_dir), key_cols=["doc_id"], text_col="text")
+    return out.select("doc_id", "dup_count", "is_canonical")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def _mh_exprs() -> list[str]:
+    H = shingle_hashes_oracle("text", 4)
+    exprs = []
+    for i, (a, b) in enumerate(minhash_coeffs(K_MINHASH)):
+        exprs.append(
+            f"coalesce(list_min(list_transform(__H, h -> ({a} * (h % {P31}) + {b}) % {P31})), {P31}) AS mh_{i}"
+        )
+    return [f"{H} AS __H"], exprs
+
+
+def _minhash_sig_oracle() -> str:
+    harr, mh = _mh_exprs()
+    cols = ", ".join(f"mh_{i}" for i in range(K_MINHASH))
+    return f"""
+WITH corpus AS ({_DOCS_NEAR_SQL}),
+h AS (SELECT doc_id, {harr[0]} FROM corpus),
+sigs AS (SELECT doc_id, {', '.join(mh)} FROM h)
+SELECT doc_id, concat_ws('_', {cols}) AS signature FROM sigs
+"""
+
+
+@register("minhash_signatures", _minhash_sig_oracle())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = with_minhash(_docs_near(spark, sf_dir), "text", k=K_MINHASH)
+    return sigs.select(
+        "doc_id", minhash_signature_col(K_MINHASH).alias("signature")
+    )
+
+
+def _minhash_dedup_oracle() -> str:
+    harr, mh = _mh_exprs()
+    r = K_MINHASH // LSH_BANDS
+    band_selects = []
+    for j in range(LSH_BANDS):
+        cols = ", ".join(f"mh_{j * r + i}" for i in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, concat_ws('_', {cols}) AS sig FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END" for i in range(K_MINHASH)
+    )
+    return f"""
+WITH corpus AS ({_DOCS_NEAR_SQL}),
+h AS (SELECT doc_id, {harr[0]} FROM corpus),
+sigs AS (SELECT doc_id, {', '.join(mh)} FROM h),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS key1, r.doc_id AS key2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+)
+SELECT p.key1, p.key2, (({matches}) * 1.0 / {K_MINHASH})::double AS est_jaccard
+FROM pairs p JOIN sigs l ON p.key1 = l.doc_id JOIN sigs r ON p.key2 = r.doc_id
+WHERE ({matches}) * 1.0 / {K_MINHASH} >= 0.5
+"""
+
+
+@register("minhash_dedup", _minhash_dedup_oracle())
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = with_minhash(_docs_near(spark, sf_dir), "text", k=K_MINHASH)
+    return lsh_candidate_pairs(
+        sigs, "doc_id", k=K_MINHASH, bands=LSH_BANDS, min_est_jaccard=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash values + hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _simhash_values_oracle() -> str:
+    harr, bits = simhash_oracle("text")
+    return f"""
+WITH corpus AS ({_DOCS_NEAR_SQL}),
+h AS (SELECT doc_id, {harr} AS __H FROM corpus)
+SELECT doc_id, ({bits})::bigint AS simhash FROM h
+"""
+
+
+@register("simhash_values", _simhash_values_oracle())
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_simhash(_docs_near(spark, sf_dir), "text")
+    return out.select("doc_id", "simhash")
+
+
+def _simhash_dedup_oracle() -> str:
+    harr, bits = simhash_oracle("text")
+    return f"""
+WITH corpus AS ({_DOCS_NEAR_SQL}),
+h AS (SELECT doc_id, {harr} AS __H FROM corpus),
+sh AS (SELECT doc_id, ({bits})::bigint AS simhash FROM h)
+SELECT l.doc_id AS key1, r.doc_id AS key2,
+       bit_count(xor(l.simhash, r.simhash))::int AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 7
+"""
+
+
+@register("simhash_dedup", _simhash_dedup_oracle())
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = with_simhash(_docs_near(spark, sf_dir), "text")
+    out = simhash_near_pairs(sh, "doc_id", max_hamming=7)
+    return out.select("key1", "key2", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+def _jaccard_oracle() -> str:
+    shingles = shingle_hashes_oracle("text", 4)
+    return f"""
+WITH corpus AS ({_DOCS_NEAR_SQL}),
+sh AS (SELECT doc_id AS k, unnest(list_distinct({shingles})) AS s FROM corpus),
+sizes AS (SELECT k, count(*) AS sz FROM sh GROUP BY k),
+freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+filtered AS (SELECT sh.k, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 100000),
+inter AS (
+  SELECT l.k AS key1, r.k AS key2, count(*) AS i
+  FROM filtered l JOIN filtered r ON l.s = r.s AND l.k < r.k
+  GROUP BY l.k, r.k
+)
+SELECT key1, key2,
+       (i * 1.0 / (s1.sz + s2.sz - i))::double AS jaccard
+FROM inter
+JOIN sizes s1 ON inter.key1 = s1.k
+JOIN sizes s2 ON inter.key2 = s2.k
+WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+"""
+
+
+@register("ngram_jaccard", _jaccard_oracle())
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _docs_near(spark, sf_dir), "doc_id", "text", shingle_n=4, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine: brute-force knn + near-dup pairs + IVF (rows-only)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH emb AS ({_EMB_SQL}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE query_id % 50 = 0 AND query_id < 100000),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({cosine_oracle('q.qv', 'e.embedding')}, 6) AS cos_sim
+  FROM q JOIN emb e ON q.query_id != e.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, cos_sim, rank::int AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("embedding_knn", _KNN_ORACLE)
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_planted(spark, sf_dir)
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    out = knn_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH emb AS ({_EMB_SQL})
+SELECT l.vec_id AS key1, r.vec_id AS key2,
+       round({cosine_oracle('l.embedding', 'r.embedding')}, 6) AS cos_sim
+FROM emb l JOIN emb r ON l.vec_id < r.vec_id
+WHERE round({cosine_oracle('l.embedding', 'r.embedding')}, 6) >= 0.95
+"""
+
+
+@register("embedding_neardup", _NEARDUP_ORACLE)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(_emb_planted(spark, sf_dir), threshold=0.95)
+
+
+@register("knn_ivf")
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate knn (driver-trained coarse quantizer) —
+    approximate by construction, so rows-only driver check; recall vs
+    brute force is asserted in tests/test_dedup.py."""
+    from dqspark.operators.similarity import knn_ivf, train_centroids
+
+    emb = _emb_planted(spark, sf_dir)
+    centroids = train_centroids(emb, n_cells=16)
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    return knn_ivf(emb, queries, centroids, k=5, nprobe=3)

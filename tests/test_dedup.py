@@ -1,0 +1,109 @@
+"""Dedup + similarity-search operator tests (beyond the driver oracle):
+estimator quality, banding-equals-bruteforce, and IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import (
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    with_minhash,
+    with_simhash,
+)
+from dqspark.operators.similarity import (
+    knn_bruteforce,
+    knn_ivf,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    near = (
+        d.where(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat("text", F.lit(" tail suffix")))
+    )
+    return d.unionByName(near).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """LSH-estimated similarity tracks exact n-gram Jaccard on planted
+    near-dup pairs (estimator sanity, not just oracle agreement)."""
+    sigs = with_minhash(docs, "text", k=16)
+    est = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4, min_est_jaccard=0.0)
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
+    m = (
+        est.join(exact, ["key1", "key2"])
+        .select("est_jaccard", "jaccard")
+        .toPandas()
+    )
+    planted = m[m.jaccard >= 0.8]
+    assert len(planted) >= 10
+    # estimator is unbiased with sd ≈ sqrt(j(1-j)/16) ≈ 0.1 — allow 3σ
+    err = (planted.est_jaccard - planted.jaccard).abs()
+    assert err.mean() < 0.15
+
+
+def test_planted_near_dups_found(spark, docs):
+    sigs = with_minhash(docs, "text", k=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4, min_est_jaccard=0.5)
+    found = {
+        (r.key1, r.key2)
+        for r in pairs.where(F.col("key2") >= 1000000).collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + 1000000)
+        for r in docs.where(
+            (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 1000000)
+        ).collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH missed planted near-dups: recall={recall}"
+
+
+def test_simhash_banding_equals_bruteforce(spark, docs):
+    sh = with_simhash(docs.limit(150), "text")
+    banded = simhash_near_pairs(sh, "doc_id", max_hamming=7)
+    vals = sh.select("doc_id", "simhash").toPandas()
+    ids = vals.doc_id.values
+    v = vals.simhash.values.astype(np.int64)
+    brute = set()
+    for i in range(len(v)):
+        ham = np.array([bin(int(v[i]) ^ int(x)).count("1") for x in v])
+        for j in np.flatnonzero((ham <= 7) & (ids > ids[i])):
+            brute.add((int(ids[i]), int(ids[j])))
+    got = {(r.key1, r.key2) for r in banded.collect()}
+    assert got == brute
+
+
+def test_ivf_recall(spark, emb):
+    centroids = train_centroids(emb, n_cells=8)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = knn_bruteforce(emb, queries, k=5).toPandas()
+    approx = knn_ivf(emb, queries, centroids, k=5, nprobe=4).toPandas()
+    exact_sets = exact.groupby("query_id").neighbor_id.apply(set)
+    approx_sets = approx.groupby("query_id").neighbor_id.apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    assert np.mean(recalls) >= 0.8, f"IVF recall {np.mean(recalls)}"
+
+
+def test_knn_deterministic_rank(spark, emb):
+    out = knn_bruteforce(emb, emb.limit(5), k=3).toPandas()
+    assert set(out["rank"]) <= {1, 2, 3}
+    assert (out.groupby("query_id")["rank"].count() == 3).all()
