@@ -1,0 +1,229 @@
+"""Cross-table relationship checks (reference: backend/api/upload.py
+/analyze-relationships, :404-524) — J1-J6 of SURVEY.md §2.4.
+
+All checks are single-key equi-joins / windows; Catalyst picks broadcast
+vs sort-merge (the dimension side of cardinality/referential checks is
+usually broadcastable).  The circular-reference walk is the one
+iterative operator: a bounded frontier loop of joins with periodic
+localCheckpoint to keep lineage flat (the Spark answer to the
+reference's driver-side dict pointer-chase, upload.py:266-291).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PREFERRED_KEYS = ("id", "key", "code")
+
+
+def infer_join_keys(left: DataFrame, right: DataFrame) -> list[str]:
+    """J4 (upload.py:190-225): common column names, preferring id-ish
+    ones; falls back to normalized name-variant intersection.  Pure
+    schema metadata — driver-side by construction."""
+    lcols, rcols = set(left.columns), set(right.columns)
+    common = lcols & rcols
+
+    def idish(c: str) -> bool:
+        lc = c.lower()
+        return lc in PREFERRED_KEYS or lc.endswith("_id") or lc.endswith("id")
+
+    if common:
+        preferred = sorted(c for c in common if idish(c))
+        return preferred or sorted(common)
+
+    def variants(c: str) -> set[str]:
+        lc = c.lower()
+        out = {lc, lc.replace("_", "")}
+        out.add(re.sub(r"^[a-z]{1,2}_", "", lc))  # strip tpch-style prefix
+        return out
+
+    lmap: dict[str, str] = {}
+    for c in left.columns:
+        for v in variants(c):
+            lmap.setdefault(v, c)
+    hits = []
+    for c in right.columns:
+        for v in variants(c):
+            if v in lmap:
+                hits.append((lmap[v], c))
+                break
+    return [l for l, _ in hits]
+
+
+def check_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    relation_type: str = "1:M",
+    max_report: int = 50,
+) -> DataFrame:
+    """J3 (upload.py:313-351): the side(s) declared unique by the
+    relation type must have no duplicate keys; violators reported with
+    their multiplicity, capped at ``max_report`` per side (deterministic
+    order by key)."""
+    out = []
+    sides = {
+        "1:1": ("left", "right"),
+        "1:M": ("left",),
+        "M:1": ("right",),
+        "M:N": (),
+    }[relation_type]
+    for side in sides:
+        df, key = (left, left_key) if side == "left" else (right, right_key)
+        dup = (
+            df.groupBy(F.col(key).cast("string").alias("key_value"))
+            .agg(F.count(F.lit(1)).alias("occurrences"))
+            .where(F.col("occurrences") > 1)
+            .orderBy("key_value")
+            .limit(max_report)
+            .select(
+                F.lit(side).alias("side"),
+                "key_value",
+                "occurrences",
+                F.lit("cardinality_violation").alias("issue_type"),
+                F.lit(0.9).alias("confidence"),
+            )
+        )
+        out.append(dup)
+    if not out:
+        spark = left.sparkSession
+        return spark.createDataFrame(
+            [], "side string, key_value string, occurrences bigint, issue_type string, confidence double"
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def check_referential(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """J2 (upload.py:353-376): count-only referential diff, both
+    directions, via left_anti joins (the reference's set differences)."""
+    spark = left.sparkSession
+    lk = left.select(F.col(left_key).alias("k")).where(F.col("k").isNotNull()).distinct()
+    rk = right.select(F.col(right_key).alias("k")).where(F.col("k").isNotNull()).distinct()
+    l_missing = lk.join(rk, "k", "left_anti").count()
+    r_missing = rk.join(lk, "k", "left_anti").count()
+    return spark.createDataFrame(
+        [(int(l_missing), int(r_missing))],
+        "left_keys_missing_in_right bigint, right_keys_missing_in_left bigint",
+    )
+
+
+def check_conflicting_values(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """J1 (upload.py:378-402): inner join on the key; for every
+    same-named non-key column, count rows where both sides are non-null
+    and unequal.  One join + one agg — no per-column rescans."""
+    overlap = [
+        c for c in left.columns if c in right.columns and c not in (left_key, right_key)
+    ]
+    l = left.alias("l")
+    r = right.alias("r")
+    joined = l.join(r, F.col(f"l.{left_key}") == F.col(f"r.{right_key}"), "inner")
+    aggs = [
+        F.sum(
+            (
+                F.col(f"l.{c}").isNotNull()
+                & F.col(f"r.{c}").isNotNull()
+                & (F.col(f"l.{c}") != F.col(f"r.{c}"))
+            ).cast("long")
+        ).alias(c)
+        for c in overlap
+    ]
+    row = joined.agg(*aggs)
+    # unpivot to (column, conflict_count) rows
+    spark = left.sparkSession
+    if not overlap:
+        return spark.createDataFrame([], "col_name string, conflict_count bigint")
+    stack = ", ".join(f"'{c}', {c}" for c in overlap)
+    return row.selectExpr(
+        f"stack({len(overlap)}, {stack}) AS (col_name, conflict_count)"
+    )
+
+
+def check_self_fk_orphans(
+    df: DataFrame, id_col: str, ref_col: str, max_report: int = 10
+) -> DataFrame:
+    """J5 (upload.py:293-309): referenced ids absent from the id column
+    (string-cast comparison, as the reference does)."""
+    refs = df.select(F.col(ref_col).cast("string").alias("ref")).where(
+        F.col("ref").isNotNull()
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("ref")).distinct()
+    return (
+        refs.join(ids, "ref", "left_anti")
+        .distinct()
+        .orderBy("ref")
+        .limit(max_report)
+        .select(
+            F.col("ref").alias("missing_parent"),
+            F.lit("orphaned_reference").alias("issue_type"),
+            F.lit(0.8).alias("confidence"),
+        )
+    )
+
+
+def detect_circular_references(
+    df: DataFrame, id_col: str, ref_col: str, max_hops: int = 100
+) -> DataFrame:
+    """J6 (upload.py:262-291): walk id → parent up to ``max_hops``; a
+    revisited node ⇒ ``circular_reference`` for the start id; hitting
+    the hop cap without termination ⇒ ``deep_hierarchy``.
+
+    Frontier loop: each iteration advances every still-active walk one
+    hop via one equi-join against the (broadcastable) edge list, tracks
+    the visited path per walk, flags revisits, and localCheckpoints
+    every 10 hops so the logical plan stays bounded.  Walks terminate at
+    null parents, cycles, or the cap — iterations stop as soon as the
+    frontier is empty."""
+    edges = df.select(
+        F.col(id_col).alias("id"), F.col(ref_col).alias("parent")
+    ).where(F.col("parent").isNotNull())
+
+    frontier = edges.select(
+        F.col("id").alias("start"),
+        F.col("id").alias("cur"),
+        F.array(F.col("id")).alias("path"),
+        F.lit(0).alias("depth"),
+    )
+    spark = df.sparkSession
+    flagged = spark.createDataFrame([], "start_id long, issue_type string")
+
+    for hop in range(max_hops):
+        step = (
+            frontier.join(edges, frontier.cur == edges.id, "inner")
+            .select(
+                "start",
+                F.col("parent").alias("cur"),
+                F.concat("path", F.array("parent")).alias("path"),
+                (F.col("depth") + 1).alias("depth"),
+                F.array_contains("path", F.col("parent")).alias("revisit"),
+            )
+        )
+        cyc = step.where("revisit").select(
+            F.col("start").alias("start_id"),
+            F.lit("circular_reference").alias("issue_type"),
+        )
+        flagged = flagged.unionByName(cyc)
+        frontier = step.where(~F.col("revisit")).drop("revisit")
+        if hop % 10 == 9:
+            frontier = frontier.localCheckpoint(eager=True)
+            flagged = flagged.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    else:
+        deep = frontier.select(
+            F.col("start").alias("start_id"),
+            F.lit("deep_hierarchy").alias("issue_type"),
+        )
+        flagged = flagged.unionByName(deep)
+    return flagged.distinct()

@@ -1,0 +1,226 @@
+"""Driver-contract queries for the cross-table relationship checks
+(J1-J6, backend/api/upload.py:404-524), over the TPC-H star schema with
+deterministically planted violations."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.relationships import (
+    check_cardinality,
+    check_conflicting_values,
+    check_referential,
+    check_self_fk_orphans,
+    detect_circular_references,
+    infer_join_keys,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# J3 cardinality: M:1 orders→customer with doubled customer keys
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH cust AS (
+  SELECT * FROM customer UNION ALL SELECT * FROM customer WHERE c_custkey <= 50
+),
+dup AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS key_value, count(*) AS occurrences
+  FROM cust GROUP BY c_custkey HAVING count(*) > 1
+)
+SELECT 'right' AS side, key_value, occurrences,
+       'cardinality_violation' AS issue_type, 0.9::double AS confidence
+FROM dup ORDER BY key_value LIMIT 50
+"""
+
+
+@register("rel_cardinality", _CARD_ORACLE)
+def q_rel_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cust = cust.unionAll(cust.where(F.col("c_custkey") <= 50))
+    return check_cardinality(orders, cust, "o_custkey", "c_custkey", "M:1")
+
+
+# ---------------------------------------------------------------------------
+# J2 referential diff: planted dangling order custkeys
+# ---------------------------------------------------------------------------
+
+_REF_ORACLE = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS k
+  FROM orders
+),
+lk AS (SELECT DISTINCT k FROM o WHERE k IS NOT NULL),
+rk AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL)
+SELECT (SELECT count(*) FROM lk WHERE k NOT IN (SELECT k FROM rk)) AS left_keys_missing_in_right,
+       (SELECT count(*) FROM rk WHERE k NOT IN (SELECT k FROM lk)) AS right_keys_missing_in_left
+"""
+
+
+@register("rel_referential", _REF_ORACLE)
+def q_rel_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1000000).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return check_referential(orders, cust, "o_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J1 conflicting values: perturbed nation copy
+# ---------------------------------------------------------------------------
+
+_CONFLICT_ORACLE = """
+WITH cust2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'X' || c_name ELSE c_name END AS c_name,
+         c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer
+)
+SELECT 'c_name' AS col_name,
+       sum((l.c_name IS NOT NULL AND r.c_name IS NOT NULL AND l.c_name != r.c_name)::int)::bigint AS conflict_count
+FROM customer l JOIN cust2 r ON l.c_custkey = r.c_custkey
+UNION ALL
+SELECT 'c_nationkey',
+       sum((l.c_nationkey IS NOT NULL AND r.c_nationkey IS NOT NULL AND l.c_nationkey != r.c_nationkey)::int)::bigint
+FROM customer l JOIN cust2 r ON l.c_custkey = r.c_custkey
+UNION ALL
+SELECT 'c_acctbal',
+       sum((l.c_acctbal IS NOT NULL AND r.c_acctbal IS NOT NULL AND l.c_acctbal != r.c_acctbal)::int)::bigint
+FROM customer l JOIN cust2 r ON l.c_custkey = r.c_custkey
+UNION ALL
+SELECT 'c_mktsegment',
+       sum((l.c_mktsegment IS NOT NULL AND r.c_mktsegment IS NOT NULL AND l.c_mktsegment != r.c_mktsegment)::int)::bigint
+FROM customer l JOIN cust2 r ON l.c_custkey = r.c_custkey
+"""
+
+
+@register("rel_conflicts", _CONFLICT_ORACLE)
+def q_rel_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cust2 = cust.select(
+        "c_custkey",
+        F.when(k % 5 == 0, F.concat(F.lit("X"), F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        F.when(k % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return check_conflicting_values(cust, cust2, "c_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J4 join-key inference (schema metadata — deterministic literal result)
+# ---------------------------------------------------------------------------
+
+_JOINKEY_ORACLE = """
+SELECT * FROM (VALUES
+  ('common_id_col', 'user_id'),
+  ('tpch_prefix_variant', 'o_custkey')
+) AS t(test_case, join_key)
+"""
+
+
+@register("rel_join_keys", _JOINKEY_ORACLE)
+def q_rel_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id", "event_type")
+    b = ev.select("user_id", "value")
+    k1 = infer_join_keys(a, b)[0]
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    k2 = infer_join_keys(orders, cust)[0]
+    return spark.createDataFrame(
+        [("common_id_col", k1), ("tpch_prefix_variant", k2)],
+        "test_case string, join_key string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 self-FK orphans: planted dangling parent pointers
+# ---------------------------------------------------------------------------
+
+_SELF_ORPHAN_ORACLE = """
+WITH e AS (
+  SELECT event_id AS id,
+         CASE WHEN event_id % 113 = 0 THEN event_id + 10000000
+              ELSE event_id - 1 END AS parent
+  FROM events
+),
+missing AS (
+  SELECT DISTINCT CAST(parent AS VARCHAR) AS missing_parent
+  FROM e WHERE parent IS NOT NULL
+    AND CAST(parent AS VARCHAR) NOT IN (SELECT DISTINCT CAST(id AS VARCHAR) FROM e)
+)
+SELECT missing_parent, 'orphaned_reference' AS issue_type, 0.8::double AS confidence
+FROM missing ORDER BY missing_parent LIMIT 10
+"""
+
+
+@register("rel_self_orphans", _SELF_ORPHAN_ORACLE)
+def q_rel_self_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.when(
+            F.col("event_id") % 113 == 0, F.col("event_id") + 10000000
+        ).otherwise(F.col("event_id") - 1).alias("parent"),
+    )
+    return check_self_fk_orphans(ev, "id", "parent")
+
+
+# ---------------------------------------------------------------------------
+# J6 circular references: planted 2-cycles + short dangling chains
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+  SELECT event_id AS id,
+         CASE WHEN event_id % 50 = 0 THEN event_id + 1
+              WHEN event_id % 50 = 1 THEN event_id - 1
+              WHEN event_id % 7 = 0 THEN event_id + 3
+              ELSE NULL END AS parent
+  FROM events WHERE event_id < 2000
+"""
+
+_CIRCULAR_ORACLE = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+e AS (SELECT id, parent FROM edges WHERE parent IS NOT NULL),
+walk AS (
+  SELECT id AS start_id, id AS cur, [id] AS path, 0 AS depth, false AS cyc
+  FROM e
+  UNION ALL
+  SELECT w.start_id, e.parent, list_append(w.path, e.parent), w.depth + 1,
+         list_contains(w.path, e.parent)
+  FROM walk w JOIN e ON w.cur = e.id
+  WHERE NOT w.cyc AND w.depth < 100
+)
+SELECT DISTINCT start_id, 'circular_reference' AS issue_type
+FROM walk WHERE cyc
+"""
+
+
+@register("rel_circular", _CIRCULAR_ORACLE)
+def q_rel_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    edges = ev.select(
+        eid.alias("id"),
+        F.when(eid % 50 == 0, eid + 1)
+        .when(eid % 50 == 1, eid - 1)
+        .when(eid % 7 == 0, eid + 3)
+        .otherwise(F.lit(None))
+        .alias("parent"),
+    )
+    return detect_circular_references(edges, "id", "parent")

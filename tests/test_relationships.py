@@ -1,0 +1,84 @@
+"""Cross-table relationship operator tests (J1-J6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.relationships import (
+    check_cardinality,
+    check_conflicting_values,
+    check_referential,
+    check_self_fk_orphans,
+    detect_circular_references,
+    infer_join_keys,
+)
+
+
+def test_infer_join_keys_prefers_id(spark):
+    a = spark.createDataFrame([(1, "x", "y")], "user_id long, name string, note string")
+    b = spark.createDataFrame([(1, "x")], "user_id long, name string")
+    assert infer_join_keys(a, b) == ["user_id"]
+
+
+def test_infer_join_keys_variant(spark):
+    a = spark.createDataFrame([(1,)], "o_custkey long")
+    b = spark.createDataFrame([(1,)], "c_custkey long")
+    assert infer_join_keys(a, b) == ["o_custkey"]
+
+
+def test_cardinality_one_to_one(spark):
+    left = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    right = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    out = check_cardinality(left, right, "k", "k", "1:1").toPandas()
+    assert set(zip(out.side, out.key_value)) == {("left", "1"), ("right", "2")}
+    mn = check_cardinality(left, right, "k", "k", "M:N").toPandas()
+    assert len(mn) == 0
+
+
+def test_referential_set_semantics(spark):
+    # duplicate dangling keys count ONCE (reference uses set difference)
+    left = spark.createDataFrame([(1,), (9,), (9,), (9,)], "k long")
+    right = spark.createDataFrame([(1,), (2,)], "k long")
+    row = check_referential(left, right, "k", "k").collect()[0]
+    assert row.left_keys_missing_in_right == 1
+    assert row.right_keys_missing_in_left == 1
+
+
+def test_conflicting_values(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None)], "k long, name string, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "c", 5.0)], "k long, name string, v double"
+    )
+    out = {r.col_name: r.conflict_count for r in
+           check_conflicting_values(left, right, "k", "k").collect()}
+    assert out == {"name": 1, "v": 1}  # null side never conflicts
+
+
+def test_self_fk_orphans(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 99)], "id long, parent long"
+    )
+    out = check_self_fk_orphans(df, "id", "parent").toPandas()
+    assert list(out.missing_parent) == ["99"]
+
+
+def test_circular_detection(spark):
+    # 2-cycle (1↔2), chain into the cycle (3→1), clean chain (4→5→∅)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1), (4, 5), (5, None)], "id long, parent long"
+    )
+    out = detect_circular_references(df, "id", "parent").toPandas()
+    assert set(out.start_id) == {1, 2, 3}
+    assert set(out.issue_type) == {"circular_reference"}
+
+
+def test_deep_hierarchy(spark):
+    # a 30-hop chain with max_hops=10 → every deep walker flagged
+    rows = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = detect_circular_references(df, "id", "parent", max_hops=10).toPandas()
+    assert (out.issue_type == "deep_hierarchy").all()
+    # walkers ending within 10 hops (start ≥ 20) are not flagged
+    assert set(out.start_id) == set(range(21))
