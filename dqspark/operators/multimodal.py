@@ -1,0 +1,157 @@
+"""Multimodal payload handling: image/audio/video as opaque ``binary``
+columns with typed metadata, processed in Arrow-batched ``mapInPandas``
+stages.
+
+The reference is tabular-only; this is the forward extension a
+training-data pipeline needs at 100 TB: payload bytes travel as one
+binary column, metadata as plain columns, and every per-payload
+operation (magic-sniff, feature extraction, decode, frame sampling)
+runs inside ``mapInPandas`` so Arrow moves the bytes batch-wise and the
+operator parallelizes like any other stage — partitioning, salting and
+checkpointing from the quality pipeline apply unchanged.
+
+The actual image/audio codecs are NOT present in this environment, so
+``decode_image`` gates the real decode behind an import-probe and
+otherwise raises ``NotImplementedError`` — while the Spark-side
+plumbing (schemas, batch iteration, deterministic pseudo-features used
+by tests and oracles) is fully real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# magic-byte prefixes → payload kind (public file signatures)
+MAGIC = (
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mp3"),
+    (b"\x00\x00\x00", "video/mp4"),
+)
+
+
+def sniff_kind(payload: bytes) -> str:
+    for magic, kind in MAGIC:
+        if payload[: len(magic)] == magic:
+            return kind
+    return "application/octet-stream"
+
+
+FEATURE_SCHEMA = (
+    "n_bytes bigint, payload_sha256 string, kind string, "
+    "pseudo_width int, pseudo_height int"
+)
+
+
+def extract_binary_features(
+    df: DataFrame, content_col: str = "payload"
+) -> DataFrame:
+    """Append per-payload features via one mapInPandas stage.
+
+    ``pseudo_width/height`` are deterministic stand-ins for decoded
+    dimensions (md5-derived) so the plumbing is oracle-checkable without
+    codecs; a real deployment swaps the inner function for actual
+    decoding and keeps every Spark-side line identical."""
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[content_col]
+            out = pdf.copy()
+            out["n_bytes"] = payloads.map(len).astype("int64")
+            out["payload_sha256"] = payloads.map(
+                lambda b: hashlib.sha256(b).hexdigest()
+            )
+            out["kind"] = payloads.map(sniff_kind)
+            h = payloads.map(lambda b: int(hashlib.md5(b).hexdigest()[:15], 16))
+            out["pseudo_width"] = (h % 1920).astype("int32")
+            out["pseudo_height"] = (h % 1080).astype("int32")
+            yield out
+
+    return df.mapInPandas(features, f"{passthrough}, {FEATURE_SCHEMA}")
+
+
+def _pil_available() -> bool:
+    try:  # pragma: no cover - codec not present in this environment
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(
+    df: DataFrame, content_col: str = "payload", size: tuple[int, int] = (224, 224)
+) -> DataFrame:
+    """Decode + resize image payloads to float features.
+
+    STUB in this environment: the decode body requires an image codec
+    (PIL) that is deliberately not installed; the Spark plumbing
+    (schema, Arrow batching, partition behavior) is identical to the
+    real path and covered by extract_binary_features tests."""
+    if not _pil_available():
+        raise NotImplementedError(
+            "image decode requires an image codec (PIL) not present in this "
+            "environment; use extract_binary_features for codec-free features"
+        )
+    # pragma: no cover — real path, same mapInPandas shape as features
+    def decode(batches):
+        from PIL import Image
+        import io
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.copy()
+            arrs = []
+            for b in pdf[content_col]:
+                img = Image.open(io.BytesIO(b)).convert("L").resize(size)
+                arrs.append(np.asarray(img, dtype="float32").mean(axis=0).tolist())
+            out["pixels"] = arrs
+            yield out
+
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(decode, f"{passthrough}, pixels array<float>")
+
+
+def sample_frames(
+    df: DataFrame, content_col: str = "payload", n_frames: int = 4
+) -> DataFrame:
+    """Deterministic frame sampling stand-in for video payloads: slice
+    the byte stream at n evenly-spaced offsets and fingerprint each
+    slice — the real frame decoder drops into the same mapInPandas
+    skeleton."""
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            sampled = []
+            for b in pdf[content_col]:
+                size = max(len(b), 1)
+                step = max(size // n_frames, 1)
+                sampled.append(
+                    [
+                        hashlib.md5(b[o : o + step]).hexdigest()[:16]
+                        for o in range(0, min(size, step * n_frames), step)
+                    ]
+                )
+            out["frame_fingerprints"] = sampled
+            yield out
+
+    return df.mapInPandas(
+        frames, f"{passthrough}, frame_fingerprints array<string>"
+    )

@@ -1,0 +1,65 @@
+"""Driver-contract queries for the multimodal binary plumbing and the
+windowed event-rate monitor (batch equivalent of the streaming agg)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long_oracle
+from dqspark.operators.multimodal import extract_binary_features
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# binary payload features: the mapInPandas plumbing vs pure-SQL oracle
+# ---------------------------------------------------------------------------
+
+_BINARY_ORACLE = f"""
+SELECT doc_id,
+       octet_length(encode(text))::bigint AS n_bytes,
+       sha256(text) AS payload_sha256,
+       'application/octet-stream' AS kind,
+       ({md5_long_oracle('text')} % 1920)::int AS pseudo_width,
+       ({md5_long_oracle('text')} % 1080)::int AS pseudo_height
+FROM documents
+"""
+
+
+@register("binary_features", _BINARY_ORACLE)
+def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = extract_binary_features(docs, "payload")
+    return out.select(
+        "doc_id", "n_bytes", "payload_sha256", "kind", "pseudo_width", "pseudo_height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed event rates (batch run of the streaming aggregation)
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORACLE = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 4) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("event_rate_windows", _WINDOW_ORACLE)
+def q_event_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dqspark.streaming.quality_stream import stream_event_rate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stream_event_rate(ev)  # same code path batch + streaming
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "mean_value",
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming front-end for the quality pipeline.
+
+The reference is batch-only (SURVEY.md §2.8) and the north rule is a
+batch job; this module is the stretch goal noted there: the SAME
+``DataFrame → DataFrame`` stages run unchanged under ``readStream`` —
+``foreachBatch`` applies the quality pipeline per micro-batch against
+FROZEN corpus statistics (streaming cannot re-aggregate global stats
+per batch; they come from a bootstrap batch run, exactly like the
+chunked-resume path in pipeline/checkpoint.py), streaming exact-dedupe
+is ``dropDuplicates`` over the content hash with a watermark bounding
+the state, and the windowed event-rate monitor shows watermark +
+windowed aggregation over late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.pipeline.quality import run_quality_pipeline
+
+CODEFILES_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def stream_codefiles(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(CODEFILES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    stats: dict,
+    with_models: bool = False,
+):
+    """File-source stream → per-batch quality pipeline → parquet sink.
+
+    ``stats`` MUST be precomputed (compute_corpus_stats on a bootstrap
+    batch) so every micro-batch flags against the same thresholds.
+    Exactly-once comes from the streaming checkpoint + idempotent
+    parquet append per epoch.  Returns the started StreamingQuery; use
+    ``trigger(availableNow=True)`` semantics for batch-catchup runs.
+    """
+    stream = stream_codefiles(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_quality_pipeline(batch_df, stats=stats, with_models=with_models)
+        res.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedupe(
+    df: DataFrame,
+    content_col: str = "content",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedupe: first-seen content hash wins.  With an
+    event-time column the state is watermark-bounded
+    (dropDuplicatesWithinWatermark); without one the state grows with
+    distinct hashes (bootstrap/backfill use only)."""
+    d = df.withColumn("_sha", F.sha2(F.col(content_col), 256))
+    if event_time_col:
+        d = d.withWatermark(event_time_col, watermark)
+        return d.dropDuplicatesWithinWatermark(["_sha"]).drop("_sha")
+    return d.dropDuplicates(["_sha"]).drop("_sha")
+
+
+def stream_event_rate(
+    events: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-(window, event_type) rate/mean monitor over the
+    events stream — the streaming analogue of the per-column stats pass
+    (late rows beyond the watermark are dropped, state is bounded)."""
+    # event time must be TIMESTAMP (LTZ) — parquet NTZ is cast (UTC session)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "mean_value",
+        )
+    )

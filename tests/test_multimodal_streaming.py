@@ -1,0 +1,129 @@
+"""Multimodal binary-column plumbing + Structured Streaming tests."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqspark.operators.multimodal import (
+    decode_image,
+    extract_binary_features,
+    sample_frames,
+    sniff_kind,
+)
+from dqspark.streaming.quality_stream import (
+    stream_event_rate,
+    stream_quality_filter,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (1, b"\x89PNG\r\n" + b"fakepixeldata" * 40),
+        (2, b"\xff\xd8\xff\xe0" + b"jpegbody" * 64),
+        (3, b"RIFF....WAVE" + b"\x00\x01" * 128),
+        (4, b"plain text payload"),
+    ]
+    return spark.createDataFrame(rows, "pid long, payload binary")
+
+
+def test_magic_sniff():
+    assert sniff_kind(b"\x89PNG\r\n") == "image/png"
+    assert sniff_kind(b"\xff\xd8\xff\xe0") == "image/jpeg"
+    assert sniff_kind(b"xyz") == "application/octet-stream"
+
+
+def test_binary_features(payloads):
+    out = extract_binary_features(payloads).toPandas().set_index("pid")
+    assert out.loc[1, "kind"] == "image/png"
+    assert out.loc[3, "kind"] == "audio/wav"
+    assert out.loc[4, "kind"] == "application/octet-stream"
+    raw = b"plain text payload"
+    assert out.loc[4, "n_bytes"] == len(raw)
+    assert out.loc[4, "payload_sha256"] == hashlib.sha256(raw).hexdigest()
+    h = int(hashlib.md5(raw).hexdigest()[:15], 16)
+    assert out.loc[4, "pseudo_width"] == h % 1920
+    assert 0 <= out.loc[1, "pseudo_height"] < 1080
+
+
+def test_decode_image_stub(payloads):
+    """Codec absent in this environment → the decode stage must fail
+    loudly, not silently fake pixels."""
+    with pytest.raises(NotImplementedError):
+        decode_image(payloads)
+
+
+def test_sample_frames(payloads):
+    out = sample_frames(payloads, n_frames=4).toPandas().set_index("pid")
+    assert all(len(v) == 4 for v in out.frame_fingerprints)
+    # deterministic: same payload → same fingerprints
+    again = sample_frames(payloads, n_frames=4).toPandas().set_index("pid")
+    assert list(out.loc[2, "frame_fingerprints"]) == list(
+        again.loc[2, "frame_fingerprints"]
+    )
+
+
+def test_stream_event_rate_matches_batch(spark, tmp_path):
+    """availableNow file stream → windowed agg == the same agg in batch
+    mode (append mode emits only watermark-closed windows, so compare
+    against the batch result restricted to closed windows)."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "src")
+    events.limit(500).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src)
+    )
+    q = (
+        stream_event_rate(stream)
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from rates").toPandas()
+
+    batch = stream_event_rate(spark.read.parquet(src)).toPandas()
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    closed = batch[batch.window_end <= max_ts]  # watermark-closed only
+    g = got.set_index(["window_start", "event_type"]).sort_index()
+    b = closed.set_index(["window_start", "event_type"]).sort_index()
+    assert len(g) >= len(b) * 0.9 and len(b) > 0
+    join = g.join(b, how="inner", rsuffix="_b")
+    assert (join.n_events == join.n_events_b).all()
+    assert (join.mean_value == join.mean_value_b).all()
+
+
+def test_stream_quality_filter(spark, tmp_path):
+    """File-source streaming quality filter with frozen stats equals the
+    batch pipeline on the same input."""
+    from dqspark.pipeline import corpus
+    from dqspark.pipeline.quality import compute_corpus_stats, run_quality_pipeline
+
+    pdf = corpus.gen_pandas(300, with_class=False)
+    sdf = spark.createDataFrame(pdf)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf.write.parquet(src)
+
+    stats = compute_corpus_stats(spark.read.parquet(src))
+    q = stream_quality_filter(spark, src, out, ckpt, stats, with_models=False)
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(out).select("repo", "path", "commit", "keep")
+    batch = run_quality_pipeline(
+        spark.read.parquet(src), stats=stats, with_models=False
+    ).select("repo", "path", "commit", "keep")
+    s = streamed.toPandas().set_index(["repo", "path", "commit"]).sort_index()
+    b = batch.toPandas().set_index(["repo", "path", "commit"]).sort_index()
+    assert len(s) == len(b) == 300
+    assert (s.keep == b.keep).all()
