@@ -58,6 +58,14 @@ def _trigram_hashes(ords: np.ndarray, doc: np.ndarray, buckets: int):
     return h[same_doc], doc[:-2][same_doc]
 
 
+# scoring reads only a deterministic prefix of each document: plenty of
+# signal for langid/perplexity, and it caps per-batch temp memory so 32
+# concurrent Arrow workers stay bandwidth-friendly (measured: unbounded
+# scoring anti-scaled 8→32 threads on local[32])
+LANGID_MAX_CHARS = 512
+LM_MAX_CHARS = 1024
+
+
 class LangIdModel:
     """Multinomial-NB linear classifier over hashed char trigrams."""
 
@@ -84,13 +92,20 @@ class LangIdModel:
         return cls(langs, log_probs, log_prior)
 
     def predict_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """→ (predicted lang index, softmax confidence) per document."""
+        """→ (predicted lang index, softmax confidence) per document.
+
+        Scores the first LANGID_MAX_CHARS of each doc; per-language
+        ``bincount`` folds avoid materializing a (n_langs × positions)
+        temp (the memory-bandwidth killer under many workers)."""
         n = len(texts)
         scores = np.tile(self.log_prior, (n, 1))
-        ords, doc = _ords(texts)
+        ords, doc = _ords([t[:LANGID_MAX_CHARS] for t in texts])
         h, hdoc = _trigram_hashes(ords, doc, N_TRIGRAM_BUCKETS)
         if h.size:
-            np.add.at(scores, hdoc, self.log_probs[:, h].T)
+            for li in range(len(self.langs)):
+                scores[:, li] += np.bincount(
+                    hdoc, weights=self.log_probs[li, h], minlength=n
+                )
         # length-normalize before softmax so confidence is comparable
         lens = np.maximum(
             np.bincount(hdoc, minlength=n) if h.size else np.zeros(n), 1
@@ -123,12 +138,16 @@ class TrigramLM:
         log_probs = np.log(counts + k) - np.log(
             counts.sum(axis=1, keepdims=True) + k * N_CHAR_BUCKETS
         )
-        return cls(log_probs)
+        # float32 halves the broadcast + per-worker cache footprint (the
+        # table is gathered randomly — memory traffic dominates scoring)
+        return cls(log_probs.astype(np.float32))
 
     def log_ppl_batch(self, texts: list[str]) -> np.ndarray:
-        """Negative mean log P(char|context) per document (log-perplexity)."""
+        """Negative mean log P(char|context) per document (log-perplexity),
+        over the first LM_MAX_CHARS of each doc; bincount folds keep the
+        temp footprint at one float per position."""
         n = len(texts)
-        ords, doc = _ords(texts)
+        ords, doc = _ords([t[:LM_MAX_CHARS] for t in texts])
         out = np.zeros(n, np.float64)
         cnt = np.zeros(n, np.float64)
         if ords.size >= 3:
@@ -136,8 +155,8 @@ class TrigramLM:
             ctx = ((ords[:-2] * _P2 + ords[1:-1]) % N_CONTEXT_BUCKETS)[same]
             nxt = (ords[2:] % N_CHAR_BUCKETS)[same]
             d = doc[:-2][same]
-            np.add.at(out, d, self.log_probs[ctx, nxt])
-            np.add.at(cnt, d, 1.0)
+            out = np.bincount(d, weights=self.log_probs[ctx, nxt], minlength=n)
+            cnt = np.bincount(d, minlength=n).astype(np.float64)
         return np.where(cnt > 0, -out / np.maximum(cnt, 1), 0.0)
 
 

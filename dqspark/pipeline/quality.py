@@ -27,7 +27,7 @@ from pyspark.sql.types import StructType
 
 from dqspark.functions.hashing import content_sha256
 from dqspark.functions.scrub import scrub_text
-from dqspark.functions.text_metrics import with_text_metrics
+from dqspark.functions.text_metrics import is_blank, with_text_metrics
 from dqspark.pipeline import corpus, spec
 from dqspark.pipeline.models import LangIdModel, TrigramLM, deserialize, serialize
 
@@ -63,32 +63,41 @@ def normalize(df: DataFrame) -> DataFrame:
 
 
 def with_model_scores(df: DataFrame, text_col: str = "content") -> DataFrame:
-    """Append (lang_pred, lang_conf, log_ppl) from ONE pandas UDF over
-    broadcast models — Arrow batches in, numpy-vectorized scoring."""
+    """Append (lang_pred, lang_conf, log_ppl) from ONE scalar pandas UDF
+    over broadcast models.
+
+    Only a deterministic PREFIX of the text column crosses the Arrow
+    boundary (the models score prefixes anyway, models.py) and only the
+    struct of three scores comes back — the wide row never leaves the
+    JVM.  This replaced a mapInPandas full-row round-trip that moved
+    content + scrubbed content through Python twice."""
+    from dqspark.pipeline.models import LANGID_MAX_CHARS, LM_MAX_CHARS
+
     spark = df.sparkSession
     lid, lm = train_default_models()
     bc = spark.sparkContext.broadcast((serialize(lid), serialize(lm)))
+    prefix_len = max(LANGID_MAX_CHARS, LM_MAX_CHARS)
 
-    def score(batches):
-        lid_m = lm_m = None
-        for pdf in batches:
-            if lid_m is None:
-                d1, d2 = bc.value
-                lid_m, lm_m = deserialize(d1), deserialize(d2)
-            texts = pdf[text_col].fillna("").tolist()
-            import numpy as np
+    @F.pandas_udf(f"struct<{MODEL_SCHEMA}>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
 
-            pred_idx, conf = lid_m.predict_batch(texts)
-            out = pdf.copy()
-            out["lang_pred"] = np.array(lid_m.langs, dtype=object)[pred_idx]
-            out["lang_conf"] = conf
-            out["log_ppl"] = lm_m.log_ppl_batch(texts)
-            yield out
+        d1, d2 = bc.value
+        lid_m, lm_m = deserialize(d1), deserialize(d2)
+        t = texts.fillna("").tolist()
+        pred_idx, conf = lid_m.predict_batch(t)
+        return pd.DataFrame(
+            {
+                "lang_pred": np.array(lid_m.langs, dtype=object)[pred_idx],
+                "lang_conf": conf,
+                "log_ppl": lm_m.log_ppl_batch(t),
+            }
+        )
 
-    schema_str = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    scored = df.withColumn(
+        "_scores", score(F.substring(F.col(text_col), 1, prefix_len))
     )
-    return df.mapInPandas(score, f"{schema_str}, {MODEL_SCHEMA}")
+    return scored.select("*", "_scores.*").drop("_scores")
 
 
 def _collect_outlier_bounds(df: DataFrame) -> dict[str, dict[str, float]]:
@@ -174,6 +183,27 @@ def run_quality_pipeline(
     bounds = stats["bounds"]
     rare = stats["rare_langs"]
 
+    raw = df
+
+    # duplicate info via groupBy on the content hash + join-back, forked
+    # from the RAW scan (column-pruned: repo/path/commit/content only —
+    # none of the metric/model/scrub stages re-execute on this branch).
+    # The aggregate's map-side partials shuffle one tiny row per
+    # distinct hash (vs windowing, which shuffles every WIDE row —
+    # content + scrubbed content — by hash), and AQE broadcasts the agg
+    # side when it fits, eliminating the wide shuffle entirely.  This is
+    # the scale answer to the reference's whole-table duplicated()
+    # (insertion_anomaly.py:9).
+    ident = F.struct("repo", "path", "commit")
+    dup_info = (
+        raw.select(content_sha256("content").alias("content_sha256"), "repo", "path", "commit")
+        .groupBy("content_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("_dup_n"),
+            F.min(ident).alias("_min_ident"),
+        )
+    )
+
     df = normalize(df)
     df = salted_repartition(df, n_partitions)
     df = with_text_metrics(df, text_col="content")
@@ -190,15 +220,9 @@ def run_quality_pipeline(
     df = scrub_text(df, text_col="content", out_col="scrubbed_content")
     df = df.withColumn("scrubbed_sha256", content_sha256(F.col("scrubbed_content")))
 
-    # duplicate window on the content hash (hash-partitioned — the scale
-    # answer to the reference's whole-table duplicated(), insertion_anomaly.py:9)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("content_sha256")
-    ident = F.struct("repo", "path", "commit")
-    df = df.withColumn("_dup_n", F.count(F.lit(1)).over(w)).withColumn(
-        "_canonical", F.min(ident).over(w) == ident
-    )
+    df = df.join(dup_info, "content_sha256").withColumn(
+        "_canonical", F.col("_min_ident") == ident
+    ).drop("_min_ident")
 
     numeric_flag = None
     for c in spec.OUTLIER_METRICS:
@@ -213,8 +237,7 @@ def run_quality_pipeline(
         ),
         "duplicate_record": (F.col("_dup_n") > 1, F.lit(1.0)),
         "missing_required_field": (
-            (F.regexp_replace(F.col("content"), r"\s", "") == "")
-            | F.col("lang").isNull(),
+            is_blank(F.col("content")) | F.col("lang").isNull(),
             F.lit(1.0),
         ),
         "gibberish": (

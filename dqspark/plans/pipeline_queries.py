@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dqspark.functions.scrub import SCRUB_PATTERNS, scrub_oracle_exprs
-from dqspark.functions.text_metrics import text_metrics_oracle_exprs
+from dqspark.functions.text_metrics import is_blank_oracle, text_metrics_oracle_exprs
 from dqspark.pipeline import spec
 from dqspark.pipeline.quality import run_quality_pipeline
 from dqspark.plans.driver_queries import register
@@ -165,7 +165,7 @@ flags AS (
          (m.lang IN (SELECT lang FROM rare)) AS f_rare,
          (d.dup_n > 1) AS f_dup,
          (d.rn = 1) AS canonical,
-         (regexp_replace(m.content, '\\s', '', 'g') = '' OR m.lang IS NULL) AS f_missing,
+         ({is_blank_oracle('m.content')} OR m.lang IS NULL) AS f_missing,
          (scrub_toxicity >= {spec.TOXICITY_DROP_HITS}) AS f_tox
   FROM m, stats s
   JOIN dup d ON m.doc_id = d.doc_id

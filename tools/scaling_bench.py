@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark (BASELINE.json north_rule): run the SAME
+flagship quality job on the SAME input at two parallelism levels —
+local[8] (N) and local[32] (4N), the sandbox stand-in for N vs 4N
+executors — and report files/sec at both plus the scaling efficiency
+T(4N) / (4 · T(N)).
+
+Usage: python tools/scaling_bench.py [--n 160000] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dqspark.session import get_spark  # noqa: E402
+
+
+def run_once(cpus: int, corpus_path: str, n: int) -> tuple[float, float]:
+    """→ (cold_sec, warm_sec) for the full pipeline on local[cpus].
+
+    The warm run is the steady-state number used for scaling efficiency:
+    a production job amortizes JIT + codegen + Python-worker spawn +
+    broadcast deserialization over hours, so those one-time costs are
+    measured separately (cold) rather than folded into throughput."""
+    from dqspark.pipeline.quality import run_quality_pipeline, train_default_models
+
+    spark = get_spark(
+        app_name=f"scaling-bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    train_default_models()  # train once outside the timed region (cached)
+    df = spark.read.parquet(corpus_path)
+    # warm the file listing/footer cache so IO setup isn't in the timing
+    df.count()
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = run_quality_pipeline(df, n_partitions=cpus * 4)
+        res.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    spark.stop()
+    return times[0], times[1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=160000)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="dqspark_scaling_")
+    corpus_path = os.path.join(workdir, "corpus")
+    try:
+        # materialize the deterministic corpus once (not timed)
+        from dqspark.pipeline.corpus import gen_spark
+
+        spark = get_spark(app_name="scaling-gen", master="local[32]")
+        gen_spark(spark, args.n, partitions=64).write.parquet(corpus_path)
+        spark.stop()
+
+        results = {}
+        for cpus in (8, 32):
+            cold, warm = run_once(cpus, corpus_path, args.n)
+            results[cpus] = {
+                "cold_sec": round(cold, 2),
+                "warm_sec": round(warm, 2),
+                "files_per_sec": round(args.n / warm, 1),
+            }
+            print(f"local[{cpus}]: cold {cold:.1f}s warm {warm:.1f}s "
+                  f"{args.n / warm:.0f} files/s", file=sys.stderr)
+
+        eff = results[32]["files_per_sec"] / (4 * results[8]["files_per_sec"])
+        out = {
+            "n_files": args.n,
+            "local8": results[8],
+            "local32": results[32],
+            "scaling_efficiency_8_to_32": round(eff, 3),
+        }
+        print(json.dumps(out))
+        if args.json:
+            with open(args.json, "w") as fh:
+                json.dump(out, fh, indent=2)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
