@@ -1,0 +1,59 @@
+"""Model-prep encoders (reference: ml/lightgbm_anomaly.py:14-24):
+imputation (categorical NaN → 'MISSING', numeric NaN → -999) and
+per-column label encoding (sklearn LabelEncoder semantics: classes
+sorted lexicographically, coded 0..n-1).
+
+Label encoding at scale: the per-column code book is a distinct-values
+aggregate (tiny — label cardinality, not row count) joined back with a
+broadcast hash join; no window over the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+from pyspark.sql.window import Window
+
+CATEGORICAL_FILL = "MISSING"
+NUMERIC_FILL = -999
+
+
+def impute_missing(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """M1: fillna per dtype class (lightgbm_anomaly.py:14-18)."""
+    fills: dict[str, object] = {}
+    for field in df.schema.fields:
+        if columns is not None and field.name not in columns:
+            continue
+        if isinstance(field.dataType, StringType):
+            fills[field.name] = CATEGORICAL_FILL
+        elif isinstance(field.dataType, NumericType):
+            fills[field.name] = NUMERIC_FILL
+    return df.fillna(fills)
+
+
+def label_codes(df: DataFrame, column: str) -> DataFrame:
+    """Code book DataFrame[value, code] — classes sorted, 0-based
+    (LabelEncoder parity, lightgbm_anomaly.py:20-24)."""
+    w = Window.orderBy("value")  # cardinality-sized input — tiny sort
+    return (
+        df.select(F.col(column).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .select("value", (F.row_number().over(w) - 1).alias("code"))
+    )
+
+
+def label_encode(
+    df: DataFrame, columns: list[str], suffix: str = "_code"
+) -> DataFrame:
+    """Append ``<col><suffix>`` int codes via broadcast code-book joins."""
+    out = df
+    for column in columns:
+        codes = label_codes(df, column).withColumnRenamed("value", column)
+        out = out.join(
+            F.broadcast(codes.withColumnRenamed("code", f"{column}{suffix}")),
+            column,
+            "left",
+        )
+    return out

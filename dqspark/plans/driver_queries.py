@@ -576,6 +576,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # registered last: these modules import `register` from here
 from dqspark.plans import dedup_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import encoding_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import pipeline_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import multimodal_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import relationship_queries  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,54 @@
+"""Driver-contract queries for the model-prep encoders (M1/M2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.encoding import impute_missing, label_encode
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+_IMPUTE_ORACLE = """
+WITH derived AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE props END AS props2,
+         CASE WHEN event_id % 89 = 0 THEN NULL ELSE value END AS value2
+  FROM events
+)
+SELECT event_id,
+       coalesce(props2, 'MISSING') AS props2,
+       coalesce(value2, -999) AS value2
+FROM derived
+"""
+
+
+@register("impute_missing", _IMPUTE_ORACLE)
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("props2"),
+        F.when(F.col("event_id") % 89 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value2"),
+    )
+    return impute_missing(ev, columns=["props2", "value2"])
+
+
+_ENCODE_ORACLE = """
+WITH codes AS (
+  SELECT lang AS value, (dense_rank() OVER (ORDER BY lang) - 1)::int AS code
+  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+)
+SELECT d.doc_id, d.lang, c.code AS lang_code
+FROM documents d LEFT JOIN codes c ON d.lang = c.value
+"""
+
+
+@register("label_encode", _ENCODE_ORACLE)
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = label_encode(docs, ["lang"])
+    return out.select("doc_id", "lang", "lang_code")

@@ -167,3 +167,20 @@ def test_audit_summary(spark, result_pdf):
     # the mega-repo must be split across many salt buckets (skew breaker)
     mega = audit[audit.repo == "megacorp/monorepo"]
     assert len(mega) > 8
+
+
+def test_corpus_generation_partition_invariant(spark):
+    """gen_spark (distributed, any partitioning) produces byte-identical
+    rows to gen_pandas (driver-side) — the determinism contract that
+    makes golden labels valid at any scale."""
+    import pandas as pd
+
+    a = corpus.gen_spark(spark, 400, with_class=True, partitions=7).toPandas()
+    b = corpus.gen_spark(spark, 400, with_class=True, partitions=31).toPandas()
+    c = corpus.gen_pandas(400)
+    for other in (b, c):
+        m = a.merge(other, on=["repo", "path", "commit"], suffixes=("", "_o"))
+        assert len(m) == 400
+        assert (m.content == m.content_o).all()
+        assert (m.defect_class == m.defect_class_o).all()
+        assert (m.lang.fillna("∅") == m.lang_o.fillna("∅")).all()
