@@ -86,3 +86,29 @@ def test_normalize_null_strings(spark):
     out = normalize_null_strings(df)
     got = {r["id"]: r["s"] for r in out.collect()}
     assert got == {1: None, 2: None, 3: "nullx", 4: "ok"}
+
+
+def test_read_any_csv_json(spark, tmp_path):
+    """S1/S3 format-dispatch read + sanitize + null-normalize in one pass."""
+    from dqspark.sources.readers import read_any
+
+    p = tmp_path / "in.csv"
+    p.write_text("a b,9id\nx,1\nNULL,2\nnull,3\n")
+    df = read_any(spark, str(p))
+    assert df.columns == ["a_b", "_9id"]
+    vals = {r._9id: r.a_b for r in df.collect()}
+    assert vals == {1: "x", 2: None, 3: None}
+
+    j = tmp_path / "in.json"
+    j.write_text('{"k": 1, "v": "ok"}\n{"k": 2, "v": "null"}\n')
+    dj = read_any(spark, str(j))
+    got = {r.k: r.v for r in dj.collect()}
+    assert got == {1: "ok", 2: None}
+
+
+def test_read_any_unsupported(spark):
+    from dqspark.sources.readers import read_any
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_any(spark, "/nonexistent/file.avro")
