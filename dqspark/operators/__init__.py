@@ -40,3 +40,31 @@ __all__ = [
     "ISSUE_WEIGHTS",
     "quality_report",
 ]
+from dqspark.operators.relationships import (  # noqa: F401
+    check_cardinality,
+    check_conflicting_values,
+    check_referential,
+    check_self_fk_orphans,
+    detect_circular_references,
+    infer_join_keys,
+)
+from dqspark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    with_minhash,
+    with_simhash,
+)
+from dqspark.operators.similarity import (  # noqa: F401
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+    knn_ivf,
+    train_centroids,
+)
+from dqspark.operators.multimodal import (  # noqa: F401
+    decode_image,
+    extract_binary_features,
+    sample_frames,
+)
+from dqspark.operators.encoding import impute_missing, label_encode  # noqa: F401

@@ -198,7 +198,7 @@ def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> Data
     return d.select("*", value.alias(out_col)).drop("_H")
 
 
-def simhash_oracle(expr: str) -> str:
+def simhash_oracle(expr: str) -> tuple[str, str]:
     t = normalized_oracle(expr)
     h = md5_long_oracle("tok")
     harr = (

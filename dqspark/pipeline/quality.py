@@ -23,7 +23,6 @@ from functools import lru_cache
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import StructType
 
 from dqspark.functions.hashing import content_sha256
 from dqspark.functions.scrub import scrub_text
@@ -62,6 +61,23 @@ def normalize(df: DataFrame) -> DataFrame:
     )
 
 
+_BC_CACHE: dict = {}
+
+
+def _model_broadcast(spark):
+    """One broadcast of the serialized models per SparkContext — repeated
+    pipeline invocations (micro-batches, bench iterations, resumed
+    chunks) must not stack fresh 40 MB broadcasts in the JVM."""
+    key = spark.sparkContext.applicationId
+    if key not in _BC_CACHE:
+        lid, lm = train_default_models()
+        _BC_CACHE.clear()  # old contexts are gone; drop their handles
+        _BC_CACHE[key] = spark.sparkContext.broadcast(
+            (serialize(lid), serialize(lm))
+        )
+    return _BC_CACHE[key]
+
+
 def with_model_scores(df: DataFrame, text_col: str = "content") -> DataFrame:
     """Append (lang_pred, lang_conf, log_ppl) from ONE scalar pandas UDF
     over broadcast models.
@@ -74,8 +90,7 @@ def with_model_scores(df: DataFrame, text_col: str = "content") -> DataFrame:
     from dqspark.pipeline.models import LANGID_MAX_CHARS, LM_MAX_CHARS
 
     spark = df.sparkSession
-    lid, lm = train_default_models()
-    bc = spark.sparkContext.broadcast((serialize(lid), serialize(lm)))
+    bc = _model_broadcast(spark)
     prefix_len = max(LANGID_MAX_CHARS, LM_MAX_CHARS)
 
     @F.pandas_udf(f"struct<{MODEL_SCHEMA}>")
@@ -149,7 +164,10 @@ def compute_corpus_stats(df: DataFrame) -> dict:
     JSON-able dict.  Computed ONCE over the full input so chunked /
     resumed runs flag against identical thresholds (see checkpoint.py)."""
     d = with_text_metrics(normalize(df), text_col="content")
-    d = d.persist()
+    # cache ONLY the metric + label columns (a few doubles + a short
+    # string per row) — persisting the wide frame would materialize all
+    # content bytes just to aggregate 4 statistics
+    d = d.select("lang", *spec.OUTLIER_METRICS).persist()
     bounds = _collect_outlier_bounds(d)
     rare = _collect_rare_langs(d)
     d.unpersist()
@@ -218,7 +236,15 @@ def run_quality_pipeline(
             F.lit(0.0).alias("log_ppl"),
         )
     df = scrub_text(df, text_col="content", out_col="scrubbed_content")
-    df = df.withColumn("scrubbed_sha256", content_sha256(F.col("scrubbed_content")))
+    # zero scrub hits ⇒ scrubbed bytes == content bytes (regexes rewrite
+    # only on match), so reuse the already-computed hash for the ~common
+    # case instead of a second full-content sha pass
+    df = df.withColumn(
+        "scrubbed_sha256",
+        F.when(F.col("scrub_hits") == 0, F.col("content_sha256")).otherwise(
+            content_sha256(F.col("scrubbed_content"))
+        ),
+    )
 
     df = df.join(dup_info, "content_sha256").withColumn(
         "_canonical", F.col("_min_ident") == ident

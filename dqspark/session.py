@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("DQSPARK_DRIVER_MEM", "16g"))
+        # shuffle/spill dir on tmpfs when present — local-mode stand-in for
+        # the NVMe shuffle volumes a real cluster provisions
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "DQSPARK_LOCAL_DIR",
+                "/dev/shm/dqspark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

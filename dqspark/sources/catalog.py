@@ -64,7 +64,7 @@ def write_table(
 
     At cluster scale this is the audit/output sink; commit-level
     idempotency comes from Spark's file-commit protocol (parquet) or
-    Iceberg snapshots (see plans/checkpoint.py for the resume logic).
+    Iceberg snapshots (see pipeline/checkpoint.py for the resume logic).
     """
     spark = df.sparkSession
     writer = df.write.mode(mode)

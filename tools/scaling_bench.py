@@ -41,19 +41,21 @@ def run_once(cpus: int, corpus_path: str, n: int) -> tuple[float, float]:
     # warm the file listing/footer cache so IO setup isn't in the timing
     df.count()
     times = []
-    for _ in range(4):
+    for _ in range(2):
         t0 = time.perf_counter()
         res = run_quality_pipeline(df, n_partitions=cpus * 4)
         res.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     spark.stop()
-    # first run pays JIT/worker-spawn; best-of-rest is the steady state
-    return times[0], min(times[1:])
+    # first run pays JIT/worker-spawn; the second is the steady state
+    return times[0], times[1]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=160000)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--cpus", default="8,32", help="comma pair: N,4N")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -67,23 +69,38 @@ def main() -> None:
         gen_spark(spark, args.n, partitions=64).write.parquet(corpus_path)
         spark.stop()
 
-        results = {}
-        for cpus in (8, 32):
-            cold, warm = run_once(cpus, corpus_path, args.n)
-            results[cpus] = {
-                "cold_sec": round(cold, 2),
-                "warm_sec": round(warm, 2),
-                "files_per_sec": round(args.n / warm, 1),
-            }
-            print(f"local[{cpus}]: cold {cold:.1f}s warm {warm:.1f}s "
-                  f"{args.n / warm:.0f} files/s", file=sys.stderr)
+        # INTERLEAVED rounds: ambient host-performance drift (shared VM)
+        # would bias a sequential all-8-then-all-32 comparison; running
+        # (8, 32) pairs back-to-back and taking per-config minima cancels
+        # slow drift.
+        pair = tuple(int(x) for x in args.cpus.split(","))
+        warms: dict[int, list[float]] = {c: [] for c in pair}
+        colds: dict[int, list[float]] = {c: [] for c in pair}
+        for _ in range(args.rounds):
+            for cpus in pair:
+                cold, warm = run_once(cpus, corpus_path, args.n)
+                colds[cpus].append(cold)
+                warms[cpus].append(warm)
+                print(f"local[{cpus}]: cold {cold:.1f}s warm {warm:.1f}s "
+                      f"{args.n / warm:.0f} files/s", file=sys.stderr)
 
-        eff = results[32]["files_per_sec"] / (4 * results[8]["files_per_sec"])
+        results = {}
+        for cpus in pair:
+            best = min(warms[cpus])
+            results[cpus] = {
+                "cold_sec": round(min(colds[cpus]), 2),
+                "warm_secs": [round(w, 2) for w in warms[cpus]],
+                "warm_sec": round(best, 2),
+                "files_per_sec": round(args.n / best, 1),
+            }
+        lo, hi = pair
+        eff = results[hi]["files_per_sec"] / ((hi // lo) * results[lo]["files_per_sec"])
         out = {
             "n_files": args.n,
-            "local8": results[8],
-            "local32": results[32],
-            "scaling_efficiency_8_to_32": round(eff, 3),
+            f"local{lo}": results[lo],
+            f"local{hi}": results[hi],
+            "cpu_pair": list(pair),
+            f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         }
         print(json.dumps(out))
         if args.json:
