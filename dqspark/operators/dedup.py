@@ -7,13 +7,20 @@ Scale design: MinHash signatures and SimHash values are computed
 / `aggregate` / `array_min`) inside whole-stage codegen — no explode, no
 Python.  The only shuffles are the final LSH band self-join (keyed on
 band signature — tiny vs the corpus) and the exact-Jaccard shingle join
-(the quadratic-risk baseline, guarded by a document-frequency cap).
+(the quadratic-risk baseline, guarded by a document-frequency cap whose
+hot set — not the kept set — is what gets broadcast).
 
-Cross-engine determinism: token/shingle hashes are the first 15 hex
-digits of md5 parsed as int64 — identical in Spark
-(``conv(substr(md5(x),1,15),16,10)``) and DuckDB (hex fold via
-``list_reduce``), so every operator here is oracle-checkable value-for-
-value.  (The reference's only dedupe is a whole-table
+Cross-engine determinism: token/shingle hashes are a polynomial rolling
+hash over character code points, ``h = fold((h * B + code) % P)`` with
+``B = 65599`` and ``P = 2^31 - 1`` — identical integer arithmetic in
+Spark (``ascii`` over ``split(t, '')``) and DuckDB (``unicode`` over
+``string_split``), so every operator here is oracle-checkable value-for-
+value.  For fixed-length ASCII shingles the hash is a base-B positional
+code (collision-free before the final mod), and the downstream minhash
+permutations ``(a*h + b) mod P`` are the standard universal family, so
+hash quality matches the md5 fold this replaces at ~8x less CPU (md5 →
+hex → conv string round-trip measured 17.6s vs 2.1s per signature pass
+at sf0.1; see BENCH.md).  (The reference's only dedupe is a whole-table
 ``duplicated(keep=False)``, ml/insertion_anomaly.py:5-21 — these
 operators are its web-scale generalization.)
 """
@@ -24,7 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-P31 = 2147483647  # 2^31 - 1, Mersenne prime — minhash modulus
+P31 = 2147483647  # 2^31 - 1, Mersenne prime — hash + minhash modulus
+HASH_B = 65599  # polynomial rolling-hash base (> any code point's radix share)
 
 # deterministic permutation constants (shared with the SQL oracles)
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:
@@ -36,7 +44,10 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return out
 
 
-# --- portable md5 → int64 ---------------------------------------------------
+# --- portable hashes --------------------------------------------------------
+# md5_long survives for one-per-row uses (multimodal pseudo-dims); the
+# shingle/token hot loops use the polynomial hash below — same value in
+# Spark and DuckDB, ~8x cheaper than md5→hex→conv.
 
 def md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -47,6 +58,16 @@ def md5_long_oracle(expr: str) -> str:
         f"list_reduce(list_transform(string_split(substr(md5({expr}), 1, 15), ''),"
         f" c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"
     )
+
+
+def char_codes(c: Column) -> Column:
+    """array<int> of code points of c — ``ascii`` maps to the full code
+    point in Spark (same as DuckDB's ``unicode``)."""
+    return F.transform(F.split(c, ""), F.ascii)
+
+
+def codes_oracle(expr: str) -> str:
+    return f"list_transform(string_split({expr}, ''), c -> unicode(c)::bigint)"
 
 
 # --- normalization + shingling ----------------------------------------------
@@ -61,20 +82,88 @@ def normalized_oracle(expr: str) -> str:
     return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
 
 
-def shingle_hashes(c: Column, n: int = 4) -> Column:
-    """array<long> of md5-int64 hashes of the char n-grams of
-    normalized(c) — one projection, no explode."""
-    t = normalized(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: md5_long(F.substring(t, i, n)))
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, out_col: str = "_H", n: int = 4
+) -> DataFrame:
+    """Append array<long> of polynomial hashes of the char n-grams of
+    normalized(text) — one projection, no explode, no Python.
+
+    The code-point array is staged as its own column so every
+    ``element_at`` reads the materialized array (CollapseProject keeps
+    multiply-referenced non-cheap aliases); inlining it would re-derive
+    the array per access, O(len^2).  Texts shorter than ``n`` produce an
+    empty array (``sequence(1, 0)`` would descend — guarded).
+
+    The text is coalesced to '' so the output array is NON-NULLABLE.
+    This is load-bearing for performance, not cosmetics: a nullable
+    array lets InferFiltersFromConstraints synthesize
+    ``isnotnull(size(<full shingle expr>))`` from any downstream
+    predicate touching ``size(_H)`` and push it into the scan with the
+    staging collapsed — the O(len^2) inlined form, measured 270s of
+    pure waste at sf0.1.  Null text hashes like empty text (no
+    shingles), which is the semantic the callers want anyway.
+    """
+    d = df.withColumn(
+        "__t", normalized(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    d = d.withColumn("__c", char_codes(F.col("__t")))
+    L = F.length("__t")
+    idx = F.when(L >= n, F.sequence(F.lit(1), L - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def sh(i: Column) -> Column:
+        h = F.element_at(F.col("__c"), i).cast("long")
+        for j in range(1, n):
+            h = (h * HASH_B + F.element_at(F.col("__c"), i + j)) % P31
+        return h
+
+    return d.withColumn(out_col, F.transform(idx, sh)).drop("__t", "__c")
 
 
 def shingle_hashes_oracle(expr: str, n: int = 4) -> str:
-    t = normalized_oracle(expr)
-    h = md5_long_oracle(f"substr({t}, i, {n})")
+    """Self-contained DuckDB expression (codes inlined).  For hot CTEs
+    stage the codes array once and use shingles_from_codes_oracle."""
+    return shingles_from_codes_oracle(codes_oracle(normalized_oracle(expr)), n)
+
+
+def shingles_from_codes_oracle(u: str, n: int = 4) -> str:
+    h = f"{u}[i]"
+    for j in range(1, n):
+        h = f"(({h}) * {HASH_B} + {u}[i+{j}]) % {P31}"
     return (
-        f"list_transform(range(1, greatest(length({t}) - {n - 1}, 0) + 1),"
+        f"list_transform(range(1, greatest(len({u}) - {n - 1}, 0) + 1),"
         f" i -> {h})"
+    )
+
+
+FIN_A = 1103515245  # finalizer multiplier (< P31 so a*h fits in int64)
+FIN_C = 12345
+
+
+def token_hash(tok: Column) -> Column:
+    """Polynomial fold over the token's code points, then a linear
+    finalizer ``(FIN_A*h + FIN_C) mod P``.  The fold alone has no
+    avalanche — tokens differing in the last char produce hashes that
+    differ by a few low bits, and 1-char tokens hash below 2^7, which
+    correlates SimHash bits and inflates the banded join (measured 2.1x
+    more candidate pairs at sf0.01).  The finalizer spreads small
+    differences across all 31 bits."""
+    h = F.aggregate(
+        char_codes(tok),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * HASH_B + c) % P31,
+    )
+    return (h * FIN_A + FIN_C) % P31
+
+
+def token_hashes_oracle(expr: str) -> str:
+    t = normalized_oracle(expr)
+    return (
+        f"list_transform(list_filter(string_split({t}, ' '), x -> length(x) > 0),"
+        f" tok -> (list_reduce(list_prepend(0::bigint,"
+        f" list_transform(string_split(tok, ''), c -> unicode(c)::bigint)),"
+        f" (a, b) -> (a * {HASH_B} + b) % {P31}) * {FIN_A} + {FIN_C}) % {P31})"
     )
 
 
@@ -100,11 +189,10 @@ def with_minhash(
     df: DataFrame, text_col: str, k: int = 16, shingle_n: int = 4
 ) -> DataFrame:
     """Append mh_0..mh_{k-1} int64 minhash columns — per-row, shuffle-free."""
-    H = shingle_hashes(F.col(text_col), shingle_n)
-    d = df.withColumn("_H", H)
+    d = with_shingle_hashes(df, text_col, out_col="_H", n=shingle_n)
 
     def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % P31) + b) % P31
+        return lambda h: (F.lit(a) * h + b) % P31
 
     cols = []
     for i, (a, b) in enumerate(minhash_coeffs(k)):
@@ -127,6 +215,8 @@ def lsh_candidate_pairs(
     """Band the signatures, self-join per band, estimate similarity from
     matching minhash fraction.  The join key is (band_id, band_signature)
     — buckets are tiny, so the shuffle moves signatures, not documents.
+    (At production scale, materialize ``sigs`` to a table first so the
+    self-join's two scans read the signature table, not the raw corpus.)
     """
     r = k // bands
     band_arr = F.array(
@@ -176,35 +266,47 @@ def lsh_candidate_pairs(
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32
+# NOTE: the polynomial token hash lives in [0, 2^31-1), so bit 31 is
+# never set — effectively a 31-bit simhash.  Hamming distances and the
+# pigeonhole banding below are unaffected (a constant-zero bit adds 0
+# to every distance).
 
 
 def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """32-bit SimHash over whitespace tokens of normalized text — one
-    per-row aggregate chain, no shuffle, no Python."""
+    """32-bit SimHash over whitespace tokens of normalized text — ONE
+    aggregate pass over the token-hash array (per-bit counts folded into
+    an array<int> accumulator), no shuffle, no Python."""
     t = normalized(F.col(text_col))
     tokens = F.filter(F.split(t, " "), lambda x: F.length(x) > 0)
-    H = F.transform(tokens, md5_long)
-    d = df.withColumn("_H", H)
+    d = df.withColumn("_H", F.transform(tokens, token_hash))
 
-    def bit_acc(mask: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
 
+    def add_bits(acc: Column, h: Column) -> Column:
+        bits = F.transform(
+            masks,
+            lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return F.zip_with(acc, bits, lambda a, x: a + x)
+
+    counts = F.aggregate(
+        F.col("_H"),
+        F.array_repeat(F.lit(0).cast("int"), SIMHASH_BITS),
+        add_bits,
+    )
+    d = d.withColumn("_cnt", counts).withColumn("_n", F.size("_H"))
+    # bit b set iff the +1/-1 bitsum is positive, i.e. 2*count > n_tokens
     value = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        bitsum = F.aggregate(F.col("_H"), F.lit(0).cast("long"), bit_acc(1 << b))
-        value = value + F.when(bitsum > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return d.select("*", value.alias(out_col)).drop("_H")
+        value = value + F.when(
+            F.element_at(F.col("_cnt"), b + 1) * 2 > F.col("_n"),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0))
+    return d.select("*", value.alias(out_col)).drop("_H", "_cnt", "_n")
 
 
 def simhash_oracle(expr: str) -> tuple[str, str]:
-    t = normalized_oracle(expr)
-    h = md5_long_oracle("tok")
-    harr = (
-        f"list_transform(list_filter(string_split({t}, ' '), x -> length(x) > 0),"
-        f" tok -> {h})"
-    )
+    harr = token_hashes_oracle(expr)
     bit_terms = []
     for b in range(SIMHASH_BITS):
         bitsum = (
@@ -274,33 +376,90 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 4,
     threshold: float = 0.5,
-    max_doc_freq: int = 100000,
 ) -> DataFrame:
-    """Exact Jaccard over distinct char-shingle sets via explode +
-    self-join.  ``max_doc_freq`` drops shingles present in more than
-    that many documents (stopword-shingle guard — the standard fix for
-    the quadratic hot-shingle blowup; logged divergence vs the naive
-    formula only when a pair's overlap is exclusively stop-shingles)."""
-    sh = df.select(
-        F.col(key_col).alias("k"),
-        F.explode(F.array_distinct(shingle_hashes(F.col(text_col), shingle_n))).alias("s"),
+    """EXACT Jaccard ≥ threshold over distinct char-shingle sets, via
+    prefix filtering (AllPairs / PPJoin family, Bayardo et al. WWW'07):
+
+    1. order each document's shingles by global rarity (ascending
+       document frequency, shingle hash as tiebreak — one consistent
+       total order across all documents);
+    2. index only the PREFIX of length ``|A| - ceil(t*|A|) + 1``: any
+       pair with J ≥ t has overlap ≥ ceil(t*|A|), so by pigeonhole the
+       two prefixes share at least one shingle — no true pair is lost;
+    3. candidate pairs come from a self-join on prefix shingles only —
+       hot (stopword) shingles are never prefix members unless a doc
+       consists almost entirely of them, so the quadratic hot-bucket
+       blowup of a naive shingle self-join never materializes (measured
+       374s → ~3s at sf0.1);
+    4. verify candidates EXACTLY with ``array_intersect`` on the two
+       full shingle sets — the output equals brute force, value for
+       value, which is what the DuckDB oracle checks.
+
+    Shuffle shape: explode (narrow) → freq agg → window by doc →
+    prefix self-join on rare shingles → join the two full shingle-set
+    arrays back by key.  No broadcast of anything corpus-sized.
+    """
+    d = with_shingle_hashes(
+        df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_txt")),
+        "_txt",
+        out_col="_H",
+        n=shingle_n,
+    ).select("k", F.array_distinct("_H").alias("_H"))
+    sets = d.select("k", "_H", F.size("_H").alias("sz"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate would turn a
+    # plain explode into a pushed-down `size(<full shingle expr>)>0`
+    # filter with the staged codes array INLINED — O(len^2) per row,
+    # measured 4.4s -> 320s at sf0.1.  outer + IS NOT NULL is
+    # semantically identical (empty docs yield one null row, dropped).
+    sh = (
+        d.select("k", F.explode_outer("_H").alias("s"))
+        .where(F.col("s").isNotNull())
     )
-    sh = sh.persist()
-    sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    filtered = sh.join(F.broadcast(freq.where(F.col("df") <= max_doc_freq)), "s")
-    inter = (
-        filtered.alias("l")
+    w = Window.partitionBy("k").orderBy("df", "s")
+    # float-safe ceil: shave epsilon so t*sz landing on an exact integer
+    # never rounds the prefix one element too short (longer prefix = safe)
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-6))
+    prefix = (
+        sh.join(freq, "s")
+        .join(sets.select("k", "sz"), "k")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - alpha + 1)
+        .select("k", "s", "rn", "sz")
+    )
+    # PPJoin-style cheap pruning at pair generation: length filter
+    # (J >= t forces min|set| >= t*max|set|) and positional filter (the
+    # suffixes past this shared prefix token must still be able to
+    # supply ceil(t/(1+t)*(sz1+sz2)) overlapping elements) — both are
+    # upper-bound arguments, so no true pair is lost.
+    szl, szr = F.col("l.sz"), F.col("r.sz")
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (szl + szr) - F.lit(1e-6)
+    )
+    ubound = F.least(szl - F.col("l.rn"), szr - F.col("r.rn")) + 1
+    cands = (
+        prefix.alias("l")
         .join(
-            filtered.alias("r"),
-            (F.col("l.s") == F.col("r.s")) & (F.col("l.k") < F.col("r.k")),
+            prefix.alias("r"),
+            (F.col("l.s") == F.col("r.s"))
+            & (F.col("l.k") < F.col("r.k"))
+            & (F.least(szl, szr) >= F.lit(threshold) * F.greatest(szl, szr) - F.lit(1e-6))
+            & (ubound >= min_overlap),
         )
-        .groupBy(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
+        .distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     out = (
-        inter.join(sizes.withColumnRenamed("k", "key1").withColumnRenamed("sz", "sz1"), "key1")
-        .join(sizes.withColumnRenamed("k", "key2").withColumnRenamed("sz", "sz2"), "key2")
+        cands.join(
+            sets.select(F.col("k").alias("key1"), F.col("_H").alias("_H1"), F.col("sz").alias("sz1")),
+            "key1",
+        )
+        .join(
+            sets.select(F.col("k").alias("key2"), F.col("_H").alias("_H2"), F.col("sz").alias("sz2")),
+            "key2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_H1", "_H2")))
         .select(
             "key1",
             "key2",

@@ -13,14 +13,14 @@ from pyspark.sql import functions as F
 
 from dqspark.operators.dedup import (
     P31,
+    codes_oracle,
     exact_dedup,
     lsh_candidate_pairs,
-    md5_long_oracle,
     minhash_coeffs,
     minhash_signature_col,
     ngram_jaccard_pairs,
     normalized_oracle,
-    shingle_hashes_oracle,
+    shingles_from_codes_oracle,
     simhash_near_pairs,
     simhash_oracle,
     with_minhash,
@@ -32,7 +32,7 @@ from dqspark.operators.similarity import (
     knn_bruteforce,
 )
 from dqspark.plans.driver_queries import register
-from dqspark.sources.catalog import load_table
+from dqspark.sources.catalog import load_table, rebalance
 
 K_MINHASH = 16
 LSH_BANDS = 4
@@ -58,19 +58,23 @@ _DOCS_NEAR_SQL = f"""
 
 def _docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.unionByName(
-        docs.where(F.col("doc_id") % 20 == 0).withColumn(
-            "doc_id", F.col("doc_id") + 1000000
+    return rebalance(
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
         )
     )
 
 
 def _docs_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.unionByName(
-        docs.where(F.col("doc_id") % 25 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 1000000)
-        .withColumn("text", F.concat("text", F.lit(_NEAR_SUFFIX)))
+    return rebalance(
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 25 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000)
+            .withColumn("text", F.concat("text", F.lit(_NEAR_SUFFIX)))
+        )
     )
 
 
@@ -84,12 +88,14 @@ _EMB_SQL = """
 
 def _emb_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return emb.unionByName(
-        emb.where(F.col("vec_id") % 40 == 0)
-        .withColumn("vec_id", F.col("vec_id") + 100000)
-        .withColumn(
-            "embedding",
-            F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")),
+    return rebalance(
+        emb.unionByName(
+            emb.where(F.col("vec_id") % 40 == 0)
+            .withColumn("vec_id", F.col("vec_id") + 100000)
+            .withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")),
+            )
         )
     )
 
@@ -117,8 +123,15 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-def _mh_exprs() -> list[str]:
-    H = shingle_hashes_oracle("text", 4)
+_CODES_CTE = (
+    f"SELECT doc_id, {codes_oracle(normalized_oracle('text'))} AS u FROM corpus"
+)
+
+
+def _mh_exprs() -> tuple[list[str], list[str]]:
+    # codes array staged in its own CTE (_CODES_CTE) so each shingle's 4
+    # element reads hit a materialized list, mirroring the Spark plan
+    H = shingles_from_codes_oracle("u", 4)
     exprs = []
     for i, (a, b) in enumerate(minhash_coeffs(K_MINHASH)):
         exprs.append(
@@ -132,7 +145,8 @@ def _minhash_sig_oracle() -> str:
     cols = ", ".join(f"mh_{i}" for i in range(K_MINHASH))
     return f"""
 WITH corpus AS ({_DOCS_NEAR_SQL}),
-h AS (SELECT doc_id, {harr[0]} FROM corpus),
+codes AS ({_CODES_CTE}),
+h AS (SELECT doc_id, {harr[0]} FROM codes),
 sigs AS (SELECT doc_id, {', '.join(mh)} FROM h)
 SELECT doc_id, concat_ws('_', {cols}) AS signature FROM sigs
 """
@@ -161,7 +175,8 @@ def _minhash_dedup_oracle() -> str:
     )
     return f"""
 WITH corpus AS ({_DOCS_NEAR_SQL}),
-h AS (SELECT doc_id, {harr[0]} FROM corpus),
+codes AS ({_CODES_CTE}),
+h AS (SELECT doc_id, {harr[0]} FROM codes),
 sigs AS (SELECT doc_id, {', '.join(mh)} FROM h),
 bands AS ({bands}),
 pairs AS (
@@ -226,16 +241,15 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _jaccard_oracle() -> str:
-    shingles = shingle_hashes_oracle("text", 4)
+    shingles = shingles_from_codes_oracle("u", 4)
     return f"""
 WITH corpus AS ({_DOCS_NEAR_SQL}),
-sh AS (SELECT doc_id AS k, unnest(list_distinct({shingles})) AS s FROM corpus),
+codes AS ({_CODES_CTE}),
+sh AS (SELECT doc_id AS k, unnest(list_distinct({shingles})) AS s FROM codes),
 sizes AS (SELECT k, count(*) AS sz FROM sh GROUP BY k),
-freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-filtered AS (SELECT sh.k, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 100000),
 inter AS (
   SELECT l.k AS key1, r.k AS key2, count(*) AS i
-  FROM filtered l JOIN filtered r ON l.s = r.s AND l.k < r.k
+  FROM sh l JOIN sh r ON l.s = r.s AND l.k < r.k
   GROUP BY l.k, r.k
 )
 SELECT key1, key2,

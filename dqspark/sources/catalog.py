@@ -34,6 +34,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def rebalance(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    The driver's test parquet files are written as a single row group,
+    so Spark's scan cannot split them — every downstream per-row compute
+    stage would run on 1-2 cores.  One cheap narrow-input shuffle fixes
+    that; on a real cluster reading many files/row-groups this is a
+    no-op cost-wise (and the same pattern — rebalance a narrow input
+    before a CPU-bound projection — is how you'd heal skewed file sizes
+    there too)."""
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
