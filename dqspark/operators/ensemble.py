@@ -1,0 +1,224 @@
+"""Mode-gated detector orchestrator (reference: ml/anomaly_ensemble.py:12-73).
+
+``run_all_anomaly_detectors`` composes every detector the repo
+implements with the reference's two behaviors:
+
+- **mode gating** (anomaly_ensemble.py:15, 46): ``mode`` in
+  {"sql", "ml"} runs the statistical detectors (numeric, categorical)
+  and the model stage; the relational battery (insertion / deletion /
+  update) runs only under ``mode == "sql"``.
+- **per-detector failure isolation** (anomaly_ensemble.py:17-72): each
+  detector is wrapped; a failure logs and contributes an EMPTY event
+  frame instead of killing the run.  Spark caveat: plans are lazy, so
+  the guard catches plan/analysis-time errors by default; pass
+  ``eager_isolation=True`` to also materialize each detector inside
+  the guard (``localCheckpoint``), which buys the reference's runtime
+  isolation at the cost of one job per detector — the right trade on
+  an unattended production run, the wrong one inside a composed lazy
+  query.
+
+``combine_anomaly_results`` is the reference's score assembly
+(anomaly_ensemble.py:78-88): union with method tags, the
+confidence-overwrite quirk, the ≥0.3 filter, severity ranking.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.categorical import detect_rare_categories
+from dqspark.operators.deletions import detect_accidental_deletions
+from dqspark.operators.duplicates import detect_duplicate_records
+from dqspark.operators.events import empty_events, union_events
+from dqspark.operators.foreign_keys import (
+    detect_invalid_foreign_keys,
+    detect_orphaned_records,
+    detect_referential_integrity_violations,
+)
+from dqspark.operators.missing import detect_missing_required_fields
+from dqspark.operators.numeric import detect_numeric_outliers
+from dqspark.operators.scoring import assemble_scores, rank_by_severity
+from dqspark.operators.updates import (
+    detect_data_type_violations,
+    detect_inconsistent_updates,
+    detect_partial_updates,
+)
+
+MODES = ("sql", "ml")
+
+
+def run_all_anomaly_detectors(
+    df: DataFrame,
+    key_cols: list[str],
+    mode: str = "sql",
+    *,
+    numeric_columns: list[str] | None = None,
+    categorical_columns: list[str] | None = None,
+    min_freq: float = 0.01,
+    required_columns: list[str] | None = None,
+    fk_columns: list[str] | None = None,
+    ref_fk_columns: list[str] | None = None,
+    duplicate_subset: list[str] | None = None,
+    order_col: str | None = None,
+    critical_columns: list[str] | None = None,
+    update_key_columns: list[str] | None = None,
+    related_column_groups: list[list[str]] | None = None,
+    expected_types: dict[str, str] | None = None,
+    model_stage: Callable[[], tuple[DataFrame, DataFrame | None]] | None = None,
+    eager_isolation: bool = False,
+    log: Callable[[str], None] | None = None,
+) -> dict[str, DataFrame]:
+    """→ {method: event DataFrame} for every detector the mode enables.
+
+    Detector grouping mirrors the reference modules: ``insertion`` =
+    duplicates + missing-required + invalid-FK (ml/insertion_anomaly.py),
+    ``deletion`` = orphaned + referential + accidental-null-runs
+    (ml/deletion_anomaly.py), ``update`` = inconsistent + partial +
+    type-violations (ml/update_anomaly.py).  ``model_stage`` is the
+    pluggable analog of the LightGBM stage (this repo's models are the
+    text langid/perplexity scorers — see pipeline/quality.py); when it
+    returns a feature-importance frame, that frame is exposed under the
+    ``feature_importance`` key exactly like the reference dict."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    emit = log or (lambda s: None)
+    key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+    results: dict[str, DataFrame] = {}
+
+    def guarded(method: str, build: Callable[[], DataFrame]) -> None:
+        try:
+            ev = build()
+            if eager_isolation:
+                ev = ev.localCheckpoint()
+            results[method] = ev
+            emit(f"+ {method} detector ok")
+        except Exception as e:  # noqa: BLE001 — per-detector isolation is the contract
+            emit(f"x {method} detector failed: {e}")
+            results[method] = empty_events(df.sparkSession, key_schema)
+
+    # statistical + model stages run in BOTH modes (anomaly_ensemble.py:15)
+    guarded(
+        "numeric",
+        lambda: detect_numeric_outliers(df, key_cols, columns=numeric_columns),
+    )
+    guarded(
+        "categorical",
+        lambda: detect_rare_categories(
+            df, key_cols, columns=categorical_columns, min_freq=min_freq
+        ),
+    )
+    if model_stage is not None:
+
+        def run_model() -> DataFrame:
+            events, importance = model_stage()
+            if importance is not None:
+                results["feature_importance"] = importance
+            return events
+
+        guarded("model", run_model)
+    else:
+        emit("- model stage skipped (no model_stage provided)")
+
+    if mode == "sql":  # relational battery (anomaly_ensemble.py:46-72)
+        guarded(
+            "insertion",
+            lambda: union_events(
+                [
+                    detect_duplicate_records(df, key_cols, subset=duplicate_subset),
+                    detect_missing_required_fields(
+                        df, key_cols, required_columns=required_columns
+                    ),
+                    detect_invalid_foreign_keys(df, key_cols, fk_columns=fk_columns),
+                ]
+            ),
+        )
+
+        def build_deletion() -> DataFrame:
+            parts = [
+                detect_orphaned_records(df, key_cols, fk_columns=ref_fk_columns),
+                detect_referential_integrity_violations(
+                    df, key_cols, fk_columns=ref_fk_columns
+                ),
+            ]
+            if order_col is not None:
+                parts.append(
+                    detect_accidental_deletions(
+                        df, key_cols, order_col=order_col, critical=critical_columns
+                    )
+                )
+            return union_events(parts)
+
+        guarded("deletion", build_deletion)
+        guarded(
+            "update",
+            lambda: union_events(
+                [
+                    detect_inconsistent_updates(
+                        df, key_cols, key_columns=update_key_columns
+                    ),
+                    detect_partial_updates(
+                        df, key_cols, related_column_groups=related_column_groups
+                    ),
+                    detect_data_type_violations(
+                        df, key_cols, expected_types=expected_types
+                    ),
+                ]
+            ),
+        )
+    return results
+
+
+def feature_importance_events(
+    spark,
+    pairs: list[tuple[str, float]],
+    key_schema: list[tuple[str, str]],
+) -> DataFrame:
+    """Shape (feature, importance) pairs as an event frame so they flow
+    through score assembly like every other detector output (the
+    reference feeds the importance frame into calculate_anomaly_scores,
+    which keys it by positional row.name — mirrored as a sequential
+    key — and, because that frame has no ``anomaly_score`` column,
+    scores it at confidence 1.0; anomaly_scorer.py:12-16).  The
+    importance value itself rides in ``details``."""
+    key_name, key_type = key_schema[0]
+    rows = [
+        (i, feat, f"importance={imp:.6f}") for i, (feat, imp) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, f"{key_name} {key_type}, column string, details string"
+    )
+    return df.select(
+        F.col(key_name),
+        "column",
+        F.lit("N/A").alias("value"),
+        F.lit("feature_importance").alias("issue_type"),
+        F.lit(None).cast("double").alias("confidence"),
+        F.lit(None).cast("double").alias("anomaly_score"),
+        "details",
+    )
+
+
+def combine_anomaly_results(results: dict[str, DataFrame]) -> DataFrame:
+    """Score assembly + confidence filter + severity rank over every
+    detector frame (including ``feature_importance`` rows, which the
+    reference feeds through scoring and filters back out only in the
+    report — anomaly_scorer.py:5-20, 50-53)."""
+    method_events = {
+        m: ev for m, ev in results.items() if isinstance(ev, DataFrame)
+    }
+    return rank_by_severity(assemble_scores(method_events))
+
+
+def ensemble_summary(ranked: DataFrame) -> DataFrame:
+    """(method, issue_type) → event count + the constant severity the
+    weight map assigns — the aggregate view of a full run (what
+    generate_anomaly_report's method_breakdown/top_issues read,
+    anomaly_ensemble.py:96-113), as a small DataFrame."""
+    return (
+        ranked.where(F.col("issue_type") != "feature_importance")
+        .groupBy("method", "issue_type", "severity_score")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -13,10 +13,15 @@ from pyspark.sql import functions as F
 
 
 def quality_report(
-    df: DataFrame, ranked_events: DataFrame, key_cols: list[str]
+    df: DataFrame,
+    ranked_events: DataFrame,
+    key_cols: list[str],
+    feature_importance: list[tuple[str, float]] | None = None,
 ) -> dict:
     """Driver-side report dict — every number comes from an aggregate;
-    only tiny results are collected."""
+    only tiny results are collected.  ``feature_importance`` is the
+    model stage's (feature, importance) pairs, surfaced top-10 like the
+    reference report (ml/anomaly_ensemble.py:109)."""
     total_rows = df.count()
     ev = ranked_events.where(F.col("issue_type") != "feature_importance")
     summary_row = ev.agg(
@@ -71,6 +76,10 @@ def quality_report(
             "quality_score": round(quality_score, 2),
         },
         "top_anomalies": top_anomalies,
+        "feature_importance": [
+            {"feature": f, "importance": imp}
+            for f, imp in (feature_importance or [])[:10]
+        ],
         "unique_rows_flagged": summary_row["unique_rows_flagged"],
         "anomaly_event_count": n_events,
         "method_breakdown": method_breakdown,

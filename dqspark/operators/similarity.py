@@ -118,11 +118,18 @@ def train_centroids(
     sample: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    key_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (kmeans++ -lite
     init from the seeded RNG).  Centroids are L2-normalized so cell
-    assignment = argmax dot product."""
-    rows = vectors.select(vec_col).limit(sample).collect()
+    assignment = argmax dot product.
+
+    The sample is ``orderBy(key).limit(sample)`` — a bare ``limit``
+    without an order is partition-layout-dependent, so the trained
+    centroids (and IVF recall) would silently differ between cluster
+    layouts despite the pinned seed.  TakeOrderedAndProject on 2048
+    rows costs nothing."""
+    rows = vectors.orderBy(key_col).limit(sample).select(vec_col).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -194,3 +201,50 @@ def knn_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    centroids: np.ndarray,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-bucketed near-dup pairs — the scale path for the pairs
+    problem, mirroring knn_ivf's cell-join shape: assign every vector to
+    its ``nprobe`` nearest cells, self-join WITHIN cells only, dedup the
+    (key1, key2) candidates, then exact-rerank with the true cosine.
+
+    Shuffle volume drops from N^2 (crossJoin baseline) to
+    sum over cells of |cell|^2 — with balanced cells, N^2/n_cells *
+    nprobe^2.  With ``nprobe = n_cells`` every vector is in every cell,
+    so the result equals the brute-force ``embedding_near_dup_pairs``
+    exactly — which is how the driver oracle checks this operator
+    end-to-end (the production setting nprobe << n_cells is approximate
+    and is covered by a recall test instead)."""
+    a = assign_cells(df, centroids, vec_col, nprobe=nprobe).select(
+        F.col(key_col).alias("k"),
+        F.col(vec_col).alias("v"),
+        F.explode("cells").alias("cell"),
+    )
+    cands = (
+        a.alias("l")
+        .join(
+            a.select("k", "cell").alias("r"),
+            (F.col("l.cell") == F.col("r.cell")) & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
+        .distinct()
+    )
+    vecs = df.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
+    return (
+        cands.join(vecs.select(F.col("_k").alias("key1"), F.col("_v").alias("v1")), "key1")
+        .join(vecs.select(F.col("_k").alias("key2"), F.col("_v").alias("v2")), "key2")
+        .select(
+            "key1",
+            "key2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -160,6 +160,21 @@ class TrigramLM:
         return np.where(cnt > 0, -out / np.maximum(cnt, 1), 0.0)
 
 
+def feature_importance(model: LangIdModel, top_k: int = 20) -> list[tuple[str, float]]:
+    """(feature, importance) pairs sorted by importance descending — the
+    NB analog of LightGBM gain importances joined to feature names
+    (reference: ml/lightgbm_anomaly.py:80-88).
+
+    A hashed-trigram bucket's importance is its discriminative spread:
+    ``max_lang log P(bucket|lang) - min_lang log P(bucket|lang)`` — the
+    log-ratio a single feature can contribute to the class decision.
+    Deterministic (pure arithmetic over the trained table); ties break
+    on bucket id so the ordering is total."""
+    spread = model.log_probs.max(axis=0) - model.log_probs.min(axis=0)
+    order = np.lexsort((np.arange(spread.size), -spread))[:top_k]
+    return [(f"trigram_{int(j):05d}", float(spread[j])) for j in order]
+
+
 def serialize(model) -> dict:
     """Plain-dict form for sc.broadcast (no custom pickling surprises)."""
     if isinstance(model, LangIdModel):

@@ -29,7 +29,10 @@ from dqspark.operators.dedup import (
 from dqspark.operators.similarity import (
     cosine_oracle,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_ivf,
     knn_bruteforce,
+    knn_ivf,
+    train_centroids,
 )
 from dqspark.plans.driver_queries import register
 from dqspark.sources.catalog import load_table, rebalance
@@ -317,10 +320,40 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate knn (driver-trained coarse quantizer) —
     approximate by construction, so rows-only driver check; recall vs
-    brute force is asserted in tests/test_dedup.py."""
-    from dqspark.operators.similarity import knn_ivf, train_centroids
-
+    brute force is asserted in tests/test_dedup.py, and the machinery
+    itself is value-checked by knn_ivf_fullprobe below."""
     emb = _emb_planted(spark, sf_dir)
     centroids = train_centroids(emb, n_cells=16)
     queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
     return knn_ivf(emb, queries, centroids, k=5, nprobe=3)
+
+
+@register("knn_ivf_fullprobe", _KNN_ORACLE)
+def q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe IVF: every query probes all cells while each vector
+    lives in exactly one, so every (query, vector) pair is compared
+    exactly once — the result must equal brute-force knn, making the
+    ENTIRE IVF machinery (centroid training, cell assignment, cell
+    join, rerank) checkable against the brute-force SQL oracle."""
+    emb = _emb_planted(spark, sf_dir)
+    n_cells = 16
+    centroids = train_centroids(emb, n_cells=n_cells)
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    out = knn_ivf(emb, queries, centroids, k=5, nprobe=n_cells)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register("embedding_neardup_ivf", _NEARDUP_ORACLE)
+def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed near-dup pairs run at full probe (nprobe = n_cells)
+    — equals the brute-force pairs result, so the brute-force oracle
+    applies verbatim and value-checks the bucketed pairs machinery.
+    The production setting (nprobe=2) is covered by a recall test."""
+    emb = _emb_planted(spark, sf_dir)
+    n_cells = 8
+    centroids = train_centroids(emb, n_cells=n_cells)
+    return embedding_near_dup_pairs_ivf(
+        emb, centroids, threshold=0.95, nprobe=n_cells
+    )

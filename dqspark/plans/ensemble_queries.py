@@ -1,0 +1,197 @@
+"""Driver-contract queries for the mode-gated detector ensemble
+(reference: ml/anomaly_ensemble.py:12-113).
+
+``full_report`` runs EVERY relational detector through
+``run_all_anomaly_detectors(mode="sql")`` + score assembly + severity
+ranking in one composed lazy plan, and returns the per-(method,
+issue_type) event counts with their severity weights — the aggregate
+the reference's report surfaces as method_breakdown / top_issues.  The
+oracle recomputes every detector's flagging rule in SQL over the same
+planted frame, so one green row value-checks the entire battery and
+the scoring quirks (confidence overwrite → 1.0, weight map, ≥0.3
+filter) end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.ensemble import (
+    combine_anomaly_results,
+    ensemble_summary,
+    feature_importance_events,
+    run_all_anomaly_detectors,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+# the same deterministic defect plants the per-detector queries use
+# (driver_queries.py) — one frame exercising the whole battery
+_BASE_SQL = """
+  SELECT event_id, user_id, event_type, value,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE props END AS props2,
+         CASE WHEN event_id % 101 = 0 THEN -(event_id % 50 + 1)
+              WHEN event_id % 103 = 0 THEN 9999999999
+              ELSE user_id END AS ref_id,
+         CASE WHEN event_id % 97 = 0 THEN 'not-a-number'
+              ELSE cast(event_id AS varchar) END AS numstr,
+         CASE WHEN event_id BETWEEN 5000 AND 5010 THEN NULL ELSE value END AS value2,
+         CASE WHEN event_id % 89 = 0 THEN NULL ELSE event_type END AS event_type2
+  FROM events
+"""
+
+
+def _events_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast(ev.schema["props"].dataType.simpleString()))
+        .otherwise(F.col("props"))
+        .alias("props2"),
+        F.when(F.col("event_id") % 101 == 0, -(F.col("event_id") % 50 + 1))
+        .when(F.col("event_id") % 103 == 0, F.lit(9999999999))
+        .otherwise(F.col("user_id"))
+        .alias("ref_id"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("numstr"),
+        F.when(F.col("event_id").between(5000, 5010), F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value2"),
+        F.when(F.col("event_id") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type2"),
+    )
+
+
+_FULL_REPORT_ORACLE = f"""
+WITH base AS ({_BASE_SQL}),
+stats AS (SELECT avg(value) AS mean, stddev_pop(value) AS std,
+                 quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM base),
+numeric_ev AS (
+  SELECT 'numeric' AS method, 'numeric_outlier' AS issue_type
+  FROM base e, stats s
+  WHERE e.value IS NOT NULL AND ((s.std > 0 AND abs((e.value - s.mean)/s.std) > 3)
+     OR e.value < s.q1 - 1.5*(s.q3-s.q1) OR e.value > s.q3 + 1.5*(s.q3-s.q1))
+),
+counts AS (SELECT event_type AS v, count(*) AS cnt FROM base WHERE event_type IS NOT NULL GROUP BY event_type),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+rare AS (SELECT v FROM counts, tot WHERE cnt * 1.0 / total < 0.15),
+categorical_ev AS (
+  SELECT 'categorical' AS method, 'rare_category' AS issue_type
+  FROM base b JOIN rare r ON b.event_type = r.v
+),
+insertion_ev AS (
+  SELECT 'insertion' AS method, 'missing_required_field' AS issue_type
+  FROM base WHERE props2 IS NULL
+  UNION ALL
+  SELECT 'insertion', 'invalid_foreign_key'
+  FROM base WHERE ref_id IS NOT NULL AND (ref_id < 0 OR ref_id > 999999999)
+),
+orph_event AS (SELECT event_id AS v, count(*) AS n FROM base GROUP BY event_id),
+orph_user AS (SELECT user_id AS v, count(*) AS n FROM base GROUP BY user_id),
+marked AS (
+  SELECT event_id, value2,
+         CASE WHEN lag((value2 IS NULL)::int) OVER (ORDER BY event_id) IS NULL
+                OR lag((value2 IS NULL)::int) OVER (ORDER BY event_id) <> (value2 IS NULL)::int
+              THEN 1 ELSE 0 END AS chg
+  FROM base
+),
+islands AS (SELECT *, sum(chg) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS island FROM marked),
+runs AS (SELECT *, count(*) OVER (PARTITION BY island) AS run FROM islands),
+mx AS (SELECT max(run) AS max_run FROM runs WHERE value2 IS NULL),
+deletion_ev AS (
+  SELECT 'deletion' AS method, 'potential_orphaned_record' AS issue_type
+  FROM base b JOIN orph_event c ON b.event_id = c.v WHERE c.n = 1 AND c.v > 1000
+  UNION ALL
+  SELECT 'deletion', 'potential_orphaned_record'
+  FROM base b JOIN orph_user c ON b.user_id = c.v WHERE c.n = 1 AND c.v > 1000
+  UNION ALL
+  SELECT 'deletion', 'referential_integrity_violation' FROM base WHERE event_id < 1
+  UNION ALL
+  SELECT 'deletion', 'referential_integrity_violation' FROM base WHERE user_id < 1
+  UNION ALL
+  SELECT 'deletion', 'potential_accidental_deletion' FROM (
+    SELECT b.event_id FROM base b, mx WHERE b.value2 IS NULL AND mx.max_run > 5
+    ORDER BY b.event_id LIMIT 10)
+),
+g AS (SELECT user_id, count(*) AS gs,
+        count(DISTINCT event_id) AS nd1, count(DISTINCT event_type) AS nd2,
+        count(DISTINCT value) AS nd3, count(DISTINCT props2) AS nd4,
+        count(DISTINCT ref_id) AS nd5, count(DISTINCT numstr) AS nd6,
+        count(DISTINCT value2) AS nd7, count(DISTINCT event_type2) AS nd8
+      FROM base GROUP BY user_id),
+f AS (SELECT * FROM g WHERE gs > 1),
+update_ev AS (
+  SELECT 'update' AS method, 'inconsistent_update' AS issue_type
+  FROM base b JOIN f ON b.user_id IS NOT DISTINCT FROM f.user_id
+  CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) c(i)
+  WHERE (c.i=1 AND f.nd1>1) OR (c.i=2 AND f.nd2>1) OR (c.i=3 AND f.nd3>1)
+     OR (c.i=4 AND f.nd4>1) OR (c.i=5 AND f.nd5>1) OR (c.i=6 AND f.nd6>1)
+     OR (c.i=7 AND f.nd7>1) OR (c.i=8 AND f.nd8>1)
+  UNION ALL
+  SELECT 'update', 'partial_update' FROM base
+  WHERE ((event_id IS NOT NULL)::int + (event_type2 IS NOT NULL)::int) = 1
+  UNION ALL
+  SELECT 'update', 'data_type_violation' FROM base
+  WHERE numstr IS NOT NULL AND try_cast(numstr AS double) IS NULL
+),
+all_ev AS (
+  SELECT * FROM numeric_ev UNION ALL SELECT * FROM categorical_ev
+  UNION ALL SELECT * FROM insertion_ev UNION ALL SELECT * FROM deletion_ev
+  UNION ALL SELECT * FROM update_ev
+)
+SELECT method, issue_type,
+       (CASE issue_type
+          WHEN 'numeric_outlier' THEN 0.8 WHEN 'rare_category' THEN 0.6
+          WHEN 'duplicate_record' THEN 1.0 WHEN 'missing_required_field' THEN 0.9
+          WHEN 'invalid_foreign_key' THEN 0.8 WHEN 'potential_orphaned_record' THEN 0.7
+          WHEN 'referential_integrity_violation' THEN 1.0
+          WHEN 'potential_accidental_deletion' THEN 0.7
+          WHEN 'inconsistent_update' THEN 0.9 WHEN 'partial_update' THEN 0.7
+          WHEN 'data_type_violation' THEN 0.9 ELSE 0.5 END)::double AS severity_score,
+       count(*) AS n_events
+FROM all_ev GROUP BY method, issue_type
+"""
+
+
+@register("full_report", _FULL_REPORT_ORACLE)
+def q_full_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_planted(spark, sf_dir)
+    results = run_all_anomaly_detectors(
+        df,
+        ["event_id"],
+        mode="sql",
+        numeric_columns=["value"],
+        categorical_columns=["event_type"],
+        min_freq=0.15,
+        required_columns=["props2"],
+        fk_columns=["ref_id"],
+        ref_fk_columns=["event_id", "user_id"],
+        order_col="event_id",
+        critical_columns=["value2"],
+        update_key_columns=["user_id"],
+        related_column_groups=[["event_id", "event_type2"]],
+        expected_types={"numstr": "numeric"},
+    )
+    ranked = combine_anomaly_results(results)
+    return ensemble_summary(ranked)
+
+
+@register("feature_importance")
+def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: gain-style importances from the driver-trained langid model
+    (reference: ml/lightgbm_anomaly.py:80-88), shaped as events.  Model-
+    derived values → rows-only driver check; determinism and shape are
+    asserted in tests/test_operators.py."""
+    from dqspark.pipeline.models import feature_importance
+    from dqspark.pipeline.quality import train_default_models
+
+    langid, _ = train_default_models()
+    pairs = feature_importance(langid, top_k=20)
+    ev = feature_importance_events(spark, pairs, [("event_id", "bigint")])
+    return ev.select("event_id", "column", "issue_type", "value", "details")

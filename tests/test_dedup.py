@@ -15,6 +15,8 @@ from dqspark.operators.dedup import (
     with_simhash,
 )
 from dqspark.operators.similarity import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_ivf,
     knn_bruteforce,
     knn_ivf,
     train_centroids,
@@ -101,6 +103,42 @@ def test_ivf_recall(spark, emb):
         for q in exact_sets.index
     ]
     assert np.mean(recalls) >= 0.8, f"IVF recall {np.mean(recalls)}"
+
+
+def test_neardup_ivf_recall(spark, emb):
+    """Bucketed near-dup pairs at the production nprobe recover most of
+    the brute-force pairs (and are a subset of them by construction)."""
+    d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
+    pairs_exact = {
+        (r.key1, r.key2)
+        for r in embedding_near_dup_pairs(d, threshold=0.8).collect()
+    }
+    centroids = train_centroids(d, n_cells=8)
+    pairs_ivf = {
+        (r.key1, r.key2)
+        for r in embedding_near_dup_pairs_ivf(
+            d, centroids, threshold=0.8, nprobe=2
+        ).collect()
+    }
+    assert pairs_ivf <= pairs_exact
+    if pairs_exact:
+        recall = len(pairs_ivf & pairs_exact) / len(pairs_exact)
+        assert recall >= 0.8, f"neardup IVF recall {recall}"
+
+
+def test_knn_ivf_partition_invariance(spark, emb):
+    """Centroid training samples orderBy(key).limit — the IVF result
+    must be identical across physical partition layouts."""
+    outs = []
+    for parts in (3, 17):
+        d = emb.repartition(parts)
+        centroids = train_centroids(d, n_cells=8)
+        queries = d.where(F.col("vec_id") % 50 == 0)
+        rows = knn_ivf(d, queries, centroids, k=5, nprobe=4).collect()
+        outs.append(sorted((r.query_id, r.rank, r.neighbor_id) for r in rows))
+    assert outs[0] == outs[1]
 
 
 def test_knn_deterministic_rank(spark, emb):

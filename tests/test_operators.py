@@ -126,3 +126,93 @@ def test_default_weight(spark):
     )
     r = rank_by_severity(assemble_scores({"m": ev})).collect()[0]
     assert r["method_weight"] == 0.5 and r["severity_score"] == 0.5
+
+
+# --- ensemble orchestrator (ml/anomaly_ensemble.py:12-73) -------------------
+
+def _tiny_table(spark):
+    rows = [(i, i % 3, "t" if i % 10 else "rare", float(i)) for i in range(1, 61)]
+    return spark.createDataFrame(
+        rows, "row_id long, grp_id long, label string, value double"
+    )
+
+
+def test_run_all_mode_gating(spark):
+    from dqspark.operators.ensemble import run_all_anomaly_detectors
+
+    df = _tiny_table(spark)
+    ml = run_all_anomaly_detectors(df, ["row_id"], mode="ml", min_freq=0.2)
+    sql = run_all_anomaly_detectors(df, ["row_id"], mode="sql", min_freq=0.2)
+    assert set(ml) == {"numeric", "categorical"}
+    assert set(sql) == {"numeric", "categorical", "insertion", "deletion", "update"}
+    # rare label rows get flagged by the categorical detector in both
+    assert ml["categorical"].count() == sql["categorical"].count() == 6
+
+
+def test_run_all_failure_isolation(spark):
+    """A detector raising must yield an empty frame, not kill the run
+    (anomaly_ensemble.py per-detector try/except)."""
+    from dqspark.operators.ensemble import run_all_anomaly_detectors
+
+    df = _tiny_table(spark)
+    logs = []
+    out = run_all_anomaly_detectors(
+        df,
+        ["row_id"],
+        mode="sql",
+        numeric_columns=["no_such_column"],  # analysis error inside the guard
+        min_freq=0.2,
+        log=logs.append,
+    )
+    assert out["numeric"].count() == 0
+    assert any(l.startswith("x numeric") for l in logs)
+    assert out["categorical"].count() == 6  # others unaffected
+
+
+def test_run_all_invalid_mode(spark):
+    from dqspark.operators.ensemble import run_all_anomaly_detectors
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_all_anomaly_detectors(_tiny_table(spark), ["row_id"], mode="bogus")
+
+
+def test_feature_importance_deterministic(spark):
+    """M5: importances are a stable, sorted, fixed-shape list and the
+    report surfaces the top-10 (ml/lightgbm_anomaly.py:80-88)."""
+    from dqspark.operators.ensemble import (
+        combine_anomaly_results,
+        feature_importance_events,
+        run_all_anomaly_detectors,
+    )
+    from dqspark.operators.report import quality_report
+    from dqspark.pipeline.models import feature_importance
+    from dqspark.pipeline.quality import train_default_models
+
+    langid, _ = train_default_models()
+    a = feature_importance(langid, top_k=20)
+    b = feature_importance(langid, top_k=20)
+    assert a == b and len(a) == 20
+    assert all(a[i][1] >= a[i + 1][1] for i in range(len(a) - 1))
+    assert all(f.startswith("trigram_") and imp > 0 for f, imp in a)
+
+    df = _tiny_table(spark)
+    ev = feature_importance_events(spark, a, [("row_id", "bigint")])
+    results = run_all_anomaly_detectors(
+        df, ["row_id"], mode="ml", min_freq=0.2,
+        model_stage=lambda: (ev, ev),
+    )
+    assert "feature_importance" in results
+    ranked = combine_anomaly_results(
+        {k: v for k, v in results.items() if k != "feature_importance"}
+    )
+    # importance rows flow through scoring at confidence 1.0…
+    fi = ranked.where(ranked.issue_type == "feature_importance")
+    assert fi.count() == 20
+    assert {r["confidence"] for r in fi.collect()} == {1.0}
+    # …and the report filters them from the summary but surfaces top-10
+    rep = quality_report(df, ranked, ["row_id"], feature_importance=a)
+    assert len(rep["feature_importance"]) == 10
+    assert rep["feature_importance"][0]["feature"] == a[0][0]
+    assert "feature_importance" not in rep["anomaly_summary"]["top_issues"]
