@@ -35,11 +35,16 @@ def infer_join_keys(left: DataFrame, right: DataFrame) -> list[str]:
         preferred = sorted(c for c in common if idish(c))
         return preferred or sorted(common)
 
-    def variants(c: str) -> set[str]:
+    def variants(c: str) -> tuple[str, ...]:
+        # deterministic order (NOT a set — set iteration depends on
+        # PYTHONHASHSEED, which would make key inference run-dependent
+        # when a column matches more than one variant)
         lc = c.lower()
-        out = {lc, lc.replace("_", "")}
-        out.add(re.sub(r"^[a-z]{1,2}_", "", lc))  # strip tpch-style prefix
-        return out
+        out = [lc, lc.replace("_", "")]
+        stripped = re.sub(r"^[a-z]{1,2}_", "", lc)  # strip tpch-style prefix
+        if stripped not in out:
+            out.append(stripped)
+        return tuple(out)
 
     lmap: dict[str, str] = {}
     for c in left.columns:
@@ -196,7 +201,10 @@ def detect_circular_references(
         F.lit(0).alias("depth"),
     )
     spark = df.sparkSession
-    flagged = spark.createDataFrame([], "start_id long, issue_type string")
+    # seed schema from the actual id column type — a hardcoded `long`
+    # would break unionByName for string/UUID ids
+    id_type = df.schema[id_col].dataType.simpleString()
+    flagged = spark.createDataFrame([], f"start_id {id_type}, issue_type string")
 
     for hop in range(max_hops):
         step = (

@@ -75,19 +75,38 @@ def run_checkpointed(
         os.replace(stats_path + ".tmp", stats_path)
 
     done = _read_manifest(out_dir)
-    ccol = _chunk_col(chunks)
+    spark = df.sparkSession
+
+    # Materialize the chunk split ONCE as a partitioned layout: the
+    # naive alternative — df.where(crc32(content) % chunks == i) per
+    # chunk — cannot prune the scan (the predicate hashes `content`),
+    # so `chunks` slices means `chunks` full corpus reads.  One
+    # partitionBy write costs a single scan + shuffle-free fan-out, and
+    # every per-chunk read below partition-prunes to just its own
+    # directory.  (On a cluster whose input table is already
+    # hash-bucketed on content, this stage is the no-op bucketing
+    # already provides.)  Spark's _SUCCESS marker is the commit point,
+    # so a run killed mid-write redoes the split idempotently.
+    chunked_path = os.path.join(out_dir, "_chunked_input")
+    if not os.path.exists(os.path.join(chunked_path, "_SUCCESS")):
+        (
+            df.withColumn("_chunk", _chunk_col(chunks))
+            .write.mode("overwrite")
+            .partitionBy("_chunk")
+            .parquet(chunked_path)
+        )
+    chunked = spark.read.parquet(chunked_path)
+
     for chunk in range(chunks):
         if chunk in done:
             continue
-        sub = df.where(ccol == chunk)
+        sub = chunked.where(F.col("_chunk") == chunk).drop("_chunk")
         res = run_quality_pipeline(
             sub, n_partitions=n_partitions, stats=stats, with_models=with_models
         )
         res.write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk={chunk}"))
         done.add(chunk)
         _commit_chunk(out_dir, done)
-
-    spark = df.sparkSession
     return spark.read.option("basePath", out_dir).parquet(
         *[os.path.join(out_dir, f"chunk={c}") for c in sorted(done)]
     )

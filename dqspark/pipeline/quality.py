@@ -185,6 +185,7 @@ def run_quality_pipeline(
     n_partitions: int | None = None,
     stats: dict | None = None,
     with_models: bool = True,
+    partition_strategy: str = "salted",
 ) -> DataFrame:
     """codefiles → enriched keep/drop frame.
 
@@ -195,37 +196,74 @@ def run_quality_pipeline(
     ``stats``: precomputed ``compute_corpus_stats`` result (chunked runs);
     ``with_models=False`` skips the model UDF stage (pure-heuristic mode,
     fully SQL-expressible — used by the oracle differential).
+
+    ``partition_strategy`` picks how the dedupe join-back scales:
+
+    - ``"salted"`` (default, the north-rule shape): compute stages run
+      on a (repo, path-salt) layout; ``dup_info`` (one row per distinct
+      content hash) joins back relying on AQE to broadcast it.  Right
+      whenever dup_info fits the broadcast threshold — i.e. up to a few
+      hundred million distinct hashes.
+    - ``"content_hash"``: ONE repartition on content_sha256 up front;
+      the per-row compute runs on that layout (uniform by construction
+      — content hashes can't skew, so this also breaks mega-repo skew),
+      ``dup_info`` is derived from the SAME exchange (ReusedExchange),
+      and the join-back is co-partitioned — zero extra shuffles and no
+      broadcast of anything corpus-sized, at ANY dup_info cardinality.
+      This is the 100-TB setting; per-repo lineage is unaffected (the
+      audit aggregates under its own grouping either way).
     """
+    if partition_strategy not in ("salted", "content_hash"):
+        raise ValueError(f"unknown partition_strategy {partition_strategy!r}")
     if stats is None:
         stats = compute_corpus_stats(df)
     bounds = stats["bounds"]
     rare = stats["rare_langs"]
 
     raw = df
-
-    # duplicate info via groupBy on the content hash + join-back, forked
-    # from the RAW scan (column-pruned: repo/path/commit/content only —
-    # none of the metric/model/scrub stages re-execute on this branch).
-    # The aggregate's map-side partials shuffle one tiny row per
-    # distinct hash (vs windowing, which shuffles every WIDE row —
-    # content + scrubbed content — by hash), and AQE broadcasts the agg
-    # side when it fits, eliminating the wide shuffle entirely.  This is
-    # the scale answer to the reference's whole-table duplicated()
-    # (insertion_anomaly.py:9).
     ident = F.struct("repo", "path", "commit")
-    dup_info = (
-        raw.select(content_sha256("content").alias("content_sha256"), "repo", "path", "commit")
-        .groupBy("content_sha256")
-        .agg(
+
+    df = normalize(df)
+    if partition_strategy == "content_hash":
+        df = df.withColumn("content_sha256", content_sha256("content"))
+        df = (
+            df.repartition(n_partitions, "content_sha256")
+            if n_partitions
+            else df.repartition("content_sha256")
+        )
+        # forked AFTER the repartition: both branches hash-partitioned
+        # on content_sha256 → the groupBy needs no new exchange and the
+        # join-back is co-partitioned (no ENSURE_REQUIREMENTS shuffle,
+        # no broadcast; asserted by plan in tests).  Catalyst plans the
+        # fork as two copies of the repartition with the dup branch
+        # column-pruned below its exchange — i.e. the second shuffle
+        # moves only (sha, repo, path, commit), never content.
+        dup_info = df.groupBy("content_sha256").agg(
             F.count(F.lit(1)).alias("_dup_n"),
             F.min(ident).alias("_min_ident"),
         )
-    )
-
-    df = normalize(df)
-    df = salted_repartition(df, n_partitions)
+    else:
+        # duplicate info via groupBy on the content hash + join-back,
+        # forked from the RAW scan (column-pruned: repo/path/commit/
+        # content only — none of the metric/model/scrub stages re-execute
+        # on this branch).  The aggregate's map-side partials shuffle one
+        # tiny row per distinct hash (vs windowing, which shuffles every
+        # WIDE row — content + scrubbed content — by hash), and AQE
+        # broadcasts the agg side when it fits, eliminating the wide
+        # shuffle entirely.  This is the scale answer to the reference's
+        # whole-table duplicated() (insertion_anomaly.py:9).
+        dup_info = (
+            raw.select(content_sha256("content").alias("content_sha256"), "repo", "path", "commit")
+            .groupBy("content_sha256")
+            .agg(
+                F.count(F.lit(1)).alias("_dup_n"),
+                F.min(ident).alias("_min_ident"),
+            )
+        )
+        df = salted_repartition(df, n_partitions)
     df = with_text_metrics(df, text_col="content")
-    df = df.withColumn("content_sha256", content_sha256("content"))
+    if "content_sha256" not in df.columns:
+        df = df.withColumn("content_sha256", content_sha256("content"))
     if with_models:
         df = with_model_scores(df)
     else:

@@ -106,8 +106,11 @@ def _quality_heuristic_oracle() -> str:
     return f"""
 WITH plants AS ({_PLANTS_SQL}),
 corpus AS (
+  -- CASE mirrors the Spark pipeline's normalize() null-string stage
+  -- (upload.py:56-61): a literal 'null' label reads as NULL
   SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, 'c0' AS cmt,
-         lang, text AS content, doc_id
+         CASE WHEN lower(lang) = 'null' THEN NULL ELSE lang END AS lang,
+         text AS content, doc_id
   FROM plants
 ),
 m AS (

@@ -45,9 +45,17 @@ def stream_quality_filter(
 
     ``stats`` MUST be precomputed (compute_corpus_stats on a bootstrap
     batch) so every micro-batch flags against the same thresholds.
-    Exactly-once comes from the streaming checkpoint + idempotent
-    parquet append per epoch.  Returns the started StreamingQuery; use
-    ``trigger(availableNow=True)`` semantics for batch-catchup runs.
+    Exactly-once: the streaming checkpoint makes batch ids stable
+    across restarts, and each epoch writes to its OWN
+    ``batch_id=<id>`` subdirectory with mode("overwrite") — a replayed
+    micro-batch overwrites its previous (possibly partial) output
+    instead of appending duplicate rows, so the sink is idempotent
+    per epoch.  (A plain mode("append") here would be at-least-once: a
+    mid-batch failure followed by replay duplicates rows.)  Readers
+    take ``spark.read.parquet(output_dir)`` and get partition
+    discovery over batch_id for free.  Returns the started
+    StreamingQuery; use ``trigger(availableNow=True)`` semantics for
+    batch-catchup runs.
     """
     stream = stream_codefiles(spark, input_dir)
 
@@ -55,7 +63,7 @@ def stream_quality_filter(
         if batch_df.isEmpty():
             return
         res = run_quality_pipeline(batch_df, stats=stats, with_models=with_models)
-        res.write.mode("append").parquet(output_dir)
+        res.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -127,3 +127,13 @@ def test_stream_quality_filter(spark, tmp_path):
     b = batch.toPandas().set_index(["repo", "path", "commit"]).sort_index()
     assert len(s) == len(b) == 300
     assert (s.keep == b.keep).all()
+
+    # replayed epochs are idempotent: wiping the checkpoint forces the
+    # same batch ids to re-run; the per-batch_id overwrite sink must not
+    # duplicate rows (a plain append sink would yield 600 here)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = stream_quality_filter(spark, src, out, ckpt, stats, with_models=False)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 300

@@ -184,3 +184,63 @@ def test_corpus_generation_partition_invariant(spark):
         assert (m.content == m.content_o).all()
         assert (m.defect_class == m.defect_class_o).all()
         assert (m.lang.fillna("∅") == m.lang_o.fillna("∅")).all()
+
+
+def test_checkpoint_single_input_scan(spark, corpus_pdf, tmp_path):
+    """The chunk split is materialized once (partitioned layout with a
+    _SUCCESS commit marker) and each per-chunk read partition-prunes to
+    its own directory — no full-corpus re-scan per chunk."""
+    out = str(tmp_path / "ckpt1")
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    run_checkpointed(sdf, out, chunks=4, with_models=False)
+
+    chunked = os.path.join(out, "_chunked_input")
+    assert os.path.exists(os.path.join(chunked, "_SUCCESS"))
+    parts = {d for d in os.listdir(chunked) if d.startswith("_chunk=")}
+    assert parts == {f"_chunk={i}" for i in range(4)}
+
+    from pyspark.sql import functions as F
+
+    plan = (
+        spark.read.parquet(chunked)
+        .where(F.col("_chunk") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "_chunk" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_content_hash_strategy_no_broadcast_no_extra_shuffle(spark, corpus_pdf, result_pdf):
+    """partition_strategy='content_hash' must (a) keep decisions
+    identical to the salted default and (b) plan the dedupe join-back
+    with NO broadcast and NO exchange beyond the single up-front
+    repartition, even with broadcasts disabled — the 100-TB setting
+    where dup_info exceeds any broadcast threshold."""
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = quality.run_quality_pipeline(
+            sdf, with_models=False, partition_strategy="content_hash"
+        )
+        got = out.toPandas()[["repo", "path", "commit", "keep"]]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "isFinalPlan=true" in plan
+
+    ref = quality.run_quality_pipeline(sdf, with_models=False).select(
+        "repo", "path", "commit", "keep"
+    ).toPandas()
+    m = got.merge(ref, on=["repo", "path", "commit"], suffixes=("", "_ref"))
+    assert len(m) == N and (m.keep == m.keep_ref).all()
+
+    assert "BroadcastExchange" not in plan
+    # the join is co-partitioned on the up-front repartitions: every
+    # exchange in the plan is a REPARTITION_BY_COL on content_sha256
+    # (the dup_info branch's copy is column-pruned → narrow shuffle);
+    # the optimizer added NO shuffle of its own for the join
+    assert "SortMergeJoin [content_sha256" in plan
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "content_sha256" in line and "REPARTITION_BY_COL" in line
