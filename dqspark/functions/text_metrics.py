@@ -30,7 +30,14 @@ TEXT_METRIC_COLS = (
     "alnum_ratio",
     "repetition_rate",
     "n_tokens",
+    "n_bpe_tokens",
 )
+
+# BPE-ish tokenization estimate: letter runs (≈ wordpiece upper bound),
+# single digits (modern BPEs split digit runs), punctuation singletons.
+# Deliberately regex-dialect-neutral: identical under Java regex (Spark)
+# and RE2 (DuckDB), so the metric is oracle-checkable.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 ALNUM_CHARS = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
@@ -92,6 +99,9 @@ def with_text_metrics(df: DataFrame, text_col: str = "content") -> DataFrame:
         .otherwise(F.size(tokens))
         .cast("double")
         .alias("n_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("double")
+        .alias("n_bpe_tokens"),
     ).drop("__lines", "__stripped")
 
 
@@ -115,5 +125,8 @@ def text_metrics_oracle_exprs(text_col: str = "text") -> dict[str, str]:
             f"(case when length(regexp_replace({t}, '^\\s+|\\s+$', '', 'g')) = 0 then 0"
             f" else len(string_split_regex("
             f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g'), '\\s+')) end)::double"
+        ),
+        "n_bpe_tokens": (
+            f"len(regexp_extract_all({t}, '{BPE_TOKEN_PATTERN}'))::double"
         ),
     }

@@ -93,6 +93,28 @@ def _dtype_hist(df: DataFrame) -> dict[str, int]:
     return hist
 
 
+def sanitize_for_json(obj):
+    """NaN/Inf → null, numpy scalars → native, Rows/containers walked
+    recursively (reference: backend/api/upload.py:107-123 — S5's JSON
+    response sanitizer; stddev over one row or a 0/0 ratio yields NaN,
+    which is not valid JSON)."""
+    import math
+
+    import numpy as np
+
+    if isinstance(obj, (np.floating, np.integer, np.bool_)):
+        obj = obj.item()
+    if isinstance(obj, float):
+        return None if (math.isnan(obj) or math.isinf(obj)) else obj
+    if isinstance(obj, dict):
+        return {str(k): sanitize_for_json(v) for k, v in obj.items()}
+    if hasattr(obj, "asDict"):  # pyspark Row (a tuple subclass — check first)
+        return sanitize_for_json(obj.asDict(recursive=True))
+    if isinstance(obj, (list, tuple, set)):
+        return [sanitize_for_json(v) for v in obj]
+    return obj
+
+
 def recommendations(report: dict) -> list[str]:
     """Text recommendations (anomaly_ensemble.py:116-150) — driver-side."""
     recs = []

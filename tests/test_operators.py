@@ -216,3 +216,29 @@ def test_feature_importance_deterministic(spark):
     assert len(rep["feature_importance"]) == 10
     assert rep["feature_importance"][0]["feature"] == a[0][0]
     assert "feature_importance" not in rep["anomaly_summary"]["top_issues"]
+
+
+def test_sanitize_for_json(spark):
+    """NaN/Inf → null end-to-end through a report-shaped dict
+    (upload.py:107-123 parity)."""
+    import json
+    import math
+
+    import numpy as np
+
+    from dqspark.operators.report import sanitize_for_json
+
+    row = spark.createDataFrame([(1, float("nan"))], "id long, v double").collect()[0]
+    report = {
+        "a": float("nan"),
+        "b": float("inf"),
+        "c": np.float64(2.5),
+        "d": [float("-inf"), (np.int32(3), {1: np.bool_(True)})],
+        "row": row,
+    }
+    out = sanitize_for_json(report)
+    dumped = json.loads(json.dumps(out))  # must round-trip as strict JSON
+    assert dumped["a"] is None and dumped["b"] is None and dumped["c"] == 2.5
+    assert dumped["d"][0] is None and dumped["d"][1][0] == 3
+    assert dumped["d"][1][1] == {"1": True}
+    assert dumped["row"]["v"] is None and not math.isnan(dumped["c"])
