@@ -1,0 +1,73 @@
+"""Heuristic (non-model) language identification — stopword-marker
+scoring, fully SQL-expressible and therefore value-oracle-checkable,
+complementing the trained NB classifier in pipeline/models.py (which is
+rows-only by nature).
+
+Per language, a tiny high-frequency marker-token list; a document's
+score per language is the number of its whitespace tokens that are
+markers.  Prediction is the arg-max with a FIXED priority tie-break
+(the marker-table order), expressed as an identical CASE chain in Spark
+and DuckDB so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language → marker tokens; dict order IS the tie-break priority
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "pas"),
+    "es": ("el", "los", "las", "y", "es", "no"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),
+}
+
+
+def _tokens(c: Column) -> Column:
+    t = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.filter(F.split(t, " "), lambda x: F.length(x) > 0)
+
+
+def with_heuristic_langid(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_heur"
+) -> DataFrame:
+    """Append per-language marker scores + the arg-max prediction."""
+    d = df.withColumn("__toks", _tokens(F.col(text_col)))
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(
+            F.filter(F.col("__toks"), lambda x: F.array_contains(marker_arr, x))
+        )
+        score_cols.append(score.alias(f"score_{lang}"))
+    d = d.select("*", *score_cols).drop("__toks")
+    mx = F.greatest(*[F.col(f"score_{l}") for l in LANG_MARKERS])
+    pred = None
+    for lang in LANG_MARKERS:  # priority order = dict order
+        cond = F.col(f"score_{lang}") == mx
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return d.withColumn(out_col, pred).withColumn("langid_score", mx)
+
+
+def heuristic_langid_oracle_exprs(text_col: str = "text") -> dict[str, str]:
+    """DuckDB expressions: {score_<lang>: sql, pred: sql, score: sql} —
+    expects a column ``toks`` (the token list) in scope."""
+    out: dict[str, str] = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        out[f"score_{lang}"] = (
+            f"len(list_filter(toks, x -> list_contains([{lst}], x)))"
+        )
+    mx = "greatest(" + ", ".join(f"score_{l}" for l in LANG_MARKERS) + ")"
+    chain = " ".join(
+        f"WHEN score_{l} = {mx} THEN '{l}'" for l in LANG_MARKERS
+    )
+    out["pred"] = f"CASE {chain} END"
+    out["score"] = mx
+    out["toks"] = (
+        f"list_filter(string_split(trim(regexp_replace(lower({text_col}),"
+        f" '\\s+', ' ', 'g')), ' '), x -> length(x) > 0)"
+    )
+    return out

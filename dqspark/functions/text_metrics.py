@@ -33,11 +33,15 @@ TEXT_METRIC_COLS = (
     "n_bpe_tokens",
 )
 
-# BPE-ish tokenization estimate: letter runs (≈ wordpiece upper bound),
-# single digits (modern BPEs split digit runs), punctuation singletons.
-# Deliberately regex-dialect-neutral: identical under Java regex (Spark)
-# and RE2 (DuckDB), so the metric is oracle-checkable.
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# BPE-ish tokenization estimate: letter runs (≈ wordpiece upper bound)
+# + single digits (modern BPEs split digit runs) + punctuation
+# singletons.  Computed with TRANSLATE arithmetic + ONE low-match-count
+# regex split — an earlier regexp_extract_all formulation matched ~every
+# character and anti-scaled across cores (regex cost is match-bound;
+# measured local[32] SLOWER than local[8] on the full pipeline), the
+# same pitfall the round-1 alnum_ratio fix recorded.
+LETTER_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+DIGIT_CHARS = "0123456789"
 
 ALNUM_CHARS = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
@@ -99,7 +103,20 @@ def with_text_metrics(df: DataFrame, text_col: str = "content") -> DataFrame:
         .otherwise(F.size(tokens))
         .cast("double")
         .alias("n_tokens"),
-        F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+        (
+            # letter runs: split on non-letter runs, count non-empty parts
+            F.size(
+                F.filter(
+                    F.split(c, "[^A-Za-z]+", -1), lambda x: F.length(x) > 0
+                )
+            )
+            # digits + punctuation: pure translate arithmetic
+            + (F.length(c) - F.length(F.translate(c, DIGIT_CHARS, "")))
+            + (
+                F.length(c)
+                - F.length(F.translate(c, ALNUM_CHARS + WHITESPACE_CHARS, ""))
+            )
+        )
         .cast("double")
         .alias("n_bpe_tokens"),
     ).drop("__lines", "__stripped")
@@ -127,6 +144,8 @@ def text_metrics_oracle_exprs(text_col: str = "text") -> dict[str, str]:
             f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g'), '\\s+')) end)::double"
         ),
         "n_bpe_tokens": (
-            f"len(regexp_extract_all({t}, '{BPE_TOKEN_PATTERN}'))::double"
+            f"(len(list_filter(string_split_regex({t}, '[^A-Za-z]+'), x -> length(x) > 0))"
+            f" + (length({t}) - length(translate({t}, '{DIGIT_CHARS}', '')))"
+            f" + (length({t}) - length(translate({t}, '{ALNUM_CHARS}' || ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11), ''))))::double"
         ),
     }

@@ -246,3 +246,38 @@ def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lang_conf", 4).alias("lang_conf"),
         F.round("log_ppl", 4).alias("log_ppl"),
     )
+
+
+_LANGID_HEUR_EXPRS = None
+
+
+def _langid_heuristic_oracle() -> str:
+    from dqspark.functions.langid import LANG_MARKERS, heuristic_langid_oracle_exprs
+
+    e = heuristic_langid_oracle_exprs("text")
+    score_cols = ",\n       ".join(
+        f"{e[f'score_{l}']} AS score_{l}" for l in LANG_MARKERS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {e['toks']} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {score_cols} FROM t)
+SELECT doc_id, {e['pred']} AS lang_heur, {e['score']} AS langid_score,
+       ({e['pred']} = lang) AS label_match
+FROM s
+"""
+
+
+@register("langid_heuristic", _langid_heuristic_oracle())
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic (stopword-marker) language ID — the SQL-expressible,
+    value-oracle-checked counterpart of the model-based langid_scores."""
+    from dqspark.functions.langid import with_heuristic_langid
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = with_heuristic_langid(docs, text_col="text")
+    return out.select(
+        "doc_id",
+        "lang_heur",
+        "langid_score",
+        (F.col("lang_heur") == F.col("lang")).alias("label_match"),
+    )

@@ -1,0 +1,142 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The built-in streaming surface (watermarked windows, dropDuplicates)
+covers the reference's batch semantics; this module is the
+arbitrary-state path the built-ins can't express: per-key running
+statistics maintained EXACTLY across micro-batches with Welford/Chan
+parallel merges, so a streaming run converges to bit-identical
+count/mean and numerically-stable variance versus the batch aggregate
+over the same data (asserted in tests/test_multimodal_streaming.py).
+
+State design for scale: one (n, mean, M2) triple per key — O(keys)
+state, not O(rows); event-time timeout expires idle keys so state
+stays bounded under unbounded key churn (the same watermark contract
+as the built-in stateful operators).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "key string, n_events long, mean_value double, var_value double"
+STATE_SCHEMA = "n long, mean double, m2 double"
+
+# idle keys expire this long past the watermark — bounds state size
+STATE_TTL_MS = 30 * 60 * 1000
+
+
+def _merge(n1: int, mean1: float, m2_1: float, v) -> tuple[int, float, float]:
+    """Chan et al. parallel variance merge of a numpy batch into the
+    running (n, mean, M2) state — exact for count/mean, stable for M2."""
+    n2 = int(v.size)
+    if n2 == 0:
+        return n1, mean1, m2_1
+    mean2 = float(v.mean())
+    m2_2 = float(((v - mean2) ** 2).sum())
+    n = n1 + n2
+    delta = mean2 - mean1
+    mean = mean1 + delta * n2 / n
+    m2 = m2_1 + m2_2 + delta * delta * n1 * n2 / n
+    return n, mean, m2
+
+
+def _update_fn(value_col: str):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            v = pdf[value_col].dropna().to_numpy(dtype="float64")
+            n, mean, m2 = _merge(n, mean, m2, v)
+        state.update((n, mean, m2))
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0:
+            state.setTimeoutTimestamp(wm + STATE_TTL_MS)
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_events": n,
+                    "mean_value": mean,
+                    "var_value": (m2 / n) if n else 0.0,
+                }
+            ]
+        )
+
+    return update
+
+
+def stream_running_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-key running (count, mean, population variance) —
+    state carried across micro-batches, emitted in ``update`` mode."""
+    d = events.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    # the stateful grouping needs a materialized column, not an alias expr
+    d = d.withColumn("key", F.col(key_col).cast("string"))
+    return (
+        d.withWatermark(time_col, watermark)
+        .groupBy("key")
+        .applyInPandasWithState(
+            _update_fn(value_col),
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def batch_running_stats(
+    events: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """The batch ground truth the streaming operator must converge to."""
+    v = F.col(value_col)
+    return events.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(v).alias("n_events"),
+        F.avg(v).alias("mean_value"),
+        F.coalesce(F.var_pop(v), F.lit(0.0)).alias("var_value"),
+    )
+
+
+def run_stats_stream(
+    spark: Any,
+    input_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    max_files_per_trigger: int = 1,
+    **kwargs: Any,
+):
+    """availableNow file stream → stateful running stats → memory sink.
+    Returns (query, table_name); the table holds one updated row per
+    (key, micro-batch) — the final state per key is the row with the
+    highest n_events."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    out = stream_running_stats(stream, **kwargs)
+    name = "running_stats_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, name

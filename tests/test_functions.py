@@ -112,3 +112,23 @@ def test_read_any_unsupported(spark):
 
     with _pytest.raises(ValueError):
         read_any(spark, "/nonexistent/file.avro")
+
+
+def test_heuristic_langid(spark):
+    """Marker scoring + fixed-priority tie-break (arg-max is
+    deterministic even when scores tie)."""
+    from dqspark.functions.langid import with_heuristic_langid
+
+    rows = [
+        (1, "the cat and the dog of a to is"),        # en markers
+        (2, "der hund und die katze ist nicht"),      # de markers
+        (3, "le chat et la maison est pas"),          # fr
+        (4, "xyzzy qwerty plugh"),                    # no markers → tie → en
+        (5, None),                                    # null text
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = with_heuristic_langid(df).toPandas().set_index("id")
+    assert out.loc[1, "lang_heur"] == "en" and out.loc[1, "langid_score"] >= 4
+    assert out.loc[2, "lang_heur"] == "de"
+    assert out.loc[3, "lang_heur"] == "fr"
+    assert out.loc[4, "lang_heur"] == "en" and out.loc[4, "langid_score"] == 0

@@ -137,3 +137,60 @@ def test_stream_quality_filter(spark, tmp_path):
     q2 = stream_quality_filter(spark, src, out, ckpt, stats, with_models=False)
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == 300
+
+
+def test_stateful_running_stats_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running stats carried across micro-batches
+    converge to the batch aggregate: exact count/mean, variance to 1e-9
+    (Welford/Chan merge)."""
+    from pyspark.sql import functions as F
+
+    from dqspark.streaming.stateful import batch_running_stats, run_stats_stream
+
+    src = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ev_ckpt")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "event_type", "value", "ts")
+    )
+    # several files → several micro-batches → state must actually carry
+    ev.repartition(4).write.parquet(src)
+
+    # files are not chronological, so a tight watermark would (correctly)
+    # drop late rows; exact batch parity needs a delay wider than the
+    # data's time span
+    q, table = run_stats_stream(
+        spark, src, ckpt,
+        schema="event_id bigint, event_type string, value double, ts timestamp_ntz",
+        max_files_per_trigger=1,
+        watermark="36500 days",
+    )
+    q.awaitTermination(180)
+    # update-mode memory sink: latest state per key = max n_events row
+    got = (
+        spark.table(table)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("key").orderBy(F.desc("n_events"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .toPandas()
+        .set_index("key")
+        .sort_index()
+    )
+    want = (
+        batch_running_stats(spark.read.parquet(src))
+        .toPandas()
+        .set_index("key")
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    assert (got.n_events == want.n_events).all()
+    assert (got.mean_value - want.mean_value).abs().max() < 1e-9
+    assert (got.var_value - want.var_value).abs().max() < 1e-6
+    # statefulness really exercised: >1 micro-batch ran
+    assert spark.table(table).count() > got.shape[0]
