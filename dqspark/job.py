@@ -21,7 +21,9 @@ import argparse
 import sys
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, spark=None) -> None:
+    """``spark=None`` (spark-submit) builds and owns a session; a passed
+    session (tests, notebooks) is used as-is and left running."""
     ap = argparse.ArgumentParser(description="dqspark quality-filter job")
     ap.add_argument("--input", required=True, help="codefiles table path")
     ap.add_argument("--output", required=True, help="result/checkpoint dir")
@@ -36,7 +38,9 @@ def main(argv: list[str] | None = None) -> None:
     from dqspark.session import get_spark
     from dqspark.sources.catalog import write_table
 
-    spark = get_spark(app_name="dqspark-quality-job")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="dqspark-quality-job")
     df = spark.read.parquet(args.input)
     result = run_checkpointed(
         df,
@@ -50,7 +54,8 @@ def main(argv: list[str] | None = None) -> None:
     kept = result.where("keep").count()
     total = result.count()
     print(f"quality job complete: {kept}/{total} files kept", file=sys.stderr)
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

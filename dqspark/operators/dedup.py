@@ -23,6 +23,15 @@ hex → conv string round-trip measured 17.6s vs 2.1s per signature pass
 at sf0.1; see BENCH.md).  (The reference's only dedupe is a whole-table
 ``duplicated(keep=False)``, ml/insertion_anomaly.py:5-21 — these
 operators are its web-scale generalization.)
+
+Algorithms are from the public literature: MinHash + banded LSH
+(Broder, "On the resemblance and containment of documents", 1997;
+banding per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ch. 3), SimHash (Charikar, STOC'02; hamming pigeonhole banding per
+Manku/Jain/Sarma, WWW'07), exact set-similarity prefix filtering
+(Bayardo/Ma/Srikant "Scaling Up All Pairs", WWW'07; positional/length
+filters per Xiao et al. PPJoin, WWW'08; distributed shape per
+Vernica/Carey/Li, SIGMOD'10).
 """
 
 from __future__ import annotations

@@ -10,7 +10,10 @@ coarse quantizer driver-side (deterministic numpy, pinned seed, mirrors
 the reference's driver-trained model pattern, ml/lightgbm_anomaly.py:28-61),
 broadcasts the centroids, assigns every vector in one Arrow-batched
 pandas UDF, and joins only within the query's ``nprobe`` nearest cells —
-shuffle volume drops from N×Q to N×Q/cells·nprobe.
+shuffle volume drops from N×Q to N×Q/cells·nprobe.  The IVF/coarse-
+quantizer design follows Jégou/Douze/Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) §IV-A (inverted file without the
+PQ refinement — exact rerank instead).
 """
 
 from __future__ import annotations

@@ -244,3 +244,32 @@ def test_content_hash_strategy_no_broadcast_no_extra_shuffle(spark, corpus_pdf, 
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "content_sha256" in line and "REPARTITION_BY_COL" in line
+
+
+def test_job_entrypoint(spark, corpus_pdf, tmp_path):
+    """The spark-submit entry end-to-end: resumable output + audit table
+    written, kept fraction sane, rerun is a no-op resume."""
+    from dqspark import job
+
+    src = str(tmp_path / "job_in")
+    out = str(tmp_path / "job_out")
+    audit = str(tmp_path / "job_audit")
+    spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"])).write.parquet(src)
+
+    args = ["--input", src, "--output", out, "--audit", audit,
+            "--chunks", "3", "--no-models"]
+    job.main(args, spark=spark)
+
+    res = spark.read.option("basePath", out).parquet(
+        *[os.path.join(out, f"chunk={c}") for c in range(3)]
+    )
+    assert res.count() == N
+    assert {"keep", "severity", "issue_types", "scrubbed_content"} <= set(res.columns)
+    a = spark.read.parquet(audit)
+    assert {"repo", "salt_bucket"} <= set(a.columns)
+    assert a.count() > 0
+
+    # rerun resumes from the manifest without recomputing
+    m0 = os.path.getmtime(os.path.join(out, "chunk=0"))
+    job.main(args, spark=spark)
+    assert os.path.getmtime(os.path.join(out, "chunk=0")) == m0
