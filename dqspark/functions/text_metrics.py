@@ -33,14 +33,18 @@ TEXT_METRIC_COLS = (
     "n_bpe_tokens",
 )
 
-# BPE-ish tokenization estimate: letter runs (≈ wordpiece upper bound)
-# + single digits (modern BPEs split digit runs) + punctuation
-# singletons.  Computed with TRANSLATE arithmetic + ONE low-match-count
-# regex split — an earlier regexp_extract_all formulation matched ~every
-# character and anti-scaled across cores (regex cost is match-bound;
-# measured local[32] SLOWER than local[8] on the full pipeline), the
-# same pitfall the round-1 alnum_ratio fix recorded.
-LETTER_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+# BPE-ish tokenization estimate: whitespace tokens + digit chars +
+# punctuation chars (every digit and punctuation character forces a
+# subword split in modern BPE vocabularies, so this upper-bounds the
+# piece count of a word-ish tokenizer).  ZERO regex by design — two
+# regex-based formulations were measured and rejected on the full
+# 120k-file pipeline at local[32]: `regexp_extract_all` over a
+# per-char pattern (2,408 files/s, SLOWER than local[8]) and even a
+# single `split('[^A-Za-z]+')` letter-run count (~300 substring
+# allocations/row -> young-gen GC contention at 32 threads; removing
+# it alone recovered 2,408 -> 7,623 files/s).  Translate arithmetic
+# allocates one string per call and scales with cores — the same
+# lesson as round 1's alnum_ratio.
 DIGIT_CHARS = "0123456789"
 
 ALNUM_CHARS = (
@@ -103,23 +107,15 @@ def with_text_metrics(df: DataFrame, text_col: str = "content") -> DataFrame:
         .otherwise(F.size(tokens))
         .cast("double")
         .alias("n_tokens"),
-        (
-            # letter runs: split on non-letter runs, count non-empty parts
-            F.size(
-                F.filter(
-                    F.split(c, "[^A-Za-z]+", -1), lambda x: F.length(x) > 0
-                )
-            )
-            # digits + punctuation: pure translate arithmetic
-            + (F.length(c) - F.length(F.translate(c, DIGIT_CHARS, "")))
-            + (
-                F.length(c)
-                - F.length(F.translate(c, ALNUM_CHARS + WHITESPACE_CHARS, ""))
-            )
-        )
-        .cast("double")
-        .alias("n_bpe_tokens"),
-    ).drop("__lines", "__stripped")
+    ).drop("__lines", "__stripped").withColumn(
+        "n_bpe_tokens",
+        F.col("n_tokens")
+        + (F.length(c) - F.length(F.translate(c, DIGIT_CHARS, "")))
+        + (
+            F.length(c)
+            - F.length(F.translate(c, ALNUM_CHARS + WHITESPACE_CHARS, ""))
+        ),
+    )
 
 
 def text_metrics_oracle_exprs(text_col: str = "text") -> dict[str, str]:
@@ -144,7 +140,9 @@ def text_metrics_oracle_exprs(text_col: str = "text") -> dict[str, str]:
             f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g'), '\\s+')) end)::double"
         ),
         "n_bpe_tokens": (
-            f"(len(list_filter(string_split_regex({t}, '[^A-Za-z]+'), x -> length(x) > 0))"
+            f"((case when length(regexp_replace({t}, '^\\s+|\\s+$', '', 'g')) = 0 then 0"
+            f" else len(string_split_regex("
+            f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g'), '\\s+')) end)"
             f" + (length({t}) - length(translate({t}, '{DIGIT_CHARS}', '')))"
             f" + (length({t}) - length(translate({t}, '{ALNUM_CHARS}' || ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11), ''))))::double"
         ),
