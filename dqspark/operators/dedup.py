@@ -379,12 +379,17 @@ def simhash_near_pairs(
 
 # --- exact n-gram Jaccard ---------------------------------------------------
 
+BITSET_WORD_BITS = 63  # bits per word (2^62 is the largest exact double pow)
+BITSET_VOCAB_MAX = 1 << 18  # use the bitset verify below this many distinct shingles
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     key_col: str,
     text_col: str,
     shingle_n: int = 4,
     threshold: float = 0.5,
+    verify: str = "auto",
 ) -> DataFrame:
     """EXACT Jaccard ≥ threshold over distinct char-shingle sets, via
     prefix filtering (AllPairs / PPJoin family, Bayardo et al. WWW'07):
@@ -407,7 +412,27 @@ def ngram_jaccard_pairs(
     Shuffle shape: explode (narrow) → freq agg → window by doc →
     prefix self-join on rare shingles → join the two full shingle-set
     arrays back by key.  No broadcast of anything corpus-sized.
+
+    ``verify`` picks the exact verification representation:
+
+    - ``"sets"``: ``array_intersect`` on the full shingle-hash arrays —
+      fully general, O(|A|+|B|) hashset build per candidate pair.
+    - ``"bitset"``: dictionary-encode shingles to dense ids and verify
+      with fixed-width bitsets (``bit_count(w1 & w2)`` folded over
+      ``ceil(vocab/63)`` longs) — the classic IR posting-intersection
+      trick.  ~10x less data copied per pair and branch-free popcounts,
+      but only admissible while the DISTINCT-shingle vocabulary is
+      small (the dense-id assignment is a driver-size table); gated at
+      BITSET_VOCAB_MAX.
+    - ``"auto"``: one tiny eager count of the frequency table picks the
+      representation (stats-driven physical planning, the same idea as
+      AQE's runtime re-plan — the count's cost is one narrow agg).
+
+    Either way the OUTPUT is exactly brute force, value for value,
+    which is what the DuckDB oracle checks.
     """
+    if verify not in ("auto", "sets", "bitset"):
+        raise ValueError(f"unknown verify {verify!r}")
     d = with_shingle_hashes(
         df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_txt")),
         "_txt",
@@ -459,24 +484,91 @@ def ngram_jaccard_pairs(
         .distinct()
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    out = (
-        cands.join(
-            sets.select(F.col("k").alias("key1"), F.col("_H").alias("_H1"), F.col("sz").alias("sz1")),
-            "key1",
+    # (measured: deduping the ~10x-duplicated candidate instances BEFORE
+    # verification beats re-verifying duplicates in place even with the
+    # cheap bitset verify — the per-instance bitmap row copies cost more
+    # than the one narrow distinct shuffle)
+    if verify == "auto":
+        n_vocab = freq.count()  # one narrow agg — stats-driven plan pick
+        verify = "bitset" if n_vocab <= BITSET_VOCAB_MAX else "sets"
+    elif verify == "bitset":
+        n_vocab = freq.count()
+
+    if verify == "bitset":
+        nwords = max(1, -(-n_vocab // BITSET_WORD_BITS))
+        # dense ids over the (small, gated) vocabulary; single-partition
+        # window is fine at <= BITSET_VOCAB_MAX rows
+        rid = freq.select(
+            "s", (F.row_number().over(Window.orderBy("df", "s")) - 1).alias("rid")
         )
-        .join(
-            sets.select(F.col("k").alias("key2"), F.col("_H").alias("_H2"), F.col("sz").alias("sz2")),
-            "key2",
+        word = (F.col("rid") / BITSET_WORD_BITS).cast("int").alias("word")
+        mask = (
+            F.pow(F.lit(2.0), (F.col("rid") % BITSET_WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("mask")
         )
-        .withColumn("inter", F.size(F.array_intersect("_H1", "_H2")))
-        .select(
-            "key1",
-            "key2",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-            ).alias("jaccard"),
+        per_word = (
+            sh.join(rid, "s")
+            .select("k", word, mask)
+            .groupBy("k", "word")
+            .agg(F.bit_or("mask").alias("bits"))
         )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return out
+        bitmaps = (
+            per_word.groupBy("k")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("word", "bits"))
+                ).alias("_m")
+            )
+            .select(
+                "k",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nwords - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+                    ),
+                ).alias("bm"),
+            )
+        )
+        b1 = bitmaps.select(F.col("k").alias("key1"), F.col("bm").alias("bm1"))
+        b2 = bitmaps.select(F.col("k").alias("key2"), F.col("bm").alias("bm2"))
+        inter = F.aggregate(
+            F.zip_with(
+                F.col("bm1"), F.col("bm2"),
+                lambda x, y: F.bit_count(x.bitwiseAND(y)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        def popcount(bm: str) -> Column:
+            return F.aggregate(
+                F.col(bm), F.lit(0), lambda acc, w: acc + F.bit_count(w)
+            )
+
+        verified = (
+            cands.join(b1, "key1")
+            .join(b2, "key2")
+            .withColumn("sz1", popcount("bm1"))
+            .withColumn("sz2", popcount("bm2"))
+            .withColumn("inter", inter)
+        )
+    else:
+        verified = (
+            cands.join(
+                sets.select(F.col("k").alias("key1"), F.col("_H").alias("_H1"), F.col("sz").alias("sz1")),
+                "key1",
+            )
+            .join(
+                sets.select(F.col("k").alias("key2"), F.col("_H").alias("_H2"), F.col("sz").alias("sz2")),
+                "key2",
+            )
+            .withColumn("inter", F.size(F.array_intersect("_H1", "_H2")))
+        )
+    return verified.select(
+        "key1",
+        "key2",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
