@@ -145,3 +145,62 @@ def test_knn_deterministic_rank(spark, emb):
     out = knn_bruteforce(emb, emb.limit(5), k=3).toPandas()
     assert set(out["rank"]) <= {1, 2, 3}
     assert (out.groupby("query_id")["rank"].count() == 3).all()
+
+
+def test_hash_parity_differential_fuzz(spark):
+    """Differential fuzz of the cross-engine hash primitives: seeded
+    random strings (ASCII + accented + CJK + astral emoji + whitespace
+    runs + short/empty edge cases) must produce IDENTICAL shingle
+    hashes, token hashes, and simhash values in Spark and DuckDB —
+    the foundation every dedup oracle rests on."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dqspark.operators.dedup import (
+        simhash_oracle,
+        shingle_hashes_oracle,
+        with_shingle_hashes,
+        with_simhash,
+    )
+
+    rng = random.Random(42)
+    alphabets = [
+        "abcdefghij XYZ0123456789.,;!?",
+        "àâçéèêëîïôùûüÿæœ café ",
+        "日本語のテキストと空白 ",
+        "mixed 😀🚀 emoji ω∑√ text ",
+        " \t tabs\tand  spaces ",
+    ]
+    texts = ["", "a", "ab", "abc", "   ", "\t\n"]
+    for _ in range(60):
+        alpha = rng.choice(alphabets)
+        n = rng.randint(0, 40)
+        texts.append("".join(rng.choice(alpha) for _ in range(n)))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    sh = with_shingle_hashes(df, "t", out_col="H")
+    sim = with_simhash(df, "t", out_col="simhash")
+    got = {
+        r["id"]: (list(r["H"]), r["simhash"])
+        for r in sh.join(sim.select("id", "simhash"), "id")
+        .select("id", "H", "simhash")
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    harr, bits = simhash_oracle("t")
+    q = f"""
+    WITH h AS (SELECT id, {harr} AS __H,
+                      {shingle_hashes_oracle("coalesce(t, '')")} AS H FROM t)
+    SELECT id, H, ({bits})::bigint AS simhash FROM h
+    """
+    want = {r[0]: (list(r[1]), r[2]) for r in con.execute(q).fetchall()}
+    assert set(got) == set(want)
+    for i in sorted(got):
+        assert got[i] == want[i], f"id={i} text={texts[i]!r}: {got[i]} != {want[i]}"
