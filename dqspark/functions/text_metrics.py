@@ -111,10 +111,11 @@ def with_text_metrics(df: DataFrame, text_col: str = "content") -> DataFrame:
         "n_bpe_tokens",
         F.col("n_tokens")
         + (F.length(c) - F.length(F.translate(c, DIGIT_CHARS, "")))
-        + (
-            F.length(c)
-            - F.length(F.translate(c, ALNUM_CHARS + WHITESPACE_CHARS, ""))
-        ),
+        # punctuation = what REMAINS after stripping alnum+whitespace
+        # (translate removes the listed chars; length of the remainder is
+        # the punctuation count — digits are already excluded here, so
+        # they are counted exactly once, by the digit term above)
+        + F.length(F.translate(c, ALNUM_CHARS + WHITESPACE_CHARS, "")),
     )
 
 
@@ -144,6 +145,6 @@ def text_metrics_oracle_exprs(text_col: str = "text") -> dict[str, str]:
             f" else len(string_split_regex("
             f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g'), '\\s+')) end)"
             f" + (length({t}) - length(translate({t}, '{DIGIT_CHARS}', '')))"
-            f" + (length({t}) - length(translate({t}, '{ALNUM_CHARS}' || ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11), ''))))::double"
+            f" + length(translate({t}, '{ALNUM_CHARS}' || ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11), '')))::double"
         ),
     }

@@ -10,20 +10,40 @@ confidence 0.7.
 reference; here an explicit ``order_col`` (documented divergence: the
 caller must supply the ordering, e.g. an event timestamp or ingest id).
 
-Execution: classic gaps-and-islands with window functions —
-``lag(isnull)`` → change flag → running sum = island id → per-island
-count. The order-by window is a single range partition sort; at scale
-the order column should be a monotone ingest key so the sort is nearly
-pre-sorted within partitions.
+Execution — two-phase range-partitioned gaps-and-islands, ONE Spark job
+regardless of how many critical columns there are:
+
+1. One narrow projection carries the order column plus one ``isNull``
+   boolean per critical column (a handful of bytes per row — content
+   never moves).
+2. ``repartitionByRange(order_col)`` + ``sortWithinPartitions`` gives
+   each task a contiguous, sorted slice of the total order (NO global
+   single-partition sort — the round-2 plan emitted Spark's "No
+   Partition Defined for Window operation" warning here).
+3. A vectorized ``mapInPandas`` pass emits ONE summary row per
+   (partition, column): total rows, leading null run, trailing null
+   run, and the longest run fully inside the slice.
+4. Runs crossing slice boundaries are merged on the driver by chaining
+   trailing→leading runs in range order (all-null slices extend the
+   chain) — an O(partitions × columns) scan over the collected summary,
+   the classic two-phase islands merge.
+
+The flagged columns' report rows come from per-column
+``orderBy(order_col).limit(k)`` — TakeOrderedAndProject, which reduces
+per-partition top-k at the executors and never sorts globally.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dqspark.operators.events import finalize_events, union_events, empty_events
-from dqspark.operators.missing import null_fractions
 
 
 def critical_columns(
@@ -47,6 +67,98 @@ def critical_columns(
     ]
 
 
+def _null_run_summaries(part_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition phase of the two-phase islands pass.
+
+    Input batches are the sorted slice of (order, _n0.._nC bool flags);
+    emits one row per column: (pid, col_idx, n_rows, prefix, suffix,
+    longest) where prefix/suffix are the leading/trailing null runs of
+    the slice and longest is the max run inside it.  Run lengths come
+    from vectorized diff-of-flags — no per-row Python.
+    """
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    cols: list[str] | None = None
+    chunks: list[np.ndarray] = []
+    n_rows = 0
+    for pdf in part_iter:
+        if cols is None:
+            cols = [c for c in pdf.columns if c.startswith("_n")]
+        if len(pdf):
+            chunks.append(pdf[cols].to_numpy(dtype=bool))
+            n_rows += len(pdf)
+    if cols is None or n_rows == 0:
+        yield pd.DataFrame(
+            {"pid": [], "col_idx": [], "n_rows": [], "prefix": [], "suffix": [], "longest": []}
+        ).astype({"pid": "int32", "col_idx": "int32", "n_rows": "int64",
+                  "prefix": "int64", "suffix": "int64", "longest": "int64"})
+        return
+    flags = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    out = {"pid": [], "col_idx": [], "n_rows": [], "prefix": [], "suffix": [], "longest": []}
+    for j in range(flags.shape[1]):
+        x = flags[:, j]
+        d = np.diff(x.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if x[0]:
+            starts = np.concatenate(([0], starts))
+        if x[-1]:
+            ends = np.concatenate((ends, [x.size]))
+        lengths = ends - starts
+        out["pid"].append(pid)
+        out["col_idx"].append(j)
+        out["n_rows"].append(n_rows)
+        out["prefix"].append(int(lengths[0]) if starts.size and starts[0] == 0 else 0)
+        out["suffix"].append(int(lengths[-1]) if ends.size and ends[-1] == x.size else 0)
+        out["longest"].append(int(lengths.max()) if lengths.size else 0)
+    yield pd.DataFrame(out).astype(
+        {"pid": "int32", "col_idx": "int32", "n_rows": "int64",
+         "prefix": "int64", "suffix": "int64", "longest": "int64"}
+    )
+
+
+def max_null_runs(
+    df: DataFrame,
+    order_col: str,
+    columns: list[str],
+    n_range_partitions: int | None = None,
+) -> dict[str, int]:
+    """Global longest consecutive-null run per column, in one Spark job.
+
+    Collects only the O(partitions × columns) summary table; the
+    boundary merge chains trailing→leading runs in range-partition
+    order (repartitionByRange assigns ascending ranges to ascending
+    partition ids, and all-null slices keep the chain alive).
+    """
+    spark = df.sparkSession
+    p = n_range_partitions or spark.sparkContext.defaultParallelism
+    narrow = df.select(
+        F.col(order_col).alias("_ord"),
+        *[F.col(c).isNull().alias(f"_n{i}") for i, c in enumerate(columns)],
+    )
+    ranged = narrow.repartitionByRange(p, "_ord").sortWithinPartitions("_ord")
+    summary = ranged.mapInPandas(
+        _null_run_summaries,
+        schema="pid int, col_idx int, n_rows long, prefix long, suffix long, longest long",
+    ).collect()
+
+    by_pid: dict[int, dict[int, tuple]] = {}
+    for r in summary:
+        by_pid.setdefault(r["pid"], {})[r["col_idx"]] = (
+            r["n_rows"], r["prefix"], r["suffix"], r["longest"]
+        )
+    best = {j: 0 for j in range(len(columns))}
+    carry = {j: 0 for j in range(len(columns))}
+    for pid in sorted(by_pid):
+        for j, (n_rows, prefix, suffix, longest) in by_pid[pid].items():
+            if n_rows == 0:
+                continue
+            best[j] = max(best[j], longest, carry[j] + prefix)
+            carry[j] = carry[j] + n_rows if prefix == n_rows else suffix
+    return {c: best[j] for j, c in enumerate(columns)}
+
+
 def detect_accidental_deletions(
     df: DataFrame,
     key_cols: list[str],
@@ -54,33 +166,19 @@ def detect_accidental_deletions(
     critical: list[str] | None = None,
     max_run: int = 5,
     report_rows: int = 10,
+    n_range_partitions: int | None = None,
 ) -> DataFrame:
     if critical is None:
         critical = critical_columns(df)
-    w = Window.orderBy(order_col)
+    critical = [c for c in critical if c in df.columns]
+    if not critical:
+        key_schema = [(k, df.schema[k].dataType.simpleString()) for k in key_cols]
+        return empty_events(df.sparkSession, key_schema)
+
+    runs = max_null_runs(df, order_col, critical, n_range_partitions)
     parts = []
     for c in critical:
-        if c not in df.columns:
-            continue
-        isnull = F.col(c).isNull().cast("int")
-        marked = df.select(*key_cols, order_col, F.col(c)).withColumn(
-            "_chg",
-            F.when(
-                F.lag(isnull).over(w).isNull() | (F.lag(isnull).over(w) != isnull),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        islands = marked.withColumn(
-            "_island", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        run_w = Window.partitionBy("_island")
-        runs = islands.withColumn("_run", F.count(F.lit(1)).over(run_w))
-        max_null_run = (
-            runs.where(F.col(c).isNull())
-            .agg(F.max("_run").alias("m"))
-            .collect()[0]["m"]
-        )
-        if max_null_run is None or max_null_run <= max_run:
+        if runs[c] <= max_run:
             continue
         first_nulls = (
             df.where(F.col(c).isNull())

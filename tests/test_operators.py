@@ -242,3 +242,43 @@ def test_sanitize_for_json(spark):
     assert dumped["d"][0] is None and dumped["d"][1][0] == 3
     assert dumped["d"][1][1] == {"1": True}
     assert dumped["row"]["v"] is None and not math.isnan(dumped["c"])
+
+
+def test_accidental_deletions_two_phase_islands(spark):
+    """Boundary-crossing null runs are counted exactly across range
+    partitions (two-phase gaps-and-islands merge), including the
+    all-null-partition chain, and the whole detection is ONE Spark job
+    regardless of how many critical columns are scanned."""
+    from dqspark.operators.deletions import detect_accidental_deletions, max_null_runs
+
+    # run of 18 spans several 5-row range partitions; 's' has isolated nulls
+    rows = [
+        (i, None if (10 <= i <= 27 or i == 35) else float(i), "x" if i % 7 else None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    for p in (1, 3, 8, 16):
+        runs = max_null_runs(df, "id", ["v", "s"], n_range_partitions=p)
+        assert runs == {"v": 18, "s": 1}, (p, runs)
+
+    ev = detect_accidental_deletions(
+        df, ["id"], "id", critical=["v", "s"], max_run=5
+    ).collect()
+    assert sorted(r["id"] for r in ev) == list(range(10, 20))
+    assert all(r["column"] == "v" for r in ev)
+
+    # a fully-null column chains through every partition
+    df2 = spark.createDataFrame([(i, None) for i in range(100)], "id long, v double")
+    assert max_null_runs(df2, "id", ["v"], n_range_partitions=16) == {"v": 100}
+
+    # job count independent of column count (round-2 plan ran one
+    # global-window job PER critical column); the constant jobs are the
+    # range-boundary sampling + the summary collect
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(cols: list[str]) -> int:
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        max_null_runs(df, "id", cols, n_range_partitions=4)
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    assert jobs_for(["v"]) == jobs_for(["v", "s", "v", "s"])
