@@ -493,6 +493,14 @@ def ngram_jaccard_pairs(
         verify = "bitset" if n_vocab <= BITSET_VOCAB_MAX else "sets"
     elif verify == "bitset":
         n_vocab = freq.count()
+        if n_vocab > BITSET_VOCAB_MAX:
+            # enforce the documented gate: per-doc bitmaps are
+            # ceil(vocab/63) longs EACH — an unbounded vocabulary would
+            # blow memory, not degrade gracefully
+            raise ValueError(
+                f"verify='bitset' requires distinct-shingle vocabulary <= "
+                f"{BITSET_VOCAB_MAX}, got {n_vocab}; use verify='sets' or 'auto'"
+            )
 
     if verify == "bitset":
         nwords = max(1, -(-n_vocab // BITSET_WORD_BITS))

@@ -32,28 +32,112 @@ def impute_missing(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     return df.fillna(fills)
 
 
-def label_codes(df: DataFrame, column: str) -> DataFrame:
-    """Code book DataFrame[value, code] — classes sorted, 0-based
-    (LabelEncoder parity, lightgbm_anomaly.py:20-24)."""
-    w = Window.orderBy("value")  # cardinality-sized input — tiny sort
-    return (
-        df.select(F.col(column).alias("value"))
-        .where(F.col("value").isNotNull())
-        .distinct()
-        .select("value", (F.row_number().over(w) - 1).alias("code"))
+# above this many distinct values the code book is built with the
+# range-partitioned path instead of a single-partition global window
+WINDOW_CARDINALITY_MAX = 65536
+
+
+def _ranged_label_codes(vals: DataFrame, n_range_partitions: int | None = None) -> DataFrame:
+    """Scale path for high-cardinality label columns: range-partition
+    the distinct values so every task holds a contiguous sorted slice,
+    number rows within each slice with a vectorized cumulative count
+    (no shuffle beyond the range exchange, no global window), then add
+    per-slice offsets computed from one O(partitions) count collect —
+    the distributed dense-rank construction ``zipWithIndex`` uses.
+
+    ``localCheckpoint`` pins the slice layout so the offset job and the
+    returned code book read identical partitioning (range sampling is
+    not re-executed between the two actions)."""
+    import pandas as pd
+
+    value_type = vals.schema["value"].dataType.simpleString()
+    spark = vals.sparkSession
+    p = n_range_partitions or spark.sparkContext.defaultParallelism
+
+    def number_slice(part_iter):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in part_iter:
+            out = pdf[["value"]].copy()
+            out["_pid"] = pid
+            out["_rn"] = pd.RangeIndex(seen, seen + len(pdf)).astype("int64")
+            seen += len(pdf)
+            yield out
+
+    local = (
+        vals.repartitionByRange(p, "value")
+        .sortWithinPartitions("value")
+        .mapInPandas(number_slice, schema=f"value {value_type}, _pid int, _rn long")
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
+    )
+    return local.select(
+        "value", (F.col("_rn") + omap[F.col("_pid")]).cast("int").alias("code")
     )
 
 
-def label_encode(
-    df: DataFrame, columns: list[str], suffix: str = "_code"
+def _label_codes_impl(
+    df: DataFrame,
+    column: str,
+    window_cardinality_max: int,
+    n_range_partitions: int | None,
+) -> tuple[DataFrame, bool]:
+    """→ (code book, is_small).  is_small drives the join strategy in
+    label_encode: a small book is broadcast, a huge one shuffle-joins."""
+    vals = (
+        df.select(F.col(column).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+    )
+    if vals.count() <= window_cardinality_max:
+        w = Window.orderBy("value")  # cardinality-sized input — tiny sort
+        return vals.select("value", (F.row_number().over(w) - 1).alias("code")), True
+    return _ranged_label_codes(vals, n_range_partitions), False
+
+
+def label_codes(
+    df: DataFrame,
+    column: str,
+    window_cardinality_max: int = WINDOW_CARDINALITY_MAX,
+    n_range_partitions: int | None = None,
 ) -> DataFrame:
-    """Append ``<col><suffix>`` int codes via broadcast code-book joins."""
+    """Code book DataFrame[value, code] — classes sorted, 0-based
+    (LabelEncoder parity, lightgbm_anomaly.py:20-24).
+
+    Small label domains (≤ ``window_cardinality_max`` distinct values,
+    probed with one tiny agg over the distinct shuffle) keep the
+    single-sort window — cheapest for the common classification-label
+    case.  Larger domains switch to the range-partitioned dense-rank
+    path, which never funnels the domain through one partition."""
+    return _label_codes_impl(df, column, window_cardinality_max, n_range_partitions)[0]
+
+
+def label_encode(
+    df: DataFrame,
+    columns: list[str],
+    suffix: str = "_code",
+    window_cardinality_max: int = WINDOW_CARDINALITY_MAX,
+) -> DataFrame:
+    """Append ``<col><suffix>`` int codes via code-book joins — broadcast
+    when the book is small, shuffle join when the label domain exceeds
+    the broadcast-sane threshold."""
     out = df
     for column in columns:
-        codes = label_codes(df, column).withColumnRenamed("value", column)
-        out = out.join(
-            F.broadcast(codes.withColumnRenamed("code", f"{column}{suffix}")),
-            column,
-            "left",
+        codes, small = _label_codes_impl(df, column, window_cardinality_max, None)
+        codes = codes.withColumnRenamed("value", column).withColumnRenamed(
+            "code", f"{column}{suffix}"
         )
+        out = out.join(F.broadcast(codes) if small else codes, column, "left")
     return out

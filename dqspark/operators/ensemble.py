@@ -10,12 +10,15 @@ implements with the reference's two behaviors:
 - **per-detector failure isolation** (anomaly_ensemble.py:17-72): each
   detector is wrapped; a failure logs and contributes an EMPTY event
   frame instead of killing the run.  Spark caveat: plans are lazy, so
-  the guard catches plan/analysis-time errors by default; pass
-  ``eager_isolation=True`` to also materialize each detector inside
-  the guard (``localCheckpoint``), which buys the reference's runtime
-  isolation at the cost of one job per detector — the right trade on
-  an unattended production run, the wrong one inside a composed lazy
-  query.
+  a plan-only guard catches analysis-time errors but an execution-time
+  failure would still kill the whole composed run.  The DEFAULT is
+  therefore ``eager_isolation=True`` — each detector is materialized
+  inside the guard (``localCheckpoint``), buying the reference's
+  RUNTIME isolation at the cost of one job per detector: the right
+  trade on an unattended production run.  Pass
+  ``eager_isolation=False`` only when composing the detectors into one
+  lazy plan (e.g. a single benchmarked report query) and plan-level
+  isolation is explicitly sufficient.
 
 ``combine_anomaly_results`` is the reference's score assembly
 (anomaly_ensemble.py:78-88): union with method tags, the
@@ -68,7 +71,7 @@ def run_all_anomaly_detectors(
     related_column_groups: list[list[str]] | None = None,
     expected_types: dict[str, str] | None = None,
     model_stage: Callable[[], tuple[DataFrame, DataFrame | None]] | None = None,
-    eager_isolation: bool = False,
+    eager_isolation: bool = True,
     log: Callable[[str], None] | None = None,
 ) -> dict[str, DataFrame]:
     """→ {method: event DataFrame} for every detector the mode enables.

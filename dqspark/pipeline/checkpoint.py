@@ -5,22 +5,35 @@ executor loss").
 Batch analogue of the reference's nothing (it has no persistence) and of
 Iceberg snapshot commits when the runtime jar is absent (SURVEY.md
 §7.3.7): the input keyspace is split into CHUNKS disjoint slices by a
-path-hash; each slice is processed and written as its own parquet
+content-hash; each slice is processed and written as its own parquet
 directory (Spark's file-commit protocol makes the slice write atomic),
 and the slice id is appended to a manifest only after the write commits.
-A restarted run reads the manifest and anti-joins completed slices —
+A restarted run reads the manifest and skips completed slices —
 re-processing at most one partially-written slice, whose directory is
 simply overwritten (idempotent).
 
 Corpus-global statistics (outlier bounds, rare labels) are computed once
 up front and frozen into ``_stats.json`` so resumed slices flag against
 the SAME thresholds as the original run.
+
+All manifest/stats/fingerprint I/O goes through the Hadoop FileSystem
+API resolved from ``out_dir``'s scheme — the same abstraction the data
+writes use — so resume semantics hold on HDFS/S3A/object stores, not
+just driver-local POSIX paths.  The manifest commit point is a
+filesystem ``rename`` of a temp file: atomic on HDFS and local FS; on
+rename-less object stores the worst case (a crash between delete and
+rename) loses the manifest and re-processes chunks idempotently.
+
+The manifest records an input FINGERPRINT (the canonicalized logical
+plan hash of the input DataFrame): rerunning against the same
+``out_dir`` with a DIFFERENT input invalidates the materialized chunk
+split, the frozen stats, and the completed-chunk set instead of
+silently resuming over stale data.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -34,24 +47,81 @@ def _chunk_col(chunks: int):
     return F.pmod(F.crc32(F.col("content").cast("binary")), F.lit(chunks))
 
 
-def _manifest_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "_manifest.json")
+class _HadoopFS:
+    """Tiny wrapper over org.apache.hadoop.fs.FileSystem via py4j —
+    exists / read-text / atomic-write-text / recursive-delete, resolved
+    from the base path's scheme (file://, hdfs://, s3a://, ...)."""
+
+    def __init__(self, spark, base: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(base).getFileSystem(spark._jsc.hadoopConfiguration())
+        # no .crc sidecars for tiny JSON control files: ChecksumFileSystem
+        # (the local FS) would reject manifests touched by external
+        # tooling; HDFS/object stores carry their own integrity layer
+        self._fs.setWriteChecksum(False)
+        self._fs.setVerifyChecksum(False)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            # commons-io ships on Spark's classpath
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        tmp = self._Path(p + ".tmp")
+        dst = self._Path(p)
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise IOError(f"rename {p}.tmp -> {p} failed")
+
+    def delete_recursive(self, p: str) -> None:
+        path = self._Path(p)
+        if self._fs.exists(path):
+            self._fs.delete(path, True)
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
 
 
-def _read_manifest(out_dir: str) -> set[int]:
-    p = _manifest_path(out_dir)
-    if os.path.exists(p):
-        with open(p) as fh:
-            return set(json.load(fh)["completed_chunks"])
-    return set()
+def _join(base: str, *parts: str) -> str:
+    return "/".join([base.rstrip("/"), *parts])
 
 
-def _commit_chunk(out_dir: str, done: set[int]) -> None:
-    p = _manifest_path(out_dir)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"completed_chunks": sorted(done)}, fh)
-    os.replace(tmp, p)  # atomic on POSIX
+def input_fingerprint(df: DataFrame) -> str:
+    """Identity of the input: hash of the canonicalized analyzed plan
+    plus the schema.  Catches "same out_dir, different input DataFrame"
+    (a different source path, filter, or schema), without running a job
+    over the data."""
+    return f"{df.semanticHash()}:{df.schema.simpleString()}"
+
+
+def _read_manifest(fs: _HadoopFS, out_dir: str) -> dict:
+    p = _join(out_dir, "_manifest.json")
+    if fs.exists(p):
+        m = json.loads(fs.read_text(p))
+        m.setdefault("input_fingerprint", None)  # pre-fingerprint manifests
+        return m
+    return {"completed_chunks": [], "input_fingerprint": None}
+
+
+def _commit_manifest(fs: _HadoopFS, out_dir: str, done: set[int], fp: str) -> None:
+    fs.write_text_atomic(
+        _join(out_dir, "_manifest.json"),
+        json.dumps({"completed_chunks": sorted(done), "input_fingerprint": fp}),
+    )
 
 
 def run_checkpointed(
@@ -63,19 +133,29 @@ def run_checkpointed(
 ) -> DataFrame:
     """Process ``df`` through the quality pipeline in ``chunks`` resumable
     slices; returns the full result read back from ``out_dir``."""
-    os.makedirs(out_dir, exist_ok=True)
-    stats_path = os.path.join(out_dir, "_stats.json")
-    if os.path.exists(stats_path):
-        with open(stats_path) as fh:
-            stats = json.load(fh)
+    spark = df.sparkSession
+    fs = _HadoopFS(spark, out_dir)
+    fs.mkdirs(out_dir)
+    fp = input_fingerprint(df)
+
+    manifest = _read_manifest(fs, out_dir)
+    chunked_path = _join(out_dir, "_chunked_input")
+    stats_path = _join(out_dir, "_stats.json")
+    if manifest["input_fingerprint"] not in (None, fp):
+        # different input than the run that produced this out_dir: the
+        # materialized split, frozen stats and completed-chunk set are
+        # all stale — start over (chunk dirs are overwritten below)
+        fs.delete_recursive(chunked_path)
+        fs.delete_recursive(stats_path)
+        manifest = {"completed_chunks": [], "input_fingerprint": fp}
+
+    if fs.exists(stats_path):
+        stats = json.loads(fs.read_text(stats_path))
     else:
         stats = compute_corpus_stats(df)
-        with open(stats_path + ".tmp", "w") as fh:
-            json.dump(stats, fh)
-        os.replace(stats_path + ".tmp", stats_path)
+        fs.write_text_atomic(stats_path, json.dumps(stats))
 
-    done = _read_manifest(out_dir)
-    spark = df.sparkSession
+    done = set(manifest["completed_chunks"])
 
     # Materialize the chunk split ONCE as a partitioned layout: the
     # naive alternative — df.where(crc32(content) % chunks == i) per
@@ -87,14 +167,17 @@ def run_checkpointed(
     # hash-bucketed on content, this stage is the no-op bucketing
     # already provides.)  Spark's _SUCCESS marker is the commit point,
     # so a run killed mid-write redoes the split idempotently.
-    chunked_path = os.path.join(out_dir, "_chunked_input")
-    if not os.path.exists(os.path.join(chunked_path, "_SUCCESS")):
+    if not fs.exists(_join(chunked_path, "_SUCCESS")):
         (
             df.withColumn("_chunk", _chunk_col(chunks))
             .write.mode("overwrite")
             .partitionBy("_chunk")
             .parquet(chunked_path)
         )
+        # the split now exists for THIS input — record the fingerprint
+        # before any chunk commits so a crashed first run still knows
+        # what the split was built from
+        _commit_manifest(fs, out_dir, done, fp)
     chunked = spark.read.parquet(chunked_path)
 
     for chunk in range(chunks):
@@ -104,9 +187,9 @@ def run_checkpointed(
         res = run_quality_pipeline(
             sub, n_partitions=n_partitions, stats=stats, with_models=with_models
         )
-        res.write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk={chunk}"))
+        res.write.mode("overwrite").parquet(_join(out_dir, f"chunk={chunk}"))
         done.add(chunk)
-        _commit_chunk(out_dir, done)
+        _commit_manifest(fs, out_dir, done, fp)
     return spark.read.option("basePath", out_dir).parquet(
-        *[os.path.join(out_dir, f"chunk={c}") for c in sorted(done)]
+        *[_join(out_dir, f"chunk={c}") for c in sorted(done)]
     )

@@ -177,6 +177,11 @@ def q_full_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_key_columns=["user_id"],
         related_column_groups=[["event_id", "event_type2"]],
         expected_types={"numstr": "numeric"},
+        # this call site composes every detector into ONE lazy plan the
+        # driver benchmarks; plan-level isolation is sufficient here and
+        # eager per-detector materialization would add a job per
+        # detector (the unattended-production default is eager=True)
+        eager_isolation=False,
     )
     ranked = combine_anomaly_results(results)
     return ensemble_summary(ranked)

@@ -282,3 +282,61 @@ def test_accidental_deletions_two_phase_islands(spark):
         return len(tracker.getJobIdsForGroup(None) or []) - before
 
     assert jobs_for(["v"]) == jobs_for(["v", "s", "v", "s"])
+
+
+def test_label_encode_scale_path_matches_window_path(spark):
+    """Past the cardinality threshold the code book comes from the
+    range-partitioned dense-rank path: identical codes, and the plan has
+    no single-partition window exchange."""
+    from dqspark.operators.encoding import label_codes, label_encode
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 97).cast("string").alias("label"), "id"
+    )
+    fast = {
+        r["value"]: r["code"]
+        for r in label_codes(df, "label", window_cardinality_max=1 << 20).collect()
+    }
+    ranged_codes = label_codes(df, "label", window_cardinality_max=0, n_range_partitions=5)
+    ranged = {r["value"]: r["code"] for r in ranged_codes.collect()}
+    assert ranged == fast and len(fast) == 97
+
+    plan = ranged_codes._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+    # end-to-end encode agrees across both paths too
+    a = label_encode(df, ["label"]).select("id", "label_code")
+    b = label_encode(df, ["label"], window_cardinality_max=0).select("id", "label_code")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_run_all_eager_isolation_catches_runtime_failure(spark):
+    """Default eager isolation materializes each detector inside the
+    guard, so a detector that passes ANALYSIS but fails at EXECUTION
+    contributes an empty frame instead of killing the composed run
+    (reference runtime isolation, anomaly_ensemble.py:17-72)."""
+    from dqspark.operators.ensemble import run_all_anomaly_detectors
+
+    df = _tiny_table(spark)
+
+    def exploding_model_stage():
+        # analysis-clean, execution-fails: assert_true trips per row
+        bad = df.select(
+            "row_id",
+            F.assert_true(F.col("value") < 0).cast("string").alias("column"),
+            F.lit("x").alias("value"),
+            F.lit("model_issue").alias("issue_type"),
+            F.lit(1.0).alias("confidence"),
+            F.lit(None).cast("double").alias("anomaly_score"),
+            F.lit(None).cast("string").alias("details"),
+        )
+        return bad, None
+
+    logs = []
+    out = run_all_anomaly_detectors(
+        df, ["row_id"], mode="ml", min_freq=0.2,
+        model_stage=exploding_model_stage, log=logs.append,
+    )
+    assert out["model"].count() == 0
+    assert any(l.startswith("x model") for l in logs)
+    assert out["numeric"].count() >= 0  # run survived

@@ -273,3 +273,30 @@ def test_job_entrypoint(spark, corpus_pdf, tmp_path):
     m0 = os.path.getmtime(os.path.join(out, "chunk=0"))
     job.main(args, spark=spark)
     assert os.path.getmtime(os.path.join(out, "chunk=0")) == m0
+
+
+def test_checkpoint_input_fingerprint_invalidates_stale_split(spark, corpus_pdf, tmp_path):
+    """Rerunning against the same out_dir with a DIFFERENT input must
+    rebuild the materialized chunk split + stats + manifest instead of
+    resuming over stale data (manifest records the input's canonicalized
+    plan fingerprint)."""
+    out = str(tmp_path / "ckpt_fp")
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    run_checkpointed(sdf, out, chunks=2, with_models=False)
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        m1 = json.load(fh)
+    assert m1["input_fingerprint"] and len(m1["completed_chunks"]) == 2
+
+    # different input: half the corpus — a silent resume would return
+    # the full-corpus rows from the stale split
+    half = sdf.limit(N // 2)
+    res = run_checkpointed(half, out, chunks=2, with_models=False)
+    assert res.count() == N // 2
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        m2 = json.load(fh)
+    assert m2["input_fingerprint"] != m1["input_fingerprint"]
+
+    # same input again: manifest says complete, nothing recomputed
+    mtime = os.path.getmtime(os.path.join(out, "chunk=0"))
+    assert run_checkpointed(half, out, chunks=2, with_models=False).count() == N // 2
+    assert os.path.getmtime(os.path.join(out, "chunk=0")) == mtime
