@@ -114,6 +114,40 @@ def embedding_near_dup_pairs(
 
 # --- IVF (approximate, scale path) ------------------------------------------
 
+def l2_normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def kmeans_cells(
+    X: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic mini spherical k-means over a sample matrix (seeded
+    init, fixed iteration count).  Shared by the Spark path
+    (train_centroids) and the local-oracle replication in
+    plans/local_oracle.py so both derive identical centroids from the
+    same sample rows."""
+    X = l2_normalize(np.asarray(X, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = l2_normalize(C)
+    return C
+
+
+def topk_cells(X: np.ndarray, centroids: np.ndarray, nprobe: int) -> np.ndarray:
+    """(n, nprobe) nearest-cell ids by dot product on the normalized
+    rows — the exact computation the assign_cells pandas UDF runs per
+    Arrow batch (shared so the oracle replication is bit-identical)."""
+    X = l2_normalize(np.asarray(X, dtype=np.float64))
+    sims = X @ centroids.T
+    return np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+
+
 def train_centroids(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -134,17 +168,7 @@ def train_centroids(
     rows costs nothing."""
     rows = vectors.orderBy(key_col).limit(sample).select(vec_col).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = (X @ C.T).argmax(axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    return C
+    return kmeans_cells(X, n_cells, iters=iters, seed=seed)
 
 
 def assign_cells(
@@ -161,12 +185,8 @@ def assign_cells(
 
     @F.pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
-        C = bc.value
         X = np.array(v.tolist(), dtype=np.float64)
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = X @ C.T
-        top = np.argsort(-sims, axis=1)[:, :nprobe]
-        return pd.Series(list(top.astype(np.int32)))
+        return pd.Series(list(topk_cells(X, bc.value, nprobe)))
 
     return df.withColumn(out_col, cells(F.col(vec_col)))
 

@@ -328,6 +328,50 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, queries, centroids, k=5, nprobe=3)
 
 
+def _ivf_recall_oracle() -> str:
+    from dqspark.plans.local_oracle import knn_ivf_recall_values, oracle_sf_dir
+
+    values = knn_ivf_recall_values(oracle_sf_dir(), n_cells=16, nprobe=3, k=5)
+    return f"""
+SELECT query_id, hits::int AS hits, round(recall, 4)::double AS recall
+FROM {values}
+"""
+
+
+@register("knn_ivf_recall", _ivf_recall_oracle)
+def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PRODUCTION IVF operating point (nprobe=3 of 16
+    cells) vs exact brute force, per query — the tracked number for the
+    approximate path (VERDICT r2 #5).  The oracle replays the identical
+    deterministic quantizer single-process (plans/local_oracle.py) and
+    recomputes brute force + IVF + recall outside Spark, so the
+    distributed cell-join/rerank machinery is value-checked at the
+    approximate setting, not just at full probe."""
+    emb = _emb_planted(spark, sf_dir)
+    centroids = train_centroids(emb, n_cells=16)
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    ivf = knn_ivf(emb, queries, centroids, k=5, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    bf = knn_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
+    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_actual"))
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("int").alias("hits"),
+            F.round(
+                F.coalesce("h", F.lit(0)) / F.col("k_actual"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 @register("knn_ivf_fullprobe", _KNN_ORACLE)
 def q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe IVF: every query probes all cells while each vector

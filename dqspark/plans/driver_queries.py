@@ -46,10 +46,17 @@ from dqspark.operators.updates import (
 from dqspark.sources.catalog import load_table
 
 QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+# value: SQL string, or a zero-arg callable returning the SQL lazily.
+# Lazy oracles exist for model-based queries: the oracle side re-runs
+# the SAME deterministic driver-side model locally (numpy over the
+# parquet read via DuckDB — no Spark) and embeds the expected values as
+# a literal table, making the distributed Arrow-UDF inference path
+# value-checkable end-to-end.  They are resolved when oracle_sql() is
+# called, never at import time.
+ORACLES: dict = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle=None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -57,6 +64,11 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES with lazy (callable) entries evaluated to SQL strings."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 # ---------------------------------------------------------------------------

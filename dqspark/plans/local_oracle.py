@@ -1,0 +1,157 @@
+"""Local (non-Spark) replication of the model-based queries, used to
+build VALUES-table oracles lazily.
+
+The driver's correctness gate runs each registered query on Spark and
+its oracle SQL on DuckDB.  The model stages (NB langid, trigram-LM
+perplexity, IVF coarse quantizer) are deterministic driver-side numpy —
+not expressible in SQL, but exactly re-runnable OUTSIDE Spark: this
+module reads the same parquet through DuckDB, applies the same planted
+derivations, runs the same numpy scoring single-process, and emits the
+expected rows as a literal table.  The differential then verifies the
+DISTRIBUTED machinery end-to-end — Arrow batch transfer, broadcast
+(de)serialization, prefix substring, cell-join shuffle, rerank — against
+a single-process reference, value for value.
+
+The SF directory must match the one the driver's views read; it is taken
+from ``$DQSPARK_ORACLE_SF_DIR`` (set by tools/selfcheck.py) and defaults
+to the driver's correctness scale, /root/testdata/sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import lru_cache
+
+import numpy as np
+
+
+def oracle_sf_dir() -> str:
+    return os.environ.get("DQSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('nan' AS DOUBLE)"
+        # string→double parse round-trips exactly; a bare literal would
+        # be DECIMAL-typed in DuckDB and lose binary precision
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def values_table(rows: list[tuple], columns: list[str]) -> str:
+    """(VALUES ...) AS t(col, ...) — a literal table DuckDB scans."""
+    if not rows:
+        # typed empty relation: VALUES needs >= 1 row, so emit a WHERE false
+        cols = ", ".join(f"NULL AS {c}" for c in columns)
+        return f"(SELECT {cols} WHERE false) AS t"
+    body = ",\n".join("(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows)
+    return f"(VALUES\n{body}\n) AS t({', '.join(columns)})"
+
+
+def _connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# langid / perplexity model scores
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=4)
+def model_scores_values(sf_dir: str, plants_sql: str | None = None) -> str:
+    """VALUES table (doc_id, lang_pred, lang_conf, log_ppl): the same
+    deterministic models the pipeline broadcasts, scored single-process
+    over the same corpus (optionally the planted derivation).  The model
+    prefixes (LANGID_MAX_CHARS / LM_MAX_CHARS) are applied inside the
+    scoring functions on both paths, so full-text input here equals the
+    Spark side's 1024-char substring input."""
+    from dqspark.pipeline.quality import train_default_models
+
+    con = _connect(sf_dir)
+    src = f"({plants_sql})" if plants_sql else "documents"
+    pdf = con.sql(f"SELECT doc_id, text FROM {src} ORDER BY doc_id").df()
+    texts = pdf["text"].fillna("").tolist()
+    lid, lm = train_default_models()
+    pred_idx, conf = lid.predict_batch(texts)
+    log_ppl = lm.log_ppl_batch(texts)
+    langs = np.array(lid.langs, dtype=object)
+    rows = [
+        (int(d), str(langs[pi]), float(c), float(p))
+        for d, pi, c, p in zip(pdf["doc_id"], pred_idx, conf, log_ppl)
+    ]
+    return values_table(rows, ["doc_id", "lang_pred", "lang_conf", "log_ppl"])
+
+
+# ---------------------------------------------------------------------------
+# IVF recall (production operating point nprobe << n_cells)
+# ---------------------------------------------------------------------------
+
+def _planted_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Replicates dedup_queries._emb_planted: base ∪ (vec_id+100000,
+    float32(double(x)·1.001)) for vec_id % 40 == 0 — the same float32
+    rounding Spark's (x * lit(1.001)).cast('float') performs."""
+    con = _connect(sf_dir)
+    pdf = con.sql("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mask = ids % 40 == 0
+    dup_ids = ids[mask] + 100000
+    dup_V = (V[mask] * 1.001).astype(np.float32).astype(np.float64)
+    all_ids = np.concatenate([ids, dup_ids])
+    all_V = np.concatenate([V, dup_V], axis=0)
+    order = np.argsort(all_ids, kind="stable")
+    return all_ids[order], all_V[order]
+
+
+@lru_cache(maxsize=4)
+def knn_ivf_recall_values(
+    sf_dir: str, n_cells: int = 16, nprobe: int = 3, k: int = 5
+) -> str:
+    """VALUES table (query_id, hits, recall): single-process IVF at the
+    production operating point vs single-process brute force, using the
+    SAME deterministic kmeans/assignment primitives as the Spark path
+    (operators/similarity.py kmeans_cells / topk_cells) over the same
+    ordered centroid sample."""
+    from dqspark.operators.similarity import kmeans_cells, topk_cells
+
+    ids, V = _planted_embeddings(sf_dir)
+    C = kmeans_cells(V[:2048], n_cells)  # = orderBy(vec_id).limit(2048)
+    v_cell = topk_cells(V, C, 1)[:, 0]
+
+    q_mask = (ids % 50 == 0) & (ids < 100000)
+    q_ids, Q = ids[q_mask], V[q_mask]
+    q_cells = topk_cells(Q, C, nprobe)
+
+    norms = np.linalg.norm(V, axis=1)
+    rows = []
+    for qi in range(len(q_ids)):
+        qv = Q[qi]
+        cos = np.round((V @ qv) / (norms * np.linalg.norm(qv)), 6)
+        not_self = ids != q_ids[qi]
+        # brute-force top-k: (-cos, neighbor_id) lexicographic
+        cand = np.flatnonzero(not_self)
+        order = np.lexsort((ids[cand], -cos[cand]))
+        bf = set(ids[cand[order[:k]]])
+        # IVF: same ordering restricted to probed cells
+        in_cells = np.isin(v_cell, q_cells[qi])
+        cand_i = np.flatnonzero(not_self & in_cells)
+        order_i = np.lexsort((ids[cand_i], -cos[cand_i]))
+        ivf = set(ids[cand_i[order_i[:k]]])
+        hits = len(bf & ivf)
+        rows.append((int(q_ids[qi]), int(hits), float(hits) / max(len(bf), 1)))
+    return values_table(rows, ["query_id", "hits", "recall"])

@@ -7,8 +7,12 @@ z∪IQR flags, rare labels, dedupe window + canonical pick, scrub chain,
 severity and keep/drop are all re-derived in ANSI-ish SQL.
 
 ``quality_pipeline`` / ``langid_scores`` add the model stages (langid,
-perplexity) — not SQL-expressible, so the driver records the weaker
-rows-only check for them (documented divergence).
+perplexity) — not SQL-expressible, but the models are deterministic
+driver-side numpy, so their oracles re-score the same corpus
+single-process (plans/local_oracle.py) and embed the expected values as
+a literal table: the differential verifies the distributed inference
+path (Arrow batches, broadcast models, prefix substring) value for
+value against a non-Spark reference.
 """
 
 from __future__ import annotations
@@ -99,12 +103,55 @@ def _to_codefiles(planted: DataFrame) -> DataFrame:
 # the full heuristic-mode oracle
 # ---------------------------------------------------------------------------
 
-def _quality_heuristic_oracle() -> str:
+def _quality_oracle(model_values: str | None = None) -> str:
+    """The full pipeline oracle.  ``model_values`` (a VALUES-table SQL
+    fragment with doc_id, lang_pred, lang_conf, log_ppl — the locally
+    re-scored deterministic models, plans/local_oracle.py) extends the
+    heuristic oracle with the model-gated flags (gibberish,
+    wrong_language) and the model output columns, making the FULL
+    pipeline value-checkable; ``None`` yields the pure-heuristic
+    oracle."""
     tm = text_metrics_oracle_exprs("content")
     scrub_expr, scrub_counts = scrub_oracle_exprs("content")
     w = spec.WEIGHTS
+
+    model_cte = ""
+    model_join = ""
+    model_flag_cols = ""
+    model_keep = ""
+    model_sev = ""
+    model_issues = ""
+    model_out = ""
+    if model_values is not None:
+        model_cte = f"model AS (SELECT doc_id, lang_pred, lang_conf, log_ppl FROM {model_values}),"
+        model_join = "JOIN model mo ON m.doc_id = mo.doc_id"
+        # live/conf/severity semantics mirror quality.py's flags dict:
+        # gibberish conf = min(1, log_ppl/scale), live = flag AND conf >=
+        # floor; wrong_language conf = lang_conf (its flag already
+        # requires conf >= min-conf = floor); drop when sev >= floor
+        model_flag_cols = f""",
+         mo.lang_pred, mo.lang_conf, mo.log_ppl,
+         least(1.0, mo.log_ppl / {spec.GIBBERISH_PPL_SCALE}) AS gib_conf,
+         (mo.log_ppl > {spec.GIBBERISH_LOG_PPL}
+          AND least(1.0, mo.log_ppl / {spec.GIBBERISH_PPL_SCALE}) >= {spec.CONFIDENCE_FLOOR}) AS f_gib,
+         (m.lang IS NOT NULL AND mo.lang_pred <> m.lang
+          AND mo.lang_conf >= {spec.WRONG_LANG_MIN_CONF}) AS f_wrong"""
+        model_keep = (
+            f" OR (f_gib AND gib_conf * {w['gibberish']} >= {spec.CONFIDENCE_FLOOR})"
+            f" OR (f_wrong AND lang_conf * {w['wrong_language']} >= {spec.CONFIDENCE_FLOOR})"
+        )
+        model_sev = (
+            f",\n         CASE WHEN f_gib THEN gib_conf * {w['gibberish']} ELSE 0 END"
+            f",\n         CASE WHEN f_wrong THEN lang_conf * {w['wrong_language']} ELSE 0 END"
+        )
+        model_issues = (
+            ",\n         CASE WHEN f_gib THEN 'gibberish' END"
+            ",\n         CASE WHEN f_wrong THEN 'wrong_language' END"
+        )
+        model_out = ",\n       lang_pred,\n       round(log_ppl, 4)::double AS log_ppl"
     return f"""
 WITH plants AS ({_PLANTS_SQL}),
+{model_cte}
 corpus AS (
   -- CASE mirrors the Spark pipeline's normalize() null-string stage
   -- (upload.py:56-61): a literal 'null' label reads as NULL
@@ -169,32 +216,43 @@ flags AS (
          (d.dup_n > 1) AS f_dup,
          (d.rn = 1) AS canonical,
          ({is_blank_oracle('m.content')} OR m.lang IS NULL) AS f_missing,
-         (scrub_toxicity >= {spec.TOXICITY_DROP_HITS}) AS f_tox
+         (scrub_toxicity >= {spec.TOXICITY_DROP_HITS}) AS f_tox{model_flag_cols}
   FROM m, stats s
   JOIN dup d ON m.doc_id = d.doc_id
+  {model_join}
 )
 SELECT doc_id,
        NOT (coalesce(f_numeric, false) OR coalesce(f_rare, false)
-            OR (f_dup AND NOT canonical) OR f_missing OR f_tox) AS keep,
+            OR (f_dup AND NOT canonical) OR f_missing OR f_tox{model_keep}) AS keep,
        round(greatest(
          0.0,
          CASE WHEN coalesce(f_numeric, false) THEN {w["numeric_outlier"]} ELSE 0 END,
          CASE WHEN coalesce(f_rare, false) THEN {w["rare_category"]} ELSE 0 END,
          CASE WHEN f_dup THEN {w["duplicate_record"]} ELSE 0 END,
          CASE WHEN f_missing THEN {w["missing_required_field"]} ELSE 0 END,
-         CASE WHEN f_tox THEN {w["toxicity_density"]} ELSE 0 END
+         CASE WHEN f_tox THEN {w["toxicity_density"]} ELSE 0 END{model_sev}
        ), 4)::double AS severity,
        coalesce(array_to_string(list_sort(list_filter([
          CASE WHEN coalesce(f_numeric, false) THEN 'numeric_outlier' END,
          CASE WHEN coalesce(f_rare, false) THEN 'rare_category' END,
          CASE WHEN f_dup THEN 'duplicate_record' END,
          CASE WHEN f_missing THEN 'missing_required_field' END,
-         CASE WHEN f_tox THEN 'toxicity_density' END
+         CASE WHEN f_tox THEN 'toxicity_density' END{model_issues}
        ], x -> x IS NOT NULL)), ','), '') AS issues,
        scrub_hits::bigint AS scrub_hits,
-       sha256(scrubbed) AS scrubbed_sha256
+       sha256(scrubbed) AS scrubbed_sha256{model_out}
 FROM flags
 """
+
+
+def _quality_heuristic_oracle() -> str:
+    return _quality_oracle(None)
+
+
+def _quality_pipeline_oracle() -> str:
+    from dqspark.plans.local_oracle import model_scores_values, oracle_sf_dir
+
+    return _quality_oracle(model_scores_values(oracle_sf_dir(), _PLANTS_SQL))
 
 
 @register("quality_heuristic", _quality_heuristic_oracle())
@@ -212,10 +270,14 @@ def q_quality_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# model-based stages — rows-only driver check (not SQL-expressible)
+# model-based stages — value-checked against the locally re-scored
+# deterministic models (VALUES-table oracles, plans/local_oracle.py):
+# the differential covers the Arrow UDF transfer, broadcast
+# (de)serialization and prefix handling of the distributed inference
+# path against a single-process reference
 # ---------------------------------------------------------------------------
 
-@register("quality_pipeline")
+@register("quality_pipeline", _quality_pipeline_oracle)
 def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full flagship pipeline (heuristics + langid + perplexity)."""
     cf = _to_codefiles(_planted_corpus(spark, sf_dir))
@@ -227,11 +289,23 @@ def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("issue_types", ",").alias("issues"),
         "lang_pred",
         F.round("log_ppl", 4).alias("log_ppl"),
+        F.col("scrub_hits").cast("bigint").alias("scrub_hits"),
         "scrubbed_sha256",
     )
 
 
-@register("langid_scores")
+def _langid_scores_oracle() -> str:
+    from dqspark.plans.local_oracle import model_scores_values, oracle_sf_dir
+
+    values = model_scores_values(oracle_sf_dir())
+    return f"""
+SELECT doc_id, lang_pred, round(lang_conf, 4)::double AS lang_conf,
+       round(log_ppl, 4)::double AS log_ppl
+FROM {values}
+"""
+
+
+@register("langid_scores", _langid_scores_oracle)
 def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-model langid + perplexity scores alone (M4 analog)."""
     from dqspark.pipeline.quality import with_model_scores

@@ -43,6 +43,8 @@ def normalize(df) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # lazy oracles (model-based VALUES tables) must read the same SF dir
+    os.environ["DQSPARK_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TPCH_TABLES:
