@@ -40,6 +40,8 @@ def stream_quality_filter(
     checkpoint_dir: str,
     stats: dict,
     with_models: bool = False,
+    max_files_per_trigger: int | None = None,
+    with_audit: bool = False,
 ):
     """File-source stream → per-batch quality pipeline → parquet sink.
 
@@ -56,13 +58,39 @@ def stream_quality_filter(
     discovery over batch_id for free.  Returns the started
     StreamingQuery; use ``trigger(availableNow=True)`` semantics for
     batch-catchup runs.
+
+    ``with_audit`` additionally writes the per-(repo, salt-bucket) audit
+    rows of each micro-batch under ``output_dir/_audit/batch_id=<id>``
+    (north_rule lineage+metrics; counts are additive across batches, so
+    the cumulative audit view is a sum-regroup over batch ids).  The
+    underscore prefix keeps the audit table invisible to readers of the
+    main output path.
+
+    Duplicate detection is computed WITHIN each micro-batch: for
+    stream==batch parity the input files must be sliced by content hash
+    (the same convention pipeline/checkpoint.py materializes) so every
+    exact-duplicate group arrives in one micro-batch; otherwise use
+    ``stream_dedupe`` (watermarked cross-batch state) upstream and
+    treat the per-batch duplicate flag as batch-local.
     """
-    stream = stream_codefiles(spark, input_dir)
+    from dqspark.pipeline.quality import audit_summary
+
+    stream = stream_codefiles(spark, input_dir, max_files_per_trigger)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         res = run_quality_pipeline(batch_df, stats=stats, with_models=with_models)
+        if with_audit:
+            # the pipeline frame is read twice within the epoch (rows +
+            # audit agg) — materialize once instead of recomputing the
+            # model/scrub stages per sink
+            res = res.localCheckpoint()
+            audit_summary(res).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("overwrite").parquet(
+                f"{output_dir}/_audit/batch_id={batch_id}"
+            )
         res.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     return (
