@@ -86,11 +86,20 @@ def main() -> None:
                 pass
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
+    # Best-of-2 per query: the sandbox VM shares hardware and its
+    # ambient throughput swings several-fold within minutes (BENCH.md
+    # records a 2.5 s vs 38 s spread on the SAME query, same session,
+    # quiet vs contended host).  Two measurements with the minimum taken
+    # is the cheapest protocol that keeps one noisy window from
+    # masquerading as a plan regression; both raw runs are reported.
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in headline + round2:
         fn = driver_queries.QUERIES[name]
         try:
-            times[name] = round(_run(fn(spark, sf_dir)), 3)
+            rr = [round(_run(fn(spark, sf_dir)), 3) for _ in range(2)]
+            runs[name] = rr
+            times[name] = min(rr)
         except Exception as exc:  # keep the bench line intact on one failure
             times[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -119,6 +128,8 @@ def main() -> None:
         "round2_queries": round2,
         "warmup_sec": warmup_sec,
         "warmup": f"each query once at {warm_dir} (steady-state convention)",
+        "runs": runs,
+        "protocol": "best of 2 runs per query (shared-VM ambient noise)",
     }
     if files_per_sec is not None:
         out["files_per_sec"] = files_per_sec

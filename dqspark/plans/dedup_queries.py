@@ -401,3 +401,41 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs_ivf(
         emb, centroids, threshold=0.95, nprobe=n_cells
     )
+
+
+def _neardup_ivf_recall_oracle() -> str:
+    from dqspark.plans.local_oracle import neardup_ivf_recall_values, oracle_sf_dir
+
+    values = neardup_ivf_recall_values(oracle_sf_dir(), n_cells=8, nprobe=2)
+    return f"""
+SELECT n_true::int AS n_true, n_found::int AS n_found,
+       round(recall, 4)::double AS recall
+FROM {values}
+"""
+
+
+@register("neardup_ivf_recall", _neardup_ivf_recall_oracle)
+def q_neardup_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the PRODUCTION cell-bucketed near-dup setting (nprobe=2
+    of 8 cells) vs the exact all-pairs baseline — one tracked row
+    (n_true, n_found, recall).  Oracle: single-process replication of
+    the same deterministic quantizer + candidate rule
+    (plans/local_oracle.py).  Precision is 1 by construction (exact
+    rerank), so recall is the whole story."""
+    emb = _emb_planted(spark, sf_dir)
+    centroids = train_centroids(emb, n_cells=8)
+    brute = embedding_near_dup_pairs(emb, threshold=0.95).select("key1", "key2")
+    ivf = embedding_near_dup_pairs_ivf(
+        emb, centroids, threshold=0.95, nprobe=2
+    ).select("key1", "key2")
+    n_true = brute.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = brute.join(ivf, ["key1", "key2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return n_true.crossJoin(n_found).select(
+        F.col("n_true").cast("int").alias("n_true"),
+        F.col("n_found").cast("int").alias("n_found"),
+        F.round(
+            F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)), 4
+        ).alias("recall"),
+    )

@@ -187,11 +187,35 @@ def q_full_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensemble_summary(ranked)
 
 
-@register("feature_importance")
+def _feature_importance_oracle() -> str:
+    """Snapshot differential: the importance list is deterministic
+    shared code (pure arithmetic over the trained table — its own
+    determinism is pytest-asserted), so what this oracle checks is the
+    EVENT-SHAPING path: createDataFrame typing, the event projection,
+    and the driver's schema/value compare, against the same rows built
+    without Spark."""
+    from dqspark.pipeline.models import feature_importance
+    from dqspark.pipeline.quality import train_default_models
+    from dqspark.plans.local_oracle import values_table
+
+    langid, _ = train_default_models()
+    rows = [
+        (i, feat, "feature_importance", "N/A", f"importance={imp:.6f}")
+        for i, (feat, imp) in enumerate(feature_importance(langid, top_k=20))
+    ]
+    values = values_table(
+        rows, ["event_id", "col_name", "issue_type", "value", "details"]
+    )
+    return f"SELECT event_id, col_name, issue_type, value, details FROM {values}"
+
+
+@register("feature_importance", _feature_importance_oracle)
 def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: gain-style importances from the driver-trained langid model
-    (reference: ml/lightgbm_anomaly.py:80-88), shaped as events.  Model-
-    derived values → rows-only driver check; determinism and shape are
+    (reference: ml/lightgbm_anomaly.py:80-88), shaped as events.
+    Value-checked against a locally-built literal table (see
+    _feature_importance_oracle for what the differential does and does
+    not cover); determinism of the importance computation itself is
     asserted in tests/test_operators.py."""
     from dqspark.pipeline.models import feature_importance
     from dqspark.pipeline.quality import train_default_models
@@ -199,4 +223,10 @@ def q_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     langid, _ = train_default_models()
     pairs = feature_importance(langid, top_k=20)
     ev = feature_importance_events(spark, pairs, [("event_id", "bigint")])
-    return ev.select("event_id", "column", "issue_type", "value", "details")
+    return ev.select(
+        "event_id",
+        F.col("column").alias("col_name"),
+        "issue_type",
+        "value",
+        "details",
+    )

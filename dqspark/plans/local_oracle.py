@@ -155,3 +155,34 @@ def knn_ivf_recall_values(
         hits = len(bf & ivf)
         rows.append((int(q_ids[qi]), int(hits), float(hits) / max(len(bf), 1)))
     return values_table(rows, ["query_id", "hits", "recall"])
+
+
+@lru_cache(maxsize=4)
+def neardup_ivf_recall_values(
+    sf_dir: str, n_cells: int = 8, nprobe: int = 2, threshold: float = 0.95
+) -> str:
+    """VALUES table (n_true, n_found, recall): the cell-bucketed
+    near-dup pairs operator at its production setting (nprobe <<
+    n_cells) vs the exact all-pairs ground truth, replicated
+    single-process.  Precision is 1 by construction (candidates are
+    exact-reranked), so recall is the tracked number."""
+    from dqspark.operators.similarity import kmeans_cells, topk_cells
+
+    ids, V = _planted_embeddings(sf_dir)
+    n = len(ids)
+    C = kmeans_cells(V[:2048], n_cells)
+    cells = topk_cells(V, C, nprobe)
+
+    norms = np.linalg.norm(V, axis=1)
+    cos = np.round((V @ V.T) / np.outer(norms, norms), 6)
+    iu = np.triu_indices(n, 1)  # ids ascending → index order == id order
+    true_mask = cos[iu] >= threshold
+
+    shared = np.zeros((n, n), dtype=bool)
+    for c in range(n_cells):
+        has = (cells == c).any(axis=1)
+        shared |= np.outer(has, has)
+    n_true = int(true_mask.sum())
+    n_found = int((true_mask & shared[iu]).sum())
+    rows = [(n_true, n_found, float(n_found) / max(n_true, 1))]
+    return values_table(rows, ["n_true", "n_found", "recall"])
