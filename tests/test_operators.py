@@ -340,3 +340,72 @@ def test_run_all_eager_isolation_catches_runtime_failure(spark):
     assert out["model"].count() == 0
     assert any(l.startswith("x model") for l in logs)
     assert out["numeric"].count() >= 0  # run survived
+
+
+def test_accidental_deletions_fuzz_vs_pandas(spark):
+    """Seeded-random differential: max_null_runs (two-phase
+    range-partitioned islands) equals a trivially-correct pandas
+    reference over random null patterns, lengths, and partition
+    counts — including all-null, no-null, and runs spanning many
+    slices."""
+    import numpy as np
+
+    from dqspark.operators.deletions import max_null_runs
+
+    rng = np.random.RandomState(7)
+
+    def ref_max_run(flags):
+        best = cur = 0
+        for f in flags:
+            cur = cur + 1 if f else 0
+            best = max(best, cur)
+        return best
+
+    for case in range(10):
+        n = int(rng.randint(1, 400))
+        p_null = rng.choice([0.02, 0.3, 0.7, 1.0])
+        a = rng.rand(n) < p_null
+        b = rng.rand(n) < rng.choice([0.0, 0.5])
+        rows = [
+            (i, None if a[i] else float(i), None if b[i] else "x")
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, u double, v string")
+        parts = int(rng.choice([1, 2, 5, 16, 64]))
+        got = max_null_runs(df, "id", ["u", "v"], n_range_partitions=parts)
+        want = {"u": ref_max_run(a), "v": ref_max_run(b)}
+        assert got == want, (case, n, parts, got, want)
+
+
+def test_job_entry_end_to_end(spark, tmp_path):
+    """spark-submit entry (dqspark/job.py): parses args, runs the
+    resumable pipeline, writes result + audit tables; rerunning the same
+    command is a manifest no-op with identical output."""
+    import os
+
+    from dqspark import job
+    from dqspark.pipeline import corpus
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    audit = str(tmp_path / "audit")
+    spark.createDataFrame(corpus.gen_pandas(150, with_class=False)).write.parquet(src)
+
+    argv = ["--input", src, "--output", out, "--audit", audit,
+            "--chunks", "3", "--no-models"]
+    job.main(argv, spark=spark)
+    res = spark.read.option("basePath", out).parquet(
+        *[f"{out}/chunk={c}" for c in range(3)]
+    )
+    assert res.count() == 150
+    assert {"keep", "severity", "scrubbed_content", "scrubbed_sha256"} <= set(res.columns)
+    a = spark.read.parquet(audit)
+    assert a.agg({"n_files": "sum"}).collect()[0][0] == 150
+    assert os.path.exists(f"{out}/_manifest.json")
+
+    first = sorted(map(tuple, res.select("repo", "path", "keep").collect()))
+    job.main(argv, spark=spark)  # resume: all chunks complete → no-op
+    res2 = spark.read.option("basePath", out).parquet(
+        *[f"{out}/chunk={c}" for c in range(3)]
+    )
+    assert sorted(map(tuple, res2.select("repo", "path", "keep").collect())) == first
