@@ -226,6 +226,90 @@ def knn_ivf(
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+# --- Random-hyperplane LSH (the second bucketed ANN family) ----------------
+
+def rh_planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for cosine LSH (Charikar,
+    "Similarity estimation techniques from rounding algorithms", STOC
+    2002): sign(x·h) bits preserve angle — P[bit match] = 1 - θ/π."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim)
+
+
+def rh_band_keys(X: np.ndarray, planes: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, n_bands) int64 band keys: the bit signature sign(X·Hᵀ)
+    packed per band.  Shared by the Spark pandas UDF and the
+    local-oracle replication (bit-identical by construction)."""
+    bits = (np.asarray(X, dtype=np.float64) @ planes.T) >= 0
+    n_bits = planes.shape[0]
+    band_bits = n_bits // n_bands
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+    out = np.empty((len(bits), n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        seg = bits[:, b * band_bits : (b + 1) * band_bits]
+        out[:, b] = seg @ weights
+    return out
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Hyperplane-LSH bucketed near-dup pairs — the banding-based
+    alternative to the IVF cell join (same shape as MinHash-LSH for
+    text, operators/dedup.py): candidates collide on at least one of
+    ``n_bands`` signature bands, then exact cosine rerank filters to
+    true pairs, so precision is 1 and recall is governed by the banding
+    curve 1-(1-p^r)^b with p = 1-θ/π.
+
+    Scale shape: the band self-join shuffles (band_idx, band_key, id)
+    triples — never the vectors; the rerank joins vectors back by id.
+    The hyperplanes are a broadcast (n_bits × dim) matrix; signatures
+    are computed in one Arrow-batched pandas UDF pass."""
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = rh_planes(dim, n_bits, seed)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<long>")
+    def bands(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(list(rh_band_keys(X, bc.value, n_bands)))
+
+    sig = df.select(
+        F.col(key_col).alias("k"), bands(F.col(vec_col)).alias("_bands")
+    ).select("k", F.posexplode("_bands").alias("band_idx", "band_key"))
+    cands = (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .select(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
+        .distinct()
+    )
+    vecs = df.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
+    return (
+        cands.join(vecs.select(F.col("_k").alias("key1"), F.col("_v").alias("v1")), "key1")
+        .join(vecs.select(F.col("_k").alias("key2"), F.col("_v").alias("v2")), "key2")
+        .select(
+            "key1",
+            "key2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs_ivf(
     df: DataFrame,
     centroids: np.ndarray,

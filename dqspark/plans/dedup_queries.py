@@ -30,6 +30,7 @@ from dqspark.operators.similarity import (
     cosine_oracle,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_ivf,
+    embedding_near_dup_pairs_lsh,
     knn_bruteforce,
     knn_ivf,
     train_centroids,
@@ -400,6 +401,64 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_centroids(emb, n_cells=n_cells)
     return embedding_near_dup_pairs_ivf(
         emb, centroids, threshold=0.95, nprobe=n_cells
+    )
+
+
+def _neardup_lsh_oracle() -> str:
+    from dqspark.plans.local_oracle import neardup_lsh_pairs_values, oracle_sf_dir
+
+    values = neardup_lsh_pairs_values(oracle_sf_dir())
+    return f"""
+SELECT key1::bigint AS key1, key2::bigint AS key2,
+       round(cos_sim, 6)::double AS cos_sim
+FROM {values}
+"""
+
+
+@register("embedding_neardup_lsh", _neardup_lsh_oracle)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs (Charikar STOC'02 banding —
+    the second bucketed ANN family beside IVF cells).  The whole
+    derivation is deterministic (seeded planes), so the oracle is the
+    operator's EXACT expected output replicated single-process
+    (plans/local_oracle.py) — a full value check at the production
+    setting, covering the signature UDF, the band self-join, and the
+    exact rerank."""
+    return embedding_near_dup_pairs_lsh(
+        _emb_planted(spark, sf_dir), threshold=0.95, n_bits=32, n_bands=8
+    )
+
+
+def _neardup_lsh_recall_oracle() -> str:
+    from dqspark.plans.local_oracle import neardup_lsh_recall_values, oracle_sf_dir
+
+    values = neardup_lsh_recall_values(oracle_sf_dir())
+    return f"""
+SELECT n_true::int AS n_true, n_found::int AS n_found,
+       round(recall, 4)::double AS recall
+FROM {values}
+"""
+
+
+@register("neardup_lsh_recall", _neardup_lsh_recall_oracle)
+def q_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked recall of the LSH pairs path vs exact brute force
+    (precision is 1 by construction — exact rerank)."""
+    emb = _emb_planted(spark, sf_dir)
+    brute = embedding_near_dup_pairs(emb, threshold=0.95).select("key1", "key2")
+    lsh = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.95, n_bits=32, n_bands=8
+    ).select("key1", "key2")
+    n_true = brute.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = brute.join(lsh, ["key1", "key2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return n_true.crossJoin(n_found).select(
+        F.col("n_true").cast("int").alias("n_true"),
+        F.col("n_found").cast("int").alias("n_found"),
+        F.round(
+            F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)), 4
+        ).alias("recall"),
     )
 
 

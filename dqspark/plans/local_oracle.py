@@ -186,3 +186,58 @@ def neardup_ivf_recall_values(
     n_found = int((true_mask & shared[iu]).sum())
     rows = [(n_true, n_found, float(n_found) / max(n_true, 1))]
     return values_table(rows, ["n_true", "n_found", "recall"])
+
+
+@lru_cache(maxsize=4)
+def _lsh_pairs_local(
+    sf_dir: str, threshold: float, n_bits: int, n_bands: int, seed: int
+):
+    """→ (lsh_pairs, n_true): single-process hyperplane-LSH near-dup
+    pairs over the planted embeddings, via the SAME deterministic
+    rh_planes/rh_band_keys primitives as the Spark pandas UDF."""
+    from dqspark.operators.similarity import rh_band_keys, rh_planes
+
+    ids, V = _planted_embeddings(sf_dir)
+    n = len(ids)
+    planes = rh_planes(V.shape[1], n_bits, seed)
+    bands = rh_band_keys(V, planes, n_bands)
+
+    norms = np.linalg.norm(V, axis=1)
+    cos = np.round((V @ V.T) / np.outer(norms, norms), 6)
+    cand = (bands[:, None, :] == bands[None, :, :]).any(axis=-1)
+    iu = np.triu_indices(n, 1)
+    true_mask = cos[iu] >= threshold
+    found_mask = true_mask & cand[iu]
+    pairs = [
+        (int(ids[iu[0][x]]), int(ids[iu[1][x]]), float(cos[iu][x]))
+        for x in np.flatnonzero(found_mask)
+    ]
+    return pairs, int(true_mask.sum())
+
+
+def neardup_lsh_pairs_values(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """VALUES table (key1, key2, cos_sim): the LSH operator's exact
+    expected output at its production setting (the whole derivation —
+    planes, banding, collision, rerank — is deterministic)."""
+    pairs, _ = _lsh_pairs_local(sf_dir, threshold, n_bits, n_bands, seed)
+    return values_table(pairs, ["key1", "key2", "cos_sim"])
+
+
+def neardup_lsh_recall_values(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """VALUES table (n_true, n_found, recall) for the LSH pairs path."""
+    pairs, n_true = _lsh_pairs_local(sf_dir, threshold, n_bits, n_bands, seed)
+    n_found = len(pairs)
+    rows = [(n_true, n_found, float(n_found) / max(n_true, 1))]
+    return values_table(rows, ["n_true", "n_found", "recall"])

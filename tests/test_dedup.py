@@ -204,3 +204,42 @@ def test_hash_parity_differential_fuzz(spark):
     assert set(got) == set(want)
     for i in sorted(got):
         assert got[i] == want[i], f"id={i} text={texts[i]!r}: {got[i]} != {want[i]}"
+
+
+def test_lsh_neardup_precision_one_and_partition_invariant(spark):
+    """Hyperplane-LSH pairs: every emitted pair is a true pair (exact
+    rerank → precision 1), output is deterministic across partition
+    layouts (seeded planes), and at the production banding it recovers
+    the planted near-identical duplicates."""
+    from pyspark.sql import functions as F
+
+    from dqspark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.unionByName(
+        emb.where(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+        .withColumn(
+            "embedding", F.transform("embedding", lambda x: (x * F.lit(1.0005)).cast("float"))
+        )
+    )
+    brute = {
+        (r["key1"], r["key2"])
+        for r in embedding_near_dup_pairs(planted, threshold=0.95).collect()
+    }
+    for parts in (1, 7):
+        lsh = {
+            (r["key1"], r["key2"])
+            for r in embedding_near_dup_pairs_lsh(
+                planted.repartition(parts), threshold=0.95
+            ).collect()
+        }
+        assert lsh <= brute          # precision 1
+        assert len(lsh) >= 0.9 * len(brute)  # recall floor at this banding
+    n_planted = planted.where(F.col("vec_id") >= 100000).count()
+    assert len(brute) >= n_planted
