@@ -503,12 +503,14 @@ def ngram_jaccard_pairs(
             )
 
     if verify == "bitset":
+        from dqspark.operators.ranking import ranged_row_number
+
         nwords = max(1, -(-n_vocab // BITSET_WORD_BITS))
-        # dense ids over the (small, gated) vocabulary; single-partition
-        # window is fine at <= BITSET_VOCAB_MAX rows
-        rid = freq.select(
-            "s", (F.row_number().over(Window.orderBy("df", "s")) - 1).alias("rid")
-        )
+        # dense ids over the (gated) vocabulary via the range-partitioned
+        # two-phase row number — the vocabulary is bounded, but a global
+        # Window.orderBy would still funnel it through one partition and
+        # spam "No Partition Defined for Window operation" into every run
+        rid = ranged_row_number(freq, ["df", "s"], out_col="rid").select("s", "rid")
         word = (F.col("rid") / BITSET_WORD_BITS).cast("int").alias("word")
         mask = (
             F.pow(F.lit(2.0), (F.col("rid") % BITSET_WORD_BITS).cast("double"))

@@ -38,54 +38,15 @@ WINDOW_CARDINALITY_MAX = 65536
 
 
 def _ranged_label_codes(vals: DataFrame, n_range_partitions: int | None = None) -> DataFrame:
-    """Scale path for high-cardinality label columns: range-partition
-    the distinct values so every task holds a contiguous sorted slice,
-    number rows within each slice with a vectorized cumulative count
-    (no shuffle beyond the range exchange, no global window), then add
-    per-slice offsets computed from one O(partitions) count collect —
-    the distributed dense-rank construction ``zipWithIndex`` uses.
+    """Scale path for high-cardinality label columns: the shared
+    range-partitioned two-phase row number (operators/ranking.py) —
+    never funnels the label domain through one partition."""
+    from dqspark.operators.ranking import ranged_row_number
 
-    ``localCheckpoint`` pins the slice layout so the offset job and the
-    returned code book read identical partitioning (range sampling is
-    not re-executed between the two actions)."""
-    import pandas as pd
-
-    value_type = vals.schema["value"].dataType.simpleString()
-    spark = vals.sparkSession
-    p = n_range_partitions or spark.sparkContext.defaultParallelism
-
-    def number_slice(part_iter):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in part_iter:
-            out = pdf[["value"]].copy()
-            out["_pid"] = pid
-            out["_rn"] = pd.RangeIndex(seen, seen + len(pdf)).astype("int64")
-            seen += len(pdf)
-            yield out
-
-    local = (
-        vals.repartitionByRange(p, "value")
-        .sortWithinPartitions("value")
-        .mapInPandas(number_slice, schema=f"value {value_type}, _pid int, _rn long")
-        .localCheckpoint()
+    ranked = ranged_row_number(
+        vals, ["value"], out_col="code", n_range_partitions=n_range_partitions
     )
-    counts = {
-        r["_pid"]: r["c"]
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    omap = F.create_map(
-        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
-    )
-    return local.select(
-        "value", (F.col("_rn") + omap[F.col("_pid")]).cast("int").alias("code")
-    )
+    return ranked.select("value", F.col("code").cast("int").alias("code"))
 
 
 def _label_codes_impl(

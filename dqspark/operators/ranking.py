@@ -1,0 +1,74 @@
+"""Distributed row numbering without a global single-partition window.
+
+``ranged_row_number`` implements the classic two-phase construction
+(the ``zipWithIndex`` shape): range-partition on the order columns so
+every task holds a contiguous sorted slice, number rows within each
+slice with a vectorized cumulative count (no shuffle beyond the range
+exchange, no window), then add per-slice offsets computed from one
+O(partitions) count collect.  ``localCheckpoint`` pins the slice layout
+so the offset job and the returned frame read identical partitioning
+(range sampling is not re-executed between the two actions).
+
+Used by operators/encoding.py (high-cardinality label code books) and
+operators/dedup.py (bitset dense-id dictionary) — anywhere the input is
+too large, or merely large enough that Spark's "No Partition Defined
+for Window operation" single-partition funnel is the wrong plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ranged_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """Append 0-based ``out_col`` = global row number of ``df`` ordered
+    by ``order_cols`` (ties broken by slice position — pass a unique
+    key as the last order column for a total order)."""
+    spark = df.sparkSession
+    p = n_range_partitions or spark.sparkContext.defaultParallelism
+    in_cols = list(df.columns)
+    schema_str = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", _pid int, `{out_col}` long"
+    )
+
+    def number_slice(part_iter):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in part_iter:
+            out = pdf.copy()
+            out["_pid"] = pid
+            out[out_col] = pd.RangeIndex(seen, seen + len(pdf)).astype("int64")
+            seen += len(pdf)
+            yield out
+
+    local = (
+        df.repartitionByRange(p, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .mapInPandas(number_slice, schema=schema_str)
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
+    )
+    return local.select(
+        *in_cols, (F.col(out_col) + omap[F.col("_pid")]).alias(out_col)
+    )

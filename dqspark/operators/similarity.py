@@ -270,7 +270,13 @@ def embedding_near_dup_pairs_lsh(
     Scale shape: the band self-join shuffles (band_idx, band_key, id)
     triples — never the vectors; the rerank joins vectors back by id.
     The hyperplanes are a broadcast (n_bits × dim) matrix; signatures
-    are computed in one Arrow-batched pandas UDF pass."""
+    come from an Arrow-batched pandas UDF.  Catalyst plans the
+    signature branch once per self-join side (no common-subplan
+    sharing across a join fork) — deliberate: the signature is a
+    narrow matmul over broadcast planes, and recomputing it is cheaper
+    than materializing the signature relation until vectors are very
+    wide; callers joining against enormous corpora can persist the
+    exploded band frame themselves."""
     import pandas as pd
 
     dim = len(df.select(vec_col).first()[0])
