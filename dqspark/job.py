@@ -31,6 +31,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--chunks", type=int, default=8, help="resumable slices")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-models", action="store_true", help="heuristics only")
+    ap.add_argument(
+        "--approx-percentiles",
+        action="store_true",
+        help="Greenwald-Khanna sketch for the IQR quartiles — REQUIRED at "
+        "trillion-row scale (exact percentile buffers all values per agg "
+        "state); rank error <= 1e-4",
+    )
     args = ap.parse_args(argv)
 
     from dqspark.pipeline.checkpoint import run_checkpointed
@@ -48,6 +55,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         chunks=args.chunks,
         n_partitions=args.partitions,
         with_models=not args.no_models,
+        exact_percentiles=not args.approx_percentiles,
     )
     if args.audit:
         write_table(audit_summary(result), args.audit)

@@ -226,6 +226,56 @@ def knn_ivf(
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def knn_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via hyperplane-LSH banding: candidates
+    are vectors sharing ≥1 signature band with the query, exact-reranked
+    — the banding counterpart of knn_ivf's cell join (completes the
+    {kNN, pairs} × {IVF, LSH} matrix).  Same output contract as
+    knn_bruteforce/knn_ivf: (query_id, neighbor_id, cos_sim, rank)."""
+    import pandas as pd
+
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = rh_planes(dim, n_bits, seed)
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<long>")
+    def bands(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(list(rh_band_keys(X, bc.value, n_bands)))
+
+    def sig(df: DataFrame, key_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias(key_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(bands(F.col(vec_col))).alias("band_idx", "band_key"),
+        )
+
+    v = sig(vectors, "neighbor_id", "nv")
+    q = sig(queries, "query_id", "qv")
+    cands = (
+        q.join(v, ["band_idx", "band_key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 # --- Random-hyperplane LSH (the second bucketed ANN family) ----------------
 
 def rh_planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:

@@ -130,6 +130,7 @@ def run_checkpointed(
     chunks: int = 8,
     n_partitions: int | None = None,
     with_models: bool = True,
+    exact_percentiles: bool = True,
 ) -> DataFrame:
     """Process ``df`` through the quality pipeline in ``chunks`` resumable
     slices; returns the full result read back from ``out_dir``."""
@@ -152,7 +153,7 @@ def run_checkpointed(
     if fs.exists(stats_path):
         stats = json.loads(fs.read_text(stats_path))
     else:
-        stats = compute_corpus_stats(df)
+        stats = compute_corpus_stats(df, exact_percentiles=exact_percentiles)
         fs.write_text_atomic(stats_path, json.dumps(stats))
 
     done = set(manifest["completed_chunks"])

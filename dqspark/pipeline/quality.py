@@ -115,18 +115,41 @@ def with_model_scores(df: DataFrame, text_col: str = "content") -> DataFrame:
     return scored.select("*", "_scores.*").drop("_scores")
 
 
-def _collect_outlier_bounds(df: DataFrame) -> dict[str, dict[str, float]]:
+# percentile_approx relative-rank error bound for the scale path:
+# 1/PERCENTILE_ACCURACY of the rank spectrum (Greenwald-Khanna sketch)
+PERCENTILE_ACCURACY = 10_000
+
+
+def _collect_outlier_bounds(
+    df: DataFrame, exact_percentiles: bool = True
+) -> dict[str, dict[str, float]]:
     """One agg pass: count/mean/stddev_pop/q1/q3 for every metric column
-    (single-pass multi-column — SURVEY.md §4.2.2)."""
+    (single-pass multi-column — SURVEY.md §4.2.2).
+
+    ``exact_percentiles=True`` is reference parity (`F.percentile`,
+    pandas-quantile-exact) and the oracle-differential setting — but
+    Spark's exact percentile BUFFERS every value in the aggregation
+    state, which does not survive a 10^12-row corpus.  The scale path
+    (``False``) uses the Greenwald-Khanna sketch
+    (``percentile_approx``): constant memory per partial, mergeable
+    map-side, rank error ≤ 1/PERCENTILE_ACCURACY — the IQR fences move
+    by at most that rank slack, which is noise against the 1.5·IQR
+    margin the detector applies."""
     aggs = []
     for c in spec.OUTLIER_METRICS:
         col = F.col(c)
+
+        def q(p: float):
+            if exact_percentiles:
+                return F.percentile(col, F.lit(p))
+            return F.percentile_approx(col, F.lit(p), F.lit(PERCENTILE_ACCURACY))
+
         aggs += [
             F.count(col).alias(f"{c}__cnt"),
             F.avg(col).alias(f"{c}__mean"),
             F.stddev_pop(col).alias(f"{c}__std"),
-            F.percentile(col, F.lit(0.25)).alias(f"{c}__q1"),
-            F.percentile(col, F.lit(0.75)).alias(f"{c}__q3"),
+            q(0.25).alias(f"{c}__q1"),
+            q(0.75).alias(f"{c}__q3"),
         ]
     row = df.agg(*aggs).collect()[0].asDict()
     return {
@@ -159,16 +182,21 @@ def _collect_rare_langs(df: DataFrame) -> list[str]:
     return [r["lang"] for r in counts if r["count"] / total < spec.RARE_FREQ]
 
 
-def compute_corpus_stats(df: DataFrame) -> dict:
+def compute_corpus_stats(df: DataFrame, exact_percentiles: bool = True) -> dict:
     """Global corpus statistics (outlier bounds + rare-label set) as a
     JSON-able dict.  Computed ONCE over the full input so chunked /
-    resumed runs flag against identical thresholds (see checkpoint.py)."""
+    resumed runs flag against identical thresholds (see checkpoint.py).
+
+    ``exact_percentiles=False`` switches the IQR quartiles to the
+    constant-memory percentile_approx sketch — REQUIRED at 10^12-row
+    scale (see _collect_outlier_bounds); the exact default is reference
+    parity for tests/oracles."""
     d = with_text_metrics(normalize(df), text_col="content")
     # cache ONLY the metric + label columns (a few doubles + a short
     # string per row) — persisting the wide frame would materialize all
     # content bytes just to aggregate 4 statistics
     d = d.select("lang", *spec.OUTLIER_METRICS).persist()
-    bounds = _collect_outlier_bounds(d)
+    bounds = _collect_outlier_bounds(d, exact_percentiles=exact_percentiles)
     rare = _collect_rare_langs(d)
     d.unpersist()
     return {

@@ -31,6 +31,7 @@ from dqspark.operators.similarity import (
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_ivf,
     embedding_near_dup_pairs_lsh,
+    knn_lsh,
     knn_bruteforce,
     knn_ivf,
     train_centroids,
@@ -401,6 +402,40 @@ def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_centroids(emb, n_cells=n_cells)
     return embedding_near_dup_pairs_ivf(
         emb, centroids, threshold=0.95, nprobe=n_cells
+    )
+
+
+def _knn_lsh_recall_oracle() -> str:
+    from dqspark.plans.local_oracle import knn_lsh_recall_values, oracle_sf_dir
+
+    values = knn_lsh_recall_values(oracle_sf_dir(), k=5, n_bits=32, n_bands=8)
+    return f"""
+SELECT query_id, hits::int AS hits, round(recall, 4)::double AS recall
+FROM {values}
+"""
+
+
+@register("knn_lsh_recall", _knn_lsh_recall_oracle)
+def q_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of hyperplane-LSH kNN at the production banding vs
+    exact brute force, per query — same tracked-number pattern as
+    knn_ivf_recall, oracle = single-process replication."""
+    emb = _emb_planted(spark, sf_dir)
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    lsh = knn_lsh(emb, queries, k=5, n_bits=32, n_bands=8).select(
+        "query_id", "neighbor_id"
+    )
+    bf = knn_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
+    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_actual"))
+    hits = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("h", F.lit(0)).cast("int").alias("hits"),
+        F.round(F.coalesce("h", F.lit(0)) / F.col("k_actual"), 4).alias("recall"),
     )
 
 

@@ -189,6 +189,39 @@ def neardup_ivf_recall_values(
 
 
 @lru_cache(maxsize=4)
+def knn_lsh_recall_values(
+    sf_dir: str, k: int = 5, n_bits: int = 32, n_bands: int = 8, seed: int = 42
+) -> str:
+    """VALUES table (query_id, hits, recall): hyperplane-LSH kNN at the
+    production banding vs single-process brute force (same shared
+    deterministic primitives as the Spark pandas UDF)."""
+    from dqspark.operators.similarity import rh_band_keys, rh_planes
+
+    ids, V = _planted_embeddings(sf_dir)
+    planes = rh_planes(V.shape[1], n_bits, seed)
+    bands = rh_band_keys(V, planes, n_bands)
+
+    q_mask = (ids % 50 == 0) & (ids < 100000)
+    q_idx = np.flatnonzero(q_mask)
+    norms = np.linalg.norm(V, axis=1)
+    rows = []
+    for qi in q_idx:
+        qv = V[qi]
+        cos = np.round((V @ qv) / (norms * np.linalg.norm(qv)), 6)
+        not_self = ids != ids[qi]
+        cand = np.flatnonzero(not_self)
+        order = np.lexsort((ids[cand], -cos[cand]))
+        bf = set(ids[cand[order[:k]]])
+        collide = (bands == bands[qi]).any(axis=1)
+        cand_l = np.flatnonzero(not_self & collide)
+        order_l = np.lexsort((ids[cand_l], -cos[cand_l]))
+        lsh = set(ids[cand_l[order_l[:k]]])
+        hits = len(bf & lsh)
+        rows.append((int(ids[qi]), int(hits), float(hits) / max(len(bf), 1)))
+    return values_table(rows, ["query_id", "hits", "recall"])
+
+
+@lru_cache(maxsize=4)
 def _lsh_pairs_local(
     sf_dir: str, threshold: float, n_bits: int, n_bands: int, seed: int
 ):

@@ -300,3 +300,28 @@ def test_checkpoint_input_fingerprint_invalidates_stale_split(spark, corpus_pdf,
     mtime = os.path.getmtime(os.path.join(out, "chunk=0"))
     assert run_checkpointed(half, out, chunks=2, with_models=False).count() == N // 2
     assert os.path.getmtime(os.path.join(out, "chunk=0")) == mtime
+
+
+def test_approx_percentile_scale_path(spark, corpus_pdf):
+    """The trillion-row stats path (percentile_approx sketch) yields
+    quartiles within sketch tolerance of the exact reference and
+    IDENTICAL keep/drop decisions on the fixture corpus (outliers sit
+    far outside the 1.5*IQR fence slack)."""
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    exact = quality.compute_corpus_stats(sdf, exact_percentiles=True)
+    approx = quality.compute_corpus_stats(sdf, exact_percentiles=False)
+    assert exact["rare_langs"] == approx["rare_langs"]
+    for c, b in exact["bounds"].items():
+        a = approx["bounds"][c]
+        assert a["cnt"] == b["cnt"] and abs(a["mean"] - b["mean"]) < 1e-9
+        iqr = max(b["q3"] - b["q1"], 1e-9)
+        assert abs(a["q1"] - b["q1"]) <= 0.05 * iqr, c
+        assert abs(a["q3"] - b["q3"]) <= 0.05 * iqr, c
+
+    ke = quality.run_quality_pipeline(sdf, stats=exact, with_models=False)
+    ka = quality.run_quality_pipeline(sdf, stats=approx, with_models=False)
+    e = ke.select("repo", "path", "commit", "keep").toPandas().set_index(
+        ["repo", "path", "commit"]).sort_index()
+    a = ka.select("repo", "path", "commit", "keep").toPandas().set_index(
+        ["repo", "path", "commit"]).sort_index()
+    assert (e.keep == a.keep).all()
