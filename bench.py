@@ -96,13 +96,14 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     for name in headline + round2:
         fn = driver_queries.QUERIES[name]
-        try:
-            rr = [round(_run(fn(spark, sf_dir)), 3) for _ in range(2)]
-            runs[name] = rr
-            times[name] = min(rr)
-        except Exception as exc:  # keep the bench line intact on one failure
-            times[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        rr: list[float] = []
+        for _ in range(2):
+            try:
+                rr.append(round(_run(fn(spark, sf_dir)), 3))
+            except Exception as exc:  # keep whatever runs completed
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        runs[name] = rr
+        times[name] = min(rr) if rr else -1.0
 
     total = round(sum(times[n] for n in headline if times[n] >= 0), 3)
     all_total = round(sum(t for t in times.values() if t >= 0), 3)

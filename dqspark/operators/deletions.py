@@ -67,51 +67,87 @@ def critical_columns(
     ]
 
 
+# A slice summary is the 4-tuple (n_rows, prefix, suffix, longest):
+# total rows, leading null run, trailing null run, longest run inside.
+# It forms a MONOID under concatenation order — runs_merge below is the
+# associative combine — which is what makes both the per-batch fold
+# (constant memory per task, never materializing the slice) and the
+# driver-side boundary merge across range partitions exact.
+
+RunStats = tuple[int, int, int, int]
+
+_EMPTY_RUNS: RunStats = (0, 0, 0, 0)
+
+
+def batch_run_stats(x: np.ndarray) -> RunStats:
+    """(n, prefix, suffix, longest) of one bool array — vectorized
+    diff-of-flags, no per-row Python."""
+    n = int(x.size)
+    if n == 0:
+        return _EMPTY_RUNS
+    d = np.diff(x.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if x[0]:
+        starts = np.concatenate(([0], starts))
+    if x[-1]:
+        ends = np.concatenate((ends, [x.size]))
+    lengths = ends - starts
+    prefix = int(lengths[0]) if starts.size and starts[0] == 0 else 0
+    suffix = int(lengths[-1]) if ends.size and ends[-1] == x.size else 0
+    longest = int(lengths.max()) if lengths.size else 0
+    return (n, prefix, suffix, longest)
+
+
+def runs_merge(a: RunStats, b: RunStats) -> RunStats:
+    """Associative combine of two ADJACENT slices' run stats."""
+    n1, p1, s1, l1 = a
+    n2, p2, s2, l2 = b
+    if n1 == 0:
+        return b
+    if n2 == 0:
+        return a
+    joined = s1 + p2  # run crossing the boundary
+    return (
+        n1 + n2,
+        n1 + p2 if p1 == n1 else p1,   # left slice all-null extends prefix
+        s1 + n2 if p2 == n2 else s2,   # right slice all-null extends suffix
+        max(l1, l2, joined),
+    )
+
+
 def _null_run_summaries(part_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-partition phase of the two-phase islands pass.
 
-    Input batches are the sorted slice of (order, _n0.._nC bool flags);
-    emits one row per column: (pid, col_idx, n_rows, prefix, suffix,
-    longest) where prefix/suffix are the leading/trailing null runs of
-    the slice and longest is the max run inside it.  Run lengths come
-    from vectorized diff-of-flags — no per-row Python.
-    """
+    Folds batch_run_stats over the sorted slice's Arrow batches with
+    runs_merge — per-task memory is O(batch × columns), independent of
+    slice size (a slice of a trillion-row table never materializes) —
+    and emits one row per column: (pid, col_idx, n_rows, prefix,
+    suffix, longest)."""
     from pyspark import TaskContext
 
     pid = TaskContext.get().partitionId()
     cols: list[str] | None = None
-    chunks: list[np.ndarray] = []
-    n_rows = 0
+    acc: list[RunStats] = []
     for pdf in part_iter:
         if cols is None:
             cols = [c for c in pdf.columns if c.startswith("_n")]
+            acc = [_EMPTY_RUNS] * len(cols)
         if len(pdf):
-            chunks.append(pdf[cols].to_numpy(dtype=bool))
-            n_rows += len(pdf)
-    if cols is None or n_rows == 0:
-        yield pd.DataFrame(
-            {"pid": [], "col_idx": [], "n_rows": [], "prefix": [], "suffix": [], "longest": []}
-        ).astype({"pid": "int32", "col_idx": "int32", "n_rows": "int64",
-                  "prefix": "int64", "suffix": "int64", "longest": "int64"})
-        return
-    flags = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+            flags = pdf[cols].to_numpy(dtype=bool)
+            for j in range(len(cols)):
+                acc[j] = runs_merge(acc[j], batch_run_stats(flags[:, j]))
     out = {"pid": [], "col_idx": [], "n_rows": [], "prefix": [], "suffix": [], "longest": []}
-    for j in range(flags.shape[1]):
-        x = flags[:, j]
-        d = np.diff(x.astype(np.int8))
-        starts = np.flatnonzero(d == 1) + 1
-        ends = np.flatnonzero(d == -1) + 1
-        if x[0]:
-            starts = np.concatenate(([0], starts))
-        if x[-1]:
-            ends = np.concatenate((ends, [x.size]))
-        lengths = ends - starts
-        out["pid"].append(pid)
-        out["col_idx"].append(j)
-        out["n_rows"].append(n_rows)
-        out["prefix"].append(int(lengths[0]) if starts.size and starts[0] == 0 else 0)
-        out["suffix"].append(int(lengths[-1]) if ends.size and ends[-1] == x.size else 0)
-        out["longest"].append(int(lengths.max()) if lengths.size else 0)
+    if cols is not None:
+        for j, (n, prefix, suffix, longest) in enumerate(acc):
+            if n == 0:
+                continue
+            out["pid"].append(pid)
+            out["col_idx"].append(j)
+            out["n_rows"].append(n)
+            out["prefix"].append(prefix)
+            out["suffix"].append(suffix)
+            out["longest"].append(longest)
     yield pd.DataFrame(out).astype(
         {"pid": "int32", "col_idx": "int32", "n_rows": "int64",
          "prefix": "int64", "suffix": "int64", "longest": "int64"}
@@ -143,20 +179,16 @@ def max_null_runs(
         schema="pid int, col_idx int, n_rows long, prefix long, suffix long, longest long",
     ).collect()
 
-    by_pid: dict[int, dict[int, tuple]] = {}
+    by_pid: dict[int, dict[int, RunStats]] = {}
     for r in summary:
         by_pid.setdefault(r["pid"], {})[r["col_idx"]] = (
             r["n_rows"], r["prefix"], r["suffix"], r["longest"]
         )
-    best = {j: 0 for j in range(len(columns))}
-    carry = {j: 0 for j in range(len(columns))}
-    for pid in sorted(by_pid):
-        for j, (n_rows, prefix, suffix, longest) in by_pid[pid].items():
-            if n_rows == 0:
-                continue
-            best[j] = max(best[j], longest, carry[j] + prefix)
-            carry[j] = carry[j] + n_rows if prefix == n_rows else suffix
-    return {c: best[j] for j, c in enumerate(columns)}
+    acc: list[RunStats] = [_EMPTY_RUNS] * len(columns)
+    for pid in sorted(by_pid):  # range partitions are ascending slices
+        for j, stats in by_pid[pid].items():
+            acc[j] = runs_merge(acc[j], stats)
+    return {c: acc[j][3] for j, c in enumerate(columns)}
 
 
 def detect_accidental_deletions(

@@ -101,6 +101,11 @@ def run_all_anomaly_detectors(
         except Exception as e:  # noqa: BLE001 — per-detector isolation is the contract
             emit(f"x {method} detector failed: {e}")
             results[method] = empty_events(df.sparkSession, key_schema)
+            if method == "model":
+                # a side output stored by a failed model stage must not
+                # survive the guard — it derives from the same failed
+                # computation and would kill the combine step later
+                results.pop("feature_importance", None)
 
     # statistical + model stages run in BOTH modes (anomaly_ensemble.py:15)
     guarded(
@@ -118,6 +123,10 @@ def run_all_anomaly_detectors(
         def run_model() -> DataFrame:
             events, importance = model_stage()
             if importance is not None:
+                # materialize inside the guard like the events frame —
+                # eager isolation must cover BOTH stage outputs
+                if eager_isolation:
+                    importance = importance.localCheckpoint()
                 results["feature_importance"] = importance
             return events
 

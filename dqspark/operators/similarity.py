@@ -226,6 +226,38 @@ def knn_ivf(
     return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def band_signatures(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n_bits: int,
+    n_bands: int,
+    seed: int,
+    key_alias: str = "k",
+) -> DataFrame:
+    """(key_alias, band_idx, band_key) — one row per (vector, band),
+    bit-identical to rh_band_keys (the local-oracle primitive): one
+    Arrow-batched pandas UDF over broadcast seeded planes, exploded.
+    Only ids and band keys leave this frame — vectors never enter the
+    band-join shuffle.  Shared by knn_lsh and
+    embedding_near_dup_pairs_lsh so the two operators cannot drift."""
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = rh_planes(dim, n_bits, seed)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("array<long>")
+    def bands(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(list(rh_band_keys(X, bc.value, n_bands)))
+
+    return df.select(
+        F.col(key_col).alias(key_alias),
+        F.posexplode(bands(F.col(vec_col))).alias("band_idx", "band_key"),
+    )
+
+
 def knn_lsh(
     vectors: DataFrame,
     queries: DataFrame,
@@ -240,40 +272,36 @@ def knn_lsh(
     are vectors sharing ≥1 signature band with the query, exact-reranked
     — the banding counterpart of knn_ivf's cell join (completes the
     {kNN, pairs} × {IVF, LSH} matrix).  Same output contract as
-    knn_bruteforce/knn_ivf: (query_id, neighbor_id, cos_sim, rank)."""
-    import pandas as pd
+    knn_bruteforce/knn_ivf: (query_id, neighbor_id, cos_sim, rank).
 
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = rh_planes(dim, n_bits, seed)
-    spark = vectors.sparkSession
-    bc = spark.sparkContext.broadcast(planes)
-
-    @F.pandas_udf("array<long>")
-    def bands(v: pd.Series) -> pd.Series:
-        X = np.array(v.tolist(), dtype=np.float64)
-        return pd.Series(list(rh_band_keys(X, bc.value, n_bands)))
-
-    def sig(df: DataFrame, key_alias: str, vec_alias: str) -> DataFrame:
-        return df.select(
-            F.col(key_col).alias(key_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.posexplode(bands(F.col(vec_col))).alias("band_idx", "band_key"),
-        )
-
-    v = sig(vectors, "neighbor_id", "nv")
-    q = sig(queries, "query_id", "qv")
+    Shuffle shape: the band join moves (band_idx, band_key, id)
+    triples only; vectors are joined back by id for the exact rerank —
+    never duplicated n_bands× through the collision shuffle."""
+    v_sig = band_signatures(
+        vectors, key_col, vec_col, n_bits, n_bands, seed, key_alias="neighbor_id"
+    )
+    q_sig = band_signatures(
+        queries, key_col, vec_col, n_bits, n_bands, seed, key_alias="query_id"
+    )
     cands = (
-        q.join(v, ["band_idx", "band_key"])
+        q_sig.join(v_sig, ["band_idx", "band_key"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = vectors.select(F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cands.join(qv, "query_id")
+        .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 # --- Random-hyperplane LSH (the second bucketed ANN family) ----------------
@@ -290,8 +318,14 @@ def rh_band_keys(X: np.ndarray, planes: np.ndarray, n_bands: int) -> np.ndarray:
     """(n, n_bands) int64 band keys: the bit signature sign(X·Hᵀ)
     packed per band.  Shared by the Spark pandas UDF and the
     local-oracle replication (bit-identical by construction)."""
-    bits = (np.asarray(X, dtype=np.float64) @ planes.T) >= 0
     n_bits = planes.shape[0]
+    if n_bands < 1 or n_bits % n_bands != 0:
+        # silent truncation would weaken the banding; band_bits == 0
+        # would make EVERY key 0 (an accidental all-pairs cross join)
+        raise ValueError(
+            f"n_bits ({n_bits}) must be a positive multiple of n_bands ({n_bands})"
+        )
+    bits = (np.asarray(X, dtype=np.float64) @ planes.T) >= 0
     band_bits = n_bits // n_bands
     weights = (1 << np.arange(band_bits, dtype=np.int64))
     out = np.empty((len(bits), n_bands), dtype=np.int64)
@@ -318,30 +352,14 @@ def embedding_near_dup_pairs_lsh(
     curve 1-(1-p^r)^b with p = 1-θ/π.
 
     Scale shape: the band self-join shuffles (band_idx, band_key, id)
-    triples — never the vectors; the rerank joins vectors back by id.
-    The hyperplanes are a broadcast (n_bits × dim) matrix; signatures
-    come from an Arrow-batched pandas UDF.  Catalyst plans the
-    signature branch once per self-join side (no common-subplan
-    sharing across a join fork) — deliberate: the signature is a
-    narrow matmul over broadcast planes, and recomputing it is cheaper
-    than materializing the signature relation until vectors are very
-    wide; callers joining against enormous corpora can persist the
-    exploded band frame themselves."""
-    import pandas as pd
-
-    dim = len(df.select(vec_col).first()[0])
-    planes = rh_planes(dim, n_bits, seed)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(planes)
-
-    @F.pandas_udf("array<long>")
-    def bands(v: pd.Series) -> pd.Series:
-        X = np.array(v.tolist(), dtype=np.float64)
-        return pd.Series(list(rh_band_keys(X, bc.value, n_bands)))
-
-    sig = df.select(
-        F.col(key_col).alias("k"), bands(F.col(vec_col)).alias("_bands")
-    ).select("k", F.posexplode("_bands").alias("band_idx", "band_key"))
+    triples — never the vectors (band_signatures); the rerank joins
+    vectors back by id.  Catalyst plans the signature branch once per
+    self-join side (no common-subplan sharing across a join fork) —
+    deliberate: the signature is a narrow matmul over broadcast planes,
+    and recomputing it is cheaper than materializing the signature
+    relation until vectors are very wide; callers joining against
+    enormous corpora can persist the exploded band frame themselves."""
+    sig = band_signatures(df, key_col, vec_col, n_bits, n_bands, seed, key_alias="k")
     cands = (
         sig.alias("l")
         .join(

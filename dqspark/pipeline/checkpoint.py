@@ -75,6 +75,12 @@ class _HadoopFS:
             stream.close()
 
     def write_text_atomic(self, p: str, text: str) -> None:
+        """Write-temp → delete-dst → rename.  HDFS/local rename refuses
+        an existing destination, so the delete is unavoidable; the
+        crash window between delete and rename is closed on the READ
+        side — the temp file is complete by then (written + closed
+        before the delete), and read_text_recovering falls back to it
+        whenever the destination is missing."""
         tmp = self._Path(p + ".tmp")
         dst = self._Path(p)
         out = self._fs.create(tmp, True)
@@ -86,6 +92,19 @@ class _HadoopFS:
             self._fs.delete(dst, False)
         if not self._fs.rename(tmp, dst):
             raise IOError(f"rename {p}.tmp -> {p} failed")
+
+    def read_text_recovering(self, p: str) -> str | None:
+        """→ contents of ``p``; if ``p`` is missing but a complete
+        ``p.tmp`` exists (crash between delete and rename), recover
+        from it.  A PARTIAL temp (crash mid-write) can only coexist
+        with an intact destination or with neither — callers treat an
+        unparseable recovery as absent.  Returns None when nothing
+        readable exists."""
+        if self.exists(p):
+            return self.read_text(p)
+        if self.exists(p + ".tmp"):
+            return self.read_text(p + ".tmp")
+        return None
 
     def delete_recursive(self, p: str) -> None:
         path = self._Path(p)
@@ -109,9 +128,12 @@ def input_fingerprint(df: DataFrame) -> str:
 
 
 def _read_manifest(fs: _HadoopFS, out_dir: str) -> dict:
-    p = _join(out_dir, "_manifest.json")
-    if fs.exists(p):
-        m = json.loads(fs.read_text(p))
+    text = fs.read_text_recovering(_join(out_dir, "_manifest.json"))
+    if text is not None:
+        try:
+            m = json.loads(text)
+        except ValueError:  # partial temp from a mid-write crash
+            return {"completed_chunks": [], "input_fingerprint": None}
         m.setdefault("input_fingerprint", None)  # pre-fingerprint manifests
         return m
     return {"completed_chunks": [], "input_fingerprint": None}
@@ -149,9 +171,18 @@ def run_checkpointed(
         fs.delete_recursive(chunked_path)
         fs.delete_recursive(stats_path)
         manifest = {"completed_chunks": [], "input_fingerprint": fp}
+    if manifest["input_fingerprint"] != fp:
+        # record the fingerprint BEFORE any derived state (_stats.json,
+        # the chunked split) can be written: a run that crashes after
+        # writing stats but before the first chunk commit must still
+        # leave behind which input those stats were computed from, or a
+        # later run with different input would silently reuse them
+        manifest = {"completed_chunks": sorted(set(manifest["completed_chunks"])), "input_fingerprint": fp}
+        _commit_manifest(fs, out_dir, set(manifest["completed_chunks"]), fp)
 
-    if fs.exists(stats_path):
-        stats = json.loads(fs.read_text(stats_path))
+    stats_text = fs.read_text_recovering(stats_path)
+    if stats_text is not None:
+        stats = json.loads(stats_text)
     else:
         stats = compute_corpus_stats(df, exact_percentiles=exact_percentiles)
         fs.write_text_atomic(stats_path, json.dumps(stats))

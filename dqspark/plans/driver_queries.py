@@ -67,8 +67,29 @@ def register(name: str, oracle=None):
 
 
 def resolved_oracles() -> dict[str, str]:
-    """ORACLES with lazy (callable) entries evaluated to SQL strings."""
-    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
+    """ORACLES with lazy (callable) entries evaluated to SQL strings.
+
+    A lazy oracle that fails to build (e.g. the local parquet the model
+    replication reads is absent in the caller's environment) is OMITTED
+    — that one query degrades to the driver's rows-only check — instead
+    of letting a single import-environment problem poison the whole
+    oracle dict, static SQL entries included."""
+    import sys
+
+    out: dict[str, str] = {}
+    for k, v in ORACLES.items():
+        if callable(v):
+            try:
+                out[k] = v()
+            except Exception as exc:  # noqa: BLE001 — degrade, don't poison
+                print(
+                    f"oracle_sql: lazy oracle {k!r} failed to build ({exc}); "
+                    "falling back to rows-only check",
+                    file=sys.stderr,
+                )
+        else:
+            out[k] = v
+    return out
 
 
 # ---------------------------------------------------------------------------

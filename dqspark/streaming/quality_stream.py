@@ -81,17 +81,25 @@ def stream_quality_filter(
         if batch_df.isEmpty():
             return
         res = run_quality_pipeline(batch_df, stats=stats, with_models=with_models)
-        if with_audit:
-            # the pipeline frame is read twice within the epoch (rows +
-            # audit agg) — materialize once instead of recomputing the
-            # model/scrub stages per sink
-            res = res.localCheckpoint()
+        if not with_audit:
+            res.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+            return
+        # the pipeline frame feeds two sinks within the epoch (rows +
+        # audit agg) — persist so the model/scrub stages run once, and
+        # unpersist before the epoch ends: on a long-running stream,
+        # per-epoch cached blocks must not accumulate until driver GC.
+        # (persist, not localCheckpoint: cached blocks lost with an
+        # executor are recomputed; localCheckpoint data is not.)
+        res = res.persist()
+        try:
             audit_summary(res).withColumn(
                 "batch_id", F.lit(batch_id)
             ).write.mode("overwrite").parquet(
                 f"{output_dir}/_audit/batch_id={batch_id}"
             )
-        res.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+            res.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        finally:
+            res.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

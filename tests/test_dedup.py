@@ -243,3 +243,16 @@ def test_lsh_neardup_precision_one_and_partition_invariant(spark):
         assert len(lsh) >= 0.9 * len(brute)  # recall floor at this banding
     n_planted = planted.where(F.col("vec_id") >= 100000).count()
     assert len(brute) >= n_planted
+
+
+def test_rh_band_keys_divisibility_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from dqspark.operators.similarity import rh_band_keys, rh_planes
+
+    X = np.ones((3, 4))
+    with _pytest.raises(ValueError):
+        rh_band_keys(X, rh_planes(4, 36), n_bands=8)  # 36 % 8 != 0
+    with _pytest.raises(ValueError):
+        rh_band_keys(X, rh_planes(4, 32), n_bands=48)  # band_bits would be 0

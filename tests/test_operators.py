@@ -330,7 +330,12 @@ def test_run_all_eager_isolation_catches_runtime_failure(spark):
             F.lit(None).cast("double").alias("anomaly_score"),
             F.lit(None).cast("string").alias("details"),
         )
-        return bad, None
+        # an importance frame derived from the SAME failed stage: the
+        # guard must not let it survive the model failure
+        importance = df.select(
+            F.assert_true(F.col("value") < 0).cast("string").alias("column")
+        )
+        return bad, importance
 
     logs = []
     out = run_all_anomaly_detectors(
@@ -339,6 +344,7 @@ def test_run_all_eager_isolation_catches_runtime_failure(spark):
     )
     assert out["model"].count() == 0
     assert any(l.startswith("x model") for l in logs)
+    assert "feature_importance" not in out  # side output of the failed stage purged
     assert out["numeric"].count() >= 0  # run survived
 
 
@@ -409,3 +415,28 @@ def test_job_entry_end_to_end(spark, tmp_path):
         *[f"{out}/chunk={c}" for c in range(3)]
     )
     assert sorted(map(tuple, res2.select("repo", "path", "keep").collect())) == first
+
+
+def test_runs_merge_fold_matches_direct():
+    """The (n, prefix, suffix, longest) slice summary is a monoid:
+    folding batch_run_stats over ANY split of a bool array with
+    runs_merge equals computing it on the whole array — the property
+    both the per-batch task fold and the driver boundary merge rely
+    on."""
+    import numpy as np
+
+    from dqspark.operators.deletions import _EMPTY_RUNS, batch_run_stats, runs_merge
+
+    rng = np.random.RandomState(11)
+    for case in range(200):
+        n = int(rng.randint(1, 120))
+        x = rng.rand(n) < rng.choice([0.0, 0.1, 0.5, 0.9, 1.0])
+        want = batch_run_stats(x)
+        cuts = np.sort(rng.choice(np.arange(1, n), size=min(rng.randint(0, 6), n - 1), replace=False)) if n > 1 else []
+        acc = _EMPTY_RUNS
+        for part in np.split(x, cuts):
+            acc = runs_merge(acc, batch_run_stats(part))
+        assert acc == want, (case, x.tolist(), cuts)
+    # identity element
+    assert runs_merge(_EMPTY_RUNS, (5, 1, 2, 3)) == (5, 1, 2, 3)
+    assert runs_merge((5, 1, 2, 3), _EMPTY_RUNS) == (5, 1, 2, 3)

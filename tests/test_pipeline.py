@@ -325,3 +325,41 @@ def test_approx_percentile_scale_path(spark, corpus_pdf):
     a = ka.select("repo", "path", "commit", "keep").toPandas().set_index(
         ["repo", "path", "commit"]).sort_index()
     assert (e.keep == a.keep).all()
+
+
+def test_checkpoint_crash_windows(spark, corpus_pdf, tmp_path):
+    """Two crash scenarios the manifest protocol must survive:
+    (a) stats written but no chunk completed, then a DIFFERENT input
+        arrives — the fingerprint (committed before stats) must force a
+        stats rebuild, not a silent reuse;
+    (b) crash between manifest delete and rename — the completed .tmp
+        is recovered, completed chunks are not re-run."""
+    out = str(tmp_path / "ckpt_crash")
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    run_checkpointed(sdf, out, chunks=2, with_models=False)
+
+    # (a) simulate: crashed before any chunk commit — completed list
+    # emptied, chunk outputs and split gone, stats file SURVIVES
+    import shutil
+
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        m = json.load(fh)
+    with open(os.path.join(out, "_manifest.json"), "w") as fh:
+        json.dump({"completed_chunks": [], "input_fingerprint": m["input_fingerprint"]}, fh)
+    shutil.rmtree(os.path.join(out, "_chunked_input"))
+    for c in range(2):
+        shutil.rmtree(os.path.join(out, f"chunk={c}"))
+    with open(os.path.join(out, "_stats.json")) as fh:
+        stats_x = fh.read()
+
+    half = sdf.limit(N // 2)  # different input
+    assert run_checkpointed(half, out, chunks=2, with_models=False).count() == N // 2
+    with open(os.path.join(out, "_stats.json")) as fh:
+        stats_y = fh.read()
+    assert stats_y != stats_x, "stale stats silently reused for a different input"
+
+    # (b) post-delete crash: manifest exists only as .tmp
+    os.rename(os.path.join(out, "_manifest.json"), os.path.join(out, "_manifest.json.tmp"))
+    mtime = os.path.getmtime(os.path.join(out, "chunk=0"))
+    assert run_checkpointed(half, out, chunks=2, with_models=False).count() == N // 2
+    assert os.path.getmtime(os.path.join(out, "chunk=0")) == mtime, "completed chunk re-ran"
