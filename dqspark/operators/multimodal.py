@@ -10,11 +10,15 @@ runs inside ``mapInPandas`` so Arrow moves the bytes batch-wise and the
 operator parallelizes like any other stage — partitioning, salting and
 checkpointing from the quality pipeline apply unchanged.
 
-The actual image/audio codecs are NOT present in this environment, so
-``decode_image`` gates the real decode behind an import-probe and
-otherwise raises ``NotImplementedError`` — while the Spark-side
-plumbing (schemas, batch iteration, deterministic pseudo-features used
-by tests and oracles) is fully real.
+The heavyweight image/audio codecs are not present in this
+environment, but PNG needs only stdlib zlib — so ``decode_image``
+carries a REAL dependency-free RFC 2083 PNG decoder (zlib inflate +
+vectorized scanline unfilter, byte-exact roundtrip-tested across all
+five filter types) and prefers PIL when available for the other
+formats; undecodable payloads yield ``decode_ok = false`` per row
+instead of failing the job.  The Spark-side plumbing (schemas, Arrow
+batch iteration, deterministic pseudo-features used by oracles) is
+fully real throughout.
 """
 
 from __future__ import annotations
@@ -90,39 +94,222 @@ def _pil_available() -> bool:
         return False
 
 
+# --- pure stdlib+numpy PNG codec (public spec: RFC 2083 / W3C PNG) ---------
+#
+# The heavyweight image libraries are absent from this environment, but
+# PNG needs only zlib (stdlib) and the per-scanline unfilter pass — so
+# the decode path is REAL for PNG payloads and only the other codecs
+# (JPEG/GIF/...) remain gated.  8-bit depth, color types 0 (grey),
+# 2 (RGB), 4 (grey+alpha), 6 (RGBA), non-interlaced.
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes):
+    """→ uint8 ndarray (h, w, channels).  Raises ValueError on
+    non-PNG / unsupported variants (16-bit, palette, interlaced)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += length + 12  # len + type + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = width * ch
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):  # per-scanline unfilter (filters 0-4)
+        f, line = raw[y, 0], raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = np.empty(stride, np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbor — scan by pixel
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur
+    return out.reshape(height, width, ch)
+
+
+def encode_png(arr, row_filters: list[int] | None = None) -> bytes:
+    """uint8 (h, w) or (h, w, {1,2,3,4}) → PNG bytes.  ``row_filters``
+    picks the filter type per scanline (default all 0) — used by tests
+    to exercise every unfilter branch of decode_png.  Test/fixture
+    utility — the decode path is the production surface."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+
+    def filtered(y: int, f: int) -> bytes:
+        line = flat[y]
+        if f == 0:
+            return b"\x00" + line.astype(np.uint8).tobytes()
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        out = np.empty(stride, np.int32)
+        for x in range(stride):
+            va = line[x - ch] if x >= ch else 0  # raw left neighbor
+            vb = prev[x]
+            vc = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = va
+            elif f == 2:
+                pred = vb
+            elif f == 3:
+                pred = (va + vb) // 2
+            else:  # Paeth
+                p = va + vb - vc
+                pa, pb, pc = abs(p - va), abs(p - vb), abs(p - vc)
+                pred = va if (pa <= pb and pa <= pc) else (vb if pb <= pc else vc)
+            out[x] = (line[x] - pred) & 0xFF
+        return bytes([f]) + out.astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    fs = row_filters or [0] * h
+    scan = b"".join(filtered(y, fs[y % len(fs)]) for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _luma(img):
+    """(h, w, ch) uint8 → (h, w) float32 luma (ITU-R BT.601 weights for
+    color; alpha ignored)."""
+    import numpy as np
+
+    x = img.astype(np.float32)
+    if img.shape[2] >= 3:
+        return 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    return x[:, :, 0]
+
+
+def _resize_nearest(img, size: tuple[int, int]):
+    """(h, w) → (size[1], size[0]) nearest-neighbor (no codec deps)."""
+    import numpy as np
+
+    out_w, out_h = size
+    h, w = img.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]
+
+
 def decode_image(
     df: DataFrame, content_col: str = "payload", size: tuple[int, int] = (224, 224)
 ) -> DataFrame:
-    """Decode + resize image payloads to float features.
+    """Decode + resize image payloads to a per-column mean-luma feature
+    vector (``pixels array<float>``, length ``size[0]``), plus
+    ``decode_ok``.
 
-    STUB in this environment: the decode body requires an image codec
-    (PIL) that is deliberately not installed; the Spark plumbing
-    (schema, Arrow batching, partition behavior) is identical to the
-    real path and covered by extract_binary_features tests."""
-    if not _pil_available():
-        raise NotImplementedError(
-            "image decode requires an image codec (PIL) not present in this "
-            "environment; use extract_binary_features for codec-free features"
-        )
-    # pragma: no cover — real path, same mapInPandas shape as features
-    def decode(batches):
-        from PIL import Image
-        import io
+    PNG payloads decode for REAL via the dependency-free RFC 2083
+    decoder above (stdlib zlib + numpy unfilter); when PIL is present
+    it is preferred and extends coverage to JPEG/GIF/etc.  Payloads no
+    available codec can decode yield ``decode_ok = false`` with null
+    pixels — a per-row outcome, not a job failure (at 10^12 files some
+    payloads are always undecodable)."""
+    use_pil = _pil_available()
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             out = pdf.copy()
-            arrs = []
+            pixels, ok = [], []
             for b in pdf[content_col]:
-                img = Image.open(io.BytesIO(b)).convert("L").resize(size)
-                arrs.append(np.asarray(img, dtype="float32").mean(axis=0).tolist())
-            out["pixels"] = arrs
+                arr = None
+                if use_pil:  # pragma: no cover — codec absent here
+                    try:
+                        import io
+
+                        from PIL import Image
+
+                        img = Image.open(io.BytesIO(b)).convert("L").resize(size)
+                        arr = np.asarray(img, dtype=np.float32)
+                    except Exception:
+                        arr = None
+                if arr is None:
+                    try:
+                        arr = _resize_nearest(_luma(decode_png(bytes(b))), size)
+                    except Exception:
+                        arr = None
+                if arr is None:
+                    pixels.append(None)
+                    ok.append(False)
+                else:
+                    pixels.append(arr.mean(axis=0).astype(np.float32).tolist())
+                    ok.append(True)
+            out["pixels"] = pixels
+            out["decode_ok"] = ok
             yield out
 
-    passthrough = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    return df.mapInPandas(
+        decode, f"{passthrough}, pixels array<float>, decode_ok boolean"
     )
-    return df.mapInPandas(decode, f"{passthrough}, pixels array<float>")
 
 
 def sample_frames(

@@ -38,6 +38,109 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real PNG decode through the Arrow binary plumbing
+# ---------------------------------------------------------------------------
+
+_DECODE_MAX_ID = 300  # planted payloads per run — keep the query O(100) rows
+_DECODE_SIZE = (8, 8)
+
+
+def _planted_payload(doc_id: int) -> bytes:
+    """Deterministic per-doc payload: a seeded 16×12 RGB PNG, except
+    every 10th id which is a JPEG-magic blob no codec here can decode
+    (exercises the per-row decode_ok=false path)."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_png
+
+    if doc_id % 10 == 0:
+        return b"\xff\xd8\xff" + b"notapng" * 4
+    rng = np.random.RandomState(doc_id % (2**31 - 1))
+    return encode_png(rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8))
+
+
+def _decode_image_oracle() -> str:
+    """Single-process replication: same planted payloads, same decoder
+    (roundtrip-correctness of the codec itself is pytest-proven; what
+    this differential checks is the Arrow binary transfer + mapInPandas
+    decode stage against local execution, value for value)."""
+    import duckdb
+    import numpy as np
+
+    from dqspark.operators.multimodal import _luma, _resize_nearest, decode_png
+    from dqspark.plans.local_oracle import oracle_sf_dir, values_table
+
+    con = duckdb.connect()
+    sf_dir = oracle_sf_dir()
+    ids = con.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_DECODE_MAX_ID} ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for (d,) in ids:
+        d = int(d)
+        payload = _planted_payload(d)
+        try:
+            px = (
+                _resize_nearest(_luma(decode_png(payload)), _DECODE_SIZE)
+                .mean(axis=0)
+                .astype(np.float32)
+            )
+            mean = sum(float(v) for v in px) / len(px)
+            rows.append((d, True, float(px[0]), float(px[7]), mean))
+        except ValueError:
+            rows.append((d, False, None, None, None))
+    values = values_table(rows, ["doc_id", "decode_ok", "px0", "px7", "px_mean"])
+    return f"""
+SELECT doc_id, decode_ok,
+       round(px0, 4)::double AS px0, round(px7, 4)::double AS px7,
+       round(px_mean, 4)::double AS px_mean
+FROM {values}
+"""
+
+
+@register("decode_image_png", _decode_image_oracle)
+def q_decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free PNG decode (RFC 2083, stdlib zlib + numpy
+    unfilter) over planted payloads, through the full Spark path:
+    binary column → Arrow batches → mapInPandas decode → luma/resize
+    features; undecodable rows carry decode_ok=false instead of
+    failing the job."""
+    import pandas as pd
+
+    from dqspark.operators.multimodal import decode_image
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < _DECODE_MAX_ID
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _planted_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+            yield out
+
+    payloads = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(payloads, size=_DECODE_SIZE)
+    mean = F.aggregate(
+        "pixels", F.lit(0.0), lambda a, x: a + x.cast("double")
+    ) / F.size("pixels")
+    return dec.select(
+        "doc_id",
+        "decode_ok",
+        F.round(F.element_at("pixels", 1).cast("double"), 4).alias("px0"),
+        F.round(F.element_at("pixels", 8).cast("double"), 4).alias("px7"),
+        F.round(mean, 4).alias("px_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # windowed event rates (batch run of the streaming aggregation)
 # ---------------------------------------------------------------------------
 

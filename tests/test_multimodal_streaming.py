@@ -52,11 +52,54 @@ def test_binary_features(payloads):
     assert 0 <= out.loc[1, "pseudo_height"] < 1080
 
 
-def test_decode_image_stub(payloads):
-    """Codec absent in this environment → the decode stage must fail
-    loudly, not silently fake pixels."""
-    with pytest.raises(NotImplementedError):
-        decode_image(payloads)
+def test_png_codec_roundtrip_all_filters():
+    """decode_png is a real RFC 2083 decoder: byte-exact roundtrip for
+    grey/grey+alpha/RGB/RGBA through every scanline filter type (the
+    encoder applies 0-4 cycling per row, exercising Sub/Up/Average/
+    Paeth unfilter branches)."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            data = encode_png(img, row_filters=filters)
+            back = decode_png(data)
+            assert back.shape == img.shape
+            assert (back == img).all(), (ch, filters)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_decode_image_real_png_and_graceful_other(spark, payloads):
+    """decode_image really decodes PNG payloads (dependency-free zlib
+    path): the pixel features equal the locally-computed
+    luma→resize→column-mean of the source image; payloads with no
+    available codec yield decode_ok=false + null pixels per row instead
+    of failing the job."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import (
+        _luma,
+        _resize_nearest,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    rows = [(1, bytearray(encode_png(img))), (2, bytearray(b"\xff\xd8\xffjpegdata"))]
+    df = spark.createDataFrame(rows, "pid long, payload binary")
+    out = decode_image(df, size=(8, 8)).toPandas().set_index("pid")
+
+    assert bool(out.loc[1, "decode_ok"]) is True
+    want = _resize_nearest(_luma(img), (8, 8)).mean(axis=0).astype(np.float32)
+    got = np.array(out.loc[1, "pixels"], dtype=np.float32)
+    assert np.allclose(got, want, atol=1e-4)
+
+    assert bool(out.loc[2, "decode_ok"]) is False
+    assert out.loc[2, "pixels"] is None
 
 
 def test_sample_frames(payloads):
