@@ -141,6 +141,107 @@ def q_decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real WAV decode + audio features through the Arrow binary plumbing
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+_WAV_N = 2048
+
+
+def _planted_wav(doc_id: int) -> bytes:
+    """Deterministic per-doc audio payload: a pure sine whose frequency
+    is a function of doc_id (so dominant_hz is a meaningful check);
+    every 10th id is an MP3-magic blob no codec here decodes."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_wav
+
+    if doc_id % 10 == 0:
+        return b"ID3" + b"mp3ish" * 8
+    freq = 100.0 + (doc_id % 37) * 90.0
+    t = np.arange(_WAV_N, dtype=np.float64) / _WAV_RATE
+    return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate=_WAV_RATE)
+
+
+def _audio_features_oracle() -> str:
+    """Single-process replication of the planted-WAV feature extraction
+    (codec roundtrip is pytest-proven; the differential checks the
+    Arrow binary transfer + mapInPandas stage value-for-value)."""
+    import duckdb
+    import numpy as np
+
+    from dqspark.operators.multimodal import decode_wav
+    from dqspark.plans.local_oracle import oracle_sf_dir, values_table
+
+    con = duckdb.connect()
+    sf_dir = oracle_sf_dir()
+    ids = con.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_DECODE_MAX_ID} ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for (d,) in ids:
+        d = int(d)
+        try:
+            rate, x = decode_wav(_planted_wav(d))
+        except ValueError:
+            rows.append((d, False, None, None, None, None))
+            continue
+        xf = x.astype(np.float64)
+        n = len(xf)
+        rms = float(np.sqrt(np.mean(xf**2)))
+        zcr = float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+        mag = np.abs(np.fft.rfft(xf))
+        mag[0] = 0.0
+        dom = float(np.argmax(mag) * rate / n)
+        rows.append((d, True, float(n) / rate, rms, zcr, dom))
+    values = values_table(
+        rows, ["doc_id", "decode_ok", "duration_s", "rms", "zcr", "dominant_hz"]
+    )
+    return f"""
+SELECT doc_id, decode_ok, round(duration_s, 4)::double AS duration_s,
+       round(rms, 4)::double AS rms, round(zcr, 4)::double AS zcr,
+       round(dominant_hz, 2)::double AS dominant_hz
+FROM {values}
+"""
+
+
+@register("audio_features_wav", _audio_features_oracle)
+def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free WAV decode (RIFF/PCM, stdlib struct + numpy)
+    over planted payloads through the full Spark path: binary column →
+    Arrow batches → mapInPandas → duration/RMS/zero-crossing/dominant-
+    frequency features; undecodable rows carry decode_ok=false."""
+    import pandas as pd
+
+    from dqspark.operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < _DECODE_MAX_ID
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_planted_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    out = extract_audio_features(payloads)
+    return out.select(
+        "doc_id",
+        "decode_ok",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zcr", 4).alias("zcr"),
+        F.round("dominant_hz", 2).alias("dominant_hz"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # windowed event rates (batch run of the streaming aggregation)
 # ---------------------------------------------------------------------------
 
