@@ -104,44 +104,62 @@ def _pil_available() -> bool:
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# decode bound for UNTRUSTED payloads: a tiny IDAT can inflate to
+# gigabytes (classic decompression bomb) and a forged IHDR can claim
+# absurd dimensions — both would OOM an executor scanning 10^12 files.
+# Pixels are capped and the inflater is fed a hard max_length.
+MAX_PNG_PIXELS = 64 * 1024 * 1024  # 64 MP ≈ 256 MB RGBA
+
 
 def decode_png(data: bytes):
     """→ uint8 ndarray (h, w, channels).  Raises ValueError on
-    non-PNG / unsupported variants (16-bit, palette, interlaced)."""
+    non-PNG / malformed / unsupported variants (16-bit, palette,
+    interlaced) / decompression bombs — never anything else, and never
+    unbounded memory."""
     import struct
     import zlib
 
     import numpy as np
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos, width = 8, None
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += length + 12  # len + type + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or color not in _CHANNELS or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG variant (depth={depth}, color={color}, "
-                    f"interlace={interlace})"
+    try:
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG")
+        pos, width = 8, None
+        idat = b""
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if len(body) < length:
+                raise ValueError("truncated PNG chunk")
+            pos += length + 12  # len + type + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
                 )
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    ch = _CHANNELS[color]
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    stride = width * ch
-    if raw.size != height * (stride + 1):
-        raise ValueError("PNG data length mismatch")
+                if depth != 8 or color not in _CHANNELS or interlace != 0:
+                    raise ValueError(
+                        f"unsupported PNG variant (depth={depth}, color={color}, "
+                        f"interlace={interlace})"
+                    )
+                if width == 0 or height == 0 or width * height > MAX_PNG_PIXELS:
+                    raise ValueError(f"PNG dimensions out of bounds ({width}x{height})")
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        ch = _CHANNELS[color]
+        stride = width * ch
+        expected = height * (stride + 1)
+        d = zlib.decompressobj()
+        inflated = d.decompress(idat, expected)  # hard inflate bound
+        if d.unconsumed_tail or not d.eof or len(inflated) != expected:
+            raise ValueError("PNG data length mismatch")
+        raw = np.frombuffer(inflated, dtype=np.uint8)
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
     raw = raw.reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.uint8)
     for y in range(height):  # per-scanline unfilter (filters 0-4)
@@ -327,19 +345,24 @@ def decode_wav(data: bytes):
     pos = 12
     fmt = None
     samples = None
-    while pos + 8 <= len(data):
-        ctype = data[pos : pos + 4]
-        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 8 + length + (length & 1)  # chunks are word-aligned
-        if ctype == b"fmt ":
-            audio_fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
-            (bits,) = struct.unpack("<H", body[14:16])
-            if audio_fmt != 1 or bits not in (8, 16, 32):
-                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
-            fmt = (n_ch, rate, bits)
-        elif ctype == b"data":
-            samples = body
+    try:
+        while pos + 8 <= len(data):
+            ctype = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + length]
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+            if ctype == b"fmt ":
+                audio_fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
+                (bits,) = struct.unpack("<H", body[14:16])
+                if audio_fmt != 1 or bits not in (8, 16, 32):
+                    raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+                if n_ch == 0 or rate == 0:
+                    raise ValueError("malformed WAV fmt chunk")
+                fmt = (n_ch, rate, bits)
+            elif ctype == b"data":
+                samples = body
+    except struct.error as exc:
+        raise ValueError(f"malformed WAV: {exc}") from exc
     if fmt is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
     n_ch, rate, bits = fmt

@@ -379,3 +379,57 @@ def test_wav_codec_roundtrip_and_features(spark):
     import pandas as pd
 
     assert bool(out.loc[2, "decode_ok"]) is False and pd.isna(out.loc[2, "rms"])
+
+
+def test_codecs_reject_garbage_and_bombs():
+    """Untrusted-payload hardening: random garbage, truncations, and a
+    decompression bomb all raise ValueError (never struct/zlib errors,
+    never unbounded memory) — at 10^12 files every malformed shape WILL
+    occur."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dqspark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(21)
+    png = encode_png(rng.randint(0, 256, (6, 5, 3), dtype=np.uint8))
+    wav = encode_wav(np.sin(np.arange(100) / 5.0))
+    for payload in (
+        b"", b"\x89PNG\r\n\x1a\n", b"RIFF", b"RIFFxxxxWAVE",
+        bytes(rng.randint(0, 256, 64, dtype=np.uint8).tobytes()),
+        png[:20], png[:-7], wav[:16], wav[:-9],
+        png[:33] + b"\xff" * 10,  # corrupt IDAT
+    ):
+        for dec in (decode_png, decode_wav):
+            try:
+                dec(payload)
+            except ValueError:
+                pass  # the only acceptable failure mode
+            # success is fine too (a truncation can still parse)
+
+    # forged-IHDR bomb: claims 1x1 but carries megabytes of inflate
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (32 * 1024 * 1024)))
+            + chunk(b"IEND", b""))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_png(bomb)
+
+    # forged dimensions beyond the pixel cap
+    huge = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)))
+    with _pytest.raises(ValueError):
+        decode_png(huge)
