@@ -12,11 +12,12 @@ checkpointing from the quality pipeline apply unchanged.
 
 The heavyweight image/audio codecs are not present in this
 environment, but PNG needs only stdlib zlib — so ``decode_image``
-carries a REAL dependency-free RFC 2083 PNG decoder (zlib inflate +
-vectorized scanline unfilter, byte-exact roundtrip-tested across all
-five filter types) and prefers PIL when available for the other
-formats; undecodable payloads yield ``decode_ok = false`` per row
-instead of failing the job.  The Spark-side plumbing (schemas, Arrow
+carries a REAL dependency-free RFC 2083 PNG decoder (zlib inflate with
+a hard bound; scanline unfilter vectorized for filters None/Sub/Up,
+per-pixel for Average/Paeth under the pixel cap; byte-exact
+roundtrip-tested across all five filter types) and can use PIL when
+available for the other formats; undecodable payloads yield
+``decode_ok = false`` per row instead of failing the job.  The Spark-side plumbing (schemas, Arrow
 batch iteration, deterministic pseudo-features used by oracles) is
 fully real throughout.
 """
@@ -107,8 +108,11 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 # decode bound for UNTRUSTED payloads: a tiny IDAT can inflate to
 # gigabytes (classic decompression bomb) and a forged IHDR can claim
 # absurd dimensions — both would OOM an executor scanning 10^12 files.
-# Pixels are capped and the inflater is fed a hard max_length.
-MAX_PNG_PIXELS = 64 * 1024 * 1024  # 64 MP ≈ 256 MB RGBA
+# Pixels are capped and the inflater is fed a hard max_length.  The cap
+# also bounds CPU: the Average/Paeth unfilters are per-pixel Python
+# (filters 0/1/2 are vectorized), so a hostile all-Paeth image costs at
+# most ~16M interpreted iterations — seconds, not minutes, per payload.
+MAX_PNG_PIXELS = 4 * 1024 * 1024  # 4 MP ≈ 16 MB RGBA
 
 
 def decode_png(data: bytes):
@@ -125,7 +129,7 @@ def decode_png(data: bytes):
         if data[:8] != b"\x89PNG\r\n\x1a\n":
             raise ValueError("not a PNG")
         pos, width = 8, None
-        idat = b""
+        idat_parts: list[bytes] = []
         while pos + 8 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
             ctype = data[pos + 4 : pos + 8]
@@ -145,7 +149,7 @@ def decode_png(data: bytes):
                 if width == 0 or height == 0 or width * height > MAX_PNG_PIXELS:
                     raise ValueError(f"PNG dimensions out of bounds ({width}x{height})")
             elif ctype == b"IDAT":
-                idat += body
+                idat_parts.append(body)  # join once — += is O(chunks²)
             elif ctype == b"IEND":
                 break
         if width is None:
@@ -154,7 +158,7 @@ def decode_png(data: bytes):
         stride = width * ch
         expected = height * (stride + 1)
         d = zlib.decompressobj()
-        inflated = d.decompress(idat, expected)  # hard inflate bound
+        inflated = d.decompress(b"".join(idat_parts), expected)  # hard inflate bound
         if d.unconsumed_tail or not d.eof or len(inflated) != expected:
             raise ValueError("PNG data length mismatch")
         raw = np.frombuffer(inflated, dtype=np.uint8)
@@ -170,22 +174,28 @@ def decode_png(data: bytes):
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the left neighbor — scan by pixel
+        elif f == 1:  # Sub: recon[x] = Σ line[..x] per channel lane —
+            # mod-256 distributes over addition, so a plain cumsum
+            # masked at the end is exact (vectorized, no pixel loop)
+            cur = (
+                np.cumsum(line.reshape(width, ch), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth carry a true recurrence on
+            # the reconstructed left neighbor — per-pixel, bounded by
+            # MAX_PNG_PIXELS
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0
                 b = prev[x]
                 c = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) // 2
-                elif f == 4:  # Paeth
+                else:  # Paeth
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter {f}")
                 cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
         out[y] = cur
     return out.reshape(height, width, ch)
 
@@ -275,19 +285,26 @@ def _resize_nearest(img, size: tuple[int, int]):
 
 
 def decode_image(
-    df: DataFrame, content_col: str = "payload", size: tuple[int, int] = (224, 224)
+    df: DataFrame,
+    content_col: str = "payload",
+    size: tuple[int, int] = (224, 224),
+    prefer_pil: bool = True,
 ) -> DataFrame:
     """Decode + resize image payloads to a per-column mean-luma feature
     vector (``pixels array<float>``, length ``size[0]``), plus
     ``decode_ok``.
 
     PNG payloads decode for REAL via the dependency-free RFC 2083
-    decoder above (stdlib zlib + numpy unfilter); when PIL is present
-    it is preferred and extends coverage to JPEG/GIF/etc.  Payloads no
-    available codec can decode yield ``decode_ok = false`` with null
-    pixels — a per-row outcome, not a job failure (at 10^12 files some
-    payloads are always undecodable)."""
-    use_pil = _pil_available()
+    decoder above (stdlib zlib + numpy unfilter); with
+    ``prefer_pil=True`` an installed PIL is used first, extending
+    coverage to JPEG/GIF/etc — note PIL's integer luma + resampling
+    differ numerically from the pure path, so anything comparing
+    against the pure-path replication (the decode_image_png oracle, the
+    parity test) MUST pass ``prefer_pil=False``.  Payloads no available
+    codec can decode yield ``decode_ok = false`` with null pixels — a
+    per-row outcome, not a job failure (at 10^12 files some payloads
+    are always undecodable)."""
+    use_pil = prefer_pil and _pil_available()
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )

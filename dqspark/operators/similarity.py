@@ -234,17 +234,23 @@ def band_signatures(
     n_bands: int,
     seed: int,
     key_alias: str = "k",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """(key_alias, band_idx, band_key) — one row per (vector, band),
     bit-identical to rh_band_keys (the local-oracle primitive): one
     Arrow-batched pandas UDF over broadcast seeded planes, exploded.
     Only ids and band keys leave this frame — vectors never enter the
     band-join shuffle.  Shared by knn_lsh and
-    embedding_near_dup_pairs_lsh so the two operators cannot drift."""
+    embedding_near_dup_pairs_lsh so the two operators cannot drift.
+
+    Pass ``planes`` when calling more than once per operator (knn_lsh
+    signs both relations): deriving it here costs a dimension-probe
+    ``first()`` job over ``df``'s upstream plan."""
     import pandas as pd
 
-    dim = len(df.select(vec_col).first()[0])
-    planes = rh_planes(dim, n_bits, seed)
+    if planes is None:
+        dim = len(df.select(vec_col).first()[0])
+        planes = rh_planes(dim, n_bits, seed)
     bc = df.sparkSession.sparkContext.broadcast(planes)
 
     @F.pandas_udf("array<long>")
@@ -277,11 +283,15 @@ def knn_lsh(
     Shuffle shape: the band join moves (band_idx, band_key, id)
     triples only; vectors are joined back by id for the exact rerank —
     never duplicated n_bands× through the collision shuffle."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = rh_planes(dim, n_bits, seed)  # one probe + one matrix for both sides
     v_sig = band_signatures(
-        vectors, key_col, vec_col, n_bits, n_bands, seed, key_alias="neighbor_id"
+        vectors, key_col, vec_col, n_bits, n_bands, seed,
+        key_alias="neighbor_id", planes=planes,
     )
     q_sig = band_signatures(
-        queries, key_col, vec_col, n_bits, n_bands, seed, key_alias="query_id"
+        queries, key_col, vec_col, n_bits, n_bands, seed,
+        key_alias="query_id", planes=planes,
     )
     cands = (
         q_sig.join(v_sig, ["band_idx", "band_key"])

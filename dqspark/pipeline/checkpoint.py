@@ -170,6 +170,8 @@ def run_checkpointed(
         # all stale — start over (chunk dirs are overwritten below)
         fs.delete_recursive(chunked_path)
         fs.delete_recursive(stats_path)
+        fs.delete_recursive(stats_path + ".tmp")  # a crashed write's temp
+        # is a valid recovery source — it must not outlive invalidation
         manifest = {"completed_chunks": [], "input_fingerprint": fp}
     if manifest["input_fingerprint"] != fp:
         # record the fingerprint BEFORE any derived state (_stats.json,
@@ -181,10 +183,18 @@ def run_checkpointed(
         _commit_manifest(fs, out_dir, set(manifest["completed_chunks"]), fp)
 
     stats_text = fs.read_text_recovering(stats_path)
+    stats = None
     if stats_text is not None:
-        stats = json.loads(stats_text)
-    else:
+        try:
+            stats = json.loads(stats_text)
+        except ValueError:  # partial temp from a mid-write crash → recompute
+            stats = None
+    if stats is None:
         stats = compute_corpus_stats(df, exact_percentiles=exact_percentiles)
+        fs.write_text_atomic(stats_path, json.dumps(stats))
+    elif not fs.exists(stats_path):
+        # recovered from a post-delete-crash temp: promote it to the
+        # destination (also clears the temp) so it can't go stale
         fs.write_text_atomic(stats_path, json.dumps(stats))
 
     done = set(manifest["completed_chunks"])

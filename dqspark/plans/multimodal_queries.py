@@ -127,7 +127,9 @@ def q_decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     payloads = docs.mapInPandas(gen, "doc_id bigint, payload binary")
-    dec = decode_image(payloads, size=_DECODE_SIZE)
+    # prefer_pil=False pins the pure decoder: the oracle replicates the
+    # pure path, and PIL's integer luma/resampling differ numerically
+    dec = decode_image(payloads, size=_DECODE_SIZE, prefer_pil=False)
     mean = F.aggregate(
         "pixels", F.lit(0.0), lambda a, x: a + x.cast("double")
     ) / F.size("pixels")

@@ -91,7 +91,9 @@ def test_decode_image_real_png_and_graceful_other(spark, payloads):
     img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
     rows = [(1, bytearray(encode_png(img))), (2, bytearray(b"\xff\xd8\xffjpegdata"))]
     df = spark.createDataFrame(rows, "pid long, payload binary")
-    out = decode_image(df, size=(8, 8)).toPandas().set_index("pid")
+    # prefer_pil=False: this test compares against the pure-path
+    # reference and must not silently switch codecs where PIL exists
+    out = decode_image(df, size=(8, 8), prefer_pil=False).toPandas().set_index("pid")
 
     assert bool(out.loc[1, "decode_ok"]) is True
     want = _resize_nearest(_luma(img), (8, 8)).mean(axis=0).astype(np.float32)
