@@ -10,6 +10,15 @@ compiled regexes, zero Python per row. Hit counts come from
 
 Patterns are applied in declaration order on both the Spark side and
 the DuckDB oracle side (order matters for overlapping spans).
+
+Known cross-engine divergence (pinned by
+tests/test_functions.py::test_word_boundary_unicode_divergence): Java's
+``\\b`` is Unicode-aware while RE2's (DuckDB) is ASCII, so a pattern
+start directly preceded by a non-ASCII word character (e.g. ``日api_key``)
+is a boundary for RE2 but not for Java.  Spark's behavior is the
+product behavior; the DuckDB oracle is exact on ASCII-adjacent
+contexts (which is what source code overwhelmingly is) and the
+differential fuzz constrains its generator accordingly.
 """
 
 from __future__ import annotations
