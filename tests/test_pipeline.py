@@ -363,3 +363,34 @@ def test_checkpoint_crash_windows(spark, corpus_pdf, tmp_path):
     mtime = os.path.getmtime(os.path.join(out, "chunk=0"))
     assert run_checkpointed(half, out, chunks=2, with_models=False).count() == N // 2
     assert os.path.getmtime(os.path.join(out, "chunk=0")) == mtime, "completed chunk re-ran"
+
+
+def test_package_zipimports_like_py_files(tmp_path):
+    """north_star: 'Packaged for spark-submit --py-files' — the package
+    must import and train models from a zip archive on sys.path (how
+    --py-files ships code to executors), with no repo checkout
+    present."""
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = shutil.make_archive(
+        str(tmp_path / "dqspark"), "zip", root_dir=repo, base_dir="dqspark"
+    )
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "from dqspark.pipeline.models import LangIdModel, TrigramLM; "
+        "m = LangIdModel.train(['the cat sat', 'der hund lief'], ['en', 'de']); "
+        "import numpy as np; pred, conf = m.predict_batch(['the the the']); "
+        "assert m.langs[int(pred[0])] == 'en', m.langs; "
+        "from dqspark.operators.deletions import runs_merge; "
+        "assert runs_merge((2,2,2,2), (3,1,0,1)) == (5, 3, 0, 3); "
+        "print('zipimport-ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, zip_path],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "zipimport-ok" in out.stdout
