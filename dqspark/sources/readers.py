@@ -57,6 +57,20 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         df = spark.read.json(path)
     elif fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
+    elif fmt == "avro":
+        # spark-avro is an external module; probe and fail with a clear
+        # message when the jar is absent (same posture as the Iceberg
+        # probe in sources/catalog.py)
+        try:
+            df = spark.read.format("avro").load(path)
+        except Exception as exc:  # noqa: BLE001 — surface the jar hint
+            raise ValueError(
+                "avro requires the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+                f"load failed: {exc}"
+            ) from exc
     elif fmt in ("xlsx", "xls"):
         import pandas as pd  # driver-side only; Excel files are small
 

@@ -250,3 +250,18 @@ def test_word_boundary_unicode_divergence(spark):
             "SELECT len(regexp_extract_all(?, ?))", [t2, pat]
         ).fetchone()[0]
         assert s2 == d2, ctx
+
+
+def test_read_any_orc(spark, tmp_path):
+    """ORC is a native Spark source — same sanitize + null-normalize
+    pass as every other format."""
+    from dqspark.sources.readers import read_any
+
+    p = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [("x", 1), ("null", 2)], "`a b` string, `9id` long"
+    ).write.orc(p)
+    df = read_any(spark, p, fmt="orc")
+    assert df.columns == ["a_b", "_9id"]
+    got = {r._9id: r.a_b for r in df.collect()}
+    assert got == {1: "x", 2: None}
