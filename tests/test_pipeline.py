@@ -394,3 +394,41 @@ def test_package_zipimports_like_py_files(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "zipimport-ok" in out.stdout
+
+
+def test_bucketed_input_elides_dedupe_exchange(spark, corpus_pdf, tmp_path):
+    """Substantiates the checkpoint.py/quality.py claim that a corpus
+    table hash-bucketed on the content hash makes the dedupe
+    aggregation shuffle-free: a bucketBy(content_sha256) table feeds
+    groupBy(content_sha256) with ZERO exchanges in the physical plan
+    (the bucketed scan already provides the required hash
+    partitioning)."""
+    from pyspark.sql import functions as F
+
+    from dqspark.functions.hashing import content_sha256
+
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"])).withColumn(
+        "content_sha256", content_sha256("content")
+    )
+    table = "bucketed_codefiles_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        sdf.write.mode("overwrite")
+        .bucketBy(8, "content_sha256")
+        .option("path", str(tmp_path / "tbl"))
+        .saveAsTable(table)
+    )
+    try:
+        agg = (
+            spark.table(table)
+            .groupBy("content_sha256")
+            .agg(F.count(F.lit(1)).alias("_dup_n"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        # and the aggregation is still correct
+        n_groups = agg.count()
+        assert n_groups == sdf.select("content_sha256").distinct().count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
