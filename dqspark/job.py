@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-models", action="store_true", help="heuristics only")
     ap.add_argument(
+        "--input-id",
+        default=None,
+        help="stable resume identity for the input (default: the --input "
+        "path). The fallback plan-hash fingerprint is not guaranteed stable "
+        "across Spark upgrades; path identity is.",
+    )
+    ap.add_argument(
         "--approx-percentiles",
         action="store_true",
         help="Greenwald-Khanna sketch for the IQR quartiles — REQUIRED at "
@@ -56,6 +63,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         n_partitions=args.partitions,
         with_models=not args.no_models,
         exact_percentiles=not args.approx_percentiles,
+        input_id=args.input_id or args.input,
     )
     if args.audit:
         write_table(audit_summary(result), args.audit)

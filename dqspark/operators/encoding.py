@@ -56,16 +56,31 @@ def _label_codes_impl(
     n_range_partitions: int | None,
 ) -> tuple[DataFrame, bool]:
     """→ (code book, is_small).  is_small drives the join strategy in
-    label_encode: a small book is broadcast, a huge one shuffle-joins."""
+    label_encode: a small book is broadcast, a huge one shuffle-joins.
+
+    The distinct shuffle is the expensive part (it scans the full
+    table), and both paths need it twice — once for the cardinality
+    probe, once to build codes — so ``vals`` is persisted across the
+    probe and released once the code book is materialized (the ranged
+    path is eager via its localCheckpoint; the small path is
+    localCheckpoint'ed here — it is at most ``window_cardinality_max``
+    rows)."""
     vals = (
         df.select(F.col(column).alias("value"))
         .where(F.col("value").isNotNull())
         .distinct()
+        .persist()
     )
-    if vals.count() <= window_cardinality_max:
-        w = Window.orderBy("value")  # cardinality-sized input — tiny sort
-        return vals.select("value", (F.row_number().over(w) - 1).alias("code")), True
-    return _ranged_label_codes(vals, n_range_partitions), False
+    try:
+        if vals.count() <= window_cardinality_max:
+            w = Window.orderBy("value")  # cardinality-sized input — tiny sort
+            codes = vals.select(
+                "value", (F.row_number().over(w) - 1).alias("code")
+            ).localCheckpoint()
+            return codes, True
+        return _ranged_label_codes(vals, n_range_partitions), False
+    finally:
+        vals.unpersist()
 
 
 def label_codes(

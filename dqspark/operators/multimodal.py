@@ -367,6 +367,8 @@ def decode_wav(data: bytes):
             ctype = data[pos : pos + 4]
             (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
             body = data[pos + 8 : pos + 8 + length]
+            if len(body) < length:  # declared length past end of payload
+                raise ValueError("truncated WAV chunk")
             pos += 8 + length + (length & 1)  # chunks are word-aligned
             if ctype == b"fmt ":
                 audio_fmt, n_ch, rate = struct.unpack("<HHI", body[:8])

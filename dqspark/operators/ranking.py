@@ -7,7 +7,10 @@ slice with a vectorized cumulative count (no shuffle beyond the range
 exchange, no window), then add per-slice offsets computed from one
 O(partitions) count collect.  ``localCheckpoint`` pins the slice layout
 so the offset job and the returned frame read identical partitioning
-(range sampling is not re-executed between the two actions).
+(range sampling is not re-executed between the two actions).  The
+checkpoint's cached blocks are released when the returned frame is
+garbage-collected (Spark's ContextCleaner unpersists the underlying
+RDD), not held for the session's lifetime.
 
 Used by operators/encoding.py (high-cardinality label code books) and
 operators/dedup.py (bitset dense-id dictionary) — anywhere the input is

@@ -249,8 +249,13 @@ def band_signatures(
     import pandas as pd
 
     if planes is None:
-        dim = len(df.select(vec_col).first()[0])
-        planes = rh_planes(dim, n_bits, seed)
+        probe = df.select(vec_col).first()
+        if probe is None:  # empty corpus — no dimension to derive
+            key_t = df.schema[key_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"`{key_alias}` {key_t}, band_idx int, band_key long"
+            )
+        planes = rh_planes(len(probe[0]), n_bits, seed)
     bc = df.sparkSession.sparkContext.broadcast(planes)
 
     @F.pandas_udf("array<long>")
@@ -283,8 +288,14 @@ def knn_lsh(
     Shuffle shape: the band join moves (band_idx, band_key, id)
     triples only; vectors are joined back by id for the exact rerank —
     never duplicated n_bands× through the collision shuffle."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = rh_planes(dim, n_bits, seed)  # one probe + one matrix for both sides
+    probe = vectors.select(vec_col).first()
+    if probe is None:  # empty corpus → no neighbors for any query
+        key_t = vectors.schema[key_col].dataType.simpleString()
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"query_id {key_t}, neighbor_id {key_t}, cos_sim double, rank int",
+        )
+    planes = rh_planes(len(probe[0]), n_bits, seed)  # one probe + one matrix for both sides
     v_sig = band_signatures(
         vectors, key_col, vec_col, n_bits, n_bands, seed,
         key_alias="neighbor_id", planes=planes,

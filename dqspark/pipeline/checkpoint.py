@@ -24,16 +24,27 @@ filesystem ``rename`` of a temp file: atomic on HDFS and local FS; on
 rename-less object stores the worst case (a crash between delete and
 rename) loses the manifest and re-processes chunks idempotently.
 
-The manifest records an input FINGERPRINT (the canonicalized logical
-plan hash of the input DataFrame): rerunning against the same
-``out_dir`` with a DIFFERENT input invalidates the materialized chunk
-split, the frozen stats, and the completed-chunk set instead of
-silently resuming over stale data.
+The manifest records a RUN FINGERPRINT — an input identity plus the
+run configuration (``chunks``, ``with_models``, ``exact_percentiles``):
+rerunning against the same ``out_dir`` with a different input OR a
+different configuration invalidates the materialized chunk split, the
+frozen stats, and the completed-chunk set instead of silently resuming
+over stale state (a chunk split built for ``chunks=8`` must never feed
+a ``chunks=16`` resume — the extra slice ids would simply be skipped,
+silently dropping data).
+
+The input identity defaults to the canonicalized logical-plan hash
+(``input_fingerprint``), which detects "same out_dir, different source"
+within one Spark version; production callers should pass an explicit
+``input_id`` (job.py defaults it to the ``--input`` path) because plan
+hashes are not guaranteed stable across Spark upgrades — a cluster
+restart onto a new Spark build must not discard a half-finished run.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -153,33 +164,62 @@ def run_checkpointed(
     n_partitions: int | None = None,
     with_models: bool = True,
     exact_percentiles: bool = True,
+    input_id: str | None = None,
 ) -> DataFrame:
     """Process ``df`` through the quality pipeline in ``chunks`` resumable
-    slices; returns the full result read back from ``out_dir``."""
+    slices; returns the full result read back from ``out_dir``.
+
+    ``input_id`` — explicit stable identity for the input (e.g. its
+    table path).  Defaults to the logical-plan hash, which detects
+    content-level changes (a different filter or source under the same
+    out_dir) but is only stable within one Spark version; path identity
+    survives upgrades at the cost of not noticing in-place rewrites.
+    """
     spark = df.sparkSession
     fs = _HadoopFS(spark, out_dir)
     fs.mkdirs(out_dir)
-    fp = input_fingerprint(df)
+    # run fingerprint = input identity + everything that shapes on-disk
+    # state: `chunks` shapes the split layout and the completed-chunk
+    # ids, `exact_percentiles` shapes the frozen stats, `with_models`
+    # shapes every chunk's rows — resuming across a change in any of
+    # them over prior state would be silently wrong
+    ident = input_id if input_id is not None else input_fingerprint(df)
+    fp = (
+        f"{ident}|chunks={chunks}|models={with_models}"
+        f"|exactpct={exact_percentiles}"
+    )
 
     manifest = _read_manifest(fs, out_dir)
+    disk_fp = manifest["input_fingerprint"]
     chunked_path = _join(out_dir, "_chunked_input")
     stats_path = _join(out_dir, "_stats.json")
-    if manifest["input_fingerprint"] not in (None, fp):
-        # different input than the run that produced this out_dir: the
-        # materialized split, frozen stats and completed-chunk set are
-        # all stale — start over (chunk dirs are overwritten below)
+    if disk_fp not in (None, fp):
+        # different input/config than the run that produced this
+        # out_dir: the materialized split, frozen stats and
+        # completed-chunk set are all stale — start over (chunk dirs
+        # are overwritten below).  Loud by design: this discards
+        # progress, and an operator who expected a resume should see why.
+        print(
+            f"dqspark checkpoint: input/config changed for {out_dir} "
+            f"(recorded {disk_fp!r} != current {fp!r}); discarding the "
+            f"materialized split, frozen stats and "
+            f"{len(manifest['completed_chunks'])} completed chunk(s)",
+            file=sys.stderr,
+        )
         fs.delete_recursive(chunked_path)
         fs.delete_recursive(stats_path)
         fs.delete_recursive(stats_path + ".tmp")  # a crashed write's temp
         # is a valid recovery source — it must not outlive invalidation
         manifest = {"completed_chunks": [], "input_fingerprint": fp}
-    if manifest["input_fingerprint"] != fp:
+    if disk_fp != fp:
         # record the fingerprint BEFORE any derived state (_stats.json,
         # the chunked split) can be written: a run that crashes after
         # writing stats but before the first chunk commit must still
         # leave behind which input those stats were computed from, or a
-        # later run with different input would silently reuse them
-        manifest = {"completed_chunks": sorted(set(manifest["completed_chunks"])), "input_fingerprint": fp}
+        # later run with different input would silently reuse them.
+        # Keyed on the ON-DISK fingerprint — the invalidation branch
+        # above already reset the in-memory copy, and comparing against
+        # that would skip this commit exactly when it matters most.
         _commit_manifest(fs, out_dir, set(manifest["completed_chunks"]), fp)
 
     stats_text = fs.read_text_recovering(stats_path)

@@ -330,6 +330,41 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, queries, centroids, k=5, nprobe=3)
 
 
+def _recall_per_query(bf: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, hits, recall) — per-query recall of an approximate kNN
+    result vs the brute-force baseline (both as (query_id, neighbor_id)
+    pair sets).  Shared by every tracked kNN recall query so the metric
+    definition cannot drift between ANN families."""
+    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_actual"))
+    hits = (
+        bf.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("h", F.lit(0)).cast("int").alias("hits"),
+        F.round(F.coalesce("h", F.lit(0)) / F.col("k_actual"), 4).alias("recall"),
+    )
+
+
+def _recall_totals(brute: DataFrame, approx: DataFrame) -> DataFrame:
+    """One-row (n_true, n_found, recall) — corpus-level recall of an
+    approximate pairs result vs the exact all-pairs baseline (both as
+    (key1, key2) pair sets).  Shared by the pairs-recall queries."""
+    n_true = brute.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = brute.join(approx, ["key1", "key2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return n_true.crossJoin(n_found).select(
+        F.col("n_true").cast("int").alias("n_true"),
+        F.col("n_found").cast("int").alias("n_found"),
+        F.round(
+            F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)), 4
+        ).alias("recall"),
+    )
+
+
 def _ivf_recall_oracle() -> str:
     from dqspark.plans.local_oracle import knn_ivf_recall_values, oracle_sf_dir
 
@@ -356,22 +391,7 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     bf = knn_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
-    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_actual"))
-    hits = (
-        bf.join(ivf, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("h"))
-    )
-    return (
-        base.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("h", F.lit(0)).cast("int").alias("hits"),
-            F.round(
-                F.coalesce("h", F.lit(0)) / F.col("k_actual"), 4
-            ).alias("recall"),
-        )
-    )
+    return _recall_per_query(bf, ivf)
 
 
 @register("knn_ivf_fullprobe", _KNN_ORACLE)
@@ -426,17 +446,7 @@ def q_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     bf = knn_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
-    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_actual"))
-    hits = (
-        bf.join(lsh, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("h"))
-    )
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce("h", F.lit(0)).cast("int").alias("hits"),
-        F.round(F.coalesce("h", F.lit(0)) / F.col("k_actual"), 4).alias("recall"),
-    )
+    return _recall_per_query(bf, lsh)
 
 
 def _neardup_lsh_oracle() -> str:
@@ -484,17 +494,7 @@ def q_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_near_dup_pairs_lsh(
         emb, threshold=0.95, n_bits=32, n_bands=8
     ).select("key1", "key2")
-    n_true = brute.agg(F.count(F.lit(1)).alias("n_true"))
-    n_found = brute.join(lsh, ["key1", "key2"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_found")
-    )
-    return n_true.crossJoin(n_found).select(
-        F.col("n_true").cast("int").alias("n_true"),
-        F.col("n_found").cast("int").alias("n_found"),
-        F.round(
-            F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)), 4
-        ).alias("recall"),
-    )
+    return _recall_totals(brute, lsh)
 
 
 def _neardup_ivf_recall_oracle() -> str:
@@ -522,14 +522,4 @@ def q_neardup_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = embedding_near_dup_pairs_ivf(
         emb, centroids, threshold=0.95, nprobe=2
     ).select("key1", "key2")
-    n_true = brute.agg(F.count(F.lit(1)).alias("n_true"))
-    n_found = brute.join(ivf, ["key1", "key2"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_found")
-    )
-    return n_true.crossJoin(n_found).select(
-        F.col("n_true").cast("int").alias("n_true"),
-        F.col("n_found").cast("int").alias("n_found"),
-        F.round(
-            F.col("n_found") / F.greatest(F.col("n_true"), F.lit(1)), 4
-        ).alias("recall"),
-    )
+    return _recall_totals(brute, ivf)

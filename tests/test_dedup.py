@@ -256,3 +256,28 @@ def test_rh_band_keys_divisibility_guard():
         rh_band_keys(X, rh_planes(4, 36), n_bands=8)  # 36 % 8 != 0
     with _pytest.raises(ValueError):
         rh_band_keys(X, rh_planes(4, 32), n_bands=48)  # band_bits would be 0
+
+
+def test_lsh_empty_corpus_returns_empty_not_crash(spark):
+    """An empty vectors relation must yield an empty, correctly-typed
+    result — the dimension probe (`first()`) has no row to inspect and
+    used to raise TypeError (at 10^12-file scale, empty partitions and
+    empty filtered sub-corpora are routine)."""
+    from dqspark.operators.similarity import (
+        band_signatures,
+        embedding_near_dup_pairs_lsh,
+        knn_lsh,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = knn_lsh(empty, empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    ]
+    pairs = embedding_near_dup_pairs_lsh(empty)
+    assert pairs.count() == 0
+    assert [f.name for f in pairs.schema.fields] == ["key1", "key2", "cos_sim"]
+    sig = band_signatures(empty, "vec_id", "embedding", 32, 8, seed=7)
+    assert sig.count() == 0
+    assert [f.name for f in sig.schema.fields] == ["k", "band_idx", "band_key"]

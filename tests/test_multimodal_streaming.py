@@ -435,3 +435,20 @@ def test_codecs_reject_garbage_and_bombs():
             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)))
     with _pytest.raises(ValueError):
         decode_png(huge)
+
+
+def test_wav_truncated_data_chunk_rejected():
+    """A data chunk whose declared length runs past the payload end must
+    raise ValueError, not silently decode a truncated buffer (frombuffer
+    on an odd-length int16 slice would otherwise be shape-dependent)."""
+    import struct
+
+    import numpy as np
+
+    from dqspark.operators.multimodal import decode_wav, encode_wav
+
+    wav = encode_wav(np.sin(np.arange(64) / 3.0))
+    i = wav.find(b"data")
+    bad = wav[: i + 4] + struct.pack("<I", 1 << 20) + wav[i + 8 :]
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(bad)

@@ -10,6 +10,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from dqspark.pipeline import corpus, golden, quality
 from dqspark.pipeline.checkpoint import run_checkpointed
@@ -432,3 +433,65 @@ def test_bucketed_input_elides_dedupe_exchange(spark, corpus_pdf, tmp_path):
         assert n_groups == sdf.select("content_sha256").distinct().count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_checkpoint_config_change_invalidates(spark, corpus_pdf, tmp_path):
+    """Resuming with a different run CONFIG (here: chunk count) over
+    prior state must invalidate and reprocess — a chunks=2 split feeding
+    a chunks=3 resume would silently skip slice id 2's keyspace."""
+    out = str(tmp_path / "ckpt_cfg")
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    run_checkpointed(sdf, out, chunks=2, with_models=False)
+    res = run_checkpointed(sdf, out, chunks=3, with_models=False)
+    assert res.count() == N
+    assert res.select("repo", "path", "commit").distinct().count() == N
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        m = json.load(fh)
+    assert sorted(m["completed_chunks"]) == [0, 1, 2]
+    assert "chunks=3" in m["input_fingerprint"]
+
+
+def test_checkpoint_invalidation_commits_fingerprint_first(
+    spark, corpus_pdf, tmp_path, monkeypatch
+):
+    """The invalidation path must commit the NEW fingerprint before any
+    derived state is (re)written: crash inside the stats computation
+    right after invalidation → the on-disk manifest already records the
+    new identity with no completed chunks.  Regression guard: the commit
+    used to key on the already-reset in-memory manifest and was skipped
+    exactly on this path."""
+    import dqspark.pipeline.checkpoint as cp
+
+    out = str(tmp_path / "ckpt_inv")
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    run_checkpointed(sdf, out, chunks=2, with_models=False)
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        fp_a = json.load(fh)["input_fingerprint"]
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated crash before stats write")
+
+    monkeypatch.setattr(cp, "compute_corpus_stats", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_checkpointed(sdf.limit(N // 2), out, chunks=2, with_models=False)
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["input_fingerprint"] != fp_a, "new identity not committed"
+    assert m["completed_chunks"] == []
+
+
+def test_checkpoint_explicit_input_id(spark, corpus_pdf, tmp_path):
+    """An explicit input_id (job.py passes the --input path) keys resume
+    on caller-provided identity: same id + same config resumes without
+    recompute even when the DataFrame's plan hash differs."""
+    out = str(tmp_path / "ckpt_id")
+    sdf = spark.createDataFrame(corpus_pdf.drop(columns=["defect_class"]))
+    run_checkpointed(sdf, out, chunks=2, with_models=False, input_id="corpus-v1")
+    mtime = os.path.getmtime(os.path.join(out, "chunk=0"))
+    # different plan (an extra no-op filter), same declared identity
+    same = sdf.where(F.lit(True))
+    assert (
+        run_checkpointed(same, out, chunks=2, with_models=False, input_id="corpus-v1").count()
+        == N
+    )
+    assert os.path.getmtime(os.path.join(out, "chunk=0")) == mtime, "resume recomputed"
