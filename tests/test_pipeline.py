@@ -495,3 +495,44 @@ def test_checkpoint_explicit_input_id(spark, corpus_pdf, tmp_path):
         == N
     )
     assert os.path.getmtime(os.path.join(out, "chunk=0")) == mtime, "resume recomputed"
+
+
+def test_job_entrypoint_with_models(spark, tmp_path):
+    """The production default (models ON) through the spark-submit entry:
+    checkpointed chunks carry the model columns, decisions equal the
+    direct unchunked pipeline (stats are frozen corpus-wide before the
+    split), and a rerun resumes without recomputing."""
+    from dqspark import job
+
+    pdf = corpus.gen_pandas(300).drop(columns=["defect_class"])
+    src = str(tmp_path / "jobm_in")
+    out = str(tmp_path / "jobm_out")
+    sdf = spark.createDataFrame(pdf)
+    sdf.write.parquet(src)
+
+    args = ["--input", src, "--output", out, "--chunks", "2"]
+    job.main(args, spark=spark)
+
+    res = spark.read.option("basePath", out).parquet(
+        *[os.path.join(out, f"chunk={c}") for c in range(2)]
+    )
+    assert res.count() == 300
+    assert {"lang_pred", "lang_conf", "log_ppl"} <= set(res.columns)
+
+    direct = quality.run_quality_pipeline(spark.read.parquet(src), with_models=True)
+    key = ["repo", "path", "commit"]
+    merged = (
+        res.select(*key, "keep", "lang_pred", "scrubbed_sha256").toPandas()
+        .merge(
+            direct.select(*key, "keep", "lang_pred", "scrubbed_sha256").toPandas(),
+            on=key, suffixes=("_c", "_d"),
+        )
+    )
+    assert len(merged) == 300
+    assert (merged.keep_c == merged.keep_d).all()
+    assert (merged.lang_pred_c == merged.lang_pred_d).all()
+    assert (merged.scrubbed_sha256_c == merged.scrubbed_sha256_d).all()
+
+    m0 = os.path.getmtime(os.path.join(out, "chunk=0"))
+    job.main(args, spark=spark)
+    assert os.path.getmtime(os.path.join(out, "chunk=0")) == m0
