@@ -67,6 +67,12 @@ def main() -> None:
         for q in ("ngram_jaccard", "full_report", "exact_dedup")
         if q in driver_queries.QUERIES
     ]
+    # round-3 corpus-analysis additions, likewise reported separately
+    round3 = [
+        q
+        for q in ("repeated_spans", "frequent_ngrams", "stratified_sample")
+        if q in driver_queries.QUERIES
+    ]
 
     # Warm-up convention: run every measured query once at sf0.001
     # first.  The first execution of each plan shape in a fresh session
@@ -79,7 +85,7 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     t_warm = time.perf_counter()
     if os.path.isdir(warm_dir):
-        for name in headline + round2:
+        for name in headline + round2 + round3:
             try:
                 _run(driver_queries.QUERIES[name](spark, warm_dir))
             except Exception:
@@ -94,7 +100,7 @@ def main() -> None:
     # masquerading as a plan regression; both raw runs are reported.
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in headline + round2:
+    for name in headline + round2 + round3:
         fn = driver_queries.QUERIES[name]
         rr: list[float] = []
         for _ in range(2):
@@ -127,6 +133,7 @@ def main() -> None:
         "sf": sf,
         "all_queries_total": all_total,
         "round2_queries": round2,
+        "round3_queries": round3,
         "warmup_sec": warmup_sec,
         "warmup": f"each query once at {warm_dir} (steady-state convention)",
         "runs": runs,

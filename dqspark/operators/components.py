@@ -1,0 +1,132 @@
+"""Connected components over near-duplicate pair graphs.
+
+The similarity operators (MinHash-LSH, SimHash, embedding ANN) emit
+PAIRS; acting on them — keep one document per duplicate cluster —
+needs the transitive closure: components of the pair graph, a canonical
+representative per component.  This is the standard last mile of
+corpus dedup (the same grouping step the reference applies row-wise for
+exact duplicates, backend/analyzer.py duplicate handling, generalized
+to the near-dup graph the reference does not have).
+
+Algorithm: min-label propagation ("hash-min") — every node starts
+labeled with itself; each round, a node adopts the minimum label among
+itself and its neighbors; fixpoint = components labeled by their
+minimum member.  Rounds needed = graph diameter.  LSH dup clusters are
+near-cliques (every member shares most bands), so diameter is ~2 and
+the loop converges in 2-3 rounds; for adversarial long-chain graphs at
+trillion-edge scale the published fix is alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014), which this loop's join shape extends to directly.
+
+Scale design: per round, one shuffle of (node, label) pairs — edges
+are never materialized per-round beyond the symmetric edge list; the
+convergence probe is an O(1)-row aggregate (labels only ever decrease,
+so the label SUM is a strictly decreasing fixpoint witness — no
+join-with-previous needed).  ``localCheckpoint`` truncates lineage each
+round (precedent: relationships.rel_circular), keeping plan depth
+constant over iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "key1",
+    dst: str = "key2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``pairs``;
+    ``component_id`` is the minimum node id of the component.
+
+    Deterministic for any execution order (min is commutative); raises
+    after ``max_iter`` non-converged rounds rather than returning a
+    partial labeling.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "comp")
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        cur = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur == prev_sum:
+            return labels.select("node", F.col("comp").alias("component_id"))
+        prev_sum = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter; raise max_iter or switch to "
+        "large-star/small-star)"
+    )
+
+
+def neardup_groups(
+    pairs: DataFrame,
+    src: str = "key1",
+    dst: str = "key2",
+    id_alias: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster table from a near-dup pair list:
+    (doc_id, component_id, component_size, is_canonical) — one row per
+    document that appears in at least one pair; the canonical member is
+    the component minimum (the same keep rule as exact_dedup).
+    Singleton documents never enter the pair graph and are implicitly
+    kept — the caller anti-joins the non-canonical ids to drop.
+    """
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return comp.join(sizes, "component_id").select(
+        F.col("node").alias(id_alias),
+        "component_id",
+        "component_size",
+        (F.col("node") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+def neardup_groups_oracle(pairs_sql: str) -> str:
+    """DuckDB oracle: exact transitive closure via a recursive CTE over
+    the SAME pair SQL (nested WITH is legal as a CTE body), min label
+    per node, sizes joined back.  Closure row count is
+    sum(component_size^2) — fine for test-scale clusters; the Spark
+    side never materializes the closure."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (SELECT key1 AS a, key2 AS b FROM pairs
+          UNION SELECT key2, key1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+sizes AS (SELECT component_id, count(*) AS component_size
+          FROM comp GROUP BY component_id)
+SELECT c.node AS doc_id, c.component_id, s.component_size,
+       c.node = c.component_id AS is_canonical
+FROM comp c JOIN sizes s USING (component_id)
+"""

@@ -92,7 +92,11 @@ def normalized_oracle(expr: str) -> str:
 
 
 def with_shingle_hashes(
-    df: DataFrame, text_col: str, out_col: str = "_H", n: int = 4
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "_H",
+    n: int = 4,
+    keep_codes: str | None = None,
 ) -> DataFrame:
     """Append array<long> of polynomial hashes of the char n-grams of
     normalized(text) — one projection, no explode, no Python.
@@ -111,6 +115,10 @@ def with_shingle_hashes(
     staging collapsed — the O(len^2) inlined form, measured 270s of
     pure waste at sf0.1.  Null text hashes like empty text (no
     shingles), which is the semantic the callers want anyway.
+
+    ``keep_codes``: retain the staged code-point array under this name
+    (operators/spans.py re-folds slices of it for window hashes —
+    recomputing it there would be a second full pass over the text).
     """
     d = df.withColumn(
         "__t", normalized(F.coalesce(F.col(text_col), F.lit("")))
@@ -127,7 +135,10 @@ def with_shingle_hashes(
             h = (h * HASH_B + F.element_at(F.col("__c"), i + j)) % P31
         return h
 
-    return d.withColumn(out_col, F.transform(idx, sh)).drop("__t", "__c")
+    d = d.withColumn(out_col, F.transform(idx, sh)).drop("__t")
+    if keep_codes is None:
+        return d.drop("__c")
+    return d.withColumnRenamed("__c", keep_codes)
 
 
 def shingle_hashes_oracle(expr: str, n: int = 4) -> str:

@@ -1,0 +1,91 @@
+"""Corpus-level frequent token n-gram mining (boilerplate detection).
+
+Templated fragments — cookie banners, license headers, "subscribe to
+our newsletter" — repeat across millions of pages and survive doc-level
+dedup because the surrounding text differs.  Mining the highest
+document-frequency token n-grams is the standard first step of
+boilerplate blocklist construction (the C4 and CCNet cleanup pipelines
+both derive such lists; Raffel et al. 2020 §2.2, Wenzek et al. 2020).
+
+Plan shape: per-doc DISTINCT n-grams (so document frequency, not term
+frequency) → explode → hash-partitioned count → top-k under a TOTAL
+order (count DESC, ngram ASC).  The aggregation is a map-side-combine
+groupBy whose key cardinality is the n-gram vocabulary — heavy-tailed,
+so partial aggregation absorbs the head (the exact rows that matter
+for top-k) before the shuffle; the final top-k is
+TakeOrderedAndProject, never a global sort of the vocabulary.
+
+The per-row token split is the same cost class the quality pipeline
+deliberately avoids in its hot path (see the measured GC anti-scaling
+note in functions/text_metrics.py) — acceptable here because mining
+runs as a periodic corpus-analysis job, not per-ingest; for the
+always-on variant, feed it from the already-tokenized quality-pipeline
+intermediate instead of raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+
+
+def frequent_token_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` whitespace-token ``n``-grams of normalized text by
+    DOCUMENT frequency (each doc counts an n-gram once), ties broken by
+    the n-gram string so the result is order-deterministic.
+
+    Returns (ngram, doc_freq).
+    """
+    d = df.select(_tokens(text_col).alias("__tk"))
+    t = F.size("__tk")
+    idx = F.when(t >= n, F.sequence(F.lit(1), t - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def gram(i: Column) -> Column:
+        return F.array_join(F.slice(F.col("__tk"), i, n), " ")
+
+    d = d.select(
+        F.explode_outer(F.array_distinct(F.transform(idx, gram))).alias("ngram")
+    ).where(F.col("ngram").isNotNull())
+    return (
+        d.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_df)
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def frequent_token_ngrams_oracle(
+    corpus_sql: str, n: int = 3, min_df: int = 2, k: int = 100
+) -> str:
+    norm = normalized_oracle("coalesce(text, '')")
+    grams = (
+        f"list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (SELECT list_filter(string_split({norm}, ' '), t -> t <> '') AS tk
+         FROM corpus),
+g AS (SELECT unnest(list_distinct({grams})) AS ngram FROM toks)
+SELECT ngram, count(*) AS doc_freq FROM g
+GROUP BY ngram HAVING count(*) >= {min_df}
+ORDER BY doc_freq DESC, ngram ASC LIMIT {k}
+"""

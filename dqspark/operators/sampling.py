@@ -1,0 +1,89 @@
+"""Deterministic hash-based stratified sampling.
+
+Training-mixture construction downsamples over-represented strata
+(language, source, domain) to hit a target mix.  Spark's native
+``df.sample``/``sampleBy`` is seeded per-partition-iterator, so its
+output changes with partitioning, task retries, and cluster size —
+unusable when the sample must be reproducible, resumable, and
+auditable.  This operator derives keep/drop from a salted hash of a
+stable row key instead:
+
+    keep  <=>  md5_long(salt || '|' || key) % BUCKETS < rate * BUCKETS
+
+Properties that matter at 100 TB:
+- stateless, shuffle-free, embarrassingly parallel — a pure row filter
+  that survives predicate pushdown and any repartitioning;
+- exactly reproducible on any cluster size and across resumed runs
+  (the checkpoint protocol re-derives identical decisions);
+- per-stratum rates are a literal CASE chain — no join against a rates
+  table, nothing broadcast;
+- changing the salt draws an independent sample (disjoint-ish splits
+  via different salts).
+
+The realized fraction converges to ``rate`` with the usual
+O(1/sqrt(n)) binomial error; thresholds are exact integers so the
+decision boundary is engine-independent (no float comparison crosses
+the Spark/DuckDB line).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+
+BUCKETS = 1_000_000
+
+
+def _thresholds(rates: dict[str, float], default_rate: float):
+    items = [(k, int(round(r * BUCKETS))) for k, r in sorted(rates.items())]
+    return items, int(round(default_rate * BUCKETS))
+
+
+def sample_bucket(key: Column, salt: str) -> Column:
+    """Uniform int bucket in [0, BUCKETS) from a salted stable key."""
+    return md5_long(F.concat_ws("|", F.lit(salt), key.cast("string"))) % BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "dqsample",
+    bucket_col: str = "sample_bucket",
+) -> DataFrame:
+    """Rows kept at ``rates[stratum]`` (else ``default_rate``), decided
+    by a salted hash of ``key_col`` — deterministic under any
+    partitioning.  The bucket is retained as ``bucket_col`` for audit
+    (re-verifying a published sample needs only the key and the salt).
+    """
+    items, dflt = _thresholds(rates, default_rate)
+    thr: Column = F.lit(dflt)
+    for stratum, t in reversed(items):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
+    out = df.withColumn(bucket_col, sample_bucket(F.col(key_col), salt))
+    return out.where(F.col(bucket_col) < thr)
+
+
+def stratified_sample_oracle_predicate(
+    strata_expr: str,
+    key_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "dqsample",
+) -> tuple[str, str]:
+    """(bucket_expr, predicate) DuckDB fragments mirroring the Spark
+    decision bit-for-bit."""
+    items, dflt = _thresholds(rates, default_rate)
+    bucket = (
+        md5_long_oracle(f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR))")
+        + f" % {BUCKETS}"
+    )
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {t}" for s, t in items
+    )
+    thr = f"(CASE {whens} ELSE {dflt} END)"
+    return bucket, f"({bucket}) < {thr}"

@@ -1,0 +1,270 @@
+"""Cross-document repeated-span detection (span-level dedup).
+
+Doc-level dedup (operators/dedup.py) removes whole near-duplicate
+documents; this module finds *substrings* duplicated ACROSS documents —
+the boilerplate/license-header/templated-content case that motivates
+span-level dedup of LLM training corpora (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022, identifies
+repeated ≥50-token spans; their suffix-array approach is
+single-machine, so the distributed re-expression here uses
+content-defined fingerprint sampling instead).
+
+Algorithm (all columnar, no Python in the row path):
+
+1. Anchor selection — positions whose cheap char ``anchor_n``-gram hash
+   satisfies ``h % anchor_mod == 0``.  Selection depends only on local
+   content, never on position, so anchors inside a shared substring
+   land at the SAME relative offsets in every document containing it —
+   the content-defined-chunking trick (Muthitacharoen et al., LBFS,
+   SOSP 2001; same family as MOSS winnowing, Schleimer et al., SIGMOD
+   2003).  Expected anchor density is 1/anchor_mod of eligible
+   positions.
+2. Span hash — at each anchor, a polynomial fold of the next ``window``
+   code points (the same cross-engine hash as the shingle pipeline:
+   ``(acc * HASH_B + c) % P31``, value-identical in DuckDB via
+   ``list_reduce``).
+3. Duplicate spans — hashes occurring in >= ``min_docs`` DISTINCT
+   documents; fingerprints join back and contiguous-or-overlapping hits
+   merge into maximal spans per document (gaps-and-islands, window
+   partitioned by doc — never a global window).
+
+Positions are 1-based char offsets into the NORMALIZED text
+(lower + collapsed whitespace), matching the rest of the dedup suite.
+
+Detection guarantee: a shared normalized substring of length L >= window
+contains L - window + 1 window-fit positions, each independently an
+anchor with probability ~1/anchor_mod, so the miss probability decays
+as (1 - 1/anchor_mod)^(L - window + 1) — < 1e-7 for L = window + 128
+at anchor_mod = 8.  This is the standard density/recall dial of
+fingerprint sampling: raising anchor_mod cuts shuffle volume linearly
+and only lengthens the shortest reliably-detected span.
+
+Scale design (100 TB): the only shuffled rows are the fingerprints —
+three narrow columns (id, pos int, hash long) at ~len/anchor_mod rows
+per doc; the text itself never moves.  The duplicate-hash set is
+usually tiny (AQE broadcasts the join-back); the island merge is
+partitioned by doc_id.  No corpus-sized broadcast, no global sort, no
+driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dqspark.operators.dedup import (
+    HASH_B,
+    P31,
+    codes_oracle,
+    normalized_oracle,
+    shingles_from_codes_oracle,
+    with_shingle_hashes,
+)
+
+SPAN_WINDOW = 40  # chars per span fingerprint (the sf-test corpus averages ~300)
+ANCHOR_N = 8  # cheap anchor-gram width
+ANCHOR_MOD = 4  # 1/ANCHOR_MOD of eligible positions become anchors
+
+
+def with_span_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = SPAN_WINDOW,
+    anchor_n: int = ANCHOR_N,
+    anchor_mod: int = ANCHOR_MOD,
+) -> DataFrame:
+    """(id, pos, span_hash) — one row per content-defined anchor whose
+    ``window``-char span fits inside the normalized text.
+
+    The anchor-gram array and the code-point array are staged as real
+    columns (CollapseProject keeps multiply-referenced non-cheap
+    aliases); the explode goes through ``explode_outer`` + IS NOT NULL
+    so InferFiltersFromGenerate cannot inline the span expression into
+    a scan filter (see with_shingle_hashes for the measured cost of
+    getting this wrong).
+    """
+    d = with_shingle_hashes(
+        df, text_col, out_col="__h8", n=anchor_n, keep_codes="__codes"
+    )
+    m = F.size("__h8")
+    text_len = F.size("__codes")
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def is_anchor(i: Column) -> Column:
+        return (F.element_at(F.col("__h8"), i) % anchor_mod == 0) & (
+            i + (window - 1) <= text_len
+        )
+
+    d = d.withColumn("__anchors", F.filter(idx, is_anchor))
+
+    def span_hash(i: Column) -> Column:
+        return F.aggregate(
+            F.slice(F.col("__codes"), i, window),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * HASH_B + c) % P31,
+        )
+
+    d = d.withColumn("__whash", F.transform(F.col("__anchors"), span_hash))
+    zipped = F.arrays_zip(
+        F.col("__anchors").alias("pos"), F.col("__whash").alias("span_hash")
+    )
+    return (
+        d.select(id_col, F.explode_outer(zipped).alias("__fp"))
+        .where(F.col("__fp").isNotNull())
+        .select(
+            id_col,
+            F.col("__fp.pos").cast("long").alias("pos"),
+            F.col("__fp.span_hash").alias("span_hash"),
+        )
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = SPAN_WINDOW,
+    anchor_n: int = ANCHOR_N,
+    anchor_mod: int = ANCHOR_MOD,
+    min_docs: int = 2,
+    reuse_fingerprints: bool = True,
+) -> DataFrame:
+    """Maximal per-document spans covered by fingerprints that occur in
+    >= ``min_docs`` distinct documents.
+
+    Returns (id, span_start, span_end, span_len, n_anchors); start/end
+    are 1-based inclusive char offsets in the normalized text.  A span
+    is the union of contiguous-or-overlapping flagged windows, so its
+    length is >= ``window`` and it can cover an arbitrarily long shared
+    region with ~len/anchor_mod fingerprints.
+
+    The fingerprint relation feeds BOTH sides of the duplicate-hash
+    join; left as a plain subtree Spark would run the expensive text
+    pass twice.  ``reuse_fingerprints`` materializes it once via a lazy
+    ``localCheckpoint`` (the narrow 3-column relation, ~len/anchor_mod
+    rows per doc — cheap to hold).  A production run over a full corpus
+    should instead write the fingerprints to a table and call
+    ``repeated_spans_from_fingerprints`` — one text pass, and the
+    fingerprint table is reusable across incremental dedup rounds.
+    """
+    fps = with_span_fingerprints(
+        df, text_col, id_col, window=window, anchor_n=anchor_n, anchor_mod=anchor_mod
+    )
+    if reuse_fingerprints:
+        fps = fps.localCheckpoint(eager=False)
+    return repeated_spans_from_fingerprints(
+        fps, id_col=id_col, window=window, min_docs=min_docs
+    )
+
+
+def repeated_spans_from_fingerprints(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    window: int = SPAN_WINDOW,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate detection + island merge over a (id, pos, span_hash)
+    fingerprint relation (see ``with_span_fingerprints``)."""
+    dup = (
+        fps.groupBy("span_hash")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("span_hash")
+    )
+    hits = fps.join(dup, "span_hash").select(  # AQE broadcasts the dup set
+        id_col, "pos", (F.col("pos") + (window - 1)).alias("__end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hits = hits.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__isl", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        hits.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("__end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_anchors",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (value-identical CTE chain)
+# ---------------------------------------------------------------------------
+
+def span_fingerprints_oracle_ctes(
+    corpus_sql: str,
+    window: int = SPAN_WINDOW,
+    anchor_n: int = ANCHOR_N,
+    anchor_mod: int = ANCHOR_MOD,
+) -> str:
+    """CTE chain ending in ``fp(doc_id, pos, span_hash)``.
+
+    DuckDB ``list_reduce`` seeds with the first element, which equals
+    Spark's zero-seeded fold here because the first step of the Spark
+    fold is ``(0 * B + c1) % P31 = c1`` (code points < P31).
+    """
+    codes = codes_oracle(normalized_oracle("text"))
+    h8 = shingles_from_codes_oracle("u", anchor_n)
+    fold = f"list_reduce(list_slice(u, i, i + {window - 1}), (acc, c) -> (acc * {HASH_B} + c) % {P31})"
+    return f"""
+corpus AS ({corpus_sql}),
+codes AS (SELECT doc_id, {codes} AS u FROM corpus),
+h AS (SELECT doc_id, u, {h8} AS h8 FROM codes),
+anch AS (SELECT doc_id, u,
+         list_filter(range(1, len(h8) + 1),
+                     i -> h8[i] % {anchor_mod} = 0 AND i + {window - 1} <= len(u)) AS a
+         FROM h),
+fp AS (SELECT doc_id, unnest(a) AS pos,
+       unnest(list_transform(a, i -> {fold})) AS span_hash
+       FROM anch)"""
+
+
+def repeated_spans_oracle(
+    corpus_sql: str,
+    window: int = SPAN_WINDOW,
+    anchor_n: int = ANCHOR_N,
+    anchor_mod: int = ANCHOR_MOD,
+    min_docs: int = 2,
+) -> str:
+    ctes = span_fingerprints_oracle_ctes(corpus_sql, window, anchor_n, anchor_mod)
+    prev = (
+        "max(e) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH {ctes},
+dup AS (SELECT span_hash FROM fp GROUP BY span_hash
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+hit AS (SELECT f.doc_id, f.pos, f.pos + {window - 1} AS e
+        FROM fp f JOIN dup d USING (span_hash)),
+isl AS (SELECT doc_id, pos, e,
+        CASE WHEN {prev} IS NULL OR pos > {prev} + 1 THEN 1 ELSE 0 END AS n
+        FROM hit),
+g AS (SELECT doc_id, pos, e,
+      sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM isl)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+       max(e) - min(pos) + 1 AS span_len, count(*) AS n_anchors
+FROM g GROUP BY doc_id, isl
+"""

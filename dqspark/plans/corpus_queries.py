@@ -1,0 +1,177 @@
+"""Driver-contract queries for the corpus-analysis suite: span-level
+dedup fingerprints, repeated-span detection, deterministic stratified
+sampling, and frequent-n-gram (boilerplate) mining.
+
+Each query has a value-exact DuckDB oracle built from the same portable
+hash/normalization primitives as the dedup suite.  The repeated-span
+corpus plants cross-document shared substrings deterministically on
+both sides (a 240-char chunk of every 15th document spliced into a new
+document); the boilerplate corpus appends a fixed sentence to every 7th
+document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.components import neardup_groups, neardup_groups_oracle
+from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
+from dqspark.operators.ngrams import (
+    frequent_token_ngrams,
+    frequent_token_ngrams_oracle,
+)
+from dqspark.operators.sampling import (
+    stratified_sample,
+    stratified_sample_oracle_predicate,
+)
+from dqspark.operators.spans import (
+    repeated_spans,
+    repeated_spans_oracle,
+    span_fingerprints_oracle_ctes,
+    with_span_fingerprints,
+)
+from dqspark.plans.dedup_queries import (
+    K_MINHASH,
+    LSH_BANDS,
+    _docs_near,
+    _minhash_dedup_oracle,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table, rebalance
+
+# ---------------------------------------------------------------------------
+# planted corpora (identical derivations both sides)
+# ---------------------------------------------------------------------------
+
+_DOCS_SPLICED_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         'spliced ' || CAST(doc_id AS VARCHAR) || ' >> '
+           || substr(text, 17, 240) || ' << tail' AS text
+  FROM documents WHERE doc_id % 15 = 0
+"""
+
+
+def _docs_spliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spliced = docs.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("spliced "),
+            F.col("doc_id").cast("string"),
+            F.lit(" >> "),
+            F.substring("text", 17, 240),
+            F.lit(" << tail"),
+        ).alias("text"),
+    )
+    return rebalance(docs.unionByName(spliced))
+
+
+_DOCS_BOILER_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' please subscribe to our newsletter today'
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def _docs_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rebalance(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" please subscribe to our newsletter today"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+WITH {span_fingerprints_oracle_ctes('SELECT doc_id, text FROM documents')}
+SELECT doc_id, pos, span_hash FROM fp
+"""
+
+
+@register("span_fingerprints", _FP_ORACLE)
+def q_span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return with_span_fingerprints(docs)
+
+
+@register("repeated_spans", repeated_spans_oracle(_DOCS_SPLICED_SQL))
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_spans(_docs_spliced(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (connected components over the MinHash-LSH pairs)
+# ---------------------------------------------------------------------------
+
+
+@register("neardup_groups", neardup_groups_oracle(_minhash_dedup_oracle()))
+def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = with_minhash(_docs_near(spark, sf_dir), "text", k=K_MINHASH)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=K_MINHASH, bands=LSH_BANDS, min_est_jaccard=0.5
+    )
+    return neardup_groups(pairs)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.75}
+_SAMPLE_DEFAULT = 0.5
+
+_bucket, _pred = stratified_sample_oracle_predicate(
+    "lang", "doc_id", _SAMPLE_RATES, _SAMPLE_DEFAULT
+)
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, {_bucket} AS sample_bucket
+FROM documents WHERE {_pred}
+"""
+
+
+@register("stratified_sample", _SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, strata_col="lang", key_col="doc_id",
+        rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# frequent-n-gram (boilerplate) mining
+# ---------------------------------------------------------------------------
+
+_NGRAM_N, _NGRAM_MIN_DF, _NGRAM_K = 3, 5, 100
+
+
+@register(
+    "frequent_ngrams",
+    frequent_token_ngrams_oracle(
+        _DOCS_BOILER_SQL, n=_NGRAM_N, min_df=_NGRAM_MIN_DF, k=_NGRAM_K
+    ),
+)
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_token_ngrams(
+        _docs_boiler(spark, sf_dir), n=_NGRAM_N, min_df=_NGRAM_MIN_DF, k=_NGRAM_K
+    )

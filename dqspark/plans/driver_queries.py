@@ -614,3 +614,4 @@ from dqspark.plans import pipeline_queries  # noqa: E402,F401  (registration sid
 from dqspark.plans import multimodal_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import relationship_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import ensemble_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import corpus_queries  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,318 @@
+"""Corpus-analysis suite tests beyond the driver oracle: span-detection
+semantics and a pure-Python differential fuzz, sampling determinism
+under repartitioning, boilerplate-mining document-frequency semantics,
+and plan-shape assertions (no global window, shuffle-free sampling)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import HASH_B, P31
+from dqspark.operators.ngrams import frequent_token_ngrams
+from dqspark.operators.sampling import BUCKETS, stratified_sample
+from dqspark.operators.spans import repeated_spans, with_span_fingerprints
+
+W, AN, MOD = 12, 4, 2  # small params so short synthetic docs fingerprint densely
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference implementation (independent of Spark AND DuckDB)
+# ---------------------------------------------------------------------------
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", (t or "").lower()).strip()
+
+
+def _ref_fingerprints(text: str, window: int, anchor_n: int, anchor_mod: int):
+    u = [ord(c) for c in _norm(text)]
+    out = []
+    for i in range(len(u) - anchor_n + 1):
+        h = u[i]
+        for j in range(1, anchor_n):
+            h = (h * HASH_B + u[i + j]) % P31
+        if h % anchor_mod == 0 and i + window <= len(u):
+            wh = 0
+            for c in u[i : i + window]:
+                wh = (wh * HASH_B + c) % P31
+            out.append((i + 1, wh))  # 1-based
+    return out
+
+
+def _ref_repeated_spans(docs: dict[int, str], window, anchor_n, anchor_mod):
+    fps = {
+        d: _ref_fingerprints(t, window, anchor_n, anchor_mod)
+        for d, t in docs.items()
+    }
+    by_hash: dict[int, set[int]] = {}
+    for d, lst in fps.items():
+        for _, h in lst:
+            by_hash.setdefault(h, set()).add(d)
+    dup = {h for h, ds in by_hash.items() if len(ds) >= 2}
+    spans = []
+    for d, lst in fps.items():
+        hits = sorted(p for p, h in lst if h in dup)
+        cur = None
+        for p in hits:
+            e = p + window - 1
+            if cur and p <= cur[1] + 1:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+            else:
+                if cur:
+                    spans.append((d, cur[0], cur[1], cur[1] - cur[0] + 1, cur[2]))
+                cur = [p, e, 1]
+        if cur:
+            spans.append((d, cur[0], cur[1], cur[1] - cur[0] + 1, cur[2]))
+    return sorted(spans)
+
+
+def _spark_docs(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# span detection
+# ---------------------------------------------------------------------------
+
+def test_shared_chunk_detected_at_different_offsets(spark):
+    """Content-defined anchors align regardless of where the shared
+    substring sits in each document."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = {
+        1: "AAA unrelated prefix text here. " + shared + " trailing one.",
+        2: "totally different and much longer beginning padding padding " + shared,
+        3: "no overlap with anything else in this corpus whatsoever honest",
+    }
+    got = repeated_spans(
+        _spark_docs(spark, docs), window=W, anchor_n=AN, anchor_mod=MOD
+    ).collect()
+    by_doc = {r.doc_id: r for r in got}
+    assert 1 in by_doc and 2 in by_doc and 3 not in by_doc
+    for d in (1, 2):
+        nt = _norm(docs[d])
+        s, e = by_doc[d].span_start, by_doc[d].span_end
+        # the detected span must lie inside the shared region
+        lo = nt.index(_norm(shared)) + 1
+        hi = lo + len(_norm(shared)) - 1
+        assert lo <= s <= e <= hi
+        # and cover most of it (anchors every ~MOD positions)
+        assert e - s + 1 >= len(_norm(shared)) - (AN + 2 * MOD + W)
+
+
+def test_spans_match_python_reference_fuzz(spark):
+    """Exact differential vs the pure-Python reference on corpora with
+    planted shared chunks, intra-doc repeats, shorts, and empties."""
+    rng = random.Random(7)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+
+    def doc(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    chunk_a, chunk_b = doc(30), doc(25)
+    docs = {}
+    for d in range(40):
+        body = doc(rng.randrange(5, 60))
+        r = rng.random()
+        if r < 0.3:
+            body = doc(rng.randrange(0, 20)) + " " + chunk_a + " " + body
+        elif r < 0.5:
+            body = body + " " + chunk_b
+        elif r < 0.55:
+            body = chunk_a + " " + chunk_a  # intra-doc repeat (must NOT count alone)
+        elif r < 0.6:
+            body = ""
+        docs[d] = body
+    got = sorted(
+        tuple(r)
+        for r in repeated_spans(
+            _spark_docs(spark, docs), window=W, anchor_n=AN, anchor_mod=MOD
+        ).collect()
+    )
+    assert got == _ref_repeated_spans(docs, W, AN, MOD)
+
+
+def test_intra_doc_repeat_alone_not_flagged(spark):
+    """min_docs counts DISTINCT documents: a phrase repeated only inside
+    one document produces no spans."""
+    docs = {
+        1: "self repeated phrase body self repeated phrase body",
+        2: "completely unrelated other content that shares nothing at all",
+    }
+    assert (
+        repeated_spans(
+            _spark_docs(spark, docs), window=W, anchor_n=AN, anchor_mod=MOD
+        ).count()
+        == 0
+    )
+
+
+def test_span_plan_has_no_global_window(spark):
+    docs = _spark_docs(spark, {1: "a b c", 2: "a b c"})
+    plan = (
+        repeated_spans(docs, window=W, anchor_n=AN, anchor_mod=MOD)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line.split("windowspecdefinition")[1][:80], line
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+RATES = {"en": 0.2, "zh": 0.8}
+
+
+def _py_bucket(key, salt="dqsample"):
+    h = hashlib.md5(f"{salt}|{key}".encode()).hexdigest()
+    return int(h[:15], 16) % BUCKETS
+
+
+def test_sample_matches_python_hash_and_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    kept = stratified_sample(
+        docs, "lang", "doc_id", RATES, default_rate=0.5
+    ).collect()
+    for r in kept:
+        b = _py_bucket(r.doc_id)
+        assert r.sample_bucket == b
+        assert b < int(RATES.get(r.lang, 0.5) * BUCKETS)
+    # every non-kept row must fail the predicate
+    kept_ids = {r.doc_id for r in kept}
+    for r in docs.collect():
+        if r.doc_id not in kept_ids:
+            assert _py_bucket(r.doc_id) >= int(RATES.get(r.lang, 0.5) * BUCKETS)
+
+
+def test_sample_invariant_under_partitioning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    a = {
+        r.doc_id
+        for r in stratified_sample(docs.coalesce(1), "lang", "doc_id", RATES).collect()
+    }
+    b = {
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(16), "lang", "doc_id", RATES
+        ).collect()
+    }
+    assert a == b
+    # different salt draws a genuinely different sample
+    c = {
+        r.doc_id
+        for r in stratified_sample(
+            docs, "lang", "doc_id", RATES, salt="other"
+        ).collect()
+    }
+    assert c != a
+
+
+def test_sample_plan_is_shuffle_free(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    plan = (
+        stratified_sample(docs, "lang", "doc_id", RATES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# connected components / near-dup groups
+# ---------------------------------------------------------------------------
+
+
+def _py_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_chain_clique_and_fuzz(spark):
+    from dqspark.operators.components import connected_components
+
+    rng = random.Random(3)
+    pairs = [(1, 2), (2, 3), (3, 4)]  # chain — needs >1 propagation round
+    pairs += [(10, 11), (10, 12), (11, 12)]  # clique
+    pairs += [(rng.randrange(100, 140), rng.randrange(100, 140)) for _ in range(30)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "key1 long, key2 long")
+    got = {
+        r.node: r.component_id for r in connected_components(df).collect()
+    }
+    assert got == _py_components(pairs)
+
+
+def test_neardup_groups_canonical_and_sizes(spark):
+    from dqspark.operators.components import neardup_groups
+
+    df = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 21)], "key1 long, key2 long"
+    )
+    rows = {r.doc_id: r for r in neardup_groups(df).collect()}
+    assert rows[5].component_id == 5 and rows[5].is_canonical
+    assert rows[9].component_id == 5 and not rows[9].is_canonical
+    assert rows[7].component_size == 3
+    assert rows[20].component_size == 2 and rows[21].component_id == 20
+
+
+def test_components_nonconvergence_raises(spark):
+    from dqspark.operators.components import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "key1 long, key2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# frequent n-grams
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_trigram_mined_with_document_frequency(spark):
+    boiler = "subscribe to our newsletter"
+    docs = {}
+    for d in range(30):
+        body = f"unique body {d} " + " ".join(f"w{d}x{i}" for i in range(8))
+        if d % 3 == 0:
+            # appended TWICE in the same doc — must still count once
+            body = body + " " + boiler + " " + boiler
+        docs[d] = body
+    top = frequent_token_ngrams(
+        _spark_docs(spark, docs), n=3, min_df=2, k=10
+    ).collect()
+    by_gram = {r.ngram: r.doc_freq for r in top}
+    assert by_gram["subscribe to our"] == 10
+    assert by_gram["to our newsletter"] == 10
+    # deterministic total order: doc_freq desc, then ngram asc
+    keys = [(-r.doc_freq, r.ngram) for r in top]
+    assert keys == sorted(keys)
