@@ -106,6 +106,97 @@ def neardup_groups(
     )
 
 
+def dedup_decisions(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end per-document dedup decision: (id, keep, reason).
+
+    Stage order matters and mirrors production corpus pipelines: exact
+    dedup FIRST (cheap sha256 grouping), then MinHash-LSH near-dup
+    clustering among the exact-canonical survivors only — so a cluster
+    can never lose its representative to the exact pass, and the
+    near-dup stage hashes each distinct content exactly once.
+    ``reason`` is 'exact_duplicate' | 'near_duplicate' | 'keep'; the
+    kept set is every exact-canonical doc that is not a non-canonical
+    member of a near-dup component.
+
+    The exact-dedup window here moves full rows; at corpus scale use
+    the narrow-aggregate + join-back strategy the quality pipeline
+    employs (pipeline/quality.py partition_strategy) for that stage and
+    feed survivors in directly.
+    """
+    from dqspark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+
+    ex = exact_dedup(
+        corpus.select(id_col, text_col), key_cols=[id_col], text_col=text_col
+    ).localCheckpoint(eager=False)
+    surv = ex.where(F.col("is_canonical")).select(id_col, text_col)
+    sigs = with_minhash(surv, text_col, k=k)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, k=k, bands=bands, min_est_jaccard=min_est_jaccard
+    )
+    comp = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
+        "node", id_col
+    )
+    out = ex.select(id_col, "is_canonical").join(comp, id_col, "left")
+    near_dup = F.col("component_id").isNotNull() & (
+        F.col("component_id") != F.col(id_col)
+    )
+    return out.select(
+        id_col,
+        (F.col("is_canonical") & ~near_dup).alias("keep"),
+        F.when(~F.col("is_canonical"), F.lit("exact_duplicate"))
+        .when(near_dup, F.lit("near_duplicate"))
+        .otherwise(F.lit("keep"))
+        .alias("reason"),
+    )
+
+
+def dedup_decisions_oracle(base_sql: str, pairs_sql_builder) -> str:
+    """DuckDB oracle for ``dedup_decisions``: exact-canonical window over
+    the base corpus, the caller-supplied pair SQL over the SURVIVORS
+    (``pairs_sql_builder`` receives the survivors SQL), recursive-CTE
+    closure, decision join."""
+    surv_sql = f"""SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         (doc_id = min(doc_id) OVER (PARTITION BY sha256(text))) AS ec
+  FROM ({base_sql})) WHERE ec"""
+    return f"""
+WITH RECURSIVE
+base AS ({base_sql}),
+ex AS (SELECT doc_id,
+       (doc_id = min(doc_id) OVER (PARTITION BY sha256(text))) AS ex_canon
+       FROM base),
+pairs AS ({pairs_sql_builder(surv_sql)}),
+edges AS (SELECT key1 AS a, key2 AS b FROM pairs
+          UNION SELECT key2, key1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+SELECT e.doc_id,
+       (e.ex_canon AND (c.component_id IS NULL OR c.component_id = e.doc_id)) AS keep,
+       CASE WHEN NOT e.ex_canon THEN 'exact_duplicate'
+            WHEN c.component_id IS NOT NULL AND c.component_id <> e.doc_id
+                 THEN 'near_duplicate'
+            ELSE 'keep' END AS reason
+FROM ex e LEFT JOIN comp c ON c.node = e.doc_id
+"""
+
+
 def neardup_groups_oracle(pairs_sql: str) -> str:
     """DuckDB oracle: exact transitive closure via a recursive CTE over
     the SAME pair SQL (nested WITH is legal as a CTE body), min label

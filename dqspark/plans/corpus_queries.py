@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dqspark.operators.components import neardup_groups, neardup_groups_oracle
+from dqspark.operators.components import (
+    dedup_decisions,
+    dedup_decisions_oracle,
+    neardup_groups,
+    neardup_groups_oracle,
+)
 from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
 from dqspark.operators.ngrams import (
     frequent_token_ngrams,
@@ -32,6 +37,7 @@ from dqspark.operators.spans import (
     with_span_fingerprints,
 )
 from dqspark.plans.dedup_queries import (
+    _DOCS_NEAR_SQL,
     K_MINHASH,
     LSH_BANDS,
     _docs_near,
@@ -131,6 +137,16 @@ def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, "doc_id", k=K_MINHASH, bands=LSH_BANDS, min_est_jaccard=0.5
     )
     return neardup_groups(pairs)
+
+
+@register(
+    "dedup_decisions",
+    dedup_decisions_oracle(_DOCS_NEAR_SQL, _minhash_dedup_oracle),
+)
+def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_decisions(
+        _docs_near(spark, sf_dir), k=K_MINHASH, bands=LSH_BANDS
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -165,7 +165,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_dedup_oracle() -> str:
+def _minhash_dedup_oracle(corpus_sql: str = _DOCS_NEAR_SQL) -> str:
     harr, mh = _mh_exprs()
     r = K_MINHASH // LSH_BANDS
     band_selects = []
@@ -179,7 +179,7 @@ def _minhash_dedup_oracle() -> str:
         f"CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END" for i in range(K_MINHASH)
     )
     return f"""
-WITH corpus AS ({_DOCS_NEAR_SQL}),
+WITH corpus AS ({corpus_sql}),
 codes AS ({_CODES_CTE}),
 h AS (SELECT doc_id, {harr[0]} FROM codes),
 sigs AS (SELECT doc_id, {', '.join(mh)} FROM h),

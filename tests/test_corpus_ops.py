@@ -284,6 +284,26 @@ def test_neardup_groups_canonical_and_sizes(spark):
     assert rows[20].component_size == 2 and rows[21].component_id == 20
 
 
+def test_dedup_decisions_exact_then_near(spark):
+    """Exact duplicates drop first; near-dup clustering runs on the
+    survivors, keeping the minimum id of each cluster."""
+    from dqspark.operators.components import dedup_decisions
+
+    base = "a shared body of text that is long enough to shingle well " * 3
+    docs = [
+        (1, base),
+        (2, base),  # exact dup of 1 -> exact_duplicate
+        (3, base + " tiny tail variation"),  # near dup of 1 -> near_duplicate
+        (4, "something else entirely different with no overlap at all ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup_decisions(df, k=16, bands=4).collect()}
+    assert rows[1].keep and rows[1].reason == "keep"
+    assert not rows[2].keep and rows[2].reason == "exact_duplicate"
+    assert not rows[3].keep and rows[3].reason == "near_duplicate"
+    assert rows[4].keep and rows[4].reason == "keep"
+
+
 def test_components_nonconvergence_raises(spark):
     from dqspark.operators.components import connected_components
 
