@@ -36,13 +36,13 @@ from dqspark.operators.spans import (
     span_fingerprints_oracle_ctes,
     with_span_fingerprints,
 )
-from dqspark.plans.dedup_queries import (
-    _DOCS_NEAR_SQL,
-    K_MINHASH,
-    LSH_BANDS,
-    _docs_near,
-    _minhash_dedup_oracle,
-)
+# Module-level import with deferred attribute access: dedup_queries
+# itself imports driver_queries (for `register`), which imports THIS
+# module — binding names out of it at import time would break whenever
+# a user imports dedup_queries first.  The oracle registrations below
+# are zero-arg callables for the same reason (resolved at
+# oracle_sql() time, when both modules are fully initialized).
+from dqspark.plans import dedup_queries as _dq
 from dqspark.plans.driver_queries import register
 from dqspark.sources.catalog import load_table, rebalance
 
@@ -130,22 +130,25 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("neardup_groups", neardup_groups_oracle(_minhash_dedup_oracle()))
+@register(
+    "neardup_groups",
+    lambda: neardup_groups_oracle(_dq._minhash_dedup_oracle()),
+)
 def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = with_minhash(_docs_near(spark, sf_dir), "text", k=K_MINHASH)
+    sigs = with_minhash(_dq._docs_near(spark, sf_dir), "text", k=_dq.K_MINHASH)
     pairs = lsh_candidate_pairs(
-        sigs, "doc_id", k=K_MINHASH, bands=LSH_BANDS, min_est_jaccard=0.5
+        sigs, "doc_id", k=_dq.K_MINHASH, bands=_dq.LSH_BANDS, min_est_jaccard=0.5
     )
     return neardup_groups(pairs)
 
 
 @register(
     "dedup_decisions",
-    dedup_decisions_oracle(_DOCS_NEAR_SQL, _minhash_dedup_oracle),
+    lambda: dedup_decisions_oracle(_dq._DOCS_NEAR_SQL, _dq._minhash_dedup_oracle),
 )
 def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_decisions(
-        _docs_near(spark, sf_dir), k=K_MINHASH, bands=LSH_BANDS
+        _dq._docs_near(spark, sf_dir), k=_dq.K_MINHASH, bands=_dq.LSH_BANDS
     )
 
 
