@@ -1,0 +1,98 @@
+"""Scale cross-check for the connected-components dedup path.
+
+The DuckDB oracle for neardup_groups/dedup_decisions materializes the
+transitive closure (sum over components of size^2 rows), which is
+exact but intractable beyond the driver's sf0.01 correctness gate.
+This tool provides the sf0.1+ evidence instead: run the SAME Spark
+pair generation (MinHash -> LSH bands -> candidate pairs), label
+components with a driver-side union-find over the collected pair list
+(pairs are tiny relative to the corpus — only near-dup edges), and
+compare Spark's min-label-propagation output label-for-label.
+
+Usage: python tools/check_components.py [sf_dir]
+Prints one JSON line: {"sf_dir", "n_pairs", "n_nodes", "n_components",
+"max_component", "labels_match": true/false}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label normalization: root chosen above is already the smaller
+    # of each merge, but path order can leave a non-min root — take the
+    # min over each final component to be safe.
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from dqspark.operators.components import neardup_groups
+    from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
+    from dqspark.plans import dedup_queries as dq
+    from dqspark.session import get_spark
+
+    spark = get_spark("check-components")
+    sigs = with_minhash(dq._docs_near(spark, sf_dir), "text", k=dq.K_MINHASH)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=dq.K_MINHASH, bands=dq.LSH_BANDS, min_est_jaccard=0.5
+    ).localCheckpoint()
+    edge_rows = pairs.select("key1", "key2").collect()
+    edges = [(r.key1, r.key2) for r in edge_rows]
+    expected = union_find_labels(edges)
+
+    got_rows = neardup_groups(pairs).collect()
+    got = {r.doc_id: r.component_id for r in got_rows}
+    labels_match = got == expected
+    sizes: dict[int, int] = {}
+    for c in expected.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    # also check the emitted sizes/canonical flags against union-find
+    for r in got_rows:
+        if sizes.get(r.component_id) != r.component_size:
+            labels_match = False
+        if r.is_canonical != (r.doc_id == r.component_id):
+            labels_match = False
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_pairs": len(edges),
+                "n_nodes": len(expected),
+                "n_components": len(sizes),
+                "max_component": max(sizes.values()) if sizes else 0,
+                "labels_match": labels_match,
+            }
+        )
+    )
+    spark.stop()
+    return 0 if labels_match else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
