@@ -1,0 +1,119 @@
+"""Benchmark decontamination: n-gram overlap of corpus documents
+against a held-out evaluation set.
+
+Training-corpus contamination checks are standard since GPT-2/GPT-3
+(Radford et al. 2019 §4; Brown et al. 2020 Appendix C measures 13-gram
+overlap against benchmarks); every serious LLM data pipeline runs one
+before training.  The reference has no analogue — this belongs to the
+corpus-quality family the graft adds on top of its tabular checks.
+
+Mechanics: both sides are shingled with the SAME normalized char
+n-gram polynomial hashes as the dedup suite (operators/dedup.py
+``with_shingle_hashes`` — cross-engine value-exact, so the oracle can
+replicate bit-for-bit).  A document is contaminated when at least
+``min_frac`` of its distinct shingles appear anywhere in the benchmark
+set.  Char shingles at n=16 (~3 words) are the dense-shingling
+equivalent of the word-n-gram overlap the GPT-3 appendix describes;
+the dial is ``n`` (wider = stricter).
+
+Scale design (100 TB corpus, MB-GB benchmark): the benchmark's
+distinct-hash set is tiny and is BROADCAST — the corpus side is one
+narrow pass (id, hash) with no corpus-vs-corpus shuffle; the only wide
+operation is the per-doc count, a map-side-combinable groupBy on the
+id.  The corpus text itself never moves.  Every doc appears in the
+output (zero-overlap rows included) so the result is a total decision
+table, joinable back by id like dedup_decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import shingle_hashes_oracle, with_shingle_hashes
+
+CONTAM_N = 16  # shingle width (chars of normalized text)
+CONTAM_MIN_FRAC = 0.05  # distinct-shingle overlap fraction to flag
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = CONTAM_N,
+    min_frac: float = CONTAM_MIN_FRAC,
+) -> DataFrame:
+    """(id, n_shingles, n_overlap, overlap_frac, contaminated) — one row
+    per corpus document.  ``n_overlap`` counts the document's DISTINCT
+    shingle hashes that occur anywhere in ``benchmark``; the flag is
+    computed from the unrounded ratio (identical IEEE arithmetic on
+    both engines), ``overlap_frac`` is rounded to 4 dp for comparison.
+    """
+    c = with_shingle_hashes(
+        corpus.select(id_col, text_col), text_col, out_col="__h", n=n
+    ).withColumn("__hs", F.array_distinct("__h"))
+    ex = c.select(
+        id_col,
+        F.size("__hs").alias("__n"),
+        F.explode_outer("__hs").alias("h"),
+    )
+    bset = (
+        with_shingle_hashes(
+            benchmark.select(text_col), text_col, out_col="__h", n=n
+        )
+        .select(F.explode("__h").alias("h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    agg = (
+        ex.join(F.broadcast(bset), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_overlap") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        F.round(frac, 4).alias("overlap_frac"),
+        ((F.col("n_overlap") >= 1) & (frac >= min_frac)).alias("contaminated"),
+    )
+
+
+def benchmark_contamination_oracle(
+    corpus_sql: str,
+    bench_sql: str,
+    n: int = CONTAM_N,
+    min_frac: float = CONTAM_MIN_FRAC,
+) -> str:
+    """DuckDB oracle over the same shingle-hash derivation.  The
+    explode side loses zero-shingle docs (unnest of an empty list emits
+    no row), so totals come from a left join back to the per-doc base —
+    same zero-overlap semantics as the Spark ``explode_outer`` path."""
+    sh = shingle_hashes_oracle("coalesce(text, '')", n)
+    ratio = (
+        "CASE WHEN len(c.hs) > 0 THEN coalesce(o.n_overlap, 0) / len(c.hs) "
+        "ELSE 0.0::double END"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+bench AS ({bench_sql}),
+cs AS (SELECT doc_id, list_distinct({sh}) AS hs FROM corpus),
+bs AS (SELECT DISTINCT unnest({sh}) AS h FROM bench),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM cs),
+ov AS (SELECT doc_id, count(*) AS n_overlap
+       FROM ex JOIN bs USING (h) GROUP BY doc_id)
+SELECT c.doc_id,
+       len(c.hs) AS n_shingles,
+       coalesce(o.n_overlap, 0) AS n_overlap,
+       round({ratio}, 4) AS overlap_frac,
+       (coalesce(o.n_overlap, 0) >= 1 AND {ratio} >= {min_frac}::double)
+         AS contaminated
+FROM cs c LEFT JOIN ov o USING (doc_id)
+"""

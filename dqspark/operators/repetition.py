@@ -1,0 +1,231 @@
+"""Gopher-style intra-document repetition metrics.
+
+Repetitive documents — duplicated lines, looping n-grams, boilerplate
+self-copies — are a dominant failure mode of web-scraped LLM training
+text, and repetition filters are a standard stage of corpus quality
+pipelines (Rae et al., "Scaling Language Models: Methods, Analysis &
+Insights from Training Gopher", 2021, Appendix A1.1 defines the filter
+family re-expressed here; C4's line-dedup in Raffel et al. 2020 §2.2 is
+the same signal).  The reference has no repetition analogue — this
+extends its quality-score family (ml/*.py detectors over tabular
+columns) to the corpus-text axis, alongside functions/text_metrics.py.
+
+Metrics (all per-document):
+
+- ``dup_line_frac``       — fraction of non-empty trimmed lines that are
+                            repeats of another line in the same doc.
+- ``dup_line_char_frac``  — fraction of line characters inside those
+                            repeated occurrences.
+- ``top2gram_char_frac``, ``top3gram_char_frac`` — characters covered by
+                            the most frequent word 2-/3-gram over the
+                            normalized text (count x gram length /
+                            normalized length, capped at 1 — overlapping
+                            occurrences can double-count), the Gopher
+                            "top n-gram" dial.
+- ``dup_5gram_frac``      — fraction of word 5-grams that are repeats
+                            (gram-level, not char-level — named
+                            accordingly).
+
+Scale design: every metric is a per-row array computation — the whole
+operator is ONE narrow projection with zero shuffles, zero joins, zero
+Python, so it parallelizes embarrassingly at 100 TB and fuses into any
+surrounding quality-pipeline stage.  The top-gram selection is a
+run-length scan over the SORTED gram array (``F.aggregate`` with a
+struct accumulator) instead of an explode + groupBy: what would be a
+corpus-wide shuffle keyed on (doc, gram) collapses into per-row work.
+Ties are deterministic on both engines: the scan's strict ``>`` keeps
+the first (lexicographically smallest) gram of a maximal run, matching
+the oracle's ``ORDER BY cnt DESC, g ASC``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+# Gopher-ish flag thresholds (Rae et al. 2021 Table A1 uses 0.30 /
+# 0.20 for line duplication and 0.20 / 0.18 for top 2-/3-gram char
+# coverage; the 5-gram threshold is adapted to the gram-level variant).
+DUP_LINE_MAX = 0.30
+DUP_LINE_CHAR_MAX = 0.20
+TOP2_CHAR_MAX = 0.20
+TOP3_CHAR_MAX = 0.18
+DUP_5GRAM_MAX = 0.30
+
+
+def _lines(text_col: str) -> Column:
+    """Non-empty trimmed lines of the raw text (newline-split — raw, not
+    normalized: normalization collapses the newlines this metric needs)."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+
+
+def _grams(tokens_col: str, n: int) -> Column:
+    """Sorted array of space-joined word n-grams of the token array."""
+    t = F.size(tokens_col)
+    idx = F.when(t >= n, F.sequence(F.lit(1), t - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_sort(
+        F.transform(idx, lambda i: F.array_join(F.slice(F.col(tokens_col), i, n), " "))
+    )
+
+
+def _top_run(sorted_col: str) -> Column:
+    """struct(cnt long, gram string): the most frequent element of a
+    SORTED string array and its count — a single run-length scan."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        F.lit("").alias("bestg"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(run > acc["best"], run).otherwise(acc["best"]).alias("best"),
+            F.when(run > acc["best"], g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(
+        F.col(sorted_col),
+        init,
+        step,
+        lambda acc: F.struct(acc["best"].alias("cnt"), acc["bestg"].alias("gram")),
+    )
+
+
+def _chars(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_line_char_frac,
+    top2gram_char_frac, top3gram_char_frac, dup_5gram_frac, repetitive).
+
+    Fractions are rounded to 4 dp for cross-engine comparison; the
+    ``repetitive`` flag is computed from the UNROUNDED values (identical
+    IEEE arithmetic on both engines)."""
+    d = df.select(id_col, text_col)
+    d = d.withColumn("__lines", _lines(text_col))
+    d = d.withColumn("__dlines", F.array_distinct("__lines"))
+    d = d.withColumn("__norm", normalized(F.coalesce(F.col(text_col), F.lit(""))))
+    d = d.withColumn(
+        "__tk", F.filter(F.split("__norm", " "), lambda t: t != "")
+    )
+    d = d.withColumn("__g2", _grams("__tk", 2))
+    d = d.withColumn("__g3", _grams("__tk", 3))
+    d = d.withColumn("__g5", _grams("__tk", 5))
+    d = d.withColumn("__t2", _top_run("__g2"))
+    d = d.withColumn("__t3", _top_run("__g3"))
+
+    n_lines = F.size("__lines")
+    n_dl = F.size("__dlines")
+    lc = _chars(F.col("__lines"))
+    dlc = _chars(F.col("__dlines"))
+    nch = F.length("__norm")
+    n5 = F.size("__g5")
+    nd5 = F.size(F.array_distinct("__g5"))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    dup_line = frac(n_lines - n_dl, n_lines)
+    dup_line_char = frac(lc - dlc, lc)
+    top2 = F.least(frac(F.col("__t2")["cnt"] * F.length(F.col("__t2")["gram"]), nch), F.lit(1.0))
+    top3 = F.least(frac(F.col("__t3")["cnt"] * F.length(F.col("__t3")["gram"]), nch), F.lit(1.0))
+    dup5 = frac(n5 - nd5, n5)
+
+    repetitive = (
+        (dup_line > DUP_LINE_MAX)
+        | (dup_line_char > DUP_LINE_CHAR_MAX)
+        | (top2 > TOP2_CHAR_MAX)
+        | (top3 > TOP3_CHAR_MAX)
+        | (dup5 > DUP_5GRAM_MAX)
+    )
+    return d.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        F.round(dup_line, 4).alias("dup_line_frac"),
+        F.round(dup_line_char, 4).alias("dup_line_char_frac"),
+        F.round(top2, 4).alias("top2gram_char_frac"),
+        F.round(top3, 4).alias("top3gram_char_frac"),
+        F.round(dup5, 4).alias("dup_5gram_frac"),
+        repetitive.alias("repetitive"),
+    )
+
+
+def repetition_metrics_oracle(corpus_sql: str) -> str:
+    """DuckDB oracle: same lines/tokens/grams derivations; the top-gram
+    pick goes through unnest + GROUP BY + QUALIFY (the oracle need not
+    be shuffle-free, only value-exact; tie order matches the scan)."""
+    norm = normalized_oracle("coalesce(text, '')")
+
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))"
+        )
+
+    return f"""
+WITH corpus AS ({corpus_sql}),
+st AS (SELECT doc_id,
+        list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                   x -> trim(x)), x -> x <> '') AS lines,
+        {norm} AS norm
+       FROM corpus),
+tk AS (SELECT doc_id, lines, norm,
+        list_filter(string_split(norm, ' '), t -> t <> '') AS tk
+       FROM st),
+base AS (SELECT doc_id,
+        len(lines) AS n_lines,
+        len(list_distinct(lines)) AS n_dl,
+        coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+        coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dlc,
+        length(norm) AS nch,
+        {grams(2)} AS g2, {grams(3)} AS g3, {grams(5)} AS g5
+       FROM tk),
+t2 AS (SELECT doc_id, cnt * length(g) AS cov FROM (
+         SELECT doc_id, g, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY doc_id, g)
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) = 1),
+t3 AS (SELECT doc_id, cnt * length(g) AS cov FROM (
+         SELECT doc_id, g, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(g3) AS g FROM base) GROUP BY doc_id, g)
+       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) = 1),
+m AS (SELECT b.doc_id, b.n_lines,
+       CASE WHEN b.n_lines > 0 THEN (b.n_lines - b.n_dl) / b.n_lines ELSE 0.0::double END AS dup_line,
+       CASE WHEN b.lc > 0 THEN (b.lc - b.dlc) / b.lc ELSE 0.0::double END AS dup_line_char,
+       least(CASE WHEN b.nch > 0 THEN coalesce(x2.cov, 0) / b.nch ELSE 0.0::double END, 1.0::double) AS top2,
+       least(CASE WHEN b.nch > 0 THEN coalesce(x3.cov, 0) / b.nch ELSE 0.0::double END, 1.0::double) AS top3,
+       CASE WHEN len(b.g5) > 0 THEN (len(b.g5) - len(list_distinct(b.g5))) / len(b.g5) ELSE 0.0::double END AS dup5
+      FROM base b
+      LEFT JOIN t2 x2 USING (doc_id) LEFT JOIN t3 x3 USING (doc_id))
+SELECT doc_id, n_lines,
+       round(dup_line, 4) AS dup_line_frac,
+       round(dup_line_char, 4) AS dup_line_char_frac,
+       round(top2, 4) AS top2gram_char_frac,
+       round(top3, 4) AS top3gram_char_frac,
+       round(dup5, 4) AS dup_5gram_frac,
+       (dup_line > {DUP_LINE_MAX}::double OR dup_line_char > {DUP_LINE_CHAR_MAX}::double
+        OR top2 > {TOP2_CHAR_MAX}::double OR top3 > {TOP3_CHAR_MAX}::double
+        OR dup5 > {DUP_5GRAM_MAX}::double) AS repetitive
+FROM m
+"""

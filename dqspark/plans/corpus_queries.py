@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dqspark.operators.contamination import (
+    benchmark_contamination,
+    benchmark_contamination_oracle,
+)
 from dqspark.operators.components import (
     dedup_decisions,
     dedup_decisions_oracle,
@@ -25,6 +29,10 @@ from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
 from dqspark.operators.ngrams import (
     frequent_token_ngrams,
     frequent_token_ngrams_oracle,
+)
+from dqspark.operators.repetition import (
+    repetition_metrics,
+    repetition_metrics_oracle,
 )
 from dqspark.operators.sampling import (
     stratified_sample,
@@ -175,6 +183,84 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, strata_col="lang", key_col="doc_id",
         rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT,
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition metrics (Gopher filter family)
+# ---------------------------------------------------------------------------
+
+# Line structure + planted repetition, derived deterministically on both
+# sides: every ' table ' becomes a line break (the synthetic corpus has
+# no newlines of its own); every 9th-ish doc gets a line planted twice;
+# every 11th-ish doc gets a looping 2-gram appended.
+_DOCS_REP_SQL = """
+  SELECT doc_id,
+         replace(
+           text
+             || CASE WHEN doc_id % 9 = 2
+                THEN ' table ' || substr(text, 1, 50)
+                       || ' table ' || substr(text, 1, 50)
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 4
+                THEN repeat(' buy now buy now', 5)
+                ELSE '' END,
+           ' table ', chr(10)) AS text
+  FROM documents
+"""
+
+
+def _docs_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    head50 = F.substring("text", 1, 50)
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 9 == 2,
+            F.concat(
+                F.lit(" table "), head50, F.lit(" table "), head50
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 4, F.repeat(F.lit(" buy now buy now"), 5)
+        ).otherwise(F.lit("")),
+    )
+    return rebalance(
+        docs.select(
+            "doc_id", F.replace(raw, F.lit(" table "), F.lit("\n")).alias("text")
+        )
+    )
+
+
+@register("repetition_metrics", repetition_metrics_oracle(_DOCS_REP_SQL))
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_metrics(_docs_rep(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Synthetic benchmark set: a 160-char extract of every 41st-ish document
+# — the extracted docs (and any near-copies) must flag as contaminated.
+_BENCH_SQL = """
+  SELECT substr(text, 21, 160) AS text FROM documents WHERE doc_id % 41 = 3
+"""
+
+
+@register(
+    "contamination",
+    benchmark_contamination_oracle("SELECT doc_id, text FROM documents", _BENCH_SQL),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 41 == 3)
+        .select(F.substring("text", 21, 160).alias("text"))
+    )
+    return benchmark_contamination(docs, bench)
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from dqspark.operators.dedup import HASH_B, P31
 from dqspark.operators.ngrams import frequent_token_ngrams
 from dqspark.operators.sampling import BUCKETS, stratified_sample
+from dqspark.operators.contamination import benchmark_contamination
+from dqspark.operators.repetition import repetition_metrics
 from dqspark.operators.spans import repeated_spans, with_span_fingerprints
 
 W, AN, MOD = 12, 4, 2  # small params so short synthetic docs fingerprint densely
@@ -336,3 +338,195 @@ def test_boilerplate_trigram_mined_with_document_frequency(spark):
     # deterministic total order: doc_freq desc, then ngram asc
     keys = [(-r.doc_freq, r.ngram) for r in top]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition metrics (Gopher family)
+# ---------------------------------------------------------------------------
+
+def _ref_repetition(text: str):
+    """Pure-Python reference for repetition_metrics (independent of
+    Spark AND DuckDB): returns the five unrounded fractions."""
+    lines = [x.strip() for x in (text or "").split("\n")]
+    lines = [x for x in lines if x != ""]
+    dlines = list(dict.fromkeys(lines))
+    norm = _norm(text)
+    tk = [t for t in norm.split(" ") if t != ""]
+
+    def grams(n):
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    def top(gs):
+        if not gs:
+            return 0, ""
+        cnt = {}
+        for g in gs:
+            cnt[g] = cnt.get(g, 0) + 1
+        m = max(cnt.values())
+        return m, min(g for g, c in cnt.items() if c == m)
+
+    def frac(num, den):
+        return num / den if den > 0 else 0.0
+
+    g2, g3, g5 = grams(2), grams(3), grams(5)
+    lc = sum(len(x) for x in lines)
+    dlc = sum(len(x) for x in dlines)
+    c2, t2g = top(g2)
+    c3, t3g = top(g3)
+    return {
+        "dup_line_frac": frac(len(lines) - len(dlines), len(lines)),
+        "dup_line_char_frac": frac(lc - dlc, lc),
+        "top2gram_char_frac": min(frac(c2 * len(t2g), len(norm)), 1.0),
+        "top3gram_char_frac": min(frac(c3 * len(t3g), len(norm)), 1.0),
+        "dup_5gram_frac": frac(len(g5) - len(set(g5)), len(g5)),
+    }
+
+
+def test_repetition_known_values(spark):
+    """Hand-computed doc: 4 lines with one exact repeat; top 2-gram
+    'a b' covers 6 of 15 normalized chars."""
+    text = "a b\na b\nc d\nc e"
+    row = repetition_metrics(_spark_docs(spark, {1: text})).collect()[0]
+    assert row.n_lines == 4
+    assert row.dup_line_frac == 0.25          # (4 - 3) / 4
+    assert row.dup_line_char_frac == 0.25     # (12 - 9) / 12
+    assert row.top2gram_char_frac == 0.4      # 2 * len('a b') / 15
+    assert row.dup_5gram_frac == 0.0          # only 4 distinct 5-grams... none repeat
+    assert bool(row.repetitive) is True       # char-dup 0.25 > 0.20, top2 0.4 > 0.20
+
+
+def test_repetition_flags_looping_text(spark):
+    """A doc that is one phrase looping must trip the top-2-gram gate."""
+    text = " ".join(["buy now"] * 20)
+    row = repetition_metrics(_spark_docs(spark, {7: text})).collect()[0]
+    assert row.top2gram_char_frac > 0.5
+    assert row.dup_5gram_frac > 0.5
+    assert bool(row.repetitive) is True
+
+
+def test_repetition_empty_and_short_docs(spark):
+    """Empty / sub-gram docs emit all-zero rows, never nulls, never drop."""
+    got = {
+        r.doc_id: r
+        for r in repetition_metrics(
+            _spark_docs(spark, {1: "", 2: "word", 3: "   \n  \n "})
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        for c in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top2gram_char_frac",
+            "top3gram_char_frac",
+            "dup_5gram_frac",
+        ):
+            assert getattr(r, c) == 0.0, (r.doc_id, c)
+        assert bool(r.repetitive) is False
+
+
+def test_repetition_matches_python_reference_fuzz(spark):
+    """Differential fuzz vs the pure-Python reference, including tie
+    cases (several grams at the same max count -> lexicographically
+    smallest must win on both sides)."""
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    for d in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 40))]
+        if d % 4 == 1 and len(words) > 6:  # planted loop
+            words += words[:5] * rng.randrange(1, 4)
+        text = " ".join(words)
+        if d % 3 == 0:  # add line structure with planted repeats
+            parts = [text[i : i + 17] for i in range(0, len(text), 17)]
+            if len(parts) > 2:
+                parts.append(parts[0])
+            text = "\n".join(parts)
+        docs[d] = text
+    got = {r.doc_id: r for r in repetition_metrics(_spark_docs(spark, docs)).collect()}
+    assert set(got) == set(docs)
+    for d, text in docs.items():
+        ref = _ref_repetition(text)
+        for c, v in ref.items():
+            assert getattr(got[d], c) == round(v, 4), (d, c, text)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _ref_shingle_set(text: str, n: int) -> set[int]:
+    u = [ord(c) for c in _norm(text)]
+    out = set()
+    for i in range(len(u) - n + 1):
+        h = 0
+        for c in u[i : i + n]:
+            h = (h * HASH_B + c) % P31
+        out.add(h)
+    return out
+
+
+def test_contamination_known_cases(spark):
+    """Verbatim inclusion flags; disjoint text does not; sub-shingle
+    docs stay in the output with zero counts."""
+    bench_text = "the held out benchmark question about gravity waves"
+    docs = {
+        1: "intro words " + bench_text + " trailing explanation here",
+        2: "completely unrelated content talking about cooking recipes",
+        3: "tiny",  # < 16 normalized chars -> zero shingles
+    }
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    got = {
+        r.doc_id: r
+        for r in benchmark_contamination(
+            _spark_docs(spark, docs), bench, n=16, min_frac=0.05
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert bool(got[1].contaminated) is True and got[1].n_overlap > 0
+    assert bool(got[2].contaminated) is False and got[2].n_overlap == 0
+    assert got[3].n_shingles == 0 and got[3].overlap_frac == 0.0
+    assert bool(got[3].contaminated) is False
+
+
+def test_contamination_matches_python_reference_fuzz(spark):
+    """Exact counts vs the pure-Python shingle-set reference."""
+    rng = random.Random(41)
+    vocab = [f"tok{i}" for i in range(30)]
+    bench_docs = [" ".join(rng.choice(vocab) for _ in range(12)) for _ in range(5)]
+    docs = {}
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        if d % 5 == 2:  # plant a benchmark fragment
+            b = rng.choice(bench_docs)
+            words += b.split(" ")[:8]
+        docs[d] = " ".join(words)
+    n, min_frac = 16, 0.05
+    bset = set()
+    for b in bench_docs:
+        bset |= _ref_shingle_set(b, n)
+    bench = spark.createDataFrame([(b,) for b in bench_docs], "text string")
+    got = {
+        r.doc_id: r
+        for r in benchmark_contamination(
+            _spark_docs(spark, docs), bench, n=n, min_frac=min_frac
+        ).collect()
+    }
+    assert set(got) == set(docs)
+    for d, t in docs.items():
+        hs = _ref_shingle_set(t, n)
+        ov = len(hs & bset)
+        assert got[d].n_shingles == len(hs), d
+        assert got[d].n_overlap == ov, d
+        exp = ov >= 1 and (ov / len(hs)) >= min_frac
+        assert bool(got[d].contaminated) is exp, d
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """Scale shape: the benchmark set joins via broadcast — no
+    sort-merge join, so the corpus side never shuffles for the probe."""
+    docs = _spark_docs(spark, {i: f"some text body number {i} padded out" for i in range(50)})
+    bench = spark.createDataFrame([("text body number 7 padded",)], "text string")
+    plan = benchmark_contamination(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
