@@ -46,6 +46,19 @@ def connected_components(
     after ``max_iter`` non-converged rounds rather than returning a
     partial labeling.
     """
+    # The fixpoint witness below is sum(label): sound only because labels
+    # are numeric and only ever decrease.  A string id would make the sum
+    # NULL every round (None == None -> false convergence after round 1),
+    # so refuse non-numeric ids up front; callers with string keys should
+    # pre-map to a collision-free numeric id (monotonically_increasing_id
+    # join, or the id is already a hash).
+    src_type = pairs.schema[src].dataType.typeName()
+    if src_type not in ("byte", "short", "integer", "long", "decimal"):
+        raise TypeError(
+            f"connected_components requires integral node ids, got {src_type!r} "
+            f"for {src!r}; pre-map string keys to numeric ids first "
+            "(float/double are excluded: an inexact sum voids the witness)"
+        )
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -69,7 +82,12 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        cur = labels.agg(F.sum("comp")).collect()[0][0]
+        # decimal(38,0) keeps the witness exact past long range: at
+        # trillion-node scale a bigint sum can wrap, and wrapped arithmetic
+        # loses the strictly-decreasing property the probe relies on.
+        cur = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur == prev_sum:
             return labels.select("node", F.col("comp").alias("component_id"))
         prev_sum = cur

@@ -316,6 +316,19 @@ def test_components_nonconvergence_raises(spark):
         connected_components(df, max_iter=1)
 
 
+def test_components_rejects_string_ids(spark):
+    """String node ids would make the sum(label) fixpoint witness NULL
+    every round (None == None -> false convergence after one round), so
+    the operator must refuse them up front rather than mislabel."""
+    from dqspark.operators.components import connected_components
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "key1 string, key2 string"
+    )
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components(df)
+
+
 # ---------------------------------------------------------------------------
 # frequent n-grams
 # ---------------------------------------------------------------------------
