@@ -1,0 +1,331 @@
+"""Corpus-level audit rollups: training-mixture composition, mega-repo
+skew diagnostics, encoding anomalies, declared-vs-detected language
+consistency, and per-rule drop attribution.
+
+These are the dashboard queries a 100-TB training-data pipeline runs
+continuously beside the per-file quality filter: what is the corpus
+made of (mixture), which inputs will skew the shuffle (repo skew — the
+north rule's "salted repartitioning to break skew from mega-repos"
+needs a diagnostic that FINDS the mega-repos), which files carry
+mojibake/control bytes (encoding), which file extensions disagree with
+their declared language (code-corpus labeling QA), and which filter
+rule is actually responsible for the drop rate (ablation/attribution —
+the first question asked of any keep/drop run).  The reference's
+analogues are its per-table summary stats and severity rollups
+(backend/analyzer.py summary + ml scoring); these re-express that
+reporting family over the corpus axis.
+
+Scale design: every operator here is a low-cardinality groupBy over a
+narrow projection (strata / repo / issue keys), with corpus-wide totals
+joined back via a broadcast of a one-row (or few-row) aggregate —
+never a global window, never a driver-side loop.  Per-row flags
+(encoding, extension mismatch) are pure columnar expressions; the
+extension→language dimension is an explicit ``F.broadcast`` join of a
+literal dim table, the canonical small-dim pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+# ---------------------------------------------------------------------------
+# training-mixture composition
+# ---------------------------------------------------------------------------
+
+
+def _n_tokens(text_col: str) -> Column:
+    """Whitespace-token count of normalized text (same normalization as
+    the dedup/ngram suite, so mixtures are comparable across queries)."""
+    return F.size(
+        F.filter(
+            F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda t: t != "",
+        )
+    ).cast("long")
+
+
+def _n_tokens_oracle(text_expr: str) -> str:
+    norm = normalized_oracle(f"coalesce({text_expr}, '')")
+    return f"len(list_filter(string_split({norm}, ' '), t -> t <> ''))"
+
+
+def corpus_mixture(
+    df: DataFrame, strata_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Per-stratum corpus composition: (strata..., n_docs, total_chars,
+    total_tokens, pct_chars) where ``pct_chars`` is the stratum's share
+    of corpus characters (the number a mixture-reweighting step
+    consumes), rounded to 6 dp.
+
+    One map-side-combinable groupBy on the (low-cardinality) strata plus
+    a broadcast of the one-row corpus total — no global window.
+    """
+    base = df.select(
+        *strata_cols,
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("__nc"),
+        _n_tokens(text_col).alias("__nt"),
+    )
+    per = base.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nc").alias("total_chars"),
+        F.sum("__nt").alias("total_tokens"),
+    )
+    tot = per.agg(F.sum("total_chars").alias("__corpus_chars"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        *strata_cols,
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(F.col("total_chars") / F.col("__corpus_chars"), 6).alias(
+            "pct_chars"
+        ),
+    )
+
+
+def corpus_mixture_oracle(
+    corpus_sql: str, strata_cols: list[str], text_expr: str = "text"
+) -> str:
+    keys = ", ".join(strata_cols)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+per AS (
+  SELECT {keys}, count(*) AS n_docs,
+         sum(length(coalesce({text_expr}, '')))::bigint AS total_chars,
+         sum({_n_tokens_oracle(text_expr)})::bigint AS total_tokens
+  FROM corpus GROUP BY {keys}
+)
+SELECT {keys}, n_docs, total_chars, total_tokens,
+       round(total_chars / (SELECT sum(total_chars) FROM per), 6)::double
+         AS pct_chars
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# mega-repo skew diagnostics
+# ---------------------------------------------------------------------------
+
+SKEW_RATIO_FLAG = 2.0  # repo bytes > 2x the mean repo -> skew risk
+
+
+def repo_skew(
+    df: DataFrame,
+    repo_col: str = "repo",
+    text_col: str = "content",
+    flag_ratio: float = SKEW_RATIO_FLAG,
+) -> DataFrame:
+    """(repo, n_files, total_chars, skew_ratio, skewed) — per-repo size
+    vs the mean repo.  ``skew_ratio`` > 1 means this repo is larger than
+    average; past ``flag_ratio`` a repo-keyed shuffle partition would be
+    that many times the mean, which is exactly the imbalance the
+    pipeline's salted repartition exists to break (pipeline/quality.py
+    ``salted_repartition``).  Ratio rounded to 4 dp.
+    """
+    per = df.groupBy(F.col(repo_col).alias("repo")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("total_chars"),
+    )
+    mean = per.agg(F.avg("total_chars").alias("__mean_chars"))
+    ratio = F.col("total_chars") / F.col("__mean_chars")
+    return per.crossJoin(F.broadcast(mean)).select(
+        "repo",
+        "n_files",
+        "total_chars",
+        F.round(ratio, 4).alias("skew_ratio"),
+        (ratio > flag_ratio).alias("skewed"),
+    )
+
+
+def repo_skew_oracle(
+    corpus_sql: str,
+    repo_expr: str = "repo",
+    text_expr: str = "content",
+    flag_ratio: float = SKEW_RATIO_FLAG,
+) -> str:
+    return f"""
+WITH corpus AS ({corpus_sql}),
+per AS (
+  SELECT {repo_expr} AS repo, count(*) AS n_files,
+         sum(length(coalesce({text_expr}, '')))::bigint AS total_chars
+  FROM corpus GROUP BY {repo_expr}
+)
+SELECT repo, n_files, total_chars,
+       round(total_chars / (SELECT avg(total_chars) FROM per), 4)::double
+         AS skew_ratio,
+       (total_chars / (SELECT avg(total_chars) FROM per)
+        > {flag_ratio}::double) AS skewed
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# encoding anomalies (mojibake / control bytes)
+# ---------------------------------------------------------------------------
+
+# C0 control characters minus \t (9), \n (10), \r (13): decode failures
+# and binary-in-text leave these (and U+FFFD) behind.
+_CTRL_CODEPOINTS = [c for c in range(32) if c not in (9, 10, 13)]
+_CTRL_CHARS = "".join(chr(c) for c in _CTRL_CODEPOINTS)
+_REPLACEMENT = "\ufffd"
+
+
+def _count_chars(text_col: Column, chars: str) -> Column:
+    """Occurrences of any char of ``chars`` in ``text_col`` — the
+    length-minus-translate trick (no regex in the row path)."""
+    return (
+        F.length(text_col) - F.length(F.translate(text_col, chars, ""))
+    ).cast("long")
+
+
+def encoding_anomalies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_replacement, n_control, encoding_suspect) — U+FFFD
+    replacement characters signal a lossy decode upstream; C0 control
+    characters (beyond tab/newline/CR) signal binary content mislabeled
+    as text.  Both are columnar counts; the flag is their disjunction.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_rep = _count_chars(t, _REPLACEMENT)
+    n_ctl = _count_chars(t, _CTRL_CHARS)
+    return df.select(
+        id_col,
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        ((n_rep > 0) | (n_ctl > 0)).alias("encoding_suspect"),
+    )
+
+
+def encoding_anomalies_oracle(corpus_sql: str, text_expr: str = "text") -> str:
+    ctrl = " || ".join(f"chr({c})" for c in _CTRL_CODEPOINTS)
+    rep = "chr(65533)"
+    t = f"coalesce({text_expr}, '')"
+    n_rep = f"(length({t}) - length(translate({t}, {rep}, '')))::bigint"
+    n_ctl = f"(length({t}) - length(translate({t}, {ctrl}, '')))::bigint"
+    return f"""
+WITH corpus AS ({corpus_sql})
+SELECT doc_id, {n_rep} AS n_replacement, {n_ctl} AS n_control,
+       ({n_rep} > 0 OR {n_ctl} > 0) AS encoding_suspect
+FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
+# declared-language vs file-extension consistency (code-corpus QA)
+# ---------------------------------------------------------------------------
+
+# tiny extension -> language dimension (broadcast); the point is the
+# plan shape — a literal dim table broadcast against the corpus — not
+# linguistic completeness.
+EXT_LANG = {
+    "py": "python",
+    "js": "javascript",
+    "go": "go",
+    "rs": "rust",
+    "md": "markdown",
+}
+
+
+def ext_lang_mismatch(
+    df: DataFrame, path_col: str = "path", lang_col: str = "lang"
+) -> DataFrame:
+    """(path, ext, lang, lang_expected, mismatch) — the declared
+    language column disagrees with what the file extension implies.
+    Unknown extensions get ``lang_expected`` NULL and never flag.
+
+    The extension dim is a literal few-row table under an explicit
+    ``F.broadcast`` left join — zero shuffle of the corpus side.
+    """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        sorted(EXT_LANG.items()), "ext string, lang_expected string"
+    )
+    ext = F.lower(F.regexp_extract(F.col(path_col), r"\.([^./]+)$", 1))
+    base = df.select(
+        path_col, F.col(lang_col).alias("lang"), ext.alias("ext")
+    )
+    out = base.join(F.broadcast(dim), "ext", "left")
+    return out.select(
+        path_col,
+        "ext",
+        "lang",
+        "lang_expected",
+        (
+            F.col("lang_expected").isNotNull()
+            & (F.col("lang_expected") != F.col("lang"))
+        ).alias("mismatch"),
+    )
+
+
+def ext_lang_mismatch_oracle(
+    corpus_sql: str, path_expr: str = "path", lang_expr: str = "lang"
+) -> str:
+    dim_rows = ", ".join(f"('{e}', '{l}')" for e, l in sorted(EXT_LANG.items()))
+    return f"""
+WITH corpus AS ({corpus_sql}),
+dim(ext, lang_expected) AS (VALUES {dim_rows}),
+base AS (
+  SELECT {path_expr} AS path, {lang_expr} AS lang,
+         lower(regexp_extract({path_expr}, '\\.([^./]+)$', 1)) AS ext
+  FROM corpus
+)
+SELECT b.path, b.ext, b.lang, d.lang_expected,
+       (d.lang_expected IS NOT NULL AND d.lang_expected <> b.lang) AS mismatch
+FROM base b LEFT JOIN dim d USING (ext)
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-rule drop attribution (filter ablation)
+# ---------------------------------------------------------------------------
+
+
+def drop_attribution(
+    pipeline_out: DataFrame,
+    issues_col: str = "issue_types",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """(issue, n_flagged, n_dropped, n_sole_cause) over a quality-filter
+    result: how often each rule fires, how many of the firing rows were
+    dropped, and how many drops this rule alone accounts for (rows
+    where it is the ONLY issue) — the standard ablation table that says
+    which filter is doing the work and which is redundant.
+
+    One explode + low-cardinality groupBy (|issues| distinct keys);
+    map-side combine absorbs the per-row fan-out before the shuffle.
+    """
+    n_issues = F.size(F.col(issues_col))
+    ex = pipeline_out.select(
+        F.explode(issues_col).alias("issue"),
+        F.col(keep_col).alias("__keep"),
+        n_issues.alias("__n"),
+    )
+    return ex.groupBy("issue").agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.count(F.when(~F.col("__keep"), 1)).alias("n_dropped"),
+        F.count(F.when(~F.col("__keep") & (F.col("__n") == 1), 1)).alias(
+            "n_sole_cause"
+        ),
+    )
+
+
+def drop_attribution_oracle(result_sql: str) -> str:
+    """Oracle over any result SQL exposing ``issues`` (comma-joined
+    string, '' when none) and ``keep``."""
+    return f"""
+WITH res AS ({result_sql}),
+ex AS (
+  SELECT unnest(string_split(issues, ',')) AS issue, keep,
+         len(string_split(issues, ',')) AS n
+  FROM res WHERE issues <> ''
+)
+SELECT issue, count(*) AS n_flagged,
+       count(*) FILTER (WHERE NOT keep) AS n_dropped,
+       count(*) FILTER (WHERE NOT keep AND n = 1) AS n_sole_cause
+FROM ex GROUP BY issue
+"""

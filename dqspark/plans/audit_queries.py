@@ -1,0 +1,167 @@
+"""Driver-contract queries for the corpus-audit rollups
+(operators/corpus_stats.py): training-mixture composition, mega-repo
+skew diagnostics, encoding anomalies, extension/language consistency,
+and per-rule drop attribution over the flagship quality filter.
+
+Plants are deterministic expressions applied identically on both
+sides, following the conventions of the other plan modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.corpus_stats import (
+    corpus_mixture,
+    corpus_mixture_oracle,
+    drop_attribution,
+    drop_attribution_oracle,
+    encoding_anomalies,
+    encoding_anomalies_oracle,
+    ext_lang_mismatch,
+    ext_lang_mismatch_oracle,
+    repo_skew,
+    repo_skew_oracle,
+)
+from dqspark.pipeline.quality import run_quality_pipeline
+from dqspark.plans import pipeline_queries as _pq
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table, rebalance
+
+# ---------------------------------------------------------------------------
+# training-mixture composition (lang x source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mixture",
+    corpus_mixture_oracle(
+        "SELECT lang, source, text FROM documents", ["lang", "source"]
+    ),
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
+    return corpus_mixture(rebalance(docs), ["lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# mega-repo skew diagnostics (planted: two thirds of files collapse
+# into one mega-repo, the imbalance salted_repartition exists to break)
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+  SELECT CASE WHEN doc_id % 3 <> 0 THEN 'mega-repo' ELSE source END AS repo,
+         text AS content
+  FROM documents
+"""
+
+
+@register("repo_skew", repo_skew_oracle(_SKEW_SQL))
+def q_repo_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    cf = docs.select(
+        F.when(F.col("doc_id") % 3 != 0, F.lit("mega-repo"))
+        .otherwise(F.col("source"))
+        .alias("repo"),
+        F.col("text").alias("content"),
+    )
+    return repo_skew(rebalance(cf))
+
+
+# ---------------------------------------------------------------------------
+# encoding anomalies (planted: lossy-decode replacement chars on every
+# 31st doc, stray control bytes on every 29th)
+# ---------------------------------------------------------------------------
+
+_ENC_SQL = """
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 31 = 6
+              THEN ' ' || chr(65533) || chr(65533) ELSE '' END
+           || CASE WHEN doc_id % 29 = 11
+              THEN chr(7) || chr(27) ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _docs_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 31 == 6, F.lit(" ��")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 29 == 11, F.lit("\x07\x1b")).otherwise(
+            F.lit("")
+        ),
+    )
+    return rebalance(docs.select("doc_id", planted.alias("text")))
+
+
+@register("encoding_anomalies", encoding_anomalies_oracle(_ENC_SQL))
+def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return encoding_anomalies(_docs_enc(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# extension vs declared language (planted: rotated declaration on every
+# 17th-ish file; unknown extension on every 23rd-ish, never flagged)
+# ---------------------------------------------------------------------------
+
+_EXTS = ["py", "js", "go", "md"]
+_LANGS = ["python", "javascript", "go", "markdown"]
+_EXT_ARR = "[" + ", ".join(f"'{e}'" for e in _EXTS) + "]"
+_LANG_ARR = "[" + ", ".join(f"'{l}'" for l in _LANGS) + "]"
+
+_CODEFILES_SQL = f"""
+  SELECT 'f' || CAST(doc_id AS VARCHAR) || '.'
+           || CASE WHEN doc_id % 23 = 1 THEN 'txt'
+                   ELSE {_EXT_ARR}[(doc_id % 4)::int + 1] END AS path,
+         {_LANG_ARR}[(CASE WHEN doc_id % 17 = 5 THEN (doc_id + 1) % 4
+                           ELSE doc_id % 4 END)::int + 1] AS lang
+  FROM documents
+"""
+
+
+def _codefiles_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ext = F.when(F.col("doc_id") % 23 == 1, F.lit("txt")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(e) for e in _EXTS]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        )
+    )
+    lang_idx = (
+        F.when(F.col("doc_id") % 17 == 5, (F.col("doc_id") + 1) % 4)
+        .otherwise(F.col("doc_id") % 4)
+        + 1
+    ).cast("int")
+    lang = F.element_at(F.array(*[F.lit(l) for l in _LANGS]), lang_idx)
+    cf = docs.select(
+        F.concat(
+            F.lit("f"), F.col("doc_id").cast("string"), F.lit("."), ext
+        ).alias("path"),
+        lang.alias("lang"),
+    )
+    return rebalance(cf)
+
+
+@register("lang_mismatch", ext_lang_mismatch_oracle(_CODEFILES_SQL))
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ext_lang_mismatch(_codefiles_ext(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# per-rule drop attribution over the flagship heuristic pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_ablation",
+    drop_attribution_oracle(_pq._quality_heuristic_oracle()),
+)
+def q_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = _pq._to_codefiles(_pq._planted_corpus(spark, sf_dir))
+    res = run_quality_pipeline(cf, with_models=False)
+    return drop_attribution(res)

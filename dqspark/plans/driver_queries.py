@@ -615,3 +615,4 @@ from dqspark.plans import multimodal_queries  # noqa: E402,F401  (registration s
 from dqspark.plans import relationship_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import ensemble_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import corpus_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import audit_queries  # noqa: E402,F401  (registration side-effect)

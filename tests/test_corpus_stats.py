@@ -1,0 +1,128 @@
+"""Unit tests for the corpus-audit rollups (operators/corpus_stats.py):
+mixture composition, repo-skew diagnostics, encoding anomalies,
+extension/language consistency, drop attribution — semantics on tiny
+hand-built frames plus plan-shape assertions (broadcast dim join, no
+global window)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_corpus_mixture_shares_and_tokens(spark):
+    from dqspark.operators.corpus_stats import corpus_mixture
+
+    df = spark.createDataFrame(
+        [
+            ("en", "one two three"),   # 3 tokens, 13 chars
+            ("en", "four five"),       # 2 tokens, 9 chars
+            ("zh", "six"),             # 1 token, 3 chars
+            ("zh", None),              # 0 tokens, 0 chars
+        ],
+        "lang string, text string",
+    )
+    rows = {r.lang: r for r in corpus_mixture(df, ["lang"]).collect()}
+    assert rows["en"].n_docs == 2
+    assert rows["en"].total_chars == 22
+    assert rows["en"].total_tokens == 5
+    assert rows["zh"].total_tokens == 1
+    assert abs(rows["en"].pct_chars + rows["zh"].pct_chars - 1.0) < 1e-9
+    assert rows["en"].pct_chars == round(22 / 25, 6)
+
+
+def test_repo_skew_flags_planted_mega_repo(spark):
+    from dqspark.operators.corpus_stats import repo_skew
+
+    rows_in = [("mega", "x" * 100)] * 8 + [("small-a", "x" * 10), ("small-b", "x" * 10)]
+    df = spark.createDataFrame(rows_in, "repo string, content string")
+    rows = {r.repo: r for r in repo_skew(df).collect()}
+    # mean repo chars = (800 + 10 + 10) / 3; mega is ~2.93x the mean
+    assert rows["mega"].skewed and rows["mega"].skew_ratio > 2.0
+    assert not rows["small-a"].skewed and not rows["small-b"].skewed
+    assert rows["mega"].n_files == 8 and rows["mega"].total_chars == 800
+
+
+def test_encoding_anomalies_flags_and_counts(spark):
+    from dqspark.operators.corpus_stats import encoding_anomalies
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text with tab\tand newline\n ok"),
+            (2, "lossy �� decode"),
+            (3, "bell\x07 and escape\x1b"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in encoding_anomalies(df).collect()}
+    assert not rows[1].encoding_suspect  # \t and \n are fine
+    assert rows[2].n_replacement == 2 and rows[2].encoding_suspect
+    assert rows[3].n_control == 2 and rows[3].encoding_suspect
+    assert not rows[4].encoding_suspect
+
+
+def test_ext_lang_mismatch_semantics_and_broadcast_plan(spark):
+    from dqspark.operators.corpus_stats import ext_lang_mismatch
+
+    df = spark.createDataFrame(
+        [
+            ("src/a.py", "python"),      # match
+            ("src/b.py", "go"),          # mismatch
+            ("c.tar.gz", "python"),      # unknown ext -> never flags
+            ("noext", "python"),         # no extension at all
+            ("d.MD", "markdown"),        # case-insensitive ext
+        ],
+        "path string, lang string",
+    )
+    out = ext_lang_mismatch(df)
+    rows = {r.path: r for r in out.collect()}
+    assert not rows["src/a.py"].mismatch
+    assert rows["src/b.py"].mismatch and rows["src/b.py"].lang_expected == "python"
+    assert not rows["c.tar.gz"].mismatch and rows["c.tar.gz"].lang_expected is None
+    assert not rows["noext"].mismatch and rows["noext"].ext == ""
+    assert rows["d.MD"].ext == "md" and not rows["d.MD"].mismatch
+    # the dim join must be broadcast — the corpus side never shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_drop_attribution_counts_and_sole_cause(spark):
+    from dqspark.operators.corpus_stats import drop_attribution
+
+    df = spark.createDataFrame(
+        [
+            (["a"], False),          # a: flagged, dropped, sole cause
+            (["a", "b"], False),     # a+b: dropped, no sole cause
+            (["b"], True),           # b: flagged but kept
+            ([], True),              # clean row contributes nothing
+        ],
+        "issue_types array<string>, keep boolean",
+    )
+    rows = {r.issue: r for r in drop_attribution(df).collect()}
+    assert rows["a"].n_flagged == 2
+    assert rows["a"].n_dropped == 2
+    assert rows["a"].n_sole_cause == 1
+    assert rows["b"].n_flagged == 2
+    assert rows["b"].n_dropped == 1
+    assert rows["b"].n_sole_cause == 0
+
+
+def test_mixture_and_skew_plans_have_no_global_window(spark):
+    """The corpus-total share joins back via a broadcast of a one-row
+    aggregate — a Window over an empty partitionBy would be the
+    single-partition anti-pattern these rollups exist to avoid."""
+    from dqspark.operators.corpus_stats import corpus_mixture, repo_skew
+
+    df = spark.createDataFrame(
+        [("en", "r1", "abc")], "lang string, repo string, text string"
+    )
+    for out in (
+        corpus_mixture(df, ["lang"]),
+        repo_skew(df, text_col="text"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
