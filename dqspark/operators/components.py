@@ -49,16 +49,10 @@ def connected_components(
     # The fixpoint witness below is sum(label): sound only because labels
     # are numeric and only ever decrease.  A string id would make the sum
     # NULL every round (None == None -> false convergence after round 1),
-    # so refuse non-numeric ids up front; callers with string keys should
-    # pre-map to a collision-free numeric id (monotonically_increasing_id
-    # join, or the id is already a hash).
-    src_type = pairs.schema[src].dataType.typeName()
-    if src_type not in ("byte", "short", "integer", "long", "decimal"):
-        raise TypeError(
-            f"connected_components requires integral node ids, got {src_type!r} "
-            f"for {src!r}; pre-map string keys to numeric ids first "
-            "(float/double are excluded: an inexact sum voids the witness)"
-        )
+    # so refuse non-numeric ids up front (float/double excluded too: an
+    # inexact sum voids the witness); callers with string keys should
+    # pre-map to a collision-free numeric id.
+    _check_integral_ids(pairs, src)
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -96,6 +90,118 @@ def connected_components(
         "(graph diameter exceeds max_iter; raise max_iter or switch to "
         "large-star/small-star)"
     )
+
+
+def _check_integral_ids(pairs: DataFrame, src: str) -> None:
+    src_type = pairs.schema[src].dataType.typeName()
+    if src_type not in ("byte", "short", "integer", "long", "decimal"):
+        raise TypeError(
+            f"connected components require integral node ids, got {src_type!r} "
+            f"for {src!r}; pre-map string keys to numeric ids first"
+        )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "key1",
+    dst: str = "key2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component_id) via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the adversarial-diameter scale path.
+
+    Min-label propagation (``connected_components``) needs rounds equal
+    to the graph DIAMETER: right for LSH dup clusters (near-cliques,
+    diameter ~2), hopeless for a million-node chain.  The star
+    operators instead contract the graph toward stars, converging in
+    O(log^2 n) rounds REGARDLESS of diameter, with per-round cost of
+    two narrow (node, node) shuffles — groupBy for per-node minima plus
+    a co-partitioned join-back.  Edge count never grows (each phase
+    emits at most one edge per input edge), so the working set only
+    shrinks toward the final n-1 star edges.
+
+    Phases over the edge multiset E:
+
+    - large-star: for each u, m = min(Γ(u) ∪ {u}); connect every
+      STRICTLY LARGER neighbor to m:  {(v, m) : v ∈ Γ(u), v > u}.
+    - small-star: orient edges large→small; for each u,
+      m = min(Γ⁻(u) ∪ {u}); connect u and its smaller neighbors to m:
+      {(v, m) : v ∈ Γ⁻(u) ∪ {u}, v ≠ m}.
+
+    Convergence = the small-star output equals its input (the exact
+    stopping rule of the paper, checked with a distributed anti-join —
+    no driver-side materialization); the converged edges are exactly
+    (node, component-min) stars.
+    """
+    _check_integral_ids(pairs, src)
+    a, b = F.col("a"), F.col("b")
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(a != b)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # every node that appears in any pair (self-loops already dropped)
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iter):
+        # -- large-star: symmetric neighborhoods, larger neighbors -> min
+        sym = edges.unionByName(edges.select(b.alias("a"), a.alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("__mb"))
+        mins = mins.select("a", F.least("a", "__mb").alias("m"))
+        ls = (
+            sym.join(mins, "a")
+            .where(b > a)
+            .select(b.alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # -- small-star: edges already oriented a>b after large-star
+        # (m = min(b) suffices: every smaller neighbor b < a, so
+        # min(Γ⁻(a) ∪ {a}) = min(b))
+        dmins = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            ls.join(dmins, "a")
+            .where(b != F.col("m"))
+            .select(b.alias("a"), F.col("m").alias("b"))
+            .unionByName(dmins.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # fixpoint: NEITHER phase changed the edge set this round (the
+        # paper's stopping rule — a composition-only test could in
+        # principle miss a large/small 2-cycle)
+        if (
+            ls.exceptAll(edges).isEmpty()
+            and edges.exceptAll(ls).isEmpty()
+            and ss.exceptAll(edges).isEmpty()
+            and edges.exceptAll(ss).isEmpty()
+        ):
+            star = ss
+            break
+        edges = ss
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (theoretical bound is O(log^2 n); raise max_iter)"
+        )
+    # converged: star edges point node -> component min; minima map to
+    # themselves via the left join's null branch
+    return nodes.join(
+        star.select(F.col("a").alias("node"), F.col("b").alias("comp")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("comp", "node").alias("component_id"))
 
 
 def neardup_groups(

@@ -150,6 +150,37 @@ def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(pairs)
 
 
+# Chain-graph components via large/small-star: blocks of 50 consecutive
+# (present) doc_ids chained into 50-long paths — diameter far past what
+# min-label propagation's round budget covers, the regime the star
+# contraction exists for.  Expected labeling is exact and closed-form:
+# every chained block labels to its minimum member.
+_STAR_ORACLE = """
+WITH b AS (SELECT doc_id, doc_id // 50 AS blk FROM documents),
+s AS (SELECT blk, min(doc_id) AS mn, count(*) AS c FROM b GROUP BY blk)
+SELECT b.doc_id AS node, s.mn AS component_id
+FROM b JOIN s USING (blk) WHERE s.c >= 2
+"""
+
+
+@register("components_star", _STAR_ORACLE)
+def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from dqspark.operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    blk = F.floor(F.col("doc_id") / 50).alias("blk")
+    w = Window.partitionBy("blk").orderBy("doc_id")
+    pairs = (
+        docs.select("doc_id", blk)
+        .withColumn("key2", F.lead("doc_id").over(w))
+        .where(F.col("key2").isNotNull())
+        .select(F.col("doc_id").alias("key1"), "key2")
+    )
+    return connected_components_star(rebalance(pairs))
+
+
 @register(
     "dedup_decisions",
     lambda: dedup_decisions_oracle(_dq._DOCS_NEAR_SQL, _dq._minhash_dedup_oracle),

@@ -316,6 +316,41 @@ def test_components_nonconvergence_raises(spark):
         connected_components(df, max_iter=1)
 
 
+def test_components_star_long_chain_beyond_propagation_budget(spark):
+    """A 120-node chain has diameter 119: min-label propagation at its
+    default round budget cannot finish, while the large/small-star
+    contraction converges in O(log^2 n) rounds — the scale property the
+    variant exists for."""
+    from dqspark.operators.components import connected_components_star
+
+    chain = [(i, i + 1) for i in range(1, 120)]
+    df = spark.createDataFrame(chain, "key1 long, key2 long")
+    got = {r.node: r.component_id for r in connected_components_star(df).collect()}
+    assert got == {i: 1 for i in range(1, 121)}
+
+
+def test_components_star_matches_union_find_fuzz(spark):
+    from dqspark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]  # chain
+    pairs += [(50, 51), (50, 52), (51, 52)]  # clique
+    pairs += [(9, 9)]  # self-loop must not crash or mislabel
+    pairs += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(40)]
+    df = spark.createDataFrame(pairs, "key1 long, key2 long")
+    expected = _py_components([(a, b) for a, b in pairs])
+    star = {
+        r.node: r.component_id for r in connected_components_star(df).collect()
+    }
+    assert star == expected
+    # and the two implementations agree with each other
+    prop = {r.node: r.component_id for r in connected_components(df).collect()}
+    assert star == prop
+
+
 def test_components_rejects_string_ids(spark):
     """String node ids would make the sum(label) fixpoint witness NULL
     every round (None == None -> false convergence after one round), so
