@@ -70,7 +70,19 @@ def main() -> None:
     # round-3 corpus-analysis additions, likewise reported separately
     round3 = [
         q
-        for q in ("repeated_spans", "frequent_ngrams", "stratified_sample")
+        for q in (
+            "repeated_spans",
+            "frequent_ngrams",
+            "stratified_sample",
+            "repetition_metrics",
+            "contamination",
+            "corpus_mixture",
+            "repo_skew",
+            "encoding_anomalies",
+            "lang_mismatch",
+            "quality_ablation",
+            "components_star",
+        )
         if q in driver_queries.QUERIES
     ]
 

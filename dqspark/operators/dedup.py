@@ -231,12 +231,23 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     min_est_jaccard: float = 0.5,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Band the signatures, self-join per band, estimate similarity from
     matching minhash fraction.  The join key is (band_id, band_signature)
     — buckets are tiny, so the shuffle moves signatures, not documents.
     (At production scale, materialize ``sigs`` to a table first so the
     self-join's two scans read the signature table, not the raw corpus.)
+
+    ``new_col`` (a boolean column on ``sigs``) switches on INCREMENTAL
+    mode: only pairs touching at least one new row are emitted —
+    old↔old pairs were already handled by previous batches and are
+    pruned inside the join predicate, before the pair ever
+    materializes.  This is the steady-state shape of a trillion-file
+    corpus: the old side is a persisted signature/band table that is
+    never rehashed; per batch, only the (tiny) new band relation is
+    computed, and the bucket join's matching volume scales with the
+    batch, not the corpus.
     """
     r = k // bands
     band_arr = F.array(
@@ -248,21 +259,28 @@ def lsh_candidate_pairs(
             for j in range(bands)
         ]
     )
+    flag = [F.col(new_col).alias("new")] if new_col else []
     sig = sigs.select(
         F.col(key_col).alias("k"),
         minhash_signature_col(k).alias("full_sig"),
+        *flag,
         F.explode(band_arr).alias("b"),
-    ).select("k", "full_sig", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    ).select(
+        "k", "full_sig", *(["new"] if new_col else []),
+        F.col("b.band").alias("band"), F.col("b.sig").alias("sig"),
+    )
 
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.sig") == F.col("r.sig"))
+        & (F.col("l.k") < F.col("r.k"))
+    )
+    if new_col:
+        cond = cond & (F.col("l.new") | F.col("r.new"))
     left = sig.alias("l")
     right = sig.alias("r")
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.k") < F.col("r.k")),
-        )
+        left.join(right, cond)
         .select(
             F.col("l.k").alias("key1"),
             F.col("r.k").alias("key2"),

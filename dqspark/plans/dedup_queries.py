@@ -165,7 +165,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_dedup_oracle(corpus_sql: str = _DOCS_NEAR_SQL) -> str:
+def _minhash_dedup_oracle(
+    corpus_sql: str = _DOCS_NEAR_SQL, extra_pair_pred: str = ""
+) -> str:
     harr, mh = _mh_exprs()
     r = K_MINHASH // LSH_BANDS
     band_selects = []
@@ -187,6 +189,7 @@ bands AS ({bands}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS key1, r.doc_id AS key2
   FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+  {extra_pair_pred}
 )
 SELECT p.key1, p.key2, (({matches}) * 1.0 / {K_MINHASH})::double AS est_jaccard
 FROM pairs p JOIN sigs l ON p.key1 = l.doc_id JOIN sigs r ON p.key2 = r.doc_id
@@ -199,6 +202,33 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = with_minhash(_docs_near(spark, sf_dir), "text", k=K_MINHASH)
     return lsh_candidate_pairs(
         sigs, "doc_id", k=K_MINHASH, bands=LSH_BANDS, min_est_jaccard=0.5
+    )
+
+
+# Incremental batch-vs-corpus dedup: the planted copies (doc_id >=
+# 1000000) arrive as a NEW batch against the already-deduped base
+# corpus; only pairs touching the batch are emitted — base↔base
+# near-dups (already handled by previous batches) are pruned inside
+# the bucket join, never materialized.
+_INCR_PRED = "WHERE (l.doc_id >= 1000000 OR r.doc_id >= 1000000)"
+
+
+@register(
+    "minhash_dedup_incremental",
+    _minhash_dedup_oracle(extra_pair_pred=_INCR_PRED),
+)
+def q_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_near(spark, sf_dir).withColumn(
+        "is_new", F.col("doc_id") >= 1000000
+    )
+    sigs = with_minhash(docs, "text", k=K_MINHASH)
+    return lsh_candidate_pairs(
+        sigs,
+        "doc_id",
+        k=K_MINHASH,
+        bands=LSH_BANDS,
+        min_est_jaccard=0.5,
+        new_col="is_new",
     )
 
 

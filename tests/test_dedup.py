@@ -281,3 +281,35 @@ def test_lsh_empty_corpus_returns_empty_not_crash(spark):
     sig = band_signatures(empty, "vec_id", "embedding", 32, 8, seed=7)
     assert sig.count() == 0
     assert [f.name for f in sig.schema.fields] == ["k", "band_idx", "band_key"]
+
+
+def test_lsh_incremental_equals_full_minus_old_old(spark):
+    """Incremental mode must emit exactly the full pair set restricted
+    to pairs touching >= 1 new doc — old/old near-dups (handled by
+    previous batches) are pruned, nothing else changes."""
+    from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
+
+    base = [
+        (i, f"some shared document body number {i % 4} with plenty of words")
+        for i in range(1, 13)
+    ]
+    new = [(100 + i, f"some shared document body number {i % 4} with plenty of words")
+           for i in range(4)]
+    df = spark.createDataFrame(
+        base + new, "doc_id long, text string"
+    ).withColumn("is_new", F.col("doc_id") >= 100)
+    sigs = with_minhash(df, "text", k=16)
+    full = {
+        (r.key1, r.key2)
+        for r in lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4).collect()
+    }
+    incr = {
+        (r.key1, r.key2)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", k=16, bands=4, new_col="is_new"
+        ).collect()
+    }
+    expected = {(a, b) for a, b in full if a >= 100 or b >= 100}
+    assert incr == expected
+    assert incr  # the planted copies must actually pair up
+    assert len(incr) < len(full)  # and old/old pairs must exist and be pruned
