@@ -126,6 +126,79 @@ def stream_dedupe(
     return d.dropDuplicates(["_sha"]).drop("_sha")
 
 
+def stream_neardup_dedupe(
+    stream: DataFrame,
+    sig_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+):
+    """Continuous-ingest near-duplicate detection: per micro-batch,
+    minhash the NEW documents once, run the incremental LSH bucket join
+    against the persisted signature table (old↔old pairs pruned inside
+    the join — operators/dedup.py ``lsh_candidate_pairs(new_col=...)``),
+    append the batch's pairs, then append the batch's signatures to the
+    table.
+
+    Exactly-once pair emission without any dedup state: a candidate
+    pair surfaces in the batch where its LATER member arrives (both
+    members' signatures exist from that point on, but the earlier one
+    is then 'old' and old↔old is pruned), so the union of per-batch
+    outputs EQUALS the batch-mode pair set over the full corpus —
+    asserted stream-vs-batch by pytest.  Steady-state cost per batch is
+    hashing the batch plus a bucket join whose matching volume scales
+    with the batch, never the corpus; the signature table is append-only
+    and is never rehashed.
+    """
+    from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
+
+    mh_cols = [f"mh_{i}" for i in range(k)]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_sigs = (
+            with_minhash(batch_df.select(id_col, text_col), text_col, k=k)
+            .select(id_col, *mh_cols)
+            .localCheckpoint()  # hash once; feeds the join AND the append
+        )
+        try:
+            old_sigs = spark.read.parquet(sig_dir)
+            have_old = True
+        except Exception:  # first batch: no signature table yet
+            have_old = False
+        sigs = new_sigs.withColumn("is_new", F.lit(True))
+        if have_old:
+            sigs = sigs.unionByName(
+                old_sigs.select(id_col, *mh_cols).withColumn(
+                    "is_new", F.lit(False)
+                )
+            )
+        pairs = lsh_candidate_pairs(
+            sigs,
+            id_col,
+            k=k,
+            bands=bands,
+            min_est_jaccard=min_est_jaccard,
+            new_col="is_new",
+        )
+        # batch_id-keyed overwrite => idempotent under foreachBatch's
+        # at-least-once replay (a recovered batch rewrites its own
+        # partition instead of double-appending pairs or signatures)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(f"{sig_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_rate(
     events: DataFrame,
     window_duration: str = "5 minutes",

@@ -452,3 +452,52 @@ def test_wav_truncated_data_chunk_rejected():
     bad = wav[: i + 4] + struct.pack("<I", 1 << 20) + wav[i + 8 :]
     with pytest.raises(ValueError, match="truncated WAV chunk"):
         decode_wav(bad)
+
+def test_stream_neardup_dedupe_equals_batch_pairs(spark, tmp_path):
+    """Continuous-ingest LSH dedup: the union of per-batch incremental
+    pair outputs equals the batch-mode candidate-pair set over the full
+    corpus, each pair exactly once (emitted in the batch where its later
+    member arrives)."""
+    from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
+    from dqspark.streaming.quality_stream import stream_neardup_dedupe
+
+    src = str(tmp_path / "docs")
+    sig_dir = str(tmp_path / "sigs")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        (i, f"shared near duplicate document body number {i % 5} "
+            f"with plenty of overlapping words to shingle")
+        for i in range(60)
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    # three appended single-file writes -> three micro-batches
+    for lo in (0, 20, 40):
+        spark.createDataFrame(
+            rows[lo : lo + 20], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_neardup_dedupe(stream, sig_dir, pairs_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(pairs_dir).select("key1", "key2", "est_jaccard")
+    streamed = {(r.key1, r.key2): r.est_jaccard for r in got.collect()}
+    assert got.count() == len(streamed)  # each pair exactly once
+
+    sigs = with_minhash(full, "text", k=16)
+    expected = {
+        (r.key1, r.key2): r.est_jaccard
+        for r in lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4).collect()
+    }
+    assert streamed == expected
+    # the property is only interesting if clusters actually span batches
+    assert any(k1 // 20 != k2 // 20 for k1, k2 in streamed)
+    # and if more than one micro-batch really ran
+    n_batches = spark.read.parquet(sig_dir).select("batch_id").distinct().count()
+    assert n_batches >= 2
