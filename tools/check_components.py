@@ -69,6 +69,16 @@ def main() -> int:
     got_rows = neardup_groups(pairs).collect()
     got = {r.doc_id: r.component_id for r in got_rows}
     labels_match = got == expected
+
+    # the large/small-star variant must produce the identical labeling
+    # on the same (giant near-clique) pair graph
+    from dqspark.operators.components import connected_components_star
+
+    star = {
+        r.node: r.component_id
+        for r in connected_components_star(pairs).collect()
+    }
+    star_match = star == expected
     sizes: dict[int, int] = {}
     for c in expected.values():
         sizes[c] = sizes.get(c, 0) + 1
@@ -87,11 +97,12 @@ def main() -> int:
                 "n_components": len(sizes),
                 "max_component": max(sizes.values()) if sizes else 0,
                 "labels_match": labels_match,
+                "star_labels_match": star_match,
             }
         )
     )
     spark.stop()
-    return 0 if labels_match else 1
+    return 0 if labels_match and star_match else 1
 
 
 if __name__ == "__main__":
