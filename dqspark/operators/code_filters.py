@@ -1,0 +1,457 @@
+"""Code-corpus filter suite: license detection, secret/credential
+entropy scanning, generated/minified-code detection, vendored-path
+classification, and a combined keep/drop decision with per-file reason
+attribution.
+
+These are the standard pre-training filters for source-code corpora
+(Kocetkov et al., "The Stack: 3 TB of permissively licensed source
+code", 2022 §2 — license + near-dedup; Li et al., "StarCoder: may the
+source be with you!", 2023 §3 — generated/minified/vendored/secret
+filtering; Allal et al., "SantaCoder", 2023 §4).  The reference has no
+code-filter analogue — this extends its per-file quality-check family
+(ml/*.py detectors, backend/api quality gates) to the source-code
+corpus axis the north rule targets, alongside pipeline/quality.py.
+
+Scale design: every scan is a per-row columnar projection — zero
+shuffles, zero joins, zero Python in the hot path; each fuses into a
+single whole-stage-codegen span over the corpus scan.  The only
+shuffle in the suite is ``code_filter_decisions``'s per-doc secret
+rollup: a map-side-combined groupBy on the corpus' own primary key
+(no skew possible) followed by a join back that stays narrow because
+both sides share the key.  Shannon entropy is computed JVM-side with
+higher-order array functions (no UDF): for each candidate token,
+``aggregate`` over its distinct characters accumulates
+``-(p·log2 p)`` with per-char counts derived from
+``length(t) - length(replace(t, ch, ''))``.
+
+Cross-engine notes: entropy sums accumulate in engine-specific
+distinct-char order, so outputs are rounded to 4 dp (double noise is
+~1e-15, far below the boundary); flags are computed from UNROUNDED
+values with identical IEEE arithmetic.  Regexes stay inside the
+Java∩RE2 common subset (character classes and anchors only — no \\b,
+no lookaround; see tests/test_fuzz_metrics.py for the divergence this
+repo pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# license detection
+# ---------------------------------------------------------------------------
+
+LICENSE_HEAD_CHARS = 2000  # licenses live in file headers
+_SPDX_RE = "SPDX-License-Identifier: ([A-Za-z0-9.+-]+)"
+# marker phrase → family, in fixed precedence order (first match wins);
+# phrases are the canonical first lines of each license's grant clause.
+LICENSE_MARKERS = (
+    ("Permission is hereby granted, free of charge", "mit"),
+    ("Licensed under the Apache License", "apache"),
+    ("GNU General Public License", "gpl"),
+    ("Redistribution and use in source and binary forms", "bsd"),
+)
+PERMISSIVE_FAMILIES = ("mit", "apache", "bsd")
+
+
+def _license_cols(text_col: str) -> dict[str, Column]:
+    """Column exprs for license_scan — pure per-row, composable into any
+    wider projection without a join."""
+    head = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, LICENSE_HEAD_CHARS)
+    spdx = F.regexp_extract(head, _SPDX_RE, 1)
+    lspdx = F.lower(spdx)
+
+    family = (
+        F.when(lspdx.startswith("mit"), F.lit("mit"))
+        .when(lspdx.startswith("apache"), F.lit("apache"))
+        .when(
+            lspdx.startswith("gpl")
+            | lspdx.startswith("agpl")
+            | lspdx.startswith("lgpl"),
+            F.lit("gpl"),
+        )
+        .when(lspdx.startswith("bsd"), F.lit("bsd"))
+        .when(spdx != "", F.lit("other"))
+    )
+    for phrase, fam in LICENSE_MARKERS:
+        family = family.when(head.contains(phrase), F.lit(fam))
+    family = family.otherwise(F.lit("none"))
+
+    return {
+        "spdx_id": F.nullif(spdx, F.lit("")),
+        "license_family": family,
+        "is_permissive": family.isin(*PERMISSIVE_FAMILIES),
+    }
+
+
+def license_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, spdx_id, license_family, is_permissive) per document.
+
+    SPDX tag wins over marker phrases; families: mit / apache / gpl /
+    bsd / other (SPDX tag outside the mapped families) / none."""
+    cols = _license_cols(text_col)
+    return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
+
+
+def license_scan_oracle_expr(text_expr: str) -> str:
+    """DuckDB column exprs mirroring license_scan (same CASE order)."""
+    head = f"substr(coalesce({text_expr}, ''), 1, {LICENSE_HEAD_CHARS})"
+    spdx = f"regexp_extract({head}, '{_SPDX_RE}', 1)"
+    markers = "\n       ".join(
+        f"WHEN contains({head}, '{p}') THEN '{f}'" for p, f in LICENSE_MARKERS
+    )
+    family = f"""CASE
+       WHEN starts_with(lower({spdx}), 'mit') THEN 'mit'
+       WHEN starts_with(lower({spdx}), 'apache') THEN 'apache'
+       WHEN starts_with(lower({spdx}), 'gpl') OR starts_with(lower({spdx}), 'agpl')
+            OR starts_with(lower({spdx}), 'lgpl') THEN 'gpl'
+       WHEN starts_with(lower({spdx}), 'bsd') THEN 'bsd'
+       WHEN {spdx} <> '' THEN 'other'
+       {markers}
+       ELSE 'none' END"""
+    perm = ", ".join(f"'{f}'" for f in PERMISSIVE_FAMILIES)
+    return (
+        f"nullif({spdx}, '') AS spdx_id,\n"
+        f"       {family} AS license_family,\n"
+        f"       ({family}) IN ({perm}) AS is_permissive"
+    )
+
+
+# ---------------------------------------------------------------------------
+# secret / credential scanning
+# ---------------------------------------------------------------------------
+
+SECRET_TOKEN_RE = "[A-Za-z0-9+/=_-]{20,}"  # base64/hex/uuid-ish runs
+SECRET_MIN_ENTROPY = 4.0  # bits/char; random base64 ≈ 4.8, prose/idents ≈ 2-3.8
+SECRET_MIN_CLASSES = 3  # of {lower, upper, digit, symbol}
+_AWS_KEY_RE = "^(AKIA|ASIA)[0-9A-Z]{16}$"  # published AWS key-id shape
+
+
+def _char_entropy(tok: Column) -> Column:
+    """Shannon entropy (bits/char) of a non-empty string, JVM-side."""
+    n = F.length(tok).cast("double")
+
+    def term(acc: Column, ch: Column) -> Column:
+        cnt = (F.length(tok) - F.length(F.replace(tok, ch))).cast("double")
+        return acc - (cnt / n) * F.log2(cnt / n)
+
+    chars = F.array_distinct(F.filter(F.split(tok, ""), lambda c: c != ""))
+    return F.aggregate(chars, F.lit(0.0), term)
+
+
+def secret_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per candidate secret token: (id, token_masked, token_len,
+    entropy, n_classes, is_secret).
+
+    Candidates are maximal runs of the base64/identifier charset ≥ 20
+    chars; a candidate is a secret when its character entropy and
+    charset diversity both clear the thresholds, or it matches the
+    published AWS access-key-id shape.  Tokens are masked (first 4
+    chars + length) — the scan must never copy the credential it found
+    into its own output."""
+    tok = F.col("__tok")
+    ent = _char_entropy(tok)
+    classes = (
+        tok.rlike("[a-z]").cast("int")
+        + tok.rlike("[A-Z]").cast("int")
+        + tok.rlike("[0-9]").cast("int")
+        + tok.rlike("[+/=_-]").cast("int")
+    )
+    is_secret = (
+        (ent >= F.lit(SECRET_MIN_ENTROPY)) & (classes >= F.lit(SECRET_MIN_CLASSES))
+    ) | tok.rlike(_AWS_KEY_RE)
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(SECRET_TOKEN_RE),
+                    F.lit(0),
+                )
+            ).alias("__tok"),
+        )
+        .select(
+            id_col,
+            F.concat(F.substring(tok, 1, 4), F.lit("***")).alias("token_masked"),
+            F.length(tok).alias("token_len"),
+            F.round(ent, 4).alias("entropy"),
+            classes.alias("n_classes"),
+            is_secret.alias("is_secret"),
+        )
+    )
+
+
+def secret_scan_oracle_sql(corpus_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB oracle: unnest candidates, same entropy/class arithmetic."""
+    ent = (
+        "coalesce(list_sum(list_transform("
+        "list_distinct(list_filter(string_split(tok, ''), c -> c <> '')), "
+        "ch -> -((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
+        " * log2((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
+        ")), 0.0)"
+    )
+    classes = (
+        "(CAST(regexp_matches(tok, '[a-z]') AS INT)"
+        " + CAST(regexp_matches(tok, '[A-Z]') AS INT)"
+        " + CAST(regexp_matches(tok, '[0-9]') AS INT)"
+        " + CAST(regexp_matches(tok, '[+/=_-]') AS INT))"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+cand AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(coalesce(text, ''), '{SECRET_TOKEN_RE}')) AS tok
+  FROM corpus)
+SELECT {id_col},
+       substr(tok, 1, 4) || '***' AS token_masked,
+       length(tok) AS token_len,
+       round({ent}, 4) AS entropy,
+       {classes} AS n_classes,
+       (({ent} >= {SECRET_MIN_ENTROPY} AND {classes} >= {SECRET_MIN_CLASSES})
+        OR regexp_matches(tok, '{_AWS_KEY_RE}')) AS is_secret
+FROM cand
+"""
+
+
+# ---------------------------------------------------------------------------
+# generated / minified code detection
+# ---------------------------------------------------------------------------
+
+# lowercased marker → tag, fixed precedence (first match wins)
+GENERATED_MARKERS = (
+    ("do not edit", "do_not_edit"),
+    ("@generated", "at_generated"),
+    ("auto-generated", "auto_generated"),
+    ("code generated by", "generated_by"),
+)
+MINIFIED_MAX_LINE = 1000  # any single line this long ⇒ minified
+MINIFIED_AVG_LINE = 300.0  # mean line length ⇒ minified (multi-line files)
+MINIFIED_MIN_LINES = 5  # avg rule needs enough lines to be a distribution
+
+
+def _generated_cols(text_col: str) -> dict[str, Column]:
+    """Column exprs for generated_code_scan — pure per-row."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(text)
+    marker = F
+    first = True
+    for phrase, tag in GENERATED_MARKERS:
+        cond = low.contains(phrase)
+        marker = (F.when if first else marker.when)(cond, F.lit(tag))
+        first = False
+    marker = marker.otherwise(F.lit(None).cast("string"))
+
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    max_line = F.array_max(F.transform(lines, F.length))
+    # total line chars = text length minus the (n_lines - 1) newlines
+    avg_line = (F.length(text) - (n_lines - 1)) / n_lines.cast("double")
+
+    return {
+        "gen_marker": marker,
+        "n_lines": n_lines,
+        "max_line_len": max_line,
+        "avg_line_len": F.round(avg_line, 4),
+        "is_generated": marker.isNotNull(),
+        "is_minified": (max_line >= MINIFIED_MAX_LINE)
+        | ((n_lines >= MINIFIED_MIN_LINES) & (avg_line >= MINIFIED_AVG_LINE)),
+    }
+
+
+def generated_code_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gen_marker, n_lines, max_line_len, avg_line_len,
+    is_generated, is_minified) per document."""
+    cols = _generated_cols(text_col)
+    return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
+
+
+def generated_code_oracle_exprs(text_expr: str) -> str:
+    """DuckDB column exprs mirroring generated_code_scan."""
+    text = f"coalesce({text_expr}, '')"
+    marker_whens = "\n       ".join(
+        f"WHEN contains(lower({text}), '{p}') THEN '{t}'"
+        for p, t in GENERATED_MARKERS
+    )
+    marker = f"CASE {marker_whens} ELSE NULL END"
+    lines = f"string_split({text}, chr(10))"
+    n_lines = f"len({lines})"
+    max_line = f"list_max(list_transform({lines}, x -> length(x)))"
+    avg = f"(length({text}) - ({n_lines} - 1)) / CAST({n_lines} AS DOUBLE)"
+    return (
+        f"{marker} AS gen_marker,\n"
+        f"       {n_lines} AS n_lines,\n"
+        f"       {max_line} AS max_line_len,\n"
+        f"       round({avg}, 4) AS avg_line_len,\n"
+        f"       ({marker}) IS NOT NULL AS is_generated,\n"
+        f"       ({max_line} >= {MINIFIED_MAX_LINE} OR ({n_lines} >= {MINIFIED_MIN_LINES}"
+        f" AND {avg} >= {MINIFIED_AVG_LINE})) AS is_minified"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vendored-path classification
+# ---------------------------------------------------------------------------
+
+# directory-name markers: match as a leading or interior path segment
+VENDOR_DIRS = ("node_modules", "vendor", "third_party", "bower_components")
+LOCKFILES = ("package-lock.json", "yarn.lock", "Cargo.lock", "poetry.lock", "go.sum")
+MINIFIED_SUFFIXES = (".min.js", ".min.css")
+
+
+def _vendored_cols(path_col: str) -> dict[str, Column]:
+    """Column exprs for vendored_path_scan — pure per-row."""
+    p = F.coalesce(F.col(path_col), F.lit(""))
+    vendor = F
+    first = True
+    for d in VENDOR_DIRS:
+        cond = p.startswith(d + "/") | p.contains("/" + d + "/")
+        vendor = (F.when if first else vendor.when)(cond, F.lit(d))
+        first = False
+    vendor = vendor.otherwise(F.lit(None).cast("string"))
+
+    base = F.element_at(F.split(p, "/"), -1)
+    is_lock = base.isin(*LOCKFILES)
+    is_min = F.lit(False)
+    for s in MINIFIED_SUFFIXES:
+        is_min = is_min | p.endswith(s)
+
+    return {
+        "path": p,
+        "vendor_dir": vendor,
+        "is_lockfile": is_lock,
+        "is_minified_asset": is_min,
+        "is_vendored": vendor.isNotNull() | is_lock | is_min,
+    }
+
+
+def vendored_path_scan(df: DataFrame, path_col: str = "path", id_col: str = "doc_id"):
+    """(id, path, vendor_dir, is_lockfile, is_minified_asset,
+    is_vendored) from the path alone — no content read, so at corpus
+    scale this prunes files before their bytes are ever fetched."""
+    cols = _vendored_cols(path_col)
+    return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
+
+
+def vendored_path_oracle_exprs(path_expr: str) -> str:
+    """DuckDB column exprs mirroring vendored_path_scan."""
+    p = f"coalesce({path_expr}, '')"
+    vendor_whens = "\n       ".join(
+        f"WHEN starts_with({p}, '{d}/') OR contains({p}, '/{d}/') THEN '{d}'"
+        for d in VENDOR_DIRS
+    )
+    vendor = f"CASE {vendor_whens} ELSE NULL END"
+    locks = ", ".join(f"'{x}'" for x in LOCKFILES)
+    is_lock = f"(string_split({p}, '/')[-1] IN ({locks}))"
+    is_min = " OR ".join(f"ends_with({p}, '{s}')" for s in MINIFIED_SUFFIXES)
+    return (
+        f"{p} AS path,\n"
+        f"       {vendor} AS vendor_dir,\n"
+        f"       {is_lock} AS is_lockfile,\n"
+        f"       ({is_min}) AS is_minified_asset,\n"
+        f"       (({vendor}) IS NOT NULL OR {is_lock} OR ({is_min})) AS is_vendored"
+    )
+
+
+# ---------------------------------------------------------------------------
+# combined decision
+# ---------------------------------------------------------------------------
+
+# drop precedence: cheapest-to-detect first (path-only prunes before any
+# content is read), then content heuristics, then license policy
+DROP_PRECEDENCE = ("vendored", "generated", "minified", "license")
+
+
+def code_filter_decisions(
+    df: DataFrame,
+    text_col: str = "text",
+    path_col: str = "path",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-file verdict (keep / scrub / drop) + drop_reason, combining
+    all four scans.  Non-permissive-or-missing license ⇒ drop (The
+    Stack's permissive-only policy); flagged secrets ⇒ scrub (the
+    pipeline's scrub stage redacts, it does not drop).
+
+    The three per-row scans compose into ONE wide projection over the
+    corpus scan (column expressions, not dataset joins); the secret
+    rollup is the suite's only shuffle — a map-side-combined groupBy on
+    the corpus' own primary key (no skew possible), joined back on that
+    key."""
+    lic = _license_cols(text_col)
+    gen = _generated_cols(text_col)
+    ven = _vendored_cols(path_col)
+    base = df.select(
+        id_col,
+        ven["is_vendored"].alias("is_vendored"),
+        gen["is_generated"].alias("is_generated"),
+        gen["is_minified"].alias("is_minified"),
+        lic["is_permissive"].alias("is_permissive"),
+        lic["license_family"].alias("license_family"),
+    )
+    sec = (
+        secret_scan(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.max(F.col("is_secret").cast("int")).alias("__has_secret"))
+    )
+    j = base.join(sec, id_col, "left").withColumn(
+        "__has_secret", F.coalesce("__has_secret", F.lit(0)) == 1
+    )
+    reason = (
+        F.when(F.col("is_vendored"), F.lit("vendored"))
+        .when(F.col("is_generated"), F.lit("generated"))
+        .when(F.col("is_minified"), F.lit("minified"))
+        .when(~F.col("is_permissive"), F.lit("license"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    verdict = (
+        F.when(reason.isNotNull(), F.lit("drop"))
+        .when(F.col("__has_secret"), F.lit("scrub"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        id_col,
+        verdict.alias("verdict"),
+        reason.alias("drop_reason"),
+        F.col("license_family"),
+        F.col("__has_secret").alias("has_secret"),
+    )
+
+
+def code_filter_decisions_oracle_sql(
+    corpus_sql: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for code_filter_decisions over the same corpus."""
+    sec = secret_scan_oracle_sql(corpus_sql, id_col)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+lic AS (SELECT {id_col}, {license_scan_oracle_expr('text')} FROM corpus),
+gen AS (SELECT {id_col}, {generated_code_oracle_exprs('text')} FROM corpus),
+ven AS (SELECT {id_col}, {vendored_path_oracle_exprs('path')} FROM corpus),
+sec AS (SELECT {id_col}, max(CAST(is_secret AS INT)) AS has_secret_i
+        FROM ({sec}) GROUP BY {id_col}),
+j AS (SELECT v.{id_col}, v.is_vendored, g.is_generated, g.is_minified,
+             l.is_permissive, l.license_family,
+             coalesce(s.has_secret_i, 0) = 1 AS has_secret
+      FROM ven v
+      JOIN gen g USING ({id_col}) JOIN lic l USING ({id_col})
+      LEFT JOIN sec s USING ({id_col}))
+SELECT {id_col},
+       CASE WHEN is_vendored OR is_generated OR is_minified
+                 OR NOT is_permissive THEN 'drop'
+            WHEN has_secret THEN 'scrub' ELSE 'keep' END AS verdict,
+       CASE WHEN is_vendored THEN 'vendored'
+            WHEN is_generated THEN 'generated'
+            WHEN is_minified THEN 'minified'
+            WHEN NOT is_permissive THEN 'license'
+            ELSE NULL END AS drop_reason,
+       license_family, has_secret
+FROM j
+"""
