@@ -82,6 +82,8 @@ def main() -> None:
             "lang_mismatch",
             "quality_ablation",
             "components_star",
+            "code_filter_decisions",
+            "semantic_dedup",
         )
         if q in driver_queries.QUERIES
     ]

@@ -553,3 +553,66 @@ def q_neardup_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, centroids, threshold=0.95, nprobe=2
     ).select("key1", "key2")
     return _recall_totals(brute, ivf)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: embedding-space duplicate pruning (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_PAIRS_SQL = _NEARDUP_ORACLE  # full-probe IVF == brute force
+
+
+def _semantic_dedup_oracle() -> str:
+    from dqspark.operators.components import neardup_groups_oracle
+
+    groups = neardup_groups_oracle(_SEMANTIC_PAIRS_SQL)
+    return f"""
+SELECT e.vec_id,
+       (g.doc_id IS NULL OR g.is_canonical) AS keep,
+       CASE WHEN g.doc_id IS NULL THEN 'unique'
+            WHEN g.is_canonical THEN 'canonical'
+            ELSE 'semantic_dup' END AS reason,
+       coalesce(g.component_id, e.vec_id) AS component_id,
+       coalesce(g.component_size, 1) AS component_size
+FROM (SELECT vec_id FROM ({_EMB_SQL})) e
+LEFT JOIN ({groups}) g ON e.vec_id = g.doc_id
+"""
+
+
+@register("semantic_dedup", _semantic_dedup_oracle)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space (semantic) dedup decision per vector: cluster the
+    cosine-similarity graph above 0.95 into components and keep one
+    canonical member per semantic group (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    2023 — re-expressed over this repo's IVF cell-join + min-label
+    components machinery instead of per-cluster argsort).
+
+    The oracled configuration runs the IVF pairs at FULL probe (nprobe =
+    n_cells), which provably equals brute force, so the DuckDB side can
+    re-derive the exact pair set + recursive-CTE closure; the production
+    operating point (nprobe << n_cells) inherits the recall evidence of
+    `neardup_ivf_recall` since it shares the same candidate generator."""
+    from dqspark.operators.components import neardup_groups
+
+    emb = _emb_planted(spark, sf_dir)
+    centroids = train_centroids(emb, n_cells=8)
+    pairs = embedding_near_dup_pairs_ivf(emb, centroids, threshold=0.95, nprobe=8)
+    groups = neardup_groups(pairs, id_alias="vec_id")
+    out = emb.select("vec_id").join(groups, "vec_id", "left")
+    keep = F.col("component_id").isNull() | F.col("is_canonical")
+    reason = (
+        F.when(F.col("component_id").isNull(), F.lit("unique"))
+        .when(F.col("is_canonical"), F.lit("canonical"))
+        .otherwise(F.lit("semantic_dup"))
+    )
+    return out.select(
+        "vec_id",
+        keep.alias("keep"),
+        reason.alias("reason"),
+        # singletons are their own component of size 1 — also keeps the
+        # columns non-null (nullable bigints round-trip as float64+NaN
+        # through Arrow→pandas, poisoning the value comparator)
+        F.coalesce("component_id", "vec_id").alias("component_id"),
+        F.coalesce("component_size", F.lit(1).cast("long")).alias("component_size"),
+    )

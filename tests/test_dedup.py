@@ -313,3 +313,40 @@ def test_lsh_incremental_equals_full_minus_old_old(spark):
     assert incr == expected
     assert incr  # the planted copies must actually pair up
     assert len(incr) < len(full)  # and old/old pairs must exist and be pruned
+
+
+def test_semantic_dedup_keeps_one_canonical_per_group(spark):
+    import numpy as np
+
+    from dqspark.operators.components import neardup_groups
+    from dqspark.operators.similarity import (
+        embedding_near_dup_pairs_ivf,
+        train_centroids,
+    )
+
+    # two semantic groups of near-identical vectors + one unique vector
+    rng = np.random.RandomState(7)
+    a = rng.randn(8).astype("float32")
+    b = rng.randn(8).astype("float32")
+    u = rng.randn(8).astype("float32")
+    rows = [
+        (1, (a * 1.000).tolist()),
+        (2, (a * 1.001).tolist()),
+        (3, (a * 0.999).tolist()),
+        (10, (b * 1.000).tolist()),
+        (11, (b * 1.002).tolist()),
+        (99, u.tolist()),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = train_centroids(emb, n_cells=2)
+    pairs = embedding_near_dup_pairs_ivf(
+        emb, centroids, threshold=0.95, nprobe=2
+    )  # full probe == brute force
+    groups = {r.vec_id: r for r in neardup_groups(pairs, id_alias="vec_id").collect()}
+    # group a: canonical 1, members {1,2,3}; group b: canonical 10
+    assert groups[1].is_canonical and groups[1].component_size == 3
+    assert not groups[2].is_canonical and groups[2].component_id == 1
+    assert not groups[3].is_canonical
+    assert groups[10].is_canonical and groups[10].component_size == 2
+    assert not groups[11].is_canonical and groups[11].component_id == 10
+    assert 99 not in groups  # unique vector never enters the pair graph
