@@ -1,0 +1,146 @@
+"""Code-corpus analytics: import/dependency extraction and comment-line
+metrics.
+
+Dependency-popularity statistics (which modules a corpus imports, how
+often, from how many files) and comment-density profiles are standard
+corpus-understanding queries over source-code datasets (the analyses
+published with The Stack, Kocetkov et al. 2022 §4, report exactly this
+family).  The reference has no code-analytics analogue — this extends
+its column-profiling family (backend/api/upload.py dtype/statistics
+summaries) to the source-code corpus axis.
+
+Scale design: both operators are per-row columnar extractions — a
+regexp_extract_all / line-split per file, no Python — followed by (for
+``import_stats``) one explode + groupBy(lang, module) whose partial
+aggregation collapses the per-file fan-out map-side; module-name key
+cardinality is bounded by the package universe, so the shuffle carries
+(lang, module, partial counts), not files.
+
+Regex subset: Java∩RE2 (inline ``(?m)`` multi-line anchors, character
+classes — no backreferences, no lookaround), per this repo's pinned
+cross-engine regex policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# lang → (import-statement regex with ONE capture group, comment-line prefix)
+LANG_RULES = {
+    "py": ("(?m)^(?:from|import)[ ]+([A-Za-z0-9_.]+)", "#"),
+    "js": ("(?m)^import[ ]+.*['\"]([A-Za-z0-9_@/.-]+)['\"]", "//"),
+    "java": ("(?m)^import[ ]+([A-Za-z0-9_.]+);", "//"),
+    "go": ("(?m)^import[ ]+\"([a-z0-9/._-]+)\"", "//"),
+}
+_DEFAULT_COMMENT = "#"
+
+
+def _import_pattern(lang_col: Column) -> Column:
+    pat = F
+    first = True
+    for lang, (rx, _) in LANG_RULES.items():
+        pat = (F.when if first else pat.when)(lang_col == lang, F.lit(rx))
+        first = False
+    # unknown languages extract nothing (a group that cannot match)
+    return pat.otherwise(F.lit("(?m)^\\x00([\\x00])$"))
+
+
+def import_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(lang, module, n_imports, n_files) — corpus-wide dependency
+    popularity.  ``n_imports`` counts every import statement;
+    ``n_files`` counts distinct importing files (a file importing a
+    module twice contributes 2 and 1 respectively)."""
+    lang = F.coalesce(F.col(lang_col), F.lit(""))
+    mods = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), _import_pattern(lang), F.lit(1)
+    )
+    return (
+        df.select(id_col, lang.alias("lang"), F.explode(mods).alias("module"))
+        .groupBy("lang", "module")
+        .agg(
+            F.count("*").alias("n_imports"),
+            F.countDistinct(id_col).alias("n_files"),
+        )
+    )
+
+
+def import_stats_oracle_sql(corpus_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB oracle: same per-lang regex dispatch + unnest + rollup."""
+    whens = "\n         ".join(
+        "WHEN coalesce(lang, '') = '{}' THEN regexp_extract_all(coalesce(text, ''), '{}', 1)".format(
+            lang, rx.replace("'", "''")
+        )
+        for lang, (rx, _) in LANG_RULES.items()
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+ex AS (SELECT {id_col}, coalesce(lang, '') AS lang,
+        unnest(CASE {whens} ELSE []::VARCHAR[] END) AS module
+       FROM corpus)
+SELECT lang, module, count(*) AS n_imports,
+       count(DISTINCT {id_col}) AS n_files
+FROM ex GROUP BY lang, module
+"""
+
+
+def comment_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_lines, n_comment_lines, comment_ratio) per file, using the
+    language's line-comment prefix on trimmed lines (block comments are
+    out of scope for a line-level profile).  Pure per-row arrays —
+    shuffle-free."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lang = F.coalesce(F.col(lang_col), F.lit(""))
+    prefix = F
+    first = True
+    for lg, (_, cp) in LANG_RULES.items():
+        prefix = (F.when if first else prefix.when)(lang == lg, F.lit(cp))
+        first = False
+    prefix = prefix.otherwise(F.lit(_DEFAULT_COMMENT))
+
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    n_comment = F.size(F.filter(lines, lambda x: x.startswith(prefix)))
+    ratio = F.when(n_lines > 0, n_comment / n_lines.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        id_col,
+        n_lines.alias("n_lines"),
+        n_comment.alias("n_comment_lines"),
+        F.round(ratio, 4).alias("comment_ratio"),
+    )
+
+
+def comment_metrics_oracle_exprs(text_expr: str, lang_expr: str) -> str:
+    """DuckDB column exprs mirroring comment_metrics."""
+    text = f"coalesce({text_expr}, '')"
+    whens = " ".join(
+        f"WHEN coalesce({lang_expr}, '') = '{lg}' THEN '{cp}'"
+        for lg, (_, cp) in LANG_RULES.items()
+    )
+    prefix = f"CASE {whens} ELSE '{_DEFAULT_COMMENT}' END"
+    lines = (
+        f"list_filter(list_transform(string_split({text}, chr(10)),"
+        f" x -> trim(x)), x -> x <> '')"
+    )
+    n_lines = f"len({lines})"
+    n_comment = f"len(list_filter({lines}, x -> starts_with(x, {prefix})))"
+    ratio = f"CASE WHEN {n_lines} > 0 THEN {n_comment} / CAST({n_lines} AS DOUBLE) ELSE 0.0::double END"
+    return (
+        f"{n_lines} AS n_lines,\n"
+        f"       {n_comment} AS n_comment_lines,\n"
+        f"       round({ratio}, 4) AS comment_ratio"
+    )
