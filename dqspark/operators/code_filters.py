@@ -142,6 +142,59 @@ def _char_entropy(tok: Column) -> Column:
     return F.aggregate(chars, F.lit(0.0), term)
 
 
+def _is_secret_tok(tok: Column) -> Column:
+    """Secret predicate over one candidate token (entropy + charset
+    diversity, or the published AWS key-id shape)."""
+    ent = _char_entropy(tok)
+    classes = (
+        tok.rlike("[a-z]").cast("int")
+        + tok.rlike("[A-Z]").cast("int")
+        + tok.rlike("[0-9]").cast("int")
+        + tok.rlike("[+/=_-]").cast("int")
+    )
+    return (
+        (ent >= F.lit(SECRET_MIN_ENTROPY)) & (classes >= F.lit(SECRET_MIN_CLASSES))
+    ) | tok.rlike(_AWS_KEY_RE)
+
+
+def _candidate_tokens(text_col: str) -> Column:
+    return F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(SECRET_TOKEN_RE), F.lit(0)
+    )
+
+
+def has_secret_col(text_col: str = "text") -> Column:
+    """Per-row boolean: does this document contain any flagged secret?
+
+    `exists` over the candidate-token array — a pure projection, so the
+    decision path needs NO explode, NO aggregation, NO join: at corpus
+    scale the keep/scrub/drop verdict is a single shuffle-free map."""
+    return F.exists(_candidate_tokens(text_col), _is_secret_tok)
+
+
+def has_secret_oracle_expr(text_expr: str) -> str:
+    """DuckDB mirror of has_secret_col."""
+    ent = (
+        "coalesce(list_sum(list_transform("
+        "list_distinct(list_filter(string_split(tok, ''), c -> c <> '')), "
+        "ch -> -((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
+        " * log2((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
+        ")), 0.0)"
+    )
+    classes = (
+        "(CAST(regexp_matches(tok, '[a-z]') AS INT)"
+        " + CAST(regexp_matches(tok, '[A-Z]') AS INT)"
+        " + CAST(regexp_matches(tok, '[0-9]') AS INT)"
+        " + CAST(regexp_matches(tok, '[+/=_-]') AS INT))"
+    )
+    return (
+        f"len(list_filter(regexp_extract_all(coalesce({text_expr}, ''), "
+        f"'{SECRET_TOKEN_RE}'), tok -> (({ent} >= {SECRET_MIN_ENTROPY} "
+        f"AND {classes} >= {SECRET_MIN_CLASSES}) "
+        f"OR regexp_matches(tok, '{_AWS_KEY_RE}')))) > 0"
+    )
+
+
 def secret_scan(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -162,20 +215,9 @@ def secret_scan(
         + tok.rlike("[0-9]").cast("int")
         + tok.rlike("[+/=_-]").cast("int")
     )
-    is_secret = (
-        (ent >= F.lit(SECRET_MIN_ENTROPY)) & (classes >= F.lit(SECRET_MIN_CLASSES))
-    ) | tok.rlike(_AWS_KEY_RE)
+    is_secret = _is_secret_tok(tok)
     return (
-        df.select(
-            id_col,
-            F.explode(
-                F.regexp_extract_all(
-                    F.coalesce(F.col(text_col), F.lit("")),
-                    F.lit(SECRET_TOKEN_RE),
-                    F.lit(0),
-                )
-            ).alias("__tok"),
-        )
+        df.select(id_col, F.explode(_candidate_tokens(text_col)).alias("__tok"))
         .select(
             id_col,
             F.concat(F.substring(tok, 1, 4), F.lit("***")).alias("token_masked"),
@@ -380,29 +422,21 @@ def code_filter_decisions(
     Stack's permissive-only policy); flagged secrets ⇒ scrub (the
     pipeline's scrub stage redacts, it does not drop).
 
-    The three per-row scans compose into ONE wide projection over the
-    corpus scan (column expressions, not dataset joins); the secret
-    rollup is the suite's only shuffle — a map-side-combined groupBy on
-    the corpus' own primary key (no skew possible), joined back on that
-    key."""
+    All four signals are per-row column expressions — the secret flag
+    is `exists` over the candidate-token array (has_secret_col), so the
+    whole verdict is ONE shuffle-free projection over the corpus scan:
+    no explode, no aggregation, no join, at any corpus size."""
     lic = _license_cols(text_col)
     gen = _generated_cols(text_col)
     ven = _vendored_cols(path_col)
-    base = df.select(
+    j = df.select(
         id_col,
         ven["is_vendored"].alias("is_vendored"),
         gen["is_generated"].alias("is_generated"),
         gen["is_minified"].alias("is_minified"),
         lic["is_permissive"].alias("is_permissive"),
         lic["license_family"].alias("license_family"),
-    )
-    sec = (
-        secret_scan(df, text_col, id_col)
-        .groupBy(id_col)
-        .agg(F.max(F.col("is_secret").cast("int")).alias("__has_secret"))
-    )
-    j = base.join(sec, id_col, "left").withColumn(
-        "__has_secret", F.coalesce("__has_secret", F.lit(0)) == 1
+        has_secret_col(text_col).alias("__has_secret"),
     )
     reason = (
         F.when(F.col("is_vendored"), F.lit("vendored"))
@@ -429,20 +463,14 @@ def code_filter_decisions_oracle_sql(
     corpus_sql: str, id_col: str = "doc_id"
 ) -> str:
     """DuckDB oracle for code_filter_decisions over the same corpus."""
-    sec = secret_scan_oracle_sql(corpus_sql, id_col)
     return f"""
 WITH corpus AS ({corpus_sql}),
-lic AS (SELECT {id_col}, {license_scan_oracle_expr('text')} FROM corpus),
-gen AS (SELECT {id_col}, {generated_code_oracle_exprs('text')} FROM corpus),
-ven AS (SELECT {id_col}, {vendored_path_oracle_exprs('path')} FROM corpus),
-sec AS (SELECT {id_col}, max(CAST(is_secret AS INT)) AS has_secret_i
-        FROM ({sec}) GROUP BY {id_col}),
-j AS (SELECT v.{id_col}, v.is_vendored, g.is_generated, g.is_minified,
-             l.is_permissive, l.license_family,
-             coalesce(s.has_secret_i, 0) = 1 AS has_secret
-      FROM ven v
-      JOIN gen g USING ({id_col}) JOIN lic l USING ({id_col})
-      LEFT JOIN sec s USING ({id_col}))
+j AS (SELECT c1.{id_col}, c1.is_vendored, c2.is_generated, c2.is_minified,
+             c3.is_permissive, c3.license_family, c4.has_secret
+      FROM (SELECT {id_col}, {vendored_path_oracle_exprs('path')} FROM corpus) c1
+      JOIN (SELECT {id_col}, {generated_code_oracle_exprs('text')} FROM corpus) c2 USING ({id_col})
+      JOIN (SELECT {id_col}, {license_scan_oracle_expr('text')} FROM corpus) c3 USING ({id_col})
+      JOIN (SELECT {id_col}, {has_secret_oracle_expr('text')} AS has_secret FROM corpus) c4 USING ({id_col}))
 SELECT {id_col},
        CASE WHEN is_vendored OR is_generated OR is_minified
                  OR NOT is_permissive THEN 'drop'
