@@ -45,6 +45,20 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         "trillion-row scale (exact percentile buffers all values per agg "
         "state); rank error <= 1e-4",
     )
+    ap.add_argument(
+        "--code-filters",
+        action="store_true",
+        help="structural pre-filter BEFORE the quality pipeline: drop "
+        "vendored/generated/minified files (shuffle-free projection) so "
+        "they never reach the model UDF stage; per-reason drop counts go "
+        "to stderr",
+    )
+    ap.add_argument(
+        "--require-permissive",
+        action="store_true",
+        help="with --code-filters, also drop files without a detected "
+        "permissive license (The Stack policy; corpus-dependent)",
+    )
     args = ap.parse_args(argv)
 
     from dqspark.pipeline.checkpoint import run_checkpointed
@@ -56,6 +70,28 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     if owns_session:
         spark = get_spark(app_name="dqspark-quality-job")
     df = spark.read.parquet(args.input)
+    if args.code_filters:
+        from pyspark.sql import functions as F
+
+        from dqspark.operators.code_filters import structural_prefilter
+
+        tagged = structural_prefilter(
+            df, require_permissive=args.require_permissive
+        )
+        # attribution is a tiny rollup (<= 4 reason rows) — report and
+        # pass only surviving files to the expensive pipeline stages
+        drops = (
+            tagged.where(F.col("cf_drop_reason").isNotNull())
+            .groupBy("cf_drop_reason")
+            .count()
+            .collect()
+        )
+        for r in sorted(drops, key=lambda x: x["cf_drop_reason"]):
+            print(
+                f"code-filter drop: {r['cf_drop_reason']} = {r['count']}",
+                file=sys.stderr,
+            )
+        df = tagged.where(F.col("cf_drop_reason").isNull()).drop("cf_drop_reason")
     result = run_checkpointed(
         df,
         args.output,

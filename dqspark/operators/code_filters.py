@@ -12,16 +12,16 @@ code-filter analogue — this extends its per-file quality-check family
 (ml/*.py detectors, backend/api quality gates) to the source-code
 corpus axis the north rule targets, alongside pipeline/quality.py.
 
-Scale design: every scan is a per-row columnar projection — zero
-shuffles, zero joins, zero Python in the hot path; each fuses into a
-single whole-stage-codegen span over the corpus scan.  The only
-shuffle in the suite is ``code_filter_decisions``'s per-doc secret
-rollup: a map-side-combined groupBy on the corpus' own primary key
-(no skew possible) followed by a join back that stays narrow because
-both sides share the key.  Shannon entropy is computed JVM-side with
-higher-order array functions (no UDF): for each candidate token,
-``aggregate`` over its distinct characters accumulates
-``-(p·log2 p)`` with per-char counts derived from
+Scale design: every scan — including the combined
+``code_filter_decisions`` verdict — is a per-row columnar projection:
+zero shuffles, zero joins, zero Python in the hot path; each fuses
+into a single whole-stage-codegen span over the corpus scan
+(plan-asserted in tests/test_code_filters.py).  The per-doc secret
+flag is ``exists`` over the candidate-token array; only the
+per-token ``secret_scan`` REPORT explodes.  Shannon entropy is
+computed JVM-side with higher-order array functions (no UDF): for
+each candidate token, ``aggregate`` over its distinct characters
+accumulates ``-(p·log2 p)`` with per-char counts derived from
 ``length(t) - length(replace(t, ch, ''))``.
 
 Cross-engine notes: entropy sums accumulate in engine-specific
@@ -483,3 +483,32 @@ SELECT {id_col},
        license_family, has_secret
 FROM j
 """
+
+
+def structural_prefilter(
+    df: DataFrame,
+    text_col: str = "content",
+    path_col: str = "path",
+    require_permissive: bool = False,
+) -> DataFrame:
+    """Tag every file with its structural drop reason (vendored /
+    generated / minified, plus 'license' when ``require_permissive``) or
+    NULL to keep — the cheap pre-stage production code pipelines run
+    BEFORE the model-based quality filter, so vendored bundles and
+    minified assets never reach the expensive scoring UDFs.
+
+    Pure per-row projection (shuffle-free); callers filter on
+    ``cf_drop_reason IS NULL`` and may aggregate the column for
+    attribution.  License policy is corpus-dependent (a permissive-only
+    gate drops every unlicensed file), hence opt-in."""
+    gen = _generated_cols(text_col)
+    ven = _vendored_cols(path_col)
+    reason = (
+        F.when(ven["is_vendored"], F.lit("vendored"))
+        .when(gen["is_generated"], F.lit("generated"))
+        .when(gen["is_minified"], F.lit("minified"))
+    )
+    if require_permissive:
+        lic = _license_cols(text_col)
+        reason = reason.when(~lic["is_permissive"], F.lit("license"))
+    return df.withColumn("cf_drop_reason", reason.otherwise(F.lit(None).cast("string")))

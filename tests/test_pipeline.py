@@ -536,3 +536,46 @@ def test_job_entrypoint_with_models(spark, tmp_path):
     m0 = os.path.getmtime(os.path.join(out, "chunk=0"))
     job.main(args, spark=spark)
     assert os.path.getmtime(os.path.join(out, "chunk=0")) == m0
+
+
+def test_job_code_filter_prestage(spark, corpus_pdf, tmp_path, capsys):
+    """--code-filters drops vendored/generated/minified files before the
+    pipeline; survivors flow through unchanged."""
+    import pandas as pd
+
+    from dqspark import job
+
+    base = corpus_pdf.drop(columns=["defect_class"]).head(60).copy()
+    planted = pd.DataFrame(
+        [
+            {"repo": "r0", "path": "node_modules/x/i.js", "commit": "c0",
+             "lang": "js", "content": "var x = 1"},
+            {"repo": "r0", "path": "gen.go", "commit": "c0", "lang": "go",
+             "content": "// Code generated by tool. DO NOT EDIT.\npackage x"},
+            {"repo": "r0", "path": "bundle.js", "commit": "c0", "lang": "js",
+             "content": "f();" + "g();" * 300},
+        ]
+    )
+    src = str(tmp_path / "cf_in")
+    out = str(tmp_path / "cf_out")
+    spark.createDataFrame(pd.concat([base, planted], ignore_index=True)).write.parquet(src)
+
+    job.main(
+        ["--input", src, "--output", out, "--chunks", "1", "--no-models",
+         "--code-filters"],
+        spark=spark,
+    )
+    res = spark.read.option("basePath", out).parquet(os.path.join(out, "chunk=0"))
+    # expected survivors: base files the structural filter itself keeps
+    # (the synthetic corpus plants pathological line lengths, so a few
+    # base files legitimately trip the minified gate too)
+    from dqspark.operators.code_filters import structural_prefilter
+
+    expected = (
+        structural_prefilter(spark.createDataFrame(base))
+        .where("cf_drop_reason IS NULL")
+        .count()
+    )
+    assert res.count() == expected < len(base) + 3
+    got_paths = {r.path for r in res.select("path").collect()}
+    assert not {"node_modules/x/i.js", "gen.go", "bundle.js"} & got_paths
