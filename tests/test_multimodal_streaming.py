@@ -501,3 +501,50 @@ def test_stream_neardup_dedupe_equals_batch_pairs(spark, tmp_path):
     # and if more than one micro-batch really ran
     n_batches = spark.read.parquet(sig_dir).select("batch_id").distinct().count()
     assert n_batches >= 2
+
+
+def test_stream_code_filter_prestage_matches_batch(spark, tmp_path):
+    """structural_prefilter is a stateless projection, so it runs
+    directly under readStream (no foreachBatch needed) and must tag
+    exactly like the batch run on the same files."""
+    from dqspark.operators.code_filters import structural_prefilter
+    from dqspark.pipeline import corpus
+
+    pdf = corpus.gen_pandas(200, with_class=False)
+    pdf.loc[0, "path"] = "node_modules/x/i.js"
+    pdf.loc[1, "content"] = "// Code generated by tool. DO NOT EDIT.\npkg"
+    sdf = spark.createDataFrame(pdf)
+    src = str(tmp_path / "cfs_in")
+    out = str(tmp_path / "cfs_out")
+    ckpt = str(tmp_path / "cfs_ckpt")
+    sdf.write.parquet(src)
+
+    stream = spark.readStream.schema(sdf.schema).parquet(src)
+    q = (
+        structural_prefilter(stream)
+        .select("repo", "path", "commit", "cf_drop_reason")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    s = (
+        spark.read.parquet(out)
+        .toPandas()
+        .set_index(["repo", "path", "commit"])
+        .sort_index()
+    )
+    b = (
+        structural_prefilter(spark.read.parquet(src))
+        .select("repo", "path", "commit", "cf_drop_reason")
+        .toPandas()
+        .set_index(["repo", "path", "commit"])
+        .sort_index()
+    )
+    assert len(s) == len(b) == 200
+    assert (s.cf_drop_reason.fillna("") == b.cf_drop_reason.fillna("")).all()
+    assert (b.cf_drop_reason == "vendored").sum() >= 1
+    assert (b.cf_drop_reason == "generated").sum() >= 1
