@@ -23,8 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dqspark.session import get_spark  # noqa: E402
 
 
-def run_once(cpus: int, corpus_path: str, n: int) -> tuple[float, float]:
-    """→ (cold_sec, warm_sec) for the full pipeline on local[cpus].
+def run_once(
+    cpus: int, corpus_path: str, n: int, stage: str = "pipeline"
+) -> tuple[float, float]:
+    """→ (cold_sec, warm_sec) for the chosen stage on local[cpus].
+
+    ``stage``: 'pipeline' (flagship quality filter) or 'code_filters'
+    (the structural keep/scrub/drop verdict, shuffle-free projection).
 
     The warm run is the steady-state number used for scaling efficiency:
     a production job amortizes JIT + codegen + Python-worker spawn +
@@ -36,14 +41,20 @@ def run_once(cpus: int, corpus_path: str, n: int) -> tuple[float, float]:
         app_name=f"scaling-bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
     )
-    train_default_models()  # train once outside the timed region (cached)
+    if stage == "pipeline":
+        train_default_models()  # train once outside the timed region (cached)
     df = spark.read.parquet(corpus_path)
     # warm the file listing/footer cache so IO setup isn't in the timing
     df.count()
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        res = run_quality_pipeline(df, n_partitions=cpus * 4)
+        if stage == "pipeline":
+            res = run_quality_pipeline(df, n_partitions=cpus * 4)
+        else:
+            from dqspark.operators.code_filters import code_filter_decisions
+
+            res = code_filter_decisions(df, text_col="content", id_col="path")
         res.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     spark.stop()
@@ -57,6 +68,9 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--cpus", default="8,32", help="comma pair: N,4N")
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--stage", default="pipeline", choices=("pipeline", "code_filters")
+    )
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="dqspark_scaling_")
@@ -78,7 +92,7 @@ def main() -> None:
         colds: dict[int, list[float]] = {c: [] for c in pair}
         for _ in range(args.rounds):
             for cpus in pair:
-                cold, warm = run_once(cpus, corpus_path, args.n)
+                cold, warm = run_once(cpus, corpus_path, args.n, args.stage)
                 colds[cpus].append(cold)
                 warms[cpus].append(warm)
                 print(f"local[{cpus}]: cold {cold:.1f}s warm {warm:.1f}s "
@@ -96,6 +110,7 @@ def main() -> None:
         lo, hi = pair
         eff = results[hi]["files_per_sec"] / ((hi // lo) * results[lo]["files_per_sec"])
         out = {
+            "stage": args.stage,
             "n_files": args.n,
             f"local{lo}": results[lo],
             f"local{hi}": results[hi],
