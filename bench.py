@@ -84,6 +84,8 @@ def main() -> None:
             "components_star",
             "code_filter_decisions",
             "semantic_dedup",
+            "import_stats",
+            "comment_metrics",
         )
         if q in driver_queries.QUERIES
     ]
