@@ -68,3 +68,12 @@ from dqspark.operators.multimodal import (  # noqa: F401
     sample_frames,
 )
 from dqspark.operators.encoding import impute_missing, label_encode  # noqa: F401
+from dqspark.operators.code_filters import (  # noqa: F401
+    code_filter_decisions,
+    generated_code_scan,
+    license_scan,
+    secret_scan,
+    structural_prefilter,
+    vendored_path_scan,
+)
+from dqspark.operators.code_metrics import comment_metrics, import_stats  # noqa: F401
