@@ -86,6 +86,7 @@ def main() -> None:
             "semantic_dedup",
             "import_stats",
             "comment_metrics",
+            "token_counts",
         )
         if q in driver_queries.QUERIES
     ]
