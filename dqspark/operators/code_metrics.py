@@ -36,14 +36,19 @@ LANG_RULES = {
 _DEFAULT_COMMENT = "#"
 
 
-def _import_pattern(lang_col: Column) -> Column:
-    pat = F
+def _extract_imports(text: Column, lang_col: Column) -> Column:
+    """CASE over per-lang extracts with CONSTANT patterns — each regex is
+    foldable and compiles once per task.  (Dispatching the pattern
+    itself through a CASE would hand regexp_extract_all a per-row
+    pattern column, recompiling whenever consecutive rows change
+    language.)  Unknown languages yield an empty array."""
+    expr = F
     first = True
     for lang, (rx, _) in LANG_RULES.items():
-        pat = (F.when if first else pat.when)(lang_col == lang, F.lit(rx))
+        branch = F.regexp_extract_all(text, F.lit(rx), F.lit(1))
+        expr = (F.when if first else expr.when)(lang_col == lang, branch)
         first = False
-    # unknown languages extract nothing (a group that cannot match)
-    return pat.otherwise(F.lit("(?m)^\\x00([\\x00])$"))
+    return expr.otherwise(F.array().cast("array<string>"))
 
 
 def import_stats(
@@ -57,9 +62,7 @@ def import_stats(
     ``n_files`` counts distinct importing files (a file importing a
     module twice contributes 2 and 1 respectively)."""
     lang = F.coalesce(F.col(lang_col), F.lit(""))
-    mods = F.regexp_extract_all(
-        F.coalesce(F.col(text_col), F.lit("")), _import_pattern(lang), F.lit(1)
-    )
+    mods = _extract_imports(F.coalesce(F.col(text_col), F.lit("")), lang)
     return (
         df.select(id_col, lang.alias("lang"), F.explode(mods).alias("module"))
         .groupBy("lang", "module")
