@@ -87,6 +87,7 @@ def main() -> None:
             "import_stats",
             "comment_metrics",
             "token_counts",
+            "code_clones",
         )
         if q in driver_queries.QUERIES
     ]

@@ -147,3 +147,37 @@ def comment_metrics_oracle_exprs(text_expr: str, lang_expr: str) -> str:
         f"       {n_comment} AS n_comment_lines,\n"
         f"       round({ratio}, 4) AS comment_ratio"
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-2 code-clone detection (identifier/literal-normalized hashing)
+# ---------------------------------------------------------------------------
+
+# Identifier abstraction first (consumes digits inside names), then
+# numeric literals, then horizontal-whitespace collapse.  Classic
+# normalized-token-hash clone detection (Type-2 = identical modulo
+# renamed identifiers and changed literals — Roy & Cordy's taxonomy,
+# "A Survey on Software Clone Detection Research", 2007).
+_CLONE_PASSES = (
+    ("[A-Za-z_][A-Za-z0-9_]*", "v"),
+    ("[0-9]+", "0"),
+    ("[ \\t]+", " "),
+)
+
+
+def normalize_code(c: Column) -> Column:
+    """Identifier/literal-normalized form of source text — Type-2 clones
+    collapse to byte-identical strings, so clone grouping reduces to the
+    exact-dedup hash window.  Constant-pattern regex chain, per-row."""
+    x = F.coalesce(c, F.lit(""))
+    for rx, rep in _CLONE_PASSES:
+        x = F.regexp_replace(x, rx, rep)
+    return F.trim(x)
+
+
+def normalize_code_oracle(expr: str) -> str:
+    """DuckDB mirror (regexp_replace needs the 'g' flag there)."""
+    x = f"coalesce({expr}, '')"
+    for rx, rep in _CLONE_PASSES:
+        x = f"regexp_replace({x}, '{rx}', '{rep}', 'g')"
+    return f"trim({x})"
