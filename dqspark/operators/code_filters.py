@@ -138,7 +138,15 @@ def _char_entropy(tok: Column) -> Column:
         cnt = (F.length(tok) - F.length(F.replace(tok, ch))).cast("double")
         return acc - (cnt / n) * F.log2(cnt / n)
 
-    chars = F.array_distinct(F.filter(F.split(tok, ""), lambda c: c != ""))
+    # array_sort fixes the accumulation ORDER of the float sum: Spark's
+    # array_distinct and DuckDB's list_distinct do not guarantee the same
+    # element order, and IEEE addition is not associative — a token landing
+    # within ~1e-15 of the 4.0 threshold could otherwise flag differently
+    # across engines.  Sorted distinct chars → identical term order → bit-
+    # identical sums on both sides.
+    chars = F.array_sort(
+        F.array_distinct(F.filter(F.split(tok, ""), lambda c: c != ""))
+    )
     return F.aggregate(chars, F.lit(0.0), term)
 
 
@@ -176,7 +184,7 @@ def has_secret_oracle_expr(text_expr: str) -> str:
     """DuckDB mirror of has_secret_col."""
     ent = (
         "coalesce(list_sum(list_transform("
-        "list_distinct(list_filter(string_split(tok, ''), c -> c <> '')), "
+        "list_sort(list_distinct(list_filter(string_split(tok, ''), c -> c <> ''))), "
         "ch -> -((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
         " * log2((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
         ")), 0.0)"
@@ -233,7 +241,7 @@ def secret_scan_oracle_sql(corpus_sql: str, id_col: str = "doc_id") -> str:
     """DuckDB oracle: unnest candidates, same entropy/class arithmetic."""
     ent = (
         "coalesce(list_sum(list_transform("
-        "list_distinct(list_filter(string_split(tok, ''), c -> c <> '')), "
+        "list_sort(list_distinct(list_filter(string_split(tok, ''), c -> c <> ''))), "
         "ch -> -((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
         " * log2((length(tok) - length(replace(tok, ch, ''))) / CAST(length(tok) AS DOUBLE))"
         ")), 0.0)"

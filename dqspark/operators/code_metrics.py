@@ -27,11 +27,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # lang → (import-statement regex with ONE capture group, comment-line prefix)
+#
+# Go covers BOTH forms: single-line `import "x"` and entries of a factored
+# `import ( ... )` block (the dominant form in real Go code).  A regex
+# without lookaround can't track block state, so block entries are matched
+# by line SHAPE: a line that is nothing but optional indentation, an
+# optional `import` keyword, an optional alias (`f`, `_`, `.`), and a
+# quoted lowercase path.  Known limitation (one regex, one capture group,
+# Java∩RE2): a bare un-comma'd quoted-string line inside some other
+# literal would false-positive, but gofmt writes trailing commas in
+# multiline literals, so in formatted code the shape is unique to imports.
 LANG_RULES = {
     "py": ("(?m)^(?:from|import)[ ]+([A-Za-z0-9_.]+)", "#"),
     "js": ("(?m)^import[ ]+.*['\"]([A-Za-z0-9_@/.-]+)['\"]", "//"),
     "java": ("(?m)^import[ ]+([A-Za-z0-9_.]+);", "//"),
-    "go": ("(?m)^import[ ]+\"([a-z0-9/._-]+)\"", "//"),
+    "go": (
+        "(?m)^[\t ]*(?:import[ ]+)?(?:[A-Za-z0-9_.]+[ ]+)?\"([a-z0-9/._-]+)\"[ ]*$",
+        "//",
+    ),
 }
 _DEFAULT_COMMENT = "#"
 

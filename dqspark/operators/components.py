@@ -5,7 +5,8 @@ PAIRS; acting on them — keep one document per duplicate cluster —
 needs the transitive closure: components of the pair graph, a canonical
 representative per component.  This is the standard last mile of
 corpus dedup (the same grouping step the reference applies row-wise for
-exact duplicates, backend/analyzer.py duplicate handling, generalized
+exact duplicates, ml/insertion_anomaly.py:5-21 ``detect_duplicate_records``
+via pandas ``duplicated(keep=False)``, generalized
 to the near-dup graph the reference does not have).
 
 Algorithm: min-label propagation ("hash-min") — every node starts
@@ -52,7 +53,7 @@ def connected_components(
     # so refuse non-numeric ids up front (float/double excluded too: an
     # inexact sum voids the witness); callers with string keys should
     # pre-map to a collision-free numeric id.
-    _check_integral_ids(pairs, src)
+    _check_integral_ids(pairs, src, dst)
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -92,12 +93,26 @@ def connected_components(
     )
 
 
-def _check_integral_ids(pairs: DataFrame, src: str) -> None:
+def _check_integral_ids(pairs: DataFrame, src: str, dst: str) -> None:
+    # Both endpoint columns must be integral AND the same type: a string
+    # or float dst would survive a src-only check, and the union/greatest
+    # coercion would then reintroduce exactly the NULL-sum false
+    # convergence (and lexicographic min-labeling) this guard prevents.
+    integral = ("byte", "short", "integer", "long", "decimal")
     src_type = pairs.schema[src].dataType.typeName()
-    if src_type not in ("byte", "short", "integer", "long", "decimal"):
+    dst_type = pairs.schema[dst].dataType.typeName()
+    for name, tname in ((src, src_type), (dst, dst_type)):
+        if tname not in integral:
+            raise TypeError(
+                f"connected components require integral node ids, got "
+                f"{tname!r} for {name!r}; pre-map string keys to numeric "
+                "ids first"
+            )
+    if src_type != dst_type:
         raise TypeError(
-            f"connected components require integral node ids, got {src_type!r} "
-            f"for {src!r}; pre-map string keys to numeric ids first"
+            f"connected components require matching node-id types, got "
+            f"{src_type!r} for {src!r} vs {dst_type!r} for {dst!r}; cast "
+            "both endpoints to one integral type first"
         )
 
 
@@ -134,7 +149,7 @@ def connected_components_star(
     no driver-side materialization); the converged edges are exactly
     (node, component-min) stars.
     """
-    _check_integral_ids(pairs, src)
+    _check_integral_ids(pairs, src, dst)
     a, b = F.col("a"), F.col("b")
     edges = (
         pairs.select(

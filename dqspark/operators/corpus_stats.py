@@ -12,7 +12,8 @@ their declared language (code-corpus labeling QA), and which filter
 rule is actually responsible for the drop rate (ablation/attribution —
 the first question asked of any keep/drop run).  The reference's
 analogues are its per-table summary stats and severity rollups
-(backend/analyzer.py summary + ml scoring); these re-express that
+(backend/api/upload.py:96,570 ``anomaly_summary`` rollups + ml scoring);
+these re-express that
 reporting family over the corpus axis.
 
 Scale design: every operator here is a low-cardinality groupBy over a

@@ -244,11 +244,30 @@ def lsh_candidate_pairs(
     old↔old pairs were already handled by previous batches and are
     pruned inside the join predicate, before the pair ever
     materializes.  This is the steady-state shape of a trillion-file
-    corpus: the old side is a persisted signature/band table that is
-    never rehashed; per batch, only the (tiny) new band relation is
-    computed, and the bucket join's matching volume scales with the
-    batch, not the corpus.
+    corpus: the old side is a persisted BAND table (see
+    ``lsh_band_relation`` / ``lsh_pairs_from_banded``, which the
+    streaming path uses) that is never rehashed or re-exploded; per
+    batch, only the (tiny) new band relation is computed, and the
+    bucket join's matching volume scales with the batch, not the
+    corpus.
     """
+    sig = lsh_band_relation(sigs, key_col, k=k, bands=bands, new_col=new_col)
+    return lsh_pairs_from_banded(
+        sig, k=k, min_est_jaccard=min_est_jaccard, incremental=new_col is not None
+    )
+
+
+def lsh_band_relation(
+    sigs: DataFrame,
+    key_col: str,
+    k: int = 16,
+    bands: int = 4,
+    new_col: str | None = None,
+) -> DataFrame:
+    """Exploded LSH band relation (k, full_sig[, new], band, sig) — the
+    unit the streaming path PERSISTS, so the corpus side of the
+    incremental bucket join is a plain columnar scan: no minhash
+    recompute, no per-batch band explode over the old corpus."""
     r = k // bands
     band_arr = F.array(
         *[
@@ -260,7 +279,7 @@ def lsh_candidate_pairs(
         ]
     )
     flag = [F.col(new_col).alias("new")] if new_col else []
-    sig = sigs.select(
+    return sigs.select(
         F.col(key_col).alias("k"),
         minhash_signature_col(k).alias("full_sig"),
         *flag,
@@ -270,12 +289,24 @@ def lsh_candidate_pairs(
         F.col("b.band").alias("band"), F.col("b.sig").alias("sig"),
     )
 
+
+def lsh_pairs_from_banded(
+    sig: DataFrame,
+    k: int = 16,
+    min_est_jaccard: float = 0.5,
+    incremental: bool = False,
+) -> DataFrame:
+    """Candidate pairs from an already-exploded band relation (the
+    output shape of ``lsh_band_relation``; ``incremental`` expects its
+    boolean ``new`` column and prunes old↔old inside the join
+    predicate).  Split out so a persisted band table can feed the join
+    directly."""
     cond = (
         (F.col("l.band") == F.col("r.band"))
         & (F.col("l.sig") == F.col("r.sig"))
         & (F.col("l.k") < F.col("r.k"))
     )
-    if new_col:
+    if incremental:
         cond = cond & (F.col("l.new") | F.col("r.new"))
     left = sig.alias("l")
     right = sig.alias("r")

@@ -138,58 +138,61 @@ def stream_neardup_dedupe(
     min_est_jaccard: float = 0.5,
 ):
     """Continuous-ingest near-duplicate detection: per micro-batch,
-    minhash the NEW documents once, run the incremental LSH bucket join
-    against the persisted signature table (old↔old pairs pruned inside
-    the join — operators/dedup.py ``lsh_candidate_pairs(new_col=...)``),
-    append the batch's pairs, then append the batch's signatures to the
+    minhash + band the NEW documents once, run the incremental LSH
+    bucket join against the persisted BAND table (old↔old pairs pruned
+    inside the join — operators/dedup.py ``lsh_pairs_from_banded``),
+    append the batch's pairs, then append the batch's band rows to the
     table.
 
     Exactly-once pair emission without any dedup state: a candidate
     pair surfaces in the batch where its LATER member arrives (both
-    members' signatures exist from that point on, but the earlier one
+    members' band rows exist from that point on, but the earlier one
     is then 'old' and old↔old is pruned), so the union of per-batch
     outputs EQUALS the batch-mode pair set over the full corpus —
-    asserted stream-vs-batch by pytest.  Steady-state cost per batch is
-    hashing the batch plus a bucket join whose matching volume scales
-    with the batch, never the corpus; the signature table is append-only
-    and is never rehashed.
+    asserted stream-vs-batch by pytest.  Steady-state per-batch compute
+    is hashing + banding the batch only: the corpus side enters the
+    join as a plain columnar scan of the persisted band table (already
+    exploded — no per-batch rehash OR re-band of old documents), and
+    the bucket join's matching volume scales with the batch, never the
+    corpus.
     """
-    from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
+    from dqspark.operators.dedup import (
+        lsh_band_relation,
+        lsh_pairs_from_banded,
+        with_minhash,
+    )
 
     mh_cols = [f"mh_{i}" for i in range(k)]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        new_sigs = (
-            with_minhash(batch_df.select(id_col, text_col), text_col, k=k)
-            .select(id_col, *mh_cols)
-            .localCheckpoint()  # hash once; feeds the join AND the append
-        )
+        new_sigs = with_minhash(
+            batch_df.select(id_col, text_col), text_col, k=k
+        ).select(id_col, *mh_cols)
+        # band once; feeds the join AND the append
+        new_bands = lsh_band_relation(
+            new_sigs, id_col, k=k, bands=bands
+        ).localCheckpoint()
         try:
-            old_sigs = spark.read.parquet(sig_dir)
-            have_old = True
-        except Exception:  # first batch: no signature table yet
-            have_old = False
-        sigs = new_sigs.withColumn("is_new", F.lit(True))
-        if have_old:
-            sigs = sigs.unionByName(
-                old_sigs.select(id_col, *mh_cols).withColumn(
-                    "is_new", F.lit(False)
-                )
+            old_bands = spark.read.parquet(sig_dir).select(
+                "k", "full_sig", "band", "sig"
             )
-        pairs = lsh_candidate_pairs(
-            sigs,
-            id_col,
-            k=k,
-            bands=bands,
-            min_est_jaccard=min_est_jaccard,
-            new_col="is_new",
+            have_old = True
+        except Exception:  # first batch: no band table yet
+            have_old = False
+        banded = new_bands.withColumn("new", F.lit(True))
+        if have_old:
+            banded = banded.unionByName(
+                old_bands.withColumn("new", F.lit(False))
+            )
+        pairs = lsh_pairs_from_banded(
+            banded, k=k, min_est_jaccard=min_est_jaccard, incremental=True
         )
         # batch_id-keyed overwrite => idempotent under foreachBatch's
         # at-least-once replay (a recovered batch rewrites its own
-        # partition instead of double-appending pairs or signatures)
+        # partition instead of double-appending pairs or band rows)
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
-        new_sigs.write.mode("overwrite").parquet(f"{sig_dir}/batch_id={batch_id}")
+        new_bands.write.mode("overwrite").parquet(f"{sig_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(process)
