@@ -441,6 +441,86 @@ def simhash_near_pairs(
 
 BITSET_WORD_BITS = 63  # bits per word (2^62 is the largest exact double pow)
 BITSET_VOCAB_MAX = 1 << 18  # use the bitset verify below this many distinct shingles
+BITSET_BCAST_MAX_WORDS = 8 << 20  # broadcast the bitmap table below 8M longs (64 MB)
+
+
+def _bitset_allpairs(bitmaps: DataFrame, nwords: int, threshold: float) -> DataFrame:
+    """All-pairs exact Jaccard over dense shingle bitsets — the
+    small-corpus physical strategy of ``ngram_jaccard_pairs`` (see the
+    cost model at its call site; the prefix join remains the
+    trillion-doc path).
+
+    Shape mirrors similarity.py's brute-force kNN: the (gated ≤64 MB)
+    bitmap matrix rides an executor broadcast; the same relation streams
+    through ``mapInPandas``, and each Arrow batch verifies its rows
+    against the whole matrix with vectorized uint64 AND + byte-LUT
+    popcounts — no joins, no shuffle, no per-pair allocation.  Each
+    unordered pair is emitted exactly once (by the task holding the
+    smaller key).  Python here is the FAST path: ~n²·nwords word-ops in
+    numpy at ~1 ns each, where the equivalent Catalyst zip_with spends
+    an array allocation per pair.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = bitmaps.select("k", "bm", "szp").toPandas()
+    ks = rows["k"].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(b, dtype=np.int64) for b in rows["bm"]],
+                   dtype=np.int64).reshape(len(rows), nwords).astype(np.uint64)
+    szs = rows["szp"].to_numpy(dtype=np.int64)
+    order = np.argsort(ks, kind="stable")
+    ks, mat, szs = ks[order], mat[order], szs[order]
+    bc = bitmaps.sparkSession.sparkContext.broadcast((ks, mat, szs))
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def gen(batches):
+        ks_all, mat_all, szs_all = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kl = pdf["k"].to_numpy(dtype=np.int64)
+            bl = np.array(
+                [np.asarray(b, dtype=np.int64) for b in pdf["bm"]],
+                dtype=np.int64,
+            ).reshape(len(pdf), nwords).astype(np.uint64)
+            szl = pdf["szp"].to_numpy(dtype=np.int64)
+            for i in range(len(pdf)):
+                # only partners with a strictly larger key: each unordered
+                # pair is produced exactly once across all tasks
+                j0 = np.searchsorted(ks_all, kl[i], side="right")
+                if j0 >= len(ks_all):
+                    continue
+                inter = (
+                    pop8[(mat_all[j0:] & bl[i]).view(np.uint8)]
+                    .reshape(len(ks_all) - j0, nwords * 8)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                union = szl[i] + szs_all[j0:] - inter
+                jac = inter / np.maximum(union, 1)
+                hit = jac >= threshold
+                if hit.any():
+                    yield pd.DataFrame(
+                        {
+                            "key1": np.full(int(hit.sum()), kl[i], dtype=np.int64),
+                            "key2": ks_all[j0:][hit],
+                            "jaccard": jac[hit],
+                        }
+                    )
+
+    # The bitmap relation is BYTES-tiny (that's the gate), so AQE
+    # coalesces it to one partition — which would serialize the whole
+    # O(n²) verify loop onto a single core (measured 7 s -> <1 s at
+    # sf0.1).  Round-robin to full parallelism: each task's rows verify
+    # only against larger keys, and random assignment balances that
+    # triangular workload in expectation.
+    par = bitmaps.sparkSession.sparkContext.defaultParallelism
+    out = bitmaps.repartition(par).mapInPandas(
+        gen, "key1 long, key2 long, jaccard double"
+    )
+    kt = bitmaps.schema["k"].dataType
+    return out.select(
+        F.col("key1").cast(kt), F.col("key2").cast(kt), "jaccard"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -450,6 +530,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 4,
     threshold: float = 0.5,
     verify: str = "auto",
+    allpairs: str = "auto",
 ) -> DataFrame:
     """EXACT Jaccard ≥ threshold over distinct char-shingle sets, via
     prefix filtering (AllPairs / PPJoin family, Bayardo et al. WWW'07):
@@ -490,37 +571,86 @@ def ngram_jaccard_pairs(
 
     Either way the OUTPUT is exactly brute force, value for value,
     which is what the DuckDB oracle checks.
+
+    Additionally, a cost model over the frequency table picks between
+    two exact PHYSICAL strategies (see the inline comment at the pick):
+    the prefix join above (the only shape that scales to trillion-doc
+    corpora) and, for small low-vocab corpora where rarity ordering
+    cannot prune (AllPairs' known failure regime), a dense all-pairs
+    bitset verify (``_bitset_allpairs``) — measured 13.5 s -> 3.6 s on
+    the adversarial sf0.1 bench corpus.  ``allpairs='never'`` pins the
+    prefix strategy (differential tests assert both agree).
     """
     if verify not in ("auto", "sets", "bitset"):
         raise ValueError(f"unknown verify {verify!r}")
+    if allpairs not in ("auto", "never"):
+        # "never" pins the prefix-join strategy (the trillion-doc shape)
+        # regardless of the cost model — differential tests use it to
+        # assert both physical plans agree value-for-value
+        raise ValueError(f"unknown allpairs {allpairs!r}")
     d = with_shingle_hashes(
         df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_txt")),
         "_txt",
         out_col="_H",
         n=shingle_n,
     ).select("k", F.array_distinct("_H").alias("_H"))
-    sets = d.select("k", "_H", F.size("_H").alias("sz"))
     # explode_outer, NOT explode: InferFiltersFromGenerate would turn a
     # plain explode into a pushed-down `size(<full shingle expr>)>0`
     # filter with the staged codes array INLINED — O(len^2) per row,
     # measured 4.4s -> 320s at sf0.1.  outer + IS NOT NULL is
     # semantically identical (empty docs yield one null row, dropped).
+    #
+    # sh and freq are MATERIALIZED once (localCheckpoint): the DAG
+    # references sh in three places (frequency agg, prefix index, bitmap
+    # build) and freq in three (vocab gate, dense-id dictionary, prefix
+    # rarity join) — without it each reference re-shingles the full
+    # corpus (regex split + hash over every document), the dominant cost
+    # of the whole query.  localCheckpoint over .persist() deliberately:
+    # persist is plan-keyed in the CacheManager, so a SECOND run of the
+    # same query would silently hit the first run's cache and report
+    # cache-replay time instead of steady-state compute; checkpointed
+    # RDDs are per-call, shared across this query's stages only.
     sh = (
         d.select("k", F.explode_outer("_H").alias("s"))
         .where(F.col("s").isNotNull())
+        .localCheckpoint(eager=False)
     )
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    freq = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=False)
+    )
+    # per-doc distinct-shingle size, from the cached relation — NOT from
+    # the shingle arrays, which would re-shingle the corpus a fourth time
+    sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("k").orderBy("df", "s")
     # float-safe ceil: shave epsilon so t*sz landing on an exact integer
     # never rounds the prefix one element too short (longer prefix = safe)
     alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-6))
     prefix = (
         sh.join(freq, "s")
-        .join(sets.select("k", "sz"), "k")
+        .join(sizes, "k")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.col("sz") - alpha + 1)
         .select("k", "s", "rn", "sz")
     )
+    # Asymmetric INDEX prefix (PPJoin, Xiao/Wang/Lin/Yu WWW'08 §3.2): in
+    # the canonical smaller-record-indexes / larger-record-probes order,
+    # the indexed side only needs its first  sz - ceil(2t/(1+t)·sz) + 1
+    # shingles.  Proof sketch: orient the pair so |y| ≤ |x|; required
+    # overlap α = ceil(t/(1+t)(|x|+|y|)) ≥ ceil(2t/(1+t)|y|), so if the
+    # first shared shingle sits past y's index prefix the remaining
+    # suffix of y cannot supply α shared elements — no true pair lost.
+    # At t=0.5 this is 1/3 of each set vs the probing prefix's 1/2,
+    # cutting candidate-instance enumeration ~1/3 on a corpus where the
+    # rarity order itself barely prunes (measured 43M -> 29M instances
+    # at sf0.1).  The pair is oriented by (sz, k) — NOT k alone — so the
+    # short prefix is always the smaller record's; output keys are
+    # re-normalized to key1 < key2 below.
+    iprefix_len = F.col("sz") - F.ceil(
+        F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("sz") - F.lit(1e-6)
+    ) + 1
+    iprefix = prefix.where(F.col("rn") <= iprefix_len)
     # PPJoin-style cheap pruning at pair generation: length filter
     # (J >= t forces min|set| >= t*max|set|) and positional filter (the
     # suffixes past this shared prefix token must still be able to
@@ -531,23 +661,32 @@ def ngram_jaccard_pairs(
         F.lit(threshold / (1.0 + threshold)) * (szl + szr) - F.lit(1e-6)
     )
     ubound = F.least(szl - F.col("l.rn"), szr - F.col("r.rn")) + 1
-    cands = (
-        prefix.alias("l")
+    cands_raw = (
+        iprefix.alias("l")
         .join(
             prefix.alias("r"),
             (F.col("l.s") == F.col("r.s"))
-            & (F.col("l.k") < F.col("r.k"))
-            & (F.least(szl, szr) >= F.lit(threshold) * F.greatest(szl, szr) - F.lit(1e-6))
+            & (
+                (szl < szr)
+                | ((szl == szr) & (F.col("l.k") < F.col("r.k")))
+            )
+            & (szl >= F.lit(threshold) * szr - F.lit(1e-6))
             & (ubound >= min_overlap),
         )
-        .select(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
-        .distinct()
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.least(F.col("l.k"), F.col("r.k")).alias("key1"),
+            F.greatest(F.col("l.k"), F.col("r.k")).alias("key2"),
+        )
     )
-    # (measured: deduping the ~10x-duplicated candidate instances BEFORE
-    # verification beats re-verifying duplicates in place even with the
-    # cheap bitset verify — the per-instance bitmap row copies cost more
-    # than the one narrow distinct shuffle)
+    # An adversarial low-vocab corpus emits each candidate pair from MANY
+    # shared prefix shingles (measured ~5 instances/pair, 43M instances ->
+    # 8.1M pairs at sf0.1); the instances are distinct-ed BEFORE the
+    # verify join — its map-side partial aggregation collapses most
+    # duplicates before the one narrow shuffle, and per-instance verify
+    # (even against a broadcast bitmap table) was measured strictly worse.
+    cands = cands_raw.distinct().repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     if verify == "auto":
         n_vocab = freq.count()  # one narrow agg — stats-driven plan pick
         verify = "bitset" if n_vocab <= BITSET_VOCAB_MAX else "sets"
@@ -600,8 +739,56 @@ def ngram_jaccard_pairs(
                 ).alias("bm"),
             )
         )
-        b1 = bitmaps.select(F.col("k").alias("key1"), F.col("bm").alias("bm1"))
-        b2 = bitmaps.select(F.col("k").alias("key2"), F.col("bm").alias("bm2"))
+        # per-doc popcount computed ONCE here, on n_docs rows, and carried
+        # through the verify join — never per candidate pair/instance
+        bitmaps = bitmaps.withColumn(
+            "szp",
+            F.aggregate(F.col("bm"), F.lit(0), lambda acc, w: acc + F.bit_count(w)),
+        )
+
+        # Cost-based PHYSICAL STRATEGY pick between two EXACT plans (the
+        # same move Catalyst makes choosing broadcast vs shuffle joins
+        # from stats).  Prefix filtering's enumeration cost is
+        # Σ_s prefix_bucket(s)² / 2; with each posting landing in a
+        # prefix w.p. ≈ (1-t), that is ≈ (1-t)²/2 · Σ df² — computed
+        # from the (cached, tiny) frequency table, and it matched the
+        # measured instance products within 1% on the adversarial bench
+        # corpus (101M est vs 102M).  When the corpus is small enough
+        # that brute-force all-pairs bitset verification (n²/2 pairs,
+        # vectorized ~1 ns/word-op) undercuts that — the known failure
+        # regime of AllPairs on low-vocab/high-frequency corpora, where
+        # rarity ordering cannot prune (Bayardo et al. §5 report the
+        # same crossover) — take the dense path; otherwise the prefix
+        # join stands, which is the only shape that scales to a
+        # trillion-doc corpus.  Output is value-identical either way
+        # (one DuckDB oracle covers both).
+        n_docs = sizes.count()  # narrow agg over the cached shingle rel
+        sum_df2 = freq.agg(
+            F.sum(F.col("df") * F.col("df")).cast("double")
+        ).collect()[0][0] or 0.0
+        est_prefix = (1.0 - threshold) ** 2 / 2.0 * sum_df2
+        est_brute = n_docs * (n_docs - 1) / 2.0
+        if (
+            allpairs == "auto"
+            and est_brute < est_prefix
+            and n_docs * nwords <= BITSET_BCAST_MAX_WORDS
+            and bitmaps.schema["k"].dataType.typeName()
+            in ("byte", "short", "integer", "long")
+        ):
+            return _bitset_allpairs(bitmaps, nwords, threshold)
+
+        b1 = bitmaps.select(
+            F.col("k").alias("key1"), F.col("bm").alias("bm1"), F.col("szp").alias("sz1")
+        )
+        b2 = bitmaps.select(
+            F.col("k").alias("key2"), F.col("bm").alias("bm2"), F.col("szp").alias("sz2")
+        )
+        # Intersection popcount, once per DISTINCT candidate pair.  Kept
+        # as the compact zip_with+aggregate form on purpose: an unrolled
+        # flat sum of bit_count(bm1[i] & bm2[i]) was measured 7× SLOWER —
+        # Catalyst pushes the jaccard filter into the verify join's
+        # condition, and the giant unrolled expression falls out of
+        # codegen into interpreted evaluation per probed row.
         inter = F.aggregate(
             F.zip_with(
                 F.col("bm1"), F.col("bm2"),
@@ -610,19 +797,29 @@ def ngram_jaccard_pairs(
             F.lit(0),
             lambda acc, v: acc + v,
         )
-        def popcount(bm: str) -> Column:
-            return F.aggregate(
-                F.col(bm), F.lit(0), lambda acc, w: acc + F.bit_count(w)
-            )
 
+        # Stats-driven verify-join strategy (same idea as the vocab gate):
+        # when the whole bitmap table fits a broadcast (n_docs×nwords
+        # longs), the two verify joins become map-side hash probes — no
+        # shuffle of the multi-million-row candidate-pair relation, and
+        # AQE/size estimation never sees this aggregated subtree well
+        # enough to pick it on its own.  Past the gate the shuffle join
+        # stands, which is the trillion-doc shape.  (Verifying the RAW
+        # ~5×-duplicated instances instead of distinct-first was measured
+        # strictly worse — the distinct's map-side partial aggregation
+        # collapses most duplicates before the one narrow shuffle.)
+        if n_docs * nwords <= BITSET_BCAST_MAX_WORDS:
+            b1, b2 = F.broadcast(b1), F.broadcast(b2)
         verified = (
             cands.join(b1, "key1")
             .join(b2, "key2")
-            .withColumn("sz1", popcount("bm1"))
-            .withColumn("sz2", popcount("bm2"))
             .withColumn("inter", inter)
         )
     else:
+        # full shingle arrays are only needed on this (large-vocab) path;
+        # one more corpus shingling here beats carrying the arrays through
+        # the cached narrow relation above
+        sets = d.select("k", "_H", F.size("_H").alias("sz"))
         verified = (
             cands.join(
                 sets.select(F.col("k").alias("key1"), F.col("_H").alias("_H1"), F.col("sz").alias("sz1")),

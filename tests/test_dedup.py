@@ -76,6 +76,25 @@ def test_planted_near_dups_found(spark, docs):
     assert recall >= 0.9, f"LSH missed planted near-dups: recall={recall}"
 
 
+def test_ngram_jaccard_strategies_agree(spark, docs):
+    """The two exact physical strategies — prefix join (trillion-doc
+    shape, allpairs='never') and the cost-model's dense all-pairs bitset
+    — must return identical pairs and identical jaccard values."""
+    a = {
+        (r.key1, r.key2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    b = {
+        (r.key1, r.key2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, allpairs="never"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_simhash_banding_equals_bruteforce(spark, docs):
     sh = with_simhash(docs.limit(150), "text")
     banded = simhash_near_pairs(sh, "doc_id", max_hamming=7)
