@@ -64,6 +64,10 @@ from dqspark.operators.similarity import (  # noqa: F401
 )
 from dqspark.operators.multimodal import (  # noqa: F401
     decode_image,
+    decode_jpeg,
+    decode_y4m,
+    encode_jpeg,
+    encode_y4m,
     extract_binary_features,
     sample_frames,
 )

@@ -10,16 +10,19 @@ runs inside ``mapInPandas`` so Arrow moves the bytes batch-wise and the
 operator parallelizes like any other stage — partitioning, salting and
 checkpointing from the quality pipeline apply unchanged.
 
-The heavyweight image/audio codecs are not present in this
-environment, but PNG needs only stdlib zlib — so ``decode_image``
-carries a REAL dependency-free RFC 2083 PNG decoder (zlib inflate with
-a hard bound; scanline unfilter vectorized for filters None/Sub/Up,
-per-pixel for Average/Paeth under the pixel cap; byte-exact
-roundtrip-tested across all five filter types) and can use PIL when
-available for the other formats; undecodable payloads yield
-``decode_ok = false`` per row instead of failing the job.  The Spark-side plumbing (schemas, Arrow
-batch iteration, deterministic pseudo-features used by oracles) is
-fully real throughout.
+The heavyweight image/audio libraries are not present in this
+environment, but the formats themselves need only stdlib + numpy — so
+``decode_image`` carries REAL dependency-free decoders: RFC 2083 PNG
+(zlib inflate with a hard bound; scanline unfilter vectorized for
+filters None/Sub/Up, per-pixel for Average/Paeth under the pixel cap;
+byte-exact roundtrip-tested across all five filter types) and baseline
+ITU-T T.81 JPEG (Huffman + dequant + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0,
+restart markers; progressive/arithmetic rejected per row), with PIL
+used first when available for anything else; video gets a real
+YUV4MPEG2 frame parser (``decode_y4m``).  Undecodable payloads yield
+``decode_ok = false`` per row instead of failing the job.  The
+Spark-side plumbing (schemas, Arrow batch iteration, deterministic
+pseudo-features used by oracles) is fully real throughout.
 """
 
 from __future__ import annotations
@@ -268,6 +271,8 @@ def _luma(img):
     import numpy as np
 
     x = img.astype(np.float32)
+    if img.ndim == 2:  # greyscale planes (decode_jpeg single-component)
+        return x
     if img.shape[2] >= 3:
         return 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
     return x[:, :, 0]
@@ -328,10 +333,13 @@ def decode_image(
                     except Exception:
                         arr = None
                 if arr is None:
-                    try:
-                        arr = _resize_nearest(_luma(decode_png(bytes(b))), size)
-                    except Exception:
-                        arr = None
+                    raw = bytes(b)
+                    for codec in (decode_png, decode_jpeg):
+                        try:
+                            arr = _resize_nearest(_luma(codec(raw)), size)
+                            break
+                        except Exception:
+                            arr = None
                 if arr is None:
                     pixels.append(None)
                     ok.append(False)
@@ -412,6 +420,515 @@ def encode_wav(samples, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
+# --- pure stdlib+numpy baseline JPEG codec (public spec: ITU-T T.81) -------
+#
+# Baseline sequential DCT, 8-bit, Huffman-coded, 4:4:4 / 4:2:2 / 4:2:0
+# sampling, restart markers honored.  Progressive (SOF2), arithmetic
+# coding, 12-bit and hierarchical modes are rejected with ValueError —
+# per-row decode_ok=false downstream, never a job failure.  Constants
+# (zigzag order, Annex K quantization + Huffman tables) are from the
+# published spec.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 quantization tables (luminance, chrominance)
+_STD_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_STD_QT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+MAX_JPEG_PIXELS = MAX_PNG_PIXELS  # same untrusted-payload rationale
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = (0.5 / math.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def _huff_decode_table(bits, values):
+    """Canonical Huffman: (code_length, code) → value."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 destuffing; stops
+    at any non-stuffing marker (caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                return False
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal FF
+                self.pos += 2
+            else:  # real marker — entropy data ends here
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill():
+                raise ValueError("truncated JPEG entropy segment")
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+    def reset(self):  # at restart markers
+        self.buf = 0
+        self.nbits = 0
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 sign extension of a SIZE-bit magnitude."""
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(data: bytes):
+    """→ uint8 ndarray (h, w, 3) RGB (or (h, w) for single-component
+    greyscale).  Baseline sequential only; raises ValueError on
+    non-JPEG / progressive / arithmetic / malformed / oversized input."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    comps = None  # [(cid, h, v, tq)]
+    width = height = 0
+    restart_interval = 0
+    idct = _dct_matrix()
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq_id = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq_id] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            if width * height > MAX_JPEG_PIXELS:
+                raise ValueError(f"JPEG exceeds {MAX_JPEG_PIXELS} pixel bound")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq_id))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []  # (comp_idx, dc_table, ac_table)
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next(
+                    (i for i, cm in enumerate(comps) if cm[0] == cs), None
+                )
+                if idx is None:
+                    raise ValueError("JPEG scan references unknown component")
+                scan.append((idx, tda >> 4, tda & 0xF))
+            return _decode_scan(
+                data, pos + 2 + seglen, comps, scan, qt, huff,
+                width, height, restart_interval, idct,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(
+    data, pos, comps, scan, qt, huff, width, height, restart_interval, idct
+):
+    import numpy as np
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    pred = [0] * len(comps)
+    r = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align and consume the RSTn marker
+                r.reset()
+                d = r.data
+                p = r.pos
+                while p + 1 < len(d) and not (
+                    d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
+                ):
+                    p += 1
+                if p + 1 >= len(d):
+                    raise ValueError("missing JPEG restart marker")
+                r.pos = p + 2
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, tdc, tac in scan:
+                _, ch, cv, tq_id = comps[ci]
+                dct = huff.get((0, tdc))
+                act = huff.get((1, tac))
+                q = qt.get(tq_id)
+                if dct is None or act is None or q is None:
+                    raise ValueError("JPEG scan references missing table")
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = np.zeros(64, dtype=np.float64)
+                        size = r.huff(dct)
+                        diff = _extend(r.read(size), size) if size else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(act)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[_ZIGZAG[k]] = _extend(r.read(size), size)
+                            k += 1
+                        coef = blk.reshape(8, 8) * q
+                        px = idct.T @ coef @ idct + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    out = []
+    for (cid, ch, cv, _), plane in zip(comps, planes):
+        if ch != hmax or cv != vmax:  # box upsample (nearest)
+            plane = np.repeat(
+                np.repeat(plane, hmax // ch, axis=1), vmax // cv, axis=0
+            )
+        out.append(plane[:height, :width])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    if len(out) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out)}")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        self.buf = (self.buf << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.buf &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _huff_encode_table(bits, values):
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[i]] = (length, code)
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _quality_scale(table, quality: int):
+    import numpy as np
+
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (np.array(table, dtype=np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32).reshape(8, 8)
+
+
+def encode_jpeg(arr, quality: int = 90, subsampling: str = "444") -> bytes:
+    """uint8 (h, w, 3) RGB or (h, w) grey → baseline JFIF bytes
+    (``subsampling`` '444' or '420'; chroma box-averaged for 420),
+    Annex K tables scaled by ``quality`` (test/fixture utility and the
+    planted-payload generator for the decode_image_jpeg oracle)."""
+    import numpy as np
+
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    arr = np.asarray(arr, dtype=np.float64)
+    grey = arr.ndim == 2
+    sub420 = subsampling == "420" and not grey
+    h, w = arr.shape[:2]
+    if grey:
+        planes = [arr - 128.0]
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        if sub420:
+            # pad to even, then 2×2 box-average the chroma planes
+            he, we = h + (h & 1), w + (w & 1)
+            cb = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+            cr = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+            cb = cb.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        planes = [y - 128.0, cb, cr]
+    qts = [_quality_scale(_STD_QT_LUM, quality)]
+    if not grey:
+        qts.append(_quality_scale(_STD_QT_CHR, quality))
+    m = _dct_matrix()
+    dc_tabs = [_huff_encode_table(*_STD_DC_LUM)]
+    ac_tabs = [_huff_encode_table(*_STD_AC_LUM)]
+    if not grey:
+        dc_tabs.append(_huff_encode_table(*_STD_DC_CHR))
+        ac_tabs.append(_huff_encode_table(*_STD_AC_CHR))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    for i, q in enumerate(qts):
+        # zigzag-serialize: position j of the stream holds q[_ZIGZAG[j]]
+        flat = q.reshape(-1)
+        body = bytes([i]) + bytes(int(flat[_ZIGZAG[j]]) for j in range(64))
+        out += seg(0xDB, body)
+    nc = 1 if grey else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        hv = 0x22 if (sub420 and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+    for tc, tabs in ((0, (_STD_DC_LUM, _STD_DC_CHR)), (1, (_STD_AC_LUM, _STD_AC_CHR))):
+        for th in range(1 if grey else 2):
+            bits, vals = tabs[th]
+            out += seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+    sos = bytes([nc])
+    for c in range(nc):
+        t = 0 if c == 0 else 1
+        sos += bytes([c + 1, t << 4 | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    bw = _BitWriter()
+    pred = [0] * nc
+
+    # pad every plane to its MCU-aligned size with edge replication, so
+    # the block loop below never sees a partial tile
+    mcu_y = 16 if sub420 else 8
+    mcux = -(-w // mcu_y)
+    mcuy = -(-h // mcu_y)
+    padded = []
+    for ci, plane in enumerate(planes):
+        if sub420 and ci > 0:
+            th_, tw_ = mcuy * 8, mcux * 8
+        else:
+            th_, tw_ = mcuy * mcu_y, mcux * mcu_y
+        ph, pw = plane.shape
+        padded.append(
+            np.pad(plane, ((0, th_ - ph), (0, tw_ - pw)), mode="edge")
+        )
+    planes = padded
+
+    def emit_block(plane, by, bx, ti, ci):
+        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        coef = np.round((m @ blk @ m.T) / qts[ti]).astype(np.int64)
+        zz = [int(coef.reshape(-1)[_ZIGZAG[j]]) for j in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        size = int(diff).bit_length() if diff else 0
+        length, code = dc_tabs[ti][size]
+        bw.write(code, length)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_tabs[ti][0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            size = int(abs(v)).bit_length()
+            length, code = ac_tabs[ti][run << 4 | size]
+            bw.write(code, length)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            length, code = ac_tabs[ti][0x00]  # EOB
+            bw.write(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if sub420:
+                for dy in range(2):
+                    for dx in range(2):
+                        emit_block(planes[0], my * 2 + dy, mx * 2 + dx, 0, 0)
+                emit_block(planes[1], my, mx, 1, 1)
+                emit_block(planes[2], my, mx, 1, 2)
+            else:
+                for ci, plane in enumerate(planes):
+                    emit_block(plane, my, mx, 0 if ci == 0 else 1, ci)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "decode_ok boolean, sample_rate int, n_samples bigint, "
     "duration_s double, rms double, zcr double, dominant_hz double"
@@ -475,33 +992,165 @@ def extract_audio_features(
     return df.mapInPandas(features, f"{passthrough}, {AUDIO_FEATURE_SCHEMA}")
 
 
+# --- pure stdlib+numpy Y4M codec (public spec: YUV4MPEG2, mjpegtools) ------
+#
+# YUV4MPEG2 is the uncompressed interchange format every video toolchain
+# speaks (ffmpeg -f yuv4mpeg, x264 input, VMAF reference files): an
+# ASCII header line, then per frame an ASCII "FRAME" marker followed by
+# raw planar YCbCr — REAL frame boundaries and REAL pixel data with
+# stdlib-only parsing, which makes it the honest stand-in-free tier of
+# the video path (compressed codecs stay gated behind decode_ok=false).
+
+MAX_Y4M_PIXELS = 4 * 1024 * 1024  # per-frame bound, same rationale as PNG
+MAX_Y4M_FRAMES = 256  # frames actually parsed per payload
+
+# colorspace tag → chroma plane size as a fraction of the luma plane
+_Y4M_CHROMA = {
+    "C420": 0.25, "C420jpeg": 0.25, "C420mpeg2": 0.25, "C420paldv": 0.25,
+    "C422": 0.5, "C444": 1.0, "Cmono": 0.0,
+}
+
+
+def decode_y4m(data: bytes, max_frames: int = MAX_Y4M_FRAMES):
+    """→ (width, height, fps_num, fps_den, [Y-plane uint8 (h, w), ...]).
+
+    Parses the YUV4MPEG2 stream header and walks FRAME markers; only
+    the luma plane is materialized (chroma is skipped by offset — the
+    features downstream are luma statistics).  Raises ValueError on
+    non-Y4M / malformed / oversized payloads; trailing garbage after
+    the last complete frame raises (a truncated frame must not pass
+    silently as end-of-stream)."""
+    import numpy as np
+
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.find(b"\x0a")
+    if nl < 0:
+        raise ValueError("unterminated Y4M stream header")
+    width = height = 0
+    fps_num, fps_den = 25, 1
+    chroma = "C420"
+    for tok in data[9:nl].decode("ascii", "replace").split():
+        if tok[:1] == "W":
+            width = int(tok[1:])
+        elif tok[:1] == "H":
+            height = int(tok[1:])
+        elif tok[:1] == "F":
+            num, den = tok[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tok[:1] == "C":
+            chroma = tok
+    if width <= 0 or height <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if width * height > MAX_Y4M_PIXELS:
+        raise ValueError(f"Y4M frame exceeds {MAX_Y4M_PIXELS} pixel bound")
+    if chroma not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported Y4M colorspace {chroma!r}")
+    y_len = width * height
+    frame_len = y_len + 2 * int(y_len * _Y4M_CHROMA[chroma])
+
+    frames = []
+    pos = nl + 1
+    while pos < len(data) and len(frames) < max_frames:
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        fnl = data.find(b"\x0a", pos)
+        if fnl < 0 or len(data) < fnl + 1 + frame_len:
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(
+            data, dtype=np.uint8, count=y_len, offset=fnl + 1
+        ).reshape(height, width)
+        frames.append(y)
+        pos = fnl + 1 + frame_len
+    if not frames:
+        raise ValueError("Y4M stream contains no frames")
+    return width, height, fps_num, fps_den, frames
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (25, 1), chroma: str = "C420") -> bytes:
+    """Inverse of decode_y4m for tests/planted payloads: luma planes in,
+    YUV4MPEG2 bytes out (chroma planes written as neutral 128s)."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    parts = [
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {chroma}\x0a".encode()
+    ]
+    c_len = int(w * h * _Y4M_CHROMA[chroma])
+    neutral = b"\x80" * (2 * c_len)
+    for y in frames:
+        parts.append(b"FRAME\x0a")
+        parts.append(np.asarray(y, dtype=np.uint8).tobytes())
+        parts.append(neutral)
+    return b"".join(parts)
+
+
 def sample_frames(
     df: DataFrame, content_col: str = "payload", n_frames: int = 4
 ) -> DataFrame:
-    """Deterministic frame sampling stand-in for video payloads: slice
-    the byte stream at n evenly-spaced offsets and fingerprint each
-    slice — the real frame decoder drops into the same mapInPandas
-    skeleton."""
+    """Frame sampling for video payloads through one mapInPandas stage.
+
+    Y4M payloads are parsed for REAL (``decode_y4m``): n evenly-spaced
+    actual frames are sampled, fingerprinted over their decoded luma
+    bytes, and summarized as per-frame mean luma, with the true frame
+    count and ``frames_real = true``.  Payloads in compressed codecs
+    this environment cannot decode fall back to the deterministic
+    byte-slice fingerprint stand-in (``frames_real = false``, null
+    luma) — per-row degradation, not job failure."""
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = pdf.copy()
-            sampled = []
+            fps_, nf_, real_, luma_ = [], [], [], []
             for b in pdf[content_col]:
-                size = max(len(b), 1)
-                step = max(size // n_frames, 1)
-                sampled.append(
-                    [
-                        hashlib.md5(b[o : o + step]).hexdigest()[:16]
-                        for o in range(0, min(size, step * n_frames), step)
-                    ]
-                )
-            out["frame_fingerprints"] = sampled
+                b = bytes(b)
+                try:
+                    _, _, _, _, fr = decode_y4m(b)
+                except ValueError:
+                    fr = None
+                if fr is not None:
+                    idx = sorted(
+                        {
+                            min(int(i * len(fr) / n_frames), len(fr) - 1)
+                            for i in range(n_frames)
+                        }
+                    )
+                    fps_.append(
+                        [
+                            hashlib.md5(fr[i].tobytes()).hexdigest()[:16]
+                            for i in idx
+                        ]
+                    )
+                    luma_.append(
+                        [float(np.mean(fr[i], dtype=np.float64)) for i in idx]
+                    )
+                    nf_.append(len(fr))
+                    real_.append(True)
+                else:
+                    size = max(len(b), 1)
+                    step = max(size // n_frames, 1)
+                    fps_.append(
+                        [
+                            hashlib.md5(b[o : o + step]).hexdigest()[:16]
+                            for o in range(0, min(size, step * n_frames), step)
+                        ]
+                    )
+                    luma_.append(None)
+                    nf_.append(0)
+                    real_.append(False)
+            out["frame_fingerprints"] = fps_
+            out["n_frames"] = pd.Series(nf_, dtype="int32")
+            out["frames_real"] = real_
+            out["frame_luma"] = luma_
             yield out
 
     return df.mapInPandas(
-        frames, f"{passthrough}, frame_fingerprints array<string>"
+        frames,
+        f"{passthrough}, frame_fingerprints array<string>, n_frames int, "
+        "frames_real boolean, frame_luma array<double>",
     )

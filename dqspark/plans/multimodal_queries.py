@@ -143,6 +143,111 @@ def q_decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real baseline-JPEG decode through the Arrow binary plumbing
+# ---------------------------------------------------------------------------
+
+
+def _planted_jpeg(doc_id: int) -> bytes:
+    """Deterministic per-doc JPEG payload: seeded 16×12 images cycling
+    through RGB 4:4:4 / RGB 4:2:0 / greyscale encodings; every 10th id
+    is a GIF-magic blob no codec here decodes (decode_ok=false path)."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_jpeg
+
+    if doc_id % 10 == 0:
+        return b"GIF89a" + b"notajpeg" * 4
+    rng = np.random.RandomState((doc_id * 13 + 5) % (2**31 - 1))
+    mode = doc_id % 3
+    if mode == 2:
+        img = rng.randint(0, 256, size=(16, 12), dtype=np.uint8)
+        return encode_jpeg(img, quality=90)
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    return encode_jpeg(img, quality=90, subsampling="444" if mode == 0 else "420")
+
+
+def _decode_jpeg_oracle() -> str:
+    """Single-process replication: same planted payloads, same decoder
+    (codec roundtrip/known-answer correctness is pytest-proven; the
+    differential checks the Arrow binary transfer + mapInPandas decode
+    stage against local execution, value for value)."""
+    import duckdb
+    import numpy as np
+
+    from dqspark.operators.multimodal import (
+        _luma,
+        _resize_nearest,
+        decode_jpeg,
+    )
+    from dqspark.plans.local_oracle import oracle_sf_dir, values_table
+
+    con = duckdb.connect()
+    sf_dir = oracle_sf_dir()
+    ids = con.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_DECODE_MAX_ID} ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for (d,) in ids:
+        d = int(d)
+        try:
+            px = (
+                _resize_nearest(_luma(decode_jpeg(_planted_jpeg(d))), _DECODE_SIZE)
+                .mean(axis=0)
+                .astype(np.float32)
+            )
+            mean = sum(float(v) for v in px) / len(px)
+            rows.append((d, True, float(px[0]), float(px[7]), mean))
+        except ValueError:
+            rows.append((d, False, None, None, None))
+    values = values_table(rows, ["doc_id", "decode_ok", "px0", "px7", "px_mean"])
+    return f"""
+SELECT doc_id, decode_ok,
+       round(px0, 4)::double AS px0, round(px7, 4)::double AS px7,
+       round(px_mean, 4)::double AS px_mean
+FROM {values}
+"""
+
+
+@register("decode_image_jpeg", _decode_jpeg_oracle)
+def q_decode_image_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-free baseline JPEG decode (ITU-T T.81: Huffman +
+    dequant + IDCT + YCbCr, stdlib + numpy) over planted payloads
+    through the full Spark path: binary column → Arrow batches →
+    mapInPandas decode → luma/resize features; undecodable rows carry
+    decode_ok=false instead of failing the job."""
+    import pandas as pd
+
+    from dqspark.operators.multimodal import decode_image
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < _DECODE_MAX_ID
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_planted_jpeg(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    dec = decode_image(payloads, size=_DECODE_SIZE, prefer_pil=False)
+    mean = F.aggregate(
+        "pixels", F.lit(0.0), lambda a, x: a + x.cast("double")
+    ) / F.size("pixels")
+    return dec.select(
+        "doc_id",
+        "decode_ok",
+        F.round(F.element_at("pixels", 1).cast("double"), 4).alias("px0"),
+        F.round(F.element_at("pixels", 8).cast("double"), 4).alias("px7"),
+        F.round(mean, 4).alias("px_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # real WAV decode + audio features through the Arrow binary plumbing
 # ---------------------------------------------------------------------------
 
@@ -240,6 +345,111 @@ def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 4).alias("rms"),
         F.round("zcr", 4).alias("zcr"),
         F.round("dominant_hz", 2).alias("dominant_hz"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# real Y4M frame parsing through the Arrow binary plumbing
+# ---------------------------------------------------------------------------
+
+_Y4M_W, _Y4M_H = 32, 24
+
+
+def _planted_y4m(doc_id: int) -> bytes:
+    """Deterministic per-doc video payload: 2-9 seeded 32×24 luma
+    frames in YUV4MPEG2; every 10th id is an MP4-magic blob no codec
+    here decodes (exercises the frames_real=false fallback)."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_y4m
+
+    if doc_id % 10 == 0:
+        return b"\x00\x00\x00\x18ftypmp42" + b"opaque" * 8
+    rng = np.random.RandomState((doc_id * 7 + 3) % (2**31 - 1))
+    n = 2 + doc_id % 8
+    frames = [
+        rng.randint(0, 256, size=(_Y4M_H, _Y4M_W), dtype=np.uint8)
+        for _ in range(n)
+    ]
+    return encode_y4m(frames)
+
+
+def _video_frames_oracle() -> str:
+    """Single-process replication of the planted-Y4M frame sampling
+    (parser roundtrip is pytest-proven; the differential checks the
+    Arrow binary transfer + mapInPandas stage value-for-value)."""
+    import duckdb
+    import numpy as np
+
+    from dqspark.operators.multimodal import decode_y4m
+    from dqspark.plans.local_oracle import oracle_sf_dir, values_table
+
+    con = duckdb.connect()
+    sf_dir = oracle_sf_dir()
+    ids = con.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_DECODE_MAX_ID} ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for (d,) in ids:
+        d = int(d)
+        try:
+            _, _, _, _, fr = decode_y4m(_planted_y4m(d))
+        except ValueError:
+            rows.append((d, False, 0, None, None))
+            continue
+        idx = sorted(
+            {min(int(i * len(fr) / 4), len(fr) - 1) for i in range(4)}
+        )
+        lum = [float(np.mean(fr[i], dtype=np.float64)) for i in idx]
+        rows.append(
+            (d, True, len(fr), float(lum[0]), sum(lum) / len(lum))
+        )
+    values = values_table(
+        rows, ["doc_id", "frames_real", "n_frames", "luma0", "luma_mean"]
+    )
+    return f"""
+SELECT doc_id, frames_real, n_frames::int AS n_frames,
+       round(luma0, 4)::double AS luma0,
+       round(luma_mean, 4)::double AS luma_mean
+FROM {values}
+"""
+
+
+@register("video_frames_y4m", _video_frames_oracle)
+def q_video_frames_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video-frame parsing (YUV4MPEG2, stdlib parse + numpy luma)
+    over planted payloads through the full Spark path: binary column →
+    Arrow batches → mapInPandas frame sampler → true frame counts +
+    per-frame luma; non-Y4M rows degrade to frames_real=false."""
+    import pandas as pd
+
+    from dqspark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < _DECODE_MAX_ID
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_planted_y4m(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    out = sample_frames(payloads, n_frames=4)
+    mean_luma = F.aggregate(
+        "frame_luma", F.lit(0.0), lambda a, x: a + x
+    ) / F.size("frame_luma")
+    return out.select(
+        "doc_id",
+        "frames_real",
+        "n_frames",
+        F.round(F.element_at("frame_luma", 1), 4).alias("luma0"),
+        F.round(mean_luma, 4).alias("luma_mean"),
     )
 
 

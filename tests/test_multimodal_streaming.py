@@ -107,11 +107,134 @@ def test_decode_image_real_png_and_graceful_other(spark, payloads):
 def test_sample_frames(payloads):
     out = sample_frames(payloads, n_frames=4).toPandas().set_index("pid")
     assert all(len(v) == 4 for v in out.frame_fingerprints)
+    # none of the fixture payloads is Y4M → all take the stand-in path
+    assert not out.frames_real.any()
+    assert (out.n_frames == 0).all()
     # deterministic: same payload → same fingerprints
     again = sample_frames(payloads, n_frames=4).toPandas().set_index("pid")
     assert list(out.loc[2, "frame_fingerprints"]) == list(
         again.loc[2, "frame_fingerprints"]
     )
+
+
+def test_jpeg_roundtrip_and_rejection():
+    """Baseline JPEG codec: flat blocks decode exactly; noisy/gradient
+    images roundtrip within quantization tolerance for 4:4:4, 4:2:0 and
+    greyscale; deterministic; malformed/progressive payloads raise."""
+    import numpy as np
+    import pytest
+
+    from dqspark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    # known-answer: constant image → DC-only blocks → exact
+    flat = np.full((16, 16), 100, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        assert out.shape == img.shape
+        luma = lambda a: (  # noqa: E731
+            0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        )
+        lerr = np.abs(luma(out.astype(float)) - luma(img.astype(float)))
+        assert lerr.mean() < 4.0, f"{sub}: luma err {lerr.mean()}"
+    g = rng.randint(0, 256, size=(12, 19), dtype=np.uint8)
+    gout = decode_jpeg(encode_jpeg(g, quality=95))
+    assert gout.shape == g.shape
+    assert np.abs(gout.astype(float) - g.astype(float)).mean() < 6.0
+
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85)  # deterministic
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg(b"\x89PNG....")
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04ab")
+    # flip SOF0 -> SOF2 (progressive) in a real payload
+    data = bytearray(encode_jpeg(flat, 90))
+    data[data.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+    # forged huge dimensions must hit the pixel bound, not allocate
+    data = bytearray(encode_jpeg(flat, 90))
+    i = data.index(b"\xff\xc0")
+    data[i + 5 : i + 9] = (60000).to_bytes(2, "big") + (60000).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="pixel bound"):
+        decode_jpeg(bytes(data))
+
+
+def test_decode_image_handles_jpeg(spark):
+    """decode_image's pure path decodes JPEG payloads end-to-end
+    through Arrow + mapInPandas with pure-path luma parity."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import (
+        _luma,
+        _resize_nearest,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    df = spark.createDataFrame([(1, payload)], "pid long, payload binary")
+    out = decode_image(df, size=(8, 8), prefer_pil=False).toPandas().set_index("pid")
+    assert bool(out.loc[1, "decode_ok"]) is True
+    want = _resize_nearest(_luma(decode_jpeg(payload)), (8, 8)).mean(axis=0)
+    got = np.array(out.loc[1, "pixels"], dtype=np.float32)
+    assert np.allclose(got, want.astype(np.float32), atol=1e-4)
+
+
+def test_y4m_roundtrip_and_bounds():
+    """encode_y4m → decode_y4m returns the exact luma planes and
+    header geometry; malformed/truncated/oversized payloads raise."""
+    import numpy as np
+    import pytest
+
+    from dqspark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, size=(12, 16), dtype=np.uint8) for _ in range(5)]
+    data = encode_y4m(frames, fps=(30, 1), chroma="C420")
+    w, h, fn, fd, got = decode_y4m(data)
+    assert (w, h, fn, fd, len(got)) == (16, 12, 30, 1, 5)
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+    # C444 and Cmono layouts parse too
+    for cs in ("C444", "Cmono"):
+        _, _, _, _, g2 = decode_y4m(encode_y4m(frames, chroma=cs))
+        assert np.array_equal(g2[4], frames[4])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        decode_y4m(data[:-10])
+    huge = b"YUV4MPEG2 W99999 H99999 F25:1\x0aFRAME\x0a"
+    with pytest.raises(ValueError, match="pixel bound"):
+        decode_y4m(huge)
+
+
+def test_sample_frames_real_y4m(spark):
+    """Y4M payloads take the REAL frame-parse path: true frame count,
+    per-frame luma means matching numpy, evenly-spaced sampling."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_y4m
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(6)]
+    df = spark.createDataFrame(
+        [(1, encode_y4m(frames)), (2, b"not video at all")],
+        "pid long, payload binary",
+    )
+    out = sample_frames(df, n_frames=4).toPandas().set_index("pid")
+    assert bool(out.loc[1, "frames_real"]) and out.loc[1, "n_frames"] == 6
+    # sampled indices for n=6, k=4: floor(i*6/4) -> {0, 1, 3, 4}
+    want = [float(np.mean(frames[i], dtype=np.float64)) for i in (0, 1, 3, 4)]
+    assert np.allclose(np.array(out.loc[1, "frame_luma"]), want)
+    assert not bool(out.loc[2, "frames_real"])
+    assert out.loc[2, "frame_luma"] is None
 
 
 def test_stream_event_rate_matches_batch(spark, tmp_path):
