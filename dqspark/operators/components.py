@@ -39,13 +39,16 @@ def connected_components(
     src: str = "key1",
     dst: str = "key2",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``pairs``;
     ``component_id`` is the minimum node id of the component.
 
     Deterministic for any execution order (min is commutative); raises
     after ``max_iter`` non-converged rounds rather than returning a
-    partial labeling.
+    partial labeling.  When ``stats`` is a dict, records
+    ``stats["rounds"]`` — the number of propagation rounds executed
+    (scale-evidence hook; no behavior change).
     """
     # The fixpoint witness below is sum(label): sound only because labels
     # are numeric and only ever decrease.  A string id would make the sum
@@ -67,7 +70,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = None
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "a"), "a"
         ).select(F.col("b").alias("node"), "comp")
@@ -84,6 +87,8 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).collect()[0][0]
         if cur == prev_sum:
+            if stats is not None:
+                stats["rounds"] = _round + 1
             return labels.select("node", F.col("comp").alias("component_id"))
         prev_sum = cur
     raise RuntimeError(
@@ -121,6 +126,7 @@ def connected_components_star(
     src: str = "key1",
     dst: str = "key2",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component_id) via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -147,7 +153,8 @@ def connected_components_star(
     Convergence = the small-star output equals its input (the exact
     stopping rule of the paper, checked with a distributed anti-join —
     no driver-side materialization); the converged edges are exactly
-    (node, component-min) stars.
+    (node, component-min) stars.  ``stats`` (optional dict) receives
+    ``stats["rounds"]`` on convergence, as in ``connected_components``.
     """
     _check_integral_ids(pairs, src, dst)
     a, b = F.col("a"), F.col("b")
@@ -168,7 +175,7 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
 
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # -- large-star: symmetric neighborhoods, larger neighbors -> min
         sym = edges.unionByName(edges.select(b.alias("a"), a.alias("b")))
         mins = sym.groupBy("a").agg(F.min("b").alias("__mb"))
@@ -203,6 +210,8 @@ def connected_components_star(
             and edges.exceptAll(ss).isEmpty()
         ):
             star = ss
+            if stats is not None:
+                stats["rounds"] = _round + 1
             break
         edges = ss
     else:

@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Scale-evidence run for the dedup decision chain (VERDICT round-3 #8):
+execute dedup_decisions, semantic_dedup (IVF production operating
+point), and components_star on a corpus ~10x the sf0.1 driver scale,
+and record the numbers behind the O(log^2 n) / bucketed claims —
+convergence round counts, shuffle read/write bytes, and peak
+per-task input/shuffle bytes (partition balance) — from Spark's own
+stage metrics (REST API of the local UI).
+
+The amplified corpus is DETERMINISTIC: sf0.1 documents replicated
+``--amp`` times with replica-dependent mutations that exercise every
+branch of the decision chain —
+
+- replica r=0: the original rows;
+- r % 3 == 0 (r>0): byte-identical text  -> exact-duplicate branch;
+- r % 3 == 1: short appended suffix      -> near-duplicate branch
+  (high Jaccard, LSH must pair it);
+- r % 3 == 2: replica-salted line + reversed body -> distinct
+  branch (keep; reversal remaps every shingle, unlike rotation).
+
+Embeddings are replicated with a positive per-replica scale factor
+(direction-preserving, cosine = 1.0 with the original), so every
+vector sits in a size-``amp`` semantic component — the worst-case
+closure load for SemDeDup at this scale.
+
+Usage: python tools/scale_evidence.py [--amp 10] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dqspark.session import get_spark  # noqa: E402
+
+UI = "http://127.0.0.1:4040/api/v1"
+
+
+def _rest(path: str):
+    with urllib.request.urlopen(f"{UI}{path}", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _app_id() -> str:
+    return _rest("/applications")[0]["id"]
+
+
+def _stage_snapshot(app: str) -> dict[int, dict]:
+    """stageId -> summary metrics for every completed stage so far."""
+    out = {}
+    for st in _rest(f"/applications/{app}/stages?status=COMPLETE"):
+        out[st["stageId"]] = st
+    return out
+
+
+def _collect_delta(app: str, before: dict[int, dict]) -> dict:
+    """Aggregate metrics of stages completed since ``before``; peak task
+    bytes come from per-stage taskSummary quantiles (q=1.0 = max)."""
+    after = _stage_snapshot(app)
+    new = [st for sid, st in after.items() if sid not in before]
+    agg = {
+        "stages": len(new),
+        "tasks": sum(st["numCompleteTasks"] for st in new),
+        "input_bytes": sum(st["inputBytes"] for st in new),
+        "shuffle_read_bytes": sum(st["shuffleReadBytes"] for st in new),
+        "shuffle_write_bytes": sum(st["shuffleWriteBytes"] for st in new),
+        "peak_task_input_bytes": 0,
+        "peak_task_shuffle_read_bytes": 0,
+    }
+    for st in new:
+        try:
+            q = _rest(
+                f"/applications/{app}/stages/{st['stageId']}/"
+                f"{st['attemptId']}/taskSummary?quantiles=1.0"
+            )
+            agg["peak_task_input_bytes"] = max(
+                agg["peak_task_input_bytes"],
+                int(q.get("inputMetrics", {}).get("bytesRead", [0])[0]),
+            )
+            agg["peak_task_shuffle_read_bytes"] = max(
+                agg["peak_task_shuffle_read_bytes"],
+                int(
+                    q.get("shuffleReadMetrics", {}).get("readBytes", [0])[0]
+                ),
+            )
+        except Exception:
+            pass  # stages with zero tasks have no summary
+    return agg
+
+
+def amplified_documents(spark, sf_dir: str, amp: int):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    parts = [docs]
+    for r in range(1, amp):
+        rid = (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id")
+        if r % 3 == 0:
+            body = F.col("text")  # exact duplicate
+        elif r % 3 == 1:
+            body = F.concat(F.col("text"), F.lit(f" replica suffix {r}"))
+        else:
+            body = F.concat(
+                F.lit(f"replica {r} salt line\n"), F.reverse(F.col("text"))
+            )
+        parts.append(docs.select(rid, body.alias("text")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(64, "doc_id")
+
+
+def amplified_embeddings(spark, sf_dir: str, amp: int):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    parts = [emb]
+    for r in range(1, amp):
+        rid = (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id")
+        scale = 1.0 + r * 1e-4  # direction-preserving: cosine == 1.0
+        vec = F.transform(
+            "embedding", lambda x: (x * F.lit(scale)).cast("float")
+        ).alias("embedding")
+        parts.append(emb.select(rid, vec))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "vec_id")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--amp", type=int, default=10)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--stages",
+        default="dedup,star,semantic",
+        help="comma subset of dedup,star,semantic",
+    )
+    ap.add_argument(
+        "--nprobe", type=int, default=2,
+        help="IVF probe width for the semantic stage; candidate volume "
+        "scales with nprobe^2 (both sides of the pair self-join probe)",
+    )
+    args = ap.parse_args()
+    stages = set(args.stages.split(","))
+
+    spark = get_spark(
+        app_name="scale-evidence",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    app = _app_id()
+    results: dict[str, dict | None] = {}
+
+    docs = amplified_documents(spark, args.sf_dir, args.amp).persist()
+    n_docs = docs.count()
+    emb = amplified_embeddings(spark, args.sf_dir, args.amp).persist()
+    n_vecs = emb.count()
+    print(f"amplified corpus: {n_docs} docs, {n_vecs} vectors", file=sys.stderr)
+
+    if "dedup" in stages:
+        _run_dedup(app, docs, n_docs, results)
+    if "star" in stages:
+        _run_star(app, docs, n_docs, results)
+    if "semantic" in stages:
+        _run_semantic(app, emb, n_vecs, args.nprobe, results)
+
+    out = {
+        "amp": args.amp,
+        "sf_dir": args.sf_dir,
+        "n_docs": n_docs,
+        "n_vectors": n_vecs,
+        "results": {k: v for k, v in results.items() if v is not None},
+    }
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(out, fh, indent=2)
+    spark.stop()
+
+
+def _run_dedup(app, docs, n_docs, results) -> None:
+    from dqspark.operators.components import dedup_decisions
+
+    before = _stage_snapshot(app)
+    t0 = time.perf_counter()
+    dd = dedup_decisions(docs, k=16, bands=4)
+    counts = {
+        r["reason"]: r["n"]
+        for r in dd.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    wall = time.perf_counter() - t0
+    results["dedup_decisions"] = {
+        "wall_sec": round(wall, 2),
+        "n_docs": n_docs,
+        "decision_counts": counts,
+        **_collect_delta(app, before),
+    }
+    print(json.dumps({"dedup_decisions": results["dedup_decisions"]}),
+          file=sys.stderr)
+
+
+def _run_star(app, docs, n_docs, results) -> None:
+    """components_star on a 50-chain graph over all doc ids."""
+    from pyspark.sql.window import Window
+
+    from dqspark.operators.components import connected_components_star
+
+    ids = docs.select("doc_id")
+    blk = F.floor(F.col("doc_id") / 50).alias("blk")
+    w = Window.partitionBy("blk").orderBy("doc_id")
+    pairs = (
+        ids.select("doc_id", blk)
+        .withColumn("key2", F.lead("doc_id").over(w))
+        .where(F.col("key2").isNotNull())
+        .select(F.col("doc_id").alias("key1"), "key2")
+        .repartition(64)
+    )
+    before = _stage_snapshot(app)
+    t0 = time.perf_counter()
+    stats: dict = {}
+    comp = connected_components_star(pairs, stats=stats)
+    n_comp = comp.select("component_id").distinct().count()
+    wall = time.perf_counter() - t0
+    results["components_star"] = {
+        "wall_sec": round(wall, 2),
+        "rounds": stats.get("rounds"),
+        "n_nodes": n_docs,
+        "n_components": n_comp,
+        **_collect_delta(app, before),
+    }
+    print(json.dumps({"components_star": results["components_star"]}),
+          file=sys.stderr)
+
+
+def _run_semantic(app, emb, n_vecs, nprobe, results) -> None:
+    """Semantic dedup at the PRODUCTION operating point (nprobe <<
+    n_cells — the full-probe configuration is the oracle's; this run
+    measures the bucketed scale path.  Candidate volume scales with
+    nprobe^2, which the --nprobe flag exposes as a measurable curve)."""
+    from dqspark.operators.components import neardup_groups
+    from dqspark.operators.similarity import (
+        embedding_near_dup_pairs_ivf,
+        train_centroids,
+    )
+
+    before = _stage_snapshot(app)
+    t0 = time.perf_counter()
+    centroids = train_centroids(emb, n_cells=64)
+    ivf_pairs = embedding_near_dup_pairs_ivf(
+        emb, centroids, threshold=0.95, nprobe=nprobe
+    )
+    groups = neardup_groups(ivf_pairs, id_alias="vec_id")
+    n_groups = groups.select("component_id").distinct().count()
+    n_dups = groups.where(~F.col("is_canonical")).count()
+    wall = time.perf_counter() - t0
+    results["semantic_dedup_ivf"] = {
+        "wall_sec": round(wall, 2),
+        "n_vectors": n_vecs,
+        "n_cells": 64,
+        "nprobe": nprobe,
+        "n_components": n_groups,
+        "n_semantic_dups": n_dups,
+        **_collect_delta(app, before),
+    }
+    print(json.dumps({"semantic_dedup_ivf": results["semantic_dedup_ivf"]}),
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

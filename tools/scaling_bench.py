@@ -24,7 +24,11 @@ from dqspark.session import get_spark  # noqa: E402
 
 
 def run_once(
-    cpus: int, corpus_path: str, n: int, stage: str = "pipeline"
+    cpus: int,
+    corpus_path: str,
+    n: int,
+    stage: str = "pipeline",
+    max_partition_bytes: int | None = None,
 ) -> tuple[float, float]:
     """→ (cold_sec, warm_sec) for the chosen stage on local[cpus].
 
@@ -34,12 +38,24 @@ def run_once(
     The warm run is the steady-state number used for scaling efficiency:
     a production job amortizes JIT + codegen + Python-worker spawn +
     broadcast deserialization over hours, so those one-time costs are
-    measured separately (cold) rather than folded into throughput."""
+    measured separately (cold) rather than folded into throughput.
+
+    ``max_partition_bytes`` pins the parquet split size so BOTH
+    parallelism levels read the IDENTICAL file-split plan — otherwise
+    Spark's bytes-per-core heuristic hands local[32] splits 4× smaller
+    than local[8]'s and the comparison mixes split-plan effects into
+    the compute-scaling number."""
     from dqspark.pipeline.quality import run_quality_pipeline, train_default_models
 
+    extra = {}
+    if max_partition_bytes:
+        extra["spark.sql.files.maxPartitionBytes"] = str(max_partition_bytes)
+        # bytesPerCore would still shrink splits below maxPartitionBytes
+        # on the wider config; a fixed openCost floor keeps the plans equal
+        extra["spark.sql.files.openCostInBytes"] = str(max_partition_bytes)
     spark = get_spark(
         app_name=f"scaling-bench-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus * 2, 16),
+        shuffle_partitions=max(cpus * 2, 16), extra_conf=extra,
     )
     if stage == "pipeline":
         train_default_models()  # train once outside the timed region (cached)
@@ -71,6 +87,14 @@ def main() -> None:
     ap.add_argument(
         "--stage", default="pipeline", choices=("pipeline", "code_filters")
     )
+    ap.add_argument(
+        "--max-partition-bytes",
+        type=int,
+        default=None,
+        help="pin spark.sql.files.maxPartitionBytes on BOTH configs so the "
+        "file-split plan is identical (recommended: corpus_bytes / (4N*3) "
+        "for ~3 task waves on the wide config)",
+    )
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="dqspark_scaling_")
@@ -92,7 +116,10 @@ def main() -> None:
         colds: dict[int, list[float]] = {c: [] for c in pair}
         for _ in range(args.rounds):
             for cpus in pair:
-                cold, warm = run_once(cpus, corpus_path, args.n, args.stage)
+                cold, warm = run_once(
+                    cpus, corpus_path, args.n, args.stage,
+                    args.max_partition_bytes,
+                )
                 colds[cpus].append(cold)
                 warms[cpus].append(warm)
                 print(f"local[{cpus}]: cold {cold:.1f}s warm {warm:.1f}s "
@@ -115,6 +142,7 @@ def main() -> None:
             f"local{lo}": results[lo],
             f"local{hi}": results[hi],
             "cpu_pair": list(pair),
+            "max_partition_bytes": args.max_partition_bytes,
             f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         }
         print(json.dumps(out))
