@@ -78,6 +78,42 @@ def run_once(
     return times[0], times[1]
 
 
+def _busy(n: int) -> int:
+    """Cache-resident integer loop — zero memory traffic past L1."""
+    x = 1
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
+
+
+def cpu_ceiling(pair: tuple[int, int], rounds: int = 3) -> dict:
+    """Pure-CPU scaling ceiling of this host at the given process pair:
+    each process runs an identical fixed busy-loop; with perfect
+    scaling, wall time is flat in the process count.  efficiency =
+    wall(lo) / wall(hi) (same per-process work; any drop is scheduler/
+    frequency/thermal sharing, the floor under which no workload can
+    scale on this box)."""
+    import multiprocessing as mp
+
+    work = 30_000_000
+    walls: dict[int, list[float]] = {c: [] for c in pair}
+    for _ in range(rounds):
+        for procs in pair:
+            t0 = time.perf_counter()
+            with mp.Pool(procs) as pool:
+                pool.map(_busy, [work] * procs)
+            walls[procs].append(time.perf_counter() - t0)
+    lo, hi = pair
+    best = {c: min(w) for c, w in walls.items()}
+    return {
+        "work_per_proc": work,
+        f"wall_{lo}": round(best[lo], 3),
+        f"wall_{hi}": round(best[hi], 3),
+        "walls": {str(c): [round(x, 3) for x in w] for c, w in walls.items()},
+        "ceiling": round(best[lo] / best[hi], 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=160000)
@@ -95,6 +131,22 @@ def main() -> None:
         "file-split plan is identical (recommended: corpus_bytes / (4N*3) "
         "for ~3 task waves on the wide config)",
     )
+    ap.add_argument(
+        "--gen-partitions",
+        type=int,
+        default=64,
+        help="parquet files written by the corpus generator; one parquet "
+        "row group = one task floor, so this bounds task-wave granularity "
+        "(256 -> 8 waves at 32 cores instead of 2 at the default 64)",
+    )
+    ap.add_argument(
+        "--cpu-probe",
+        action="store_true",
+        help="also measure this host's pure-CPU scaling ceiling (cache-"
+        "resident busy loops, no memory traffic) at the same cpu pair, "
+        "recorded in the JSON — the contemporaneous upper bound any "
+        "single-box measurement can reach",
+    )
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="dqspark_scaling_")
@@ -104,7 +156,9 @@ def main() -> None:
         from dqspark.pipeline.corpus import gen_spark
 
         spark = get_spark(app_name="scaling-gen", master="local[32]")
-        gen_spark(spark, args.n, partitions=64).write.parquet(corpus_path)
+        gen_spark(spark, args.n, partitions=args.gen_partitions).write.parquet(
+            corpus_path
+        )
         spark.stop()
 
         # INTERLEAVED rounds: ambient host-performance drift (shared VM)
@@ -143,8 +197,14 @@ def main() -> None:
             f"local{hi}": results[hi],
             "cpu_pair": list(pair),
             "max_partition_bytes": args.max_partition_bytes,
+            "gen_partitions": args.gen_partitions,
             f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         }
+        if args.cpu_probe:
+            out["cpu_ceiling"] = cpu_ceiling(pair)
+            out["efficiency_vs_ceiling"] = round(
+                eff / out["cpu_ceiling"]["ceiling"], 3
+            )
         print(json.dumps(out))
         if args.json:
             with open(args.json, "w") as fh:
