@@ -143,7 +143,12 @@ def main() -> None:
     # round-4 additions
     round4 = [
         q
-        for q in ("decode_image_jpeg", "video_frames_y4m")
+        for q in (
+            "decode_image_jpeg",
+            "video_frames_y4m",
+            "embedding_neardup_ivf_home",
+            "neardup_ivf_home_recall",
+        )
         if q in driver_queries.QUERIES
     ]
 

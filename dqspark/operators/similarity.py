@@ -412,33 +412,70 @@ def embedding_near_dup_pairs_ivf(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     nprobe: int = 2,
+    probe: str = "sym",
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs — the scale path for the pairs
-    problem, mirroring knn_ivf's cell-join shape: assign every vector to
-    its ``nprobe`` nearest cells, self-join WITHIN cells only, dedup the
-    (key1, key2) candidates, then exact-rerank with the true cosine.
+    problem, mirroring knn_ivf's cell-join shape: assign vectors to
+    cells, self-join WITHIN cells only, dedup the (key1, key2)
+    candidates, then exact-rerank with the true cosine.
 
-    Shuffle volume drops from N^2 (crossJoin baseline) to
-    sum over cells of |cell|^2 — with balanced cells, N^2/n_cells *
-    nprobe^2.  With ``nprobe = n_cells`` every vector is in every cell,
-    so the result equals the brute-force ``embedding_near_dup_pairs``
-    exactly — which is how the driver oracle checks this operator
-    end-to-end (the production setting nprobe << n_cells is approximate
-    and is covered by a recall test instead)."""
+    ``probe`` picks the candidate rule (both are exact-reranked, so
+    precision is 1 either way; only recall differs):
+
+    - ``"sym"``: BOTH sides probe ``nprobe`` cells.  Candidate volume
+      ~ N^2/n_cells · nprobe^2 — quadratic in nprobe (measured:
+      BENCH.md round-4 scale-evidence table, 1.5 GB vs 191 MB shuffle
+      at nprobe 8 vs 2).  A pair is caught when the probe SETS
+      intersect.
+    - ``"home"``: the index side sits only in its home (nearest) cell,
+      the query side probes ``nprobe`` cells — the same asymmetric
+      shape as ``knn_ivf``.  Joining both directions (each vector acts
+      as query once), a pair is caught when either member's home cell
+      is among the other's probes.  Candidate volume ~ N^2/n_cells ·
+      nprobe — LINEAR in nprobe, so recall headroom costs nprobe×
+      less shuffle than "sym"'s nprobe^2.
+
+    With ``nprobe = n_cells`` every probe set covers all cells, so BOTH
+    modes equal the brute-force ``embedding_near_dup_pairs`` exactly —
+    which is how the driver oracle checks each mode end-to-end (the
+    production settings nprobe << n_cells are approximate and covered
+    by recall queries instead)."""
+    if probe not in ("sym", "home"):
+        raise ValueError(f"probe must be 'sym' or 'home', got {probe!r}")
     a = assign_cells(df, centroids, vec_col, nprobe=nprobe).select(
         F.col(key_col).alias("k"),
-        F.col(vec_col).alias("v"),
         F.explode("cells").alias("cell"),
     )
-    cands = (
-        a.alias("l")
-        .join(
-            a.select("k", "cell").alias("r"),
-            (F.col("l.cell") == F.col("r.cell")) & (F.col("l.k") < F.col("r.k")),
+    if probe == "sym":
+        cands = (
+            a.alias("l")
+            .join(
+                a.alias("r"),
+                (F.col("l.cell") == F.col("r.cell")) & (F.col("l.k") < F.col("r.k")),
+            )
+            .select(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
+            .distinct()
         )
-        .select(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
-        .distinct()
-    )
+    else:
+        home = assign_cells(df, centroids, vec_col, nprobe=1).select(
+            F.col(key_col).alias("k"),
+            F.col("cells")[0].alias("cell"),
+        )
+        # directional probe→home join; canonicalizing (least, greatest)
+        # folds the two directions together before the distinct, so "x's
+        # home in y's probes" and vice versa land on the same row
+        cands = (
+            a.alias("l")
+            .join(
+                home.alias("r"),
+                (F.col("l.cell") == F.col("r.cell")) & (F.col("l.k") != F.col("r.k")),
+            )
+            .select(
+                F.least(F.col("l.k"), F.col("r.k")).alias("key1"),
+                F.greatest(F.col("l.k"), F.col("r.k")).alias("key2"),
+            )
+            .distinct()
+        )
     vecs = df.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
     return (
         cands.join(vecs.select(F.col("_k").alias("key1"), F.col("_v").alias("v1")), "key1")

@@ -555,6 +555,53 @@ def q_neardup_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_totals(brute, ivf)
 
 
+@register("embedding_neardup_ivf_home", _NEARDUP_ORACLE)
+def q_embedding_neardup_ivf_home(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASYMMETRIC (home-probe) IVF pairs mode run at full probe:
+    the query side probes all cells, so every pair shares the index
+    side's home cell and the result equals brute force — the same
+    exactness argument as the symmetric mode, value-checking the
+    home-probe join shape end-to-end.  At production settings this
+    mode's candidate volume is LINEAR in nprobe (vs the symmetric
+    mode's quadratic — measured in BENCH.md round-4), making it the
+    preferred scale path for high-recall operating points."""
+    emb = _emb_planted(spark, sf_dir)
+    n_cells = 8
+    centroids = train_centroids(emb, n_cells=n_cells)
+    return embedding_near_dup_pairs_ivf(
+        emb, centroids, threshold=0.95, nprobe=n_cells, probe="home"
+    )
+
+
+def _neardup_ivf_home_recall_oracle() -> str:
+    from dqspark.plans.local_oracle import neardup_ivf_recall_values, oracle_sf_dir
+
+    values = neardup_ivf_recall_values(
+        oracle_sf_dir(), n_cells=8, nprobe=2, probe="home"
+    )
+    return f"""
+SELECT n_true::int AS n_true, n_found::int AS n_found,
+       round(recall, 4)::double AS recall
+FROM {values}
+"""
+
+
+@register("neardup_ivf_home_recall", _neardup_ivf_home_recall_oracle)
+def q_neardup_ivf_home_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the home-probe IVF mode at the production setting
+    (nprobe=2 of 8 cells) vs the exact all-pairs baseline — the
+    tracked number that, read against `neardup_ivf_recall` (symmetric,
+    same nprobe), quantifies the recall give-up the linear-cost mode
+    trades for its nprobe× shuffle saving."""
+    emb = _emb_planted(spark, sf_dir)
+    centroids = train_centroids(emb, n_cells=8)
+    brute = embedding_near_dup_pairs(emb, threshold=0.95).select("key1", "key2")
+    ivf = embedding_near_dup_pairs_ivf(
+        emb, centroids, threshold=0.95, nprobe=2, probe="home"
+    ).select("key1", "key2")
+    return _recall_totals(brute, ivf)
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup: embedding-space duplicate pruning (SemDeDup-style)
 # ---------------------------------------------------------------------------

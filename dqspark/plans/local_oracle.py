@@ -157,15 +157,22 @@ def knn_ivf_recall_values(
     return values_table(rows, ["query_id", "hits", "recall"])
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=8)
 def neardup_ivf_recall_values(
-    sf_dir: str, n_cells: int = 8, nprobe: int = 2, threshold: float = 0.95
+    sf_dir: str,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    threshold: float = 0.95,
+    probe: str = "sym",
 ) -> str:
     """VALUES table (n_true, n_found, recall): the cell-bucketed
     near-dup pairs operator at its production setting (nprobe <<
     n_cells) vs the exact all-pairs ground truth, replicated
     single-process.  Precision is 1 by construction (candidates are
-    exact-reranked), so recall is the tracked number."""
+    exact-reranked), so recall is the tracked number.  ``probe``
+    mirrors the operator's candidate rule: "sym" = probe sets
+    intersect; "home" = either member's home (nearest) cell is among
+    the other's probes."""
     from dqspark.operators.similarity import kmeans_cells, topk_cells
 
     ids, V = _planted_embeddings(sf_dir)
@@ -179,9 +186,16 @@ def neardup_ivf_recall_values(
     true_mask = cos[iu] >= threshold
 
     shared = np.zeros((n, n), dtype=bool)
-    for c in range(n_cells):
-        has = (cells == c).any(axis=1)
-        shared |= np.outer(has, has)
+    if probe == "sym":
+        for c in range(n_cells):
+            has = (cells == c).any(axis=1)
+            shared |= np.outer(has, has)
+    else:
+        home = topk_cells(V, C, 1)[:, 0]
+        for c in range(n_cells):
+            probes = (cells == c).any(axis=1)
+            homes = home == c
+            shared |= np.outer(probes, homes) | np.outer(homes, probes)
     n_true = int(true_mask.sum())
     n_found = int((true_mask & shared[iu]).sum())
     rows = [(n_true, n_found, float(n_found) / max(n_true, 1))]

@@ -147,6 +147,39 @@ def test_neardup_ivf_recall(spark, emb):
         assert recall >= 0.8, f"neardup IVF recall {recall}"
 
 
+def test_neardup_ivf_home_probe(spark, emb):
+    """The asymmetric home-probe mode: exact at full probe (every pair
+    shares the index side's home cell), subset-of-brute-force with
+    useful recall at the production nprobe — same contract as the
+    symmetric mode at nprobe× less candidate volume."""
+    d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
+    pairs_exact = {
+        (r.key1, r.key2)
+        for r in embedding_near_dup_pairs(d, threshold=0.8).collect()
+    }
+    n_cells = 8
+    centroids = train_centroids(d, n_cells=n_cells)
+    full = {
+        (r.key1, r.key2)
+        for r in embedding_near_dup_pairs_ivf(
+            d, centroids, threshold=0.8, nprobe=n_cells, probe="home"
+        ).collect()
+    }
+    assert full == pairs_exact  # full probe == brute force, home mode
+    prod = {
+        (r.key1, r.key2)
+        for r in embedding_near_dup_pairs_ivf(
+            d, centroids, threshold=0.8, nprobe=2, probe="home"
+        ).collect()
+    }
+    assert prod <= pairs_exact
+    if pairs_exact:
+        recall = len(prod & pairs_exact) / len(pairs_exact)
+        assert recall >= 0.7, f"home-probe recall {recall}"
+
+
 def test_knn_ivf_partition_invariance(spark, emb):
     """Centroid training samples orderBy(key).limit — the IVF result
     must be identical across physical partition layouts."""

@@ -149,7 +149,12 @@ def main() -> None:
     ap.add_argument(
         "--nprobe", type=int, default=2,
         help="IVF probe width for the semantic stage; candidate volume "
-        "scales with nprobe^2 (both sides of the pair self-join probe)",
+        "scales with nprobe^2 in sym mode, nprobe in home mode",
+    )
+    ap.add_argument(
+        "--probe", default="sym", choices=("sym", "home"),
+        help="IVF candidate rule: sym = both sides probe nprobe cells; "
+        "home = index side home cell only (linear in nprobe)",
     )
     args = ap.parse_args()
     stages = set(args.stages.split(","))
@@ -172,7 +177,7 @@ def main() -> None:
     if "star" in stages:
         _run_star(app, docs, n_docs, results)
     if "semantic" in stages:
-        _run_semantic(app, emb, n_vecs, args.nprobe, results)
+        _run_semantic(app, emb, n_vecs, args.nprobe, args.probe, results)
 
     out = {
         "amp": args.amp,
@@ -242,7 +247,7 @@ def _run_star(app, docs, n_docs, results) -> None:
           file=sys.stderr)
 
 
-def _run_semantic(app, emb, n_vecs, nprobe, results) -> None:
+def _run_semantic(app, emb, n_vecs, nprobe, probe, results) -> None:
     """Semantic dedup at the PRODUCTION operating point (nprobe <<
     n_cells — the full-probe configuration is the oracle's; this run
     measures the bucketed scale path.  Candidate volume scales with
@@ -257,7 +262,7 @@ def _run_semantic(app, emb, n_vecs, nprobe, results) -> None:
     t0 = time.perf_counter()
     centroids = train_centroids(emb, n_cells=64)
     ivf_pairs = embedding_near_dup_pairs_ivf(
-        emb, centroids, threshold=0.95, nprobe=nprobe
+        emb, centroids, threshold=0.95, nprobe=nprobe, probe=probe
     )
     groups = neardup_groups(ivf_pairs, id_alias="vec_id")
     n_groups = groups.select("component_id").distinct().count()
@@ -268,6 +273,7 @@ def _run_semantic(app, emb, n_vecs, nprobe, results) -> None:
         "n_vectors": n_vecs,
         "n_cells": 64,
         "nprobe": nprobe,
+        "probe": probe,
         "n_components": n_groups,
         "n_semantic_dups": n_dups,
         **_collect_delta(app, before),
