@@ -32,8 +32,11 @@ def run_once(
 ) -> tuple[float, float]:
     """→ (cold_sec, warm_sec) for the chosen stage on local[cpus].
 
-    ``stage``: 'pipeline' (flagship quality filter) or 'code_filters'
-    (the structural keep/scrub/drop verdict, shuffle-free projection).
+    ``stage``: 'pipeline' (flagship quality filter), 'pipeline_nomodels'
+    (same minus the pandas-UDF scoring stage — pure-JVM heuristics +
+    scrub; the delta vs 'pipeline' attributes scaling loss to the
+    Python/Arrow stage), or 'code_filters' (the structural
+    keep/scrub/drop verdict, shuffle-free projection).
 
     The warm run is the steady-state number used for scaling efficiency:
     a production job amortizes JIT + codegen + Python-worker spawn +
@@ -67,6 +70,10 @@ def run_once(
         t0 = time.perf_counter()
         if stage == "pipeline":
             res = run_quality_pipeline(df, n_partitions=cpus * 4)
+        elif stage == "pipeline_nomodels":
+            res = run_quality_pipeline(
+                df, n_partitions=cpus * 4, with_models=False
+            )
         else:
             from dqspark.operators.code_filters import code_filter_decisions
 
@@ -121,7 +128,9 @@ def main() -> None:
     ap.add_argument("--cpus", default="8,32", help="comma pair: N,4N")
     ap.add_argument("--json", default=None)
     ap.add_argument(
-        "--stage", default="pipeline", choices=("pipeline", "code_filters")
+        "--stage",
+        default="pipeline",
+        choices=("pipeline", "pipeline_nomodels", "code_filters"),
     )
     ap.add_argument(
         "--max-partition-bytes",
