@@ -1,0 +1,249 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023).
+
+Given a small TARGET corpus (the domain you want more of) and the RAW
+corpus, DSIR scores every raw document by how much its hashed n-gram
+profile looks like the target: learn bucketed unigram+bigram count
+distributions for both corpora, then score each document by the log
+importance ratio  sum_b c_doc[b] * (log p_target[b] - log p_raw[b])
+and keep the top-k (optionally with Gumbel noise, which makes top-k
+equivalent to sampling without replacement proportionally to the
+importance weights — Kirkpatrick/Vieira's Gumbel-top-k trick).
+
+This is the standard cheap data-selection method for LLM pretraining
+mixes (used to build DoReMi/DSIR-selected subsets of The Pile); the
+reference repo has no analogue — it belongs to the corpus-curation
+family the graft adds on top of the tabular checks.
+
+Scale design (100 TB raw corpus, MB-GB target):
+- Features are hashed into ``num_buckets`` (default 8192) buckets with
+  the SAME portable polynomial token hash as the dedup suite
+  (operators/dedup.py) — identical int64 arithmetic in Spark SQL and
+  DuckDB, so the whole derivation is value-oracle-checkable.
+- Learning the two histograms is one map-side-combinable groupBy per
+  corpus whose key cardinality is capped at ``num_buckets`` — the
+  collect is O(num_buckets) rows (8192), independent of corpus size.
+- Scoring is SHUFFLE-FREE: the log-ratio vector is a single array
+  literal (an 8192-double broadcast-by-plan constant) and the per-doc
+  score is one JVM ``aggregate`` fold over the document's bucket
+  array — no explode, no join, no Python in the hot path.
+- The fold order (unigrams in document order, then bigrams) is fixed
+  and mirrored by the oracle's ``list_reduce``, so the double-precision
+  sums are bit-identical across engines; the log-ratio doubles
+  themselves are computed ONCE in driver Python (``math.log``) from
+  integer counts that both engines derive independently.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import (
+    HASH_B,
+    P31,
+    normalized,
+    token_hash,
+    token_hashes_oracle,
+)
+
+DSIR_BUCKETS = 8192
+
+
+def _tokens(text_col: str) -> Column:
+    t = normalized(F.coalesce(F.col(text_col), F.lit("")))
+    return F.filter(F.split(t, " "), lambda x: F.length(x) > 0)
+
+
+def with_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "_B",
+    num_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Append array<int> of hashed n-gram feature buckets: one bucket
+    per unigram (finalized token hash mod B) followed by one per bigram
+    (polynomial combine of adjacent token hashes mod B), both in
+    document order.  One projection, no explode, no Python."""
+    d = df.withColumn("__th", F.transform(_tokens(text_col), token_hash))
+    n = F.size("__th")
+    uni = F.transform(
+        F.col("__th"), lambda h: (h % num_buckets).cast("int")
+    )
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = F.transform(
+        idx,
+        lambda i: (
+            (
+                (
+                    F.element_at(F.col("__th"), i) * HASH_B
+                    + F.element_at(F.col("__th"), i + 1)
+                )
+                % P31
+            )
+            % num_buckets
+        ).cast("int"),
+    )
+    return d.withColumn(out_col, F.concat(uni, bi)).drop("__th")
+
+
+def ngram_buckets_oracle_select(
+    corpus_sql: str, num_buckets: int = DSIR_BUCKETS, extra_cols: str = ""
+) -> str:
+    """DuckDB SELECT producing (``extra_cols``..., bl) where ``bl`` is
+    the same bucket list as :func:`with_ngram_buckets` over
+    ``coalesce(text, '')`` of ``corpus_sql``'s rows."""
+    th = token_hashes_oracle("coalesce(text, '')")
+    uni = f"list_transform(__TH, h -> h % {num_buckets})"
+    bi = (
+        f"list_transform(range(1, greatest(len(__TH) - 1, 0) + 1),"
+        f" i -> ((__TH[i] * {HASH_B} + __TH[i+1]) % {P31}) % {num_buckets})"
+    )
+    pre = f"{extra_cols}, " if extra_cols else ""
+    return (
+        f"SELECT {pre}list_concat({uni}, {bi}) AS bl FROM ("
+        f"SELECT {pre}{th} AS __TH FROM ({corpus_sql}))"
+    )
+
+
+def bucket_counts(
+    df: DataFrame, text_col: str = "text", num_buckets: int = DSIR_BUCKETS
+) -> list[int]:
+    """Global bucket-count vector (length ``num_buckets``) — one
+    map-side-combined groupBy capped at ``num_buckets`` keys, collected
+    as O(num_buckets) rows regardless of corpus size."""
+    rows = (
+        with_ngram_buckets(df, text_col, "_B", num_buckets)
+        .select(F.explode("_B").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cnt = [0] * num_buckets
+    for r in rows:
+        cnt[r["b"]] = r["c"]
+    return cnt
+
+
+def log_ratio(target_counts: list[int], raw_counts: list[int]) -> list[float]:
+    """Add-1-smoothed log(p_target[b] / p_raw[b]) per bucket.  Plain
+    ``math.log`` over integer counts: given equal counts, the doubles
+    are identical wherever this runs — the oracle builder calls the
+    same function on counts it derives through DuckDB."""
+    B = len(target_counts)
+    t_tot = float(sum(target_counts) + B)
+    r_tot = float(sum(raw_counts) + B)
+    return [
+        math.log((t + 1) / t_tot) - math.log((r + 1) / r_tot)
+        for t, r in zip(target_counts, raw_counts)
+    ]
+
+
+def dsir_logweights(
+    df: DataFrame,
+    lam: list[float],
+    text_col: str = "text",
+    num_buckets: int = DSIR_BUCKETS,
+    out_col: str = "log_weight",
+) -> DataFrame:
+    """Append ``n_features`` and the rounded per-doc log importance
+    weight.  The score is a sequential JVM fold (document feature
+    order) over an array-literal lookup — shuffle-free, codegen'd."""
+    lam_lit = F.lit(lam)
+    d = with_ngram_buckets(df, text_col, "_B", num_buckets)
+    score = F.aggregate(
+        F.col("_B"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lam_lit, b + 1),
+    )
+    return (
+        d.withColumn("n_features", F.size("_B"))
+        .withColumn(out_col, F.round(score, 6))
+        .drop("_B")
+    )
+
+
+def dsir_logweights_oracle(
+    corpus_sql: str,
+    lam: list[float],
+    num_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB derivation of (doc_id, n_features, log_weight): the same
+    bucket list, the same lambda doubles (inlined as a list literal),
+    summed by ``list_reduce`` in the same order as Spark's fold."""
+    lam_sql = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in lam) + "]"
+    feat = ngram_buckets_oracle_select(corpus_sql, num_buckets, "doc_id")
+    return f"""
+WITH lamt AS (SELECT {lam_sql} AS a),
+feat AS ({feat})
+SELECT doc_id,
+       len(bl) AS n_features,
+       round(list_reduce(
+           list_prepend(0.0::DOUBLE, list_transform(bl, b -> a[b + 1])),
+           (x, y) -> x + y), 6) AS log_weight
+FROM feat, lamt
+"""
+
+
+def gumbel_key(logw: Column, id_col: Column) -> Column:
+    """logw + Gumbel(0,1) noise seeded deterministically from the doc
+    id via the portable integer hash: top-k by this key samples k docs
+    without replacement with probability proportional to exp(logw)
+    (Gumbel-top-k).  Uses JVM ``log`` — deterministic within Spark but
+    not oracle-portable, so resampling queries pin the NOISELESS top-k
+    and this variant is pytest-verified."""
+    h = (id_col.cast("long") * 1103515245 + 12345) % P31
+    u = (h.cast("double") + 1.0) / (P31 + 1.0)
+    return logw + (-F.log(-F.log(u)))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = DSIR_BUCKETS,
+    gumbel: bool = False,
+) -> DataFrame:
+    """End-to-end DSIR: learn target/raw histograms, score raw docs,
+    return the k selected (id, n_features, log_weight) rows.  Top-k is
+    TakeOrderedAndProject on (key desc, id asc) — never a global sort."""
+    lam = log_ratio(
+        bucket_counts(target, text_col, num_buckets),
+        bucket_counts(raw, text_col, num_buckets),
+    )
+    scored = dsir_logweights(raw, lam, text_col, num_buckets)
+    key = (
+        gumbel_key(F.col("log_weight"), F.col(id_col))
+        if gumbel
+        else F.col("log_weight")
+    )
+    return (
+        scored.select(id_col, "n_features", "log_weight", key.alias("__k"))
+        .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__k")
+    )
+
+
+def local_bucket_counts(
+    con, corpus_sql: str, num_buckets: int = DSIR_BUCKETS
+) -> list[int]:
+    """Bucket counts derived through DuckDB (same portable hash) — the
+    oracle builder's independent path to the same integers."""
+    feat = ngram_buckets_oracle_select(corpus_sql, num_buckets)
+    rows = con.sql(
+        f"SELECT b, count(*) AS c FROM ("
+        f"  SELECT unnest(bl) AS b FROM ({feat})"
+        f") GROUP BY b"
+    ).fetchall()
+    cnt = [0] * num_buckets
+    for b, c in rows:
+        cnt[b] = c
+    return cnt

@@ -1,0 +1,94 @@
+"""Driver-contract queries for DSIR importance resampling
+(operators/dsir.py): per-doc log importance weights against an
+English-target distribution, and the top-k selected subset.
+
+Oracle strategy: the bucket-count histograms are derived INDEPENDENTLY
+on each engine (the portable polynomial hash makes them integer-exact);
+the add-1-smoothed log-ratio vector is computed by the same Python
+``math.log`` on each side's counts (bit-identical given equal counts)
+and inlined into the SQL as a list literal; the per-doc sum runs in the
+same feature order on both engines, so ``log_weight`` is value-exact
+before the 6 dp display rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.dsir import (
+    bucket_counts,
+    dsir_logweights,
+    dsir_logweights_oracle,
+    dsir_select,
+    local_bucket_counts,
+    log_ratio,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+from dqspark.sources.catalog import load_table, rebalance
+
+_RAW_SQL = "SELECT doc_id, text FROM documents"
+_TARGET_SQL = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
+_K = 100
+
+
+def _learn_lam_spark(spark: SparkSession, sf_dir: str) -> list[float]:
+    docs = load_table(spark, sf_dir, "documents")
+    return log_ratio(
+        bucket_counts(docs.where(F.col("lang") == "en")),
+        bucket_counts(docs),
+    )
+
+
+def _learn_lam_local() -> list[float]:
+    con = _connect(oracle_sf_dir())
+    return log_ratio(
+        local_bucket_counts(con, _TARGET_SQL),
+        local_bucket_counts(con, _RAW_SQL),
+    )
+
+
+def _weights_oracle() -> str:
+    return dsir_logweights_oracle(_RAW_SQL, _learn_lam_local())
+
+
+@register("dsir_weights", _weights_oracle)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_features, log_weight) for every raw document, scored
+    against the lang='en' target distribution."""
+    lam = _learn_lam_spark(spark, sf_dir)
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return dsir_logweights(docs, lam).select(
+        "doc_id", "n_features", "log_weight"
+    )
+
+
+def _selected_oracle() -> str:
+    w = dsir_logweights_oracle(_RAW_SQL, _learn_lam_local())
+    return (
+        f"SELECT doc_id, n_features, log_weight FROM ({w}) "
+        f"ORDER BY log_weight DESC, doc_id ASC LIMIT {_K}"
+    )
+
+
+@register("dsir_selected", _selected_oracle)
+def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=100 documents DSIR keeps (noiseless top-k by log weight;
+    the Gumbel-resampling variant is pytest-verified — JVM log noise is
+    not oracle-portable)."""
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+    )
+    return dsir_select(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("lang") == "en").select("doc_id", "text"),
+        k=_K,
+    )
+
+
+__all__ = ["q_dsir_weights", "q_dsir_selected"]

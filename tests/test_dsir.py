@@ -1,0 +1,153 @@
+"""DSIR importance-resampling tests beyond the driver oracle: a pure
+Python reference differential for the hashed-feature scoring, selection
+semantics (target-like docs win), Gumbel-top-k determinism, and a
+plan-shape assertion (the scoring pass is shuffle-free)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import FIN_A, FIN_C, HASH_B, P31
+from dqspark.operators.dsir import (
+    bucket_counts,
+    dsir_logweights,
+    dsir_select,
+    gumbel_key,
+    log_ratio,
+    with_ngram_buckets,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference (independent of Spark AND DuckDB)
+# ---------------------------------------------------------------------------
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", (t or "").lower()).strip()
+
+
+def _ref_token_hashes(text: str) -> list[int]:
+    out = []
+    for tok in (x for x in _norm(text).split(" ") if x):
+        h = 0
+        for c in tok:
+            h = (h * HASH_B + ord(c)) % P31
+        out.append((h * FIN_A + FIN_C) % P31)
+    return out
+
+
+def _ref_buckets(text: str, B: int) -> list[int]:
+    th = _ref_token_hashes(text)
+    uni = [h % B for h in th]
+    bi = [((th[i] * HASH_B + th[i + 1]) % P31) % B for i in range(len(th) - 1)]
+    return uni + bi
+
+
+def _ref_logweight(text: str, lam: list[float], B: int) -> float:
+    acc = 0.0
+    for b in _ref_buckets(text, B):
+        acc = acc + lam[b]
+    return round(acc, 6)
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "  Mixed   CASE \t and\nweird   spacing  "),
+    (4, ""),
+    (5, None),
+    (6, "单字 分词 测试 one two one two"),
+]
+
+
+def test_logweights_match_python_reference(spark):
+    B = 64
+    lam = [((b * 37) % 101 - 50) / 997.0 for b in range(B)]
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in dsir_logweights(df, lam, num_buckets=B).collect()
+    }
+    for doc_id, text in DOCS:
+        bl = _ref_buckets(text or "", B)
+        assert got[doc_id] == (len(bl), _ref_logweight(text or "", lam, B))
+
+
+def test_bucket_counts_match_python_reference(spark):
+    B = 64
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    cnt = bucket_counts(df, num_buckets=B)
+    ref = [0] * B
+    for _, text in DOCS:
+        for b in _ref_buckets(text or "", B):
+            ref[b] += 1
+    assert cnt == ref
+
+
+def test_log_ratio_is_smoothed_loglikelihood_ratio():
+    lam = log_ratio([3, 0], [1, 4])
+    t_tot, r_tot = 3 + 2.0, 5 + 2.0
+    assert lam[0] == math.log(4 / t_tot) - math.log(2 / r_tot)
+    assert lam[1] == math.log(1 / t_tot) - math.log(5 / r_tot)
+    assert lam[0] > 0 > lam[1]  # target-heavy bucket up, raw-heavy down
+
+
+def test_select_prefers_target_like_docs(spark):
+    rows = []
+    for i in range(12):
+        rows.append((i, f"alpha beta gamma delta sequence item {i}"))
+    for i in range(12, 24):
+        rows.append((i, f"zeta eta theta iota sequence item {i}"))
+    raw = spark.createDataFrame(rows, "doc_id int, text string")
+    target = spark.createDataFrame(
+        [(100 + j, f"alpha beta gamma delta reference {j}") for j in range(4)],
+        "doc_id int, text string",
+    )
+    picked = {r["doc_id"] for r in dsir_select(raw, target, k=8).collect()}
+    assert picked <= set(range(12)), picked  # all from the alpha group
+    assert len(picked) == 8
+
+
+def test_gumbel_topk_deterministic(spark):
+    rows = [(i, f"token{i % 5} token{i % 7} filler text {i}") for i in range(30)]
+    raw = spark.createDataFrame(rows, "doc_id int, text string")
+    target = spark.createDataFrame(
+        [(99, "token1 token2 token3")], "doc_id int, text string"
+    )
+    a = dsir_select(raw, target, k=10, gumbel=True).collect()
+    b = dsir_select(raw, target, k=10, gumbel=True).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    # noise keys are finite and distinct per doc (hash-seeded, u in (0,1))
+    keys = (
+        dsir_logweights(raw, [0.0] * 8192)
+        .select(gumbel_key(F.col("log_weight"), F.col("doc_id")).alias("g"))
+        .collect()
+    )
+    gs = [r["g"] for r in keys]
+    assert all(math.isfinite(g) for g in gs)
+    assert len(set(gs)) == len(gs)
+
+
+def test_scoring_plan_is_shuffle_free(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lam = [0.001] * 8192
+    plan = (
+        dsir_logweights(docs, lam)
+        .select("doc_id", "n_features", "log_weight")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_feature_order_is_unigrams_then_bigrams(spark):
+    df = spark.createDataFrame([(1, "aa bb cc")], "doc_id int, text string")
+    got = with_ngram_buckets(df, num_buckets=32).collect()[0]["_B"]
+    assert got == _ref_buckets("aa bb cc", 32)
+    assert len(got) == 3 + 2
