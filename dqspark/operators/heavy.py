@@ -1,0 +1,143 @@
+"""Bounded-memory heavy-hitter mining: Misra-Gries candidate sketches
+per partition, merged, then an exact narrow recount of the candidates.
+
+``frequent_token_ngrams`` (operators/ngrams.py) counts by DOCUMENT
+frequency through a full groupBy on the n-gram vocabulary — exact, but
+the shuffle carries the whole vocabulary.  At 100 TB the vocabulary is
+billions of keys; the standard fix is a two-phase sketch-then-verify:
+
+1. **Sketch** (Misra-Gries 1982; merged summaries per Agarwal et al.,
+   "Mergeable Summaries", PODS 2012): each partition keeps at most
+   ``capacity`` counters over its token stream (decrement-all on
+   overflow).  A partition summary undercounts any token by at most
+   n_p/(capacity+1); summed across partitions, every token with true
+   corpus count  c > N/(capacity+1)  survives into the merged candidate
+   set.  The scan is one ``mapInPandas`` pass — no shuffle, state
+   bounded by ``capacity`` regardless of vocabulary size.
+2. **Verify**: the merged candidates (≤ capacity × partitions rows,
+   in practice the heavy head) are broadcast back and recounted
+   EXACTLY in one narrow JVM pass (explode → broadcast semi join →
+   map-side-combined groupBy whose key space is the candidate set, not
+   the vocabulary).
+
+The final top-k therefore equals the exact top-k whenever the true
+k-th count exceeds N/(capacity+1) — ``heavy_tokens`` also returns the
+bound so callers (and tests) can CHECK exactness instead of assuming
+it.  The Python tokenizer inside the sketch only generates candidates;
+any tokenization drift vs the JVM path costs recall margin, never
+wrong counts, because all reported counts come from the JVM recount.
+
+The reference repo has no streaming/sketch analogue (its frequency
+work is eager pandas ``value_counts``); this operator is the web-scale
+generalization in the same family as the dedup suite.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+MG_CAPACITY = 4096
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII), not Python's
+
+
+def _tokens(text_col: str) -> Column:
+    t = normalized(F.coalesce(F.col(text_col), F.lit("")))
+    return F.filter(F.split(t, " "), lambda x: F.length(x) > 0)
+
+
+def _py_tokens(text: str | None) -> list[str]:
+    return [t for t in _WS.sub(" ", (text or "").lower()).strip().split(" ") if t]
+
+
+def mg_candidates(
+    df: DataFrame, text_col: str = "text", capacity: int = MG_CAPACITY
+) -> DataFrame:
+    """(token, est) merged Misra-Gries summaries: one bounded-state scan
+    per partition, then a tiny groupBy over ≤ capacity × partitions
+    summary rows.  ``est`` lower-bounds the true count by N/(capacity+1)."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summ: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                for tok in _py_tokens(text):
+                    if tok in summ:
+                        summ[tok] += 1
+                    elif len(summ) < capacity:
+                        summ[tok] = 1
+                    else:
+                        dead = []
+                        for key in summ:
+                            summ[key] -= 1
+                            if summ[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del summ[key]
+        yield pd.DataFrame(
+            {"token": list(summ.keys()), "est": list(summ.values())}
+        )
+
+    parts = df.select(text_col).mapInPandas(scan, "token string, est long")
+    return parts.groupBy("token").agg(F.sum("est").alias("est"))
+
+
+def heavy_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    capacity: int = MG_CAPACITY,
+    k: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (top-k DataFrame (token, term_freq), audit DataFrame
+    (total_tokens, error_bound, kth_count, is_exact)).
+
+    The top-k is by exact recounted term frequency under a total order
+    (term_freq DESC, token ASC — TakeOrderedAndProject, never a global
+    sort).  ``is_exact`` certifies the sketch: true when the k-th
+    recounted count exceeds N/(capacity+1), i.e. no token outside the
+    candidate set can displace the result."""
+    cands = mg_candidates(df, text_col, capacity).select("token")
+    toks = df.select(F.explode(_tokens(text_col)).alias("token"))
+    exact = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    top = exact.orderBy(
+        F.col("term_freq").desc(), F.col("token").asc()
+    ).limit(k)
+
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    kth = top.agg(F.min("term_freq").alias("kth_count"))
+    audit = total.crossJoin(kth).select(
+        "total_tokens",
+        (F.col("total_tokens") / (capacity + 1)).alias("error_bound"),
+        "kth_count",
+        (
+            F.col("kth_count") > F.col("total_tokens") / (capacity + 1)
+        ).alias("is_exact"),
+    )
+    return top, audit
+
+
+def heavy_tokens_oracle(corpus_sql: str, k: int = 50) -> str:
+    """Exact SQL top-k tokens by term frequency — what the sketch path
+    must reproduce whenever its exactness condition holds."""
+    norm = normalized_oracle("coalesce(text, '')")
+    return f"""
+SELECT token, count(*) AS term_freq
+FROM (
+  SELECT unnest(list_filter(string_split({norm}, ' '), x -> length(x) > 0))
+         AS token
+  FROM ({corpus_sql})
+)
+GROUP BY token
+ORDER BY term_freq DESC, token ASC
+LIMIT {k}
+"""

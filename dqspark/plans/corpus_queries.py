@@ -26,6 +26,7 @@ from dqspark.operators.components import (
     neardup_groups_oracle,
 )
 from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
+from dqspark.operators.heavy import heavy_tokens, heavy_tokens_oracle
 from dqspark.operators.ngrams import (
     frequent_token_ngrams,
     frequent_token_ngrams_oracle,
@@ -310,4 +311,71 @@ _NGRAM_N, _NGRAM_MIN_DF, _NGRAM_K = 3, 5, 100
 def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_token_ngrams(
         _docs_boiler(spark, sf_dir), n=_NGRAM_N, min_df=_NGRAM_MIN_DF, k=_NGRAM_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded-memory heavy hitters (Misra-Gries sketch + exact recount)
+# ---------------------------------------------------------------------------
+
+# The raw documents vocabulary is tiny (31 tokens); appending 8 unique
+# tokens per doc (identical derivation both sides) pushes the
+# vocabulary past the sketch capacity so the candidate set is a real
+# subset of the vocabulary, while the template tokens stay far above
+# the N/(capacity+1) error bound — the regime where sketch top-k ==
+# exact top-k, which the audit query certifies rather than assumes.
+_UNIQ_LETTERS = "abcdefgh"
+_DOCS_UNIQ_SQL = (
+    "SELECT doc_id, text || "
+    + " || ".join(
+        f"' u' || CAST(doc_id AS VARCHAR) || '{c}'" for c in _UNIQ_LETTERS
+    )
+    + " AS text FROM documents"
+)
+_HH_CAP, _HH_K = 2048, 25
+
+
+def _docs_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [F.col("text")]
+    for c in _UNIQ_LETTERS:
+        parts += [F.lit(" u"), F.col("doc_id").cast("string"), F.lit(c)]
+    return rebalance(docs.select("doc_id", F.concat(*parts).alias("text")))
+
+
+@register("heavy_tokens", heavy_tokens_oracle(_DOCS_UNIQ_SQL, k=_HH_K))
+def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top, _ = heavy_tokens(_docs_uniq(spark, sf_dir), capacity=_HH_CAP, k=_HH_K)
+    return top
+
+
+_HH_AUDIT_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(
+           trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+           ' '), x -> length(x) > 0)) AS token
+  FROM ({_DOCS_UNIQ_SQL})
+),
+tot AS (SELECT count(*) AS n FROM toks),
+cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+kth AS (SELECT min(c) AS kc FROM
+        (SELECT c, token FROM cnt ORDER BY c DESC, token ASC LIMIT {_HH_K}))
+SELECT tot.n AS total_tokens,
+       round(tot.n / {_HH_CAP + 1}.0, 4) AS error_bound,
+       kth.kc AS kth_count,
+       kth.kc > tot.n / {_HH_CAP + 1}.0 AS is_exact
+FROM tot, kth
+"""
+
+
+@register("heavy_tokens_audit", _HH_AUDIT_ORACLE)
+def q_heavy_tokens_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, audit = heavy_tokens(
+        _docs_uniq(spark, sf_dir), capacity=_HH_CAP, k=_HH_K
+    )
+    return audit.select(
+        "total_tokens",
+        F.round("error_bound", 4).alias("error_bound"),
+        "kth_count",
+        "is_exact",
     )

@@ -1,0 +1,99 @@
+"""Misra-Gries heavy-hitter tests in the TRUE sketch regime (vocabulary
+far beyond capacity, decrements firing): exactness against a pure
+Python count, the merged-summary survival guarantee, the audit
+certificate's negative case, and Python-vs-JVM tokenizer agreement."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.heavy import (
+    _py_tokens,
+    _tokens,
+    heavy_tokens,
+    mg_candidates,
+)
+
+
+def _corpus(n_docs: int, seed: int = 7) -> list[tuple[int, str]]:
+    """Zipf-ish synthetic: a handful of planted heavies + a long tail of
+    per-doc unique tokens, vocabulary >> any small capacity."""
+    rng = random.Random(seed)
+    heavies = [f"heavy{i}" for i in range(8)]
+    rows = []
+    for d in range(n_docs):
+        toks = []
+        for i, h in enumerate(heavies):
+            toks += [h] * (8 - i + rng.randint(0, 1))
+        toks += [f"uniq{d}x{j}" for j in range(12)]
+        rng.shuffle(toks)
+        rows.append((d, " ".join(toks)))
+    return rows
+
+
+def _exact_counts(rows) -> Counter:
+    c: Counter = Counter()
+    for _, text in rows:
+        c.update(_py_tokens(text))
+    return c
+
+
+def test_sketch_topk_equals_exact_in_decrement_regime(spark):
+    rows = _corpus(300)
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(6)
+    cap, k = 64, 8
+    top, audit = heavy_tokens(df, capacity=cap, k=k)
+    got = [(r["token"], r["term_freq"]) for r in top.collect()]
+    exact = _exact_counts(rows)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+    a = audit.collect()[0]
+    assert a["is_exact"] is True
+    assert a["total_tokens"] == sum(exact.values())
+    # the vocabulary really exceeded capacity — decrements had to fire
+    assert len(exact) > cap * 6
+
+
+def test_merged_candidates_keep_everything_above_bound(spark):
+    rows = _corpus(200, seed=21)
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(4)
+    cap = 48
+    cands = {r["token"] for r in mg_candidates(df, capacity=cap).collect()}
+    exact = _exact_counts(rows)
+    bound = sum(exact.values()) / (cap + 1)
+    missing = {t for t, c in exact.items() if c > bound} - cands
+    assert not missing, missing
+
+
+def test_audit_flags_inexact_when_kth_is_in_the_noise(spark):
+    # k beyond the planted heavies → the k-th count is a tail count
+    # below N/(capacity+1): the certificate must refuse to claim
+    # exactness (whatever the top-k happens to contain).
+    rows = _corpus(300, seed=3)
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(6)
+    _, audit = heavy_tokens(df, capacity=64, k=40)
+    a = audit.collect()[0]
+    assert a["kth_count"] <= a["error_bound"]
+    assert a["is_exact"] is False
+
+
+def test_python_tokenizer_matches_jvm(spark):
+    texts = [
+        "  Mixed   CASE \t and\nweird   spacing  ",
+        "tabs\tand\x0bvertical\fform\rfeeds",
+        "",
+        None,
+        "单字 分词 UPPER lower 123  456",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    jvm = {
+        r["i"]: r["tk"]
+        for r in df.select("i", _tokens("text").alias("tk")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert jvm[i] == _py_tokens(t), (i, t)
