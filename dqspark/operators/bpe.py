@@ -1,0 +1,174 @@
+"""Distributed byte-pair-encoding merge learning (Sennrich/Haddow/Birch,
+"Neural Machine Translation of Rare Words with Subword Units", ACL
+2016) — the vocabulary-construction step every tokenizer build runs
+before a pretraining job.
+
+Classic BPE learning never needs the corpus after the first pass: the
+pair statistics depend only on the (distinct word, frequency) table.
+The distributed shape is therefore:
+
+1. One corpus pass: ``groupBy(token).count()`` — map-side combined,
+   the only stage that touches corpus-sized data.
+2. ``num_merges`` rounds over the WORD table (heavy-tailed vocabulary,
+   orders of magnitude smaller than the corpus): explode adjacent
+   symbol pairs weighted by word frequency, map-side-combined groupBy,
+   and a top-1 under a TOTAL order (count DESC, left ASC, right ASC —
+   TakeOrderedAndProject, one row to the driver per round).  The
+   winning merge is applied to every word's symbol array with a
+   sequential JVM ``aggregate`` fold (greedy left-to-right, exactly
+   the reference semantics for overlapping runs like "aaa" + (a,a)),
+   the table is re-persisted, and the previous round is unpersisted.
+
+Driver state is O(num_merges) rows; executor state is one vocabulary
+partition.  At 10^12 files the vocabulary table is large but
+shuffle-bounded by distinct words, not corpus bytes — the same regime
+as frequent_ngrams, and the round count is the user-chosen merge
+budget, not a function of data size.
+
+The oracle replays the identical algorithm single-process (Python
+Counter + greedy merge) over the same parquet and pins the full
+(merge_rank, lhs, rhs, pair_count) trajectory — any divergence in counts,
+tie-breaks, or merge application surfaces as a value mismatch.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.heavy import _py_tokens, _tokens
+
+BPE_MERGES = 12
+
+
+def _adjacent_pairs(sym: str) -> Column:
+    n = F.size(sym)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col(sym), i).alias("left"),
+            F.element_at(F.col(sym), i + 1).alias("right"),
+        ),
+    )
+
+
+def _apply_merge(sym: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of (left, right) → left+right inside a
+    symbol array — one sequential JVM fold, no Python."""
+    l_, r_, m = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l_)
+            & (x == r_),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(m)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the single corpus-sized pass."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def learn_bpe_merges(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """→ DataFrame (merge_rank, lhs, rhs, pair_count): the first
+    ``num_merges`` BPE merges over whitespace tokens of normalized
+    text, chars as initial symbols.  Stops early if no pair repeats.
+    (lhs/rhs, not left/right — those are SQL keywords and the oracle
+    VALUES table needs bare column names.)"""
+    vocab = word_freq(df, text_col).select(
+        "freq", F.split("word", "").alias("sym")
+    )
+    vocab = vocab.persist()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, num_merges + 1):
+            best = (
+                vocab.select("freq", F.explode(_adjacent_pairs("sym")).alias("p"))
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("freq").alias("pair_count"))
+                .orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("left").asc(),
+                    F.col("right").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["pair_count"] < 2:
+                break
+            b = best[0]
+            merges.append(
+                (rank, b["left"], b["right"], int(b["pair_count"]))
+            )
+            nxt = vocab.select(
+                "freq", _apply_merge("sym", b["left"], b["right"]).alias("sym")
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def learn_bpe_merges_local(
+    texts: list[str | None], num_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Single-process replay of the identical algorithm (the oracle's
+    independent path): same tokenizer, same greedy merge, same total
+    order on ties."""
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(_py_tokens(t))
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w): f for w, f in wf.items()
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs: Counter = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, f in vocab.items():
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + f
+        vocab = nxt
+    return merges

@@ -379,3 +379,34 @@ def q_heavy_tokens_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_count",
         "is_exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge learning
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle() -> str:
+    from dqspark.operators.bpe import BPE_MERGES, learn_bpe_merges_local
+    from dqspark.plans.local_oracle import (
+        _connect,
+        oracle_sf_dir,
+        values_table,
+    )
+
+    con = _connect(oracle_sf_dir())
+    texts = [
+        r[0]
+        for r in con.sql("SELECT text FROM documents ORDER BY doc_id").fetchall()
+    ]
+    rows = learn_bpe_merges_local(texts, BPE_MERGES)
+    return "SELECT merge_rank, lhs, rhs, pair_count FROM " + values_table(
+        rows, ["merge_rank", "lhs", "rhs", "pair_count"]
+    )
+
+
+@register("bpe_merges", _bpe_oracle)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dqspark.operators.bpe import learn_bpe_merges
+
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("text"))
+    return learn_bpe_merges(spark, docs)

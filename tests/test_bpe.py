@@ -1,0 +1,55 @@
+"""Distributed BPE merge-learning tests: randomized differential vs
+the single-process reference, greedy-overlap semantics, tie-breaking,
+and early stop when no pair repeats."""
+
+from __future__ import annotations
+
+import random
+
+from dqspark.operators.bpe import learn_bpe_merges, learn_bpe_merges_local
+
+
+def _run(spark, texts, n):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    ).repartition(4)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in learn_bpe_merges(spark, df, num_merges=n).collect()
+    ]
+    return sorted(got)
+
+
+def test_matches_local_reference_fuzz(spark):
+    rng = random.Random(11)
+    words = ["low", "lower", "lowest", "newer", "wider", "wide", "单字", "字典"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 20)))
+        for _ in range(40)
+    ]
+    texts += [None, "", "   "]
+    assert _run(spark, texts, 10) == sorted(learn_bpe_merges_local(texts, 10))
+
+
+def test_greedy_overlap_left_to_right(spark):
+    # "aaaa" ×3: pair (a,a) counts 9 (overlapping); after the merge the
+    # word is [aa, aa], so round 2 merges (aa, aa) with count 3.
+    texts = ["aaaa aaaa aaaa"]
+    got = _run(spark, texts, 2)
+    want = sorted(learn_bpe_merges_local(texts, 2))
+    assert got == want
+    assert got[0] == (1, "a", "a", 9)
+    assert got[1] == (2, "aa", "aa", 3)
+
+
+def test_tiebreak_is_lexicographic(spark):
+    # (a,b) and (c,d) both occur twice → (a,b) wins rank 1.
+    texts = ["ab cd", "ab cd"]
+    got = _run(spark, texts, 1)
+    assert got == [(1, "a", "b", 2)]
+
+
+def test_early_stop_when_no_pair_repeats(spark):
+    got = _run(spark, ["abc def", "xyz"], 5)
+    # every adjacent pair occurs once → no merge reaches count 2
+    assert got == []
