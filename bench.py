@@ -148,6 +148,10 @@ def main() -> None:
             "video_frames_y4m",
             "embedding_neardup_ivf_home",
             "neardup_ivf_home_recall",
+            "dsir_weights",
+            "dsir_selected",
+            "heavy_tokens",
+            "bpe_merges",
         )
         if q in driver_queries.QUERIES
     ]

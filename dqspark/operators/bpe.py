@@ -172,3 +172,82 @@ def learn_bpe_merges_local(
             nxt[key] = nxt.get(key, 0) + f
         vocab = nxt
     return merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to every document and report token
+    budget stats: (id, n_words, n_chars, n_tokens, chars_per_token).
+
+    Encoding is fully JVM-side: chars → symbols per word, then each
+    merge applied in rank order as one nested ``transform`` over the
+    per-word symbol arrays (the same greedy fold as learning).  No
+    Python, no shuffle — a pure per-row projection, which is what a
+    10^12-file tokenizer-budget sweep has to be."""
+    def _merge_fn(left: str, right: str):
+        # single-arg closure: PySpark derives the lambda-variable count
+        # from the function arity, so default-arg tricks would misbind
+        return lambda s: _apply_merge(s, left, right)
+
+    words = _tokens(text_col)
+    syms = F.transform(words, lambda w: F.split(w, ""))
+    for left, right in merges:
+        syms = F.transform(syms, _merge_fn(left, right))
+    d = df.select(id_col, words.alias("__w"), syms.alias("__s"))
+    n_words = F.size("__w")
+    n_chars = F.aggregate(
+        F.col("__w"), F.lit(0), lambda a, w: a + F.length(w)
+    )
+    n_tokens = F.aggregate(
+        F.col("__s"), F.lit(0), lambda a, s: a + F.size(s)
+    )
+    d = d.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+    )
+    ratio = F.when(
+        F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return d.withColumn("chars_per_token", F.round(ratio, 4))
+
+
+def bpe_encode_stats_local(
+    texts: list[tuple[int, str | None]],
+    merges: list[tuple[str, str]],
+) -> list[tuple[int, int, int, int, float]]:
+    """Single-process replay of :func:`bpe_encode_stats` (oracle path).
+    Rounding is HALF_UP over the shortest decimal repr — Spark's
+    ``round(double, 4)`` semantics — not Python's banker's rounding
+    (1/32 = 0.03125 rounds to 0.0313 there, 0.0312 under ``round``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    rows = []
+    for doc_id, text in texts:
+        toks = _py_tokens(text)
+        n_chars = sum(len(w) for w in toks)
+        n_tokens = 0
+        for w in toks:
+            sym = list(w)
+            for left, right in merges:
+                out: list[str] = []
+                for x in sym:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                sym = out
+            n_tokens += len(sym)
+        ratio = _round4(n_chars / n_tokens) if n_tokens else 0.0
+        rows.append((doc_id, len(toks), n_chars, n_tokens, ratio))
+    return rows

@@ -410,3 +410,43 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = rebalance(load_table(spark, sf_dir, "documents").select("text"))
     return learn_bpe_merges(spark, docs)
+
+
+def _bpe_encode_oracle() -> str:
+    from dqspark.operators.bpe import (
+        BPE_MERGES,
+        bpe_encode_stats_local,
+        learn_bpe_merges_local,
+    )
+    from dqspark.plans.local_oracle import (
+        _connect,
+        oracle_sf_dir,
+        values_table,
+    )
+
+    con = _connect(oracle_sf_dir())
+    pairs = con.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    merges = [(l, r) for _, l, r, _ in learn_bpe_merges_local(
+        [t for _, t in pairs], BPE_MERGES
+    )]
+    rows = bpe_encode_stats_local(pairs, merges)
+    return (
+        "SELECT doc_id, n_words, n_chars, n_tokens, chars_per_token FROM "
+        + values_table(
+            rows, ["doc_id", "n_words", "n_chars", "n_tokens", "chars_per_token"]
+        )
+    )
+
+
+@register("bpe_encode_stats", _bpe_encode_oracle)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dqspark.operators.bpe import bpe_encode_stats, learn_bpe_merges
+
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe_merges(spark, docs).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode_stats(docs, merges)

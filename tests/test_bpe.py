@@ -53,3 +53,32 @@ def test_early_stop_when_no_pair_repeats(spark):
     got = _run(spark, ["abc def", "xyz"], 5)
     # every adjacent pair occurs once → no merge reaches count 2
     assert got == []
+
+
+def test_encode_stats_match_local_reference(spark):
+    from dqspark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_encode_stats_local,
+        learn_bpe_merges_local,
+    )
+
+    texts = [
+        (0, "low lower lowest low low"),
+        (1, "newer wider wide wide"),
+        (2, None),
+        (3, "  a  aa aaa aaaa "),
+        (4, "单字 单字 字典"),
+    ]
+    merges = [(l, r) for _, l, r, _ in learn_bpe_merges_local(
+        [t for _, t in texts], 6
+    )]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = sorted(
+        (r["doc_id"], r["n_words"], r["n_chars"], r["n_tokens"],
+         r["chars_per_token"])
+        for r in bpe_encode_stats(df, merges).collect()
+    )
+    assert got == sorted(bpe_encode_stats_local(texts, merges))
+    # merges actually shrank the token count somewhere
+    base = sum(r[2] for r in got)  # chars = token count with no merges
+    assert sum(r[3] for r in got) < base
