@@ -49,6 +49,7 @@ from dqspark.operators.dedup import (
     token_hash,
     token_hashes_oracle,
 )
+from dqspark.sources.catalog import rebalance
 
 DSIR_BUCKETS = 8192
 
@@ -117,16 +118,26 @@ def bucket_counts(
     """Global bucket-count vector (length ``num_buckets``) — one
     map-side-combined groupBy capped at ``num_buckets`` keys, collected
     as O(num_buckets) rows regardless of corpus size."""
+    # rebalance BEFORE featurizing: the hash fold is the CPU-bound step,
+    # and a single-row-group parquet input would otherwise pin the whole
+    # featurize+count pass to 1-2 cores.  explode_outer, NOT explode:
+    # for a plain explode, InferFiltersFromGenerate adds a size(_B) > 0
+    # predicate that PushDownPredicates then pushes below the round-robin
+    # Exchange — re-evaluating the entire featurization expression on the
+    # unsplittable single-partition scan side (measured: 53 s -> 1.5 s at
+    # sf0.1).  Outer generate infers no filter; empty docs contribute one
+    # NULL bucket row each, skipped at the driver.
     rows = (
-        with_ngram_buckets(df, text_col, "_B", num_buckets)
-        .select(F.explode("_B").alias("b"))
+        with_ngram_buckets(rebalance(df), text_col, "_B", num_buckets)
+        .select(F.explode_outer("_B").alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
     cnt = [0] * num_buckets
     for r in rows:
-        cnt[r["b"]] = r["c"]
+        if r["b"] is not None:
+            cnt[r["b"]] = r["c"]
     return cnt
 
 
