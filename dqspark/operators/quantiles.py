@@ -1,0 +1,200 @@
+"""Exact distributed quantiles by iterative histogram refinement — no
+global sort, no full-column shuffle.
+
+``percentile`` / ``approx_percentile`` trade exactness for one pass;
+a global ``orderBy`` + row_number is exact but all-to-one.  The
+standard scale-out exact algorithm (the BigQuery/Hive "histogram
+bisection" family) refines instead:
+
+1. one agg pass for (count, min, max);
+2. per round, ONE narrow scan builds a fixed-width histogram of every
+   still-active quantile's candidate region (``num_buckets`` counters
+   per quantile — a map-side-combined groupBy whose key space is
+   O(quantiles × buckets), independent of row count);
+3. the driver walks each histogram to the bucket containing the target
+   rank and shrinks that quantile's region to it — the region row
+   count drops ~``num_buckets``× per round;
+4. when a region holds ≤ ``collect_threshold`` rows, they are
+   collected and the exact rank element is read off locally.
+
+Region membership is defined by the CONJUNCTION of every ancestor
+round's bucket formula (``least(B-1, floor((v-lo)*B/(hi-lo))) == j``),
+never by derived open/closed float bounds — so boundary values can
+never be double-counted or lost to float rounding, and the histogram
+counts are exactly the region row counts the driver reasons about.
+
+Rank convention is the classic type-1 (lower) quantile with integer
+arithmetic end-to-end:  rank(p) = max(1, ceil(p·n)) computed as
+``(p_bp·n + 9999) // 10000`` over basis-point integers — bit-equal in
+any engine, no float p·n boundary surprises.
+
+The reference repo's percentile needs are eager pandas ``quantile``
+(single process); this operator is the distributed-exact counterpart.
+Scale notes: the value column is persisted once (column-pruned, ~8
+bytes/row); rounds are O(log_B(n / threshold)) — 3 rounds cover 10^12
+rows at B=4096 — and every round is one scan + an O(q·B)-row collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_BUCKETS = 1024
+COLLECT_THRESHOLD = 4096
+MAX_ROUNDS = 64
+
+
+def rank_of(p_bp: int, n: int) -> int:
+    """1-based target rank for basis-point quantile ``p_bp`` over ``n``
+    rows: max(1, ceil(p_bp/10000 * n)) in pure integer arithmetic."""
+    return max(1, (p_bp * n + 9999) // 10000)
+
+
+@dataclass
+class _Target:
+    p_bp: int
+    rank: int          # global 1-based rank wanted
+    below: int = 0     # rows strictly before the current region
+    count: int = 0     # rows in the current region
+    lo: float = 0.0    # region scaling bounds for the NEXT histogram
+    hi: float = 0.0
+    splits: list = field(default_factory=list)  # [(lo, hi, j), ...]
+    value: float | None = None
+
+
+def _bucket(v: Column, lo: float, hi: float, num_buckets: int) -> Column:
+    w = F.lit(hi) - F.lit(lo)
+    raw = F.floor((v - F.lit(lo)) * num_buckets / w).cast("int")
+    return F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
+
+
+def _region_pred(v: Column, t: _Target, num_buckets: int) -> Column:
+    pred = v.isNotNull()
+    for lo, hi, j in t.splits:
+        pred = pred & (_bucket(v, lo, hi, num_buckets) == j)
+    return pred
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    p_bps: list[int],
+    num_buckets: int = NUM_BUCKETS,
+    collect_threshold: int = COLLECT_THRESHOLD,
+) -> list[tuple[int, int, float]]:
+    """→ [(p_bp, rank, value)] — the exact type-1 quantile element for
+    each basis-point fraction, over non-null ``value_col`` doubles."""
+    d = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+        .persist()
+    )
+    try:
+        stats = d.agg(
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ).collect()[0]
+        n = stats["n"]
+        if n == 0:
+            return []
+        targets = [
+            _Target(p, rank_of(p, n), 0, n, float(stats["mn"]), float(stats["mx"]))
+            for p in sorted(p_bps)
+        ]
+
+        for _ in range(MAX_ROUNDS):
+            active = [
+                t
+                for t in targets
+                if t.value is None
+                and t.count > collect_threshold
+                and t.lo < t.hi
+            ]
+            if not active:
+                break
+            # one scan: per active target, its region's bucket index
+            v = F.col("v")
+            arms = [
+                F.when(
+                    _region_pred(v, t, num_buckets),
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _bucket(v, t.lo, t.hi, num_buckets).alias("b"),
+                    ),
+                )
+                for i, t in enumerate(active)
+            ]
+            hist = (
+                d.select(
+                    F.explode_outer(
+                        F.filter(F.array(*arms), lambda s: s.isNotNull())
+                    ).alias("s")
+                )
+                .where(F.col("s").isNotNull())
+                .groupBy("s.i", "s.b")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            counts: dict[int, dict[int, int]] = {}
+            for r in hist:
+                counts.setdefault(r["i"], {})[r["b"]] = r["c"]
+            for i, t in enumerate(active):
+                need = t.rank - t.below
+                cum = 0
+                hh = counts.get(i, {})
+                for j in range(num_buckets):
+                    c = hh.get(j, 0)
+                    if cum + c >= need:
+                        w = (t.hi - t.lo) / num_buckets
+                        lo2 = t.lo + j * w
+                        hi2 = t.hi if j == num_buckets - 1 else t.lo + (j + 1) * w
+                        t.splits.append((t.lo, t.hi, j))
+                        t.below += cum
+                        t.count = c
+                        t.lo, t.hi = lo2, hi2
+                        break
+                    cum += c
+                if t.lo >= t.hi:
+                    # region collapsed to a single representable double
+                    t.value = t.lo
+
+        for t in targets:
+            if t.value is not None:
+                continue
+            vals = sorted(
+                r["v"]
+                for r in d.where(
+                    _region_pred(F.col("v"), t, num_buckets)
+                ).collect()
+            )
+            t.value = vals[t.rank - t.below - 1]
+        return [(t.p_bp, t.rank, t.value) for t in targets]
+    finally:
+        d.unpersist()
+
+
+def exact_quantiles_oracle_sql(
+    source_sql: str, value_expr: str, p_bps: list[int]
+) -> str:
+    """DuckDB reference: rank via the same integer formula, element via
+    row_number over a full sort (the thing the Spark path avoids)."""
+    ps = ", ".join(str(p) for p in sorted(p_bps))
+    return f"""
+WITH vals AS (
+  SELECT {value_expr}::DOUBLE AS v FROM ({source_sql})
+  WHERE {value_expr} IS NOT NULL
+),
+s AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS n
+  FROM vals
+),
+ps AS (SELECT unnest([{ps}]) AS p_bp)
+SELECT CAST(p_bp AS DOUBLE) / 10000.0::DOUBLE AS p,
+       greatest(1, (p_bp * n + 9999) // 10000) AS rank,
+       v AS value
+FROM ps JOIN s ON s.r = greatest(1, (p_bp * n + 9999) // 10000)
+"""

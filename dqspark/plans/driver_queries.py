@@ -618,3 +618,4 @@ from dqspark.plans import corpus_queries  # noqa: E402,F401  (registration side-
 from dqspark.plans import audit_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import code_filter_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import dsir_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import stats_queries  # noqa: E402,F401  (registration side-effect)

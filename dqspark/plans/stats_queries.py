@@ -1,0 +1,52 @@
+"""Driver-contract queries for the distributed statistics sketches:
+exact quantiles by histogram refinement (operators/quantiles.py) and
+the HyperLogLog distinct sketch (operators/hll.py).
+
+Oracle strategy: the quantile ranks use integer basis-point arithmetic
+(identical in any engine) and the values are data elements read from
+the same parquet — DuckDB finds them by full sort + row_number, the
+exact plan shape the Spark path exists to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dqspark.operators.quantiles import (
+    exact_quantiles,
+    exact_quantiles_oracle_sql,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+_Q_BPS = [100, 1000, 2500, 5000, 7500, 9000, 9900]
+
+_QUANTILE_SCHEMA = T.StructType(
+    [
+        T.StructField("p", T.DoubleType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "exact_quantiles",
+    exact_quantiles_oracle_sql("SELECT * FROM orders", "o_totalprice", _Q_BPS),
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p, rank, value) — exact order-statistic elements of
+    orders.o_totalprice at seven quantiles, found by iterative
+    histogram refinement instead of a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows = [
+        (p_bp / 10000.0, rank, value)
+        for p_bp, rank, value in exact_quantiles(
+            orders, "o_totalprice", _Q_BPS
+        )
+    ]
+    return spark.createDataFrame(rows, _QUANTILE_SCHEMA)
+
+
+__all__ = ["q_exact_quantiles"]

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.quantiles import exact_quantiles, rank_of
+
+
+def _ref(vals: list[float], p_bps: list[int]) -> list[tuple[int, int, float]]:
+    s = sorted(vals)
+    n = len(s)
+    return [(p, rank_of(p, n), s[rank_of(p, n) - 1]) for p in sorted(p_bps)]
+
+
+def test_matches_full_sort_on_uniform(spark):
+    rng = random.Random(7)
+    vals = [rng.uniform(-100, 100) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    p_bps = [100, 2500, 5000, 7500, 9999]
+    got = exact_quantiles(df, "v", p_bps, num_buckets=16, collect_threshold=32)
+    assert got == _ref(vals, p_bps)
+
+
+def test_multi_round_refinement_on_skew(spark):
+    # 99% of mass in a tiny sliver plus far outliers: bucket 0 stays
+    # over-threshold for several rounds with only 8 buckets
+    rng = random.Random(11)
+    vals = [rng.uniform(0.0, 1e-6) for _ in range(4000)]
+    vals += [rng.uniform(1e9, 2e9) for _ in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    p_bps = [500, 5000, 9950]
+    got = exact_quantiles(df, "v", p_bps, num_buckets=8, collect_threshold=16)
+    assert got == _ref(vals, p_bps)
+
+
+def test_duplicates_and_boundaries(spark):
+    # heavy ties: every value appears 100x; rank arithmetic must land
+    # on exact elements, never interpolate
+    vals = [float(i % 13) for i in range(1300)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    p_bps = [1, 2500, 5000, 10000]
+    got = exact_quantiles(df, "v", p_bps, num_buckets=4, collect_threshold=8)
+    assert got == _ref(vals, p_bps)
+    assert got[0][1] == 1 and got[-1][1] == 1300  # rank extremes
+
+
+def test_nulls_ignored_and_empty(spark):
+    df = spark.createDataFrame(
+        [(None,), (3.0,), (1.0,), (None,), (2.0,)], "v double"
+    )
+    got = exact_quantiles(df, "v", [5000], collect_threshold=2)
+    assert got == [(5000, 2, 2.0)]
+    empty = df.where(F.col("v") > 100)
+    assert exact_quantiles(empty, "v", [5000]) == []
