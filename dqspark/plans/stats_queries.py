@@ -11,14 +11,22 @@ exact plan shape the Spark path exists to avoid.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dqspark.operators.hll import (
+    collect_registers,
+    hll_estimate,
+    hll_registers,
+    hll_registers_oracle_sql,
+)
 from dqspark.operators.quantiles import (
     exact_quantiles,
     exact_quantiles_oracle_sql,
 )
 from dqspark.plans.driver_queries import register
-from dqspark.sources.catalog import load_table
+from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+from dqspark.sources.catalog import load_table, rebalance
 
 _Q_BPS = [100, 1000, 2500, 5000, 7500, 9000, 9900]
 
@@ -49,4 +57,87 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _QUANTILE_SCHEMA)
 
 
-__all__ = ["q_exact_quantiles"]
+# ---------------------------------------------------------------------------
+# HLL distinct sketch: register table (full value oracle) + audit row
+# (sketch estimate vs exact distinct, same estimator Python both sides).
+# Key set: orders.o_orderkey as a string — the bounded-memory version
+# of the column-profile distinct-ratio check (§2 A7) on the highest-
+# cardinality column the fixtures have (fully distinct, grows with SF),
+# so the audit row measures real sketch error, not a degenerate case.
+# ---------------------------------------------------------------------------
+
+_KEYS_SQL = "SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders"
+
+
+def _orderkey_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rebalance(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("string").alias("key")
+        )
+    )
+
+
+@register("hll_registers", hll_registers_oracle_sql(_KEYS_SQL))
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperLogLog register table (register, max_rho) for the
+    orders.o_orderkey key set — integer-exact across engines."""
+    return hll_registers(_orderkey_keys(spark, sf_dir))
+
+
+_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("registers_used", T.LongType()),
+        T.StructField("estimate", T.DoubleType()),
+        T.StructField("exact_distinct", T.LongType()),
+        T.StructField("rel_error_pct", T.DoubleType()),
+    ]
+)
+
+
+def _audit_row(regs: dict[int, int], exact: int) -> tuple:
+    est = hll_estimate(regs)
+    return (len(regs), est, exact, (est - exact) / exact * 100.0)
+
+
+@register("hll_distinct_audit")
+def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(registers_used, estimate, exact_distinct, rel_error_pct) — the
+    sketch's measured error vs an exact distinct count of the same
+    key set."""
+    keys = _orderkey_keys(spark, sf_dir).persist()
+    try:
+        regs = collect_registers(hll_registers(keys))
+        exact = keys.agg(
+            F.countDistinct("key").alias("d")
+        ).collect()[0]["d"]
+    finally:
+        keys.unpersist()
+    return spark.createDataFrame([_audit_row(regs, exact)], _AUDIT_SCHEMA)
+
+
+def _hll_audit_oracle() -> str:
+    con = _connect(oracle_sf_dir())
+    regs = {
+        r: mr
+        for r, mr in con.sql(hll_registers_oracle_sql(_KEYS_SQL)).fetchall()
+    }
+    exact = con.sql(
+        f"SELECT count(DISTINCT key) FROM ({_KEYS_SQL})"
+    ).fetchone()[0]
+    used, est, exact, err = _audit_row(regs, exact)
+    return (
+        f"SELECT {used}::BIGINT AS registers_used,"
+        f" CAST('{est!r}' AS DOUBLE) AS estimate,"
+        f" {exact}::BIGINT AS exact_distinct,"
+        f" CAST('{err!r}' AS DOUBLE) AS rel_error_pct"
+    )
+
+
+# late-bind the lazy oracle (built at driver time — it reads the local
+# parquet through DuckDB, like the model-replication oracles)
+from dqspark.plans.driver_queries import ORACLES  # noqa: E402
+
+ORACLES["hll_distinct_audit"] = _hll_audit_oracle
+
+
+__all__ = ["q_exact_quantiles", "q_hll_registers", "q_hll_distinct_audit"]

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.hll import (
+    HLL_M,
+    collect_registers,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _est_for_keys(spark, keys: list[str]) -> float:
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    return hll_estimate(collect_registers(hll_registers(df)))
+
+
+def test_error_within_bound_on_sequential_ids(spark):
+    # sequential integer ids are the adversarial structured input the
+    # nonlinear mix exists for; 3x the 1.04/sqrt(m) std error bound
+    for n in (500, 5000, 20000):
+        est = _est_for_keys(spark, [str(i) for i in range(n)])
+        assert abs(est - n) / n < 3 * 1.04 / (HLL_M**0.5), (n, est)
+
+
+def test_duplicates_do_not_inflate(spark):
+    once = _est_for_keys(spark, [str(i) for i in range(1000)])
+    thrice = _est_for_keys(spark, [str(i % 1000) for i in range(3000)])
+    assert once == thrice  # registers are max-merged, copies are no-ops
+
+
+def test_small_range_linear_counting(spark):
+    est = _est_for_keys(spark, [f"k{i}" for i in range(10)])
+    assert abs(est - 10) < 1.0
+
+
+def test_register_table_bounded(spark):
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(50000)], "key string"
+    )
+    regs = hll_registers(df)
+    assert regs.count() <= HLL_M
+    row = regs.agg(
+        F.min("register"), F.max("register"), F.min("max_rho")
+    ).collect()[0]
+    assert row[0] >= 0 and row[1] < HLL_M and row[2] >= 1
