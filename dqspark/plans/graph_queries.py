@@ -1,0 +1,87 @@
+"""Driver-contract query for import-graph PageRank
+(operators/pagerank.py): repo-importance ranking over a deterministic
+imports graph derived from the documents fixture.
+
+Graph synthesis (identical integer arithmetic on both engines): every
+document is a file in repo ``doc_id % 97`` importing a module owned by
+repo ``(doc_id*31 + 7) % 97``; every third file imports a second
+module owned by ``(doc_id*17 + 3) % 97``.  Self-loops and duplicate
+edges are dropped by the operator on both paths.
+
+Oracle strategy: the recurrence is exact fixed-point integer
+arithmetic, so the single-process replay (pagerank_replay) over the
+DuckDB-derived edge list produces bit-identical ranks to the
+distributed join/groupBy iteration — emitted as a VALUES table, the
+same replay-oracle protocol as the BPE merge learner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.pagerank import (
+    PR_SCALE,
+    pagerank_fixed_point,
+    pagerank_replay,
+)
+from dqspark.plans.driver_queries import ORACLES, register
+from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+
+_N_REPOS = 97
+_PR_ITERS = 8
+
+_EDGES_SQL = f"""
+SELECT doc_id % {_N_REPOS} AS src, (doc_id * 31 + 7) % {_N_REPOS} AS dst
+FROM documents
+UNION ALL
+SELECT doc_id % {_N_REPOS}, (doc_id * 17 + 3) % {_N_REPOS}
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def _import_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dqspark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.select(
+        (d % _N_REPOS).alias("src"), ((d * 31 + 7) % _N_REPOS).alias("dst")
+    )
+    e2 = docs.where(d % 3 == 0).select(
+        (d % _N_REPOS).alias("src"), ((d * 17 + 3) % _N_REPOS).alias("dst")
+    )
+    return e1.union(e2)
+
+
+@register("import_pagerank")
+def q_import_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, rank_fp, rank) — fixed-point PageRank of every repo in
+    the imports graph after 8 exact integer iterations."""
+    ranks = pagerank_fixed_point(
+        _import_edges(spark, sf_dir), iters=_PR_ITERS
+    )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        (F.col("rank_fp") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    con = _connect(oracle_sf_dir())
+    edges = con.sql(_EDGES_SQL).fetchall()
+    ranks = pagerank_replay(edges, iters=_PR_ITERS)
+    rows = ", ".join(
+        f"({n}, {fp}, CAST('{fp / PR_SCALE!r}' AS DOUBLE))"
+        for n, fp in sorted(ranks.items())
+    )
+    return (
+        f"SELECT node::BIGINT AS node, rank_fp::BIGINT AS rank_fp, rank "
+        f"FROM (VALUES {rows}) AS t(node, rank_fp, rank)"
+    )
+
+
+ORACLES["import_pagerank"] = _pagerank_oracle
+
+__all__ = ["q_import_pagerank"]

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import random
+
+from dqspark.operators.pagerank import (
+    PR_BASE,
+    pagerank_fixed_point,
+    pagerank_replay,
+)
+
+
+def _spark_ranks(spark, edges, iters=8, parts=None):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    if parts:
+        df = df.repartition(parts)
+    rows = pagerank_fixed_point(df, iters=iters).collect()
+    return {r["node"]: r["rank_fp"] for r in rows}
+
+
+def test_matches_replay_bit_exact_any_partitioning(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    want = pagerank_replay(edges)
+    assert _spark_ranks(spark, edges, parts=1) == want
+    assert _spark_ranks(spark, edges, parts=7) == want
+
+
+def test_hub_outranks_leaf(spark):
+    # star: everyone imports repo 0; repo 0 imports repo 1
+    edges = [(i, 0) for i in range(1, 10)] + [(0, 1)]
+    ranks = _spark_ranks(spark, edges)
+    # the hub and the module it imports both dominate the leaves
+    assert ranks[0] > ranks[2] and ranks[1] > ranks[2]
+    assert ranks[2] == PR_BASE  # no in-edges: exactly the base term
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    plain = _spark_ranks(spark, [(1, 2), (2, 3)])
+    noisy = _spark_ranks(
+        spark, [(1, 2), (1, 2), (2, 3), (1, 1), (3, 3), (2, 3)]
+    )
+    assert plain == noisy
