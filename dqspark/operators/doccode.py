@@ -1,0 +1,96 @@
+"""Doc-code pair mining: extract (function, params, docstring) pairs
+from source files — the CodeSearchNet protocol (Husain et al., "
+CodeSearchNet Challenge", arXiv 2019) that produces text-to-code
+training pairs from raw repositories.
+
+The extraction is a single JVM regex projection per file (one
+``regexp_extract_all`` per capture group over the same pattern — the
+match lists are index-aligned by construction, zipped and exploded),
+followed by CodeSearchNet's filter rule: pairs whose docstring has
+fewer than ``MIN_DOC_TOKENS`` whitespace tokens are labeled drop
+(too short to describe the code).
+
+Engine portability: the pattern uses only constructs with identical
+semantics in Java regex (Spark) and RE2 (DuckDB) — literal text,
+``\\w``/``[^...]`` classes, ``\\n`` — so the oracle runs the same
+extraction SQL-side.  No Python in the hot path; at 100 TB this is a
+shuffle-free scan stage (the explode multiplies rows by pairs-per-
+file, bounded by file size).
+
+The reference repo has no pair-mining analogue; this belongs to the
+code-corpus curation family the graft adds (SURVEY.md §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# def name(params):\n    """docstring"""  — Python-style, both engines
+_PAIR_RE = r'def (\w+)\(([^)]*)\):\n    """([^"]+)"""'
+MIN_DOC_TOKENS = 3
+
+
+def _doc_tokens(ds) -> F.Column:
+    return F.size(
+        F.filter(F.split(ds, " "), lambda x: F.length(x) > 0)
+    ).cast("long")
+
+
+def extract_doc_code_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, func_name, params, docstring, doc_tokens, keep) —
+    one row per def-with-docstring occurrence, in file order."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    pat = F.lit(_PAIR_RE)
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(c, pat, F.lit(1)).alias("func_name"),
+        F.regexp_extract_all(c, pat, F.lit(2)).alias("params"),
+        F.regexp_extract_all(c, pat, F.lit(3)).alias("docstring"),
+    )
+    # explode_outer + null-filter: a plain explode would infer a
+    # size>0 predicate and push the regex below any upstream Exchange
+    # (see operators/dsir.py bucket_counts)
+    d = (
+        df.select(id_col, F.explode_outer(zipped).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(
+            id_col, "p.func_name", "p.params", "p.docstring"
+        )
+    )
+    toks = _doc_tokens(F.col("docstring"))
+    return d.select(
+        id_col,
+        "func_name",
+        "params",
+        "docstring",
+        toks.alias("doc_tokens"),
+        (toks >= MIN_DOC_TOKENS).alias("keep"),
+    )
+
+
+def doc_code_pairs_oracle_sql(
+    corpus_sql: str, text_expr: str = "text", id_expr: str = "doc_id"
+) -> str:
+    """DuckDB mirror: the same RE2-compatible pattern, one
+    regexp_extract_all per group, zipped positionally by unnest."""
+    p = _PAIR_RE.replace("'", "''")
+    ext = (
+        f"regexp_extract_all(coalesce({text_expr}, ''), '{p}', {{g}})"
+    )
+    return f"""
+WITH pairs AS (
+  SELECT {id_expr} AS doc_id,
+         unnest({ext.format(g=1)}) AS func_name,
+         unnest({ext.format(g=2)}) AS params,
+         unnest({ext.format(g=3)}) AS docstring
+  FROM ({corpus_sql})
+)
+SELECT doc_id, func_name, params, docstring,
+       len(list_filter(string_split(docstring, ' '),
+           x -> length(x) > 0))::BIGINT AS doc_tokens,
+       len(list_filter(string_split(docstring, ' '),
+           x -> length(x) > 0)) >= {MIN_DOC_TOKENS} AS keep
+FROM pairs
+"""

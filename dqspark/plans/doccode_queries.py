@@ -1,0 +1,95 @@
+"""Driver-contract queries for doc-code pair mining
+(operators/doccode.py) over a deterministically planted Python-like
+corpus.
+
+Planting (identical on both engines): every document becomes a .py
+file carrying one ``def`` with a docstring whose token count cycles
+1..4 (so the CodeSearchNet min-token filter exercises both keep and
+drop); every 4th file carries a second def; every 9th file carries a
+def WITHOUT a docstring (must extract nothing); the natural-language
+document text trails as a comment-free code body the regex must not
+match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.doccode import (
+    doc_code_pairs_oracle_sql,
+    extract_doc_code_pairs,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table, rebalance
+
+_DOCS = [
+    "short.",
+    "adds two values.",
+    "returns the scaled result value.",
+    "computes the final aggregate of both input values.",
+]
+
+_TQ = '"' * 3  # a literal triple quote for the planted docstrings
+
+_PY_CORPUS_SQL = f"""
+SELECT doc_id,
+       'def fn' || CAST(doc_id % 50 AS VARCHAR) || '(a, b):' || chr(10)
+    || '    {_TQ}' ||
+       (CASE doc_id % 4 WHEN 0 THEN '{_DOCS[0]}' WHEN 1 THEN '{_DOCS[1]}'
+             WHEN 2 THEN '{_DOCS[2]}' ELSE '{_DOCS[3]}' END)
+    || '{_TQ}' || chr(10) || '    return a' || chr(10)
+    || CASE WHEN doc_id % 4 = 0
+            THEN 'def helper' || CAST(doc_id % 31 AS VARCHAR) || '(x):'
+              || chr(10) || '    {_TQ}' || '{_DOCS[2]}' || '{_TQ}' || chr(10)
+              || '    return x' || chr(10)
+            ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+            THEN 'def bare' || CAST(doc_id % 13 AS VARCHAR) || '(y):'
+              || chr(10) || '    return y' || chr(10)
+            ELSE '' END
+    || text AS text
+FROM documents
+"""
+
+
+def _py_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    doc0 = (
+        F.when(d % 4 == 0, _DOCS[0])
+        .when(d % 4 == 1, _DOCS[1])
+        .when(d % 4 == 2, _DOCS[2])
+        .otherwise(_DOCS[3])
+    )
+    text = F.concat(
+        F.lit("def fn"), (d % 50).cast("string"), F.lit('(a, b):\n    """'),
+        doc0,
+        F.lit('"""\n    return a\n'),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("def helper"), (d % 31).cast("string"),
+                F.lit('(x):\n    """' + _DOCS[2] + '"""\n    return x\n'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 9 == 0,
+            F.concat(
+                F.lit("def bare"), (d % 13).cast("string"),
+                F.lit("(y):\n    return y\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    return rebalance(docs.select("doc_id", text.alias("text")))
+
+
+@register("doc_code_pairs", doc_code_pairs_oracle_sql(_PY_CORPUS_SQL))
+def q_doc_code_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, func_name, params, docstring, doc_tokens, keep) — all
+    mined text-to-code pairs with the CodeSearchNet min-token verdict."""
+    return extract_doc_code_pairs(_py_corpus(spark, sf_dir))
+
+
+__all__ = ["q_doc_code_pairs"]

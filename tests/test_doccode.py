@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+from dqspark.operators.doccode import extract_doc_code_pairs
+
+_FILE = (
+    'def add(a, b):\n    """adds the two input values."""\n    return a + b\n'
+    "def bare(y):\n    return y\n"
+    'def tiny(x):\n    """x."""\n    return x\n'
+)
+
+
+def test_extracts_pairs_and_filters(spark):
+    df = spark.createDataFrame([(1, _FILE), (2, "no defs here"), (3, None)],
+                               "doc_id long, text string")
+    rows = {
+        r["func_name"]: r
+        for r in extract_doc_code_pairs(df).collect()
+    }
+    assert set(rows) == {"add", "tiny"}  # bare def: no docstring, no pair
+    assert rows["add"]["params"] == "a, b"
+    assert rows["add"]["docstring"] == "adds the two input values."
+    assert rows["add"]["doc_tokens"] == 5 and rows["add"]["keep"]
+    assert rows["tiny"]["doc_tokens"] == 1 and not rows["tiny"]["keep"]
+
+
+def test_multiple_pairs_keep_file_order(spark):
+    f = (
+        'def a1(x):\n    """first one here."""\n    pass\n'
+        'def a2(y):\n    """second one here."""\n    pass\n'
+    )
+    df = spark.createDataFrame([(7, f)], "doc_id long, text string")
+    got = [r["func_name"] for r in extract_doc_code_pairs(df).collect()]
+    assert got == ["a1", "a2"]
