@@ -162,16 +162,34 @@ def exact_quantiles(
                     # region collapsed to a single representable double
                     t.value = t.lo
 
-        for t in targets:
-            if t.value is not None:
-                continue
-            vals = sorted(
-                r["v"]
-                for r in d.where(
-                    _region_pred(F.col("v"), t, num_buckets)
-                ).collect()
+        pending = [t for t in targets if t.value is None]
+        if pending:
+            # ONE finalize scan for every pending target (each region
+            # holds <= collect_threshold rows), not a job per quantile
+            v = F.col("v")
+            arms = [
+                F.when(
+                    _region_pred(v, t, num_buckets),
+                    F.struct(F.lit(i).alias("i"), v.alias("v")),
+                )
+                for i, t in enumerate(pending)
+            ]
+            rows = (
+                d.select(
+                    F.explode_outer(
+                        F.filter(F.array(*arms), lambda s: s.isNotNull())
+                    ).alias("s")
+                )
+                .where(F.col("s").isNotNull())
+                .select("s.i", "s.v")
+                .collect()
             )
-            t.value = vals[t.rank - t.below - 1]
+            by_target: dict[int, list[float]] = {}
+            for r in rows:
+                by_target.setdefault(r["i"], []).append(r["v"])
+            for i, t in enumerate(pending):
+                vals = sorted(by_target[i])
+                t.value = vals[t.rank - t.below - 1]
         return [(t.p_bp, t.rank, t.value) for t in targets]
     finally:
         d.unpersist()
