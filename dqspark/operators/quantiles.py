@@ -6,16 +6,17 @@ a global ``orderBy`` + row_number is exact but all-to-one.  The
 standard scale-out exact algorithm (the BigQuery/Hive "histogram
 bisection" family) refines instead:
 
-1. one agg pass for (count, min, max);
+1. one agg pass for per-group (count, min, max);
 2. per round, ONE narrow scan builds a fixed-width histogram of every
    still-active quantile's candidate region (``num_buckets`` counters
    per quantile — a map-side-combined groupBy whose key space is
-   O(quantiles × buckets), independent of row count);
+   O(targets × buckets), independent of row count);
 3. the driver walks each histogram to the bucket containing the target
    rank and shrinks that quantile's region to it — the region row
    count drops ~``num_buckets``× per round;
-4. when a region holds ≤ ``collect_threshold`` rows, they are
-   collected and the exact rank element is read off locally.
+4. when a region holds ≤ ``collect_threshold`` rows, a single tagged
+   finalize scan collects every pending region and the exact rank
+   elements are read off locally.
 
 Region membership is defined by the CONJUNCTION of every ancestor
 round's bucket formula (``least(B-1, floor((v-lo)*B/(hi-lo))) == j``),
@@ -28,11 +29,18 @@ arithmetic end-to-end:  rank(p) = max(1, ceil(p·n)) computed as
 ``(p_bp·n + 9999) // 10000`` over basis-point integers — bit-equal in
 any engine, no float p·n boundary surprises.
 
+The GROUPED variant (``exact_group_quantiles``) runs one target per
+(group, p) pair inside the same per-round scan — built for a moderate
+group count (languages, sources: the CCNet perplexity-tercile case),
+where targets = groups × quantiles stays in the hundreds.  Per-group
+region predicates are part of the same expression tree, so group count
+inflates the projection, not the shuffle.
+
 The reference repo's percentile needs are eager pandas ``quantile``
 (single process); this operator is the distributed-exact counterpart.
-Scale notes: the value column is persisted once (column-pruned, ~8
-bytes/row); rounds are O(log_B(n / threshold)) — 3 rounds cover 10^12
-rows at B=4096 — and every round is one scan + an O(q·B)-row collect.
+Scale notes: the (group, value) projection is persisted once; rounds
+are O(log_B(n_group / threshold)) — 3 rounds cover 10^12 rows at
+B=4096 — and every round is one scan + an O(targets·B)-row collect.
 """
 
 from __future__ import annotations
@@ -55,9 +63,10 @@ def rank_of(p_bp: int, n: int) -> int:
 
 @dataclass
 class _Target:
+    gval: object       # group value (None in the ungrouped case)
     p_bp: int
-    rank: int          # global 1-based rank wanted
-    below: int = 0     # rows strictly before the current region
+    rank: int          # per-group 1-based rank wanted
+    below: int = 0     # group rows strictly before the current region
     count: int = 0     # rows in the current region
     lo: float = 0.0    # region scaling bounds for the NEXT histogram
     hi: float = 0.0
@@ -71,41 +80,88 @@ def _bucket(v: Column, lo: float, hi: float, num_buckets: int) -> Column:
     return F.least(F.lit(num_buckets - 1), F.greatest(F.lit(0), raw))
 
 
-def _region_pred(v: Column, t: _Target, num_buckets: int) -> Column:
-    pred = v.isNotNull()
+def _region_pred(
+    v: Column, t: _Target, num_buckets: int, grouped: bool
+) -> Column:
+    pred = (F.col("g") == t.gval) if grouped else v.isNotNull()
     for lo, hi, j in t.splits:
         pred = pred & (_bucket(v, lo, hi, num_buckets) == j)
     return pred
 
 
-def exact_quantiles(
+def _tagged_scan(d: DataFrame, arms: list[Column]):
+    """One scan emitting (i, payload) structs for every arm whose
+    predicate holds.  explode_outer, NOT explode: a plain explode's
+    inferred size>0 filter would be pushed below any upstream Exchange
+    and re-evaluate the arms on the pre-shuffle side (see
+    operators/dsir.py bucket_counts)."""
+    return (
+        d.select(
+            F.explode_outer(
+                F.filter(F.array(*arms), lambda s: s.isNotNull())
+            ).alias("s")
+        )
+        .where(F.col("s").isNotNull())
+    )
+
+
+def exact_group_quantiles(
     df: DataFrame,
     value_col: str,
     p_bps: list[int],
+    group_col: str | None = None,
     num_buckets: int = NUM_BUCKETS,
     collect_threshold: int = COLLECT_THRESHOLD,
-) -> list[tuple[int, int, float]]:
-    """→ [(p_bp, rank, value)] — the exact type-1 quantile element for
-    each basis-point fraction, over non-null ``value_col`` doubles."""
-    d = (
-        df.select(F.col(value_col).cast("double").alias("v"))
-        .where(F.col("v").isNotNull())
-        .persist()
-    )
+) -> list[tuple[object, int, int, float]]:
+    """→ [(group, p_bp, rank, value)] — the exact type-1 quantile
+    element for each basis-point fraction within each group (a single
+    implicit group when ``group_col`` is None), over non-null
+    ``value_col`` doubles.  Rows with a NULL group are ignored."""
+    grouped = group_col is not None
+    cols = [F.col(value_col).cast("double").alias("v")]
+    if grouped:
+        cols.append(F.col(group_col).alias("g"))
+    d = df.select(*cols).where(F.col("v").isNotNull())
+    if grouped:
+        d = d.where(F.col("g").isNotNull())
+    d = d.persist()
     try:
-        stats = d.agg(
-            F.count("v").alias("n"),
-            F.min("v").alias("mn"),
-            F.max("v").alias("mx"),
-        ).collect()[0]
-        n = stats["n"]
-        if n == 0:
-            return []
-        targets = [
-            _Target(p, rank_of(p, n), 0, n, float(stats["mn"]), float(stats["mx"]))
-            for p in sorted(p_bps)
-        ]
+        if grouped:
+            stats = (
+                d.groupBy("g")
+                .agg(
+                    F.count("v").alias("n"),
+                    F.min("v").alias("mn"),
+                    F.max("v").alias("mx"),
+                )
+                .collect()
+            )
+        else:
+            stats = d.agg(
+                F.count("v").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            ).collect()
+        targets: list[_Target] = []
+        for s in stats:
+            if s["n"] == 0:
+                continue
+            gval = s["g"] if grouped else None
+            for p in sorted(p_bps):
+                targets.append(
+                    _Target(
+                        gval,
+                        p,
+                        rank_of(p, s["n"]),
+                        0,
+                        s["n"],
+                        float(s["mn"]),
+                        float(s["mx"]),
+                    )
+                )
+        targets.sort(key=lambda t: (str(t.gval), t.p_bp))
 
+        v = F.col("v")
         for _ in range(MAX_ROUNDS):
             active = [
                 t
@@ -116,11 +172,9 @@ def exact_quantiles(
             ]
             if not active:
                 break
-            # one scan: per active target, its region's bucket index
-            v = F.col("v")
             arms = [
                 F.when(
-                    _region_pred(v, t, num_buckets),
+                    _region_pred(v, t, num_buckets, grouped),
                     F.struct(
                         F.lit(i).alias("i"),
                         _bucket(v, t.lo, t.hi, num_buckets).alias("b"),
@@ -129,12 +183,7 @@ def exact_quantiles(
                 for i, t in enumerate(active)
             ]
             hist = (
-                d.select(
-                    F.explode_outer(
-                        F.filter(F.array(*arms), lambda s: s.isNotNull())
-                    ).alias("s")
-                )
-                .where(F.col("s").isNotNull())
+                _tagged_scan(d, arms)
                 .groupBy("s.i", "s.b")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .collect()
@@ -166,33 +215,44 @@ def exact_quantiles(
         if pending:
             # ONE finalize scan for every pending target (each region
             # holds <= collect_threshold rows), not a job per quantile
-            v = F.col("v")
             arms = [
                 F.when(
-                    _region_pred(v, t, num_buckets),
+                    _region_pred(v, t, num_buckets, grouped),
                     F.struct(F.lit(i).alias("i"), v.alias("v")),
                 )
                 for i, t in enumerate(pending)
             ]
-            rows = (
-                d.select(
-                    F.explode_outer(
-                        F.filter(F.array(*arms), lambda s: s.isNotNull())
-                    ).alias("s")
-                )
-                .where(F.col("s").isNotNull())
-                .select("s.i", "s.v")
-                .collect()
-            )
+            rows = _tagged_scan(d, arms).select("s.i", "s.v").collect()
             by_target: dict[int, list[float]] = {}
             for r in rows:
                 by_target.setdefault(r["i"], []).append(r["v"])
             for i, t in enumerate(pending):
                 vals = sorted(by_target[i])
                 t.value = vals[t.rank - t.below - 1]
-        return [(t.p_bp, t.rank, t.value) for t in targets]
+        return [(t.gval, t.p_bp, t.rank, t.value) for t in targets]
     finally:
         d.unpersist()
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    p_bps: list[int],
+    num_buckets: int = NUM_BUCKETS,
+    collect_threshold: int = COLLECT_THRESHOLD,
+) -> list[tuple[int, int, float]]:
+    """→ [(p_bp, rank, value)] — the ungrouped case."""
+    return [
+        (p_bp, rank, value)
+        for _, p_bp, rank, value in exact_group_quantiles(
+            df,
+            value_col,
+            p_bps,
+            None,
+            num_buckets,
+            collect_threshold,
+        )
+    ]
 
 
 def exact_quantiles_oracle_sql(

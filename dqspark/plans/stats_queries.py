@@ -133,11 +133,107 @@ def _hll_audit_oracle() -> str:
     )
 
 
-# late-bind the lazy oracle (built at driver time — it reads the local
-# parquet through DuckDB, like the model-replication oracles)
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al., "CCNet: Extracting High
+# Quality Monolingual Datasets from Web Crawl Data", LREC 2020): per
+# predicted language, split the corpus into head/middle/tail thirds by
+# trigram-LM perplexity.  The thresholds are exact per-group tercile
+# ELEMENTS found by the grouped histogram refinement — no per-language
+# global sort — then one broadcast join labels every document.
+# ---------------------------------------------------------------------------
+
+_CCNET_BPS = [3333, 6667]
+
+
+@register("ppl_buckets")
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_pred, ppl, bucket) — CCNet head/middle/tail label
+    per document, thresholds exact per-language terciles of the rounded
+    log-perplexity."""
+    from dqspark.operators.quantiles import exact_group_quantiles
+    from dqspark.pipeline.quality import with_model_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    scored = (
+        with_model_scores(docs)
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round("log_ppl", 4).alias("ppl"),
+        )
+        .persist()
+    )
+    try:
+        cuts = exact_group_quantiles(
+            scored, "ppl", _CCNET_BPS, "lang_pred"
+        )
+        th: dict[str, dict[int, float]] = {}
+        for g, p_bp, _rank, v in cuts:
+            th.setdefault(g, {})[p_bp] = v
+        th_df = spark.createDataFrame(
+            [(g, d[_CCNET_BPS[0]], d[_CCNET_BPS[1]]) for g, d in th.items()],
+            "lang_pred string, t33 double, t67 double",
+        )
+        out = scored.join(F.broadcast(th_df), "lang_pred").select(
+            "doc_id",
+            "lang_pred",
+            "ppl",
+            F.when(F.col("ppl") <= F.col("t33"), "head")
+            .when(F.col("ppl") <= F.col("t67"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        out = out.localCheckpoint()
+    finally:
+        scored.unpersist()
+    return out
+
+
+def _ppl_buckets_oracle() -> str:
+    from dqspark.plans.local_oracle import model_scores_values
+
+    values = model_scores_values(oracle_sf_dir())
+    b33, b67 = _CCNET_BPS
+    return f"""
+WITH scores AS (
+  SELECT doc_id, lang_pred, round(log_ppl, 4)::DOUBLE AS ppl
+  FROM {values}
+),
+s AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang_pred ORDER BY ppl) AS r,
+         count(*) OVER (PARTITION BY lang_pred) AS n
+  FROM scores
+),
+th AS (
+  SELECT lang_pred,
+         max(CASE WHEN r = greatest(1, ({b33} * n + 9999) // 10000)
+             THEN ppl END) AS t33,
+         max(CASE WHEN r = greatest(1, ({b67} * n + 9999) // 10000)
+             THEN ppl END) AS t67
+  FROM s GROUP BY lang_pred
+)
+SELECT doc_id, s.lang_pred, ppl,
+       CASE WHEN ppl <= t33 THEN 'head'
+            WHEN ppl <= t67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN th USING (lang_pred)
+"""
+
+
+# late-bind the lazy oracles (built at driver time — they read the
+# local parquet through DuckDB, like the model-replication oracles)
 from dqspark.plans.driver_queries import ORACLES  # noqa: E402
 
 ORACLES["hll_distinct_audit"] = _hll_audit_oracle
+ORACLES["ppl_buckets"] = _ppl_buckets_oracle
 
 
-__all__ = ["q_exact_quantiles", "q_hll_registers", "q_hll_distinct_audit"]
+__all__ = [
+    "q_exact_quantiles",
+    "q_hll_registers",
+    "q_hll_distinct_audit",
+    "q_ppl_buckets",
+]

@@ -4,7 +4,11 @@ import random
 
 from pyspark.sql import functions as F
 
-from dqspark.operators.quantiles import exact_quantiles, rank_of
+from dqspark.operators.quantiles import (
+    exact_group_quantiles,
+    exact_quantiles,
+    rank_of,
+)
 
 
 def _ref(vals: list[float], p_bps: list[int]) -> list[tuple[int, int, float]]:
@@ -43,6 +47,24 @@ def test_duplicates_and_boundaries(spark):
     got = exact_quantiles(df, "v", p_bps, num_buckets=4, collect_threshold=8)
     assert got == _ref(vals, p_bps)
     assert got[0][1] == 1 and got[-1][1] == 1300  # rank extremes
+
+
+def test_grouped_matches_per_group_reference(spark):
+    rng = random.Random(5)
+    rows = [
+        (["en", "de", "fr"][rng.randrange(3)], rng.gauss(0, 10))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    p_bps = [3333, 6667]
+    got = exact_group_quantiles(
+        df, "v", p_bps, "g", num_buckets=8, collect_threshold=16
+    )
+    want = []
+    for g in sorted({g for g, _ in rows}):
+        vals = [v for gg, v in rows if gg == g]
+        want.extend((g, p, r, vv) for p, r, vv in _ref(vals, p_bps))
+    assert sorted(got) == sorted(want)
 
 
 def test_nulls_ignored_and_empty(spark):
