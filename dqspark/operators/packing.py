@@ -1,0 +1,299 @@
+"""Sequence packing: assemble fixed-token-budget training sequences.
+
+After filtering and dedup, an LLM training pipeline must turn variable
+-length documents into fixed-capacity training sequences.  The two
+shapes used in practice, both implemented here:
+
+1. **Concat-and-chunk** (``pack_concat``) — the GPT-2/3 recipe: within
+   a shard, concatenate documents in a canonical order and cut every
+   ``capacity`` tokens; documents may straddle sequence boundaries.
+   This is a pure prefix-sum: each document's start offset is the
+   running token total before it, and its sequence span is integer
+   division of the offset range.  On Spark that is ONE window
+   aggregation partitioned by shard — no Python in the row path, and
+   the window partitions are the shards themselves, so parallelism is
+   the shard count, never a global sort.
+
+2. **Greedy whole-document packing** (``pack_greedy``) — the
+   T5/instruction-tuning recipe: documents are never split; walk the
+   shard in canonical order and open a new sequence whenever the next
+   document would overflow ``capacity`` (documents longer than the
+   capacity are truncated to it and flagged).  The in-order capacity
+   -reset scan is inherently sequential PER SHARD, so the shard is the
+   unit of parallelism: one Arrow batch per shard through
+   ``applyInPandas``, O(rows) driver-free work inside.  Shard count is
+   the scale dial — at 10^12 files you raise ``num_shards`` (it is a
+   hash of the key, so resizing is a constant change), keeping
+   per-shard state tiny while the cluster stays busy.
+
+Sharding uses the same salted-md5 bucket as the sampling suite, so
+shard assignment is deterministic under any partitioning, cluster
+size, task retry, or resume — the audit/lineage invariant the rest of
+the pipeline guarantees.  All emitted columns are integers (token
+counts, offsets, sequence ids), so the DuckDB oracle comparison is
+exact: the concat shape replays as the same window prefix-sum in SQL,
+and the greedy shape replays as a per-shard recursive CTE carrying
+(sequence, fill) state row by row.
+
+The reference repo has no packing stage (single-process pandas never
+needs one); this module is part of the training-data extension suite
+(SURVEY.md §2 "beyond-reference" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+from dqspark.operators.corpus_stats import _n_tokens, _n_tokens_oracle
+from dqspark.operators.sampling import sample_bucket
+
+DEFAULT_CAPACITY = 256
+DEFAULT_SHARDS = 8
+PACK_SALT = "dqpack"
+
+
+def shard_of(key: Column, num_shards: int, salt: str = PACK_SALT) -> Column:
+    """Deterministic shard in [0, num_shards) from a salted stable key."""
+    return (sample_bucket(key, salt) % num_shards).cast("int")
+
+
+def shard_oracle(key_expr: str, num_shards: int, salt: str = PACK_SALT) -> str:
+    from dqspark.operators.dedup import md5_long_oracle
+    from dqspark.operators.sampling import BUCKETS
+
+    bucket = md5_long_oracle(
+        f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR))"
+    )
+    return f"((({bucket}) % {BUCKETS}) % {num_shards})::INT"
+
+
+# ---------------------------------------------------------------------------
+# shape 1: concat-and-chunk
+# ---------------------------------------------------------------------------
+
+def pack_concat(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    capacity: int = DEFAULT_CAPACITY,
+    num_shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """(key, shard, n_tokens, start_off, first_seq, last_seq,
+    crossings) — each document's place in the concatenated token
+    stream of its shard, cut into ``capacity``-token sequences.
+
+    ``start_off`` is the shard-local token offset where the document
+    begins; ``first_seq``/``last_seq`` the sequence indices its tokens
+    land in; ``crossings`` how many sequence boundaries it straddles
+    (0 for empty documents by convention).
+    """
+    k = F.col(key_col)
+    base = df.select(
+        k.alias("key"),
+        shard_of(k, num_shards).alias("shard"),
+        _n_tokens(text_col).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("key")
+    # integer arithmetic end-to-end (`div`, not floor-of-double) so the
+    # sequence indices are engine-exact at any offset magnitude
+    pos = base.select(
+        "key",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("long")
+        .alias("start_off"),
+    )
+    return pos.select(
+        "key",
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off DIV {capacity}").alias("first_seq"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0"
+            f" THEN (start_off + n_tokens - 1) DIV {capacity}"
+            f" ELSE start_off DIV {capacity} END"
+        ).alias("last_seq"),
+    ).withColumn(
+        "crossings", (F.col("last_seq") - F.col("first_seq")).cast("long")
+    )
+
+
+def pack_concat_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    text_expr: str = "text",
+    capacity: int = DEFAULT_CAPACITY,
+    num_shards: int = DEFAULT_SHARDS,
+) -> str:
+    nt = _n_tokens_oracle(text_expr)
+    shard = shard_oracle(key_expr, num_shards)
+    return f"""
+WITH base AS (
+  SELECT {key_expr} AS key, {shard} AS shard, {nt} AS n_tokens
+  FROM ({source_sql})
+),
+pos AS (
+  SELECT key, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY key
+                             ROWS UNBOUNDED PRECEDING) AS e
+  FROM base
+),
+off AS (
+  SELECT key, shard, n_tokens, (e - n_tokens)::BIGINT AS start_off
+  FROM pos
+)
+SELECT key, shard, n_tokens, start_off,
+       (start_off // {capacity})::BIGINT AS first_seq,
+       (CASE WHEN n_tokens > 0
+             THEN (start_off + n_tokens - 1) // {capacity}
+             ELSE start_off // {capacity} END)::BIGINT AS last_seq,
+       ((CASE WHEN n_tokens > 0
+              THEN (start_off + n_tokens - 1) // {capacity}
+              ELSE start_off // {capacity} END)
+        - start_off // {capacity})::BIGINT AS crossings
+FROM off
+"""
+
+
+# ---------------------------------------------------------------------------
+# shape 2: greedy whole-document packing
+# ---------------------------------------------------------------------------
+
+def pack_greedy(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    capacity: int = DEFAULT_CAPACITY,
+    num_shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """(key, shard, n_tokens, used, truncated, seq) — greedy first-fit
+    -in-order packing per shard: documents in canonical key order, a
+    new sequence whenever the next document's (capacity-clamped) token
+    count would overflow the open one.  ``seq`` is shard-local and
+    0-based; ``used`` is the clamped count actually packed.
+    """
+    k = F.col(key_col)
+    base = df.select(
+        k.alias("key"),
+        shard_of(k, num_shards).alias("shard"),
+        _n_tokens(text_col).alias("n_tokens"),
+    ).withColumn(
+        "used", F.least(F.col("n_tokens"), F.lit(capacity)).cast("long")
+    ).withColumn(
+        "truncated", (F.col("n_tokens") > capacity).cast("boolean")
+    )
+
+    schema = StructType.fromDDL(
+        "key long, shard int, n_tokens long, used long,"
+        " truncated boolean, seq long"
+    )
+
+    def _pack(pdf):
+        import pandas as pd  # noqa: F401 (Arrow batch already pandas)
+
+        pdf = pdf.sort_values("key").reset_index(drop=True)
+        seqs = []
+        seq, fill = 0, 0
+        for u in pdf["used"].to_list():
+            if fill + u > capacity:
+                seq += 1
+                fill = 0
+            fill += u
+            seqs.append(seq)
+        pdf["seq"] = seqs
+        return pdf[
+            ["key", "shard", "n_tokens", "used", "truncated", "seq"]
+        ]
+
+    return base.groupBy("shard").applyInPandas(_pack, schema)
+
+
+def pack_greedy_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    text_expr: str = "text",
+    capacity: int = DEFAULT_CAPACITY,
+    num_shards: int = DEFAULT_SHARDS,
+) -> str:
+    """Per-shard recursive CTE carrying (seq, fill) state row by row —
+    the exact greedy recurrence, integer arithmetic only."""
+    nt = _n_tokens_oracle(text_expr)
+    shard = shard_oracle(key_expr, num_shards)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT {key_expr} AS key, {shard} AS shard, {nt} AS n_tokens,
+         least({nt}, {capacity})::BIGINT AS used,
+         ({nt} > {capacity}) AS truncated
+  FROM ({source_sql})
+),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY key) AS r
+  FROM base
+),
+packed AS (
+  SELECT key, shard, n_tokens, used, truncated, r,
+         0::BIGINT AS seq, used AS fill
+  FROM numbered WHERE r = 1
+  UNION ALL
+  SELECT n.key, n.shard, n.n_tokens, n.used, n.truncated, n.r,
+         CASE WHEN p.fill + n.used > {capacity} THEN p.seq + 1
+              ELSE p.seq END,
+         CASE WHEN p.fill + n.used > {capacity} THEN n.used
+              ELSE p.fill + n.used END
+  FROM packed p JOIN numbered n
+    ON n.shard = p.shard AND n.r = p.r + 1
+)
+SELECT key, shard, n_tokens, used, truncated, seq FROM packed
+"""
+
+
+def packing_stats(
+    packed: DataFrame, capacity: int = DEFAULT_CAPACITY
+) -> DataFrame:
+    """Per-shard packing efficiency over a ``pack_greedy`` result:
+    (shard, n_docs, n_seqs, packed_tokens, n_truncated, pad_frac).
+    ``pad_frac`` is the padding share of the shard's sequence budget,
+    rounded to 4 dp (cross-engine double convention)."""
+    n_seqs = (F.max("seq") + 1).cast("long")
+    packed_tokens = F.sum("used").cast("long")
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_seqs.alias("n_seqs"),
+            packed_tokens.alias("packed_tokens"),
+            F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_seqs",
+            "packed_tokens",
+            "n_truncated",
+            F.round(
+                1.0 - F.col("packed_tokens") / (F.col("n_seqs") * capacity), 4
+            ).alias("pad_frac"),
+        )
+    )
+
+
+def packing_stats_oracle_sql(
+    greedy_sql: str, capacity: int = DEFAULT_CAPACITY
+) -> str:
+    return f"""
+SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       (max(seq) + 1)::BIGINT AS n_seqs,
+       sum(used)::BIGINT AS packed_tokens,
+       sum(CASE WHEN truncated THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+       round(1.0::DOUBLE
+             - sum(used)::DOUBLE / ((max(seq) + 1) * {capacity})::DOUBLE,
+             4)::DOUBLE AS pad_frac
+FROM ({greedy_sql})
+GROUP BY shard
+"""

@@ -68,6 +68,26 @@ def stratified_sample(
     return out.where(F.col(bucket_col) < thr)
 
 
+def temperature_rates(
+    counts: dict[str, int], temperature: float
+) -> dict[str, float]:
+    """Keep-rates that reshape an observed stratum mixture toward the
+    temperature-annealed target pi_s ~ n_s^T (the multilingual-sampling
+    rule of Lample & Conneau, "Cross-lingual Language Model
+    Pretraining", NeurIPS 2019) by downsampling only: r_s ~ n_s^(T-1),
+    normalized so the largest rate is exactly 1 (the rarest stratum is
+    kept whole; nothing is upsampled).
+
+    Computed in plain Python on the O(strata) count vector — BOTH the
+    Spark query and the DuckDB oracle take these rates as literal
+    thresholds, so no ``pow`` ever crosses the engine boundary."""
+    if not counts:
+        return {}
+    raw = {s: float(n) ** (temperature - 1.0) for s, n in counts.items() if n}
+    mx = max(raw.values())
+    return {s: r / mx for s, r in raw.items()}
+
+
 def stratified_sample_oracle_predicate(
     strata_expr: str,
     key_expr: str,

@@ -620,4 +620,5 @@ from dqspark.plans import code_filter_queries  # noqa: E402,F401  (registration 
 from dqspark.plans import dsir_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import stats_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import graph_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import packing_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import doccode_queries  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,163 @@
+"""Driver-contract queries for training-batch assembly: sequence
+packing (concat-and-chunk and greedy whole-document) and
+temperature-annealed source mixing.
+
+These stages sit AFTER filter/dedup in a training-data pipeline — the
+reference repo (single-process pandas) has no counterpart; they are
+part of the beyond-reference training-data suite (SURVEY.md §2).
+
+Oracle strategy: packing is integer arithmetic end-to-end, so the
+DuckDB side replays the exact recurrences (window prefix-sum for the
+concat shape; a per-shard recursive CTE carrying (seq, fill) state for
+the greedy shape).  Temperature mixing derives its keep-rates in
+shared Python over the O(strata) count vector — both engines receive
+the same literal thresholds, so no float ``pow`` crosses the engine
+boundary (the lazy-oracle protocol of the model-replication queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.packing import (
+    pack_concat,
+    pack_concat_oracle_sql,
+    pack_greedy,
+    pack_greedy_oracle_sql,
+    packing_stats,
+    packing_stats_oracle_sql,
+)
+from dqspark.operators.sampling import (
+    stratified_sample,
+    stratified_sample_oracle_predicate,
+    temperature_rates,
+)
+from dqspark.plans.driver_queries import ORACLES, register
+from dqspark.sources.catalog import load_table
+
+_CAPACITY = 512
+_SHARDS = 8
+_DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+
+@register(
+    "pack_concat",
+    pack_concat_oracle_sql(_DOCS_SQL, "doc_id", "text", _CAPACITY, _SHARDS),
+)
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, shard, n_tokens, start_off, first_seq, last_seq,
+    crossings) — GPT-style concat-and-chunk placement of every document
+    in its shard's 512-token sequence stream."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_concat(docs, "doc_id", "text", _CAPACITY, _SHARDS)
+
+
+@register(
+    "pack_greedy",
+    pack_greedy_oracle_sql(_DOCS_SQL, "doc_id", "text", _CAPACITY, _SHARDS),
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, shard, n_tokens, used, truncated, seq) — greedy whole-
+    document packing into 512-token sequences, shard-parallel."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_greedy(docs, "doc_id", "text", _CAPACITY, _SHARDS)
+
+
+@register(
+    "packing_efficiency",
+    packing_stats_oracle_sql(
+        pack_greedy_oracle_sql(
+            _DOCS_SQL, "doc_id", "text", _CAPACITY, _SHARDS
+        ),
+        _CAPACITY,
+    ),
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, n_seqs, packed_tokens, n_truncated, pad_frac) —
+    per-shard padding waste of the greedy packing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_greedy(docs, "doc_id", "text", _CAPACITY, _SHARDS)
+    return packing_stats(packed, _CAPACITY)
+
+
+# ---------------------------------------------------------------------------
+# temperature-annealed mixture sampling
+# ---------------------------------------------------------------------------
+
+_MIX_T = 0.5
+_MIX_SALT = "dqmix"
+
+
+def _lang_counts_duckdb() -> dict[str, int]:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+
+    con = _connect(oracle_sf_dir())
+    return dict(
+        con.sql("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall()
+    )
+
+
+@register("temperature_mixture")
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_kept, kept_pct) — per-language corpus mixture
+    after temperature-T=0.5 downsampling (Lample & Conneau 2019): the
+    rarest language is kept whole, over-represented ones are hash-
+    downsampled toward pi ~ n^T.
+
+    The O(strata) count vector is the only thing collected; keep/drop
+    itself is the stateless salted-hash predicate of the sampling
+    suite, so the sample is reproducible on any cluster size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(counts, _MIX_T)
+    kept = (
+        stratified_sample(
+            docs, "lang", "doc_id", rates, default_rate=1.0, salt=_MIX_SALT
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    base = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        base.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 4
+            ).alias("kept_pct"),
+        )
+    )
+
+
+def _temperature_mixture_oracle() -> str:
+    counts = _lang_counts_duckdb()
+    rates = temperature_rates(counts, _MIX_T)
+    _bucket, pred = stratified_sample_oracle_predicate(
+        "lang", "doc_id", rates, 1.0, _MIX_SALT
+    )
+    return f"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 4)::DOUBLE AS kept_pct
+FROM documents
+GROUP BY lang
+"""
+
+
+ORACLES["temperature_mixture"] = _temperature_mixture_oracle
+
+
+__all__ = [
+    "q_pack_concat",
+    "q_pack_greedy",
+    "q_packing_efficiency",
+    "q_temperature_mixture",
+]

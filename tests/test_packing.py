@@ -1,0 +1,85 @@
+"""Sequence packing invariants (operators/packing.py)."""
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.packing import pack_concat, pack_greedy, packing_stats
+from dqspark.operators.sampling import temperature_rates
+
+CAP = 64
+SHARDS = 4
+
+
+def _docs(spark, n=200):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 13) % 150)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_concat_offsets_contiguous(spark):
+    out = pack_concat(_docs(spark), "doc_id", "text", CAP, SHARDS).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["key"])):
+        assert r["start_off"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["start_off"] + r["n_tokens"]
+        assert r["first_seq"] == r["start_off"] // CAP
+        end = r["start_off"] + r["n_tokens"]
+        want_last = (end - 1) // CAP if r["n_tokens"] else r["first_seq"]
+        assert r["last_seq"] == want_last
+        assert r["crossings"] == r["last_seq"] - r["first_seq"]
+
+
+def test_greedy_never_overflows_and_matches_reference(spark):
+    out = pack_greedy(_docs(spark), "doc_id", "text", CAP, SHARDS).collect()
+    fills = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["key"])):
+        assert r["used"] <= CAP
+        assert r["truncated"] == (r["n_tokens"] > CAP)
+        key = (r["shard"], r["seq"])
+        fills[key] = fills.get(key, 0) + r["used"]
+    for (shard, seq), fill in fills.items():
+        assert fill <= CAP
+    # reference greedy replay per shard
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["key"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        seq, fill = 0, 0
+        for r in rows:
+            if fill + r["used"] > CAP:
+                seq, fill = seq + 1, 0
+            fill += r["used"]
+            assert r["seq"] == seq
+
+
+def test_greedy_deterministic_under_repartition(spark):
+    d = _docs(spark)
+    a = pack_greedy(d, "doc_id", "text", CAP, SHARDS).collect()
+    b = pack_greedy(d.repartition(13), "doc_id", "text", CAP, SHARDS).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_packing_stats_consistent(spark):
+    packed = pack_greedy(_docs(spark), "doc_id", "text", CAP, SHARDS)
+    stats = {r["shard"]: r for r in packing_stats(packed, CAP).collect()}
+    rows = packed.collect()
+    for shard, s in stats.items():
+        mine = [r for r in rows if r["shard"] == shard]
+        assert s["n_docs"] == len(mine)
+        assert s["n_seqs"] == max(r["seq"] for r in mine) + 1
+        assert s["packed_tokens"] == sum(r["used"] for r in mine)
+        want = 1.0 - s["packed_tokens"] / (s["n_seqs"] * CAP)
+        assert abs(s["pad_frac"] - want) < 5e-5
+
+
+def test_temperature_rates_properties():
+    counts = {"en": 1000, "de": 100, "fr": 10}
+    r1 = temperature_rates(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())  # T=1: no-op
+    r = temperature_rates(counts, 0.5)
+    assert max(r.values()) == 1.0 and r["fr"] == 1.0
+    assert r["fr"] > r["de"] > r["en"]  # rarer strata keep more
+    # achieved mixture is proportional to n^T
+    mix = {s: counts[s] * r[s] for s in counts}
+    assert abs(mix["en"] / mix["de"] - (1000 / 100) ** 0.5) < 1e-9
