@@ -152,6 +152,15 @@ def main() -> None:
             "dsir_selected",
             "heavy_tokens",
             "bpe_merges",
+            "exact_quantiles",
+            "hll_distinct_audit",
+            "import_pagerank",
+            "doc_code_pairs",
+            "ppl_buckets",
+            "pack_concat",
+            "pack_greedy",
+            "packing_efficiency",
+            "temperature_mixture",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1,0 +1,49 @@
+"""spark-submit --py-files packaging (tools/package.py): the zip must
+be importable standalone (the executor-side contract) and reproducible
+(the resume-verification contract).  Spark-free — imports run in a
+subprocess with sys.path pinned to the archive alone."""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+import package  # noqa: E402
+
+
+def test_zip_importable_standalone(tmp_path):
+    zp = package.build(str(tmp_path / "dqspark.zip"))
+    probe = (
+        "import sys; sys.path = [sys.argv[1]] + "
+        "[p for p in sys.path if 'repo' not in p];\n"
+        "import dqspark, dqspark.operators.packing, dqspark.pipeline.models,"
+        " dqspark.plans.driver_queries, dqspark.streaming.quality_stream\n"
+        "print('ok', len(dqspark.plans.driver_queries.QUERIES))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe, zp],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # not the repo — the zip must stand alone
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.startswith("ok ")
+    assert int(out.stdout.split()[1]) >= 97  # full query registry ships
+
+
+def test_zip_reproducible(tmp_path):
+    a = package.build(str(tmp_path / "a.zip"))
+    b = package.build(str(tmp_path / "b.zip"))
+    assert package.sha256(a) == package.sha256(b)
+
+
+def test_zip_excludes_tests_and_caches(tmp_path):
+    import zipfile
+
+    zp = package.build(str(tmp_path / "dqspark.zip"))
+    names = zipfile.ZipFile(zp).namelist()
+    assert all(n.startswith("dqspark/") for n in names)
+    assert not any("__pycache__" in n or "/tests/" in n for n in names)

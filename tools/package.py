@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Build the spark-submit distribution archive.
+
+Produces ``dist/dqspark.zip`` containing the ``dqspark`` package only
+(no tests, no tools, no caches) — the artifact the north-rule launch
+command ships to executors:
+
+    spark-submit --py-files dist/dqspark.zip dqspark/job.py \\
+        --input <table> --output <dir> --chunks 64
+
+The archive is deterministic (fixed timestamps, sorted entries) so a
+rebuilt zip is byte-identical for identical sources — the same
+reproducibility contract as the rest of the pipeline (a resumed run
+can verify it ships the code it checkpointed with, by hash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# ZIP stores no timezone; a fixed epoch makes builds byte-reproducible
+_FIXED_DATE = (1980, 1, 1, 0, 0, 0)
+
+
+def build(out_path: str | None = None) -> str:
+    out_path = out_path or os.path.join(REPO, "dist", "dqspark.zip")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pkg_root = os.path.join(REPO, "dqspark")
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(pkg_root):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for f in sorted(filenames):
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                arc = os.path.relpath(full, REPO)
+                entries.append((arc, full))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for arc, full in entries:
+            with open(full, "rb") as fh:
+                data = fh.read()
+            info = zipfile.ZipInfo(arc, date_time=_FIXED_DATE)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            z.writestr(info, data)
+    return out_path
+
+
+def sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+if __name__ == "__main__":
+    out = build(sys.argv[1] if len(sys.argv) > 1 else None)
+    print(f"{out} sha256={sha256(out)} bytes={os.path.getsize(out)}")
