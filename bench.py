@@ -161,6 +161,7 @@ def main() -> None:
             "pack_greedy",
             "packing_efficiency",
             "temperature_mixture",
+            "line_dedup",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1,0 +1,145 @@
+"""Corpus-wide line-level deduplication (the C4 policy, as a TRANSFORM).
+
+C4 (Raffel et al., JMLR 2020, §2.2) discards any line that occurs more
+than once in the corpus; CCNet and the Stack apply the same idea with a
+document-frequency threshold to strip boilerplate (nav bars, cookie
+banners, license footers) while keeping the document.  Unlike the
+report-style queries around it, this operator REWRITES the text: it
+returns each document with the over-represented lines removed, plus
+removal counts for the audit trail.
+
+Pipeline (three relations, all narrow):
+
+1. line relation — ``posexplode`` of the newline split: (id, pos,
+   line); lines shorter than ``min_line_chars`` after trim are exempt
+   (they are structural — braces, blank separators — not boilerplate;
+   this matters for code corpora where ``}`` would otherwise hit any
+   document-frequency threshold).
+2. frequency — eligible lines keyed by a 60-bit md5 of the line text
+   (an 8-byte shuffle key instead of the line itself), counted by
+   DISTINCT document; keys reaching ``min_docs`` form the boilerplate
+   set.  At corpus scale this set is tiny relative to the corpus (it
+   is the repeated tail), so AQE broadcasts the join back.
+3. rebuild — per document, surviving lines re-joined in original
+   order: one groupBy(id) whose payload is the kept text, the only
+   corpus-sized shuffle, inherent to any rewrite.
+
+The frequency key being a hash makes the decision "exact modulo 60-bit
+collisions" (same convention as the dedup suite's content keys); the
+DuckDB oracle hashes identically, so parity is exact.
+
+Reference parity: the reference has no corpus-text analogue (its
+duplicate handling is row-level over tabular frames —
+backend/api/upload.py); this extends the dedup family to the
+line-within-document axis alongside spans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+
+MIN_LINE_CHARS = 10
+MIN_DOCS = 3
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = MIN_LINE_CHARS,
+    min_docs: int = MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_text) — the document with
+    every line that occurs in >= ``min_docs`` distinct documents (and
+    is >= ``min_line_chars`` chars after space-trim) removed."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("pos0", "line"),
+        )
+        .select(
+            "id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "line",
+            md5_long(F.col("line")).alias("h"),
+        )
+        .withColumn(
+            "eligible", F.length(F.trim("line")) >= min_line_chars
+        )
+    )
+    freq = (
+        lines.where("eligible")
+        .groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h", F.lit(True).alias("boiler"))
+    )
+    marked = lines.join(freq, "h", "left").withColumn(
+        "removed", F.col("eligible") & F.coalesce("boiler", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("removed"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+def dedup_lines_oracle(
+    corpus_sql: str,
+    min_line_chars: int = MIN_LINE_CHARS,
+    min_docs: int = MIN_DOCS,
+) -> str:
+    """DuckDB replay: same split, same 60-bit line hash, same
+    document-frequency gate, same ordered rebuild."""
+    h = md5_long_oracle("line")
+    return f"""
+WITH corpus AS ({corpus_sql}),
+split AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM corpus
+),
+l AS (
+  SELECT doc_id,
+         unnest(range(1, len(ls) + 1))::BIGINT AS pos,
+         unnest(ls) AS line
+  FROM split
+),
+e AS (
+  SELECT doc_id, pos, line, {h} AS h,
+         len(trim(line)) >= {min_line_chars} AS eligible
+  FROM l
+),
+f AS (
+  SELECT h FROM e WHERE eligible
+  GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+m AS (
+  SELECT e.doc_id, e.pos, e.line,
+         (e.eligible AND f.h IS NOT NULL) AS removed
+  FROM e LEFT JOIN f ON e.h = f.h
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text
+FROM m GROUP BY doc_id
+"""

@@ -27,6 +27,7 @@ from dqspark.operators.components import (
 )
 from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
 from dqspark.operators.heavy import heavy_tokens, heavy_tokens_oracle
+from dqspark.operators.linededup import dedup_lines, dedup_lines_oracle
 from dqspark.operators.ngrams import (
     frequent_token_ngrams,
     frequent_token_ngrams_oracle,
@@ -266,6 +267,54 @@ def _docs_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("repetition_metrics", repetition_metrics_oracle(_DOCS_REP_SQL))
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(_docs_rep(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (C4 policy, as a text TRANSFORM)
+# ---------------------------------------------------------------------------
+
+# Lines corpus with planted cross-doc boilerplate, derived identically
+# on both sides: natural ' table ' occurrences become line breaks;
+# every 7th doc gains a long boilerplate footer (must be REMOVED —
+# ~14% document frequency) and every 5th a 4-char separator line (must
+# be KEPT — under the min-length exemption for structural lines).
+_DOCS_LINES_SQL = """
+  SELECT doc_id,
+         replace(
+           text
+             || CASE WHEN doc_id % 7 = 1
+                THEN ' table Subscribe to our newsletter for daily updates!'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 2 THEN ' table ====' ELSE '' END,
+           ' table ', chr(10)) AS text
+  FROM documents
+"""
+
+
+def _docs_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.lit(" table Subscribe to our newsletter for daily updates!"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 2, F.lit(" table ====")).otherwise(
+            F.lit("")
+        ),
+    )
+    return rebalance(
+        docs.select(
+            "doc_id", F.replace(raw, F.lit(" table "), F.lit("\n")).alias("text")
+        )
+    )
+
+
+@register("line_dedup", dedup_lines_oracle(_DOCS_LINES_SQL))
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_text) — documents rewritten
+    with corpus-frequent lines stripped."""
+    return dedup_lines(_docs_lines(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,60 @@
+"""Corpus-wide line dedup (operators/linededup.py)."""
+
+from dqspark.operators.linededup import dedup_lines
+
+BOILER = "subscribe to our newsletter today"
+SHORT = "===="
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(12):
+        body = [f"unique line {i} alpha content", f"second unique {i} body"]
+        if i % 2 == 0:
+            body.append(BOILER)  # 6 docs -> above min_docs
+        if i % 3 == 0:
+            body.append(SHORT)  # 4 docs, but under min_line_chars
+        if i % 4 == 0:
+            body.append("rare shared footer line")  # 3 docs -> exactly at gate
+        rows.append((i, "\n".join(body)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_removed_structure_kept(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_corpus(spark), min_docs=3).collect()
+    }
+    for i, r in out.items():
+        lines = r["clean_text"].split("\n")
+        assert BOILER not in lines  # >= min_docs -> stripped
+        assert "rare shared footer line" not in lines  # exactly at gate
+        if i % 3 == 0:
+            assert SHORT in lines  # short structural line exempt
+        assert f"unique line {i} alpha content" in lines  # uniques kept
+        removed_expected = (1 if i % 2 == 0 else 0) + (1 if i % 4 == 0 else 0)
+        assert r["n_removed"] == removed_expected
+        assert r["n_lines"] == len(lines) + removed_expected
+
+
+def test_order_preserved_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "z last word line here\na first word line here"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["clean_text"].split("\n") == [
+        "z last word line here",
+        "a first word line here",
+    ]  # original order, NOT sorted content
+    assert out[2]["clean_text"] == "" and out[2]["n_lines"] == 1
+
+
+def test_doc_fully_boilerplate_survives_as_empty(spark):
+    df = spark.createDataFrame(
+        [(i, "the only line is this banner") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = dedup_lines(df, min_docs=3).collect()
+    assert len(out) == 5
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1 for r in out)
