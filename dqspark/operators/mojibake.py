@@ -1,0 +1,115 @@
+"""Mojibake repair (ftfy-lite): fix UTF-8-decoded-as-Latin-1 text.
+
+Web-crawled and legacy-exported corpora are full of double-encoding
+damage: UTF-8 bytes re-decoded as Windows-1252/Latin-1 turn ``é``
+into ``Ã©`` and ``—`` into ``â€”``.
+CCNet and C4 route such documents through encoding fixes (the general
+tool is ftfy, Speer 2019); this operator is the deterministic
+fixed-table subset — the sequences covering common Latin-script and
+punctuation damage — as a pure columnar TRANSFORM.
+
+Every repair is a literal ``replace``; the chain is built from one
+shared Python table, longest damaged sequence first, so the Spark
+expression and the DuckDB oracle are the same rewrite by construction.
+No regex backtracking, no UDF, no shuffle: one narrow projection that
+fuses into any surrounding stage (the 100-TB cost is a scan).
+
+Scope: single-level damage only (one wrong re-decode).  Double-encoded
+text (damage applied twice) repairs one level per pass.
+
+Detection without rewrite is `encoding_anomalies` (corpus_stats.py);
+this is the repair counterpart.  The reference has no encoding stage
+(pandas reads already-decoded frames); closest analogue is its
+null-string normalization pass (backend/api/upload.py:56-61) — a
+whole-table literal rewrite, same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Repaired characters covered: Latin-1 supplement letters common in
+# European-language text, guillemets, the general-punctuation and
+# currency set, and NBSP.
+_REPAIRED_CHARS = (
+    "éèêàâäöüñç"
+    "áíóúïôßÉÖÜ"
+    "«»"
+    "—–‘’“”…•€ "
+)
+
+# cp1252 leaves these five bytes undefined; real-world mojibake passes
+# them through as C1 controls (the Latin-1 reading) — ftfy's model.
+_CP1252_HOLES = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
+
+
+def _damage(ch: str) -> str:
+    """The mojibake form of ``ch``: its UTF-8 bytes re-decoded as
+    Windows-1252, falling back to Latin-1 for the undefined bytes.
+    Deriving (never hand-typing) the table keeps invisible control
+    characters in the damaged forms correct."""
+    return "".join(
+        chr(b) if b in _CP1252_HOLES else bytes([b]).decode("cp1252")
+        for b in ch.encode("utf-8")
+    )
+
+
+# (damaged, repaired), longest damaged form first so 3-byte damage
+# never loses its tail to a 2-byte rule; ties broken lexicographically
+# for a deterministic chain.  No damaged form is a prefix of another
+# at the same length, and no repair output re-creates a damaged lead
+# byte followed by its continuation within one pass.
+REPAIRS: list[tuple[str, str]] = sorted(
+    ((_damage(c), c) for c in _REPAIRED_CHARS),
+    key=lambda p: (-len(p[0]), p[0]),
+)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def repaired(text: Column) -> Column:
+    out = text
+    for bad, good in REPAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def repaired_oracle(expr: str) -> str:
+    out = expr
+    for bad, good in REPAIRS:
+        out = f"replace({out}, {_sql_quote(bad)}, {_sql_quote(good)})"
+    return out
+
+
+def fix_mojibake(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, changed, chars_before, chars_after, fixed_text) — the
+    repair transform plus its audit columns (every fix shrinks the
+    text, so ``chars_before - chars_after`` > 0 iff damage was found)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    fixed = repaired(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.length(t) != F.length(fixed)).alias("changed"),
+        F.length(t).cast("long").alias("chars_before"),
+        F.length(fixed).cast("long").alias("chars_after"),
+        fixed.alias("fixed_text"),
+    )
+
+
+def fix_mojibake_oracle(corpus_sql: str) -> str:
+    t = "coalesce(text, '')"
+    fixed = repaired_oracle(t)
+    return f"""
+WITH corpus AS ({corpus_sql})
+SELECT doc_id,
+       (len({t}) <> len({fixed})) AS changed,
+       len({t})::BIGINT AS chars_before,
+       len({fixed})::BIGINT AS chars_after,
+       {fixed} AS fixed_text
+FROM corpus
+"""

@@ -1,0 +1,70 @@
+"""Jupyter-notebook → training-script conversion (The Stack recipe).
+
+Code-corpus pipelines convert ``.ipynb`` files to plain scripts before
+training (Kocetkov et al., "The Stack", 2022 strip outputs and keep
+code; StarCoder renders markdown cells as comments so the prose
+context survives).  A notebook is a JSON document; at corpus scale the
+conversion must happen columnar — this operator parses the JSON with
+``from_json`` under an explicit cells schema (JVM-side Jackson, no
+Python), so outputs, execution counts, and metadata are dropped BY THE
+SCHEMA (fields absent from the schema never materialize — the "strip
+outputs" step costs nothing), and renders:
+
+- ``code`` cells: their source lines, verbatim;
+- ``markdown`` cells: each source line prefixed ``# `` (comment form);
+- other cell types (``raw``): skipped;
+- cells joined by a blank line.
+
+One narrow projection, zero shuffles, zero UDFs: parse + transform +
+concat are all whole-stage-codegen expressions.
+
+Reference parity: none (the reference ingests tabular files only);
+this belongs to the code-corpus extension suite alongside
+code_filters/code_metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Explicit subset schema: parsing drops everything else (outputs,
+# metadata, execution_count) — the strip step.
+NB_SCHEMA = (
+    "struct<cells: array<struct<cell_type: string, source: array<string>>>>"
+)
+
+
+def _render_cell(c: Column) -> Column:
+    code = F.concat_ws("", c["source"])
+    md = F.concat_ws(
+        "\n",
+        F.transform(c["source"], lambda l: F.concat(F.lit("# "), l)),
+    )
+    return (
+        F.when(c["cell_type"] == "code", code)
+        .when(c["cell_type"] == "markdown", md)
+        .otherwise(F.lit(None))
+    )
+
+
+def notebook_to_script(
+    df: DataFrame, id_col: str = "doc_id", json_col: str = "nb_json"
+) -> DataFrame:
+    """(doc_id, n_cells, n_code, n_md, script) — the notebook rendered
+    as a script, outputs/metadata stripped by schema."""
+    nb = F.from_json(F.col(json_col), NB_SCHEMA)
+    cells = F.coalesce(nb["cells"], F.array())
+    n_of = lambda t: F.size(  # noqa: E731
+        F.filter(cells, lambda c: c["cell_type"] == t)
+    ).cast("long")
+    rendered = F.filter(
+        F.transform(cells, _render_cell), lambda s: s.isNotNull()
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(cells).cast("long").alias("n_cells"),
+        n_of("code").alias("n_code"),
+        n_of("markdown").alias("n_md"),
+        F.concat_ws("\n\n", rendered).alias("script"),
+    )

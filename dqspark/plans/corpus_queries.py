@@ -28,6 +28,12 @@ from dqspark.operators.components import (
 from dqspark.operators.dedup import lsh_candidate_pairs, with_minhash
 from dqspark.operators.heavy import heavy_tokens, heavy_tokens_oracle
 from dqspark.operators.linededup import dedup_lines, dedup_lines_oracle
+from dqspark.operators.mojibake import (
+    _damage,
+    _sql_quote,
+    fix_mojibake,
+    fix_mojibake_oracle,
+)
 from dqspark.operators.ngrams import (
     frequent_token_ngrams,
     frequent_token_ngrams_oracle,
@@ -315,6 +321,92 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_lines, n_removed, clean_text) — documents rewritten
     with corpus-frequent lines stripped."""
     return dedup_lines(_docs_lines(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (ftfy-lite encoding fix, as a text TRANSFORM)
+# ---------------------------------------------------------------------------
+
+# Damage planted deterministically on both sides: every 6th doc gains a
+# suffix whose non-ASCII chars are run through the UTF-8→cp1252 damage
+# model (ASCII chars damage to themselves).  The repaired text must
+# equal the clean suffix again.
+_CLEAN_SUFFIX = " Café — “naïve” résumé… 3€ «ok»"
+_DAMAGED_SUFFIX = "".join(_damage(c) for c in _CLEAN_SUFFIX)
+
+_DOCS_MOJI_SQL = f"""
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 6 = 4
+                 THEN {_sql_quote(_DAMAGED_SUFFIX)} ELSE '' END AS text
+  FROM documents
+"""
+
+
+@register("mojibake_repair", fix_mojibake_oracle(_DOCS_MOJI_SQL))
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, changed, chars_before, chars_after, fixed_text) —
+    encoding-damage repair over the planted corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 4, F.lit(_DAMAGED_SUFFIX)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return fix_mojibake(docs)
+
+
+# ---------------------------------------------------------------------------
+# Jupyter-notebook -> script conversion (The Stack / StarCoder recipe)
+# ---------------------------------------------------------------------------
+
+# Notebook JSON synthesized on the Spark side from deterministic text
+# chunks via to_json (escaping round-trips through from_json, so chunk
+# content is arbitrary); the oracle computes the expected rendering
+# directly from the same chunks — the JSON layer cancels, the
+# extraction semantics are what's compared.  A 'raw' cell is planted
+# to pin the skip path, and outputs are stripped by schema.
+_NB_ORACLE = """
+SELECT doc_id,
+       5::BIGINT AS n_cells, 2::BIGINT AS n_code, 2::BIGINT AS n_md,
+       '# ' || substr(text, 1, 80) || chr(10) || chr(10)
+            || substr(text, 81, 120) || chr(10) || chr(10)
+            || '# ' || substr(text, 201, 80) || chr(10) || chr(10)
+            || substr(text, 281, 120) AS script
+FROM documents
+"""
+
+
+def _nb_cell(ct: str, src) -> F.Column:
+    return F.struct(
+        F.lit(ct).alias("cell_type"), F.array(src).alias("source")
+    )
+
+
+@register("notebook_scripts", _NB_ORACLE)
+def q_notebook_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_cells, n_code, n_md, script) — ipynb JSON parsed via
+    from_json and rendered to a script (markdown as comments)."""
+    from dqspark.operators.notebooks import notebook_to_script
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nb = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.array(
+                    _nb_cell("markdown", F.substring("text", 1, 80)),
+                    _nb_cell("code", F.substring("text", 81, 120)),
+                    _nb_cell("markdown", F.substring("text", 201, 80)),
+                    _nb_cell("code", F.substring("text", 281, 120)),
+                    _nb_cell("raw", F.substring("text", 401, 40)),
+                ).alias("cells")
+            )
+        ).alias("nb_json"),
+    )
+    return notebook_to_script(nb)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,42 @@
+"""Mojibake repair (operators/mojibake.py)."""
+
+from dqspark.operators.mojibake import REPAIRS, _damage, fix_mojibake
+
+CLEAN = "Café résumé naïve — “quoted” … 3€ • coöperate «ok» Ünïön ß"
+
+
+def _apply(text: str) -> str:
+    for bad, good in REPAIRS:
+        text = text.replace(bad, good)
+    return text
+
+
+def test_damage_roundtrip_python():
+    damaged = "".join(_damage(c) for c in CLEAN)
+    assert damaged != CLEAN
+    assert _apply(damaged) == CLEAN
+
+
+def test_chain_order_no_prefix_shadowing():
+    for i, (b1, _) in enumerate(REPAIRS):
+        for b2, _ in REPAIRS[i + 1 :]:
+            assert not b2.startswith(b1), (b1, b2)  # earlier rule would eat b2
+
+
+def test_ascii_undamaged():
+    s = "plain ascii stays untouched {}[]() 123"
+    assert "".join(_damage(c) for c in s) == s
+    assert _apply(s) == s
+
+
+def test_fix_mojibake_spark(spark):
+    damaged = "".join(_damage(c) for c in CLEAN)
+    df = spark.createDataFrame(
+        [(1, damaged), (2, "clean row"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    assert out[1]["fixed_text"] == CLEAN and out[1]["changed"]
+    assert out[1]["chars_before"] - out[1]["chars_after"] > 0
+    assert out[2]["fixed_text"] == "clean row" and not out[2]["changed"]
+    assert out[3]["fixed_text"] == "" and out[3]["chars_before"] == 0

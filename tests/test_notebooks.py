@@ -1,0 +1,62 @@
+"""Notebook -> script conversion (operators/notebooks.py)."""
+
+import json
+
+from dqspark.operators.notebooks import notebook_to_script
+
+
+def _nb(cells) -> str:
+    # full real-world shape: outputs/metadata present and must be
+    # stripped by the parse schema
+    return json.dumps(
+        {
+            "nbformat": 4,
+            "metadata": {"kernelspec": {"name": "python3"}},
+            "cells": [
+                {
+                    "cell_type": ct,
+                    "source": src,
+                    "outputs": [{"text": "SHOULD NOT SURVIVE"}],
+                    "execution_count": 7,
+                }
+                for ct, src in cells
+            ],
+        }
+    )
+
+
+def test_render_and_strip(spark):
+    nb = _nb(
+        [
+            ("markdown", ["# Title\n", "prose line"]),
+            ("code", ["import os\n", "print(os.name)"]),
+            ("raw", ["ignored"]),
+            ("code", ["x = 1"]),
+        ]
+    )
+    df = spark.createDataFrame([(1, nb)], "doc_id long, nb_json string")
+    r = notebook_to_script(df).collect()[0]
+    assert r["n_cells"] == 4 and r["n_code"] == 2 and r["n_md"] == 1
+    assert r["script"] == (
+        "# # Title\n\n# prose line"
+        "\n\nimport os\nprint(os.name)"
+        "\n\nx = 1"
+    )
+    assert "SHOULD NOT SURVIVE" not in r["script"]
+
+
+def test_malformed_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "not json at all"), (2, '{"cells": []}'), (3, None)],
+        "doc_id long, nb_json string",
+    )
+    out = {r["doc_id"]: r for r in notebook_to_script(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_cells"] == 0 and out[i]["script"] == ""
+
+
+def test_quote_escaping_roundtrip(spark):
+    src = 'print("quoted \\" backslash \\\\ done")'
+    nb = _nb([("code", [src])])
+    df = spark.createDataFrame([(1, nb)], "doc_id long, nb_json string")
+    assert notebook_to_script(df).collect()[0]["script"] == src
