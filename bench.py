@@ -162,6 +162,12 @@ def main() -> None:
             "packing_efficiency",
             "temperature_mixture",
             "line_dedup",
+            "mojibake_repair",
+            "notebook_scripts",
+            "repo_mirrors",
+            "fork_pairs",
+            "fim_transform",
+            "repo_context",
         )
         if q in driver_queries.QUERIES
     ]

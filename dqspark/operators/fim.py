@@ -1,0 +1,145 @@
+"""Fill-in-the-middle (FIM) training transform.
+
+Code LLMs are trained with a fraction of documents rearranged so the
+model learns infilling (Bavarian et al. 2022, "Efficient Training of
+Language Models to Fill in the Middle"; applied at corpus scale by
+StarCoder and Code Llama): the text is split at two random pivots into
+(prefix, middle, suffix) and re-serialized with sentinel tokens, in
+one of two orders:
+
+- **PSM**: ``<fim_prefix>P<fim_suffix>S<fim_middle>M``
+- **SPM**: ``<fim_prefix><fim_suffix>S<fim_middle>PM`` —
+  the joined-variant SPM of Bavarian et al. §D (StarCoder's choice),
+  a PSM with empty serialized prefix whose real prefix rides at the
+  front of the middle segment.
+
+At 10^12 files "random" must mean DETERMINISTIC-per-row: Spark's
+``rand()`` is seeded per partition iterator, so retries/repartitioning
+would re-draw different splits and break resumability and the audit
+trail.  All three decisions (apply? mode? pivots?) derive from salted
+md5 hashes of the row key — the same engine-portable construction as
+the stratified sampler (sampling.py), so decisions are reproducible on
+any cluster size and the DuckDB oracle replays them exactly.
+
+Pure columnar: three substrings + concat, no UDF, no shuffle — the
+transform fuses into whatever stage reads the corpus.  FIM is applied
+at ``fim_rate`` (0.5 in Bavarian et al.'s recommended setting; 0.5
+PSM/SPM split), character-level (their "context-level FIM" ablation
+applies equally here — this operator is the document-level variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+from dqspark.operators.sampling import BUCKETS
+
+FIM_PREFIX = "<fim_prefix>"
+FIM_MIDDLE = "<fim_middle>"
+FIM_SUFFIX = "<fim_suffix>"
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return md5_long(F.concat_ws("|", F.lit(salt), key.cast("string")))
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: float = 0.5,
+    spm_rate: float = 0.5,
+    salt: str = "fim",
+) -> DataFrame:
+    """(doc_id, fim_applied, fim_mode, split1, split2, fim_text).
+
+    ``fim_mode`` ∈ ('psm', 'spm', null); unselected rows pass through
+    verbatim with ``fim_applied = false``.  Pivots are uniform over
+    [0, len] via salted hashes, ordered so split1 ≤ split2."""
+    key = F.col(id_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(text)
+
+    apply_fim = (_bucket(key, salt + "|apply") % BUCKETS) < int(
+        round(fim_rate * BUCKETS)
+    )
+    spm = (_bucket(key, salt + "|mode") % BUCKETS) < int(
+        round(spm_rate * BUCKETS)
+    )
+    p1 = _bucket(key, salt + "|p1") % (n + 1)
+    p2 = _bucket(key, salt + "|p2") % (n + 1)
+    lo, hi = F.least(p1, p2), F.greatest(p1, p2)
+
+    prefix = text.substr(F.lit(1), lo)
+    middle = text.substr(lo + 1, hi - lo)
+    suffix = text.substr(hi + 1, n - hi)
+
+    psm_text = F.concat(
+        F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix,
+        F.lit(FIM_MIDDLE), middle,
+    )
+    spm_text = F.concat(
+        F.lit(FIM_PREFIX), F.lit(FIM_SUFFIX), suffix,
+        F.lit(FIM_MIDDLE), prefix, middle,
+    )
+    return df.select(
+        key.alias("doc_id"),
+        apply_fim.alias("fim_applied"),
+        F.when(~apply_fim, F.lit(None))
+        .when(spm, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("fim_mode"),
+        F.when(apply_fim, lo).cast("long").alias("split1"),
+        F.when(apply_fim, hi).cast("long").alias("split2"),
+        F.when(~apply_fim, text)
+        .when(spm, spm_text)
+        .otherwise(psm_text)
+        .alias("fim_text"),
+    )
+
+
+def fim_transform_oracle(
+    corpus_sql: str,
+    fim_rate: float = 0.5,
+    spm_rate: float = 0.5,
+    salt: str = "fim",
+) -> str:
+    """Same decisions and splits replayed in DuckDB (identical salted
+    md5 buckets; substr semantics match for 1-based pos + length)."""
+
+    def bucket(s: str) -> str:
+        return md5_long_oracle(f"'{s}|' || doc_id::VARCHAR")
+
+    apply_thr = int(round(fim_rate * BUCKETS))
+    spm_thr = int(round(spm_rate * BUCKETS))
+    return f"""
+WITH corpus AS ({corpus_sql}),
+d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         len(coalesce(text, '')) AS n,
+         ({bucket(salt + "|apply")}) % {BUCKETS} < {apply_thr} AS fim_applied,
+         ({bucket(salt + "|mode")}) % {BUCKETS} < {spm_thr} AS spm,
+         ({bucket(salt + "|p1")}) % (len(coalesce(text, '')) + 1) AS p1,
+         ({bucket(salt + "|p2")}) % (len(coalesce(text, '')) + 1) AS p2
+  FROM corpus
+), s AS (
+  SELECT *, least(p1, p2) AS lo, greatest(p1, p2) AS hi FROM d
+)
+SELECT doc_id, fim_applied,
+       CASE WHEN NOT fim_applied THEN NULL
+            WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+       CASE WHEN fim_applied THEN lo END::BIGINT AS split1,
+       CASE WHEN fim_applied THEN hi END::BIGINT AS split2,
+       CASE WHEN NOT fim_applied THEN t
+            WHEN spm THEN '{FIM_PREFIX}' || '{FIM_SUFFIX}'
+                 || substr(t, hi + 1, n - hi)
+                 || '{FIM_MIDDLE}' || substr(t, 1, lo)
+                 || substr(t, lo + 1, hi - lo)
+            ELSE '{FIM_PREFIX}' || substr(t, 1, lo)
+                 || '{FIM_SUFFIX}' || substr(t, hi + 1, n - hi)
+                 || '{FIM_MIDDLE}' || substr(t, lo + 1, hi - lo)
+       END AS fim_text
+FROM s
+"""

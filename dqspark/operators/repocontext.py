@@ -1,0 +1,136 @@
+"""Repository-context rendering: one training document per repo.
+
+Repo-level context is the StarCoder2 / DeepSeek-Coder data recipe
+(Lozhkov et al. 2024 §4.2: files of a repository concatenated with
+``<|file_sep|>``-style separators and filename sentinels so the model
+learns cross-file structure) — the step after per-file filtering where
+the corpus pivots from files to repositories.
+
+Semantics: per repo, files ordered by path (deterministic under any
+partitioning), each file clamped to ``max_file_chars`` and rendered
+``<filename>{path}\\n{content}``, the first ``max_files`` of them
+joined by the separator.  The two caps are the scale contract: a
+repo's rendered context costs at most ``max_files × max_file_chars``
+chars of aggregation state, so a 10M-file mega-repo cannot blow up an
+executor — it contributes the same bounded document as a mid-size
+repo (production recipes additionally shard huge repos; the cap here
+is the safety invariant the shard policy sits on).
+
+Plan shape: ONE shuffle by repo (inherent — the group is the output
+row), ranking and aggregation both on that layout.  The heavy
+``collect_list`` collects ALREADY-CLAMPED structs, and the rank filter
+drops files beyond ``max_files`` before any content is aggregated.
+
+Reference parity: none (the reference is row-oriented tabular QA);
+this is part of the code-corpus extension suite (SURVEY §2-ext).
+
+Determinism contract: ``path`` must be unique within a repo (true of
+any real checkout) — with duplicate paths both the rank tie-break and
+the concatenation tie order would be engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FILE_SEP = "<|file_sep|>"
+FILENAME_TAG = "<filename>"
+
+MAX_FILES = 64
+MAX_FILE_CHARS = 4096
+
+
+def repo_context(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    max_files: int = MAX_FILES,
+    max_file_chars: int = MAX_FILE_CHARS,
+) -> DataFrame:
+    """(repo, n_files_total, n_files_packed, n_truncated, ctx_chars,
+    context) — one rendered training document per repository."""
+    clamped = F.substring(
+        F.coalesce(F.col(content_col), F.lit("")), 1, max_file_chars
+    )
+    rendered = F.concat(
+        F.lit(FILENAME_TAG), F.col(path_col), F.lit("\n"), clamped
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(repo_col).orderBy(path_col)
+    )
+    ranked = df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        rendered.alias("_r"),
+        (
+            F.length(F.coalesce(F.col(content_col), F.lit("")))
+            > max_file_chars
+        ).alias("_trunc"),
+    ).withColumn("_rn", rn)
+    out = (
+        ranked.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files_total"),
+            F.sum((F.col("_rn") <= max_files).cast("long")).alias(
+                "n_files_packed"
+            ),
+            F.sum(
+                ((F.col("_rn") <= max_files) & F.col("_trunc")).cast("long")
+            ).alias("n_truncated"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") <= max_files,
+                        F.struct(F.col("path"), F.col("_r")),
+                    )
+                )
+            ).alias("_parts"),
+        )
+        .select(
+            "repo",
+            "n_files_total",
+            "n_files_packed",
+            "n_truncated",
+            F.concat_ws(
+                FILE_SEP, F.transform(F.col("_parts"), lambda s: s["_r"])
+            ).alias("context"),
+        )
+        .withColumn("ctx_chars", F.length("context").cast("long"))
+        .select(
+            "repo", "n_files_total", "n_files_packed", "n_truncated",
+            "ctx_chars", "context",
+        )
+    )
+    return out
+
+
+def repo_context_oracle(
+    corpus_sql: str,
+    max_files: int = MAX_FILES,
+    max_file_chars: int = MAX_FILE_CHARS,
+) -> str:
+    """Same rendering in DuckDB: rank by path per repo, clamp, join in
+    path order."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+ranked AS (
+  SELECT repo, path,
+         '{FILENAME_TAG}' || path || chr(10)
+           || substr(coalesce(content, ''), 1, {max_file_chars}) AS r,
+         len(coalesce(content, '')) > {max_file_chars} AS trunc,
+         row_number() OVER (PARTITION BY repo ORDER BY path) AS rn
+  FROM corpus
+)
+SELECT repo,
+       count(*)::BIGINT AS n_files_total,
+       sum((rn <= {max_files})::BIGINT)::BIGINT AS n_files_packed,
+       sum((rn <= {max_files} AND trunc)::BIGINT)::BIGINT AS n_truncated,
+       len(string_agg(CASE WHEN rn <= {max_files} THEN r END,
+                      '{FILE_SEP}' ORDER BY path))::BIGINT AS ctx_chars,
+       string_agg(CASE WHEN rn <= {max_files} THEN r END,
+                  '{FILE_SEP}' ORDER BY path) AS context
+FROM ranked
+GROUP BY repo
+"""

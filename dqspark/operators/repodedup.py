@@ -1,0 +1,208 @@
+"""Repository-level dedup: exact mirrors and near-forks.
+
+Raw code crawls are dominated by clones: The Stack v1 dedupes forks
+explicitly (Kocetkov et al. 2022 §3: "we exclude forks of other
+repositories"), and StarCoder's data card reports fork/mirror removal
+before file-level near-dedup.  File-level MinHash alone misses the
+repo-structure signal — a fork that renamed nothing is 100% redundant
+even when individual files also appear elsewhere legitimately.
+
+Two granularities, both exact relational algebra (no sketches needed —
+the reductions are tiny relative to content):
+
+**Exact mirrors** — an order-independent O(1)-state fingerprint per
+repo over the DISTINCT set of file-content hashes: ``bit_xor`` plus
+the distinct count (xor alone cancels on pairs; the pair (xor, count,
+byte total) makes an accidental collision vanishingly unlikely and
+keeps the aggregate map-side-combinable — no per-repo array is ever
+materialized, so a 10M-file mega-repo costs the same 24 bytes of
+aggregation state as a gist).  Repos sharing the fingerprint triple
+are mirrors of each other's content set (paths ignored, matching fork
+semantics: renames/moves don't un-fork a repo).
+
+**Near-forks** — Jaccard over file-content-hash sets via an inverted
+index on the hash: pair candidates are generated ONLY by co-occurrence
+on a shared file hash, with a document-frequency cap dropping hashes
+present in more than ``max_df`` repos (vendored LICENSE / README
+boilerplate would otherwise contribute O(df²) candidate pairs while
+carrying no fork signal — the same rarest-first principle as PPJoin
+prefix filtering).  ``shared`` therefore counts DISTINCT sub-``max_df``
+hashes only; it is exact for true forks (whose shared set is dominated
+by repo-specific files) and a documented lower bound when two repos
+overlap only in ultra-common boilerplate.
+
+100-TB shape: content hashed once (map-side), everything after moves
+(repo, hash) pairs — never content; the df cap bounds inverted-index
+fanout at ``max_df²`` pairs per hash; all joins are on uniform hash
+keys (content hashes can't skew).
+
+Reference parity: whole-table duplicate detection is
+``insertion_anomaly.py:5-21`` (pandas ``duplicated()``); this lifts it
+from rows to repositories, which the single-process reference cannot
+represent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+
+# hashes present in more repos than this carry no fork signal and are
+# excluded from candidate generation (vendored boilerplate gate)
+MAX_DF = 64
+
+# near-fork report threshold: |A∩B| / |A∪B| over file-hash sets
+FORK_JACCARD = 0.5
+
+
+def _file_hashes(
+    df: DataFrame, repo_col: str, content_col: str
+) -> DataFrame:
+    """(repo, h) distinct — the repo → file-content-hash set relation."""
+    return df.select(
+        F.col(repo_col).alias("repo"),
+        md5_long(F.coalesce(F.col(content_col), F.lit(""))).alias("h"),
+    ).distinct()
+
+
+def repo_fingerprints(
+    df: DataFrame, repo_col: str = "repo", content_col: str = "content"
+) -> DataFrame:
+    """(repo, n_files, n_distinct, set_xor, mirror_group, n_mirrors) —
+    per-repo content-set fingerprint plus its exact-mirror group.
+
+    ``mirror_group`` is the min repo name sharing the (xor, distinct)
+    fingerprint; ``n_mirrors`` the group size (1 = unique repo).
+    """
+    per_file = df.select(
+        F.col(repo_col).alias("repo"),
+        md5_long(F.coalesce(F.col(content_col), F.lit(""))).alias("h"),
+    )
+    sets = (
+        per_file.groupBy("repo", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("repo")
+        .agg(
+            F.sum("_n").cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.expr("bit_xor(h)").alias("set_xor"),
+        )
+    )
+    groups = sets.groupBy("set_xor", "n_distinct").agg(
+        F.min("repo").alias("mirror_group"),
+        F.count(F.lit(1)).cast("long").alias("n_mirrors"),
+    )
+    return sets.join(groups, ["set_xor", "n_distinct"]).select(
+        "repo", "n_files", "n_distinct", "set_xor", "mirror_group", "n_mirrors"
+    )
+
+
+def fork_pairs(
+    df: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    max_df: int = MAX_DF,
+    threshold: float = FORK_JACCARD,
+) -> DataFrame:
+    """(repo_a, repo_b, shared, n_a, n_b, jaccard) — near-fork repo
+    pairs (repo_a < repo_b) with Jaccard ≥ threshold over distinct
+    file-content-hash sets; candidate generation df-capped at
+    ``max_df`` repos per hash."""
+    fh = _file_hashes(df, repo_col, content_col)
+    sizes = fh.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rare = fh.join(
+        fh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df").between(2, max_df))
+        .select("h"),
+        "h",
+    )
+    a = rare.select("h", F.col("repo").alias("repo_a"))
+    b = rare.select("h", F.col("repo").alias("repo_b"))
+    shared = (
+        a.join(b, "h")
+        .where(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    na = sizes.select(F.col("repo").alias("repo_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("repo").alias("repo_b"), F.col("n").alias("n_b"))
+    out = (
+        shared.join(na, "repo_a")
+        .join(nb, "repo_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("repo_a", "repo_b", "shared", "n_a", "n_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same relational plan, same md5-derived hash)
+# ---------------------------------------------------------------------------
+
+
+def _fh_sql(corpus_sql: str) -> str:
+    h = md5_long_oracle("coalesce(content, '')")
+    return f"""
+  SELECT DISTINCT repo, {h} AS h
+  FROM ({corpus_sql})
+"""
+
+
+def repo_fingerprints_oracle(corpus_sql: str) -> str:
+    h = md5_long_oracle("coalesce(content, '')")
+    return f"""
+WITH per_file AS (
+  SELECT repo, {h} AS h FROM ({corpus_sql})
+), sets AS (
+  SELECT repo,
+         count(*)::BIGINT AS n_files,
+         count(DISTINCT h)::BIGINT AS n_distinct,
+         bit_xor(DISTINCT h) AS set_xor
+  FROM per_file GROUP BY repo
+), groups AS (
+  SELECT set_xor, n_distinct,
+         min(repo) AS mirror_group,
+         count(*)::BIGINT AS n_mirrors
+  FROM sets GROUP BY set_xor, n_distinct
+)
+SELECT s.repo, s.n_files, s.n_distinct, s.set_xor,
+       g.mirror_group, g.n_mirrors
+FROM sets s JOIN groups g USING (set_xor, n_distinct)
+"""
+
+
+def fork_pairs_oracle(
+    corpus_sql: str, max_df: int = MAX_DF, threshold: float = FORK_JACCARD
+) -> str:
+    return f"""
+WITH fh AS ({_fh_sql(corpus_sql)}),
+sizes AS (
+  SELECT repo, count(*)::BIGINT AS n FROM fh GROUP BY repo
+), rare AS (
+  SELECT fh.h, fh.repo FROM fh
+  JOIN (SELECT h FROM fh GROUP BY h
+        HAVING count(*) BETWEEN 2 AND {max_df}) g USING (h)
+), shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*)::BIGINT AS shared
+  FROM rare a JOIN rare b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY a.repo, b.repo
+)
+SELECT repo_a, repo_b, shared, na.n AS n_a, nb.n AS n_b,
+       round(shared / (na.n + nb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes na ON na.repo = repo_a
+JOIN sizes nb ON nb.repo = repo_b
+WHERE round(shared / (na.n + nb.n - shared), 6) >= {threshold}::double
+"""

@@ -1,0 +1,133 @@
+"""Driver-contract queries for the repository-level operators:
+exact-mirror fingerprints + near-fork pairs (operators/repodedup.py),
+FIM training transform (operators/fim.py), and repo-context rendering
+(operators/repocontext.py).
+
+The planted repo corpus derives (repo, path, content) from
+``documents`` identically on both engines:
+
+- base: 40 repos ``r00..r39`` by ``doc_id % 40``, unique paths;
+- ``m00``: an exact MIRROR of ``r00`` under different paths (content
+  set identical — paths must not matter, matching fork semantics);
+- ``f01``: a half FORK of ``r01`` (files with ``doc_id % 80 = 1``,
+  i.e. every other file) — Jaccard exactly shared/(n_a) ≈ 0.5;
+- one identical boilerplate file in EVERY repo (df = 42 repos), which
+  the fork join's df cap (16) must exclude from candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.fim import fim_transform, fim_transform_oracle
+from dqspark.operators.repocontext import repo_context, repo_context_oracle
+from dqspark.operators.repodedup import (
+    fork_pairs,
+    fork_pairs_oracle,
+    repo_fingerprints,
+    repo_fingerprints_oracle,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+_BOILER = "MIT License\nPermission is hereby granted, free of charge\n"
+
+_REPO_CORPUS_SQL = f"""
+  SELECT 'r' || lpad((doc_id % 40)::VARCHAR, 2, '0') AS repo,
+         'src/f' || doc_id::VARCHAR || '.py' AS path,
+         text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'm00', 'alt/f' || doc_id::VARCHAR || '.py', text
+  FROM documents WHERE doc_id % 40 = 0
+  UNION ALL
+  SELECT 'f01', 'src/f' || doc_id::VARCHAR || '.py', text
+  FROM documents WHERE doc_id % 80 = 1
+  UNION ALL
+  SELECT DISTINCT 'r' || lpad((doc_id % 40)::VARCHAR, 2, '0'),
+         'LICENSE', '{_BOILER.replace(chr(10), "' || chr(10) || '")}'
+  FROM documents
+  UNION ALL
+  SELECT r, 'LICENSE', '{_BOILER.replace(chr(10), "' || chr(10) || '")}'
+  FROM (VALUES ('m00'), ('f01')) AS t(r)
+"""
+
+
+def _repo_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    repo = F.concat(
+        F.lit("r"), F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
+    )
+    path = F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py"))
+    base = docs.select(
+        repo.alias("repo"), path.alias("path"), F.col("text").alias("content")
+    )
+    mirror = docs.where(F.col("doc_id") % 40 == 0).select(
+        F.lit("m00").alias("repo"),
+        F.concat(
+            F.lit("alt/f"), F.col("doc_id").cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.col("text").alias("content"),
+    )
+    fork = docs.where(F.col("doc_id") % 80 == 1).select(
+        F.lit("f01").alias("repo"),
+        path.alias("path"),
+        F.col("text").alias("content"),
+    )
+    licenses = (
+        base.select("repo")
+        .distinct()
+        .unionAll(
+            base.sparkSession.createDataFrame(
+                [("m00",), ("f01",)], "repo string"
+            )
+        )
+        .select(
+            "repo", F.lit("LICENSE").alias("path"), F.lit(_BOILER).alias("content")
+        )
+    )
+    return base.unionAll(mirror).unionAll(fork).unionAll(licenses)
+
+
+@register("repo_mirrors", repo_fingerprints_oracle(_REPO_CORPUS_SQL))
+def q_repo_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(repo, n_files, n_distinct, set_xor, mirror_group, n_mirrors) —
+    m00 must land in r00's mirror group despite disjoint paths."""
+    return repo_fingerprints(_repo_corpus(spark, sf_dir))
+
+
+@register(
+    "fork_pairs",
+    fork_pairs_oracle(_REPO_CORPUS_SQL, max_df=16, threshold=0.4),
+)
+def q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(repo_a, repo_b, shared, n_a, n_b, jaccard) — near-fork pairs;
+    the 42-repo boilerplate LICENSE is df-gated out of candidates."""
+    return fork_pairs(
+        _repo_corpus(spark, sf_dir), max_df=16, threshold=0.4
+    )
+
+
+_DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+
+@register("fim_transform", fim_transform_oracle(_DOCS_SQL))
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fim_applied, fim_mode, split1, split2, fim_text) —
+    deterministic PSM/SPM fill-in-the-middle over documents."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(docs)
+
+
+@register(
+    "repo_context",
+    repo_context_oracle(_REPO_CORPUS_SQL, max_files=8, max_file_chars=200),
+)
+def q_repo_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(repo, n_files_total, n_files_packed, n_truncated, ctx_chars,
+    context) — one rendered document per repo; small caps exercise
+    both the file-count gate and per-file truncation."""
+    return repo_context(
+        _repo_corpus(spark, sf_dir), max_files=8, max_file_chars=200
+    )

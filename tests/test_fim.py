@@ -1,0 +1,81 @@
+"""FIM transform (operators/fim.py)."""
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.fim import (
+    FIM_MIDDLE,
+    FIM_PREFIX,
+    FIM_SUFFIX,
+    fim_transform,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("line-"), F.col("id").cast("string"), F.lit("-body-of-text"))
+        .alias("text"),
+    )
+
+
+def test_reconstruction(spark):
+    """Every transformed row must contain exactly the original chars:
+    prefix+middle+suffix is a permutation-with-markers of the text."""
+    docs = _docs(spark)
+    out = fim_transform(docs, fim_rate=1.0).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert r["fim_applied"] and r["fim_mode"] in ("psm", "spm")
+        t = src[r["doc_id"]]
+        lo, hi = r["split1"], r["split2"]
+        assert 0 <= lo <= hi <= len(t)
+        body = (
+            r["fim_text"]
+            .replace(FIM_PREFIX, "")
+            .replace(FIM_SUFFIX, "")
+            .replace(FIM_MIDDLE, "")
+        )
+        assert sorted(body) == sorted(t)
+        if r["fim_mode"] == "psm":
+            expected = (
+                FIM_PREFIX + t[:lo] + FIM_SUFFIX + t[hi:] + FIM_MIDDLE + t[lo:hi]
+            )
+        else:
+            expected = (
+                FIM_PREFIX + FIM_SUFFIX + t[hi:] + FIM_MIDDLE + t[:lo] + t[lo:hi]
+            )
+        assert r["fim_text"] == expected
+
+
+def test_rate_zero_passthrough(spark):
+    docs = _docs(spark)
+    out = fim_transform(docs, fim_rate=0.0).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert not r["fim_applied"] and r["fim_mode"] is None
+        assert r["split1"] is None and r["split2"] is None
+        assert r["fim_text"] == src[r["doc_id"]]
+
+
+def test_rate_approximate_and_deterministic(spark):
+    docs = _docs(spark, 1000)
+    out = fim_transform(docs, fim_rate=0.5)
+    n_applied = out.where("fim_applied").count()
+    assert 400 < n_applied < 600  # binomial around 500
+    # repartitioning must not change a single decision
+    again = fim_transform(docs.repartition(7), fim_rate=0.5)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    for r in fim_transform(df, fim_rate=1.0).collect():
+        assert r["split1"] == 0 and r["split2"] == 0
+        assert r["fim_text"] in (
+            FIM_PREFIX + FIM_SUFFIX + FIM_MIDDLE,  # psm on empty
+            FIM_PREFIX + FIM_SUFFIX + FIM_MIDDLE,  # spm on empty (same)
+        )

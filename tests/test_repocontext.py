@@ -1,0 +1,63 @@
+"""Repo-context rendering (operators/repocontext.py)."""
+
+from dqspark.operators.repocontext import FILE_SEP, FILENAME_TAG, repo_context
+
+
+def _corpus(spark):
+    rows = [
+        ("A", "b.py", "bbb"),
+        ("A", "a.py", "aaa"),
+        ("A", "c.py", "x" * 50),  # truncated at max_file_chars=10
+        ("B", "only.py", "solo"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string"
+    )
+
+
+def test_render_order_and_truncation(spark):
+    out = {
+        r["repo"]: r
+        for r in repo_context(
+            _corpus(spark), max_files=10, max_file_chars=10
+        ).collect()
+    }
+    a = out["A"]
+    assert a["n_files_total"] == 3 and a["n_files_packed"] == 3
+    assert a["n_truncated"] == 1
+    expected = FILE_SEP.join(
+        [
+            f"{FILENAME_TAG}a.py\naaa",
+            f"{FILENAME_TAG}b.py\nbbb",
+            f"{FILENAME_TAG}c.py\n" + "x" * 10,
+        ]
+    )
+    assert a["context"] == expected
+    assert a["ctx_chars"] == len(expected)
+    assert out["B"]["context"] == f"{FILENAME_TAG}only.py\nsolo"
+
+
+def test_max_files_cap(spark):
+    rows = [("R", f"f{i:02d}.py", f"c{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    r = repo_context(df, max_files=5, max_file_chars=100).collect()[0]
+    assert r["n_files_total"] == 20 and r["n_files_packed"] == 5
+    # exactly the 5 path-first files, in path order
+    assert r["context"].count(FILENAME_TAG) == 5
+    assert "f04.py" in r["context"] and "f05.py" not in r["context"]
+
+
+def test_deterministic_under_repartition(spark):
+    rows = [("R", f"f{i:03d}.py", str(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    a = repo_context(df, max_files=10).collect()[0]["context"]
+    b = repo_context(df.repartition(13), max_files=10).collect()[0]["context"]
+    assert a == b
+
+
+def test_null_content(spark):
+    df = spark.createDataFrame(
+        [("R", "a.py", None)], "repo string, path string, content string"
+    )
+    r = repo_context(df).collect()[0]
+    assert r["context"] == f"{FILENAME_TAG}a.py\n" and r["n_truncated"] == 0

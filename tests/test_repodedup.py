@@ -1,0 +1,63 @@
+"""Repo-level dedup (operators/repodedup.py)."""
+
+from dqspark.operators.repodedup import fork_pairs, repo_fingerprints
+
+
+def _corpus(spark):
+    rows = []
+    # repo A: 4 distinct files (one duplicated inside the repo)
+    for i, c in enumerate(["a1", "a2", "a3", "a4", "a4"]):
+        rows.append(("A", f"src/{i}.py", c))
+    # repo B: exact mirror of A under different paths
+    for i, c in enumerate(["a1", "a2", "a3", "a4"]):
+        rows.append(("B", f"lib/{i}.py", c))
+    # repo C: half-fork of A (2 of 4 files) + 2 own files
+    rows += [
+        ("C", "src/0.py", "a1"),
+        ("C", "src/1.py", "a2"),
+        ("C", "src/2.py", "c1"),
+        ("C", "src/3.py", "c2"),
+    ]
+    # repo D: unrelated
+    rows += [("D", "x.py", "d1"), ("D", "y.py", "d2")]
+    # boilerplate present in every repo
+    for r in "ABCD":
+        rows.append((r, "LICENSE", "boiler"))
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string"
+    )
+
+
+def test_mirror_groups(spark):
+    out = {
+        r["repo"]: r
+        for r in repo_fingerprints(_corpus(spark)).collect()
+    }
+    assert out["A"]["n_distinct"] == 5  # 4 + LICENSE
+    assert out["A"]["n_files"] == 6  # in-repo duplicate counted
+    assert out["A"]["mirror_group"] == out["B"]["mirror_group"] == "A"
+    assert out["A"]["n_mirrors"] == out["B"]["n_mirrors"] == 2
+    assert out["C"]["n_mirrors"] == 1 and out["D"]["n_mirrors"] == 1
+
+
+def test_fork_pairs_and_df_gate(spark):
+    # max_df=3 gates the LICENSE hash (df=4) out of candidates
+    pairs = {
+        (r["repo_a"], r["repo_b"]): r
+        for r in fork_pairs(
+            _corpus(spark), max_df=3, threshold=0.0
+        ).collect()
+    }
+    ab = pairs[("A", "B")]
+    assert ab["shared"] == 4 and ab["n_a"] == 5 and ab["n_b"] == 5
+    # jaccard is rounded to 6 dp in the operator (oracle parity)
+    assert abs(ab["jaccard"] - round(4 / 6, 6)) < 1e-9
+    ac = pairs[("A", "C")]
+    assert ac["shared"] == 2  # a1, a2 — LICENSE df-gated
+    # D shares only the gated boilerplate: no candidate pair at all
+    assert not any("D" in k for k in pairs)
+
+
+def test_threshold_filters(spark):
+    pairs = fork_pairs(_corpus(spark), max_df=3, threshold=0.6).collect()
+    assert {(r["repo_a"], r["repo_b"]) for r in pairs} == {("A", "B")}

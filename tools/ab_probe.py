@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Quick A/B probe of conf variants on the pipeline core at one
+parallelism level. Usage: python tools/ab_probe.py [--n 160000] [--cpus 32]"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dqspark.session import get_spark  # noqa: E402
+
+MPB = 8 * 1024 * 1024
+
+VARIANTS = {
+    "baseline": {},
+    "no_coalesce": {"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    "advisory_8m": {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+    "no_aqe": {"spark.sql.adaptive.enabled": "false"},
+    "no_broadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=160000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--strategy", default="salted")
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="dqspark_ab_")
+    corpus_path = os.path.join(workdir, "corpus")
+    try:
+        from dqspark.pipeline.corpus import gen_spark
+
+        spark = get_spark(app_name="ab-gen", master="local[32]")
+        gen_spark(spark, args.n, partitions=256).write.parquet(corpus_path)
+        spark.stop()
+
+        results = {}
+        for name in args.variants.split(","):
+            conf = dict(VARIANTS[name])
+            conf["spark.sql.files.maxPartitionBytes"] = str(MPB)
+            conf["spark.sql.files.openCostInBytes"] = str(MPB)
+            from dqspark.pipeline.quality import (
+                compute_corpus_stats,
+                run_quality_pipeline,
+                train_default_models,
+            )
+
+            spark = get_spark(
+                app_name=f"ab-{name}",
+                master=f"local[{args.cpus}]",
+                shuffle_partitions=max(args.cpus * 2, 16),
+                extra_conf=conf,
+            )
+            train_default_models()
+            df = spark.read.parquet(corpus_path)
+            df.count()
+            stats = compute_corpus_stats(df, exact_percentiles=False)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_quality_pipeline(
+                    df,
+                    n_partitions=args.cpus * 4,
+                    stats=stats,
+                    partition_strategy=args.strategy,
+                ).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 2))
+            spark.stop()
+            results[name] = runs
+            print(f"{name}: {runs}", file=sys.stderr)
+        print(json.dumps({"cpus": args.cpus, "n": args.n,
+                          "strategy": args.strategy, "runs": results}))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Stage-wise scaling attribution for the flagship pipeline.
+
+The end-to-end probe (scaling_bench.py --stage pipeline) mixes four
+very different costs into one number: the parquet scan, the one-time
+corpus-stats pass (exact percentiles buffer every value into ONE
+final-merge task — serial by construction), the per-row compute, and
+the dedupe join-back (whose broadcast hash relation is built
+single-threaded on the driver).  The serial pieces are identical at
+local[8] and local[32], so they cap measured scaling (Amdahl) without
+any of the parallel stages being at fault.
+
+This tool times each stage SEPARATELY at both levels, interleaved
+(ambient drift cancels), so the scaling number of each stage — and
+therefore the right protocol for the headline scaling bench — is
+measured, not guessed.
+
+Usage: python tools/stage_probe.py [--n 320000] [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dqspark.session import get_spark  # noqa: E402
+
+MPB = 8 * 1024 * 1024  # pinned split size: identical file-split plans
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def probe_once(cpus: int, corpus_path: str) -> dict[str, float]:
+    from dqspark.pipeline.quality import (
+        compute_corpus_stats,
+        run_quality_pipeline,
+        train_default_models,
+    )
+
+    spark = get_spark(
+        app_name=f"stage-probe-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(MPB),
+            "spark.sql.files.openCostInBytes": str(MPB),
+        },
+    )
+    train_default_models()
+    df = spark.read.parquet(corpus_path)
+    df.count()  # warm footer/listing caches
+
+    def noop(frame):
+        frame.write.format("noop").mode("overwrite").save()
+
+    stats = None
+    out: dict[str, float] = {}
+
+    def stage(name, fn):
+        # cold + warm; warm is the steady-state number
+        fn()
+        out[name] = _timed(fn)
+
+    stage("scan", lambda: noop(df))
+    stage(
+        "stats_exact",
+        lambda: compute_corpus_stats(df, exact_percentiles=True),
+    )
+    stage(
+        "stats_approx",
+        lambda: compute_corpus_stats(df, exact_percentiles=False),
+    )
+    stats = compute_corpus_stats(df, exact_percentiles=False)
+    stage(
+        "core_salted",
+        lambda: noop(
+            run_quality_pipeline(
+                df, n_partitions=cpus * 4, stats=stats,
+                partition_strategy="salted",
+            )
+        ),
+    )
+    stage(
+        "core_chash",
+        lambda: noop(
+            run_quality_pipeline(
+                df, n_partitions=cpus * 4, stats=stats,
+                partition_strategy="content_hash",
+            )
+        ),
+    )
+    stage(
+        "core_salted_nomodels",
+        lambda: noop(
+            run_quality_pipeline(
+                df, n_partitions=cpus * 4, stats=stats,
+                partition_strategy="salted", with_models=False,
+            )
+        ),
+    )
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=320000)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    pair = tuple(int(x) for x in args.cpus.split(","))
+
+    workdir = tempfile.mkdtemp(prefix="dqspark_stageprobe_")
+    corpus_path = os.path.join(workdir, "corpus")
+    try:
+        from dqspark.pipeline.corpus import gen_spark
+
+        spark = get_spark(app_name="stage-probe-gen", master="local[32]")
+        gen_spark(spark, args.n, partitions=256).write.parquet(corpus_path)
+        spark.stop()
+
+        results: dict[int, dict[str, list[float]]] = {c: {} for c in pair}
+        for _ in range(args.rounds):
+            for cpus in pair:
+                r = probe_once(cpus, corpus_path)
+                for k, v in r.items():
+                    results[cpus].setdefault(k, []).append(v)
+                print(
+                    f"local[{cpus}]: "
+                    + " ".join(f"{k}={v:.1f}s" for k, v in r.items()),
+                    file=sys.stderr,
+                )
+
+        lo, hi = pair
+        summary = {"n_files": args.n, "cpu_pair": list(pair), "stages": {}}
+        for k in results[lo]:
+            blo, bhi = min(results[lo][k]), min(results[hi][k])
+            summary["stages"][k] = {
+                f"best_{lo}": round(blo, 2),
+                f"best_{hi}": round(bhi, 2),
+                "runs_lo": [round(x, 2) for x in results[lo][k]],
+                "runs_hi": [round(x, 2) for x in results[hi][k]],
+                "scaling_eff": round(blo / (bhi * (hi // lo)), 3)
+                if bhi > 0
+                else None,
+            }
+        print(json.dumps(summary, indent=1))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(summary, f, indent=1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
