@@ -168,6 +168,8 @@ def main() -> None:
             "fork_pairs",
             "fim_transform",
             "repo_context",
+            "dep_order",
+            "semantic_contamination",
         )
         if q in driver_queries.QUERIES
     ]

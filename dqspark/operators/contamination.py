@@ -86,6 +86,83 @@ def benchmark_contamination(
     )
 
 
+SEM_CONTAM_TAU = 0.9  # cosine threshold (rounded 6 dp on both engines)
+
+
+def semantic_contamination(
+    vectors: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    tau: float = SEM_CONTAM_TAU,
+) -> DataFrame:
+    """(vec_id, matched_bench, max_cos, contaminated) — per training
+    vector, its nearest benchmark vector by cosine and a ≥ ``tau`` flag
+    (the semantic analogue of the n-gram overlap check: Phi-1 /
+    FineWeb-style embedding decontamination).
+
+    Scale shape: the benchmark side is the SMALL side and is broadcast
+    — the corpus never shuffles; the per-vector argmax is a
+    groupBy(id) min over a (−cos, bench_id) struct, so map-side
+    partial aggregation collapses the |bench| blow-up inside each scan
+    task before anything moves.  Ties at equal rounded cosine break to
+    the smallest benchmark id (lexicographic struct order — identical
+    to the oracle's ORDER BY cos DESC, bench_id ASC).
+    """
+    from dqspark.operators.similarity import cosine
+
+    b = benchmark.select(
+        F.col(bench_id_col).alias("__bid"), F.col(vec_col).alias("__bv")
+    )
+    pairs = vectors.select(id_col, vec_col).crossJoin(F.broadcast(b))
+    cos_r = F.round(cosine(F.col(vec_col), F.col("__bv")), 6)
+    best = (
+        pairs.select(
+            id_col, F.struct((-cos_r).alias("nc"), F.col("__bid")).alias("__s")
+        )
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__s"))
+    )
+    max_cos = -F.col("__s.nc")
+    return best.select(
+        id_col,
+        F.col("__s.__bid").alias("matched_bench"),
+        max_cos.alias("max_cos"),
+        (max_cos >= F.lit(tau)).alias("contaminated"),
+    )
+
+
+def semantic_contamination_oracle(
+    train_sql: str,
+    bench_sql: str,
+    tau: float = SEM_CONTAM_TAU,
+) -> str:
+    """Same argmax in DuckDB via a rank-1 window (ORDER BY cos DESC,
+    bench_id ASC == the Spark struct-min tie-break).  ``train_sql``
+    yields (vec_id, embedding); ``bench_sql`` yields (bench_id,
+    embedding)."""
+    from dqspark.operators.similarity import cosine_oracle
+
+    cos = f"round({cosine_oracle('t.embedding', 'b.embedding')}, 6)"
+    return f"""
+WITH train AS ({train_sql}),
+bench AS ({bench_sql}),
+sims AS (
+  SELECT t.vec_id, b.bench_id, {cos} AS cos_r
+  FROM train t CROSS JOIN bench b
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos_r DESC, bench_id ASC) AS rn
+  FROM sims
+)
+SELECT vec_id, bench_id AS matched_bench, cos_r AS max_cos,
+       cos_r >= {tau}::double AS contaminated
+FROM ranked WHERE rn = 1
+"""
+
+
 def benchmark_contamination_oracle(
     corpus_sql: str,
     bench_sql: str,

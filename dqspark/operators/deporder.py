@@ -1,0 +1,184 @@
+"""Dependency-ordered file layering for repository-level context.
+
+StarCoder2 (Lozhkov et al. 2024 §4.2) renders repo-context documents
+with files in TOPOLOGICAL order of their import graph, so a model
+reads definitions before uses; path order (operators/repocontext.py)
+is the fallback when the graph is empty.  This operator computes that
+ordering as a bounded longest-path layering:
+
+- an intra-repo import edge exists when a file's import statement
+  names another file's module path (``src/a/b.py`` → module
+  ``src.a.b``) — an equi-join on (repo, module), never a substring
+  scan;
+- ``layer(f) = 1 + max(layer(deps))`` iterated a FIXED ``rounds``
+  times from all-zeros (Bellman-Ford on the DAG's longest path).
+  Fixed rounds make cycles safe (layers cap at ``rounds``) and make
+  the computation bit-identical across engines — the DuckDB oracle
+  replays the same ``rounds`` relational steps, so convergence is
+  structural, not numeric;
+- the rendering order is (layer, path): definitions first,
+  deterministic tie-break, stable under any partitioning.
+
+Scale notes (100 TB): edges are an equi-join on (repo, module) — the
+module table is the same corpus projected, so both sides co-shuffle
+on the join key; each round is one groupBy(src) max + one left join,
+both key-partitioned with map-side partial aggregation, and lineage
+is cut per round with localCheckpoint (same discipline as
+operators/components.py).  ``rounds`` bounds total work at
+O(rounds × |edges|) regardless of repo depth.
+
+Reference parity: none (the reference is row-oriented tabular QA);
+code-corpus extension suite (SURVEY §2-ext).  Regexes are Java∩RE2
+per the repo's pinned cross-engine policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one capture group; anchored to line start — same family as
+# code_metrics.LANG_RULES["py"], but only plain `import x` (a `from x
+# import y` names the module in the same group, so include it too).
+IMPORT_RX = "(?m)^(?:from|import)[ ]+([A-Za-z0-9_.]+)"
+DEFAULT_ROUNDS = 6
+
+
+def _module_expr(path):
+    # src/a/b.py -> src.a.b  (strip ONE trailing extension, / -> .)
+    return F.replace(
+        F.regexp_replace(path, r"\.[A-Za-z0-9]+$", ""), F.lit("/"), F.lit(".")
+    )
+
+
+def dep_order(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    rounds: int = DEFAULT_ROUNDS,
+) -> DataFrame:
+    """(repo, path, n_deps, layer, rank) — longest-path import layer
+    per file (capped at ``rounds``) and the (layer, path) rank used to
+    order files inside a repo-context document."""
+    files = df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        _module_expr(F.col(path_col)).alias("module"),
+        F.coalesce(F.col(content_col), F.lit("")).alias("_content"),
+    )
+    imports = files.select(
+        "repo",
+        F.col("path").alias("src_path"),
+        F.explode(
+            F.array_distinct(F.regexp_extract_all("_content", F.lit(IMPORT_RX), 1))
+        ).alias("imp"),
+    )
+    # resolve to in-repo files; self-imports dropped (a module cannot
+    # precede itself, and a self-edge would inflate layers every round)
+    edges = (
+        imports.join(
+            files.select("repo", F.col("module").alias("imp"), F.col("path").alias("dst_path")),
+            ["repo", "imp"],
+        )
+        .where(F.col("src_path") != F.col("dst_path"))
+        .select("repo", "src_path", "dst_path")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_deps = edges.groupBy("repo", F.col("src_path").alias("path")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_deps")
+    )
+    layers = files.select("repo", "path", F.lit(0).alias("layer"))
+    for _ in range(rounds):
+        cand = (
+            edges.join(
+                layers.select(
+                    "repo", F.col("path").alias("dst_path"), F.col("layer").alias("_dl")
+                ),
+                ["repo", "dst_path"],
+            )
+            .groupBy("repo", F.col("src_path").alias("path"))
+            .agg((F.max("_dl") + F.lit(1)).alias("_cand"))
+        )
+        layers = (
+            layers.join(cand, ["repo", "path"], "left")
+            .select(
+                "repo",
+                "path",
+                F.greatest("layer", F.coalesce("_cand", F.lit(0))).alias("layer"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("repo").orderBy("layer", "path")
+    )
+    return (
+        layers.join(n_deps, ["repo", "path"], "left")
+        .select(
+            "repo",
+            "path",
+            F.coalesce("n_deps", F.lit(0)).cast("long").alias("n_deps"),
+            F.col("layer").cast("int").alias("layer"),
+        )
+        .withColumn("rank", rank.cast("int"))
+    )
+
+
+def dep_order_oracle(corpus_sql: str, rounds: int = DEFAULT_ROUNDS) -> str:
+    """Replay the same fixed-round layering in DuckDB: identical edge
+    resolution, then ``rounds`` chained CTE steps of the
+    greatest(layer, 1 + max(dep layer)) recurrence."""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""d{k} AS (
+  SELECT e.repo, e.src_path, 1 + max(l.layer) AS cand
+  FROM edges e JOIN layers{k - 1} l
+    ON l.repo = e.repo AND l.path = e.dst_path
+  GROUP BY e.repo, e.src_path
+),
+layers{k} AS (
+  SELECT l.repo, l.path,
+         greatest(l.layer, coalesce(d.cand, 0)) AS layer
+  FROM layers{k - 1} l LEFT JOIN d{k} d
+    ON d.repo = l.repo AND d.src_path = l.path
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+files AS (
+  SELECT repo, path,
+         replace(regexp_replace(path, '\\.[A-Za-z0-9]+$', ''), '/', '.')
+           AS module,
+         coalesce(content, '') AS content
+  FROM corpus
+),
+imports AS (
+  SELECT repo, path AS src_path, unnest(list_distinct(
+           regexp_extract_all(content, '{IMPORT_RX}', 1))) AS imp
+  FROM files
+),
+edges AS (
+  SELECT DISTINCT i.repo, i.src_path, f.path AS dst_path
+  FROM imports i JOIN files f
+    ON f.repo = i.repo AND f.module = i.imp
+  WHERE i.src_path != f.path
+),
+ndeps AS (
+  SELECT repo, src_path AS path, count(*)::BIGINT AS n_deps
+  FROM edges GROUP BY repo, src_path
+),
+layers0 AS (SELECT repo, path, 0 AS layer FROM files),
+{chain}
+SELECT l.repo, l.path,
+       coalesce(n.n_deps, 0)::BIGINT AS n_deps,
+       l.layer::INT AS layer,
+       row_number() OVER (
+         PARTITION BY l.repo ORDER BY l.layer, l.path)::INT AS rank
+FROM layers{rounds} l LEFT JOIN ndeps n
+  ON n.repo = l.repo AND n.path = l.path
+"""

@@ -26,6 +26,7 @@ from dqspark.operators.dedup import (
     with_minhash,
     with_simhash,
 )
+from dqspark.operators.contamination import semantic_contamination_oracle
 from dqspark.operators.similarity import (
     cosine_oracle,
     embedding_near_dup_pairs,
@@ -663,3 +664,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component_id", "vec_id").alias("component_id"),
         F.coalesce("component_size", F.lit(1).cast("long")).alias("component_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-level) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# benchmark = the vec_id % 40 == 0 originals; training side = everything
+# else in the planted set, which INCLUDES their +100000 near-copies
+# (cosine ≈ 1.0) — guaranteed above-threshold hits for the flag path.
+_SEM_CONTAM_ORACLE = semantic_contamination_oracle(
+    train_sql=f"SELECT vec_id, embedding FROM ({_EMB_SQL}) "
+    "WHERE NOT (vec_id % 40 = 0 AND vec_id < 100000)",
+    bench_sql=f"SELECT vec_id AS bench_id, embedding FROM ({_EMB_SQL}) "
+    "WHERE vec_id % 40 = 0 AND vec_id < 100000",
+)
+
+
+@register("semantic_contamination", _SEM_CONTAM_ORACLE)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, matched_bench, max_cos, contaminated) — per training
+    vector, nearest held-out benchmark vector by cosine; broadcast
+    benchmark side, map-side-combined argmax (operators/contamination.py
+    ``semantic_contamination``)."""
+    from dqspark.operators.contamination import semantic_contamination
+
+    emb = _emb_planted(spark, sf_dir)
+    is_bench = (F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 100000)
+    bench = emb.where(is_bench).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    return semantic_contamination(emb.where(~is_bench), bench)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dqspark.operators.deporder import dep_order, dep_order_oracle
 from dqspark.operators.fim import fim_transform, fim_transform_oracle
 from dqspark.operators.repocontext import repo_context, repo_context_oracle
 from dqspark.operators.repodedup import (
@@ -107,6 +108,60 @@ def q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fork_pairs(
         _repo_corpus(spark, sf_dir), max_df=16, threshold=0.4
     )
+
+
+# Planted import-graph corpus: 10 repos ('g00'..'g09', doc_id % 10),
+# per-repo module chain m0 <- m1 <- ... (each file imports its
+# predecessor, every third also fan-ins to m0), plus an unresolvable
+# stdlib import and a slice of document text as noise.  Longest-path
+# layers are min(idx, rounds) — the chain is ~50 deep at sf0.01, so
+# the fixed-round cap is exercised, and identical module names across
+# repos prove the (repo, module) join key isolates repositories.
+_DEP_CORPUS_SQL = """
+  SELECT 'g' || lpad((doc_id % 10)::VARCHAR, 2, '0') AS repo,
+         'pkg/m' || (doc_id // 10)::VARCHAR || '.py' AS path,
+         CASE WHEN doc_id // 10 > 0
+              THEN 'import pkg.m' || (doc_id // 10 - 1)::VARCHAR || chr(10)
+              ELSE '' END
+         || CASE WHEN doc_id // 10 > 0 AND (doc_id // 10) % 3 = 0
+              THEN 'from pkg.m0 import helper' || chr(10)
+              ELSE '' END
+         || 'import os' || chr(10) || substr(text, 1, 50) AS content
+  FROM documents
+"""
+
+
+def _dep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = (F.col("doc_id") / 10).cast("long")  # doc_id // 10 (non-negative)
+    content = F.concat(
+        F.when(
+            idx > 0,
+            F.concat(
+                F.lit("import pkg.m"), (idx - 1).cast("string"), F.lit("\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (idx > 0) & (idx % 3 == 0), F.lit("from pkg.m0 import helper\n")
+        ).otherwise(F.lit("")),
+        F.lit("import os\n"),
+        F.substring("text", 1, 50),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("g"), F.lpad((F.col("doc_id") % 10).cast("string"), 2, "0")
+        ).alias("repo"),
+        F.concat(F.lit("pkg/m"), idx.cast("string"), F.lit(".py")).alias("path"),
+        content.alias("content"),
+    )
+
+
+@register("dep_order", dep_order_oracle(_DEP_CORPUS_SQL))
+def q_dep_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(repo, path, n_deps, layer, rank) — StarCoder2-style topological
+    file ordering: fixed-round longest-path import layers, (layer,
+    path) rank for repo-context rendering."""
+    return dep_order(_dep_corpus(spark, sf_dir))
 
 
 _DOCS_SQL = "SELECT doc_id, text FROM documents"

@@ -1,0 +1,59 @@
+"""Dependency-ordered repo layering (operators/deporder.py)."""
+
+from dqspark.operators.deporder import dep_order
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string"
+    )
+
+
+def test_chain_layers_and_rank(spark):
+    rows = [
+        ("R", "pkg/a.py", "x = 1"),
+        ("R", "pkg/b.py", "import pkg.a\n"),
+        ("R", "pkg/c.py", "from pkg.b import f\nimport os\n"),
+    ]
+    out = {r["path"]: r for r in dep_order(_df(spark, rows)).collect()}
+    assert out["pkg/a.py"]["layer"] == 0
+    assert out["pkg/b.py"]["layer"] == 1
+    assert out["pkg/c.py"]["layer"] == 2
+    assert [out[p]["rank"] for p in ("pkg/a.py", "pkg/b.py", "pkg/c.py")] == [1, 2, 3]
+    assert out["pkg/c.py"]["n_deps"] == 1  # 'os' is unresolved
+
+
+def test_cycle_caps_at_rounds(spark):
+    rows = [
+        ("R", "a.py", "import b\n"),
+        ("R", "b.py", "import a\n"),
+    ]
+    out = dep_order(_df(spark, rows), rounds=4).collect()
+    # both nodes climb one layer per round and cap — no divergence
+    assert {r["layer"] for r in out} == {4}
+
+
+def test_cross_repo_isolation(spark):
+    rows = [
+        ("R1", "m.py", "x = 1"),
+        ("R1", "n.py", "import m\n"),
+        ("R2", "m.py", "x = 2"),  # same module name, no importer here
+    ]
+    out = {(r["repo"], r["path"]): r for r in dep_order(_df(spark, rows)).collect()}
+    assert out[("R1", "n.py")]["layer"] == 1
+    assert out[("R2", "m.py")]["layer"] == 0
+    assert out[("R2", "m.py")]["n_deps"] == 0
+
+
+def test_repartition_determinism(spark):
+    rows = [
+        ("R", f"pkg/m{i}.py", f"import pkg.m{i - 1}\n" if i else "")
+        for i in range(10)
+    ]
+    a = sorted(map(tuple, dep_order(_df(spark, rows)).collect()))
+    b = sorted(
+        map(tuple, dep_order(_df(spark, rows).repartition(7)).collect())
+    )
+    assert a == b
+    layers = {r[1]: r[3] for r in a}  # path -> layer, capped at 6
+    assert layers["pkg/m9.py"] == 6 and layers["pkg/m5.py"] == 5

@@ -1,0 +1,42 @@
+"""Semantic (embedding) decontamination (operators/contamination.py)."""
+
+from dqspark.operators.contamination import semantic_contamination
+
+
+def _vecs(spark, rows, id_name):
+    return spark.createDataFrame(
+        rows, f"{id_name} long, embedding array<float>"
+    )
+
+
+def test_planted_hit_and_miss(spark):
+    bench = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "bench_id")
+    train = _vecs(
+        spark,
+        [
+            (10, [2.0, 0.0]),     # colinear with bench 1 -> cos 1.0
+            (11, [-3.0, 3.0]),    # 135deg from bench 1, 45deg from bench 2
+        ],
+        "vec_id",
+    )
+    out = {r["vec_id"]: r for r in semantic_contamination(train, bench).collect()}
+    assert out[10]["contaminated"] and out[10]["matched_bench"] == 1
+    assert out[10]["max_cos"] == 1.0
+    assert not out[11]["contaminated"] and out[11]["matched_bench"] == 2
+    assert abs(out[11]["max_cos"] - 0.707107) < 1e-6
+
+
+def test_tie_breaks_to_smallest_bench_id(spark):
+    # two identical benchmark vectors: equal cosine, smaller id wins
+    bench = _vecs(spark, [(7, [1.0, 1.0]), (3, [1.0, 1.0])], "bench_id")
+    train = _vecs(spark, [(10, [2.0, 2.0])], "vec_id")
+    row = semantic_contamination(train, bench).collect()[0]
+    assert row["matched_bench"] == 3 and row["contaminated"]
+
+
+def test_threshold_dial(spark):
+    bench = _vecs(spark, [(1, [1.0, 0.0])], "bench_id")
+    train = _vecs(spark, [(10, [1.0, 1.0])], "vec_id")  # cos ~= 0.7071
+    strict = semantic_contamination(train, bench, tau=0.8).collect()[0]
+    loose = semantic_contamination(train, bench, tau=0.7).collect()[0]
+    assert not strict["contaminated"] and loose["contaminated"]
