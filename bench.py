@@ -170,6 +170,7 @@ def main() -> None:
             "repo_context",
             "dep_order",
             "semantic_contamination",
+            "repo_license",
         )
         if q in driver_queries.QUERIES
     ]

@@ -96,14 +96,15 @@ def license_scan(
     return df.select(id_col, *[c.alias(n) for n, c in cols.items()])
 
 
-def license_scan_oracle_expr(text_expr: str) -> str:
-    """DuckDB column exprs mirroring license_scan (same CASE order)."""
+def license_family_oracle_expr(text_expr: str) -> str:
+    """DuckDB CASE mirroring ``_license_cols``'s family column alone —
+    reused by repo-level propagation (operators/repolicense.py)."""
     head = f"substr(coalesce({text_expr}, ''), 1, {LICENSE_HEAD_CHARS})"
     spdx = f"regexp_extract({head}, '{_SPDX_RE}', 1)"
     markers = "\n       ".join(
         f"WHEN contains({head}, '{p}') THEN '{f}'" for p, f in LICENSE_MARKERS
     )
-    family = f"""CASE
+    return f"""CASE
        WHEN starts_with(lower({spdx}), 'mit') THEN 'mit'
        WHEN starts_with(lower({spdx}), 'apache') THEN 'apache'
        WHEN starts_with(lower({spdx}), 'gpl') OR starts_with(lower({spdx}), 'agpl')
@@ -112,6 +113,13 @@ def license_scan_oracle_expr(text_expr: str) -> str:
        WHEN {spdx} <> '' THEN 'other'
        {markers}
        ELSE 'none' END"""
+
+
+def license_scan_oracle_expr(text_expr: str) -> str:
+    """DuckDB column exprs mirroring license_scan (same CASE order)."""
+    head = f"substr(coalesce({text_expr}, ''), 1, {LICENSE_HEAD_CHARS})"
+    spdx = f"regexp_extract({head}, '{_SPDX_RE}', 1)"
+    family = license_family_oracle_expr(text_expr)
     perm = ", ".join(f"'{f}'" for f in PERMISSIVE_FAMILIES)
     return (
         f"nullif({spdx}, '') AS spdx_id,\n"

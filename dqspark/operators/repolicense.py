@@ -1,0 +1,149 @@
+"""Repo-level license propagation (The Stack's license-assignment step).
+
+The Stack (Kocetkov et al. 2022 §2.2) assigns every file the license
+detected for its REPOSITORY — a repo's LICENSE/COPYING file governs
+files that carry no header of their own — then keeps only permissive
+code.  This operator reproduces that policy over the (repo, path,
+content) table:
+
+- a file is a *license file* when its basename (case-insensitive) is
+  ``LICENSE`` / ``COPYING`` with an optional single extension;
+- the repo license is the highest-precedence family among its license
+  files' detections (mit < apache < bsd < gpl < other < none — an
+  integer min, so the pick is order-free and exactly replayable);
+- each file's *effective* family is its own header detection
+  (SPDX tag or grant-clause marker — operators/code_filters.py
+  ``_license_cols``) when present, else the repo license;
+- ``is_permissive`` applies code_filters' PERMISSIVE_FAMILIES to the
+  effective family — the keep/drop input for The Stack policy.
+
+Scale shape: the per-file detection is pure per-row projection; the
+repo pick is a groupBy(repo) integer min over ONLY the license files
+(a tiny filtered slice, map-side combinable); the join-back is an
+equi-join on repo that AQE will broadcast whenever the repo-license
+relation fits.  The corpus content never moves for the rollup — only
+(repo, prio) pairs do.
+
+Reference parity: none (tabular-QA reference); code-corpus extension
+suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.code_filters import (
+    PERMISSIVE_FAMILIES,
+    _license_cols,
+    license_family_oracle_expr,
+)
+
+# precedence: permissive first, so a repo shipping both MIT and GPL
+# texts resolves to the grant its maintainers advertise first
+FAMILY_PRECEDENCE = ("mit", "apache", "bsd", "gpl", "other", "none")
+_LICENSE_BASENAME_RX = r"^(license|copying)(\.[a-z0-9]+)?$"
+
+
+def _prio(family):
+    expr = F
+    out = None
+    for i, fam in enumerate(FAMILY_PRECEDENCE):
+        out = (
+            expr.when(family == fam, F.lit(i))
+            if out is None
+            else out.when(family == fam, F.lit(i))
+        )
+    return out.otherwise(F.lit(len(FAMILY_PRECEDENCE) - 1))
+
+
+def _family_of_prio(prio):
+    out = None
+    for i, fam in enumerate(FAMILY_PRECEDENCE):
+        out = (
+            F.when(prio == i, F.lit(fam))
+            if out is None
+            else out.when(prio == i, F.lit(fam))
+        )
+    return out.otherwise(F.lit("none"))
+
+
+def repo_license(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, file_family, repo_family, effective_family,
+    is_permissive) — per file, its own header detection, the
+    propagated repository license, and the effective permissive flag.
+    """
+    fam = _license_cols(content_col)["license_family"]
+    basename = F.lower(F.regexp_extract(F.col(path_col), "([^/]+)$", 1))
+    base = df.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("path"),
+        fam.alias("file_family"),
+        basename.rlike(_LICENSE_BASENAME_RX).alias("_is_lic_file"),
+    )
+    repo_pick = (
+        base.where("_is_lic_file")
+        .groupBy("repo")
+        .agg(F.min(_prio(F.col("file_family"))).alias("_rp"))
+    )
+    joined = base.join(repo_pick, "repo", "left")
+    repo_family = F.when(
+        F.col("_rp").isNotNull(), _family_of_prio(F.col("_rp"))
+    ).otherwise(F.lit("none"))
+    effective = F.when(
+        F.col("file_family") != "none", F.col("file_family")
+    ).otherwise(repo_family)
+    return joined.select(
+        "repo",
+        "path",
+        "file_family",
+        repo_family.alias("repo_family"),
+        effective.alias("effective_family"),
+        effective.isin(*PERMISSIVE_FAMILIES).alias("is_permissive"),
+    )
+
+
+def repo_license_oracle(corpus_sql: str) -> str:
+    """Same detection, precedence min, and propagation in DuckDB."""
+    fam = license_family_oracle_expr("content")
+    prio_whens = "\n       ".join(
+        f"WHEN file_family = '{f}' THEN {i}"
+        for i, f in enumerate(FAMILY_PRECEDENCE)
+    )
+    fam_whens = "\n       ".join(
+        f"WHEN rp = {i} THEN '{f}'" for i, f in enumerate(FAMILY_PRECEDENCE)
+    )
+    perm = ", ".join(f"'{f}'" for f in PERMISSIVE_FAMILIES)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+base AS (
+  SELECT repo, path, {fam} AS file_family,
+         regexp_matches(lower(regexp_extract(path, '([^/]+)$', 1)),
+                        '{_LICENSE_BASENAME_RX}') AS is_lic_file
+  FROM corpus
+),
+pick AS (
+  SELECT repo, min(CASE
+       {prio_whens}
+       ELSE {len(FAMILY_PRECEDENCE) - 1} END) AS rp
+  FROM base WHERE is_lic_file GROUP BY repo
+),
+joined AS (
+  SELECT b.repo, b.path, b.file_family,
+         CASE WHEN p.rp IS NULL THEN 'none' ELSE (CASE
+       {fam_whens}
+       ELSE 'none' END) END AS repo_family
+  FROM base b LEFT JOIN pick p ON p.repo = b.repo
+)
+SELECT repo, path, file_family, repo_family,
+       CASE WHEN file_family != 'none' THEN file_family
+            ELSE repo_family END AS effective_family,
+       (CASE WHEN file_family != 'none' THEN file_family
+             ELSE repo_family END) IN ({perm}) AS is_permissive
+FROM joined
+"""

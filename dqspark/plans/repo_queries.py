@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dqspark.operators.deporder import dep_order, dep_order_oracle
 from dqspark.operators.fim import fim_transform, fim_transform_oracle
 from dqspark.operators.repocontext import repo_context, repo_context_oracle
+from dqspark.operators.repolicense import repo_license, repo_license_oracle
 from dqspark.operators.repodedup import (
     fork_pairs,
     fork_pairs_oracle,
@@ -186,3 +187,77 @@ def q_repo_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_context(
         _repo_corpus(spark, sf_dir), max_files=8, max_file_chars=200
     )
+
+
+# Planted license corpus: 40 repos; repo_num % 4 picks the repo's
+# license file (0: LICENSE with the MIT grant phrase, 1: no license
+# file at all, 2: COPYING naming the GPL, 3: LICENSE.md with the
+# Apache clause); every 7th source file carries its own SPDX BSD
+# header, which must OVERRIDE the repo license at file level.
+_MIT_TXT = "Permission is hereby granted, free of charge, to any person"
+_GPL_TXT = "GNU General Public License version 3 applies to this repo"
+_APACHE_TXT = "Licensed under the Apache License, Version 2.0"
+_SPDX_HDR = "SPDX-License-Identifier: BSD-3-Clause"
+
+_LIC_CORPUS_SQL = f"""
+  SELECT 'r' || lpad((doc_id % 40)::VARCHAR, 2, '0') AS repo,
+         'src/f' || doc_id::VARCHAR || '.py' AS path,
+         CASE WHEN doc_id % 7 = 0
+              THEN '{_SPDX_HDR}' || chr(10) || text
+              ELSE text END AS content
+  FROM documents
+  UNION ALL
+  SELECT 'r' || lpad(rn::VARCHAR, 2, '0'),
+         CASE rn % 4 WHEN 0 THEN 'LICENSE'
+                     WHEN 2 THEN 'COPYING'
+                     ELSE 'LICENSE.md' END,
+         CASE rn % 4 WHEN 0 THEN '{_MIT_TXT}'
+                     WHEN 2 THEN '{_GPL_TXT}'
+                     ELSE '{_APACHE_TXT}' END
+  FROM (SELECT DISTINCT doc_id % 40 AS rn FROM documents)
+  WHERE rn % 4 != 1
+"""
+
+
+def _lic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    repo = F.concat(
+        F.lit("r"), F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
+    )
+    content = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(_SPDX_HDR + "\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    base = docs.select(
+        repo.alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")).alias(
+            "path"
+        ),
+        content.alias("content"),
+    )
+    rs = docs.select((F.col("doc_id") % 40).alias("rn")).distinct().where(
+        F.col("rn") % 4 != 1
+    )
+    lic = rs.select(
+        F.concat(F.lit("r"), F.lpad(F.col("rn").cast("string"), 2, "0")).alias(
+            "repo"
+        ),
+        F.when(F.col("rn") % 4 == 0, F.lit("LICENSE"))
+        .when(F.col("rn") % 4 == 2, F.lit("COPYING"))
+        .otherwise(F.lit("LICENSE.md"))
+        .alias("path"),
+        F.when(F.col("rn") % 4 == 0, F.lit(_MIT_TXT))
+        .when(F.col("rn") % 4 == 2, F.lit(_GPL_TXT))
+        .otherwise(F.lit(_APACHE_TXT))
+        .alias("content"),
+    )
+    return base.unionAll(lic)
+
+
+@register("repo_license", repo_license_oracle(_LIC_CORPUS_SQL))
+def q_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(repo, path, file_family, repo_family, effective_family,
+    is_permissive) — The Stack's repo-level license assignment: the
+    LICENSE/COPYING detection propagates to headerless files, file
+    SPDX headers override it."""
+    return repo_license(_lic_corpus(spark, sf_dir))

@@ -1,0 +1,57 @@
+"""Repo-level license propagation (operators/repolicense.py)."""
+
+from dqspark.operators.repolicense import repo_license
+
+MIT = "Permission is hereby granted, free of charge, to any person"
+GPL = "GNU General Public License version 3"
+APACHE = "Licensed under the Apache License, Version 2.0"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string"
+    )
+
+
+def test_propagation_and_override(spark):
+    rows = [
+        ("A", "LICENSE", MIT),
+        ("A", "src/a.py", "x = 1"),  # inherits mit
+        ("A", "src/b.py", "SPDX-License-Identifier: GPL-3.0\nx = 2"),  # own header wins
+        ("B", "src/c.py", "y = 1"),  # no license file anywhere -> none
+    ]
+    out = {(r["repo"], r["path"]): r for r in repo_license(_df(spark, rows)).collect()}
+    a = out[("A", "src/a.py")]
+    assert a["repo_family"] == "mit" and a["effective_family"] == "mit"
+    assert a["is_permissive"]
+    b = out[("A", "src/b.py")]
+    assert b["file_family"] == "gpl" and b["effective_family"] == "gpl"
+    assert not b["is_permissive"]
+    c = out[("B", "src/c.py")]
+    assert c["repo_family"] == "none" and not c["is_permissive"]
+
+
+def test_precedence_across_license_files(spark):
+    # repo ships both COPYING (gpl) and LICENSE (mit): permissive-first
+    # precedence resolves the repo to mit
+    rows = [
+        ("R", "COPYING", GPL),
+        ("R", "LICENSE", MIT),
+        ("R", "m.py", "pass"),
+    ]
+    out = {r["path"]: r for r in repo_license(_df(spark, rows)).collect()}
+    assert out["m.py"]["repo_family"] == "mit" and out["m.py"]["is_permissive"]
+
+
+def test_basename_matching(spark):
+    rows = [
+        ("R", "docs/LICENSE.md", APACHE),  # nested license file counts
+        ("R", "license_helper.py", MIT),   # NOT a license file (suffix)
+        ("S", "m.py", "pass"),
+    ]
+    out = {(r["repo"], r["path"]): r for r in repo_license(_df(spark, rows)).collect()}
+    assert out[("R", "docs/LICENSE.md")]["repo_family"] == "apache"
+    # helper's own MIT marker makes it a file-level detection, but the
+    # repo family must come from the real license file only
+    assert out[("R", "license_helper.py")]["repo_family"] == "apache"
+    assert out[("S", "m.py")]["repo_family"] == "none"
