@@ -171,6 +171,7 @@ def main() -> None:
             "dep_order",
             "semantic_contamination",
             "repo_license",
+            "dedup_canonical_quality",
         )
         if q in driver_queries.QUERIES
     ]

@@ -345,6 +345,80 @@ FROM ex e LEFT JOIN comp c ON c.node = e.doc_id
 """
 
 
+def canonical_by_score(
+    pairs: DataFrame,
+    scores: DataFrame,
+    src: str = "key1",
+    dst: str = "key2",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-aware cluster retention: (doc_id, component_id,
+    component_size, score, is_canonical) — the canonical member is the
+    HIGHEST-score document (ties → smallest id), the policy FineWeb
+    (Penedo et al. 2024) and The Stack use instead of min-id when a
+    quality signal exists.  ``scores`` must cover every id in the pair
+    graph (inner join — an unscored doc cannot be ranked); use an
+    integer score (e.g. length, token count) or pre-round a float one,
+    since the tie-break replays in the oracle.
+
+    Scale shape: components via the same fixpoint as neardup_groups;
+    the argmax is ONE groupBy(component) min over a (−score, id)
+    struct — map-side combinable, no window over the corpus.
+    """
+    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    j = comp.join(
+        scores.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("_s")
+        ),
+        "node",
+    )
+    best = j.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size"),
+        F.min(F.struct((-F.col("_s")).alias("ns"), F.col("node"))).alias("_b"),
+    )
+    return j.join(best, "component_id").select(
+        F.col("node").alias(id_col),
+        "component_id",
+        "component_size",
+        F.col("_s").alias("score"),
+        (F.col("node") == F.col("_b.node")).alias("is_canonical"),
+    )
+
+
+def canonical_by_score_oracle(pairs_sql: str, scores_sql: str) -> str:
+    """DuckDB oracle: the neardup closure plus a rank-1 window per
+    component (ORDER BY score DESC, node ASC == the Spark struct-min
+    tie-break).  ``scores_sql`` yields (doc_id, score)."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+scores AS ({scores_sql}),
+edges AS (SELECT key1 AS a, key2 AS b FROM pairs
+          UNION SELECT key2, key1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+sized AS (
+  SELECT c.node, c.component_id, s.score,
+         count(*) OVER (PARTITION BY c.component_id) AS component_size,
+         row_number() OVER (
+           PARTITION BY c.component_id
+           ORDER BY s.score DESC, c.node ASC) AS rn
+  FROM comp c JOIN scores s ON s.doc_id = c.node
+)
+SELECT node AS doc_id, component_id,
+       component_size::BIGINT AS component_size, score,
+       (rn = 1) AS is_canonical
+FROM sized
+"""
+
+
 def neardup_groups_oracle(pairs_sql: str) -> str:
     """DuckDB oracle: exact transitive closure via a recursive CTE over
     the SAME pair SQL (nested WITH is legal as a CTE body), min label

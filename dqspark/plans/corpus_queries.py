@@ -20,6 +20,8 @@ from dqspark.operators.contamination import (
     benchmark_contamination_oracle,
 )
 from dqspark.operators.components import (
+    canonical_by_score,
+    canonical_by_score_oracle,
     dedup_decisions,
     dedup_decisions_oracle,
     neardup_groups,
@@ -591,3 +593,25 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in learn_bpe_merges(spark, docs).orderBy("merge_rank").collect()
     ]
     return bpe_encode_stats(docs, merges)
+
+
+# Quality-aware cluster retention: same MinHash-LSH pair graph as
+# neardup_groups, but the canonical member is the HIGHEST-scoring doc
+# (score = text length here — the planted near-dups at +1000000 carry
+# a suffix, so they are strictly longer and must WIN the canonical
+# slot their min-id counterpart would get, proving the policy differs).
+@register(
+    "dedup_canonical_quality",
+    lambda: canonical_by_score_oracle(
+        _dq._minhash_dedup_oracle(),
+        f"SELECT doc_id, len(text)::BIGINT AS score FROM ({_dq._DOCS_NEAR_SQL})",
+    ),
+)
+def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _dq._docs_near(spark, sf_dir)
+    sigs = with_minhash(docs, "text", k=_dq.K_MINHASH)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=_dq.K_MINHASH, bands=_dq.LSH_BANDS, min_est_jaccard=0.5
+    )
+    scores = docs.select("doc_id", F.length("text").cast("long").alias("score"))
+    return canonical_by_score(pairs, scores)

@@ -1,0 +1,39 @@
+"""Quality-aware canonical selection (operators/components.py
+``canonical_by_score``)."""
+
+from dqspark.operators.components import canonical_by_score
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "key1 long, key2 long")
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, score long")
+
+
+def test_highest_score_wins_not_min_id(spark):
+    # component {1, 2, 3}: doc 3 has the best score — min-id policy
+    # would pick 1; the quality policy must pick 3
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    scores = _scores(spark, [(1, 10), (2, 20), (3, 30)])
+    out = {r["doc_id"]: r for r in canonical_by_score(pairs, scores).collect()}
+    assert out[3]["is_canonical"]
+    assert not out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert {r["component_id"] for r in out.values()} == {1}
+    assert all(r["component_size"] == 3 for r in out.values())
+
+
+def test_tie_breaks_to_smallest_id(spark):
+    pairs = _pairs(spark, [(5, 9)])
+    scores = _scores(spark, [(5, 7), (9, 7)])
+    out = {r["doc_id"]: r for r in canonical_by_score(pairs, scores).collect()}
+    assert out[5]["is_canonical"] and not out[9]["is_canonical"]
+
+
+def test_components_are_independent(spark):
+    pairs = _pairs(spark, [(1, 2), (10, 11)])
+    scores = _scores(spark, [(1, 1), (2, 2), (10, 5), (11, 4)])
+    out = {r["doc_id"]: r for r in canonical_by_score(pairs, scores).collect()}
+    assert out[2]["is_canonical"] and out[10]["is_canonical"]
+    assert out[1]["component_id"] == 1 and out[11]["component_id"] == 10

@@ -34,6 +34,22 @@ def test_tie_breaks_to_smallest_bench_id(spark):
     assert row["matched_bench"] == 3 and row["contaminated"]
 
 
+def test_plan_broadcasts_benchmark(spark):
+    """Scale shape: the benchmark side enters as a broadcast (nested-loop
+    for the cross product) and the argmax is a hash aggregate with a
+    map-side partial — the corpus never sort-merge-joins."""
+    bench = _vecs(spark, [(1, [1.0, 0.0])], "bench_id")
+    train = _vecs(spark, [(10, [2.0, 0.0])], "vec_id")
+    plan = (
+        semantic_contamination(train, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_threshold_dial(spark):
     bench = _vecs(spark, [(1, [1.0, 0.0])], "bench_id")
     train = _vecs(spark, [(10, [1.0, 1.0])], "vec_id")  # cos ~= 0.7071
