@@ -172,6 +172,7 @@ def main() -> None:
             "semantic_contamination",
             "repo_license",
             "dedup_canonical_quality",
+            "file_chunks",
         )
         if q in driver_queries.QUERIES
     ]

@@ -85,6 +85,7 @@ from dqspark.operators.repodedup import fork_pairs, repo_fingerprints  # noqa: F
 from dqspark.operators.deporder import dep_order  # noqa: F401
 from dqspark.operators.repolicense import repo_license  # noqa: F401
 from dqspark.operators.components import canonical_by_score  # noqa: F401
+from dqspark.operators.chunking import chunk_files  # noqa: F401
 from dqspark.operators.contamination import semantic_contamination  # noqa: F401
 from dqspark.operators.fim import fim_transform  # noqa: F401
 from dqspark.operators.repocontext import repo_context  # noqa: F401

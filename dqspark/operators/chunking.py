@@ -1,0 +1,122 @@
+"""Bounded-length file chunking at line boundaries.
+
+Long source files blow past model context windows and skew packing;
+production code corpora split them into bounded chunks WITHOUT cutting
+mid-line (The Stack v2 / StarCoder2 data prep caps file length; T5/GPT
+pipelines re-chunk long documents before packing — packing.py's
+pack_concat handles token-level spans, this handles the upstream
+file→chunk step where line structure must survive).
+
+Semantics — offset-bucketed line chunking: each line is assigned to
+chunk ``floor(start_offset / max_chars)`` where ``start_offset`` is
+the cumulative char cost (len + 1 for the newline) of the lines before
+it.  The rule is a pure prefix-sum — ONE window pass, no sequential
+greedy state — at the price of a bounded overshoot: a chunk can exceed
+``max_chars`` by at most one line length (flagged ``oversize``; a
+single line longer than ``max_chars`` is its own flagged chunk, never
+split).  Integer arithmetic end to end, so the DuckDB oracle replays
+it exactly.
+
+Scale shape: posexplode → window SUM partitioned by doc (one shuffle
+by id) → groupBy (id, chunk) ordered rebuild (second shuffle — the
+output key is finer than the window key, inherent to emitting chunk
+rows).  Both keys include the doc id, so mega-docs spread only as far
+as their own chunk count and nothing is corpus-global.
+
+Reference parity: none (tabular-QA reference); code-corpus extension
+suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_CHUNK_CHARS = 2048
+
+
+def chunk_files(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = MAX_CHUNK_CHARS,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_lines, chunk_chars, oversize, chunk_text)
+    — one row per chunk; concatenating a doc's chunks (newline between
+    chunks) reproduces the original text."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).select(
+        "id", "pos", "line", (F.length("line") + F.lit(1)).alias("_cost")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    staged = lines.select(
+        "id",
+        "pos",
+        "line",
+        (
+            (F.sum("_cost").over(w) - F.col("_cost")) / F.lit(max_chars)
+        ).cast("long").alias("chunk_idx"),
+    )
+    out = (
+        staged.groupBy("id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            ).alias("_parts"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "n_lines",
+            F.concat_ws(
+                "\n", F.transform(F.col("_parts"), lambda s: s["line"])
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text").cast("long"))
+        .withColumn("oversize", F.col("chunk_chars") > max_chars)
+        .select(
+            id_col, "chunk_idx", "n_lines", "chunk_chars", "oversize",
+            "chunk_text",
+        )
+    )
+    return out
+
+
+def chunk_files_oracle(corpus_sql: str, max_chars: int = MAX_CHUNK_CHARS) -> str:
+    """Same split, prefix-sum bucket, and ordered rebuild in DuckDB."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+split AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM corpus
+),
+l AS (
+  SELECT doc_id,
+         unnest(range(1, len(ls) + 1))::BIGINT AS pos,
+         unnest(ls) AS line
+  FROM split
+),
+staged AS (
+  SELECT doc_id, pos, line,
+         ((sum(len(line) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos) - (len(line) + 1))
+          // {max_chars})::BIGINT AS chunk_idx
+  FROM l
+),
+agg AS (
+  SELECT doc_id, chunk_idx,
+         count(*)::BIGINT AS n_lines,
+         string_agg(line, chr(10) ORDER BY pos) AS chunk_text
+  FROM staged GROUP BY doc_id, chunk_idx
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx, n_lines,
+       len(chunk_text)::BIGINT AS chunk_chars,
+       len(chunk_text) > {max_chars} AS oversize,
+       chunk_text
+FROM agg
+"""

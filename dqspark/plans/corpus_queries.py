@@ -19,6 +19,7 @@ from dqspark.operators.contamination import (
     benchmark_contamination,
     benchmark_contamination_oracle,
 )
+from dqspark.operators.chunking import chunk_files, chunk_files_oracle
 from dqspark.operators.components import (
     canonical_by_score,
     canonical_by_score_oracle,
@@ -615,3 +616,17 @@ def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scores = docs.select("doc_id", F.length("text").cast("long").alias("score"))
     return canonical_by_score(pairs, scores)
+
+
+# Bounded-length file chunking: small cap (256 chars) so typical
+# documents split into several chunks and long single lines exercise
+# the oversize flag.
+@register(
+    "file_chunks",
+    chunk_files_oracle("SELECT doc_id, text FROM documents", max_chars=256),
+)
+def q_file_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return chunk_files(docs, max_chars=256)

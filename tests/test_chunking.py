@@ -1,0 +1,53 @@
+"""Bounded-length file chunking (operators/chunking.py)."""
+
+from dqspark.operators.chunking import chunk_files
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunks_respect_line_boundaries_and_roundtrip(spark):
+    text = "\n".join(f"line {i:02d} xxxxxxxxxx" for i in range(10))  # 18+1 each
+    out = sorted(
+        chunk_files(_df(spark, [(1, text)]), max_chars=40).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # every chunk is whole lines; concatenation reproduces the doc
+    assert "\n".join(r["chunk_text"] for r in out) == text
+    assert all(
+        all(ln.startswith("line ") for ln in r["chunk_text"].split("\n"))
+        for r in out
+    )
+    # offset-bucketed: chunks may overshoot by < one line, never two
+    assert all(r["chunk_chars"] <= 40 + 19 for r in out)
+    assert len(out) > 1
+
+
+def test_long_single_line_never_splits(spark):
+    # the 100-char line STARTS inside bucket 0 (offset 6), so it lands
+    # whole in chunk 0 — flagged oversize, never cut mid-line; the next
+    # line starts past it and opens a fresh bucket
+    text = "short\n" + ("y" * 100) + "\nshort2"
+    out = {r["chunk_idx"]: r for r in chunk_files(_df(spark, [(1, text)]), max_chars=20).collect()}
+    big = [r for r in out.values() if r["oversize"]]
+    assert len(big) == 1 and big[0]["chunk_text"] == "short\n" + "y" * 100
+    assert big[0]["n_lines"] == 2
+    assert out[max(out)]["chunk_text"] == "short2"
+    assert "\n".join(out[k]["chunk_text"] for k in sorted(out)) == text
+
+
+def test_short_doc_is_one_chunk(spark):
+    out = chunk_files(_df(spark, [(1, "tiny")]), max_chars=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["chunk_idx"] == 0 and not r["oversize"] and r["chunk_text"] == "tiny"
+
+
+def test_repartition_determinism(spark):
+    rows = [(i, "\n".join(f"d{i} l{j} " + "z" * (j % 17) for j in range(30))) for i in range(8)]
+    a = sorted(map(tuple, chunk_files(_df(spark, rows), max_chars=64).collect()))
+    b = sorted(
+        map(tuple, chunk_files(_df(spark, rows).repartition(5), max_chars=64).collect())
+    )
+    assert a == b
