@@ -173,6 +173,7 @@ def main() -> None:
             "repo_license",
             "dedup_canonical_quality",
             "file_chunks",
+            "test_files",
         )
         if q in driver_queries.QUERIES
     ]

@@ -81,6 +81,7 @@ from dqspark.operators.code_filters import (  # noqa: F401
     vendored_path_scan,
 )
 from dqspark.operators.code_metrics import comment_metrics, import_stats  # noqa: F401
+from dqspark.operators.code_filters import test_file_scan  # noqa: F401
 from dqspark.operators.repodedup import fork_pairs, repo_fingerprints  # noqa: F401
 from dqspark.operators.deporder import dep_order  # noqa: F401
 from dqspark.operators.repolicense import repo_license  # noqa: F401

@@ -419,6 +419,81 @@ def vendored_path_oracle_exprs(path_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# test-file detection
+# ---------------------------------------------------------------------------
+
+# StarCoder/The Stack data prep marks test code so the mixture can be
+# controlled (tests are repetitive, assertion-heavy, and over-represent
+# fixture strings).  Path rules follow the common conventions; content
+# markers catch tests living outside conventional paths.
+TEST_DIR_SEGMENTS = ("test", "tests", "spec", "__tests__", "testdata")
+TEST_CONTENT_MARKERS = (
+    "import unittest",
+    "import pytest",
+    "from unittest",
+    "@Test",
+    "describe(",
+    "func Test",
+)
+
+
+def test_file_scan(
+    df: DataFrame,
+    path_col: str = "path",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, path, path_is_test, content_is_test, is_test_file) — pure
+    per-row expressions, no shuffle; the path rule alone needs no
+    content read, so at corpus scale it prunes before bytes move."""
+    p = F.coalesce(F.col(path_col), F.lit(""))
+    slashed = F.concat(F.lit("/"), p)
+    base = F.regexp_extract(p, "([^/]+)$", 1)
+    path_is_test = (
+        base.startswith("test_")
+        | base.contains("_test.")
+        | base.contains(".test.")
+    )
+    for seg in TEST_DIR_SEGMENTS:
+        path_is_test = path_is_test | slashed.contains(f"/{seg}/")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    content_is_test = F.lit(False)
+    for m in TEST_CONTENT_MARKERS:
+        content_is_test = content_is_test | t.contains(m)
+    return df.select(
+        id_col,
+        p.alias("path"),
+        path_is_test.alias("path_is_test"),
+        content_is_test.alias("content_is_test"),
+        (path_is_test | content_is_test).alias("is_test_file"),
+    )
+
+
+def test_file_oracle_exprs(path_expr: str, text_expr: str) -> str:
+    """DuckDB column exprs mirroring test_file_scan."""
+    p = f"coalesce({path_expr}, '')"
+    base = f"regexp_extract({p}, '([^/]+)$', 1)"
+    path_parts = [
+        f"starts_with({base}, 'test_')",
+        f"contains({base}, '_test.')",
+        f"contains({base}, '.test.')",
+    ] + [
+        f"contains('/' || {p}, '/{seg}/')" for seg in TEST_DIR_SEGMENTS
+    ]
+    path_is_test = "(" + " OR ".join(path_parts) + ")"
+    t = f"coalesce({text_expr}, '')"
+    content_is_test = (
+        "(" + " OR ".join(f"contains({t}, '{m}')" for m in TEST_CONTENT_MARKERS) + ")"
+    )
+    return (
+        f"{p} AS path,\n"
+        f"       {path_is_test} AS path_is_test,\n"
+        f"       {content_is_test} AS content_is_test,\n"
+        f"       ({path_is_test} OR {content_is_test}) AS is_test_file"
+    )
+
+
+# ---------------------------------------------------------------------------
 # combined decision
 # ---------------------------------------------------------------------------
 
