@@ -1,0 +1,118 @@
+"""Structural code-complexity metrics for quality filtering.
+
+Training-corpus curation filters on structural complexity signals in
+addition to surface heuristics: deeply nested or branch-dense files
+are often generated/minified or pathological (SantaCoder/StarCoder
+appendices use nesting and line-shape rules; classic McCabe cyclomatic
+complexity counts decision points).  This module computes per-file:
+
+- ``n_lines`` — physical line count;
+- ``max_line_len`` — longest line (chars);
+- ``max_indent_depth`` — deepest indentation level over all lines,
+  where leading whitespace width counts a tab as 4 columns and a space
+  as 1, and one level = 4 columns (``width // 4``);
+- ``branch_count`` — occurrences of branching keywords
+  (``if|elif|else if|for|while|case|catch|switch|except``), a
+  language-agnostic McCabe-style decision-point proxy (comments and
+  strings count too — deliberate: the proxy must stay a pure regex so
+  both engines agree exactly);
+- ``cyclomatic_proxy`` — ``branch_count + 1`` (McCabe V(G) for a
+  single-entry graph);
+- ``branch_density`` — ``round(branch_count / max(n_lines, 1), 4)``;
+- ``deep_nesting`` — ``max_indent_depth >= 5`` (the usual "refactor
+  or drop" threshold).
+
+Scale design: every metric is a per-row JVM expression (split +
+``transform``/``aggregate`` higher-order functions and one constant
+regex) — NO shuffle, NO explode, NO Python; the whole operator is one
+whole-stage-codegen projection (plan-asserted in tests).  Integer
+arithmetic end to end except ``branch_density`` (identical integer
+inputs → identical IEEE division → identical 4 dp rounding on both
+engines).
+
+Reference parity: none (tabular-QA reference); code-corpus extension
+suite (SURVEY §2-ext) alongside operators/code_filters.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one constant pattern, compiled once per task; identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): literal alternation + \b anchors
+BRANCH_RX = r"\b(if|elif|else if|for|while|case|catch|switch|except)\b"
+INDENT_UNIT = 4
+DEEP_NESTING_AT = 5
+
+
+def _lines(text: Column) -> Column:
+    return F.split(F.coalesce(text, F.lit("")), "\n")
+
+
+def _indent_depth(line: Column) -> Column:
+    """leading-whitespace width (tab=4, space=1) // INDENT_UNIT."""
+    prefix = F.regexp_extract(line, r"^[\t ]*", 0)
+    width = F.length(F.regexp_replace(prefix, "\t", " " * INDENT_UNIT))
+    return (width / F.lit(INDENT_UNIT)).cast("long")
+
+
+def code_complexity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    lines = _lines(F.col(text_col))
+    n_lines = F.size(lines).cast("long")
+    max_line_len = F.coalesce(
+        F.array_max(F.transform(lines, lambda l: F.length(l).cast("long"))),
+        F.lit(0).cast("long"),
+    )
+    max_depth = F.coalesce(
+        F.array_max(F.transform(lines, _indent_depth)), F.lit(0).cast("long")
+    )
+    branches = F.size(
+        F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                             F.lit(BRANCH_RX), 1)
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        max_line_len.alias("max_line_len"),
+        max_depth.alias("max_indent_depth"),
+        branches.alias("branch_count"),
+        (branches + F.lit(1)).alias("cyclomatic_proxy"),
+        F.round(branches / F.greatest(n_lines, F.lit(1)), 4).alias(
+            "branch_density"
+        ),
+        (max_depth >= F.lit(DEEP_NESTING_AT)).alias("deep_nesting"),
+    )
+
+
+def code_complexity_oracle(corpus_sql: str) -> str:
+    """Same split / indent expansion / regex count in DuckDB."""
+    tab4 = " " * INDENT_UNIT
+    return f"""
+WITH corpus AS ({corpus_sql}),
+m AS (
+  SELECT doc_id,
+         string_split(coalesce(text, ''), chr(10)) AS ls,
+         len(regexp_extract_all(coalesce(text, ''),
+             '{BRANCH_RX.replace("'", "''")}'))::BIGINT AS branch_count
+  FROM corpus
+)
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       coalesce(list_max(list_transform(ls, l -> len(l)::BIGINT)),
+                0)::BIGINT AS max_line_len,
+       coalesce(list_max(list_transform(ls,
+           l -> (len(replace(regexp_extract(l, '^[\t ]*'), chr(9),
+                             '{tab4}')) // {INDENT_UNIT})::BIGINT)),
+           0)::BIGINT AS max_indent_depth,
+       branch_count,
+       branch_count + 1 AS cyclomatic_proxy,
+       round(branch_count / greatest(len(ls), 1), 4) AS branch_density,
+       coalesce(list_max(list_transform(ls,
+           l -> (len(replace(regexp_extract(l, '^[\t ]*'), chr(9),
+                             '{tab4}')) // {INDENT_UNIT})::BIGINT)),
+           0) >= {DEEP_NESTING_AT} AS deep_nesting
+FROM m
+"""

@@ -1,0 +1,129 @@
+"""Compression-ratio quality signal (DEFLATE).
+
+The zlib/gzip compression ratio of a document is a classic one-number
+quality filter: highly repetitive or templated text compresses far
+below natural prose/code, and near-random (encrypted, packed, base64)
+content barely compresses at all.  RefinedWeb (Penedo et al. 2023)
+and MassiveText (Rae et al. 2021) both gate on repetition; the
+compression ratio is the cheap aggregate proxy that catches what
+hand-written repetition rules miss, and the high end flags binary
+junk the language-ID pass would otherwise waste time on.
+
+ratio = deflate_len(utf8(text), level=6) / utf8_len(text)
+
+Scale shape: one ``mapInPandas`` pass — bytes stay in Arrow batches,
+zlib is C-speed, no shuffle, no collect; the output is one narrow row
+per doc.  The flags:
+
+- ``repetitive``   — ratio < 0.2  (template/loop junk);
+- ``incompressible`` — ratio > 0.9 (binary/packed payloads mislabeled
+  as text).
+
+Determinism: zlib's DEFLATE output for a given (input, level) is
+fixed for a given zlib build; Spark workers and the oracle builder run
+the SAME interpreter's zlib, and the oracle embeds the expected rows
+as a VALUES relation (the local_oracle pattern — the differential
+then checks the distributed Arrow plumbing against a single-process
+re-run, value for value).
+
+Reference parity: none (tabular-QA reference); quality-filter
+extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LEVEL = 6
+REPETITIVE_BELOW = 0.2
+INCOMPRESSIBLE_ABOVE = 0.9
+
+
+def _measure(text: str | None) -> tuple[int, int]:
+    raw = (text or "").encode("utf-8")
+    return len(raw), len(zlib.compress(raw, LEVEL))
+
+
+def compression_signal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, raw_bytes, comp_bytes, comp_ratio, repetitive,
+    incompressible) — one Arrow-batched pass, no shuffle."""
+    schema = (
+        f"{id_col} long, raw_bytes long, comp_bytes long, comp_ratio double, "
+        "repetitive boolean, incompressible boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [_measure(t) for t in pdf[text_col]]
+            raw = pd.Series([p[0] for p in pairs], dtype="int64")
+            comp = pd.Series([p[1] for p in pairs], dtype="int64")
+            # scalar round(), not Series.round: numpy's scale-round-
+            # unscale can differ from Python's correctly-rounded dtoa
+            # in the last ulp, and the oracle replay uses round()
+            ratio = pd.Series(
+                [round(c / max(r, 1), 4) for r, c in pairs], dtype="float64"
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "raw_bytes": raw,
+                    "comp_bytes": comp,
+                    "comp_ratio": ratio,
+                    "repetitive": ratio < REPETITIVE_BELOW,
+                    "incompressible": ratio > INCOMPRESSIBLE_ABOVE,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def compression_values(sf_dir: str, corpus_sql: str) -> str:
+    """Single-process re-run over DuckDB → VALUES relation with the
+    expected rows (columns: doc_id, raw_bytes, comp_bytes, comp_ratio,
+    repetitive, incompressible)."""
+    import duckdb
+
+    from dqspark.plans.local_oracle import values_table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = con.execute(
+        f"WITH corpus AS ({corpus_sql}) SELECT doc_id, text FROM corpus"
+    ).fetchall()
+    con.close()
+    out = []
+    for doc_id, text in rows:
+        raw, comp = _measure(text)
+        # same float path as pandas: IEEE divide then half-even round
+        ratio = round(comp / max(raw, 1), 4)
+        out.append(
+            (
+                doc_id,
+                raw,
+                comp,
+                ratio,
+                ratio < REPETITIVE_BELOW,
+                ratio > INCOMPRESSIBLE_ABOVE,
+            )
+        )
+    return values_table(
+        out,
+        [
+            "doc_id",
+            "raw_bytes",
+            "comp_bytes",
+            "comp_ratio",
+            "repetitive",
+            "incompressible",
+        ],
+    )

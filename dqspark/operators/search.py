@@ -1,0 +1,242 @@
+"""BM25 full-text corpus search (Robertson & Walker / Okapi BM25).
+
+A corpus-analytics engine needs keyword search over the document
+table — for corpus inspection, targeted decontamination ("find all
+docs matching this benchmark prompt"), and retrieval-based data
+selection.  This implements batch BM25 top-k for a (small) query set
+against the full corpus.
+
+score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))      (Lucene's ≥0 variant)
+
+Cross-engine determinism (the repo's DSIR discipline,
+operators/dsir.py): every transcendental is computed ONCE in driver
+Python from integer aggregates both engines derive identically —
+``idf`` doubles from integer (N, df), ``avgdl`` from integer
+(Σdl, N) — and embedded as literals on both sides (repr string →
+double parse round-trips exactly).  The remaining per-term arithmetic
+is identically-shaped IEEE * and /, then ``floor(1e6 · term_score)``
+fixes the last ulp; per-document scores are SUMS OF BIGINTS
+(``score_micro``) — order-free, exactly equal across engines.  Ranking
+is total-ordered by (score_micro DESC, doc_id).
+
+Scale shape (100 TB corpus, O(10-10^4) queries):
+- doc length + query-term tf come from ONE pass: the token array is
+  filtered to the query vocabulary BEFORE the explode (JVM ``filter``
+  higher-order fn), so the shuffle carries only matched (doc, term)
+  pairs — docs sharing no term with any query contribute zero rows;
+- df/N/Σdl are O(|query vocab|)+O(1) collects (map-side combined);
+- the (query, term, idf) relation is tiny and broadcast;
+- top-k per query is a window partitioned by query_id — fine while
+  queries ≪ corpus (the window key is the SMALL side; for huge query
+  sets swap in ranked_row_number per query).
+
+Reference parity: none (tabular-QA reference); corpus-analytics
+extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+K1 = 1.2
+B = 0.75
+SCALE = 1_000_000
+
+
+def _dlit(x: float) -> str:
+    # bare 2.2 parses as DECIMAL in DuckDB — decimal arithmetic would
+    # diverge from Spark's IEEE doubles; string→double parse is exact
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _tokenize_py(q: str) -> list[str]:
+    # mirror of normalized() + split for driver-side query strings
+    return [t for t in " ".join(q.lower().split()).split(" ") if t]
+
+
+def bm25_search(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` docs per query: (query_id, rank, doc_id, score_micro).
+
+    ``queries`` = [(query_id, query_text), ...] — must be small (the
+    query relation is broadcast and collected per-term stats are
+    O(|query vocab|))."""
+    spark = df.sparkSession
+    qterms = sorted({(qid, t) for qid, q in queries for t in _tokenize_py(q)})
+    vocab = sorted({t for _, t in qterms})
+    vocab_lit = F.array(*[F.lit(t) for t in vocab])
+
+    toks = F.filter(
+        F.split(normalized(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda x: F.array_contains(vocab_lit, x)).alias("_m"),
+    ).localCheckpoint()  # one tokenize pass feeds stats AND tf
+
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / max(int(stats["n"]), 1)
+
+    matched = docs.where(F.size("_m") > 0).select(
+        "doc_id", "dl", F.explode("_m").alias("term")
+    )
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in matched.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+        for t, dft in dfreq.items()
+    }
+    weights = [
+        (qid, t, idf[t]) for qid, t in qterms if t in idf
+    ]
+    if not weights:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score_micro long"
+        )
+    wdf = spark.createDataFrame(weights, "query_id string, term string, idf double")
+
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    # identical expression shape to the oracle: see bm25_oracle
+    term_score = F.floor(
+        F.lit(float(SCALE))
+        * (
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl)))
+                )
+            )
+        )
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(wdf), on="term")
+        .select("query_id", "doc_id", term_score.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+def bm25_oracle(
+    corpus_sql: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    sf_dir: str | None = None,
+) -> str:
+    """DuckDB replay.  The integer aggregates (N, df, Σdl) are
+    recomputed independently over DuckDB, then the idf/avgdl doubles
+    come from the SAME Python ``math.log``/division the Spark path
+    used driver-side and are embedded as literals — DuckDB never
+    computes a transcendental.  Must be called lazily (oracle
+    resolution time) so it reads the right SF dir."""
+    import duckdb
+
+    from dqspark.plans.local_oracle import oracle_sf_dir, values_table
+
+    sf = sf_dir or oracle_sf_dir()
+    qterms = sorted({(qid, t) for qid, q in queries for t in _tokenize_py(q)})
+    vocab = sorted({t for _, t in qterms})
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    norm = normalized_oracle("text")
+    vocab_sql = ", ".join(f"'{t}'" for t in vocab)
+    base = f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> len(x) > 0) AS tk
+  FROM corpus
+),
+docs AS (
+  SELECT doc_id, len(tk) AS dl,
+         list_filter(tk, x -> x IN ({vocab_sql})) AS m
+  FROM toks
+)
+"""
+    n_docs, tot = con.execute(
+        base + "SELECT count(*), coalesce(sum(dl), 0) FROM docs"
+    ).fetchone()
+    n_docs, tot = int(n_docs), int(tot)
+    avgdl = float(tot) / max(n_docs, 1)
+    dfreq = {
+        t: int(c)
+        for t, c in con.execute(
+            base
+            + """
+, m AS (SELECT doc_id, unnest(m) AS term FROM docs WHERE len(m) > 0)
+SELECT term, count(DISTINCT doc_id) FROM m GROUP BY term
+"""
+        ).fetchall()
+    }
+    con.close()
+    idf = {
+        t: math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+        for t, dft in dfreq.items()
+    }
+    weights = [(qid, t, idf[t]) for qid, t in qterms if t in idf]
+    if not weights:
+        return (
+            "SELECT NULL::VARCHAR AS query_id, NULL::INT AS rank, "
+            "NULL::BIGINT AS doc_id, NULL::BIGINT AS score_micro WHERE false"
+        )
+    wvals = values_table(weights, ["query_id", "term", "idf"])
+    return f"""
+{base},
+m AS (SELECT doc_id, dl, unnest(m) AS term FROM docs WHERE len(m) > 0),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, first(dl) AS dl
+  FROM m GROUP BY doc_id, term
+),
+scored AS (
+  SELECT w.query_id, tf.doc_id,
+         sum(floor({_dlit(float(SCALE))} * (w.idf *
+             ((tf.tf * {_dlit(K1 + 1.0)}) /
+              (tf.tf + {_dlit(K1)} * ({_dlit(1.0 - B)}
+                 + {_dlit(B)} * (tf.dl / {_dlit(avgdl)}))))
+         ))::BIGINT)::BIGINT AS score_micro
+  FROM tf JOIN {wvals.replace("AS t(", "AS w(")} ON tf.term = w.term
+  GROUP BY w.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id) ::INT AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score_micro
+FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,85 @@
+"""Deterministic global shuffle + shard assignment for training ingest.
+
+Before training, a corpus is globally shuffled ONCE and written as K
+shards whose concatenation in (shard, position) order is the epoch-0
+sample order (the `datasets.shuffle().shard(K, i)` / tfds
+deterministic-shuffle contract).  At 10^12 files this cannot be a
+driver-side permutation: the order must be a pure function of the row
+key so it is reproducible under retries, repartitioning, and
+incremental re-runs.
+
+Construction:
+
+1. ``order_key = md5_long("shuffle|" + salt + "|" + key)`` — the same
+   engine-portable md5-prefix hash as the FIM/sampling operators; the
+   salt selects the permutation (a new salt = a new epoch order).
+2. global position = rank of (order_key, key) via
+   ``ranged_row_number`` — range-partitioned two-phase numbering, NO
+   single-partition window (operators/ranking.py).
+3. ``shard = position % n_shards`` (round-robin over the shuffled
+   order → shard sizes differ by at most 1 — exactly balanced, no
+   skew by construction) and ``pos_in_shard = position // n_shards``.
+
+Every step is integer/md5 arithmetic both engines compute identically,
+so the full permutation is value-oracle-checkable.
+
+Reference parity: none (tabular-QA reference); training-data extension
+suite (SURVEY §2-ext) alongside operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+from dqspark.operators.ranking import ranged_row_number
+
+
+def training_shard(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """(key, shard, pos_in_shard, position) — a deterministic balanced
+    shuffle-shard assignment, reproducible from (key, salt) alone."""
+    keyed = df.select(
+        F.col(key_col),
+        md5_long(
+            F.concat_ws("|", F.lit("shuffle"), F.lit(salt), F.col(key_col).cast("string"))
+        ).alias("_ord"),
+    )
+    ranked = ranged_row_number(keyed, ["_ord", key_col], out_col="position")
+    return ranked.select(
+        key_col,
+        (F.col("position") % n_shards).cast("int").alias("shard"),
+        # integer div — a double division would be lossy past 2^53 rows
+        F.expr(f"position div {n_shards}").cast("long").alias("pos_in_shard"),
+        "position",
+    )
+
+
+def training_shard_oracle(
+    corpus_sql: str,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> str:
+    """Same hash → same total order; DuckDB ranks with a window (fine
+    at oracle scale — the point of ranged_row_number is avoiding this
+    exact plan at corpus scale)."""
+    h = md5_long_oracle(f"'shuffle|{salt}|' || {key_col}::VARCHAR")
+    return f"""
+WITH corpus AS ({corpus_sql}),
+ranked AS (
+  SELECT {key_col},
+         row_number() OVER (ORDER BY {h}, {key_col}) - 1 AS position
+  FROM corpus
+)
+SELECT {key_col},
+       (position % {n_shards})::INT AS shard,
+       (position // {n_shards})::BIGINT AS pos_in_shard,
+       position
+FROM ranked
+"""

@@ -1,0 +1,174 @@
+"""Driver-contract queries for the corpus-curation round-4 additions:
+structural code complexity (operators/complexity.py), snapshot delta /
+incremental processing (operators/delta.py), deterministic training
+shards (operators/sharding.py), DEFLATE compression-ratio quality
+signal (operators/compression.py), and BM25 corpus search
+(operators/search.py).
+
+Planted derivations (applied identically on both engines, from shared
+Python constants):
+
+- complexity: nested/branchy code blocks appended on fixed moduli so
+  indent depth and branch counts vary across the corpus;
+- delta: snapshot OLD = docs with ``doc_id % 10 != 0``, snapshot NEW =
+  docs with ``doc_id % 10 != 1`` and content modified on
+  ``doc_id % 7 = 0`` — every status value is exercised;
+- compression: a highly repetitive suffix on ``doc_id % 9 = 0`` drives
+  the ``repetitive`` flag; base corpus text exercises the mid-range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.complexity import code_complexity, code_complexity_oracle
+from dqspark.operators.compression import compression_signal, compression_values
+from dqspark.operators.delta import snapshot_delta, snapshot_delta_oracle
+from dqspark.operators.search import bm25_oracle, bm25_search
+from dqspark.operators.sharding import training_shard, training_shard_oracle
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+
+def _sql_str(s: str) -> str:
+    """A Python string as a DuckDB expression (newlines/tabs via chr)."""
+    body = (
+        s.replace("'", "''")
+        .replace("\n", "' || chr(10) || '")
+        .replace("\t", "' || chr(9) || '")
+    )
+    return f"'{body}'"
+
+
+# --- code complexity ---------------------------------------------------------
+
+_DEEP_BLOCK = (
+    "\nif a:\n    if b:\n        for i in x:\n            while t:\n"
+    "                if c:\n                    return 1\n"
+)
+_TAB_BLOCK = "\nfor x in y:\n\tif x:\n\t\tcase 1\n\t\t\twhile z\n"
+
+_COMPLEX_CORPUS_SQL = f"""
+  SELECT doc_id,
+         text
+      || CASE WHEN doc_id % 7 = 0 THEN {_sql_str(_DEEP_BLOCK)} ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN {_sql_str(_TAB_BLOCK)} ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def _complex_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_DEEP_BLOCK)).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_TAB_BLOCK)).otherwise(""),
+        ).alias("text"),
+    )
+
+
+@register("code_complexity", code_complexity_oracle(_COMPLEX_CORPUS_SQL))
+def q_code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return code_complexity(_complex_corpus(spark, sf_dir))
+
+
+# --- snapshot delta ----------------------------------------------------------
+
+_OLD_SQL = "SELECT doc_id, text AS content FROM documents WHERE doc_id % 10 != 0"
+_NEW_SQL = """SELECT doc_id,
+       text || CASE WHEN doc_id % 7 = 0 THEN '!' ELSE '' END AS content
+FROM documents WHERE doc_id % 10 != 1"""
+
+
+@register("corpus_delta", snapshot_delta_oracle(_OLD_SQL, _NEW_SQL, ["doc_id"]))
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    new = docs.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("!")).otherwise(""),
+        ).alias("content"),
+    )
+    return snapshot_delta(old, new, ["doc_id"])
+
+
+# --- deterministic training shards -------------------------------------------
+
+_SHARDS = 8
+
+
+@register(
+    "training_shard",
+    training_shard_oracle("SELECT doc_id FROM documents", n_shards=_SHARDS),
+)
+def q_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_shard(docs, n_shards=_SHARDS)
+
+
+# --- compression-ratio signal -------------------------------------------------
+
+_REP_SUFFIX = "\n" + "spark " * 400
+
+_COMP_CORPUS_SQL = f"""
+  SELECT doc_id,
+         text
+      || CASE WHEN doc_id % 9 = 0 THEN {_sql_str(_REP_SUFFIX)} ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def _compression_oracle() -> str:
+    from dqspark.plans.local_oracle import oracle_sf_dir
+
+    values = compression_values(oracle_sf_dir(), _COMP_CORPUS_SQL)
+    return f"""
+SELECT doc_id, raw_bytes, comp_bytes, comp_ratio,
+       repetitive, incompressible
+FROM {values}
+"""
+
+
+@register("compression_ratio", _compression_oracle)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(_REP_SUFFIX)).otherwise(""),
+        ).alias("text"),
+    )
+    return compression_signal(corpus)
+
+
+# --- BM25 corpus search -------------------------------------------------------
+
+_QUERIES = [
+    ("q0", "spark join window"),
+    ("q1", "filter merge sort"),
+    ("q2", "customer table scan"),
+    ("q3", "stream batch dedup"),
+]
+_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    return bm25_oracle(
+        "SELECT doc_id, text FROM documents", _QUERIES, k=_TOPK
+    )
+
+
+@register("corpus_search", _bm25_oracle)
+def q_corpus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search(docs, _QUERIES, k=_TOPK)

@@ -623,3 +623,4 @@ from dqspark.plans import graph_queries  # noqa: E402,F401  (registration side-e
 from dqspark.plans import packing_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import doccode_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import repo_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import curation_queries  # noqa: E402,F401  (registration side-effect)

@@ -1,0 +1,197 @@
+"""Tests for the round-4 curation operators: code complexity, snapshot
+delta, deterministic training shards, compression signal, BM25 search."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.complexity import code_complexity
+from dqspark.operators.compression import compression_signal
+from dqspark.operators.delta import changed_only, snapshot_delta
+from dqspark.operators.search import bm25_search
+from dqspark.operators.sharding import training_shard
+
+
+# --- code complexity ---------------------------------------------------------
+
+def test_complexity_closed_forms(spark):
+    df = spark.createDataFrame(
+        [
+            # 4-space indents, 3 levels deep; if/for/while = 3 branches
+            (1, "if a:\n    for b in c:\n        while d:\n            x = 1"),
+            # tabs: 2 tabs = 8 cols = depth 2; 'elif' and 'case' count
+            (2, "case 1:\n\t\telif x\nplain"),
+            # flat, no keywords ('iffy'/'forum' must NOT match \b-bounded)
+            (3, "iffy forum\nsecond line here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in code_complexity(df).collect()}
+    assert got[1].max_indent_depth == 3
+    assert got[1].branch_count == 3
+    assert got[1].cyclomatic_proxy == 4
+    assert got[1].n_lines == 4
+    assert not got[1].deep_nesting
+    assert got[2].max_indent_depth == 2
+    assert got[2].branch_count == 2
+    assert got[3].branch_count == 0
+    assert got[3].max_indent_depth == 0
+    assert got[3].max_line_len == 16
+    assert got[4].n_lines == 1 and got[4].max_line_len == 0
+
+
+def test_complexity_deep_nesting_flag(spark):
+    deep = "\n".join("    " * i + "if x:" for i in range(6))
+    df = spark.createDataFrame([(1, deep)], "doc_id long, text string")
+    row = code_complexity(df).collect()[0]
+    assert row.max_indent_depth == 5 and row.deep_nesting
+
+
+def test_complexity_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "if x:\n  y")], "doc_id long, text string")
+    plan = code_complexity(df)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Aggregate", "Generate"):
+        assert op not in plan, f"unexpected {op} in complexity plan:\n{plan}"
+
+
+# --- snapshot delta ----------------------------------------------------------
+
+def _snapshots(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, content string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, content string"
+    )
+    return old, new
+
+
+def test_snapshot_delta_statuses(spark):
+    old, new = _snapshots(spark)
+    got = {r.doc_id: r.status for r in snapshot_delta(old, new, ["doc_id"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "modified", 4: "added"}
+
+
+def test_snapshot_delta_null_content(spark):
+    old = spark.createDataFrame([(1, None)], "doc_id long, content string")
+    new = spark.createDataFrame([(1, "")], "doc_id long, content string")
+    # null and '' hash identically (coalesce) — a re-crawl that nulls an
+    # empty field must not retrigger the pipeline
+    assert snapshot_delta(old, new, ["doc_id"]).collect()[0].status == "unchanged"
+
+
+def test_changed_only_feeds_pipeline(spark):
+    old, new = _snapshots(spark)
+    rows = changed_only(old, new, ["doc_id"]).collect()
+    assert {r.doc_id for r in rows} == {3, 4}
+    assert {r.content for r in rows} == {"C!", "d"}
+
+
+# --- training shards ---------------------------------------------------------
+
+def test_training_shard_balance_and_bijection(spark):
+    df = spark.range(101).withColumnRenamed("id", "doc_id")
+    rows = training_shard(df, n_shards=8).collect()
+    assert sorted(r.position for r in rows) == list(range(101))
+    sizes = {}
+    for r in rows:
+        assert r.shard == r.position % 8
+        assert r.pos_in_shard == r.position // 8
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_training_shard_deterministic_under_repartition(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.shard, r.position) for r in training_shard(df).collect()}
+    b = {
+        r.doc_id: (r.shard, r.position)
+        for r in training_shard(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_training_shard_salt_changes_order(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.position for r in training_shard(df, salt="epoch0").collect()}
+    b = {r.doc_id: r.position for r in training_shard(df, salt="epoch1").collect()}
+    assert a != b  # different permutation...
+    assert sorted(a.values()) == sorted(b.values())  # ...same position set
+
+
+# --- compression signal ------------------------------------------------------
+
+def test_compression_flags_and_values(spark):
+    rep = "ab" * 5000
+    short = "xq"
+    prose = (
+        "def parse(stream): return [tok.strip() for tok in stream if tok]\n"
+        "class Lexer: pass  # handles numeric literals and identifiers\n"
+        "while cursor < limit: emit(advance(buffer, cursor)); cursor += 1\n"
+        "except ValueError as exc: logger.warning('bad row %s', exc)\n"
+    )
+    df = spark.createDataFrame(
+        [(1, rep), (2, short), (3, prose), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compression_signal(df).collect()}
+    assert got[1].repetitive and not got[1].incompressible
+    # two bytes cannot absorb the deflate header: ratio > 1 → flagged
+    assert got[2].incompressible
+    assert not got[3].repetitive and not got[3].incompressible
+    for i in (1, 2, 3):
+        raw = {1: rep, 2: short, 3: prose}[i].encode()
+        assert got[i].raw_bytes == len(raw)
+        assert got[i].comp_bytes == len(zlib.compress(raw, 6))
+    assert got[4].raw_bytes == 0 and got[4].comp_ratio == pytest.approx(
+        got[4].comp_bytes
+    )
+
+
+# --- BM25 search -------------------------------------------------------------
+
+def test_bm25_ranking_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),  # tf=3
+            (2, "spark filler filler filler filler"),  # tf=1, same dl
+            (3, "nothing relevant here at all"),
+            (4, "spark"),  # tf=1 but tiny dl → length norm boosts it
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(df, [("q", "spark")], k=10).collect()
+    by_rank = {r.rank: r.doc_id for r in out}
+    assert {r.doc_id for r in out} == {1, 2, 4}  # doc 3 never scored
+    assert by_rank[1] == 1  # highest tf wins
+    # same tf: shorter doc scores higher under length normalization
+    scores = {r.doc_id: r.score_micro for r in out}
+    assert scores[4] > scores[2]
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    rows = [(i, "common special" if i == 0 else "common word") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, [("q", "common special")], k=20).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.doc_id == 0  # the rare term dominates the ubiquitous one
+
+
+def test_bm25_topk_and_total_order(spark):
+    df = spark.createDataFrame(
+        [(i, "token filler") for i in range(30)], "doc_id long, text string"
+    )
+    out = bm25_search(df, [("q", "token")], k=5).collect()
+    assert len(out) == 5
+    # all-equal scores → tie-break by doc_id gives 0..4
+    assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_bm25_no_match_query_is_empty(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    assert bm25_search(df, [("q", "zzz_missing")], k=5).count() == 0
