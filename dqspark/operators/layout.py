@@ -1,0 +1,155 @@
+"""Data-layout maintenance analytics: compaction planning + zone maps.
+
+At 100 TB the dominant cost lever is LAYOUT: thousands of tiny files
+per partition destroy scan throughput (driver-side planning cost,
+per-file open overhead, no vectorized readahead), and without
+per-file min/max statistics every query scans everything.  Table
+formats (Iceberg `rewrite_data_files`, Delta OPTIMIZE) fix this with
+compaction; their readers skip files via zone maps (min/max per file —
+Moerkotte's small materialized aggregates).  This module provides the
+ANALYTICS for both over a file-manifest relation, engine-portably.
+
+``compaction_plan`` — deterministic bin-packing of files into
+target-size output groups, per partition.  Same offset-bucketed
+prefix-sum rule as operators/chunking.py: files ordered by path, each
+assigned to bin ``floor(preceding_bytes / target)`` — ONE window pass
+per partition key, no sequential greedy state, bins overshoot by at
+most one file (the Iceberg bin-pack contract).  Integer arithmetic,
+exactly replayable.
+
+``zone_maps`` / ``zone_prune`` — per-shard (min, max) zone maps for a
+column, and, for a broadcast predicate set of [lo, hi] ranges, how
+many shards each predicate must scan vs can skip.  The prune stats
+quantify whether a proposed sort/cluster layout actually enables
+data skipping — the measurement you run BEFORE paying for a rewrite.
+
+Scale shape: compaction = one shuffle by partition key (the window
+key); zone maps = one map-side-combined groupBy on the shard key;
+prune join = broadcast of the (tiny) predicate relation.
+
+Reference parity: none (tabular-QA reference); 10^12-file extension
+suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    part_col: str = "part",
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """(part, path, size_bytes, bin, bin_files, bin_bytes, compacts) —
+    per-file bin assignment; ``compacts`` marks bins that merge >1
+    file (the actual rewrite tasks)."""
+    w = Window.partitionBy(part_col).orderBy(path_col)
+    staged = manifest.select(
+        part_col,
+        path_col,
+        F.col(size_col).cast("long").alias("size_bytes"),
+    ).withColumn(
+        "bin",
+        F.floor(
+            (F.sum("size_bytes").over(w) - F.col("size_bytes"))
+            / F.lit(target_bytes)
+        ).cast("long"),
+    )
+    wb = Window.partitionBy(part_col, "bin")
+    return staged.select(
+        part_col,
+        path_col,
+        "size_bytes",
+        "bin",
+        F.count(F.lit(1)).over(wb).cast("long").alias("bin_files"),
+        F.sum("size_bytes").over(wb).cast("long").alias("bin_bytes"),
+        (F.count(F.lit(1)).over(wb) > 1).alias("compacts"),
+    )
+
+
+def compaction_plan_oracle(
+    manifest_sql: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> str:
+    return f"""
+WITH manifest AS ({manifest_sql}),
+staged AS (
+  SELECT part, path, size_bytes::BIGINT AS size_bytes,
+         ((sum(size_bytes) OVER (PARTITION BY part ORDER BY path)
+           - size_bytes) // {target_bytes})::BIGINT AS bin
+  FROM manifest
+)
+SELECT part, path, size_bytes, bin,
+       count(*) OVER (PARTITION BY part, bin)::BIGINT AS bin_files,
+       sum(size_bytes) OVER (PARTITION BY part, bin)::BIGINT AS bin_bytes,
+       count(*) OVER (PARTITION BY part, bin) > 1 AS compacts
+FROM staged
+"""
+
+
+def zone_maps(
+    df: DataFrame, shard_col: str = "shard", value_col: str = "value"
+) -> DataFrame:
+    """(shard, zmin, zmax, n_rows) — one map-side-combined groupBy."""
+    return df.groupBy(shard_col).agg(
+        F.min(value_col).alias("zmin"),
+        F.max(value_col).alias("zmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def zone_prune(
+    df: DataFrame,
+    predicates: list[tuple[str, int, int]],
+    shard_col: str = "shard",
+    value_col: str = "value",
+) -> DataFrame:
+    """For each [lo, hi] range predicate: (pred_id, lo, hi,
+    shards_total, shards_scanned, shards_pruned, rows_scanned) — a
+    shard is scanned iff its zone [zmin, zmax] overlaps [lo, hi]."""
+    spark = df.sparkSession
+    zm = zone_maps(df, shard_col, value_col)
+    preds = spark.createDataFrame(predicates, "pred_id string, lo long, hi long")
+    hit = (F.col("zmin") <= F.col("hi")) & (F.col("zmax") >= F.col("lo"))
+    return (
+        zm.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shards_total"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("shards_scanned"),
+            F.sum(F.when(hit, 0).otherwise(1)).cast("long").alias("shards_pruned"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+    )
+
+
+def zone_prune_oracle(
+    sharded_sql: str, predicates: list[tuple[str, int, int]]
+) -> str:
+    """``sharded_sql`` must yield (shard, value)."""
+    vals = ", ".join(f"('{p}', {lo}, {hi})" for p, lo, hi in predicates)
+    return f"""
+WITH sharded AS ({sharded_sql}),
+zm AS (
+  SELECT shard, min(value) AS zmin, max(value) AS zmax,
+         count(*)::BIGINT AS n_rows
+  FROM sharded GROUP BY shard
+),
+preds AS (SELECT * FROM (VALUES {vals}) AS t(pred_id, lo, hi))
+SELECT pred_id, lo::BIGINT AS lo, hi::BIGINT AS hi,
+       count(*)::BIGINT AS shards_total,
+       sum(CASE WHEN zmin <= hi AND zmax >= lo THEN 1 ELSE 0 END)::BIGINT
+         AS shards_scanned,
+       sum(CASE WHEN zmin <= hi AND zmax >= lo THEN 0 ELSE 1 END)::BIGINT
+         AS shards_pruned,
+       sum(CASE WHEN zmin <= hi AND zmax >= lo THEN n_rows ELSE 0 END)::BIGINT
+         AS rows_scanned
+FROM zm CROSS JOIN preds
+GROUP BY pred_id, lo, hi
+"""

@@ -1,0 +1,132 @@
+"""Extended PII detection: Luhn-validated payment cards + phone numbers.
+
+The flagship scrub pass (functions/scrub.py — north_rule: emails, keys,
+IPs, toxicity) is regex-only.  Payment-card numbers need more: any
+13-19-digit run matches the card *shape*, so a pure regex floods the
+corpus with false positives (timestamps, hashes, IDs).  Production PII
+scrubbers validate candidates with the Luhn mod-10 checksum (ISO/IEC
+7812) and redact only validated spans.  This module does that with
+ZERO Python in the hot path:
+
+1. candidates: ``regexp_extract_all`` of card-shaped runs (digits with
+   optional space/dash separators; non-overlapping, same semantics in
+   Java regex and RE2);
+2. Luhn: per candidate, strip separators → reversed digit array →
+   indexed ``transform`` doubling every second digit (9-cap) →
+   ``aggregate`` integer sum → ``% 10 = 0`` and 13-19 digits.
+   All integer arithmetic — exactly replayable in DuckDB (whose lambda
+   index is 1-based where Spark's is 0-based; the oracle offsets);
+3. redaction: a ``aggregate``-fold of LITERAL ``replace`` over the
+   validated candidates (selective — Luhn-invalid lookalikes stay),
+   then one ``regexp_replace`` for phones.
+
+This module deliberately does NOT touch the flagship SCRUB_PATTERNS:
+the keep/drop F1 contract vs the reference labels is pinned to the
+reference's pattern set; card/phone redaction is an additive signal
+with its own columns.
+
+Scale shape: one shuffle-free projection; regexes compile once per
+task, folds are JVM higher-order functions over per-row arrays.
+
+Reference parity: generalizes the reference's per-value regex
+validation family (ml/update_anomaly.py pattern checks); Luhn
+validation itself is the public ISO/IEC 7812 checksum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# card-shaped: 13-19 digits, optional single space/dash between groups.
+# \b anchors are ASCII-safe in both engines for digit-adjacent text.
+CARD_RX = r"\b\d(?:[ -]?\d){12,18}\b"
+PHONE_RX = r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}(?:[ -]\d{2,4})?\b"
+CARD_TOKEN = "<CARD>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def _digits_rev(cand: Column) -> Column:
+    ds = F.regexp_replace(cand, "[^0-9]", "")
+    return F.reverse(F.transform(F.split(ds, ""), lambda c: F.ascii(c) - F.lit(48)))
+
+
+def _luhn_ok(cand: Column) -> Column:
+    rev = _digits_rev(cand)
+    n = F.size(rev)
+    summed = F.aggregate(
+        F.transform(
+            rev,
+            lambda d, i: F.when(i % 2 == 0, d).otherwise(
+                F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (n >= 13) & (n <= 19) & (summed % 10 == 0)
+
+
+def pii_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_card_candidates, n_cards_valid, n_phones,
+    has_payment_card, scrubbed_text) — validated cards and phones
+    redacted, Luhn-invalid lookalikes preserved."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(text, F.lit(CARD_RX), 0)
+    valid = F.filter(cands, _luhn_ok)
+    scrubbed = F.regexp_replace(
+        F.aggregate(
+            valid, text, lambda acc, c: F.replace(acc, c, F.lit(CARD_TOKEN))
+        ),
+        PHONE_RX,
+        PHONE_TOKEN,
+    )
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_RX), 0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_card_candidates"),
+        F.size(valid).cast("long").alias("n_cards_valid"),
+        n_phones.alias("n_phones"),
+        (F.size(valid) > 0).alias("has_payment_card"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def pii_signals_oracle(corpus_sql: str) -> str:
+    """Same candidate extraction, Luhn fold (index offset −1: DuckDB
+    lambda index is 1-based), selective literal-replace redaction."""
+    card = CARD_RX.replace("'", "''")
+    phone = PHONE_RX.replace("'", "''")
+    luhn = (
+        "((len(replace(replace(c, ' ', ''), '-', '')) BETWEEN 13 AND 19) AND "
+        "list_sum(list_transform("
+        "list_reverse(list_transform(string_split("
+        "regexp_replace(c, '[^0-9]', '', 'g'), ''), d -> unicode(d) - 48)), "
+        "(d, i) -> CASE WHEN (i - 1) % 2 = 0 THEN d "
+        "WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END)) % 10 = 0)"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+c0 AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         regexp_extract_all(coalesce(text, ''), '{card}') AS cands
+  FROM corpus
+),
+c1 AS (
+  SELECT doc_id, t, cands,
+         list_filter(cands, c -> {luhn}) AS valid
+  FROM c0
+)
+SELECT doc_id,
+       len(cands)::BIGINT AS n_card_candidates,
+       len(valid)::BIGINT AS n_cards_valid,
+       len(regexp_extract_all(t, '{phone}'))::BIGINT AS n_phones,
+       len(valid) > 0 AS has_payment_card,
+       regexp_replace(
+         list_reduce(list_prepend(t, valid),
+                     (a, b) -> replace(a, b, '{CARD_TOKEN}')),
+         '{phone}', '{PHONE_TOKEN}', 'g') AS scrubbed_text
+FROM c1
+"""

@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 from dqspark.operators.complexity import code_complexity, code_complexity_oracle
 from dqspark.operators.compression import compression_signal, compression_values
 from dqspark.operators.delta import snapshot_delta, snapshot_delta_oracle
+from dqspark.operators.layout import (
+    compaction_plan,
+    compaction_plan_oracle,
+    zone_prune,
+    zone_prune_oracle,
+)
+from dqspark.operators.pii import pii_signals, pii_signals_oracle
 from dqspark.operators.search import bm25_oracle, bm25_search
 from dqspark.operators.sharding import training_shard, training_shard_oracle
 from dqspark.plans.driver_queries import register
@@ -149,6 +156,79 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return compression_signal(corpus)
+
+
+# --- data-layout maintenance: compaction plan + zone pruning -----------------
+
+_TARGET_BYTES = 2048
+
+_MANIFEST_SQL = """SELECT source AS part,
+       'f' || doc_id::VARCHAR AS path,
+       n_chars AS size_bytes
+FROM documents"""
+
+
+@register(
+    "compaction_plan",
+    compaction_plan_oracle(_MANIFEST_SQL, target_bytes=_TARGET_BYTES),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.select(
+        F.col("source").alias("part"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return compaction_plan(manifest, target_bytes=_TARGET_BYTES)
+
+
+_PREDICATES = [("p_small", 0, 100), ("p_mid", 150, 220), ("p_out", 1000000, 2000000)]
+
+_SHARDED_SQL = "SELECT doc_id % 25 AS shard, n_chars AS value FROM documents"
+
+
+@register("zone_prune", zone_prune_oracle(_SHARDED_SQL, _PREDICATES))
+def q_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = docs.select(
+        (F.col("doc_id") % 25).alias("shard"), F.col("n_chars").alias("value")
+    )
+    return zone_prune(sharded, _PREDICATES)
+
+
+# --- Luhn-validated payment-card / phone PII ---------------------------------
+
+_CARD_VALID = "card: 4111 1111 1111 1111"  # Visa test number, Luhn-valid
+_CARD_INVALID = "id: 4111111111111112"  # card-shaped, fails Luhn
+_CARD_AMEX = "ref 378282246310005 ok"  # 15-digit Amex, Luhn-valid
+_PHONE = "call +1 555 0134 now"
+
+_PII_CORPUS_SQL = f"""
+  SELECT doc_id,
+         text
+      || CASE WHEN doc_id % 8 = 0 THEN {_sql_str(chr(10) + _CARD_VALID)} ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN {_sql_str(chr(10) + _CARD_INVALID)} ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN {_sql_str(chr(10) + _CARD_AMEX)} ELSE '' END
+      || CASE WHEN doc_id % 12 = 0 THEN {_sql_str(chr(10) + _PHONE)} ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+@register("pii_cards", pii_signals_oracle(_PII_CORPUS_SQL))
+def q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 8 == 0, F.lit("\n" + _CARD_VALID)).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\n" + _CARD_INVALID)).otherwise(""),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("\n" + _CARD_AMEX)).otherwise(""),
+            F.when(F.col("doc_id") % 12 == 0, F.lit("\n" + _PHONE)).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_signals(corpus)
 
 
 # --- BM25 corpus search -------------------------------------------------------

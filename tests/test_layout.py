@@ -1,0 +1,73 @@
+"""Compaction-plan + zone-map pruning tests (operators/layout.py)."""
+
+from __future__ import annotations
+
+from dqspark.operators.layout import compaction_plan, zone_maps, zone_prune
+
+
+def test_compaction_bins_small_files(spark):
+    manifest = spark.createDataFrame(
+        [
+            ("p1", "a", 40),
+            ("p1", "b", 40),
+            ("p1", "c", 40),  # 40+40+40 → first two fill bin 0 (target 100)
+            ("p1", "d", 300),  # oversize file: alone in its bin
+            ("p2", "e", 10),  # other partition: independent bins
+        ],
+        "part string, path string, size_bytes long",
+    )
+    got = {
+        (r.part, r.path): r
+        for r in compaction_plan(manifest, target_bytes=100).collect()
+    }
+    # prefix-sum rule: bin = preceding_bytes // 100
+    assert got[("p1", "a")].bin == 0 and got[("p1", "b")].bin == 0
+    assert got[("p1", "c")].bin == 0  # preceding = 80 < 100 (bounded overshoot)
+    assert got[("p1", "d")].bin == 1
+    assert got[("p2", "e")].bin == 0
+    assert got[("p1", "a")].bin_files == 3 and got[("p1", "a")].compacts
+    assert got[("p1", "d")].bin_files == 1 and not got[("p1", "d")].compacts
+    assert got[("p1", "a")].bin_bytes == 120
+
+
+def test_compaction_deterministic_under_repartition(spark):
+    rows = [("p", f"f{i:03d}", 30 + (i * 7) % 50) for i in range(100)]
+    manifest = spark.createDataFrame(rows, "part string, path string, size_bytes long")
+    a = {r.path: r.bin for r in compaction_plan(manifest, target_bytes=200).collect()}
+    b = {
+        r.path: r.bin
+        for r in compaction_plan(
+            manifest.repartition(7), target_bytes=200
+        ).collect()
+    }
+    assert a == b
+
+
+def test_zone_maps_and_pruning(spark):
+    # shard 0 → values 0..9, shard 1 → 100..109, shard 2 → 200..209
+    rows = [(s, s * 100 + i) for s in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "shard int, value long")
+    zm = {r.shard: (r.zmin, r.zmax, r.n_rows) for r in zone_maps(df).collect()}
+    assert zm[1] == (100, 109, 10)
+    out = {
+        r.pred_id: r
+        for r in zone_prune(
+            df, [("hit_one", 105, 107), ("hit_two", 5, 105), ("miss", 500, 900)]
+        ).collect()
+    }
+    assert out["hit_one"].shards_scanned == 1 and out["hit_one"].shards_pruned == 2
+    assert out["hit_one"].rows_scanned == 10
+    assert out["hit_two"].shards_scanned == 2
+    assert out["miss"].shards_scanned == 0 and out["miss"].shards_pruned == 3
+
+
+def test_zone_prune_uses_broadcast(spark):
+    df = spark.createDataFrame([(0, 1)], "shard int, value long")
+    plan = (
+        zone_prune(df, [("p", 0, 1)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan  # predicate relation must be the broadcast side
+    assert "SortMergeJoin" not in plan

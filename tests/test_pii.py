@@ -1,0 +1,58 @@
+"""Luhn-validated payment-card / phone PII detection tests."""
+
+from __future__ import annotations
+
+from dqspark.operators.pii import pii_signals
+
+
+def test_luhn_validation_separates_real_cards(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111 1111 1111 1111 today"),  # Visa, valid
+            (2, "id 4111111111111112 here"),  # fails Luhn
+            (3, "amex 378282246310005 ok"),  # 15-digit, valid
+            (4, "mc 5500-0000-0000-0004 done"),  # dashed, valid
+            (5, "hash 123456789012 trail"),  # 12 digits: too short
+            (6, "clean text, no numbers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_signals(df).collect()}
+    assert got[1].n_cards_valid == 1 and got[1].has_payment_card
+    assert got[2].n_card_candidates == 1 and got[2].n_cards_valid == 0
+    assert got[3].n_cards_valid == 1
+    assert got[4].n_cards_valid == 1
+    assert got[5].n_card_candidates == 0
+    assert got[6].n_card_candidates == 0 and not got[6].has_payment_card
+
+
+def test_selective_redaction_keeps_invalid_lookalikes(spark):
+    df = spark.createDataFrame(
+        [(1, "a 4111 1111 1111 1111 b 4111111111111112 c")],
+        "doc_id long, text string",
+    )
+    row = pii_signals(df).collect()[0]
+    assert row.scrubbed_text == "a <CARD> b 4111111111111112 c"
+
+
+def test_phone_redaction_and_count(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "call +44 20 7946 0958 or +1 555 0134"),
+            (2, "version 1.555.0134 is not a phone"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_signals(df).collect()}
+    assert got[1].n_phones == 2
+    assert got[1].scrubbed_text == "call <PHONE> or <PHONE>"
+    assert got[2].n_phones == 0
+
+
+def test_null_text_and_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = pii_signals(df).collect()[0]
+    assert row.n_card_candidates == 0 and row.scrubbed_text == ""
+    plan = pii_signals(df)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Aggregate", "Generate"):
+        assert op not in plan, f"unexpected {op} in pii plan:\n{plan}"
