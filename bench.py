@@ -174,6 +174,14 @@ def main() -> None:
             "dedup_canonical_quality",
             "file_chunks",
             "test_files",
+            "code_complexity",
+            "corpus_delta",
+            "training_shard",
+            "compression_ratio",
+            "corpus_search",
+            "pii_cards",
+            "compaction_plan",
+            "zone_prune",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1,0 +1,132 @@
+"""Engine-portable Bloom-filter blocklist pruning (runtime-filter shape).
+
+Filtering a 100-TB corpus against a blocklist (opt-out repos, known-bad
+content hashes, takedown lists) with a plain join shuffles the ENTIRE
+corpus by the join key.  The production shape is a runtime filter: a
+Bloom filter built from the (small) blocklist is broadcast and applied
+as a per-row predicate — only the tiny might-match fraction reaches the
+exact join for false-positive elimination.  Spark's own bloom-join
+(spark.sql.optimizer.runtime.bloomFilter.enabled) does this inside
+AQE; this operator makes the pattern EXPLICIT and engine-portable so
+the whole derivation (bit positions, membership test, FP audit) is
+value-oracle-checkable.
+
+Construction (Bloom 1970; Mitzenmacher & Broder's k-hash analysis):
+- ``m`` bits in an array of ``m/64`` longs, ``k`` independent hashes
+  ``h_i(key) = md5_long(i || '|' || key) mod m`` — the repo's portable
+  md5-prefix hash (operators/dedup.py), identical in both engines;
+- build: the blocklist's k·|B| positions are collected driver-side
+  (O(|B|) — the blocklist is the SMALL side by contract) and packed
+  into a Python list of longs, embedded as an array literal (a
+  broadcast-by-plan constant, like the DSIR log-ratio vector);
+- probe: ``might_contain`` tests all k bits with JVM shift/AND
+  expressions — shuffle-free, whole-stage-codegen;
+- the exact confirm join runs on might-match survivors only.
+
+Bit packing uses the mathematical bit value: bit j of word w is set
+iff ``(word >> j) & 1 = 1`` with arithmetic shifts — sign extension
+cannot corrupt bit extraction for j in [0, 63].
+
+Reference parity: none (tabular-QA reference); 10^12-file extension
+suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long_oracle
+
+M_BITS = 1 << 14  # 16384 bits = 256 longs
+K_HASHES = 4
+
+
+def _py_md5_long(s: str) -> int:
+    # mirror of md5_long: first 15 hex chars as base-16 integer
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def bloom_bits(keys: list[str], m: int = M_BITS, k: int = K_HASHES) -> list[int]:
+    """Pack the blocklist into m/64 longs (two's-complement wrapped so
+    the literal round-trips through a signed BIGINT column)."""
+    words = [0] * (m // 64)
+    for key in keys:
+        for i in range(k):
+            pos = _py_md5_long(f"{i}|{key}") % m
+            words[pos // 64] |= 1 << (pos % 64)
+    return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+
+def bloom_might_contain(
+    key_sql: str, words: list[int], m: int = M_BITS, k: int = K_HASHES
+) -> Column:
+    """All k bits set — one JVM expression, no shuffle, no Python.
+
+    ``key_sql`` is a Spark-SQL expression (usually a column name).
+    Built as a SQL string because the Python ``shiftright`` wrapper
+    only takes a literal shift; the SQL function takes expressions.
+    The word array is all-literal, so Catalyst constant-folds it —
+    zero per-row array construction."""
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    tests = []
+    for i in range(k):
+        h = (
+            f"cast(conv(substring(md5(concat_ws('|', '{i}', {key_sql})), 1, 15),"
+            f" 16, 10) as bigint)"
+        )
+        pos = f"({h} % {m})"
+        word = f"element_at({arr}, cast({pos} div 64 as int) + 1)"
+        tests.append(f"((shiftright({word}, cast({pos} % 64 as int)) & 1) = 1)")
+    return F.expr("(" + " AND ".join(tests) + ")")
+
+
+def bloom_blocklist_filter(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    key_col: str = "key",
+    m: int = M_BITS,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """Annotate the corpus: (.., might_match, blocked, false_positive).
+    The exact join's left side is pre-pruned to might-match rows — the
+    runtime-filter contract: join input shrinks from |corpus| to
+    |blocked| + FP·|corpus|."""
+    keys = [r[0] for r in blocklist.select(key_col).distinct().collect()]
+    words = bloom_bits([str(v) for v in keys], m, k)
+    might = bloom_might_contain(f"cast(`{key_col}` as string)", words, m, k)
+    marked = corpus.withColumn("might_match", might)
+    exact = (
+        marked.where(F.col("might_match"))
+        .join(
+            F.broadcast(blocklist.select(key_col).distinct()), on=key_col, how="left_semi"
+        )
+        .select(key_col)
+        .withColumn("_blocked", F.lit(True))
+    )
+    out = marked.join(F.broadcast(exact), on=key_col, how="left")
+    return out.select(
+        *corpus.columns,
+        "might_match",
+        F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
+        (F.col("might_match") & F.coalesce(~F.col("_blocked"), F.lit(True))).alias(
+            "false_positive"
+        ),
+    )
+
+
+def bloom_oracle_exprs(
+    key_expr: str, words: list[int], m: int = M_BITS, k: int = K_HASHES
+) -> str:
+    """DuckDB might_contain over the same word-array literal (1-based
+    list index; arithmetic >> matches Spark's shiftright)."""
+    arr = "[" + ", ".join(f"{w}::BIGINT" for w in words) + "]"
+    tests = []
+    for i in range(k):
+        h = md5_long_oracle(f"'{i}|' || {key_expr}")
+        tests.append(
+            f"(((({arr})[(({h}) % {m}) // 64 + 1] >> ((({h}) % {m}) % 64)) & 1) = 1)"
+        )
+    return "(" + " AND ".join(tests) + ")"

@@ -72,6 +72,37 @@ def changed_only(
     return new.join(keys, on=key_cols, how="left_semi")
 
 
+def delta_rollup(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+) -> DataFrame:
+    """(status, n, pct) — the churn summary an ingest run reports
+    (re-crawl rate, takedown volume).  The window runs over the
+    O(statuses) rollup relation, not the corpus."""
+    from pyspark.sql import Window
+
+    counts = (
+        snapshot_delta(old, new, key_cols, content_col)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "status", "n", F.round(F.col("n") / total, 4).alias("pct")
+    )
+
+
+def delta_rollup_oracle(old_sql: str, new_sql: str, key_cols: list[str]) -> str:
+    inner = snapshot_delta_oracle(old_sql, new_sql, key_cols)
+    return f"""
+WITH delta AS ({inner}),
+counts AS (SELECT status, count(*)::BIGINT AS n FROM delta GROUP BY status)
+SELECT status, n, round(n / (sum(n) OVER ()), 4) AS pct FROM counts
+"""
+
+
 def snapshot_delta_oracle(
     old_sql: str, new_sql: str, key_cols: list[str]
 ) -> str:

@@ -1,0 +1,142 @@
+"""Corpus profile drift between snapshots.
+
+A recurring ingest pipeline needs to know when a new crawl/export is
+statistically DIFFERENT from the last one — a schema half-nulled by an
+upstream bug, a collapsed enum domain, a silently truncated partition.
+This is the reference's profiling family (ml/insertion_anomaly.py
+null/distinct profiling) applied ACROSS corpus versions instead of
+within one table.
+
+``profile_relation`` — distributed single-pass profile: ONE aggregate
+scan computes (n, per-column null count, per-column distinct count)
+with map-side combine, then a 1-row explode unpivots to one row per
+column.  No driver-side collect (unlike operators/profile.py's
+O(columns) collect variant — fine for reports, wrong as a relation
+feeding a join).
+
+``profile_drift`` — joins the old/new profiles per column and flags
+``drifted`` when |Δ null_fraction| > 0.02 or |Δ distinct_ratio| > 0.1
+(both 4-dp-rounded on identical integer inputs, so the comparison is
+engine-exact).
+
+Scale shape: two aggregate scans (one per snapshot) + a join on the
+O(columns) profile relations — nothing corpus-sized moves.
+
+Reference parity: ml/insertion_anomaly.py:26-27 (null fraction),
+ml/anomaly_ensemble.py:100 (distinct ratio) — re-expressed as a
+cross-snapshot differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NULL_DRIFT_AT = 0.02
+DISTINCT_DRIFT_AT = 0.1
+
+
+def profile_relation(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, null_frac, distinct_ratio) — one row per profiled
+    column, fully distributed (single agg pass + 1-row explode)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
+        )
+        aggs.append(
+            F.count_distinct(F.col(c).cast("string")).alias(f"_nd_{c}")
+        )
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_nn_{c}").alias("nn"),
+                F.col(f"_nd_{c}").alias("nd"),
+            )
+            for c in cols
+        ]
+    )
+    n = F.greatest(F.col("_n"), F.lit(1))
+    return (
+        one.select("_n", F.explode(entries).alias("e"))
+        .select(
+            F.col("e.col_name").alias("col_name"),
+            F.round(F.col("e.nn") / n, 4).alias("null_frac"),
+            F.round(F.col("e.nd") / n, 4).alias("distinct_ratio"),
+        )
+    )
+
+
+def profile_relation_oracle(corpus_sql: str, cols: list[str]) -> str:
+    nn = ", ".join(
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_{c}, "
+        f"count(DISTINCT {c}::VARCHAR)::BIGINT AS nd_{c}"
+        for c in cols
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, round(nn_{c} / greatest(n, 1), 4) AS null_frac, "
+        f"round(nd_{c} / greatest(n, 1), 4) AS distinct_ratio FROM agg"
+        for c in cols
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+agg AS (SELECT count(*)::BIGINT AS n, {nn} FROM corpus)
+{rows}
+"""
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: list[str]
+) -> DataFrame:
+    """(col_name, old/new null_frac + distinct_ratio, deltas, drifted)."""
+    po = profile_relation(old, cols).select(
+        "col_name",
+        F.col("null_frac").alias("old_null_frac"),
+        F.col("distinct_ratio").alias("old_distinct_ratio"),
+    )
+    pn = profile_relation(new, cols).select(
+        "col_name",
+        F.col("null_frac").alias("new_null_frac"),
+        F.col("distinct_ratio").alias("new_distinct_ratio"),
+    )
+    j = po.join(pn, on="col_name")
+    nd = F.round(F.col("new_null_frac") - F.col("old_null_frac"), 4)
+    dd = F.round(F.col("new_distinct_ratio") - F.col("old_distinct_ratio"), 4)
+    return j.select(
+        "col_name",
+        "old_null_frac",
+        "new_null_frac",
+        nd.alias("null_frac_delta"),
+        "old_distinct_ratio",
+        "new_distinct_ratio",
+        dd.alias("distinct_ratio_delta"),
+        (
+            (F.abs(nd) > F.lit(NULL_DRIFT_AT))
+            | (F.abs(dd) > F.lit(DISTINCT_DRIFT_AT))
+        ).alias("drifted"),
+    )
+
+
+def profile_drift_oracle(
+    old_sql: str, new_sql: str, cols: list[str]
+) -> str:
+    po = profile_relation_oracle(old_sql, cols)
+    pn = profile_relation_oracle(new_sql, cols)
+    return f"""
+WITH po AS ({po}),
+pn AS ({pn})
+SELECT po.col_name,
+       po.null_frac AS old_null_frac,
+       pn.null_frac AS new_null_frac,
+       round(pn.null_frac - po.null_frac, 4) AS null_frac_delta,
+       po.distinct_ratio AS old_distinct_ratio,
+       pn.distinct_ratio AS new_distinct_ratio,
+       round(pn.distinct_ratio - po.distinct_ratio, 4) AS distinct_ratio_delta,
+       (abs(round(pn.null_frac - po.null_frac, 4))
+          > CAST('{NULL_DRIFT_AT!r}' AS DOUBLE)
+        OR abs(round(pn.distinct_ratio - po.distinct_ratio, 4))
+          > CAST('{DISTINCT_DRIFT_AT!r}' AS DOUBLE)) AS drifted
+FROM po JOIN pn USING (col_name)
+"""

@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from dqspark.operators.complexity import code_complexity, code_complexity_oracle
 from dqspark.operators.compression import compression_signal, compression_values
-from dqspark.operators.delta import snapshot_delta, snapshot_delta_oracle
+from dqspark.operators.delta import (
+    delta_rollup,
+    delta_rollup_oracle,
+    snapshot_delta,
+    snapshot_delta_oracle,
+)
+from dqspark.operators.drift import profile_drift, profile_drift_oracle
 from dqspark.operators.layout import (
     compaction_plan,
     compaction_plan_oracle,
@@ -156,6 +162,99 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return compression_signal(corpus)
+
+
+# --- profile drift + churn rollup --------------------------------------------
+
+_DRIFT_COLS = ["lang", "source", "n_chars"]
+
+# NEW snapshot: 10% of rows dropped, lang nulled on a modulus, source
+# domain collapsed on even ids — null_frac AND distinct_ratio both move
+_DRIFT_NEW_SQL = """SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+       CASE WHEN doc_id % 2 = 0 THEN 'src0' ELSE source END AS source,
+       n_chars
+FROM documents WHERE doc_id % 10 != 3"""
+
+_DRIFT_OLD_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
+@register(
+    "profile_drift",
+    profile_drift_oracle(_DRIFT_OLD_SQL, _DRIFT_NEW_SQL, _DRIFT_COLS),
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "lang", "source", "n_chars")
+    new = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("src0")).otherwise(F.col("source")).alias("source"),
+        "n_chars",
+    )
+    return profile_drift(old, new, _DRIFT_COLS)
+
+
+@register("delta_rollup", delta_rollup_oracle(_OLD_SQL, _NEW_SQL, ["doc_id"]))
+def q_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    new = docs.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("!")).otherwise(""),
+        ).alias("content"),
+    )
+    return delta_rollup(old, new, ["doc_id"])
+
+
+# --- Bloom-filter blocklist pruning ------------------------------------------
+
+_BLOCK_MOD = 13
+
+
+def _bloom_oracle() -> str:
+    import duckdb
+
+    from dqspark.operators.bloom import bloom_bits, bloom_oracle_exprs
+    from dqspark.plans.local_oracle import oracle_sf_dir
+
+    sf = oracle_sf_dir()
+    con = duckdb.connect()
+    keys = [
+        k
+        for (k,) in con.execute(
+            f"SELECT 'k' || doc_id::VARCHAR FROM '{sf}/documents.parquet' "
+            f"WHERE doc_id % {_BLOCK_MOD} = 0 ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    might = bloom_oracle_exprs("key", bloom_bits(keys))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, 'k' || doc_id::VARCHAR AS key FROM documents
+)
+SELECT doc_id, key,
+       {might} AS might_match,
+       (doc_id % {_BLOCK_MOD} = 0) AS blocked,
+       ({might} AND NOT (doc_id % {_BLOCK_MOD} = 0)) AS false_positive
+FROM corpus
+"""
+
+
+@register("bloom_blocklist", _bloom_oracle)
+def q_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dqspark.operators.bloom import bloom_blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.select(
+        "doc_id", F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("key")
+    )
+    blocklist = corpus.where(F.col("doc_id") % _BLOCK_MOD == 0).select("key")
+    return bloom_blocklist_filter(corpus, blocklist, key_col="key")
 
 
 # --- data-layout maintenance: compaction plan + zone pruning -----------------

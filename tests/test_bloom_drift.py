@@ -1,0 +1,98 @@
+"""Bloom blocklist + profile drift + delta rollup tests."""
+
+from __future__ import annotations
+
+from dqspark.operators.bloom import (
+    K_HASHES,
+    M_BITS,
+    bloom_bits,
+    bloom_blocklist_filter,
+    bloom_might_contain,
+    _py_md5_long,
+)
+from dqspark.operators.delta import delta_rollup
+from dqspark.operators.drift import profile_drift, profile_relation
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_no_false_negatives_and_exact_confirm(spark):
+    corpus = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(500)], "key string, v long"
+    )
+    block = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 500, 25)], "key string"
+    )
+    out = bloom_blocklist_filter(corpus, block).collect()
+    got_blocked = {r.key for r in out if r.blocked}
+    assert got_blocked == {f"k{i}" for i in range(0, 500, 25)}
+    # Bloom guarantee: every blocked key must be might_match
+    assert all(r.might_match for r in out if r.blocked)
+    # false positives never survive the exact confirm
+    assert all(not r.blocked for r in out if r.false_positive)
+
+
+def test_bloom_bit_packing_matches_python_probe(spark):
+    keys = ["alpha", "beta"]
+    words = bloom_bits(keys)
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "key string"
+    )
+    got = {
+        r.key: r.m
+        for r in df.select(
+            "key", bloom_might_contain("key", words).alias("m")
+        ).collect()
+    }
+    assert got["alpha"] and got["beta"]
+    # python-side probe replays the same membership test
+    for key, expect in got.items():
+        hit = all(
+            (
+                words[(_py_md5_long(f"{i}|{key}") % M_BITS) // 64]
+                >> ((_py_md5_long(f"{i}|{key}") % M_BITS) % 64)
+            )
+            & 1
+            for i in range(K_HASHES)
+        )
+        assert hit == expect
+
+
+def test_profile_relation_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, tag string"
+    )
+    got = {r.col_name: r for r in profile_relation(df, ["tag"]).collect()}
+    assert got["tag"].null_frac == 0.25
+    assert got["tag"].distinct_ratio == 0.5
+
+
+def test_profile_drift_flags(spark):
+    old = spark.createDataFrame(
+        [(i, f"v{i % 10}") for i in range(100)], "id long, tag string"
+    )
+    # half the tags nulled → null_frac jumps 0 → 0.5
+    new = old.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit(None)).otherwise(F.col("tag")).alias("tag"),
+    )
+    row = {r.col_name: r for r in profile_drift(old, new, ["tag"]).collect()}["tag"]
+    assert row.null_frac_delta == 0.5 and row.drifted
+    stable = {
+        r.col_name: r for r in profile_drift(old, old, ["tag", "id"]).collect()
+    }
+    assert not stable["tag"].drifted and not stable["id"].drifted
+
+
+def test_delta_rollup_percentages(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, content string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d"), (5, "e")], "doc_id long, content string"
+    )
+    got = {r.status: r for r in delta_rollup(old, new, ["doc_id"]).collect()}
+    assert got["added"].n == 1 and got["removed"].n == 1
+    assert got["modified"].n == 1 and got["unchanged"].n == 2
+    assert got["unchanged"].pct == 0.4
+    assert abs(sum(r.pct for r in got.values()) - 1.0) < 1e-6
