@@ -182,6 +182,11 @@ def main() -> None:
             "pii_cards",
             "compaction_plan",
             "zone_prune",
+            "profile_drift",
+            "delta_rollup",
+            "bloom_blocklist",
+            "asof_join",
+            "sessionize",
         )
         if q in driver_queries.QUERIES
     ]

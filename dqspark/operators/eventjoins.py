@@ -1,0 +1,198 @@
+"""Event-time analytics: as-of join + gap sessionization.
+
+Two classic temporal operators Spark's DataFrame API lacks as
+primitives, both required for event/telemetry corpora (and for
+joining slowly-changing metadata — model versions, config pushes —
+onto an event stream):
+
+``as_of_join`` — for every left event, the LATEST right event with
+``r.ts <= l.ts`` per key (kdb+ ``aj``; DuckDB/Pandas ``ASOF JOIN``).
+NOT implemented as a range join (which explodes) but as the
+merge-trick: union both sides tagged, ONE window per key ordered by
+``(ts, side)`` carrying the last non-null right payload forward
+(``last_value IGNORE NULLS`` over a struct, so event id and value
+come from the SAME right row), then keep left rows.  One shuffle by
+key, one sort — the plan a range join would need anyway, without the
+pair blowup.  Right rows sort BEFORE left rows at equal ``ts``
+(side 0 < 1), giving inclusive ``<=`` semantics.
+
+``sessionize`` — gap-based session ids (the standard web-analytics
+construction): per key ordered by ts, a session break is a gap
+> ``gap_us`` microseconds; session id = running sum of breaks; the
+rollup emits (key, session_id, n_events, start/end, duration).
+Integer microsecond arithmetic (``unix_micros`` / ``epoch_us``) —
+exactly replayable cross-engine.
+
+Scale shape: both are ONE hash-exchange by key + in-partition sort
+(windows over the key partition, never global); mega-key skew shares
+the dedup suite's salting options upstream.
+
+Reference parity: none (the reference has no temporal operators);
+event-analytics extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left rows + ``r_<col>`` columns from the latest right row with
+    ``right.ts <= left.ts`` per key (NULL when no prior right row)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in key_cols and c != ts_col
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias("_r_ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns if c not in key_cols and c != ts_col],
+    )
+    l = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}")
+          for c in left.columns if c not in key_cols and c != ts_col],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "_m", F.last("_p", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("_side") == 1).select(
+        *key_cols,
+        ts_col,
+        *[F.col(f"_l_{c}").alias(c)
+          for c in left.columns if c not in key_cols and c != ts_col],
+        F.col("_m._r_ts").alias("r_ts"),
+        *[F.col(f"_m.{c}").alias(f"r_{c}") for c in right_cols],
+    )
+    return out
+
+
+def as_of_join_oracle(
+    left_sql: str,
+    right_sql: str,
+    key_cols: list[str],
+    left_cols: list[str],
+    right_cols: list[str],
+    ts_col: str = "ts",
+) -> str:
+    """Same union + IGNORE-NULLS window replay in DuckDB (native ASOF
+    JOIN exists but has its own tie-break; the window replica matches
+    Spark's exactly)."""
+    keys = ", ".join(key_cols)
+    lnull = ", ".join(f"NULL AS _l_{c}" for c in left_cols)
+    lsel = ", ".join(f"{c} AS _l_{c}" for c in left_cols)
+    pack = ", ".join([f"_r_ts := {ts_col}"] + [f"{c} := {c}" for c in right_cols])
+    lout = ", ".join(f"_l_{c} AS {c}" for c in left_cols)
+    rout = ", ".join([f"_m._r_ts AS r_ts"] + [f"_m.{c} AS r_{c}" for c in right_cols])
+    return f"""
+WITH l_side AS ({left_sql}),
+r_side AS ({right_sql}),
+u AS (
+  SELECT {keys}, {ts_col}, 0 AS _side,
+         struct_pack({pack}) AS _p, {lnull}
+  FROM r_side
+  UNION ALL BY NAME
+  SELECT {keys}, {ts_col}, 1 AS _side, NULL AS _p, {lsel}
+  FROM l_side
+),
+c AS (
+  SELECT *, last_value(_p IGNORE NULLS) OVER (
+           PARTITION BY {keys} ORDER BY {ts_col}, _side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _m
+  FROM u
+)
+SELECT {keys}, {ts_col}, {lout}, {rout}
+FROM c WHERE _side = 1
+"""
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_us: int = 3_600_000_000,
+) -> DataFrame:
+    """(key..., session_id, n_events, start_ts, end_ts, duration_us) —
+    gap-based sessions; ids are 0-based per key in time order."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    # parquet timestamps load as TIMESTAMP_NTZ, which unix_micros
+    # rejects; the session is pinned UTC so the cast is identity
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # two projection steps: a window expression (lag) cannot nest
+    # inside another window aggregate (sum) in one expression
+    staged = df.select(*key_cols, ts_col).withColumn(
+        "_brk",
+        F.when(us - F.lag(us).over(w) > F.lit(gap_us), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    marked = staged.withColumn(
+        "session_id",
+        F.sum("_brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return marked.groupBy(*key_cols, "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+        )
+        .cast("long")
+        .alias("duration_us"),
+    )
+
+
+def sessionize_oracle(
+    events_sql: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_us: int = 3_600_000_000,
+) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+WITH ev AS ({events_sql}),
+b AS (
+  SELECT {keys}, {ts_col},
+         CASE WHEN epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER (
+                PARTITION BY {keys} ORDER BY {ts_col}) > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+m AS (
+  SELECT {keys}, {ts_col},
+         sum(brk) OVER (PARTITION BY {keys} ORDER BY {ts_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS session_id
+  FROM b
+)
+SELECT {keys}, session_id,
+       count(*)::BIGINT AS n_events,
+       min({ts_col}) AS start_ts,
+       max({ts_col}) AS end_ts,
+       (epoch_us(max({ts_col})) - epoch_us(min({ts_col})))::BIGINT
+         AS duration_us
+FROM m GROUP BY {keys}, session_id
+"""

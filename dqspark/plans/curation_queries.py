@@ -31,6 +31,12 @@ from dqspark.operators.delta import (
     snapshot_delta_oracle,
 )
 from dqspark.operators.drift import profile_drift, profile_drift_oracle
+from dqspark.operators.eventjoins import (
+    as_of_join,
+    as_of_join_oracle,
+    sessionize,
+    sessionize_oracle,
+)
 from dqspark.operators.layout import (
     compaction_plan,
     compaction_plan_oracle,
@@ -162,6 +168,49 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return compression_signal(corpus)
+
+
+# --- event-time analytics: as-of join + sessionization -----------------------
+
+_ASOF_LEFT_SQL = (
+    "SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0"
+)
+_ASOF_RIGHT_SQL = (
+    "SELECT user_id, ts, event_id, value FROM events WHERE event_id % 2 = 1"
+)
+
+
+@register(
+    "asof_join",
+    as_of_join_oracle(
+        _ASOF_LEFT_SQL,
+        _ASOF_RIGHT_SQL,
+        ["user_id"],
+        left_cols=["event_id"],
+        right_cols=["event_id", "value"],
+    ),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 2 == 0).select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return as_of_join(left, right, ["user_id"])
+
+
+_SESSION_GAP_US = 3_600_000_000
+
+_SESSION_SQL = "SELECT user_id, ts FROM events"
+
+
+@register(
+    "sessionize",
+    sessionize_oracle(_SESSION_SQL, ["user_id"], gap_us=_SESSION_GAP_US),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize(ev, ["user_id"], gap_us=_SESSION_GAP_US)
 
 
 # --- profile drift + churn rollup --------------------------------------------

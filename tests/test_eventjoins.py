@@ -1,0 +1,77 @@
+"""As-of join + sessionization tests (operators/eventjoins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dqspark.operators.eventjoins import as_of_join, sessionize
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_matches_latest_prior_right(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), 100), (1, _ts(20), 101), (2, _ts(10), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 900, 1.5), (1, _ts(10), 901, 2.5), (2, _ts(30), 902, 3.5)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {r.event_id: r for r in as_of_join(left, right, ["user_id"]).collect()}
+    assert got[100].r_event_id == 900 and got[100].r_value == 1.5
+    assert got[101].r_event_id == 901  # latest prior, not first
+    assert got[102].r_event_id is None  # no right row at or before ts
+
+
+def test_asof_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100)], "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 900, 9.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    row = as_of_join(left, right, ["user_id"]).collect()[0]
+    assert row.r_event_id == 900  # <= semantics: same-instant right matches
+
+
+def test_asof_payload_columns_come_from_same_row(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(20), 100)], "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 900, 1.0), (1, _ts(10), 901, 2.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    row = as_of_join(left, right, ["user_id"]).collect()[0]
+    assert (row.r_event_id, row.r_value) == (901, 2.0)
+    assert row.r_ts == _ts(10)
+
+
+def test_sessionize_gap_breaks(spark):
+    rows = [
+        (1, _ts(0)),
+        (1, _ts(10)),  # same session (gap 10 min < 30 min)
+        (1, dt.datetime(2024, 1, 1, 2, 0)),  # new session
+        (2, _ts(0)),  # other key independent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_id): r
+        for r in sessionize(df, ["user_id"], gap_us=30 * 60 * 1_000_000).collect()
+    }
+    assert got[(1, 0)].n_events == 2
+    assert got[(1, 0)].duration_us == 10 * 60 * 1_000_000
+    assert got[(1, 1)].n_events == 1
+    assert got[(2, 0)].n_events == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(30))], "user_id long, ts timestamp"
+    )
+    out = sessionize(df, ["user_id"], gap_us=30 * 60 * 1_000_000).collect()
+    assert len(out) == 1 and out[0].n_events == 2  # strict > breaks, == doesn't
