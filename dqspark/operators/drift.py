@@ -23,7 +23,7 @@ Scale shape: two aggregate scans (one per snapshot) + a join on the
 O(columns) profile relations — nothing corpus-sized moves.
 
 Reference parity: ml/insertion_anomaly.py:26-27 (null fraction),
-ml/anomaly_ensemble.py:100 (distinct ratio) — re-expressed as a
+ml/deletion_anomaly.py:70 (distinct ratio) — re-expressed as a
 cross-snapshot differential.
 """
 
