@@ -1,0 +1,177 @@
+"""10x-scale evidence probe for the round-4-final curation/event
+operators: training_shard, bloom_blocklist_filter, as_of_join,
+sessionize, compaction_plan.
+
+Follows tools/scaling_bench.py's measurement discipline:
+- the synthetic corpus (spark.range derivation, no driver data) is
+  materialized to parquet ONCE and both parallelism levels read the
+  IDENTICAL file-split plan (pinned maxPartitionBytes/openCost);
+- local[8] vs local[32] sessions run in INTERLEAVED rounds so ambient
+  host drift cancels; each session times a cold and a warm pass and
+  the warm minima feed the efficiency number;
+- sessions are created and stopped per round — no cross-level cached
+  blocks (a localCheckpoint surviving from the narrow level would
+  charge its GC pressure to the wide level).
+
+Usage: python tools/curation_scale_probe.py [n_rows] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dqspark.session import get_spark  # noqa: E402
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+PAIR = (
+    tuple(int(x) for x in sys.argv[3].split(","))
+    if len(sys.argv) > 3
+    else (8, 32)
+)
+SPLIT = 4 * 1024 * 1024
+
+
+def gen(spark, n, path):
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, n, 1, 256)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("key", F.concat(F.lit("k"), F.col("doc_id").cast("string")))
+        .withColumn("user_id", (F.col("doc_id") % 5000).cast("long"))
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.lit(1700000000000000)
+                + F.col("doc_id") * 7_000_000
+                + (F.col("doc_id") % 97) * 11_000
+            ),
+        )
+        .withColumn(
+            "part", F.concat(F.lit("s"), (F.col("doc_id") % 64).cast("string"))
+        )
+        .withColumn("size_bytes", (F.col("doc_id") % 9000 + 200).cast("long"))
+        .write.parquet(path)
+    )
+
+
+def run_ops(spark, docs):
+    from pyspark.sql import functions as F
+
+    from dqspark.operators.bloom import bloom_blocklist_filter
+    from dqspark.operators.eventjoins import as_of_join, sessionize
+    from dqspark.operators.layout import compaction_plan
+    from dqspark.operators.sharding import training_shard
+
+    out = {}
+    t = time.perf_counter()
+    training_shard(docs.select("doc_id"), n_shards=64).agg(
+        F.max("position")
+    ).collect()
+    out["training_shard"] = round(time.perf_counter() - t, 2)
+
+    t = time.perf_counter()
+    block = docs.where(F.col("doc_id") % 997 == 0).select("key")
+    bloom_blocklist_filter(docs.select("doc_id", "key"), block).agg(
+        F.sum(F.col("blocked").cast("long")),
+        F.sum(F.col("false_positive").cast("long")),
+    ).collect()
+    out["bloom_blocklist"] = round(time.perf_counter() - t, 2)
+
+    t = time.perf_counter()
+    left = docs.where(F.col("doc_id") % 2 == 0).select("user_id", "ts", "doc_id")
+    right = docs.where(F.col("doc_id") % 2 == 1).select(
+        "user_id", "ts", "doc_id", F.col("size_bytes").alias("value")
+    )
+    as_of_join(left, right, ["user_id"]).agg(F.count("r_ts")).collect()
+    out["asof_join"] = round(time.perf_counter() - t, 2)
+
+    t = time.perf_counter()
+    sessionize(docs.select("user_id", "ts"), ["user_id"]).agg(
+        F.count(F.lit(1))
+    ).collect()
+    out["sessionize"] = round(time.perf_counter() - t, 2)
+
+    t = time.perf_counter()
+    compaction_plan(
+        docs.select("part", F.col("key").alias("path"), "size_bytes"),
+        target_bytes=128 * 1024,
+    ).agg(F.max("bin"), F.count(F.lit(1))).collect()
+    out["compaction_plan"] = round(time.perf_counter() - t, 2)
+
+    out["total"] = round(sum(out.values()), 2)
+    return out
+
+
+def run_session(cpus, path):
+    spark = get_spark(
+        f"curation-probe-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 32),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(SPLIT),
+            "spark.sql.files.openCostInBytes": str(SPLIT),
+        },
+    )
+    docs = spark.read.parquet(path)
+    docs.count()  # warm footer/listing cache
+    cold = run_ops(spark, docs)
+    warm = run_ops(spark, docs)
+    spark.stop()
+    return cold, warm
+
+
+def main():
+    workdir = tempfile.mkdtemp(prefix="dqspark_curation_probe_")
+    path = os.path.join(workdir, "corpus")
+    try:
+        spark = get_spark("curation-gen", master="local[32]")
+        gen(spark, N_ROWS, path)
+        spark.stop()
+        lo, hi = PAIR
+        warms = {lo: [], hi: []}
+        colds = {lo: [], hi: []}
+        for _ in range(ROUNDS):
+            for cpus in PAIR:
+                cold, warm = run_session(cpus, path)
+                colds[cpus].append(cold)
+                warms[cpus].append(warm)
+                print(f"local[{cpus}] warm: {warm}", file=sys.stderr)
+        best = {
+            c: {k: min(w[k] for w in warms[c]) for k in warms[c][0]}
+            for c in PAIR
+        }
+        ratio = hi // lo
+        per_op_eff = {
+            k: round(best[lo][k] / (ratio * best[hi][k]), 3)
+            for k in best[lo]
+            if k != "total"
+        }
+        out = {
+            "n_rows": N_ROWS,
+            "rounds": ROUNDS,
+            "cpu_pair": list(PAIR),
+            "max_partition_bytes": SPLIT,
+            f"local{lo}": {"warms": warms[lo], "best": best[lo]},
+            f"local{hi}": {"warms": warms[hi], "best": best[hi]},
+            f"scaling_efficiency_{lo}_to_{hi}": round(
+                best[lo]["total"] / (ratio * best[hi]["total"]), 3
+            ),
+            "per_op_efficiency": per_op_eff,
+            "loadavg": open("/proc/loadavg").read().split()[:3],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
