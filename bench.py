@@ -187,6 +187,8 @@ def main() -> None:
             "bloom_blocklist",
             "asof_join",
             "sessionize",
+            "cms_estimates",
+            "mixture_cube",
         )
         if q in driver_queries.QUERIES
     ]

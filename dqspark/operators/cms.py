@@ -1,0 +1,208 @@
+"""Count-Min sketch (Cormode & Muthukrishnan 2005) — engine-portable.
+
+Completes the repo's mergeable-summaries family (HyperLogLog for
+distincts, Misra-Gries for heavy hitters, histogram refinement for
+quantiles): CMS answers point frequency queries over a token stream in
+O(d·w) space with one-sided error (estimates NEVER undercount — a
+deterministic property both engines must reproduce, asserted in the
+audit query).
+
+Construction (the textbook pairwise-independent family):
+
+    h        = token_hash(tok)                  # portable 31-bit hash
+    pos_i(h) = ((A_i·h + B_i) mod P31) mod w    # row i of d
+    count[i][pos_i] += 1 per occurrence
+    est(tok) = min_i count[i][pos_i(tok)]
+
+All integer arithmetic (A_i·h < 2^62 — no overflow in either engine's
+BIGINT), so counters and estimates are value-oracle-checkable.
+
+Scale shape: the sketch build is explode(tokens) × d positions →
+groupBy (row, pos) — key cardinality CAPPED at d·w (8192), so
+map-side combine collapses the shuffle to ≤ d·w rows per input
+partition REGARDLESS of vocabulary size.  That is the point of the
+sketch: the token-frequency relation (vocab-keyed shuffle) is never
+materialized.  Estimates join the (tiny, broadcast) candidate relation
+against the counter relation on (row, pos).
+
+Reference parity: none (tabular-QA reference); sketch extension suite
+(SURVEY §2-ext) alongside operators/{hll,heavy,quantiles}.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import (
+    FIN_A,
+    FIN_C,
+    HASH_B,
+    P31,
+    normalized_oracle,
+    token_hash,
+    token_hashes_oracle,
+)
+from dqspark.operators.heavy import _tokens
+
+CMS_D = 4
+CMS_W = 2048
+
+# pairwise-independent row parameters, fixed constants < P31
+ROW_AB = [
+    ((((2 * i + 1) * 0x9E3779B1) % P31) or 1, (i * 0x85EBCA6B + 0xC2B2AE35) % P31)
+    for i in range(CMS_D)
+]
+
+
+def py_token_hash(tok: str) -> int:
+    """Driver-side replica of operators/dedup.token_hash (same integer
+    fold both engines compute)."""
+    h = 0
+    for ch in tok:
+        h = (h * HASH_B + ord(ch)) % P31
+    return (h * FIN_A + FIN_C) % P31
+
+
+def _pos(h: Column, i: int) -> Column:
+    a, b = ROW_AB[i]
+    return ((h * a + b) % P31) % CMS_W
+
+
+def cms_counters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(row, pos, c) — the sketch's non-zero counters."""
+    hashes = df.select(
+        F.explode(_tokens(text_col)).alias("tok")
+    ).select(token_hash(F.col("tok")).alias("h"))
+    positions = hashes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _pos(F.col("h"), i).alias("pos")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.row").alias("row"), F.col("e.pos").alias("pos"))
+    return positions.groupBy("row", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def cms_estimates(
+    df: DataFrame, candidates: list[str], text_col: str = "text"
+) -> DataFrame:
+    """(token, est, exact, overcount) for each candidate token —
+    ``est >= exact`` ALWAYS (CMS one-sided error); exact comes from a
+    recount restricted to the candidate set (broadcast filter, the
+    Misra-Gries audit discipline)."""
+    spark = df.sparkSession
+    sketch = cms_counters(df, text_col)
+    cand = spark.createDataFrame(
+        [(t, py_token_hash(t)) for t in sorted(set(candidates))],
+        "token string, h long",
+    )
+    probes = cand.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _pos(F.col("h"), i).alias("pos")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("token", F.col("e.row").alias("row"), F.col("e.pos").alias("pos"))
+    est = (
+        sketch.join(F.broadcast(probes), on=["row", "pos"], how="right")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+    cand_lit = F.array(*[F.lit(t) for t in sorted(set(candidates))])
+    exact = (
+        df.select(
+            F.explode(
+                F.filter(
+                    _tokens(text_col), lambda x: F.array_contains(cand_lit, x)
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, on="token", how="left")
+        .select(
+            "token",
+            "est",
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+            (F.col("est") - F.coalesce(F.col("exact"), F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+    )
+
+
+def _rows_values_sql() -> str:
+    # ::BIGINT — bare VALUES would type these INT32 and h*a overflows
+    vals = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(ROW_AB)
+    )
+    return f"(VALUES {vals}) AS r(row, a, b)"
+
+
+def cms_counters_oracle(corpus_sql: str, text_col: str = "text") -> str:
+    th = token_hashes_oracle(text_col)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+hs AS (SELECT unnest({th}) AS h FROM corpus),
+pos AS (
+  SELECT r.row, ((hs.h * r.a + r.b) % {P31}) % {CMS_W} AS pos
+  FROM hs CROSS JOIN {_rows_values_sql()}
+)
+SELECT row, pos, count(*)::BIGINT AS c
+FROM pos GROUP BY row, pos
+"""
+
+
+def cms_estimates_oracle(
+    corpus_sql: str, candidates: list[str], text_col: str = "text"
+) -> str:
+    th = token_hashes_oracle(text_col)
+    norm = normalized_oracle(text_col)
+    cands = sorted(set(candidates))
+    cvals = ", ".join(f"('{t}', {py_token_hash(t)}::BIGINT)" for t in cands)
+    clist = ", ".join(f"'{t}'" for t in cands)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+hs AS (SELECT unnest({th}) AS h FROM corpus),
+pos AS (
+  SELECT r.row, ((hs.h * r.a + r.b) % {P31}) % {CMS_W} AS pos
+  FROM hs CROSS JOIN {_rows_values_sql()}
+),
+sketch AS (SELECT row, pos, count(*)::BIGINT AS c FROM pos GROUP BY row, pos),
+cand AS (SELECT * FROM (VALUES {cvals}) AS t(token, h)),
+probes AS (
+  SELECT cand.token, r.row, ((cand.h * r.a + r.b) % {P31}) % {CMS_W} AS pos
+  FROM cand CROSS JOIN {_rows_values_sql()}
+),
+est AS (
+  SELECT p.token, min(coalesce(s.c, 0))::BIGINT AS est
+  FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.pos = s.pos
+  GROUP BY p.token
+),
+toks AS (
+  SELECT unnest(list_filter(string_split({norm}, ' '),
+                x -> len(x) > 0 AND x IN ({clist}))) AS token
+  FROM corpus
+),
+exact AS (SELECT token, count(*)::BIGINT AS exact FROM toks GROUP BY token)
+SELECT est.token, est.est,
+       coalesce(exact.exact, 0)::BIGINT AS exact,
+       (est.est - coalesce(exact.exact, 0))::BIGINT AS overcount
+FROM est LEFT JOIN exact ON est.token = exact.token
+"""

@@ -22,6 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dqspark.operators.cms import (
+    cms_counters,
+    cms_counters_oracle,
+    cms_estimates,
+    cms_estimates_oracle,
+)
 from dqspark.operators.complexity import code_complexity, code_complexity_oracle
 from dqspark.operators.compression import compression_signal, compression_values
 from dqspark.operators.delta import (
@@ -168,6 +174,64 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return compression_signal(corpus)
+
+
+# --- Count-Min sketch: point-frequency estimates + one-sided-error audit -----
+
+_CMS_CANDIDATES = ["spark", "join", "window", "the", "zzz_absent"]
+
+_CMS_CORPUS_SQL = "SELECT doc_id, text FROM documents"
+
+
+@register(
+    "cms_estimates",
+    cms_estimates_oracle(_CMS_CORPUS_SQL, _CMS_CANDIDATES),
+)
+def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cms_estimates(docs, _CMS_CANDIDATES)
+
+
+@register("cms_counters", cms_counters_oracle(_CMS_CORPUS_SQL))
+def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cms_counters(docs)
+
+
+# --- OLAP cube: training-mixture rollup at every aggregation level -----------
+
+_CUBE_ORACLE = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+@register("mixture_cube", _CUBE_ORACLE)
+def q_mixture_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reporting at all levels in ONE pass: per (lang, source),
+    per lang, per source, and grand total — Spark's native CUBE is a
+    single partial-aggregated scan (each input row expands to its 4
+    grouping sets map-side; no re-scan per level).  `lang`/`source`
+    are non-null in the corpus, so the 'ALL' sentinel is unambiguous
+    (no grouping-id disambiguation needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
 
 
 # --- event-time analytics: as-of join + sessionization -----------------------

@@ -1,0 +1,66 @@
+"""Count-Min sketch tests (operators/cms.py)."""
+
+from __future__ import annotations
+
+from dqspark.operators.cms import (
+    CMS_D,
+    CMS_W,
+    P31,
+    ROW_AB,
+    cms_counters,
+    cms_estimates,
+    py_token_hash,
+)
+
+
+def _positions(tok: str) -> list[tuple[int, int]]:
+    h = py_token_hash(tok)
+    return [(i, ((h * a + b) % P31) % CMS_W) for i, (a, b) in enumerate(ROW_AB)]
+
+
+def test_counters_row_sums_equal_stream_length(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a d")], "doc_id long, text string"
+    )
+    rows = cms_counters(df).collect()
+    # every row of the sketch counts every occurrence exactly once
+    sums = {}
+    for r in rows:
+        sums[r.row] = sums.get(r.row, 0) + r.c
+    assert sums == {i: 6 for i in range(CMS_D)}
+
+
+def test_estimates_never_undercount(spark):
+    toks = " ".join(f"t{i}" for i in range(5000))  # force counter sharing
+    df = spark.createDataFrame(
+        [(1, toks), (2, "alpha alpha beta")], "doc_id long, text string"
+    )
+    got = {r.token: r for r in cms_estimates(df, ["alpha", "beta", "t7", "gone"]).collect()}
+    for r in got.values():
+        assert r.overcount >= 0 and r.est == r.exact + r.overcount
+    assert got["alpha"].exact == 2
+    assert got["beta"].exact == 1
+    assert got["t7"].exact == 1
+    assert got["gone"].exact == 0  # absent token may still overcount, never under
+
+
+def test_collision_free_candidate_is_exact(spark):
+    # vocabulary so small that no counter is shared with the candidate
+    df = spark.createDataFrame(
+        [(1, "x y x x z")], "doc_id long, text string"
+    )
+    others = {p for t in ("y", "z") for p in _positions(t)}
+    assert not (set(_positions("x")) & others)  # fixture sanity
+    got = {r.token: r for r in cms_estimates(df, ["x"]).collect()}
+    assert got["x"].est == 3 and got["x"].overcount == 0
+
+
+def test_python_hash_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from dqspark.operators.dedup import token_hash
+
+    df = spark.createDataFrame([("spark",), ("a",), ("日本",)], "tok string")
+    got = {r.tok: r.h for r in df.select("tok", token_hash(F.col("tok")).alias("h")).collect()}
+    for tok, h in got.items():
+        assert h == py_token_hash(tok)
