@@ -104,6 +104,10 @@ def bloom_blocklist_filter(
             F.broadcast(blocklist.select(key_col).distinct()), on=key_col, how="left_semi"
         )
         .select(key_col)
+        # distinct: left_semi keeps one row per might-match CORPUS row, so a
+        # corpus with repeated keys would otherwise multiply every blocked
+        # row in the join-back below (k dup rows -> k^2 outputs)
+        .distinct()
         .withColumn("_blocked", F.lit(True))
     )
     out = marked.join(F.broadcast(exact), on=key_col, how="left")

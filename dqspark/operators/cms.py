@@ -117,8 +117,13 @@ def cms_estimates(
             )
         ).alias("e"),
     ).select("token", F.col("e.row").alias("row"), F.col("e.pos").alias("pos"))
+    # BroadcastHashJoin cannot broadcast the preserved side of an outer
+    # join, so the old right-join-with-broadcast(probes) hint was silently
+    # ignored and fell back to a shuffle join. Flip to probes LEFT JOIN
+    # sketch and broadcast the SKETCH — capped at d*w (= 8192) rows, so it
+    # is always broadcastable and the hint is legal (LeftOuter + buildRight)
     est = (
-        sketch.join(F.broadcast(probes), on=["row", "pos"], how="right")
+        probes.join(F.broadcast(sketch), on=["row", "pos"], how="left")
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )

@@ -43,19 +43,30 @@ def as_of_join(
     key_cols: list[str],
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Left rows + ``r_<col>`` columns from the latest right row with
-    ``right.ts <= left.ts`` per key (NULL when no prior right row)."""
+    ``right.ts <= left.ts`` per key (NULL when no prior right row).
+
+    ``tiebreak_col``: a right-side column appended as the final window
+    orderBy key so that multiple right rows sharing ``(key, ts)`` resolve
+    deterministically (the max tiebreak value wins) — without it the pick
+    among ties is engine- and partition-order-dependent. Left rows carry
+    NULL for the tiebreaker; they never tie with right rows because
+    ``_side`` already separates the sides at equal ``ts``.
+    """
     right_cols = right_cols or [
         c for c in right.columns if c not in key_cols and c != ts_col
     ]
     payload = F.struct(
         F.col(ts_col).alias("_r_ts"), *[F.col(c).alias(c) for c in right_cols]
     )
+    tb_type = right.schema[tiebreak_col].dataType if tiebreak_col else "long"
     r = right.select(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("_side"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(None).cast("long")).alias("_tb"),
         payload.alias("_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left.columns if c not in key_cols and c != ts_col],
@@ -64,13 +75,14 @@ def as_of_join(
         *key_cols,
         F.col(ts_col),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
         *[F.col(c).alias(f"_l_{c}")
           for c in left.columns if c not in key_cols and c != ts_col],
     )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col, "_side")
+        .orderBy(ts_col, "_side", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).withColumn(
@@ -94,30 +106,36 @@ def as_of_join_oracle(
     left_cols: list[str],
     right_cols: list[str],
     ts_col: str = "ts",
+    tiebreak_col: str | None = None,
 ) -> str:
     """Same union + IGNORE-NULLS window replay in DuckDB (native ASOF
     JOIN exists but has its own tie-break; the window replica matches
-    Spark's exactly)."""
+    Spark's exactly). ``tiebreak_col`` mirrors as_of_join's deterministic
+    right-row pick among (key, ts) ties; DuckDB ASC sorts NULLS LAST by
+    default but ties only occur within the right side where _tb is
+    non-null, so the null-order difference vs Spark (NULLS FIRST) is
+    unreachable."""
     keys = ", ".join(key_cols)
     lnull = ", ".join(f"NULL AS _l_{c}" for c in left_cols)
     lsel = ", ".join(f"{c} AS _l_{c}" for c in left_cols)
     pack = ", ".join([f"_r_ts := {ts_col}"] + [f"{c} := {c}" for c in right_cols])
     lout = ", ".join(f"_l_{c} AS {c}" for c in left_cols)
     rout = ", ".join([f"_m._r_ts AS r_ts"] + [f"_m.{c} AS r_{c}" for c in right_cols])
+    rtb = f"{tiebreak_col} AS _tb" if tiebreak_col else "NULL AS _tb"
     return f"""
 WITH l_side AS ({left_sql}),
 r_side AS ({right_sql}),
 u AS (
-  SELECT {keys}, {ts_col}, 0 AS _side,
+  SELECT {keys}, {ts_col}, 0 AS _side, {rtb},
          struct_pack({pack}) AS _p, {lnull}
   FROM r_side
   UNION ALL BY NAME
-  SELECT {keys}, {ts_col}, 1 AS _side, NULL AS _p, {lsel}
+  SELECT {keys}, {ts_col}, 1 AS _side, NULL AS _tb, NULL AS _p, {lsel}
   FROM l_side
 ),
 c AS (
   SELECT *, last_value(_p IGNORE NULLS) OVER (
-           PARTITION BY {keys} ORDER BY {ts_col}, _side
+           PARTITION BY {keys} ORDER BY {ts_col}, _side, _tb
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _m
   FROM u
 )

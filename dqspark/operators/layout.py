@@ -48,16 +48,20 @@ def compaction_plan(
     per-file bin assignment; ``compacts`` marks bins that merge >1
     file (the actual rewrite tasks)."""
     w = Window.partitionBy(part_col).orderBy(path_col)
-    staged = manifest.select(
-        part_col,
-        path_col,
-        F.col(size_col).cast("long").alias("size_bytes"),
-    ).withColumn(
-        "bin",
-        F.floor(
-            (F.sum("size_bytes").over(w) - F.col("size_bytes"))
-            / F.lit(target_bytes)
-        ).cast("long"),
+    # integer `div`, not double division + floor: cumulative partition
+    # bytes above 2^53 would mis-floor through the double path and diverge
+    # from the oracle's integer `//` (same pitfall sharding.py avoids)
+    staged = (
+        manifest.select(
+            part_col,
+            path_col,
+            F.col(size_col).cast("long").alias("size_bytes"),
+        )
+        .withColumn(
+            "_prefix", F.sum("size_bytes").over(w) - F.col("size_bytes")
+        )
+        .withColumn("bin", F.expr(f"_prefix div {int(target_bytes)}"))
+        .drop("_prefix")
     )
     wb = Window.partitionBy(part_col, "bin")
     return staged.select(

@@ -180,10 +180,16 @@ def infer_expected_types(df: DataFrame, sample_n: int = 100) -> dict[str, str]:
         if pdf_ok:
             expected[c] = "numeric"
             continue
+        import warnings
+
         import pandas as pd
 
         try:
-            pd.to_datetime(pd.Series(sample))
+            # the 100-row probe intentionally has no pinned format; pandas'
+            # "falling back to dateutil" UserWarning is expected, not a bug
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)
+                pd.to_datetime(pd.Series(sample))
             expected[c] = "datetime"
         except (ValueError, TypeError):
             expected[c] = "string"

@@ -252,6 +252,7 @@ _ASOF_RIGHT_SQL = (
         ["user_id"],
         left_cols=["event_id"],
         right_cols=["event_id", "value"],
+        tiebreak_col="event_id",
     ),
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +261,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = ev.where(F.col("event_id") % 2 == 1).select(
         "user_id", "ts", "event_id", "value"
     )
-    return as_of_join(left, right, ["user_id"])
+    return as_of_join(left, right, ["user_id"], tiebreak_col="event_id")
 
 
 _SESSION_GAP_US = 3_600_000_000

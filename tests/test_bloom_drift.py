@@ -96,3 +96,16 @@ def test_delta_rollup_percentages(spark):
     assert got["modified"].n == 1 and got["unchanged"].n == 2
     assert got["unchanged"].pct == 0.4
     assert abs(sum(r.pct for r in got.values()) - 1.0) < 1e-6
+
+def test_bloom_duplicate_corpus_keys_not_multiplied(spark):
+    # 3 corpus rows share a blocked key: the join-back must annotate each
+    # of the 3 rows exactly once (6 rows total), not 3x3 = 9 + 3
+    corpus = spark.createDataFrame(
+        [("dup", i) for i in range(3)] + [("clean", i) for i in range(3)],
+        "key string, v long",
+    )
+    block = spark.createDataFrame([("dup",)], "key string")
+    out = bloom_blocklist_filter(corpus, block).collect()
+    assert len(out) == 6
+    assert sum(1 for r in out if r.blocked) == 3
+    assert {r.v for r in out if r.key == "dup"} == {0, 1, 2}

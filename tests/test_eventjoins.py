@@ -75,3 +75,19 @@ def test_sessionize_exact_gap_is_same_session(spark):
     )
     out = sessionize(df, ["user_id"], gap_us=30 * 60 * 1_000_000).collect()
     assert len(out) == 1 and out[0].n_events == 2  # strict > breaks, == doesn't
+
+
+def test_asof_right_ts_ties_resolved_by_tiebreak(spark):
+    # two right rows share (user_id, ts): with a tiebreak column the max
+    # tiebreak value must win deterministically
+    left = spark.createDataFrame(
+        [(1, _ts(20), 100)], "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 901, 2.0), (1, _ts(10), 905, 7.0), (1, _ts(10), 903, 5.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    row = as_of_join(
+        left, right, ["user_id"], tiebreak_col="event_id"
+    ).collect()[0]
+    assert (row.r_event_id, row.r_value) == (905, 7.0)
