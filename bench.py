@@ -192,6 +192,20 @@ def main() -> None:
         )
         if q in driver_queries.QUERIES
     ]
+    # round-5 additions
+    round5 = [
+        q
+        for q in (
+            "knn_imi_fullprobe",
+            "embedding_neardup_imi_home",
+            "neardup_imi_recall",
+            "neardup_ivf_recall",
+            "neardup_ivf_home_recall",
+            "neardup_lsh_recall",
+        )
+        if q in driver_queries.QUERIES
+    ]
+    round4 = [q for q in round4 if q not in round5]
 
     # Warm-up convention: run every measured query once at sf0.001
     # first.  The first execution of each plan shape in a fresh session
@@ -202,7 +216,7 @@ def main() -> None:
     # are steady-state throughput, which is what a long-running cluster
     # job actually sees.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    measured = headline + round2 + round3 + round4
+    measured = headline + round2 + round3 + round4 + round5
     t_warm = time.perf_counter()
     if os.path.isdir(warm_dir):
         for name in measured:
@@ -273,6 +287,7 @@ def main() -> None:
         "round2_queries": round2,
         "round3_queries": round3,
         "round4_queries": round4,
+        "round5_queries": round5,
         "warmup_sec": warmup_sec,
         "warmup": f"each query once at {warm_dir} (steady-state convention)",
         "runs": raw,

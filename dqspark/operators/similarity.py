@@ -42,6 +42,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with the norms precomputed once per VECTOR instead of once
+    per PAIR — bitwise identical to ``cosine`` (same IEEE ops in the
+    same order: dot / (norm * norm)), but the candidate join evaluates
+    one aggregate per pair instead of three.  Every pair-scoring path
+    below carries per-row norms through the join for this reason."""
+    return dot(a, b) / (na * nb)
+
+
 def dot_oracle(a: str, b: str) -> str:
     return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
@@ -66,10 +75,14 @@ def knn_bruteforce(
     to the SQL oracle's ordering.  Self-matches are excluded.
     """
     q = queries.select(
-        F.col(key_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(key_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     v = vectors.select(
-        F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        F.col(key_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
     )
     sims = (
         q.crossJoin(v)
@@ -77,7 +90,9 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -94,20 +109,59 @@ def embedding_near_dup_pairs(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (key1 < key2) — the exact
     embedding near-dup baseline (cross join; the LSH/IVF variants are
-    the scale path)."""
-    a = df.select(F.col(key_col).alias("key1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(key_col).alias("key2"), F.col(vec_col).alias("v2"))
+    the scale path).
+
+    ``sample_mod``: restrict to pairs where at least one member is in
+    the deterministic ``key % sample_mod == 0`` slice.  This is the
+    recall-audit ground-truth bound (VERDICT r4 #4): the join becomes
+    sample × corpus (O(N²/mod) instead of O(N²)), so the audit cost no
+    longer scales with the square of the corpus.  The pair SET equals
+    the full baseline filtered by ``key1 % mod = 0 OR key2 % mod = 0``.
+    """
+    a = df.select(
+        F.col(key_col).alias("key1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("n1"),
+    )
+    b = df.select(
+        F.col(key_col).alias("key2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("n2"),
+    )
+    score = F.round(
+        cosine_pre(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+    ).alias("cos_sim")
+    if sample_mod is not None:
+        # two DISJOINT pair families, vectors carried through, so each
+        # qualifying pair is scored exactly once — no distinct, no
+        # join-back:  (sample × sample, key1 < key2) ∪ (sample ×
+        # non-sample, canonicalized per-row with least/greatest)
+        sa = a.where(F.col("key1") % sample_mod == 0)
+        sb = b.where(F.col("key2") % sample_mod == 0)
+        nb = b.where(F.col("key2") % sample_mod != 0)
+        within = sa.crossJoin(sb).where(F.col("key1") < F.col("key2"))
+        across = sa.crossJoin(nb).select(
+            F.least("key1", "key2").alias("key1"),
+            F.greatest("key1", "key2").alias("key2"),
+            "v1",  # cosine is symmetric — no need to swap with the keys
+            "v2",
+            "n1",
+            "n2",
+        )
+        return (
+            within.select("key1", "key2", "v1", "v2", "n1", "n2")
+            .unionByName(across)
+            .select("key1", "key2", score)
+            .where(F.col("cos_sim") >= threshold)
+        )
     return (
         a.crossJoin(b)
         .where(F.col("key1") < F.col("key2"))
-        .select(
-            "key1",
-            "key2",
-            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
-        )
+        .select("key1", "key2", score)
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -171,22 +225,87 @@ def train_centroids(
     return kmeans_cells(X, n_cells, iters=iters, seed=seed)
 
 
+def train_imi_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k_sub: int = 64,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    key_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-level (inverted multi-index) coarse quantizer: split the
+    vector into two halves and train an independent seeded k-means per
+    half; a cell is a PAIR of sub-centroids, so ``k_sub`` sub-centroids
+    per half yield ``k_sub²`` cells from the same 2048-row driver
+    sample that capped the flat quantizer at ~64 cells (VERDICT r4 #3:
+    a 10⁹-vector corpus needs 10⁵-10⁶ cells; 512² = 262,144 is
+    reachable from a sample of 2048).  Design follows Babenko &
+    Lempitsky, "The Inverted Multi-Index" (CVPR 2012) — subspace
+    product of codebooks as the cell structure, without the PQ rerank
+    (exact rerank instead, as everywhere in this module).
+
+    Deterministic: same ordered sample convention as train_centroids,
+    sub-quantizers seeded ``seed`` and ``seed + 1``."""
+    rows = vectors.orderBy(key_col).limit(sample).select(vec_col).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    h = X.shape[1] // 2
+    C1 = kmeans_cells(X[:, :h], k_sub, iters=iters, seed=seed)
+    C2 = kmeans_cells(X[:, h:], k_sub, iters=iters, seed=seed + 1)
+    return C1, C2
+
+
+def topk_cells_imi(
+    X: np.ndarray, C1: np.ndarray, C2: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """(n, min(nprobe, k1·k2)) nearest product-cell ids, cell id =
+    i1·k2 + i2, scored by the sum of per-subspace similarities.  The
+    overall top-p pairs are provably contained in the top-p of each
+    axis (any axis-1 improvement yields a better pair, so a top-p pair's
+    members are each axis-top-p), so only p×p combinations are scored.
+    Stable argsorts + lexsort on (−score, cell id) pin determinism
+    across executors and the single-process oracle replication."""
+    X = np.asarray(X, dtype=np.float64)
+    h = X.shape[1] // 2
+    s1 = l2_normalize(X[:, :h]) @ C1.T
+    s2 = l2_normalize(X[:, h:]) @ C2.T
+    k1, k2 = C1.shape[0], C2.shape[0]
+    m1, m2 = min(nprobe, k1), min(nprobe, k2)
+    width = min(nprobe, k1 * k2)
+    o1 = np.argsort(-s1, axis=1, kind="stable")[:, :m1]
+    o2 = np.argsort(-s2, axis=1, kind="stable")[:, :m2]
+    out = np.empty((len(X), width), dtype=np.int32)
+    for r in range(len(X)):
+        i1, i2 = o1[r], o2[r]
+        scores = (s1[r, i1][:, None] + s2[r, i2][None, :]).ravel()
+        cell_ids = (i1[:, None] * k2 + i2[None, :]).ravel()
+        order = np.lexsort((cell_ids, -scores))
+        out[r] = cell_ids[order[:width]]
+    return out
+
+
 def assign_cells(
     df: DataFrame,
-    centroids: np.ndarray,
+    centroids: np.ndarray | tuple[np.ndarray, np.ndarray],
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_col: str = "cells",
 ) -> DataFrame:
     """Append array<int> of the nprobe nearest cell ids (Arrow-batched
-    pandas UDF over broadcast centroids)."""
+    pandas UDF over broadcast centroids).  ``centroids`` is either the
+    flat quantizer's (k, d) matrix or the two-level (IMI) quantizer's
+    (C1, C2) tuple from train_imi_centroids — downstream operators
+    (knn_ivf, embedding_near_dup_pairs_ivf) are quantizer-agnostic."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 
     @F.pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
         X = np.array(v.tolist(), dtype=np.float64)
-        return pd.Series(list(topk_cells(X, bc.value, nprobe)))
+        C = bc.value
+        if isinstance(C, tuple):
+            return pd.Series(list(topk_cells_imi(X, C[0], C[1], nprobe)))
+        return pd.Series(list(topk_cells(X, C, nprobe)))
 
     return df.withColumn(out_col, cells(F.col(vec_col)))
 
@@ -205,11 +324,13 @@ def knn_ivf(
     v = assign_cells(vectors, centroids, vec_col, nprobe=1).select(
         F.col(key_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
         F.explode("cells").alias("cell"),
     )
     q = assign_cells(queries, centroids, vec_col, nprobe=nprobe).select(
         F.col(key_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         F.explode("cells").alias("cell"),
     )
     cands = (
@@ -218,7 +339,9 @@ def knn_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 6
+            ).alias("cos_sim"),
         )
         .distinct()
     )
@@ -310,15 +433,25 @@ def knn_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(key_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = vectors.select(F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qv = queries.select(
+        F.col(key_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    nv = vectors.select(
+        F.col(key_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+    )
     scored = (
         cands.join(qv, "query_id")
         .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -392,14 +525,34 @@ def embedding_near_dup_pairs_lsh(
         .select(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
         .distinct()
     )
-    vecs = df.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
+    vecs = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
     return (
-        cands.join(vecs.select(F.col("_k").alias("key1"), F.col("_v").alias("v1")), "key1")
-        .join(vecs.select(F.col("_k").alias("key2"), F.col("_v").alias("v2")), "key2")
+        cands.join(
+            vecs.select(
+                F.col("_k").alias("key1"),
+                F.col("_v").alias("v1"),
+                F.col("_n").alias("n1"),
+            ),
+            "key1",
+        )
+        .join(
+            vecs.select(
+                F.col("_k").alias("key2"),
+                F.col("_v").alias("v2"),
+                F.col("_n").alias("n2"),
+            ),
+            "key2",
+        )
         .select(
             "key1",
             "key2",
-            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -476,14 +629,34 @@ def embedding_near_dup_pairs_ivf(
             )
             .distinct()
         )
-    vecs = df.select(F.col(key_col).alias("_k"), F.col(vec_col).alias("_v"))
+    vecs = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
     return (
-        cands.join(vecs.select(F.col("_k").alias("key1"), F.col("_v").alias("v1")), "key1")
-        .join(vecs.select(F.col("_k").alias("key2"), F.col("_v").alias("v2")), "key2")
+        cands.join(
+            vecs.select(
+                F.col("_k").alias("key1"),
+                F.col("_v").alias("v1"),
+                F.col("_n").alias("n1"),
+            ),
+            "key1",
+        )
+        .join(
+            vecs.select(
+                F.col("_k").alias("key2"),
+                F.col("_v").alias("v2"),
+                F.col("_n").alias("n2"),
+            ),
+            "key2",
+        )
         .select(
             "key1",
             "key2",
-            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -36,6 +36,7 @@ from dqspark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
     train_centroids,
+    train_imi_centroids,
 )
 from dqspark.plans.driver_queries import register
 from dqspark.sources.catalog import load_table, rebalance
@@ -505,10 +506,26 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall audits bound their brute-force ground truth to pairs touching
+# the deterministic `vec_id % _AUDIT_MOD == 0` slice (VERDICT r4 #4):
+# the exact join becomes sample × corpus, so audit cost is O(N²/mod)
+# instead of O(N²) and no longer dominates the bench at larger sf.  The
+# planted duplicates sit at vec_id % 40 == 0 ⊂ the mod-8 slice, so the
+# audited universe always contains the known-dup signal.
+_AUDIT_MOD = 8
+
+
+def _audit_slice(pairs: DataFrame) -> DataFrame:
+    """Restrict a (key1, key2) pair set to the audited universe."""
+    return pairs.where(
+        (F.col("key1") % _AUDIT_MOD == 0) | (F.col("key2") % _AUDIT_MOD == 0)
+    )
+
+
 def _neardup_lsh_recall_oracle() -> str:
     from dqspark.plans.local_oracle import neardup_lsh_recall_values, oracle_sf_dir
 
-    values = neardup_lsh_recall_values(oracle_sf_dir())
+    values = neardup_lsh_recall_values(oracle_sf_dir(), sample_mod=_AUDIT_MOD)
     return f"""
 SELECT n_true::int AS n_true, n_found::int AS n_found,
        round(recall, 4)::double AS recall
@@ -519,19 +536,26 @@ FROM {values}
 @register("neardup_lsh_recall", _neardup_lsh_recall_oracle)
 def q_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracked recall of the LSH pairs path vs exact brute force
-    (precision is 1 by construction — exact rerank)."""
+    (precision is 1 by construction — exact rerank), over the
+    sample-bounded audit universe."""
     emb = _emb_planted(spark, sf_dir)
-    brute = embedding_near_dup_pairs(emb, threshold=0.95).select("key1", "key2")
-    lsh = embedding_near_dup_pairs_lsh(
-        emb, threshold=0.95, n_bits=32, n_bands=8
+    brute = embedding_near_dup_pairs(
+        emb, threshold=0.95, sample_mod=_AUDIT_MOD
     ).select("key1", "key2")
+    lsh = _audit_slice(
+        embedding_near_dup_pairs_lsh(
+            emb, threshold=0.95, n_bits=32, n_bands=8
+        ).select("key1", "key2")
+    )
     return _recall_totals(brute, lsh)
 
 
 def _neardup_ivf_recall_oracle() -> str:
     from dqspark.plans.local_oracle import neardup_ivf_recall_values, oracle_sf_dir
 
-    values = neardup_ivf_recall_values(oracle_sf_dir(), n_cells=8, nprobe=2)
+    values = neardup_ivf_recall_values(
+        oracle_sf_dir(), n_cells=8, nprobe=2, sample_mod=_AUDIT_MOD
+    )
     return f"""
 SELECT n_true::int AS n_true, n_found::int AS n_found,
        round(recall, 4)::double AS recall
@@ -542,17 +566,21 @@ FROM {values}
 @register("neardup_ivf_recall", _neardup_ivf_recall_oracle)
 def q_neardup_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the PRODUCTION cell-bucketed near-dup setting (nprobe=2
-    of 8 cells) vs the exact all-pairs baseline — one tracked row
+    of 8 cells) vs the exact sample-bounded baseline — one tracked row
     (n_true, n_found, recall).  Oracle: single-process replication of
     the same deterministic quantizer + candidate rule
     (plans/local_oracle.py).  Precision is 1 by construction (exact
     rerank), so recall is the whole story."""
     emb = _emb_planted(spark, sf_dir)
     centroids = train_centroids(emb, n_cells=8)
-    brute = embedding_near_dup_pairs(emb, threshold=0.95).select("key1", "key2")
-    ivf = embedding_near_dup_pairs_ivf(
-        emb, centroids, threshold=0.95, nprobe=2
+    brute = embedding_near_dup_pairs(
+        emb, threshold=0.95, sample_mod=_AUDIT_MOD
     ).select("key1", "key2")
+    ivf = _audit_slice(
+        embedding_near_dup_pairs_ivf(
+            emb, centroids, threshold=0.95, nprobe=2
+        ).select("key1", "key2")
+    )
     return _recall_totals(brute, ivf)
 
 
@@ -578,7 +606,7 @@ def _neardup_ivf_home_recall_oracle() -> str:
     from dqspark.plans.local_oracle import neardup_ivf_recall_values, oracle_sf_dir
 
     values = neardup_ivf_recall_values(
-        oracle_sf_dir(), n_cells=8, nprobe=2, probe="home"
+        oracle_sf_dir(), n_cells=8, nprobe=2, probe="home", sample_mod=_AUDIT_MOD
     )
     return f"""
 SELECT n_true::int AS n_true, n_found::int AS n_found,
@@ -590,17 +618,96 @@ FROM {values}
 @register("neardup_ivf_home_recall", _neardup_ivf_home_recall_oracle)
 def q_neardup_ivf_home_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the home-probe IVF mode at the production setting
-    (nprobe=2 of 8 cells) vs the exact all-pairs baseline — the
+    (nprobe=2 of 8 cells) vs the exact sample-bounded baseline — the
     tracked number that, read against `neardup_ivf_recall` (symmetric,
     same nprobe), quantifies the recall give-up the linear-cost mode
     trades for its nprobe× shuffle saving."""
     emb = _emb_planted(spark, sf_dir)
     centroids = train_centroids(emb, n_cells=8)
-    brute = embedding_near_dup_pairs(emb, threshold=0.95).select("key1", "key2")
-    ivf = embedding_near_dup_pairs_ivf(
-        emb, centroids, threshold=0.95, nprobe=2, probe="home"
+    brute = embedding_near_dup_pairs(
+        emb, threshold=0.95, sample_mod=_AUDIT_MOD
     ).select("key1", "key2")
+    ivf = _audit_slice(
+        embedding_near_dup_pairs_ivf(
+            emb, centroids, threshold=0.95, nprobe=2, probe="home"
+        ).select("key1", "key2")
+    )
     return _recall_totals(brute, ivf)
+
+
+# ---------------------------------------------------------------------------
+# two-level (inverted multi-index) coarse quantizer — the n_cells ceiling
+# lift (VERDICT r4 #3): k_sub sub-centroids per vector half give k_sub²
+# cells from the same 2048-row driver sample that capped the flat
+# quantizer at ~64 cells.
+# ---------------------------------------------------------------------------
+
+
+@register("knn_imi_fullprobe", _KNN_ORACLE)
+def q_knn_imi_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe kNN under the TWO-LEVEL (IMI) quantizer: 4 sub-
+    centroids per half → 16 product cells, queries probe all 16, so the
+    result must equal brute-force knn — value-checking the entire IMI
+    machinery (per-half k-means, pair scoring, product-cell join,
+    rerank) against the same brute-force SQL oracle as the flat path."""
+    emb = _emb_planted(spark, sf_dir)
+    k_sub = 4
+    centroids = train_imi_centroids(emb, k_sub=k_sub)
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    out = knn_ivf(emb, queries, centroids, k=5, nprobe=k_sub * k_sub)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register("embedding_neardup_imi_home", _NEARDUP_ORACLE)
+def q_embedding_neardup_imi_home(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home-probe near-dup pairs under the IMI quantizer at full probe
+    (3² = 9 cells, nprobe = 9) — equals brute force, so the brute-force
+    pairs oracle value-checks the product-cell home/probe join shape."""
+    emb = _emb_planted(spark, sf_dir)
+    k_sub = 3
+    centroids = train_imi_centroids(emb, k_sub=k_sub)
+    return embedding_near_dup_pairs_ivf(
+        emb, centroids, threshold=0.95, nprobe=k_sub * k_sub, probe="home"
+    )
+
+
+def _neardup_imi_recall_oracle() -> str:
+    from dqspark.plans.local_oracle import neardup_ivf_recall_values, oracle_sf_dir
+
+    values = neardup_ivf_recall_values(
+        oracle_sf_dir(),
+        nprobe=8,
+        probe="home",
+        sample_mod=_AUDIT_MOD,
+        k_sub=64,
+    )
+    return f"""
+SELECT n_true::int AS n_true, n_found::int AS n_found,
+       round(recall, 4)::double AS recall
+FROM {values}
+"""
+
+
+@register("neardup_imi_recall", _neardup_imi_recall_oracle)
+def q_neardup_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the IMI home-probe near-dup path at a PRODUCTION-shaped
+    cell count: 64² = 4096 cells, nprobe=8 — the operating point the
+    flat quantizer could never reach from a driver-side sample.  Oracle:
+    single-process replication of the identical two-level quantizer +
+    candidate rule over the sample-bounded ground truth."""
+    emb = _emb_planted(spark, sf_dir)
+    centroids = train_imi_centroids(emb, k_sub=64)
+    brute = embedding_near_dup_pairs(
+        emb, threshold=0.95, sample_mod=_AUDIT_MOD
+    ).select("key1", "key2")
+    imi = _audit_slice(
+        embedding_near_dup_pairs_ivf(
+            emb, centroids, threshold=0.95, nprobe=8, probe="home"
+        ).select("key1", "key2")
+    )
+    return _recall_totals(brute, imi)
 
 
 # ---------------------------------------------------------------------------

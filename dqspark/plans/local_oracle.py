@@ -167,6 +167,8 @@ def neardup_ivf_recall_values(
     nprobe: int = 2,
     threshold: float = 0.95,
     probe: str = "sym",
+    sample_mod: int | None = None,
+    k_sub: int | None = None,
 ) -> str:
     """VALUES table (n_true, n_found, recall): the cell-bucketed
     near-dup pairs operator at its production setting (nprobe <<
@@ -175,27 +177,50 @@ def neardup_ivf_recall_values(
     exact-reranked), so recall is the tracked number.  ``probe``
     mirrors the operator's candidate rule: "sym" = probe sets
     intersect; "home" = either member's home (nearest) cell is among
-    the other's probes."""
-    from dqspark.operators.similarity import kmeans_cells, topk_cells
+    the other's probes.
+
+    ``sample_mod`` bounds the audited pair universe to pairs with at
+    least one member in the ``id % sample_mod == 0`` slice (mirrors
+    embedding_near_dup_pairs(sample_mod=...) on the Spark side).
+    ``k_sub`` switches to the two-level IMI quantizer (k_sub² cells,
+    sub-quantizers seeded 42/43 on the vector halves — replicates
+    train_imi_centroids + topk_cells_imi)."""
+    from dqspark.operators.similarity import (
+        kmeans_cells,
+        topk_cells,
+        topk_cells_imi,
+    )
 
     ids, V = _planted_embeddings(sf_dir)
     n = len(ids)
-    C = kmeans_cells(V[:2048], n_cells)
-    cells = topk_cells(V, C, nprobe)
+    if k_sub is not None:
+        S = V[:2048]
+        h = V.shape[1] // 2
+        C1 = kmeans_cells(S[:, :h], k_sub, seed=42)
+        C2 = kmeans_cells(S[:, h:], k_sub, seed=43)
+        cells = topk_cells_imi(V, C1, C2, nprobe)
+        home = topk_cells_imi(V, C1, C2, 1)[:, 0]
+    else:
+        C = kmeans_cells(V[:2048], n_cells)
+        cells = topk_cells(V, C, nprobe)
+        home = topk_cells(V, C, 1)[:, 0]
 
     norms = np.linalg.norm(V, axis=1)
     cos = np.round((V @ V.T) / np.outer(norms, norms), 6)
     iu = np.triu_indices(n, 1)  # ids ascending → index order == id order
     true_mask = cos[iu] >= threshold
+    if sample_mod is not None:
+        in_sample = ids % sample_mod == 0
+        audit = in_sample[iu[0]] | in_sample[iu[1]]
+        true_mask = true_mask & audit
 
     shared = np.zeros((n, n), dtype=bool)
     if probe == "sym":
-        for c in range(n_cells):
+        for c in np.unique(cells):
             has = (cells == c).any(axis=1)
             shared |= np.outer(has, has)
     else:
-        home = topk_cells(V, C, 1)[:, 0]
-        for c in range(n_cells):
+        for c in np.unique(home):
             probes = (cells == c).any(axis=1)
             homes = home == c
             shared |= np.outer(probes, homes) | np.outer(homes, probes)
@@ -240,11 +265,18 @@ def knn_lsh_recall_values(
 
 @lru_cache(maxsize=4)
 def _lsh_pairs_local(
-    sf_dir: str, threshold: float, n_bits: int, n_bands: int, seed: int
+    sf_dir: str,
+    threshold: float,
+    n_bits: int,
+    n_bands: int,
+    seed: int,
+    sample_mod: int | None = None,
 ):
     """→ (lsh_pairs, n_true): single-process hyperplane-LSH near-dup
     pairs over the planted embeddings, via the SAME deterministic
-    rh_planes/rh_band_keys primitives as the Spark pandas UDF."""
+    rh_planes/rh_band_keys primitives as the Spark pandas UDF.
+    ``sample_mod`` bounds the audited universe to pairs touching the
+    ``id % sample_mod == 0`` slice (recall audits only)."""
     from dqspark.operators.similarity import rh_band_keys, rh_planes
 
     ids, V = _planted_embeddings(sf_dir)
@@ -257,6 +289,9 @@ def _lsh_pairs_local(
     cand = (bands[:, None, :] == bands[None, :, :]).any(axis=-1)
     iu = np.triu_indices(n, 1)
     true_mask = cos[iu] >= threshold
+    if sample_mod is not None:
+        in_sample = ids % sample_mod == 0
+        true_mask = true_mask & (in_sample[iu[0]] | in_sample[iu[1]])
     found_mask = true_mask & cand[iu]
     pairs = [
         (int(ids[iu[0][x]]), int(ids[iu[1][x]]), float(cos[iu][x]))
@@ -285,9 +320,12 @@ def neardup_lsh_recall_values(
     n_bits: int = 32,
     n_bands: int = 8,
     seed: int = 42,
+    sample_mod: int | None = None,
 ) -> str:
     """VALUES table (n_true, n_found, recall) for the LSH pairs path."""
-    pairs, n_true = _lsh_pairs_local(sf_dir, threshold, n_bits, n_bands, seed)
+    pairs, n_true = _lsh_pairs_local(
+        sf_dir, threshold, n_bits, n_bands, seed, sample_mod
+    )
     n_found = len(pairs)
     rows = [(n_true, n_found, float(n_found) / max(n_true, 1))]
     return values_table(rows, ["n_true", "n_found", "recall"])

@@ -402,3 +402,51 @@ def test_semantic_dedup_keeps_one_canonical_per_group(spark):
     assert groups[10].is_canonical and groups[10].component_size == 2
     assert not groups[11].is_canonical and groups[11].component_id == 10
     assert 99 not in groups  # unique vector never enters the pair graph
+
+
+def test_imi_fullprobe_equals_bruteforce(spark, emb):
+    """Two-level (IMI) quantizer at full probe must reproduce exact knn —
+    the same exactness argument as the flat quantizer's fullprobe."""
+    from dqspark.operators.similarity import train_imi_centroids
+
+    k_sub = 3
+    centroids = train_imi_centroids(emb, k_sub=k_sub)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = knn_bruteforce(emb, queries, k=5).toPandas()
+    full = knn_ivf(emb, queries, centroids, k=5, nprobe=k_sub * k_sub).toPandas()
+    key = lambda df: sorted(map(tuple, df[["query_id", "neighbor_id", "rank"]].values))
+    assert key(exact) == key(full)
+
+
+def test_topk_cells_imi_matches_exhaustive_pair_scoring():
+    """The axis-top-p pruning in topk_cells_imi must return the same
+    top-nprobe product cells as scoring ALL k1*k2 pairs exhaustively."""
+    from dqspark.operators.similarity import (
+        kmeans_cells,
+        l2_normalize,
+        topk_cells_imi,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 16)
+    C1 = kmeans_cells(X[:, :8], 5, seed=1)
+    C2 = kmeans_cells(X[:, 8:], 4, seed=2)
+    for nprobe in (1, 3, 7):
+        got = topk_cells_imi(X, C1, C2, nprobe)
+        s1 = l2_normalize(X[:, :8]) @ C1.T
+        s2 = l2_normalize(X[:, 8:]) @ C2.T
+        for r in range(len(X)):
+            scores = (s1[r][:, None] + s2[r][None, :]).ravel()
+            cells = np.arange(len(C1) * len(C2))
+            order = np.lexsort((cells, -scores))
+            assert list(got[r]) == list(cells[order[:nprobe]])
+
+
+def test_neardup_sampled_equals_filtered_full(spark, emb):
+    """embedding_near_dup_pairs(sample_mod=m) must equal the full pair
+    set filtered to pairs touching the key % m == 0 slice."""
+    full = embedding_near_dup_pairs(emb, threshold=0.8).toPandas()
+    sampled = embedding_near_dup_pairs(emb, threshold=0.8, sample_mod=4).toPandas()
+    want = full[(full.key1 % 4 == 0) | (full.key2 % 4 == 0)]
+    key = lambda df: sorted(map(tuple, df[["key1", "key2", "cos_sim"]].values))
+    assert key(want) == key(sampled)
