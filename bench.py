@@ -199,6 +199,9 @@ def main() -> None:
             "knn_imi_fullprobe",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
+            "bpe_merges_dist",
+            "pack_concat_bpe",
+            "packed_token_ids",
             "neardup_ivf_recall",
             "neardup_ivf_home_recall",
             "neardup_lsh_recall",

@@ -84,20 +84,46 @@ def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# word-frequency tables at or below this row count are collected to the
+# driver and merged locally (the fast path); larger vocabularies run the
+# distributed per-round jobs.  1M rows of (word, freq) ≈ tens of MB —
+# the same bounded-collect discipline as dedup.py's ≤64 MB gate.  Real
+# natural-language vocabularies (even at 10^12 files) are well under
+# this; the distributed fallback exists for adversarial/synthetic key
+# spaces where distinct words grow with the corpus.
+BPE_LOCAL_VOCAB_ROWS = 1_000_000
+
+
 def learn_bpe_merges(
     spark: SparkSession,
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = BPE_MERGES,
+    local_vocab_rows: int = BPE_LOCAL_VOCAB_ROWS,
 ) -> DataFrame:
     """→ DataFrame (merge_rank, lhs, rhs, pair_count): the first
     ``num_merges`` BPE merges over whitespace tokens of normalized
     text, chars as initial symbols.  Stops early if no pair repeats.
     (lhs/rhs, not left/right — those are SQL keywords and the oracle
-    VALUES table needs bare column names.)"""
-    vocab = word_freq(df, text_col).select(
-        "freq", F.split("word", "").alias("sym")
-    )
+    VALUES table needs bare column names.)
+
+    Two physically different paths, ONE trajectory (VERDICT r4 #5):
+    after the corpus-sized word_freq pass, if the distinct-word table
+    has ≤ ``local_vocab_rows`` rows it is collected once and the merge
+    loop runs driver-side — zero per-round Spark jobs, bit-identical
+    merges (same counts, same total order on ties).  Above the gate,
+    the per-round distributed jobs run (state O(num_merges), shuffle
+    bounded by vocabulary size).  ``local_vocab_rows=0`` forces the
+    distributed path (used by the differential test/query)."""
+    wf = word_freq(df, text_col)
+    if local_vocab_rows and wf.count() <= local_vocab_rows:
+        freqs = {r["word"]: r["freq"] for r in wf.collect()}
+        vocab_local = {tuple(w): int(f) for w, f in freqs.items()}
+        merges = _merge_loop(vocab_local, num_merges)
+        return spark.createDataFrame(
+            merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+        )
+    vocab = wf.select("freq", F.split("word", "").alias("sym"))
     vocab = vocab.persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -133,18 +159,12 @@ def learn_bpe_merges(
     )
 
 
-def learn_bpe_merges_local(
-    texts: list[str | None], num_merges: int = BPE_MERGES
+def _merge_loop(
+    vocab: dict[tuple[str, ...], int], num_merges: int
 ) -> list[tuple[int, str, str, int]]:
-    """Single-process replay of the identical algorithm (the oracle's
-    independent path): same tokenizer, same greedy merge, same total
-    order on ties."""
-    wf: Counter = Counter()
-    for t in texts:
-        wf.update(_py_tokens(t))
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(w): f for w, f in wf.items()
-    }
+    """The greedy merge loop over a (symbol-tuple → freq) table — shared
+    by the driver-side fast path and the oracle's single-process replay,
+    so the two cannot drift."""
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         pairs: Counter = Counter()
@@ -174,6 +194,139 @@ def learn_bpe_merges_local(
     return merges
 
 
+def learn_bpe_merges_local(
+    texts: list[str | None], num_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Single-process replay of the identical algorithm (the oracle's
+    independent path): same tokenizer, same greedy merge, same total
+    order on ties."""
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(_py_tokens(t))
+    return _merge_loop({tuple(w): f for w, f in wf.items()}, num_merges)
+
+
+def _merge_fn(left: str, right: str):
+    # single-arg closure: PySpark derives the lambda-variable count
+    # from the function arity, so default-arg tricks would misbind
+    return lambda s: _apply_merge(s, left, right)
+
+
+def _encode_syms(words: Column, merges: list[tuple[str, str]]) -> Column:
+    """array<array<string>>: per-word symbol arrays after applying the
+    merge list in rank order — the shared JVM encode used by both the
+    stats and the token-id materialization paths."""
+    syms = F.transform(words, lambda w: F.split(w, ""))
+    for left, right in merges:
+        syms = F.transform(syms, _merge_fn(left, right))
+    return syms
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> list[str]:
+    """Deterministic token-string → id vocabulary: the corpus's distinct
+    characters in codepoint order, then each merge's product in rank
+    order (the standard BPE id convention).  The char scan is one
+    map-side-combined distinct over single characters — O(charset)
+    driver state, corpus-size-independent."""
+    rows = (
+        df.select(
+            F.explode(
+                F.split(F.concat_ws("", _tokens(text_col)), "")
+            ).alias("c")
+        )
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    chars = sorted(r[0] for r in rows)
+    return chars + [left + right for left, right in merges]
+
+
+def bpe_vocab_local(
+    texts: list[str | None], merges: list[tuple[str, str]]
+) -> list[str]:
+    """Single-process replay of :func:`bpe_vocab` (oracle path)."""
+    chars: set[str] = set()
+    for t in texts:
+        for w in _py_tokens(t):
+            chars.update(w)
+    return sorted(chars) + [left + right for left, right in merges]
+
+
+def _vocab_ids(vocab: list[str]) -> dict[str, int]:
+    """token string → id, first occurrence wins (two different merges
+    can concatenate to the same string; the encoded symbol is the same
+    string either way, so one id per string is exactly right)."""
+    ids: dict[str, int] = {}
+    for i, t in enumerate(vocab):
+        ids.setdefault(t, i)
+    return ids
+
+
+def bpe_token_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, token_ids array<int>): the ACTUAL token-id
+    sequence of each document under the learned merges — the link
+    between merge learning and sequence packing.  Encoding is the same
+    JVM fold as bpe_encode_stats; the string→id lookup is a literal
+    map (constant-folded, O(vocab) broadcast inside the plan — at a
+    32k-merge production vocab, swap for a broadcast-join on exploded
+    tokens; at learning-demo vocab sizes the literal wins).  Unknown
+    symbols are impossible when ``vocab`` came from bpe_vocab over the
+    same corpus; -1 marks them if the vocab is reused elsewhere."""
+    ids = _vocab_ids(vocab)
+    mapping = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in ids]),
+        F.array(*[F.lit(i) for i in ids.values()]),
+    )
+    flat = F.flatten(_encode_syms(_tokens(text_col), merges))
+    token_ids = F.transform(
+        flat, lambda t: F.coalesce(mapping[t], F.lit(-1)).cast("int")
+    )
+    return df.select(
+        id_col,
+        token_ids.alias("token_ids"),
+    ).select(
+        id_col,
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        "token_ids",
+    )
+
+
+def bpe_token_ids_local(
+    texts: list[tuple[int, str | None]],
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+) -> list[tuple[int, list[int]]]:
+    """Single-process replay of :func:`bpe_token_ids` (oracle path)."""
+    ids = _vocab_ids(vocab)
+    out = []
+    for doc_id, text in texts:
+        toks: list[int] = []
+        for w in _py_tokens(text):
+            sym = list(w)
+            for left, right in merges:
+                nxt: list[str] = []
+                for x in sym:
+                    if nxt and nxt[-1] == left and x == right:
+                        nxt[-1] = left + right
+                    else:
+                        nxt.append(x)
+                sym = nxt
+            toks.extend(ids.get(s, -1) for s in sym)
+        out.append((doc_id, toks))
+    return out
+
+
 def bpe_encode_stats(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -188,15 +341,8 @@ def bpe_encode_stats(
     per-word symbol arrays (the same greedy fold as learning).  No
     Python, no shuffle — a pure per-row projection, which is what a
     10^12-file tokenizer-budget sweep has to be."""
-    def _merge_fn(left: str, right: str):
-        # single-arg closure: PySpark derives the lambda-variable count
-        # from the function arity, so default-arg tricks would misbind
-        return lambda s: _apply_merge(s, left, right)
-
     words = _tokens(text_col)
-    syms = F.transform(words, lambda w: F.split(w, ""))
-    for left, right in merges:
-        syms = F.transform(syms, _merge_fn(left, right))
+    syms = _encode_syms(words, merges)
     d = df.select(id_col, words.alias("__w"), syms.alias("__s"))
     n_words = F.size("__w")
     n_chars = F.aggregate(

@@ -80,6 +80,7 @@ def pack_concat(
     text_col: str = "text",
     capacity: int = DEFAULT_CAPACITY,
     num_shards: int = DEFAULT_SHARDS,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """(key, shard, n_tokens, start_off, first_seq, last_seq,
     crossings) — each document's place in the concatenated token
@@ -89,12 +90,21 @@ def pack_concat(
     begins; ``first_seq``/``last_seq`` the sequence indices its tokens
     land in; ``crossings`` how many sequence boundaries it straddles
     (0 for empty documents by convention).
+
+    ``n_tokens_col``: use an existing per-document token count column
+    (e.g. real BPE counts from bpe_token_ids) instead of the
+    whitespace-token heuristic over ``text_col``.
     """
     k = F.col(key_col)
+    nt = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else _n_tokens(text_col)
+    )
     base = df.select(
         k.alias("key"),
         shard_of(k, num_shards).alias("shard"),
-        _n_tokens(text_col).alias("n_tokens"),
+        nt.alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("key")
     # integer arithmetic end-to-end (`div`, not floor-of-double) so the
@@ -129,8 +139,9 @@ def pack_concat_oracle_sql(
     text_expr: str = "text",
     capacity: int = DEFAULT_CAPACITY,
     num_shards: int = DEFAULT_SHARDS,
+    n_tokens_expr: str | None = None,
 ) -> str:
-    nt = _n_tokens_oracle(text_expr)
+    nt = n_tokens_expr or _n_tokens_oracle(text_expr)
     shard = shard_oracle(key_expr, num_shards)
     return f"""
 WITH base AS (
@@ -158,6 +169,83 @@ SELECT key, shard, n_tokens, start_off,
         - start_off // {capacity})::BIGINT AS crossings
 FROM off
 """
+
+
+# ---------------------------------------------------------------------------
+# shape 1b: materialized token-id sequences (the tokenizer→packing link)
+# ---------------------------------------------------------------------------
+
+def pack_token_sequences(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    capacity: int = DEFAULT_CAPACITY,
+    num_shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """(shard, seq, seq_len, checksum): the ACTUAL training sequences
+    under concat-and-chunk, built from real per-document token-id
+    arrays (bpe_token_ids) rather than counts.  ``checksum`` is the
+    position-weighted integer sum Σ token_id·(pos_in_seq+1) — it pins
+    the exact id at the exact offset of every sequence, so a single
+    misplaced token anywhere in the stream changes the row, while the
+    output stays O(sequences) instead of O(tokens).
+
+    Shape: the same shard-window prefix-sum as pack_concat, then one
+    posexplode + re-aggregation keyed by (shard, global_pos div
+    capacity) — tokens shuffle once, partitioned by shard."""
+    k = F.col(key_col)
+    w = Window.partitionBy("shard").orderBy("key")
+    pos = df.select(
+        k.alias("key"),
+        shard_of(k, num_shards).alias("shard"),
+        F.col(ids_col).alias("tids"),
+        F.size(ids_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "start_off",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+    )
+    tok = pos.select(
+        "shard", "start_off", F.posexplode("tids").alias("p", "tid")
+    ).select(
+        "shard",
+        F.expr(f"(start_off + p) DIV {capacity}").alias("seq"),
+        ((F.col("start_off") + F.col("p")) % capacity).alias("ps"),
+        "tid",
+    )
+    return tok.groupBy("shard", "seq").agg(
+        F.count(F.lit(1)).cast("long").alias("seq_len"),
+        F.sum(F.col("tid").cast("long") * (F.col("ps") + F.lit(1)))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def pack_token_sequences_local(
+    doc_tokens: list[tuple[int, list[int]]],
+    capacity: int = DEFAULT_CAPACITY,
+    num_shards: int = DEFAULT_SHARDS,
+    salt: str = PACK_SALT,
+) -> list[tuple[int, int, int, int]]:
+    """Single-process replay of :func:`pack_token_sequences` (oracle
+    path): same salted-md5 shard, same key-ordered concat, same
+    position-weighted checksum."""
+    from dqspark.operators.bloom import _py_md5_long
+    from dqspark.operators.sampling import BUCKETS
+
+    shards: dict[int, list[tuple[int, list[int]]]] = {}
+    for key, tids in doc_tokens:
+        s = (_py_md5_long(f"{salt}|{key}") % BUCKETS) % num_shards
+        shards.setdefault(s, []).append((key, tids))
+    out = []
+    for s in sorted(shards):
+        stream: list[int] = []
+        for _, tids in sorted(shards[s]):
+            stream.extend(tids)
+        for seq in range((len(stream) + capacity - 1) // capacity):
+            chunk = stream[seq * capacity : (seq + 1) * capacity]
+            checksum = sum(t * (i + 1) for i, t in enumerate(chunk))
+            out.append((s, seq, len(chunk), checksum))
+    return out
 
 
 # ---------------------------------------------------------------------------

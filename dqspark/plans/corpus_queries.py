@@ -550,10 +550,23 @@ def _bpe_oracle() -> str:
 
 @register("bpe_merges", _bpe_oracle)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At fixture scale this takes the driver-side fast path (vocab ≤
+    the collect gate): one corpus pass, merge loop local."""
     from dqspark.operators.bpe import learn_bpe_merges
 
     docs = rebalance(load_table(spark, sf_dir, "documents").select("text"))
     return learn_bpe_merges(spark, docs)
+
+
+@register("bpe_merges_dist", _bpe_oracle)
+def q_bpe_merges_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed per-round path, forced (local_vocab_rows=0) —
+    same oracle as bpe_merges, so BOTH physical paths are value-checked
+    to produce the identical merge trajectory."""
+    from dqspark.operators.bpe import learn_bpe_merges
+
+    docs = rebalance(load_table(spark, sf_dir, "documents").select("text"))
+    return learn_bpe_merges(spark, docs, local_vocab_rows=0)
 
 
 def _bpe_encode_oracle() -> str:

@@ -25,6 +25,7 @@ from dqspark.operators.packing import (
     pack_concat_oracle_sql,
     pack_greedy,
     pack_greedy_oracle_sql,
+    pack_token_sequences,
     packing_stats,
     packing_stats_oracle_sql,
 )
@@ -79,6 +80,107 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     packed = pack_greedy(docs, "doc_id", "text", _CAPACITY, _SHARDS)
     return packing_stats(packed, _CAPACITY)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer → packing chain: real BPE token ids feeding the packers
+# (VERDICT r4 #6 — the link between bpe_encode_stats and pack_concat)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_doc_tokens_local() -> list[tuple[int, list[int]]]:
+    """(doc_id, token_ids) for every document, single-process: learn the
+    merges, build the vocab, encode — the oracle-side replication shared
+    by both chain queries."""
+    from dqspark.operators.bpe import (
+        BPE_MERGES,
+        bpe_token_ids_local,
+        bpe_vocab_local,
+        learn_bpe_merges_local,
+    )
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+
+    con = _connect(oracle_sf_dir())
+    pairs = con.sql(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    texts = [t for _, t in pairs]
+    merges = [
+        (l, r) for _, l, r, _ in learn_bpe_merges_local(texts, BPE_MERGES)
+    ]
+    vocab = bpe_vocab_local(texts, merges)
+    return bpe_token_ids_local(pairs, merges, vocab)
+
+
+def _bpe_spark_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dqspark.operators.bpe import (
+        bpe_token_ids,
+        bpe_vocab,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe_merges(spark, docs).orderBy("merge_rank").collect()
+    ]
+    vocab = bpe_vocab(docs, merges)
+    return bpe_token_ids(docs, merges, vocab)
+
+
+def _pack_concat_bpe_oracle() -> str:
+    from dqspark.plans.local_oracle import values_table
+
+    counts = [(d, len(t)) for d, t in _bpe_doc_tokens_local()]
+    src = "SELECT key, n_tokens FROM " + values_table(
+        counts, ["key", "n_tokens"]
+    )
+    return pack_concat_oracle_sql(
+        src, "key", capacity=_CAPACITY, num_shards=_SHARDS,
+        n_tokens_expr="n_tokens",
+    )
+
+
+@register("pack_concat_bpe", _pack_concat_bpe_oracle)
+def q_pack_concat_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-exact concat-and-chunk: the same placement query as
+    pack_concat but with n_tokens = the REAL BPE token count of each
+    document under the learned merges (not the whitespace heuristic).
+    The oracle re-learns the merges, re-encodes, and replays the
+    window arithmetic in SQL over the independent counts."""
+    ids = _bpe_spark_token_ids(spark, sf_dir)
+    return pack_concat(
+        ids, "doc_id", capacity=_CAPACITY, num_shards=_SHARDS,
+        n_tokens_col="n_tokens",
+    )
+
+
+def _packed_token_ids_oracle() -> str:
+    from dqspark.operators.packing import pack_token_sequences_local
+    from dqspark.plans.local_oracle import values_table
+
+    rows = pack_token_sequences_local(
+        _bpe_doc_tokens_local(), capacity=_CAPACITY, num_shards=_SHARDS
+    )
+    return (
+        "SELECT shard::int AS shard, seq::bigint AS seq,"
+        " seq_len::bigint AS seq_len, checksum::bigint AS checksum FROM "
+        + values_table(rows, ["shard", "seq", "seq_len", "checksum"])
+    )
+
+
+@register("packed_token_ids", _packed_token_ids_oracle)
+def q_packed_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, seq, seq_len, checksum) — the MATERIALIZED training
+    sequences: every document's actual BPE token-id array placed into
+    its shard's 512-token stream, each sequence pinned by a position-
+    weighted integer checksum.  One misplaced token id anywhere in any
+    shard changes a row, so this value-checks the whole chain: merge
+    learning → vocab ids → JVM encode → shard prefix-sum → chunking."""
+    ids = _bpe_spark_token_ids(spark, sf_dir)
+    return pack_token_sequences(
+        ids, "doc_id", "token_ids", capacity=_CAPACITY, num_shards=_SHARDS
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,50 @@ def test_encode_stats_match_local_reference(spark):
     # merges actually shrank the token count somewhere
     base = sum(r[2] for r in got)  # chars = token count with no merges
     assert sum(r[3] for r in got) < base
+
+
+def test_fast_and_distributed_paths_identical(spark):
+    """The driver-side collect fast path and the per-round distributed
+    path must emit the same merge trajectory."""
+    texts = ["aa ab aa ab ba", "aaa bbb aab", "ab ab ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    ).repartition(3)
+    fast = learn_bpe_merges(spark, df, num_merges=6).collect()
+    dist = learn_bpe_merges(spark, df, num_merges=6, local_vocab_rows=0).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(fast) == key(dist)
+    assert key(fast) == sorted(
+        learn_bpe_merges_local(texts, 6)
+    )
+
+
+def test_token_ids_roundtrip_matches_local(spark):
+    """bpe_token_ids (JVM encode + literal-map lookup) must equal the
+    single-process replication, and its n_tokens must agree with
+    bpe_encode_stats."""
+    from dqspark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_token_ids,
+        bpe_token_ids_local,
+        bpe_vocab,
+        bpe_vocab_local,
+        learn_bpe_merges_local,
+    )
+
+    texts = ["low lower lowest", "new newer wide wider", "ab ab aba"]
+    pairs = list(enumerate(texts))
+    df = spark.createDataFrame(pairs, "doc_id int, text string").repartition(2)
+    merges = [(l, r) for _, l, r, _ in learn_bpe_merges_local(texts, 5)]
+    vocab = bpe_vocab(df, merges)
+    assert vocab == bpe_vocab_local(texts, merges)
+    got = {
+        r.doc_id: (r.n_tokens, list(r.token_ids))
+        for r in bpe_token_ids(df, merges, vocab).collect()
+    }
+    want = {d: (len(t), t) for d, t in bpe_token_ids_local(pairs, merges, vocab)}
+    assert got == want
+    stats = {
+        r.doc_id: r.n_tokens for r in bpe_encode_stats(df, merges).collect()
+    }
+    assert stats == {d: n for d, (n, _) in got.items()}

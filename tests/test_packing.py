@@ -83,3 +83,32 @@ def test_temperature_rates_properties():
     # achieved mixture is proportional to n^T
     mix = {s: counts[s] * r[s] for s in counts}
     assert abs(mix["en"] / mix["de"] - (1000 / 100) ** 0.5) < 1e-9
+
+
+def test_pack_token_sequences_matches_local(spark):
+    """Materialized sequence checksums == single-process replay, and the
+    total packed length equals the total token count."""
+    from dqspark.operators.packing import (
+        pack_token_sequences,
+        pack_token_sequences_local,
+    )
+
+    doc_tokens = [
+        (1, [3, 1, 4, 1, 5]),
+        (2, [9, 2, 6]),
+        (3, []),
+        (4, list(range(17))),
+        (5, [7] * 9),
+    ]
+    df = spark.createDataFrame(
+        doc_tokens, "doc_id int, token_ids array<int>"
+    ).repartition(3)
+    got = sorted(
+        tuple(r)
+        for r in pack_token_sequences(
+            df, "doc_id", "token_ids", capacity=8, num_shards=3
+        ).collect()
+    )
+    want = sorted(pack_token_sequences_local(doc_tokens, 8, 3))
+    assert got == want
+    assert sum(r[2] for r in got) == sum(len(t) for _, t in doc_tokens)
