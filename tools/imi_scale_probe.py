@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""IMI vs flat coarse-quantizer scale evidence (VERDICT r4 #3 "Done"
+criterion): run the home-probe near-dup pairs operator on a 10x
+amplified embedding corpus under (a) the flat 64-cell quantizer (the
+old ceiling) and (b) the two-level IMI quantizer at 64^2 = 4096 cells,
+and record measured CANDIDATE VOLUME, wall, shuffle bytes, output
+pairs, and recall on the planted replica-group ground truth.
+
+Planted truth: every base vector is replicated --amp times with a
+direction-preserving positive scale (cosine exactly 1.0 within the
+group), so each group of size amp contributes C(amp,2) known true
+pairs.  Recall here = found planted pairs / planted pairs — exact,
+with zero brute-force term at any scale.
+
+Usage: python tools/imi_scale_probe.py [--amp 10] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dqspark.session import get_spark  # noqa: E402
+from tools.scale_evidence import (  # noqa: E402
+    _app_id,
+    _collect_delta,
+    _stage_snapshot,
+    amplified_embeddings,
+)
+
+
+def candidate_volume(emb, centroids, nprobe):
+    """Home-probe candidate pair count, ids only (the rows entering the
+    exact rerank, before the distinct folds directions)."""
+    from dqspark.operators.similarity import assign_cells
+
+    a = assign_cells(emb, centroids, "embedding", nprobe=nprobe).select(
+        F.col("vec_id").alias("k"), F.explode("cells").alias("cell")
+    )
+    home = assign_cells(emb, centroids, "embedding", nprobe=1).select(
+        F.col("vec_id").alias("k"), F.col("cells")[0].alias("cell")
+    )
+    return (
+        a.alias("l")
+        .join(home.alias("r"),
+              (F.col("l.cell") == F.col("r.cell")) & (F.col("l.k") != F.col("r.k")))
+        .count()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--amp", type=int, default=10)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--nprobe", type=int, default=8)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from dqspark.operators.similarity import (
+        embedding_near_dup_pairs_ivf,
+        train_centroids,
+        train_imi_centroids,
+    )
+
+    spark = get_spark(app_name="imi-scale", master="local[32]",
+                      extra_conf={"spark.ui.enabled": "true"})
+    emb = amplified_embeddings(spark, args.sf_dir, args.amp).persist()
+    n = emb.count()
+    n_base = n // args.amp
+    planted = n_base * args.amp * (args.amp - 1) // 2
+
+    out = {
+        "amp": args.amp,
+        "n_vectors": n,
+        "planted_true_pairs": planted,
+        "nprobe": args.nprobe,
+        "configs": {},
+    }
+    app = _app_id()
+    for name, cents, n_cells in (
+        ("flat64", train_centroids(emb, n_cells=64), 64),
+        ("imi4096", train_imi_centroids(emb, k_sub=64), 64 * 64),
+    ):
+        cand = candidate_volume(emb, cents, args.nprobe)
+        before = _stage_snapshot(app)
+        t0 = time.perf_counter()
+        pairs = embedding_near_dup_pairs_ivf(
+            emb, cents, threshold=0.95, nprobe=args.nprobe, probe="home"
+        ).persist()
+        n_pairs = pairs.count()
+        wall = round(time.perf_counter() - t0, 1)
+        metrics = _collect_delta(app, before)
+        # planted pair <=> same base id: (id % 10_000_000) equal
+        found_planted = pairs.where(
+            F.col("key1") % 10_000_000 == F.col("key2") % 10_000_000
+        ).count()
+        pairs.unpersist()
+        out["configs"][name] = {
+            "n_cells": n_cells,
+            "candidate_pairs": cand,
+            "wall_sec": wall,
+            "output_pairs": n_pairs,
+            "found_planted_pairs": found_planted,
+            "planted_recall": round(found_planted / planted, 4),
+            **{k: metrics[k] for k in (
+                "stages", "tasks", "shuffle_read_bytes",
+                "shuffle_write_bytes", "peak_task_shuffle_read_bytes")},
+        }
+        print(name, out["configs"][name], file=sys.stderr, flush=True)
+    s = json.dumps(out, indent=1)
+    print(s)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(s)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""A/B knob probe for the 8->32 scaling work (round 5): run the flagship
+pipeline at ONE parallelism level under candidate memory-traffic knobs
+and report warm walls.  DRAM bandwidth is the measured wall on this box
+(membw_probe_r5.json: ~45 GB/s aggregate, stream ceiling 0.27 at 8->32),
+so the candidates all trade DRAM bytes for CPU or cut memory churn.
+
+Usage: python tools/knob_probe.py [--cpus 32] [--n 320000] [--json out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dqspark.session import get_spark  # noqa: E402
+
+CONFIGS: dict[str, dict[str, str]] = {
+    "baseline": {},
+    "zstd_io": {"spark.io.compression.codec": "zstd"},
+    "heap32g_g1pause": {
+        # fewer/shorter GC pauses: GC copying is pure DRAM traffic
+        "__driver_mem__": "32g",
+        "spark.driver.extraJavaOptions": "-XX:MaxGCPauseMillis=400",
+    },
+    "reader16k": {
+        "spark.sql.parquet.columnarReaderBatchSize": "16384",
+    },
+    "arrow64k": {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    },
+    "shuffle_eq_cores": {"__shuffle__": "cores"},
+}
+
+
+def run_config(name, conf, cpus, corpus_path, n, rounds):
+    from dqspark.pipeline.quality import run_quality_pipeline, train_default_models
+
+    extra = {k: v for k, v in conf.items() if not k.startswith("__")}
+    if "__driver_mem__" in conf:
+        os.environ["DQSPARK_DRIVER_MEM"] = conf["__driver_mem__"]
+    shuffle = cpus if conf.get("__shuffle__") == "cores" else cpus * 2
+    spark = get_spark(
+        app_name=f"knob-{name}", master=f"local[{cpus}]",
+        shuffle_partitions=shuffle, extra_conf=extra,
+    )
+    train_default_models()
+    df = spark.read.parquet(corpus_path)
+    df.count()
+    walls = []
+    for _ in range(rounds + 1):
+        t0 = time.perf_counter()
+        run_quality_pipeline(df, n_partitions=cpus * 4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 2))
+    spark.stop()
+    os.environ.pop("DQSPARK_DRIVER_MEM", None)
+    return {"cold": walls[0], "warm": walls[1:], "best_warm": min(walls[1:])}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--n", type=int, default=320000)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="dqspark_knob_")
+    corpus_path = os.path.join(workdir, "corpus")
+    try:
+        from dqspark.pipeline.corpus import gen_spark
+
+        spark = get_spark(app_name="knob-gen", master="local[32]")
+        gen_spark(spark, args.n, partitions=256).write.parquet(corpus_path)
+        spark.stop()
+
+        out = {"cpus": args.cpus, "n_files": args.n, "configs": {}}
+        for name in args.configs.split(","):
+            r = run_config(
+                name, CONFIGS[name], args.cpus, corpus_path, args.n, args.rounds
+            )
+            out["configs"][name] = r
+            print(f"{name}: {r}", file=sys.stderr, flush=True)
+        s = json.dumps(out, indent=1)
+        print(s)
+        if args.json:
+            with open(args.json, "w") as f:
+                f.write(s)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Host memory-bandwidth scaling probe (round-5 attribution evidence).
+
+Two fixed-work-per-process probes at each process count of a pair:
+
+- ``stream``: numpy copy of a 256 MB array (DRAM-resident; per-process
+  work constant, so flat wall time == perfect scaling).  Aggregate
+  bandwidth = procs * bytes / wall.
+- ``cache``: the same cache-resident integer busy loop as
+  scaling_bench's cpu_ceiling (zero memory traffic past L1).
+
+With perfect hardware, wall(hi) == wall(lo) for both.  The gap between
+the two probes' efficiencies isolates DRAM-bandwidth sharing from
+scheduler/frequency sharing: any Spark stage that streams data (scan,
+shuffle, wide projections) is bounded by the stream ceiling, not the
+cache ceiling.
+
+Usage: python tools/membw_probe.py [--cpus 8,32] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import time
+
+import numpy as np
+
+STREAM_MB = 256
+STREAM_REPS = 8
+
+
+def _stream(_):
+    a = np.ones(STREAM_MB * 1024 * 1024 // 8, dtype=np.float64)
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(STREAM_REPS):
+        np.copyto(b, a)
+        a[0] += 1.0
+    return time.perf_counter() - t0
+
+
+def _busy(n: int) -> int:
+    x = 1
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
+
+
+def probe(pair, rounds=3):
+    out = {"pair": list(pair), "stream_mb": STREAM_MB, "stream_reps": STREAM_REPS}
+    walls = {"stream": {c: [] for c in pair}, "cache": {c: [] for c in pair}}
+    for _ in range(rounds):
+        for c in pair:
+            t0 = time.perf_counter()
+            with mp.Pool(c) as pool:
+                pool.map(_stream, range(c))
+            walls["stream"][c].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            with mp.Pool(c) as pool:
+                pool.map(_busy, [30_000_000] * c)
+            walls["cache"][c].append(time.perf_counter() - t0)
+    lo, hi = pair
+    for kind in ("stream", "cache"):
+        best = {c: min(walls[kind][c]) for c in pair}
+        out[kind] = {
+            "walls": {str(c): [round(x, 3) for x in walls[kind][c]] for c in pair},
+            f"wall_{lo}": round(best[lo], 3),
+            f"wall_{hi}": round(best[hi], 3),
+            # fixed work per process: flat wall == 1.0
+            "scaling_ceiling": round(best[lo] / best[hi], 3),
+        }
+        if kind == "stream":
+            # copy reads + writes the buffer: 2 bytes moved per byte
+            gbps = {
+                c: round(
+                    2 * c * STREAM_MB * STREAM_REPS / 1024 / best[c], 1
+                )
+                for c in pair
+            }
+            out[kind]["aggregate_gb_per_sec"] = {str(c): v for c, v in gbps.items()}
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    pair = tuple(int(x) for x in args.cpus.split(","))
+    res = probe(pair, args.rounds)
+    s = json.dumps(res, indent=1)
+    print(s)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(s)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,8 @@ def run_once(
     n: int,
     stage: str = "pipeline",
     max_partition_bytes: int | None = None,
+    conf: dict[str, str] | None = None,
+    shuffle_per_core: int = 2,
 ) -> tuple[float, float]:
     """→ (cold_sec, warm_sec) for the chosen stage on local[cpus].
 
@@ -50,7 +52,7 @@ def run_once(
     the compute-scaling number."""
     from dqspark.pipeline.quality import run_quality_pipeline, train_default_models
 
-    extra = {}
+    extra = dict(conf or {})
     if max_partition_bytes:
         extra["spark.sql.files.maxPartitionBytes"] = str(max_partition_bytes)
         # bytesPerCore would still shrink splits below maxPartitionBytes
@@ -58,7 +60,7 @@ def run_once(
         extra["spark.sql.files.openCostInBytes"] = str(max_partition_bytes)
     spark = get_spark(
         app_name=f"scaling-bench-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus * 2, 16), extra_conf=extra,
+        shuffle_partitions=max(cpus * shuffle_per_core, 16), extra_conf=extra,
     )
     if stage == "pipeline":
         train_default_models()  # train once outside the timed region (cached)
@@ -156,6 +158,18 @@ def main() -> None:
         "recorded in the JSON — the contemporaneous upper bound any "
         "single-box measurement can reach",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="extra spark conf k=v (repeatable) applied at BOTH levels",
+    )
+    ap.add_argument(
+        "--shuffle-per-core",
+        type=int,
+        default=2,
+        help="shuffle partitions per core (both levels)",
+    )
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="dqspark_scaling_")
@@ -182,6 +196,8 @@ def main() -> None:
                 cold, warm = run_once(
                     cpus, corpus_path, args.n, args.stage,
                     args.max_partition_bytes,
+                    conf=dict(kv.split("=", 1) for kv in args.conf),
+                    shuffle_per_core=args.shuffle_per_core,
                 )
                 colds[cpus].append(cold)
                 warms[cpus].append(warm)
@@ -207,6 +223,8 @@ def main() -> None:
             "cpu_pair": list(pair),
             "max_partition_bytes": args.max_partition_bytes,
             "gen_partitions": args.gen_partitions,
+            "extra_conf": args.conf,
+            "shuffle_per_core": args.shuffle_per_core,
             f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         }
         if args.cpu_probe:
