@@ -1,0 +1,313 @@
+"""Distributed model TRAINING operators (round 5).
+
+Rounds 1-4 train the pipeline's models driver-side (a deliberate
+Spark-first choice for tiny models: train once, broadcast, score in
+Arrow batches — pipeline/models.py).  This module closes the remaining
+gap for corpora whose TRAINING SET itself is cluster-scale: the fit
+loops run as Spark jobs whose only driver state is the model itself.
+
+Three trainers, each with an exact cross-engine value oracle:
+
+- ``nb_langid_count`` — the sufficient statistics of the multinomial-NB
+  langid model (pipeline/models.py LangIdModel) computed distributed:
+  per-batch numpy bincounts of hashed char trigrams emitted as
+  (lang, bucket, cnt) partial rows, merged by one map-side-combined
+  groupBy sum.  Counts are integers, so the distributed merge is
+  bit-identical to the single-process fit regardless of partitioning —
+  the differential oracle replays the same counting in-process.
+
+- ``gd_fit`` — a linear quality classifier trained by full-batch
+  gradient descent with FIXED-POINT gradient accumulation: each row
+  contributes ``floor(S * g_j)`` as a 64-bit integer, so the
+  per-iteration reduction is an integer sum — associative, overflow-
+  audited, and bit-identical across any partitioning and across
+  engines (the same trick as operators/pagerank.py).  The activation is
+  the saturating rational sigmoid ``0.5 + 0.5*m/(1+|m|)``: composed
+  only of exactly-rounded IEEE-754 ops (+,-,*,/,abs), it evaluates
+  bit-identically in the JVM, numpy, and DuckDB, where a libm ``exp``
+  may differ by an ulp between engines and break the fixed-point
+  differential.  Per iteration: ONE whole-stage-codegen aggregate of
+  d+1 long sums (map-side partial), no shuffle of rows, O(d) driver
+  state.  T iterations = T jobs over a cached feature projection.
+
+- ``unimax_allocation`` — the UniMax budget allocator (Chung et al.,
+  "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+  Multilingual Pretraining", ICLR 2023): languages ascending by size,
+  each granted ``min(cap * size, remaining_budget / remaining_langs)``
+  in exact integer arithmetic.  Input is one tiny per-language rollup;
+  the loop is O(languages) driver state.
+
+Scale notes (10^12 rows): nb counting shuffles at most
+``batches x langs x buckets`` pre-combined rows (buckets = 2^15);
+gd_fit's fixed-point scale S is the overflow dial — at S=2^28 the
+audit bound holds to ~3x10^9 rows x max|feature|, at S=2^16 to 10^12
+(sum <= n * S * max|g| must stay below 2^63; checked at runtime
+against the actual row count, not assumed).
+
+Reference parity: the reference trains its anomaly model in-process on
+the full table (ml/lightgbm_anomaly.py:28-78); these operators are the
+cluster-scale re-expression of that "fit on the corpus" stage.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.pipeline.models import N_TRIGRAM_BUCKETS, _ords, _trigram_hashes
+
+# ---------------------------------------------------------------------------
+# distributed multinomial-NB sufficient statistics
+# ---------------------------------------------------------------------------
+
+NB_COUNT_SCHEMA = "lang string, bucket long, cnt long"
+
+
+def nb_langid_count(
+    df: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Hashed-trigram count matrix of the NB langid model, distributed.
+
+    → (lang, bucket, cnt) with cnt summed over the whole corpus.  The
+    heavy lifting (trigram hashing + bincount) happens once per Arrow
+    batch in numpy; the shuffle carries only pre-combined nonzero
+    (lang, bucket) cells, capped at langs x 2^15 per batch.
+    """
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_lang, out_bucket, out_cnt = [], [], []
+            for lang, grp in pdf.groupby(label_col, sort=True):
+                ords, doc = _ords(grp[text_col].fillna("").tolist())
+                h, _ = _trigram_hashes(ords, doc, N_TRIGRAM_BUCKETS)
+                if h.size == 0:
+                    continue
+                counts = np.bincount(h, minlength=N_TRIGRAM_BUCKETS)
+                nz = np.nonzero(counts)[0]
+                out_lang.extend([lang] * len(nz))
+                out_bucket.append(nz)
+                out_cnt.append(counts[nz])
+            if out_lang:
+                yield pd.DataFrame(
+                    {
+                        "lang": out_lang,
+                        "bucket": np.concatenate(out_bucket),
+                        "cnt": np.concatenate(out_cnt),
+                    }
+                )
+
+    partial = df.select(
+        F.col(label_col).alias(label_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(count_batches, NB_COUNT_SCHEMA)
+    return partial.groupBy("lang", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def nb_count_local(texts: list[str], labels: list[str]) -> dict[tuple[str, int], int]:
+    """Single-process replica of nb_langid_count (oracle side)."""
+    acc: dict[tuple[str, int], int] = {}
+    for text, lang in zip(texts, labels):
+        ords, doc = _ords([text or ""])
+        h, _ = _trigram_hashes(ords, doc, N_TRIGRAM_BUCKETS)
+        for b, c in zip(*np.unique(h, return_counts=True)):
+            key = (lang, int(b))
+            acc[key] = acc.get(key, 0) + int(c)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# fixed-point full-batch gradient descent
+# ---------------------------------------------------------------------------
+
+
+def _fast_sigmoid_col(m: Column) -> Column:
+    return F.lit(0.5) + F.lit(0.5) * (m / (F.lit(1.0) + F.abs(m)))
+
+
+def _fast_sigmoid_np(m: np.ndarray) -> np.ndarray:
+    return 0.5 + 0.5 * (m / (1.0 + np.abs(m)))
+
+
+def fast_sigmoid_sql(m: str) -> str:
+    return f"(0.5 + 0.5 * (({m}) / (1.0 + abs({m}))))"
+
+
+def _margin_col(weights: list[float], feature_cols: list[str]) -> Column:
+    """w0 + w1*x1 + ... built LEFT-ASSOCIATIVELY — the replica and the
+    SQL oracle accumulate in the same order, so every intermediate
+    double is bit-identical across engines."""
+    m = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], feature_cols):
+        m = m + F.lit(float(w)) * F.col(c)
+    return m
+
+
+def margin_sql(weights: list[float], feature_exprs: list[str]) -> str:
+    # CAST('repr' AS DOUBLE) round-trips the exact binary double; a bare
+    # literal would be DECIMAL-typed in DuckDB and lose the differential
+    m = f"CAST('{weights[0]!r}' AS DOUBLE)"
+    for w, e in zip(weights[1:], feature_exprs):
+        m = f"({m} + CAST('{w!r}' AS DOUBLE) * ({e}))"
+    return m
+
+
+def gd_fit(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    iters: int = 24,
+    lr: float = 0.5,
+    scale_bits: int = 28,
+) -> list[dict]:
+    """Full-batch GD on a cached feature projection, fixed-point sums.
+
+    → per-iteration trace: [{"iter", "loss_fp", "weights"}...], where
+    ``weights`` is the vector ENTERING the iteration and ``loss_fp`` the
+    integer ``sum(floor(S * (p - y)^2))`` under those weights.  The
+    final entry (iter == iters) carries the fitted weights with a
+    loss_fp of the final evaluation.
+
+    Driver state: O(d) floats.  Per iteration: one Spark aggregate of
+    d+2 long sums (count is reused from iteration 0).
+    """
+    S = float(1 << scale_bits)
+    d = len(feature_cols)
+    feats = features.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias(label_col),
+    ).persist()
+    n = feats.count()
+    # overflow audit: n * S * max|per-row term| must fit a signed 64-bit
+    # sum.  |p - y| <= 1, so the loss term is bounded by 1 and the
+    # gradient term by max|x_j|; bound max|x_j| with one cheap agg.
+    max_abs = (
+        feats.agg(*[F.max(F.abs(F.col(c))).alias(c) for c in feature_cols])
+        .first()
+        .asDict()
+    )
+    bound = max(1.0, *(v or 0.0 for v in max_abs.values()))
+    if n * S * bound >= float(2**62):
+        raise ValueError(
+            f"fixed-point overflow risk: n={n} scale=2^{scale_bits} "
+            f"max|x|={bound:.3g}; lower scale_bits (the 10^12-row dial)"
+        )
+
+    w = [0.0] * (d + 1)
+    trace: list[dict] = []
+    for it in range(iters + 1):
+        m = _margin_col(w, feature_cols)
+        p = _fast_sigmoid_col(m)
+        err = p - F.col(label_col)
+        aggs = [
+            F.sum(F.floor(err * err * F.lit(S)).cast("long")).alias("loss")
+        ]
+        aggs.append(F.sum(F.floor(err * F.lit(S)).cast("long")).alias("g0"))
+        for j, c in enumerate(feature_cols):
+            aggs.append(
+                F.sum(F.floor(err * F.col(c) * F.lit(S)).cast("long")).alias(
+                    f"g{j + 1}"
+                )
+            )
+        row = feats.agg(*aggs).first()
+        trace.append({"iter": it, "loss_fp": int(row["loss"]), "weights": list(w)})
+        if it == iters:
+            break
+        w = [
+            w[j] - lr * (int(row[f"g{j}"]) / S) / n
+            for j in range(d + 1)
+        ]
+    feats.unpersist()
+    return trace
+
+
+def gd_fit_local(
+    X: np.ndarray,
+    y: np.ndarray,
+    iters: int = 24,
+    lr: float = 0.5,
+    scale_bits: int = 28,
+) -> list[dict]:
+    """numpy replica of gd_fit — identical fixed-point trajectory.
+
+    X: (n, d) float64 feature matrix (no bias column), y: (n,) float64.
+    """
+    S = float(1 << scale_bits)
+    n, d = X.shape
+    w = [0.0] * (d + 1)
+    trace: list[dict] = []
+    for it in range(iters + 1):
+        m = np.full(n, w[0])
+        for j in range(d):
+            m = m + w[j + 1] * X[:, j]
+        p = _fast_sigmoid_np(m)
+        err = p - y
+        loss = int(np.floor(err * err * S).astype(np.int64).sum())
+        g = [int(np.floor(err * S).astype(np.int64).sum())]
+        for j in range(d):
+            g.append(int(np.floor(err * X[:, j] * S).astype(np.int64).sum()))
+        trace.append({"iter": it, "loss_fp": loss, "weights": list(w)})
+        if it == iters:
+            break
+        w = [w[j] - lr * (g[j] / S) / n for j in range(d + 1)]
+    return trace
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture allocation
+# ---------------------------------------------------------------------------
+
+
+def unimax_allocation(
+    sizes: list[tuple[str, int]], budget: int, max_epochs: int = 2
+) -> list[tuple[str, int, int, float]]:
+    """UniMax (Chung et al., ICLR 2023) in exact integer arithmetic.
+
+    ``sizes``: (language, corpus_size) pairs; ``budget``: total units to
+    allocate.  Languages ascending by size (ties: language asc); each
+    receives ``min(max_epochs * size, remaining // remaining_langs)``.
+    → (lang, size, allocated, epochs) with epochs = allocated/size.
+    """
+    order = sorted(sizes, key=lambda kv: (kv[1], kv[0]))
+    remaining = int(budget)
+    out = []
+    for i, (lang, size) in enumerate(order):
+        quota = remaining // (len(order) - i)
+        alloc = min(max_epochs * size, quota) if size > 0 else 0
+        remaining -= alloc
+        epochs = (alloc / size) if size else 0.0
+        out.append((lang, size, alloc, epochs))
+    return sorted(out)
+
+
+def unimax_over(
+    df: DataFrame,
+    lang_col: str = "lang",
+    size_col: str = "n_chars",
+    budget_frac_num: int = 1,
+    budget_frac_den: int = 2,
+    max_epochs: int = 2,
+) -> list[tuple[str, int, int, float]]:
+    """Roll up per-language sizes (one tiny agg), then allocate.
+
+    The budget is ``total * num // den`` in integer arithmetic so both
+    engines derive the identical budget from the identical rollup.
+    """
+    rows = (
+        df.groupBy(lang_col)
+        .agg(F.sum(F.col(size_col)).alias("sz"))
+        .collect()
+    )
+    sizes = [(r[0], int(r[1])) for r in rows]
+    total = sum(s for _, s in sizes)
+    budget = total * budget_frac_num // budget_frac_den
+    return unimax_allocation(sizes, budget, max_epochs)
+
+
+def _check_finite(vals: list[float]) -> None:
+    for v in vals:
+        if not math.isfinite(v):
+            raise ValueError("non-finite weight in GD trajectory")

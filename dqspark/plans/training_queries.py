@@ -1,0 +1,274 @@
+"""Distributed-training queries (round 5): the model-FIT stage itself
+as cluster work, value-checked cross-engine.
+
+Four registrations:
+
+- ``langid_fit_distributed`` — multinomial-NB sufficient statistics
+  (hashed-trigram count matrix) computed by Arrow-batch bincounts +
+  one map-side-combined groupBy sum; top-20 cells per language plus a
+  per-language total row.  Integer counts ⇒ the distributed merge is
+  bit-identical to the in-process fit; the oracle replays the counting
+  single-process (operators/training.py nb_count_local).
+- ``lr_quality_fit`` — full-batch fixed-point gradient descent on
+  quality features; the per-iteration (loss, weights) trajectory must
+  match a numpy replica bit-for-bit (the fixed-point sums make the
+  reduction associative — see operators/training.py gd_fit).
+- ``lr_quality_scores`` — every document scored under the FITTED
+  weights, oracle-checked by pure SQL that derives ITS OWN weights via
+  the replica fit: a true end-to-end differential of featurize → fit →
+  score across engines.
+- ``unimax_mixture`` — UniMax epoch-capped language budget allocation
+  (Chung et al., ICLR 2023) over a per-language rollup, exact integer
+  arithmetic.
+
+Feature derivations use only exactly-rounded IEEE ops over the parity-
+proven text metrics (functions/text_metrics.py), with power-of-two
+divisors where a rescale is needed (exact in binary floating point) —
+this is what lets the cross-engine comparison demand bit equality
+rather than tolerances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dqspark.functions.text_metrics import (
+    text_metrics_oracle_exprs,
+    with_text_metrics,
+)
+from dqspark.operators.training import (
+    fast_sigmoid_sql,
+    gd_fit,
+    gd_fit_local,
+    margin_sql,
+    nb_count_local,
+    nb_langid_count,
+    unimax_allocation,
+    unimax_over,
+)
+from dqspark.plans.driver_queries import register
+from dqspark.plans.local_oracle import oracle_sf_dir, values_table
+from dqspark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# NB langid fit
+# ---------------------------------------------------------------------------
+
+_NB_TOPK = 20
+
+
+def _nb_fit_oracle() -> str:
+    import duckdb
+
+    sf = oracle_sf_dir()
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    acc = nb_count_local([r[1] for r in rows], [r[0] for r in rows])
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    totals: dict[str, int] = {}
+    for (lang, bucket), cnt in acc.items():
+        per_lang.setdefault(lang, []).append((bucket, cnt))
+        totals[lang] = totals.get(lang, 0) + cnt
+    out = []
+    for lang, cells in per_lang.items():
+        cells.sort(key=lambda bc: (-bc[1], bc[0]))
+        for rank, (bucket, cnt) in enumerate(cells[:_NB_TOPK], start=1):
+            out.append((lang, bucket, cnt, rank))
+        out.append((lang, -1, totals[lang], 0))
+    values = values_table(sorted(out), ["lang", "bucket", "cnt", "rank"])
+    return f"SELECT lang, bucket, cnt, rank FROM {values}"
+
+
+@register("langid_fit_distributed", _nb_fit_oracle)
+def q_langid_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed NB langid sufficient statistics (M3 at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = nb_langid_count(docs, "text", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bucket"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _NB_TOPK)
+        .select("lang", "bucket", "cnt", "rank")
+    )
+    totals = counts.groupBy("lang").agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("cnt").alias("cnt"),
+        F.lit(0).alias("rank"),
+    )
+    return top.unionByName(totals)
+
+
+# ---------------------------------------------------------------------------
+# fixed-point GD quality classifier
+# ---------------------------------------------------------------------------
+
+# feature j -> (name, spark builder over metric cols, duckdb SQL builder)
+_GD_ITERS = 24
+_GD_LR = 0.5
+
+
+def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    m = with_text_metrics(docs, "content")
+    return m.select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(1024.0)).alias("x1"),
+        F.col("alnum_ratio").alias("x2"),
+        F.col("repetition_rate").alias("x3"),
+        (F.col("avg_line_len") / F.lit(128.0)).alias("x4"),
+        (F.col("n_tokens") / (F.col("n_chars") + F.lit(1.0))).alias("x5"),
+        F.when(
+            (F.col("alnum_ratio") >= 0.45)
+            & (F.col("repetition_rate") <= 0.6)
+            & (F.col("n_chars") >= 64.0),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+_FEATURE_COLS = ["x1", "x2", "x3", "x4", "x5"]
+
+
+def _feature_sql_exprs() -> tuple[list[str], str]:
+    e = text_metrics_oracle_exprs("text")
+    feats = [
+        f"(({e['n_chars']}) / 1024.0)",
+        e["alnum_ratio"],
+        e["repetition_rate"],
+        f"(({e['avg_line_len']}) / 128.0)",
+        f"(({e['n_tokens']}) / (({e['n_chars']}) + 1.0))",
+    ]
+    y = (
+        f"(CASE WHEN ({e['alnum_ratio']}) >= 0.45 "
+        f"AND ({e['repetition_rate']}) <= 0.6 "
+        f"AND ({e['n_chars']}) >= 64.0 THEN 1.0 ELSE 0.0 END)"
+    )
+    return feats, y
+
+
+def _local_fit() -> list[dict]:
+    """Replica featurize (DuckDB metrics → numpy derivations) + fit."""
+    import duckdb
+    import numpy as np
+
+    sf = oracle_sf_dir()
+    feats, y = _feature_sql_exprs()
+    cols = ", ".join(
+        f"{expr} AS x{j + 1}" for j, expr in enumerate(feats)
+    )
+    rows = duckdb.sql(
+        f"SELECT {cols}, {y} AS y FROM '{sf}/documents.parquet'"
+    ).fetchnumpy()
+    X = np.column_stack([rows[f"x{j + 1}"] for j in range(len(feats))])
+    yv = np.asarray(rows["y"], dtype=np.float64)
+    return gd_fit_local(X, yv, iters=_GD_ITERS, lr=_GD_LR)
+
+
+def _trace_rows(trace: list[dict]) -> list[tuple]:
+    out = []
+    for t in trace:
+        out.append(
+            (t["iter"], t["loss_fp"], *[round(w, 8) for w in t["weights"]])
+        )
+    return out
+
+
+_TRACE_COLS = ["iter", "loss_fp", "w0", "w1", "w2", "w3", "w4", "w5"]
+
+
+def _lr_fit_oracle() -> str:
+    values = values_table(_trace_rows(_local_fit()), _TRACE_COLS)
+    return f"SELECT {', '.join(_TRACE_COLS)} FROM {values}"
+
+
+@register("lr_quality_fit", _lr_fit_oracle)
+def q_lr_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point GD: per-iteration trajectory (bit-exact
+    across partitionings and engines by construction)."""
+    feats = _feature_frame(spark, sf_dir)
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    schema = (
+        "iter int, loss_fp long, w0 double, w1 double, w2 double, "
+        "w3 double, w4 double, w5 double"
+    )
+    return spark.createDataFrame(_trace_rows(trace), schema)
+
+
+def _lr_scores_oracle() -> str:
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    m = margin_sql(weights, feats)
+    p = fast_sigmoid_sql(m)
+    sf = oracle_sf_dir()
+    return f"""
+SELECT doc_id, round({p}, 6)::double AS score,
+       ({p}) >= 0.5 AS pred, {y}::int AS label
+FROM '{sf}/documents.parquet'
+"""
+
+
+@register("lr_quality_scores", _lr_scores_oracle)
+def q_lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the FITTED weights — the oracle side
+    refits independently, so this differential covers featurize → fit →
+    score end-to-end."""
+    feats = _feature_frame(spark, sf_dir).persist()
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    p = _fast_sigmoid_col(_margin_col(w, _FEATURE_COLS))
+    out = feats.select(
+        "doc_id",
+        F.round(p, 6).alias("score"),
+        (p >= F.lit(0.5)).alias("pred"),
+        F.col("y").cast("int").alias("label"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCH_CAP = 2
+
+
+def _unimax_rows(sizes: list[tuple[str, int]]) -> list[tuple]:
+    total = sum(s for _, s in sizes)
+    budget = total * 1 // 2
+    alloc = unimax_allocation(sizes, budget, _UNIMAX_EPOCH_CAP)
+    return [(l, s, a, round(e, 6)) for l, s, a, e in alloc]
+
+
+def _unimax_oracle() -> str:
+    import duckdb
+
+    sf = oracle_sf_dir()
+    rows = duckdb.sql(
+        f"SELECT lang, sum(n_chars)::bigint FROM '{sf}/documents.parquet' "
+        "GROUP BY lang"
+    ).fetchall()
+    values = values_table(
+        _unimax_rows([(r[0], int(r[1])) for r in rows]),
+        ["lang", "size_chars", "alloc_chars", "epochs"],
+    )
+    return f"SELECT lang, size_chars, alloc_chars, epochs FROM {values}"
+
+
+@register("unimax_mixture", _unimax_oracle)
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation over the per-language rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = unimax_over(docs, "lang", "n_chars", 1, 2, _UNIMAX_EPOCH_CAP)
+    rows = [(l, s, a, round(e, 6)) for l, s, a, e in alloc]
+    return spark.createDataFrame(
+        rows, "lang string, size_chars long, alloc_chars long, epochs double"
+    )

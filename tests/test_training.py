@@ -1,0 +1,99 @@
+"""Distributed-training operators (operators/training.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dqspark.pipeline.models import LangIdModel
+from dqspark.operators.training import (
+    gd_fit,
+    gd_fit_local,
+    nb_count_local,
+    nb_langid_count,
+    unimax_allocation,
+)
+
+TEXTS = [
+    ("the quick brown fox jumps over the lazy dog", "en"),
+    ("el rapido zorro marron salta sobre el perro", "es"),
+    ("le renard brun rapide saute sur le chien", "fr"),
+    ("the cat sat on the mat and the dog barked", "en"),
+    ("los gatos y los perros corren por la casa", "es"),
+    ("", "en"),
+]
+
+
+def test_nb_distributed_counts_match_local_fit(spark):
+    df = spark.createDataFrame(TEXTS, "text string, lang string").repartition(5)
+    dist = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in nb_langid_count(df, "text", "lang").collect()
+    }
+    local = nb_count_local([t for t, _ in TEXTS], [l for _, l in TEXTS])
+    assert dist == local
+    # and the counts are exactly the sufficient statistics of the
+    # driver-side fit: rebuild LangIdModel count matrix from them
+    model = LangIdModel.train([t for t, _ in TEXTS], [l for _, l in TEXTS])
+    for (lang, bucket), cnt in local.items():
+        li = model.langs.index(lang)
+        # model stores smoothed log-probs; invert the smoothing at the
+        # observed cells (alpha=0.5): exp(lp)*(tot + a*B) - a == cnt
+        tot = sum(c for (l2, _), c in local.items() if l2 == lang)
+        a, B = 0.5, model.log_probs.shape[1]
+        est = np.exp(model.log_probs[li, bucket]) * (tot + a * B) - a
+        assert abs(est - cnt) < 1e-6
+
+
+def test_gd_fit_bit_identical_to_replica_any_partitioning(spark):
+    rng = np.random.default_rng(7)
+    X = np.round(rng.normal(size=(200, 3)), 4)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.float64)
+    rows = [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(X, y)]
+    ref = gd_fit_local(X, y, iters=10, lr=0.3)
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "x1 double, x2 double, x3 double, y double"
+        ).repartition(parts)
+        trace = gd_fit(df, ["x1", "x2", "x3"], "y", iters=10, lr=0.3)
+        assert trace == ref  # exact: fixed-point sums + IEEE-exact ops
+
+
+def test_gd_fit_loss_decreases(spark):
+    rng = np.random.default_rng(3)
+    X = np.round(rng.normal(size=(300, 2)), 4)
+    y = (X[:, 0] > 0.2).astype(np.float64)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, y double",
+    )
+    trace = gd_fit(df, ["x1", "x2"], "y", iters=12, lr=0.5)
+    assert trace[-1]["loss_fp"] < trace[0]["loss_fp"] * 0.7
+
+
+def test_gd_fit_overflow_audit(spark):
+    df = spark.createDataFrame([(1e12, 1.0)], "x1 double, y double")
+    with pytest.raises(ValueError, match="overflow"):
+        gd_fit(df, ["x1"], "y", iters=1, scale_bits=60)
+
+
+def test_unimax_budget_and_epoch_cap():
+    sizes = [("en", 1000), ("es", 100), ("fr", 10), ("de", 500)]
+    out = unimax_allocation(sizes, budget=800, max_epochs=2)
+    alloc = {l: a for l, _, a, _ in out}
+    # epoch cap respected
+    for lang, size, a, ep in out:
+        assert a <= 2 * size
+        assert ep == a / size
+    # small languages get their full cap, the remainder flows upward
+    assert alloc["fr"] == 20 and alloc["es"] == 200
+    assert sum(alloc.values()) <= 800
+    # full budget consumed when caps allow
+    assert sum(alloc.values()) == 800
+
+
+def test_unimax_degenerate():
+    assert unimax_allocation([], 100) == []
+    out = unimax_allocation([("en", 0)], 100)
+    assert out == [("en", 0, 0, 0.0)]
