@@ -205,6 +205,10 @@ def main() -> None:
             "neardup_ivf_recall",
             "neardup_ivf_home_recall",
             "neardup_lsh_recall",
+            "langid_fit_distributed",
+            "lr_quality_fit",
+            "lr_quality_scores",
+            "unimax_mixture",
         )
         if q in driver_queries.QUERIES
     ]

@@ -37,6 +37,9 @@ PAIR = (
     else (8, 32)
 )
 SPLIT = 4 * 1024 * 1024
+# knob from the round-5 A/B (knob_probe_r5.json): shuffle partitions
+# per core; 1 halves map-side shuffle file traffic vs the old 2
+SHUFFLE_PER_CORE = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
 
 def gen(spark, n, path):
@@ -115,7 +118,7 @@ def run_session(cpus, path):
     spark = get_spark(
         f"curation-probe-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus * 2, 32),
+        shuffle_partitions=max(cpus * SHUFFLE_PER_CORE, 16),
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(SPLIT),
             "spark.sql.files.openCostInBytes": str(SPLIT),
@@ -160,6 +163,7 @@ def main():
             "rounds": ROUNDS,
             "cpu_pair": list(PAIR),
             "max_partition_bytes": SPLIT,
+            "shuffle_per_core": SHUFFLE_PER_CORE,
             f"local{lo}": {"warms": warms[lo], "best": best[lo]},
             f"local{hi}": {"warms": warms[hi], "best": best[hi]},
             f"scaling_efficiency_{lo}_to_{hi}": round(
