@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -212,6 +213,23 @@ def _merge_fn(left: str, right: str):
     return lambda s: _apply_merge(s, left, right)
 
 
+def _py_merge_word(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Greedy left-to-right application of the merge list to one word —
+    the single-process twin of :func:`_apply_merge`, shared by the
+    oracle replays and the dictionary-encode fast path so the two
+    cannot drift."""
+    sym = list(w)
+    for left, right in merges:
+        out: list[str] = []
+        for x in sym:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        sym = out
+    return sym
+
+
 def _encode_syms(words: Column, merges: list[tuple[str, str]]) -> Column:
     """array<array<string>>: per-word symbol arrays after applying the
     merge list in rank order — the shared JVM encode used by both the
@@ -273,17 +291,75 @@ def bpe_token_ids(
     vocab: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    dict_words_max: int = BPE_LOCAL_VOCAB_ROWS,
 ) -> DataFrame:
     """(id, n_tokens, token_ids array<int>): the ACTUAL token-id
     sequence of each document under the learned merges — the link
-    between merge learning and sequence packing.  Encoding is the same
-    JVM fold as bpe_encode_stats; the string→id lookup is a literal
-    map (constant-folded, O(vocab) broadcast inside the plan — at a
-    32k-merge production vocab, swap for a broadcast-join on exploded
-    tokens; at learning-demo vocab sizes the literal wins).  Unknown
-    symbols are impossible when ``vocab`` came from bpe_vocab over the
-    same corpus; -1 marks them if the vocab is reused elsewhere."""
+    between merge learning and sequence packing.
+
+    Two physically different encodes, one result:
+
+    * **dictionary encode (default)** — the classic tokenizer-at-scale
+      shape: encode each DISTINCT word exactly once (the distinct-word
+      table is vocabulary-bounded, not corpus-bounded), broadcast the
+      word → token-id-array dictionary, and stream the corpus through
+      one Arrow-batched pandas UDF doing O(1) dict lookups per word.
+      Per-token work drops from 12 sequential JVM array folds (each
+      O(len²) in the word) to a hash probe; the corpus-sized pass
+      never re-derives a merge.  This is the broadcast-model pattern
+      the langid/quality scorers already use (SURVEY §2 M4).
+    * **JVM fold fallback** — when the distinct-word table exceeds
+      ``dict_words_max`` (adversarial key spaces where vocabulary
+      grows with the corpus), fall back to the in-plan nested
+      ``transform`` fold + literal-map lookup: zero driver state,
+      zero Python, same greedy semantics.  ``dict_words_max=0``
+      forces this path (used by the differential test).
+
+    Unknown words (possible only when ``vocab``/dictionary came from a
+    different corpus) are merged on the fly in the UDF and id-mapped
+    with -1 for unseen symbols — identical to the fallback's
+    ``coalesce(mapping[t], -1)``."""
     ids = _vocab_ids(vocab)
+    if dict_words_max:
+        wrows = (
+            df.select(F.explode(_tokens(text_col)).alias("w"))
+            .distinct()
+            .limit(dict_words_max + 1)
+            .collect()
+        )
+        if len(wrows) <= dict_words_max:
+            word_ids = {
+                r[0]: [ids.get(s, -1) for s in _py_merge_word(r[0], merges)]
+                for r in wrows
+            }
+            bc = df.sparkSession.sparkContext.broadcast(
+                (word_ids, list(merges), dict(ids))
+            )
+
+            @F.pandas_udf("array<int>")
+            def _enc(texts: pd.Series) -> pd.Series:
+                d, mg, vid = bc.value
+
+                def one(t: str | None) -> list[int]:
+                    out: list[int] = []
+                    for w in _py_tokens(t):
+                        hit = d.get(w)
+                        if hit is None:
+                            hit = [
+                                vid.get(s, -1) for s in _py_merge_word(w, mg)
+                            ]
+                        out.extend(hit)
+                    return out
+
+                return texts.map(one)
+
+            return df.select(
+                id_col, _enc(F.col(text_col)).alias("token_ids")
+            ).select(
+                id_col,
+                F.size("token_ids").cast("long").alias("n_tokens"),
+                "token_ids",
+            )
     mapping = F.map_from_arrays(
         F.array(*[F.lit(t) for t in ids]),
         F.array(*[F.lit(i) for i in ids.values()]),

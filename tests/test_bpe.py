@@ -125,6 +125,16 @@ def test_token_ids_roundtrip_matches_local(spark):
     }
     want = {d: (len(t), t) for d, t in bpe_token_ids_local(pairs, merges, vocab)}
     assert got == want
+    # Both physical encodes — the broadcast-dictionary pandas UDF
+    # (default) and the in-plan JVM fold (dict_words_max=0) — must be
+    # bit-identical; the dictionary path above already matched local.
+    jvm = {
+        r.doc_id: (r.n_tokens, list(r.token_ids))
+        for r in bpe_token_ids(
+            df, merges, vocab, dict_words_max=0
+        ).collect()
+    }
+    assert jvm == want
     stats = {
         r.doc_id: r.n_tokens for r in bpe_encode_stats(df, merges).collect()
     }
