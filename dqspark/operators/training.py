@@ -6,7 +6,7 @@ Arrow batches — pipeline/models.py).  This module closes the remaining
 gap for corpora whose TRAINING SET itself is cluster-scale: the fit
 loops run as Spark jobs whose only driver state is the model itself.
 
-Three trainers, each with an exact cross-engine value oracle:
+Four trainers, each with an exact cross-engine value oracle:
 
 - ``nb_langid_count`` — the sufficient statistics of the multinomial-NB
   langid model (pipeline/models.py LangIdModel) computed distributed:
@@ -29,6 +29,13 @@ Three trainers, each with an exact cross-engine value oracle:
   differential.  Per iteration: ONE whole-stage-codegen aggregate of
   d+1 long sums (map-side partial), no shuffle of rows, O(d) driver
   state.  T iterations = T jobs over a cached feature projection.
+
+- ``lm_trigram_count`` — the sufficient statistics of the TrigramLM
+  perplexity model (pipeline/models.py) computed distributed: per-batch
+  document-boundary-masked (context, next-char) pair counts, merged by
+  one integer groupBy sum.  Smoothing + log happen after the merge on
+  the O(cells) table, so the float-sensitive step never crosses the
+  reduction and the distributed fit is bit-identical to the driver fit.
 
 - ``unimax_allocation`` — the UniMax budget allocator (Chung et al.,
   "UniMax: Fairer and More Effective Language Sampling for Large-Scale
@@ -59,7 +66,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dqspark.pipeline.models import N_TRIGRAM_BUCKETS, _ords, _trigram_hashes
+from dqspark.pipeline.models import (
+    N_CHAR_BUCKETS,
+    N_CONTEXT_BUCKETS,
+    N_TRIGRAM_BUCKETS,
+    _P2,
+    _ords,
+    _trigram_hashes,
+)
 
 # ---------------------------------------------------------------------------
 # distributed multinomial-NB sufficient statistics
@@ -254,6 +268,74 @@ def gd_fit_local(
             break
         w = [w[j] - lr * (g[j] / S) / n for j in range(d + 1)]
     return trace
+
+
+# ---------------------------------------------------------------------------
+# distributed TrigramLM sufficient statistics (the perplexity model)
+# ---------------------------------------------------------------------------
+
+LM_COUNT_SCHEMA = "ctx long, nxt long, cnt long"
+
+
+def lm_trigram_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sufficient statistics of the TrigramLM perplexity model
+    (pipeline/models.py TrigramLM.train), computed distributed.
+
+    → (ctx, nxt, cnt): context bucket ``(c0*P2 + c1) % 2^16``, next-char
+    bucket ``c2 % 128``, count summed over the corpus.  Per Arrow batch
+    the whole text column flattens into ONE ord array; document
+    boundaries are masked exactly as TrigramLM scoring does
+    (``doc[:-2] == doc[2:]``), so concatenation never fabricates
+    cross-document trigrams and the counts match the per-text driver
+    fit bit-for-bit.  (ctx, nxt) pairs fold to composite codes and
+    ``np.unique`` pre-combines them, so the shuffle carries at most
+    ``batches × distinct_cells`` rows, capped at 2^23 per batch and in
+    practice by the batch's trigram count.  Integer counts ⇒ the merge
+    is associative and partitioning-independent; add-k smoothing and
+    the log happen AFTER the merge, on the O(cells) table, so the
+    float-sensitive step never crosses the reduction.
+    """
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ords, doc = _ords(pdf[text_col].fillna("").tolist())
+            if ords.size < 3:
+                continue
+            same = doc[:-2] == doc[2:]
+            ctx = ((ords[:-2] * _P2 + ords[1:-1]) % N_CONTEXT_BUCKETS)[same]
+            nxt = (ords[2:] % N_CHAR_BUCKETS)[same]
+            if ctx.size == 0:
+                continue
+            codes, cnts = np.unique(ctx * N_CHAR_BUCKETS + nxt, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "ctx": codes // N_CHAR_BUCKETS,
+                    "nxt": codes % N_CHAR_BUCKETS,
+                    "cnt": cnts,
+                }
+            )
+
+    partial = df.select(F.col(text_col).alias(text_col)).mapInPandas(
+        count_batches, LM_COUNT_SCHEMA
+    )
+    return partial.groupBy("ctx", "nxt").agg(F.sum("cnt").alias("cnt"))
+
+
+def lm_count_local(texts: list[str]) -> dict[tuple[int, int], int]:
+    """Single-process replica of lm_trigram_count (oracle side) — the
+    same per-text loop as TrigramLM.train, counts kept exact."""
+    acc: dict[tuple[int, int], int] = {}
+    for text in texts:
+        ords, _ = _ords([text or ""])
+        if ords.size < 3:
+            continue
+        ctx = (ords[:-2] * _P2 + ords[1:-1]) % N_CONTEXT_BUCKETS
+        nxt = ords[2:] % N_CHAR_BUCKETS
+        codes, cnts = np.unique(ctx * N_CHAR_BUCKETS + nxt, return_counts=True)
+        for code, c in zip(codes, cnts):
+            key = (int(code) // N_CHAR_BUCKETS, int(code) % N_CHAR_BUCKETS)
+            acc[key] = acc.get(key, 0) + int(c)
+    return acc
 
 
 # ---------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 """Distributed-training queries (round 5): the model-FIT stage itself
 as cluster work, value-checked cross-engine.
 
-Four registrations:
+Five registrations:
 
 - ``langid_fit_distributed`` — multinomial-NB sufficient statistics
   (hashed-trigram count matrix) computed by Arrow-batch bincounts +
@@ -42,6 +42,8 @@ from dqspark.operators.training import (
     fast_sigmoid_sql,
     gd_fit,
     gd_fit_local,
+    lm_count_local,
+    lm_trigram_count,
     margin_sql,
     nb_count_local,
     nb_langid_count,
@@ -232,6 +234,55 @@ def q_lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("int").alias("label"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# TrigramLM perplexity-model fit
+# ---------------------------------------------------------------------------
+
+_LM_TOPK = 25
+
+
+def _lm_fit_oracle() -> str:
+    import duckdb
+
+    sf = oracle_sf_dir()
+    rows = duckdb.sql(f"SELECT text FROM '{sf}/documents.parquet'").fetchall()
+    acc = lm_count_local([r[0] for r in rows])
+    cells = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    out: list[tuple] = [
+        (ctx, nxt, cnt, rank)
+        for rank, ((ctx, nxt), cnt) in enumerate(cells[:_LM_TOPK], start=1)
+    ]
+    out.append((-1, -1, sum(acc.values()), 0))
+    values = values_table(sorted(out), ["ctx", "nxt", "cnt", "rank"])
+    return f"SELECT ctx, nxt, cnt, rank FROM {values}"
+
+
+@register("lm_fit_distributed", _lm_fit_oracle)
+def q_lm_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TrigramLM sufficient statistics (the perplexity
+    model's fit at corpus scale) — top-K cells by count plus the grand
+    total, vs a single-process replay of the driver-side fit.  Top-K is
+    TakeOrderedAndProject over the O(cells)-bounded count table (no
+    single-partition window touches corpus-sized data); the rank window
+    runs on the K collected survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = lm_trigram_count(docs, "text").persist()
+    order = [F.desc("cnt"), F.asc("ctx"), F.asc("nxt")]
+    top = (
+        counts.orderBy(*order)
+        .limit(_LM_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("ctx", "nxt", "cnt", "rank")
+    )
+    totals = counts.agg(
+        F.lit(-1).cast("long").alias("ctx"),
+        F.lit(-1).cast("long").alias("nxt"),
+        F.sum("cnt").alias("cnt"),
+        F.lit(0).alias("rank"),
+    )
+    return top.unionByName(totals)
 
 
 # ---------------------------------------------------------------------------

@@ -97,3 +97,39 @@ def test_unimax_degenerate():
     assert unimax_allocation([], 100) == []
     out = unimax_allocation([("en", 0)], 100)
     assert out == [("en", 0, 0, 0.0)]
+
+
+def test_lm_distributed_counts_match_driver_fit(spark):
+    from dqspark.operators.training import lm_count_local, lm_trigram_count
+    from dqspark.pipeline.models import N_CHAR_BUCKETS, TrigramLM
+
+    texts = [t for t, _ in TEXTS] + ["ab", "a", None]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    local = lm_count_local([t or "" for t in texts])
+    for parts in (1, 7):
+        dist = {
+            (r["ctx"], r["nxt"]): r["cnt"]
+            for r in lm_trigram_count(df.repartition(parts), "text").collect()
+        }
+        assert dist == local
+    # the merged integer counts ARE the driver fit's sufficient
+    # statistics: invert add-k smoothing at the observed cells
+    model = TrigramLM.train([t or "" for t in texts], k=0.1)
+    row_tot: dict[int, int] = {}
+    for (ctx, _), cnt in local.items():
+        row_tot[ctx] = row_tot.get(ctx, 0) + cnt
+    for (ctx, nxt), cnt in local.items():
+        est = np.exp(float(model.log_probs[ctx, nxt])) * (
+            row_tot[ctx] + 0.1 * N_CHAR_BUCKETS
+        ) - 0.1
+        assert abs(est - cnt) < 1e-3
+
+
+def test_lm_count_masks_document_boundaries(spark):
+    from dqspark.operators.training import lm_trigram_count
+
+    # one batch containing both docs: concatenation must NOT create the
+    # cross-boundary trigrams "cde"/"dex" (end of doc1 + start of doc2)
+    df = spark.createDataFrame([("abcd",), ("exyz",)], "text string").coalesce(1)
+    got = sum(r["cnt"] for r in lm_trigram_count(df, "text").collect())
+    assert got == 4  # abc, bcd from doc1; exy, xyz from doc2
