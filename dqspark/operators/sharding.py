@@ -83,3 +83,91 @@ SELECT {key_col},
        position
 FROM ranked
 """
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Per-shard export-integrity manifest: what a consumer needs to
+    validate a multi-terabyte shard delivery without re-reading the
+    producer's copy.
+
+    → (shard, n_rows, total_chars, content_xor, contiguous) where
+    ``content_xor`` is the bit_xor of per-row ``md5_long(key|content)``
+    — ORDER-INDEPENDENT (xor is commutative/associative), so the
+    consumer can recompute it with any read parallelism, and it changes
+    if any row's content is altered, dropped, duplicated, or swapped to
+    a different key.  ``contiguous`` audits the permutation itself:
+    round-robin assignment means shard positions must be exactly
+    0..n_rows-1, i.e. ``max(pos_in_shard) + 1 == n_rows``.
+
+    One pass: the hash/length columns ride through ranged_row_number
+    (no join back), then one O(n_shards)-row aggregate.
+    """
+    keyed = df.select(
+        F.col(key_col),
+        md5_long(
+            F.concat_ws(
+                "|", F.lit("shuffle"), F.lit(salt), F.col(key_col).cast("string")
+            )
+        ).alias("_ord"),
+        F.coalesce(F.length(content_col), F.lit(0)).cast("long").alias("_len"),
+        md5_long(
+            F.concat_ws(
+                "|",
+                F.col(key_col).cast("string"),
+                F.coalesce(F.col(content_col), F.lit("")),
+            )
+        ).alias("_h"),
+    )
+    ranked = ranged_row_number(keyed, ["_ord", key_col], out_col="position")
+    return (
+        ranked.groupBy(
+            (F.col("position") % n_shards).cast("int").alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_len").alias("total_chars"),
+            F.expr("bit_xor(_h)").alias("content_xor"),
+            (
+                F.max(F.expr(f"position div {n_shards}")) + F.lit(1)
+                == F.count(F.lit(1))
+            ).alias("contiguous"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_oracle(
+    corpus_sql: str,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> str:
+    """Same order hash, same row fingerprint, same rollup in DuckDB."""
+    h = md5_long_oracle(f"'shuffle|{salt}|' || {key_col}::VARCHAR")
+    rowh = md5_long_oracle(
+        f"{key_col}::VARCHAR || '|' || coalesce({content_col}, '')"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+ranked AS (
+  SELECT {key_col},
+         coalesce(length({content_col}), 0)::BIGINT AS _len,
+         {rowh} AS _h,
+         row_number() OVER (ORDER BY {h}, {key_col}) - 1 AS position
+  FROM corpus
+)
+SELECT (position % {n_shards})::INT AS shard,
+       count(*) AS n_rows,
+       sum(_len)::BIGINT AS total_chars,
+       bit_xor(_h) AS content_xor,
+       (max(position // {n_shards}) + 1 = count(*)) AS contiguous
+FROM ranked
+GROUP BY 1
+"""

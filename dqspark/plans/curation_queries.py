@@ -51,7 +51,12 @@ from dqspark.operators.layout import (
 )
 from dqspark.operators.pii import pii_signals, pii_signals_oracle
 from dqspark.operators.search import bm25_oracle, bm25_search
-from dqspark.operators.sharding import training_shard, training_shard_oracle
+from dqspark.operators.sharding import (
+    shard_manifest,
+    shard_manifest_oracle,
+    training_shard,
+    training_shard_oracle,
+)
 from dqspark.plans.driver_queries import register
 from dqspark.sources.catalog import load_table
 
@@ -137,6 +142,19 @@ _SHARDS = 8
 def q_training_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return training_shard(docs, n_shards=_SHARDS)
+
+
+@register(
+    "shard_manifest",
+    shard_manifest_oracle(
+        "SELECT doc_id, text FROM documents", n_shards=_SHARDS
+    ),
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard export-integrity manifest: order-independent content
+    fingerprint + size + permutation-contiguity audit per shard."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return shard_manifest(docs, n_shards=_SHARDS)
 
 
 # --- compression-ratio signal -------------------------------------------------

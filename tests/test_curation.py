@@ -195,3 +195,55 @@ def test_bm25_topk_and_total_order(spark):
 def test_bm25_no_match_query_is_empty(spark):
     df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
     assert bm25_search(df, [("q", "zzz_missing")], k=5).count() == 0
+
+
+def test_shard_manifest_order_independent_and_balanced(spark):
+    from dqspark.operators.sharding import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"doc body {i} " * (1 + i % 3)) for i in range(101)],
+        "doc_id long, text string",
+    )
+    a = {r.shard: r for r in shard_manifest(df, n_shards=8).collect()}
+    b = {
+        r.shard: r
+        for r in shard_manifest(df.repartition(13), n_shards=8).collect()
+    }
+    assert set(a) == set(range(8))
+    for s in a:
+        assert (a[s].n_rows, a[s].total_chars, a[s].content_xor) == (
+            b[s].n_rows,
+            b[s].total_chars,
+            b[s].content_xor,
+        )
+        assert a[s].contiguous
+    sizes = [a[s].n_rows for s in a]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == 101
+
+
+def test_shard_manifest_detects_tamper_and_key_swap(spark):
+    from dqspark.operators.sharding import shard_manifest
+
+    rows = [(i, f"content {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r.shard: r.content_xor for r in shard_manifest(df).collect()}
+
+    # single-row content edit flips exactly that shard's fingerprint
+    edited = [(i, t if i != 7 else t + "!") for i, t in rows]
+    df2 = spark.createDataFrame(edited, "doc_id long, text string")
+    diff = [
+        s
+        for s, x in (
+            (r.shard, r.content_xor) for r in shard_manifest(df2).collect()
+        )
+        if base[s] != x
+    ]
+    assert len(diff) == 1
+
+    # swapping two rows' contents keeps counts/bytes but NOT fingerprints
+    swapped = list(rows)
+    swapped[3], swapped[9] = (rows[3][0], rows[9][1]), (rows[9][0], rows[3][1])
+    df3 = spark.createDataFrame(swapped, "doc_id long, text string")
+    m3 = {r.shard: r for r in shard_manifest(df3).collect()}
+    assert any(base[s] != m3[s].content_xor for s in base)
