@@ -408,6 +408,7 @@ def bpe_encode_stats(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a learned merge list to every document and report token
     budget stats: (id, n_words, n_chars, n_tokens, chars_per_token).
@@ -419,7 +420,7 @@ def bpe_encode_stats(
     10^12-file tokenizer-budget sweep has to be."""
     words = _tokens(text_col)
     syms = _encode_syms(words, merges)
-    d = df.select(id_col, words.alias("__w"), syms.alias("__s"))
+    d = df.select(id_col, *extra_cols, words.alias("__w"), syms.alias("__s"))
     n_words = F.size("__w")
     n_chars = F.aggregate(
         F.col("__w"), F.lit(0), lambda a, w: a + F.length(w)
@@ -429,6 +430,7 @@ def bpe_encode_stats(
     )
     d = d.select(
         id_col,
+        *extra_cols,
         n_words.alias("n_words"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),

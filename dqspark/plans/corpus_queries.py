@@ -609,6 +609,70 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(docs, merges)
 
 
+def _bpe_fertility_oracle() -> str:
+    from dqspark.operators.bpe import (
+        BPE_MERGES,
+        bpe_encode_stats_local,
+        learn_bpe_merges_local,
+    )
+    from dqspark.plans.local_oracle import (
+        _connect,
+        oracle_sf_dir,
+        values_table,
+    )
+
+    con = _connect(oracle_sf_dir())
+    pairs = con.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    merges = [(l, r) for _, l, r, _ in learn_bpe_merges_local(
+        [t for _, t in pairs], BPE_MERGES
+    )]
+    rows = [
+        (d, nc, nt) for d, _, nc, nt, _ in bpe_encode_stats_local(pairs, merges)
+    ]
+    values = values_table(rows, ["doc_id", "n_chars", "n_tokens"])
+    return f"""
+SELECT d.lang,
+       count(*) AS n_docs,
+       sum(t.n_chars)::BIGINT AS total_chars,
+       sum(t.n_tokens)::BIGINT AS total_tokens,
+       round(sum(t.n_chars)::DOUBLE / sum(t.n_tokens), 4)::DOUBLE
+         AS chars_per_token
+FROM {values}
+JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+# Tokenizer fertility per language (chars per BPE token — the standard
+# multilingual tokenizer-equity metric, cf. XLM-R / UniMax analyses):
+# the per-doc encode stats are a pure JVM projection, lang rides
+# through it, and the rollup is one O(langs) map-side-combined agg —
+# no join back to the corpus.
+@register("bpe_fertility", _bpe_fertility_oracle)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dqspark.operators.bpe import bpe_encode_stats, learn_bpe_merges
+
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe_merges(
+            spark, docs.select("doc_id", "text")
+        ).orderBy("merge_rank").collect()
+    ]
+    stats = bpe_encode_stats(docs, merges, extra_cols=("lang",))
+    ratio = F.when(
+        F.sum("n_tokens") > 0, F.sum("n_chars") / F.sum("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(ratio, 4).alias("chars_per_token"),
+    )
+
+
 # Quality-aware cluster retention: same MinHash-LSH pair graph as
 # neardup_groups, but the canonical member is the HIGHEST-scoring doc
 # (score = text length here — the planted near-dups at +1000000 carry

@@ -139,3 +139,19 @@ def test_token_ids_roundtrip_matches_local(spark):
         r.doc_id: r.n_tokens for r in bpe_encode_stats(df, merges).collect()
     }
     assert stats == {d: n for d, (n, _) in got.items()}
+
+
+def test_encode_stats_extra_cols_passthrough(spark):
+    from dqspark.operators.bpe import bpe_encode_stats
+
+    df = spark.createDataFrame(
+        [(1, "en", "aa ab"), (2, "fr", "bb")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in bpe_encode_stats(df, [("a", "a")], extra_cols=("lang",)).collect()
+    }
+    assert rows[1].lang == "en" and rows[2].lang == "fr"
+    # merge (a,a): "aa" -> 1 token, "ab" -> 2, "bb" -> 2
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 2
