@@ -209,6 +209,9 @@ def main() -> None:
             "lr_quality_fit",
             "lr_quality_scores",
             "unimax_mixture",
+            "lm_fit_distributed",
+            "shard_manifest",
+            "bpe_fertility",
         )
         if q in driver_queries.QUERIES
     ]

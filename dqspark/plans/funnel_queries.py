@@ -1,0 +1,153 @@
+"""End-to-end curation funnel: the engine's stages composed as ONE
+pipeline over the documents table, reporting the per-stage keep/drop
+flow a corpus owner reads before committing a training run.
+
+Stages (each reusing an already-oracled building block):
+
+1. length/lang gate — the cheap structural filter every web/code
+   pipeline runs first (C4 §2.2's "remove short pages" analog).
+2. exact dedup — canonical survivor per sha256 content group
+   (operators/dedup.exact_dedup semantics: min key wins).
+3. decontamination — drop documents whose distinct-shingle overlap
+   with the held-out benchmark set crosses the threshold
+   (operators/contamination.benchmark_contamination, the same
+   fixture benchmark as the `contamination` query).
+4. deterministic sample — stateless salted-hash keep (the
+   operators/sampling.py sampler shape at a fixed rate), so the final
+   corpus is reproducible under retries and repartitioning.
+
+The funnel output is (stage_no, stage, rows_in, rows_out, dropped) —
+O(stages) rows.  Stage counts are Spark actions over persisted
+intermediate frames (O(stages) driver scalars, the same witness
+discipline as the fixpoint checks); the DuckDB oracle computes the
+identical funnel as one chained-CTE query, so the cross-engine
+differential covers the COMPOSITION — filters, window dedup,
+broadcast-join decontamination, hash sampling — not just each stage in
+isolation.
+
+Scale notes (10^12 files): stage order is chosen so each successive
+stage sees a strictly smaller corpus; the only shuffles are the
+sha256 hash-partitioned window (stage 2) and the per-doc overlap
+rollup inside contamination (stage 3, benchmark side broadcast);
+stages 1 and 4 are pure scans.  Counting each stage adds one cheap
+aggregate action per stage over an already-persisted frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.contamination import (
+    benchmark_contamination,
+    benchmark_contamination_oracle,
+)
+from dqspark.operators.dedup import exact_dedup, md5_long, md5_long_oracle
+from dqspark.plans.corpus_queries import _BENCH_SQL
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+_MIN_LEN = 40
+_SAMPLE_MOD, _SAMPLE_KEEP = 100, 50
+_SALT = "funnel"
+
+_STAGES = ["length_lang_gate", "exact_dedup", "decontamination", "sample"]
+
+
+def _funnel_oracle() -> str:
+    contam = benchmark_contamination_oracle(
+        "SELECT doc_id, text FROM s2", _BENCH_SQL
+    )
+    keep_hash = md5_long_oracle(f"'{_SALT}|' || doc_id::VARCHAR")
+    return f"""
+WITH s0 AS (SELECT doc_id, text, lang FROM documents),
+s1 AS (
+  SELECT * FROM s0
+  WHERE coalesce(length(text), 0) >= {_MIN_LEN} AND lang IS NOT NULL
+),
+s2 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM s1
+  ) WHERE rn = 1
+),
+contam AS ({contam}),
+s3 AS (
+  SELECT s2.doc_id, s2.text
+  FROM s2 JOIN contam USING (doc_id)
+  WHERE NOT contam.contaminated
+),
+s4 AS (
+  SELECT * FROM s3 WHERE ({keep_hash}) % {_SAMPLE_MOD} < {_SAMPLE_KEEP}
+),
+funnel AS (
+          SELECT 1 AS stage_no, '{_STAGES[0]}' AS stage,
+                 (SELECT count(*) FROM s0) AS rows_in,
+                 (SELECT count(*) FROM s1) AS rows_out
+UNION ALL SELECT 2, '{_STAGES[1]}',
+                 (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, '{_STAGES[2]}',
+                 (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+UNION ALL SELECT 4, '{_STAGES[3]}',
+                 (SELECT count(*) FROM s3), (SELECT count(*) FROM s4)
+)
+SELECT stage_no::INT AS stage_no, stage,
+       rows_in::BIGINT AS rows_in, rows_out::BIGINT AS rows_out,
+       (rows_in - rows_out)::BIGINT AS dropped
+FROM funnel
+"""
+
+
+def curation_funnel_stages(docs: DataFrame) -> list[DataFrame]:
+    """The four composed stage frames (each a strict subset of the
+    previous).  Exposed so tests can assert per-stage semantics."""
+    s1 = docs.where(
+        (F.coalesce(F.length("text"), F.lit(0)) >= _MIN_LEN)
+        & F.col("lang").isNotNull()
+    )
+    s2 = (
+        exact_dedup(s1, ["doc_id"], "text")
+        .where("is_canonical")
+        .select("doc_id", "text")
+    )
+    # benchmark fixture: same derivation as the `contamination` query
+    bench = docs.where(F.col("doc_id") % 41 == 3).select(
+        F.substring("text", 21, 160).alias("text")
+    )
+    flags = benchmark_contamination(s2, bench)
+    s3 = s2.join(
+        flags.where(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    s4 = s3.where(
+        md5_long(
+            F.concat_ws("|", F.lit(_SALT), F.col("doc_id").cast("string"))
+        )
+        % _SAMPLE_MOD
+        < _SAMPLE_KEEP
+    )
+    return [s1, s2, s3, s4]
+
+
+@register("curation_funnel", _funnel_oracle)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    stages = curation_funnel_stages(docs)
+    counts = [docs.count()]
+    for s in stages:
+        s.persist()
+        counts.append(s.count())
+    rows = [
+        (i + 1, name, counts[i], counts[i + 1], counts[i] - counts[i + 1])
+        for i, name in enumerate(_STAGES)
+    ]
+    for s in stages:
+        s.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "stage_no int, stage string, rows_in long, rows_out long, dropped long",
+    )

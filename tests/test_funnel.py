@@ -1,0 +1,66 @@
+"""Composed curation funnel (plans/funnel_queries.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from dqspark.plans.funnel_queries import (
+    _SALT,
+    _SAMPLE_KEEP,
+    _SAMPLE_MOD,
+    curation_funnel_stages,
+)
+
+
+def _py_keep(doc_id: int) -> bool:
+    h = int(hashlib.md5(f"{_SALT}|{doc_id}".encode()).hexdigest()[:15], 16)
+    return h % _SAMPLE_MOD < _SAMPLE_KEEP
+
+
+def _docs(spark):
+    base = "x" * 20 + "y" * 200  # long enough, shares no benchmark span
+    rows = [
+        (1, base + " unique one", "en"),
+        (2, "short", "en"),  # dropped: < MIN_LEN
+        (4, base + " twin", "en"),
+        (5, base + " twin", "en"),  # dropped: exact dup of 4
+        (6, base + " unique six", None),  # dropped: null lang
+        (7, base + " unique seven", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_funnel_stage_semantics(spark):
+    s1, s2, s3, s4 = curation_funnel_stages(_docs(spark))
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    assert ids1 == {1, 4, 5, 7}  # short + null-lang gone
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids2 == {1, 4, 7}  # min-id canonical of the twin pair
+    ids3 = {r.doc_id for r in s3.select("doc_id").collect()}
+    assert ids3 == ids2  # no doc_id % 41 == 3 row -> empty benchmark
+    ids4 = {r.doc_id for r in s4.select("doc_id").collect()}
+    assert ids4 == {i for i in ids3 if _py_keep(i)}
+
+
+def test_funnel_decontamination_drops_benchmark_hits(spark):
+    filler = "z" * 20
+    secret = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        # doc 3 -> benchmark slice = substr(text, 21, 160) = secret prefix
+        (3, filler + secret + "tail", "en"),
+        (8, "clean document " + "a b c d e f g h " * 10, "en"),
+        (44, secret, "en"),  # verbatim benchmark content -> contaminated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    _, s2, s3, _ = curation_funnel_stages(docs)
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    ids3 = {r.doc_id for r in s3.select("doc_id").collect()}
+    assert 44 in ids2 and 44 not in ids3  # decontamination removed it
+    assert 8 in ids3  # clean doc survives
+
+
+def test_funnel_counts_are_monotonic_chain(spark):
+    stages = curation_funnel_stages(_docs(spark))
+    counts = [6] + [s.count() for s in stages]
+    for prev, cur in zip(counts, counts[1:]):
+        assert cur <= prev
