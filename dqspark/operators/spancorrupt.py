@@ -1,0 +1,193 @@
+"""T5 span-corruption training transform (Raffel et al., JMLR 2020 §3.1.4).
+
+Denoising objectives drop contiguous spans from each document and ask
+the model to reconstruct them: the input keeps the surrounding text
+with each dropped span replaced by a numbered sentinel
+(``<extra_id_0>``, ``<extra_id_1>``, …) and the target is the
+concatenation of sentinels + dropped spans, closed by one final
+sentinel.  Together with operators/fim.py (infilling) and
+operators/packing.py (sequence assembly) this completes the
+objective-prep transform family.
+
+At 10^12 files "random" spans must be DETERMINISTIC-per-row (the same
+argument as fim.py: Spark ``rand()`` re-draws on retry/repartition and
+breaks resumability).  Construction: the document's characters are
+tiled into fixed blocks of ``block`` chars; per block, three salted
+md5 hashes of (doc, block) decide corrupt-or-not, span length, and
+span offset — at most one span per block, so spans never overlap and
+never cross block boundaries, expected corruption ≈
+``rate × mean(len)/block`` (the char-level analog of T5's 15% with
+mean span 3 tokens; fim.py's char-level ablation argument applies).
+
+Pure whole-stage-codegen expressions: one ``sequence`` over block
+indices, per-block ``substr`` + concat folded by ``array_join`` — no
+UDF, no shuffle, fuses into whatever stage reads the corpus.  The
+sentinel index k of a block is the count of corrupted blocks before it
+(an O(blocks²) nested filter per row — bounded by (len/block)², ~24k
+cheap integer ops for a 10k-char doc, still row-local at any corpus
+size).  The DuckDB oracle replays the identical hash arithmetic over
+``range``/``list_transform``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+from dqspark.operators.sampling import BUCKETS
+
+SC_BLOCK = 64  # chars per block (one candidate span each)
+SC_RATE = 0.85  # fraction of blocks corrupted
+SC_LMIN, SC_LMAX = 3, 18  # span length range (chars)
+
+
+def _h(key: Column, tag: str, b: Column, salt: str) -> Column:
+    return md5_long(
+        F.concat_ws(
+            "|", F.lit(salt), F.lit(tag), key.cast("string"), b.cast("string")
+        )
+    )
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = SC_BLOCK,
+    rate: float = SC_RATE,
+    lmin: int = SC_LMIN,
+    lmax: int = SC_LMAX,
+    salt: str = "spancorrupt",
+) -> DataFrame:
+    """(doc_id, n_spans, corrupt_chars, input_text, target_text)."""
+    key = F.col(id_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(text)
+    nb = F.floor((n + block - 1) / block).cast("int")
+    seq = F.when(n > 0, F.sequence(F.lit(0), nb - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    thr = int(round(rate * BUCKETS))
+
+    def flag(b: Column) -> Column:
+        return (_h(key, "c", b, salt) % BUCKETS) < thr
+
+    def blen(b: Column) -> Column:
+        return F.least(F.lit(block), n - b * block)
+
+    def span_len(b: Column) -> Column:
+        raw = lmin + _h(key, "l", b, salt) % (lmax - lmin + 1)
+        return F.least(raw, blen(b))
+
+    def span_off(b: Column) -> Column:
+        return _h(key, "o", b, salt) % (blen(b) - span_len(b) + 1)
+
+    def k_of(b: Column) -> Column:
+        return F.size(F.filter(seq, lambda j: (j < b) & flag(j)))
+
+    def sent(k: Column) -> Column:
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    def input_piece(b: Column) -> Column:
+        start = b * block  # 0-based char offset of the block
+        bl, L, o = blen(b), span_len(b), span_off(b)
+        return F.when(
+            flag(b),
+            F.concat(
+                text.substr(start + 1, o),
+                sent(k_of(b)),
+                text.substr(start + o + L + 1, bl - o - L),
+            ),
+        ).otherwise(text.substr(start + 1, bl))
+
+    def target_piece(b: Column) -> Column:
+        start = b * block
+        L, o = span_len(b), span_off(b)
+        return F.when(
+            flag(b), F.concat(sent(k_of(b)), text.substr(start + o + 1, L))
+        ).otherwise(F.lit(""))
+
+    n_spans = F.size(F.filter(seq, flag))
+    corrupt_chars = F.aggregate(
+        F.transform(seq, lambda b: F.when(flag(b), span_len(b)).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    return df.select(
+        key.alias(id_col),
+        n_spans.alias("n_spans"),
+        corrupt_chars.cast("long").alias("corrupt_chars"),
+        F.array_join(F.transform(seq, input_piece), "").alias("input_text"),
+        F.concat(
+            F.array_join(F.transform(seq, target_piece), ""), sent(n_spans)
+        ).alias("target_text"),
+    )
+
+
+def span_corrupt_oracle(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = SC_BLOCK,
+    rate: float = SC_RATE,
+    lmin: int = SC_LMIN,
+    lmax: int = SC_LMAX,
+    salt: str = "spancorrupt",
+) -> str:
+    """Identical hash/substr arithmetic in DuckDB."""
+    thr = int(round(rate * BUCKETS))
+
+    def h(tag: str, b: str) -> str:
+        return md5_long_oracle(
+            f"'{salt}|{tag}|' || {id_col}::VARCHAR || '|' || ({b})::VARCHAR"
+        )
+
+    def flag(b: str) -> str:
+        return f"(({h('c', b)}) % {BUCKETS} < {thr})"
+
+    def blen(b: str) -> str:
+        return f"least({block}, n - ({b}) * {block})"
+
+    def span_len(b: str) -> str:
+        return f"least({lmin} + ({h('l', b)}) % {lmax - lmin + 1}, {blen(b)})"
+
+    def span_off(b: str) -> str:
+        return f"(({h('o', b)}) % ({blen(b)} - {span_len(b)} + 1))"
+
+    k_of = f"len(list_filter(range(0, nb), j -> j < b AND {flag('j')}))"
+    sent_k = f"'<extra_id_' || ({k_of})::VARCHAR || '>'"
+    bl, L, o = blen("b"), span_len("b"), span_off("b")
+    input_piece = f"""
+      CASE WHEN {flag('b')}
+           THEN substr(txt, b * {block} + 1, {o})
+                || {sent_k}
+                || substr(txt, b * {block} + {o} + {L} + 1, {bl} - {o} - {L})
+           ELSE substr(txt, b * {block} + 1, {bl}) END"""
+    target_piece = f"""
+      CASE WHEN {flag('b')}
+           THEN {sent_k} || substr(txt, b * {block} + {o} + 1, {L})
+           ELSE '' END"""
+    n_spans = f"len(list_filter(range(0, nb), b -> {flag('b')}))"
+    corrupt = (
+        f"coalesce(list_sum(list_transform(range(0, nb), "
+        f"b -> CASE WHEN {flag('b')} THEN {span_len('b')} ELSE 0 END)), 0)"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+base AS (
+  SELECT {id_col}, coalesce({text_col}, '') AS txt,
+         length(coalesce({text_col}, '')) AS n,
+         ((length(coalesce({text_col}, '')) + {block} - 1) // {block})::INT
+           AS nb
+  FROM corpus
+)
+SELECT {id_col},
+       ({n_spans})::INT AS n_spans,
+       ({corrupt})::BIGINT AS corrupt_chars,
+       array_to_string(list_transform(range(0, nb), b -> {input_piece}), '')
+         AS input_text,
+       array_to_string(list_transform(range(0, nb), b -> {target_piece}), '')
+         || '<extra_id_' || ({n_spans})::VARCHAR || '>' AS target_text
+FROM base
+"""

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dqspark.operators.deporder import dep_order, dep_order_oracle
 from dqspark.operators.fim import fim_transform, fim_transform_oracle
+from dqspark.operators.spancorrupt import span_corrupt, span_corrupt_oracle
 from dqspark.operators.repocontext import repo_context, repo_context_oracle
 from dqspark.operators.repolicense import repo_license, repo_license_oracle
 from dqspark.operators.repodedup import (
@@ -174,6 +175,14 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic PSM/SPM fill-in-the-middle over documents."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return fim_transform(docs)
+
+
+@register("span_corruption", span_corrupt_oracle(_DOCS_SQL))
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, corrupt_chars, input_text, target_text) —
+    deterministic T5 span-corruption denoising pairs over documents."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corrupt(docs)
 
 
 @register(

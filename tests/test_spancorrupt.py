@@ -1,0 +1,64 @@
+"""T5 span-corruption transform (operators/spancorrupt.py)."""
+
+from __future__ import annotations
+
+import re
+
+from dqspark.operators.spancorrupt import span_corrupt
+
+
+def _reconstruct(input_text: str, target_text: str, n_spans: int) -> str:
+    """Splice the target's spans back into the input's sentinel slots."""
+    spans = {}
+    parts = re.split(r"<extra_id_(\d+)>", target_text)
+    # parts = ['', k0, span0, k1, span1, ..., kN, ''] (final sentinel)
+    for i in range(1, len(parts) - 1, 2):
+        spans[int(parts[i])] = parts[i + 1]
+    # sentinels are numbered 0..n_spans-1 plus the closing n_spans -> ''
+    assert set(spans) == set(range(n_spans + 1))
+    assert spans[n_spans] == ""
+    return re.sub(
+        r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], input_text
+    )
+
+
+def test_span_corrupt_reconstruction_roundtrip(spark):
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog. " * 12),
+        (2, "short doc"),
+        (3, ""),
+        (4, None),
+        (5, "x" * 200),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for r in span_corrupt(df).collect():
+        original = dict(texts)[r.doc_id] or ""
+        assert _reconstruct(r.input_text, r.target_text, r.n_spans) == original
+        assert r.target_text.endswith(f"<extra_id_{r.n_spans}>")
+        assert r.input_text.count("<extra_id_") == r.n_spans
+        if r.n_spans == 0:
+            assert r.input_text == original
+
+
+def test_span_corrupt_deterministic_under_repartition(spark):
+    rows = [(i, f"document number {i} " * 30) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: (r.input_text, r.target_text) for r in span_corrupt(df).collect()}
+    b = {
+        r.doc_id: (r.input_text, r.target_text)
+        for r in span_corrupt(df.repartition(11)).collect()
+    }
+    assert a == b
+
+
+def test_span_corrupt_coverage_in_expected_band(spark):
+    rows = [(i, "lorem ipsum dolor sit amet " * 40) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = span_corrupt(df).agg(
+        {"corrupt_chars": "sum", "n_spans": "sum"}
+    ).collect()[0]
+    total_chars = 200 * len("lorem ipsum dolor sit amet " * 40)
+    frac = agg["sum(corrupt_chars)"] / total_chars
+    # rate=0.85, mean span 10.5 over 64-char blocks -> ~14% expected
+    assert 0.08 < frac < 0.20
+    assert agg["sum(n_spans)"] > 0
