@@ -212,6 +212,9 @@ def main() -> None:
             "lm_fit_distributed",
             "shard_manifest",
             "bpe_fertility",
+            "curation_funnel",
+            "span_corruption",
+            "quality_calibration",
         )
         if q in driver_queries.QUERIES
     ]

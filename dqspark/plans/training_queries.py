@@ -236,6 +236,61 @@ def q_lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _calibration_oracle() -> str:
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    p = fast_sigmoid_sql(margin_sql(weights, feats))
+    sf = oracle_sf_dir()
+    return f"""
+WITH s AS (
+  SELECT round({p}, 6)::DOUBLE AS score, {y}::INT AS label
+  FROM '{sf}/documents.parquet'
+)
+SELECT least(floor(score * 10)::INT, 9) AS bin,
+       count(*) AS n,
+       round(sum(round(score * 1000000)::BIGINT)::DOUBLE / 1000000
+             / count(*), 6) AS mean_score,
+       round(sum(label)::DOUBLE / count(*), 6) AS frac_positive
+FROM s
+GROUP BY 1
+"""
+
+
+@register("quality_calibration", _calibration_oracle)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins of the fitted quality classifier: per
+    score decile, count, mean predicted score, and observed positive
+    rate — the calibration check run before trusting a learned filter's
+    threshold at corpus scale.  Scores are folded to exact integer
+    micro-units before summing so the per-bin mean is one integer sum
+    (associative, partitioning-independent) followed by the identical
+    IEEE division in both engines — no float-accumulation-order
+    divergence."""
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    feats = _feature_frame(spark, sf_dir).persist()
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    score = F.round(_fast_sigmoid_col(_margin_col(w, _FEATURE_COLS)), 6)
+    scored = feats.select(
+        score.alias("score"),
+        F.round(score * 1000000).cast("long").alias("units"),
+        F.col("y").cast("int").alias("label"),
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("units").cast("double") / F.lit(1000000) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("frac_positive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TrigramLM perplexity-model fit
 # ---------------------------------------------------------------------------
