@@ -62,3 +62,10 @@ def test_span_corrupt_coverage_in_expected_band(spark):
     # rate=0.85, mean span 10.5 over 64-char blocks -> ~14% expected
     assert 0.08 < frac < 0.20
     assert agg["sum(n_spans)"] > 0
+
+
+def test_span_corrupt_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a" * 100)], "doc_id long, text string")
+    plan = span_corrupt(df)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Generate"):
+        assert op not in plan, f"unexpected {op} in span_corrupt plan:\n{plan}"
