@@ -29,6 +29,7 @@ def test_span_corrupt_reconstruction_roundtrip(spark):
         (3, ""),
         (4, None),
         (5, "x" * 200),
+        (6, "héllo wörld — 漢字テスト且 " * 25),  # multibyte code points
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     for r in span_corrupt(df).collect():
@@ -69,3 +70,31 @@ def test_span_corrupt_plan_is_shuffle_free(spark):
     plan = span_corrupt(df)._jdf.queryExecution().executedPlan().toString()
     for op in ("Exchange", "Join", "Generate"):
         assert op not in plan, f"unexpected {op} in span_corrupt plan:\n{plan}"
+
+
+def test_span_corrupt_cross_engine_multibyte(spark):
+    """Spark vs DuckDB on multibyte text — code-point (not byte)
+    parity of length/substr across the two engines."""
+    import duckdb
+
+    from dqspark.operators.spancorrupt import span_corrupt_oracle
+
+    rows = [
+        (1, "héllo wörld — 漢字テスト且 " * 20),
+        (2, "ascii only " * 40),
+        (3, "mix: ü" + "日本語テキスト" * 30 + " end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.corrupt_chars, r.input_text, r.target_text)
+        for r in span_corrupt(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = span_corrupt_oracle("SELECT doc_id, text FROM docs")
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.sql(sql).fetchall()
+    }
+    assert got == want
