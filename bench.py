@@ -215,6 +215,7 @@ def main() -> None:
             "curation_funnel",
             "span_corruption",
             "quality_calibration",
+            "embedding_sq8_audit",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1,0 +1,113 @@
+"""Scalar quantization (SQ8) of embedding columns + reconstruction audit.
+
+At 10^9-10^12 vectors the embedding column dominates storage and
+shuffle width; the standard fix (FAISS ``SQ8``, Milvus/pgvector int8)
+is per-dimension min-max scalar quantization: 4 bytes/dim → 1 byte/dim
+with a bounded reconstruction error of half a quantization step.  This
+module computes the per-dimension codebook over the corpus and AUDITS
+the reconstruction: per dimension, the measured max |x - dequant(q(x))|
+against the theoretical half-step bound — the check a storage migration
+runs before switching the ANN index to int8.
+
+Two-phase shape (the corpus-stats discipline of the flagship
+pipeline): pass 1 aggregates per-dimension min/max (posexplode →
+map-side-combined groupBy: shuffle rows capped at dims × tasks),
+O(dims) driver state re-embedded as array literals; pass 2 recomputes
+the quantize→dequantize error per element and folds it to a per-dim
+max.  All arithmetic is (+,-,*,/,abs,floor) over doubles widened from
+the stored float32 — exactly-rounded IEEE ops that evaluate
+bit-identically in the JVM and DuckDB, so the oracle demands value
+equality, not tolerance.  Rounding to the code grid is explicit
+``floor(t + 0.5)`` in BOTH engines (no engine-native ``round`` whose
+tie mode could differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SQ_LEVELS = 255  # codes 0..255
+
+
+def sq8_stats(df: DataFrame, vec_col: str = "embedding") -> dict[int, tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — O(dims) driver state."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    rows = ex.groupBy("dim").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    ).collect()
+    return {int(r["dim"]): (float(r["vmin"]), float(r["vmax"])) for r in rows}
+
+
+def sq8_audit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(dim, vmin, vmax, max_abs_err, bound, within_bound) per dimension.
+
+    ``bound`` is the half-step (vmax-vmin)/2/LEVELS; ``within_bound``
+    compares the measured max error against it — informative, not
+    assumed (float rounding can in principle exceed the real-number
+    bound by ulps, and the audit would show it).
+    """
+    stats = sq8_stats(df, vec_col)
+    dims = sorted(stats)
+    vmin_arr = F.array(*[F.lit(stats[d][0]) for d in dims])
+    span_arr = F.array(*[F.lit(stats[d][1] - stats[d][0]) for d in dims])
+
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    vmin = F.element_at(vmin_arr, F.col("dim") + 1)
+    span = F.element_at(span_arr, F.col("dim") + 1)
+    q = F.floor((F.col("x") - vmin) * SQ_LEVELS / span + F.lit(0.5))
+    xhat = F.when(span > 0, vmin + q * span / SQ_LEVELS).otherwise(vmin)
+    err = F.abs(F.col("x") - xhat)
+    agg = ex.groupBy("dim").agg(F.max(err).alias("mx"))
+    bound = F.element_at(span_arr, F.col("dim") + 1) / F.lit(2 * SQ_LEVELS)
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.element_at(vmin_arr, F.col("dim") + 1), 6).alias("vmin"),
+        F.round(
+            F.element_at(vmin_arr, F.col("dim") + 1)
+            + F.element_at(span_arr, F.col("dim") + 1),
+            6,
+        ).alias("vmax"),
+        F.round(F.col("mx"), 6).alias("max_abs_err"),
+        F.round(bound, 6).alias("bound"),
+        (F.col("mx") <= bound).alias("within_bound"),
+    )
+
+
+def sq8_audit_oracle(corpus_sql: str, vec_col: str = "embedding", dims: int = 64) -> str:
+    """Same two-phase arithmetic in DuckDB; the stats CTE plays the
+    role of the Spark side's collected literals (identical doubles —
+    min/max over identical floats is exact and order-free)."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+pos AS (SELECT unnest(range(0, {dims})) AS dim),
+ex AS (
+  SELECT p.dim, c.{vec_col}[p.dim + 1]::DOUBLE AS x
+  FROM corpus c, pos p
+),
+stats AS (
+  SELECT dim, min(x) AS vmin, max(x) - min(x) AS span
+  FROM ex GROUP BY dim
+),
+err AS (
+  SELECT e.dim,
+         abs(e.x - (CASE WHEN s.span > 0
+              THEN s.vmin + floor((e.x - s.vmin) * {SQ_LEVELS} / s.span + 0.5)
+                   * s.span / {SQ_LEVELS}
+              ELSE s.vmin END)) AS aerr,
+         s.vmin, s.span
+  FROM ex e JOIN stats s USING (dim)
+)
+SELECT dim::INT AS dim,
+       round(vmin, 6) AS vmin,
+       round(vmin + span, 6) AS vmax,
+       round(max(aerr), 6) AS max_abs_err,
+       round(span / {2 * SQ_LEVELS}, 6) AS bound,
+       (max(aerr) <= span / {2 * SQ_LEVELS}) AS within_bound
+FROM err
+GROUP BY dim, vmin, span
+"""

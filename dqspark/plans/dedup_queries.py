@@ -802,3 +802,31 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("bench_id"), "embedding"
     )
     return semantic_contamination(emb.where(~is_bench), bench)
+
+
+def _sq8_oracle() -> str:
+    import duckdb
+
+    from dqspark.operators.quantize import sq8_audit_oracle
+    from dqspark.plans.local_oracle import oracle_sf_dir
+
+    sf = oracle_sf_dir()
+    d = duckdb.sql(
+        f"SELECT len(embedding) FROM '{sf}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    return sq8_audit_oracle(
+        "SELECT vec_id, embedding FROM embeddings", dims=int(d)
+    )
+
+
+@register("embedding_sq8_audit", _sq8_oracle)
+def q_embedding_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, vmin, vmax, max_abs_err, bound, within_bound) — the SQ8
+    int8-storage reconstruction audit for the embedding column
+    (operators/quantize.py): measured max dequantization error per
+    dimension vs the half-step bound, the check run before switching
+    the ANN index to 1-byte codes."""
+    from dqspark.operators.quantize import sq8_audit
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sq8_audit(emb)

@@ -1,0 +1,49 @@
+"""SQ8 embedding quantization audit (operators/quantize.py)."""
+
+from __future__ import annotations
+
+import math
+
+from dqspark.operators.quantize import SQ_LEVELS, sq8_audit, sq8_stats
+
+
+def _frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_sq8_stats_and_bound_closed_form(spark):
+    # dim0 spans [0, 2]; dim1 constant (zero span); dim2 spans [-1, 1]
+    df = _frame(spark, [[0.0, 5.0, -1.0], [2.0, 5.0, 1.0], [1.0, 5.0, 0.25]])
+    stats = sq8_stats(df)
+    assert stats[0] == (0.0, 2.0) and stats[1] == (5.0, 5.0)
+    rows = {r.dim: r for r in sq8_audit(df).collect()}
+    assert rows[0].bound == round(2.0 / (2 * SQ_LEVELS), 6)
+    assert rows[1].max_abs_err == 0.0 and rows[1].within_bound
+    for r in rows.values():
+        assert r.within_bound
+        assert r.max_abs_err <= r.bound + 1e-12
+
+
+def test_sq8_grid_points_reconstruct_exactly(spark):
+    # values ON the code grid: x = vmin + k * span/255 -> error ~ 0
+    span, vmin = 255.0, -10.0  # step = exactly 1.0 (representable)
+    vecs = [[vmin + float(k)] for k in (0, 1, 100, 254, 255)]
+    df = _frame(spark, vecs)
+    (r,) = sq8_audit(df).collect()
+    assert r.max_abs_err == 0.0 and r.within_bound
+
+
+def test_sq8_audit_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-3, 3) for _ in range(8)] for _ in range(200)]
+    df = _frame(spark, vecs)
+    a = sorted(map(tuple, sq8_audit(df).collect()))
+    b = sorted(map(tuple, sq8_audit(df.repartition(17)).collect()))
+    assert a == b
+    assert all(t[-1] for t in a)  # all dims within the half-step bound
+    assert not any(math.isnan(t[3]) for t in a)
