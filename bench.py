@@ -216,6 +216,7 @@ def main() -> None:
             "span_corruption",
             "quality_calibration",
             "embedding_sq8_audit",
+            "ul2_denoisers",
         )
         if q in driver_queries.QUERIES
     ]

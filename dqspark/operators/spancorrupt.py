@@ -50,19 +50,18 @@ def _h(key: Column, tag: str, b: Column, salt: str) -> Column:
     )
 
 
-def span_corrupt(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def sc_exprs(
+    key: Column,
+    text: Column,
     block: int = SC_BLOCK,
     rate: float = SC_RATE,
     lmin: int = SC_LMIN,
     lmax: int = SC_LMAX,
     salt: str = "spancorrupt",
-) -> DataFrame:
-    """(doc_id, n_spans, corrupt_chars, input_text, target_text)."""
-    key = F.col(id_col)
-    text = F.coalesce(F.col(text_col), F.lit(""))
+) -> dict[str, Column]:
+    """The four span-corruption output expressions over (key, text) —
+    reused by span_corrupt and the UL2 mixture-of-denoisers.  ``text``
+    must already be null-coalesced."""
     n = F.length(text)
     nb = F.floor((n + block - 1) / block).cast("int")
     seq = F.when(n > 0, F.sequence(F.lit(0), nb - 1)).otherwise(
@@ -114,19 +113,18 @@ def span_corrupt(
         F.lit(0).cast("long"),
         lambda a, x: a + x.cast("long"),
     )
-    return df.select(
-        key.alias(id_col),
-        n_spans.alias("n_spans"),
-        corrupt_chars.cast("long").alias("corrupt_chars"),
-        F.array_join(F.transform(seq, input_piece), "").alias("input_text"),
-        F.concat(
+    return {
+        "n_spans": n_spans,
+        "corrupt_chars": corrupt_chars.cast("long"),
+        "input_text": F.array_join(F.transform(seq, input_piece), ""),
+        "target_text": F.concat(
             F.array_join(F.transform(seq, target_piece), ""), sent(n_spans)
-        ).alias("target_text"),
-    )
+        ),
+    }
 
 
-def span_corrupt_oracle(
-    corpus_sql: str,
+def span_corrupt(
+    df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     block: int = SC_BLOCK,
@@ -134,8 +132,31 @@ def span_corrupt_oracle(
     lmin: int = SC_LMIN,
     lmax: int = SC_LMAX,
     salt: str = "spancorrupt",
-) -> str:
-    """Identical hash/substr arithmetic in DuckDB."""
+) -> DataFrame:
+    """(doc_id, n_spans, corrupt_chars, input_text, target_text)."""
+    key = F.col(id_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    e = sc_exprs(key, text, block, rate, lmin, lmax, salt)
+    return df.select(
+        key.alias(id_col),
+        e["n_spans"].alias("n_spans"),
+        e["corrupt_chars"].alias("corrupt_chars"),
+        e["input_text"].alias("input_text"),
+        e["target_text"].alias("target_text"),
+    )
+
+
+def sc_expr_sqls(
+    id_col: str = "doc_id",
+    block: int = SC_BLOCK,
+    rate: float = SC_RATE,
+    lmin: int = SC_LMIN,
+    lmax: int = SC_LMAX,
+    salt: str = "spancorrupt",
+) -> dict[str, str]:
+    """The four output expressions as DuckDB SQL over columns
+    ``txt`` (coalesced text), ``n`` (length), ``nb`` (block count) —
+    the oracle mirror of :func:`sc_exprs`."""
     thr = int(round(rate * BUCKETS))
 
     def h(tag: str, b: str) -> str:
@@ -173,6 +194,33 @@ def span_corrupt_oracle(
         f"coalesce(list_sum(list_transform(range(0, nb), "
         f"b -> CASE WHEN {flag('b')} THEN {span_len('b')} ELSE 0 END)), 0)"
     )
+    input_text = (
+        f"array_to_string(list_transform(range(0, nb), b -> {input_piece}), '')"
+    )
+    target_text = (
+        f"array_to_string(list_transform(range(0, nb), b -> {target_piece}), '')"
+        f" || '<extra_id_' || ({n_spans})::VARCHAR || '>'"
+    )
+    return {
+        "n_spans": n_spans,
+        "corrupt_chars": corrupt,
+        "input_text": input_text,
+        "target_text": target_text,
+    }
+
+
+def span_corrupt_oracle(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = SC_BLOCK,
+    rate: float = SC_RATE,
+    lmin: int = SC_LMIN,
+    lmax: int = SC_LMAX,
+    salt: str = "spancorrupt",
+) -> str:
+    """Identical hash/substr arithmetic in DuckDB."""
+    e = sc_expr_sqls(id_col, block, rate, lmin, lmax, salt)
     return f"""
 WITH corpus AS ({corpus_sql}),
 base AS (
@@ -183,11 +231,129 @@ base AS (
   FROM corpus
 )
 SELECT {id_col},
-       ({n_spans})::INT AS n_spans,
-       ({corrupt})::BIGINT AS corrupt_chars,
-       array_to_string(list_transform(range(0, nb), b -> {input_piece}), '')
-         AS input_text,
-       array_to_string(list_transform(range(0, nb), b -> {target_piece}), '')
-         || '<extra_id_' || ({n_spans})::VARCHAR || '>' AS target_text
+       ({e["n_spans"]})::INT AS n_spans,
+       ({e["corrupt_chars"]})::BIGINT AS corrupt_chars,
+       {e["input_text"]} AS input_text,
+       {e["target_text"]} AS target_text
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# UL2 mixture of denoisers
+# ---------------------------------------------------------------------------
+
+# (rate, lmin, lmax) per corruption denoiser — R is T5-regular, X is
+# UL2's extreme denoising (every block corrupted, long spans); both
+# share SC_BLOCK so one block count serves both.
+UL2_R = (SC_RATE, SC_LMIN, SC_LMAX)
+UL2_X = (1.0, 24, 48)
+UL2_S_DEN = 4  # S-denoiser keeps the leading (den-1)/den prefix
+
+
+def ul2_denoisers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "ul2",
+) -> DataFrame:
+    """(doc_id, denoiser, n_spans, corrupt_chars, input_text,
+    target_text) — the UL2 mixture of denoisers (Tay et al. 2022,
+    "UL2: Unifying Language Learning Paradigms"): each document is
+    deterministically assigned one of
+
+    - **R** — T5-regular span corruption (rate 0.85, spans 3-18 chars),
+    - **X** — extreme denoising (every block corrupted, spans 24-48),
+    - **S** — sequential / prefix-LM denoising: the trailing quarter is
+      the single dropped span (``cut = n*3 div 4``, exact integers),
+
+    by a salted md5 of the row key (same retry/repartition-determinism
+    argument as FIM and span_corrupt).  ONE pass, one projection: the
+    three denoisers are branches of a CASE over shared expressions —
+    no per-mode scan, no shuffle."""
+    key = F.col(id_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(text)
+    mode = (
+        md5_long(F.concat_ws("|", F.lit(salt), F.lit("mode"), key.cast("string")))
+        % 3
+    )
+    r = sc_exprs(key, text, SC_BLOCK, *UL2_R, salt=salt + "|R")
+    x = sc_exprs(key, text, SC_BLOCK, *UL2_X, salt=salt + "|X")
+    cut = F.expr(f"(length(coalesce({text_col}, '')) * {UL2_S_DEN - 1}) div {UL2_S_DEN}")
+    s = {
+        "n_spans": F.when(n > cut, F.lit(1)).otherwise(F.lit(0)),
+        "corrupt_chars": (n - cut).cast("long"),
+        "input_text": F.concat(text.substr(F.lit(1), cut), F.lit("<extra_id_0>")),
+        "target_text": F.concat(
+            F.lit("<extra_id_0>"), text.substr(cut + 1, n - cut), F.lit("<extra_id_1>")
+        ),
+    }
+
+    def pick(col: str) -> Column:
+        return (
+            F.when(mode == 0, r[col])
+            .when(mode == 1, x[col])
+            .otherwise(s[col])
+        )
+
+    return df.select(
+        key.alias(id_col),
+        F.when(mode == 0, F.lit("R"))
+        .when(mode == 1, F.lit("X"))
+        .otherwise(F.lit("S"))
+        .alias("denoiser"),
+        pick("n_spans").cast("int").alias("n_spans"),
+        pick("corrupt_chars").cast("long").alias("corrupt_chars"),
+        pick("input_text").alias("input_text"),
+        pick("target_text").alias("target_text"),
+    )
+
+
+def ul2_oracle(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "ul2",
+) -> str:
+    """Same mode hash + per-denoiser expressions in DuckDB."""
+    r = sc_expr_sqls(id_col, SC_BLOCK, *UL2_R, salt=salt + "|R")
+    x = sc_expr_sqls(id_col, SC_BLOCK, *UL2_X, salt=salt + "|X")
+    cut = f"((n * {UL2_S_DEN - 1}) // {UL2_S_DEN})"
+    s = {
+        "n_spans": f"(CASE WHEN n > {cut} THEN 1 ELSE 0 END)",
+        "corrupt_chars": f"(n - {cut})",
+        "input_text": f"substr(txt, 1, {cut}) || '<extra_id_0>'",
+        "target_text": (
+            f"'<extra_id_0>' || substr(txt, {cut} + 1, n - {cut})"
+            f" || '<extra_id_1>'"
+        ),
+    }
+
+    def pick(col: str) -> str:
+        return (
+            f"CASE WHEN md % 3 = 0 THEN ({r[col]}) "
+            f"WHEN md % 3 = 1 THEN ({x[col]}) "
+            f"ELSE ({s[col]}) END"
+        )
+
+    md = md5_long_oracle(f"'{salt}|mode|' || {id_col}::VARCHAR")
+    return f"""
+WITH corpus AS ({corpus_sql}),
+base AS (
+  SELECT {id_col}, coalesce({text_col}, '') AS txt,
+         length(coalesce({text_col}, '')) AS n,
+         ((length(coalesce({text_col}, '')) + {SC_BLOCK} - 1) // {SC_BLOCK})::INT
+           AS nb,
+         ({md}) AS md
+  FROM corpus
+)
+SELECT {id_col},
+       (CASE WHEN md % 3 = 0 THEN 'R'
+             WHEN md % 3 = 1 THEN 'X' ELSE 'S' END) AS denoiser,
+       ({pick("n_spans")})::INT AS n_spans,
+       ({pick("corrupt_chars")})::BIGINT AS corrupt_chars,
+       ({pick("input_text")}) AS input_text,
+       ({pick("target_text")}) AS target_text
 FROM base
 """

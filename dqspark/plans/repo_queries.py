@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from dqspark.operators.deporder import dep_order, dep_order_oracle
 from dqspark.operators.fim import fim_transform, fim_transform_oracle
-from dqspark.operators.spancorrupt import span_corrupt, span_corrupt_oracle
+from dqspark.operators.spancorrupt import (
+    span_corrupt,
+    span_corrupt_oracle,
+    ul2_denoisers,
+    ul2_oracle,
+)
 from dqspark.operators.repocontext import repo_context, repo_context_oracle
 from dqspark.operators.repolicense import repo_license, repo_license_oracle
 from dqspark.operators.repodedup import (
@@ -183,6 +188,15 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic T5 span-corruption denoising pairs over documents."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return span_corrupt(docs)
+
+
+@register("ul2_denoisers", ul2_oracle(_DOCS_SQL))
+def q_ul2_denoisers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, denoiser, n_spans, corrupt_chars, input_text,
+    target_text) — UL2 R/X/S mixture of denoisers, one CASE-branched
+    projection pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ul2_denoisers(docs)
 
 
 @register(

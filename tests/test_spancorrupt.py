@@ -98,3 +98,42 @@ def test_span_corrupt_cross_engine_multibyte(spark):
         for r in con.sql(sql).fetchall()
     }
     assert got == want
+
+
+def test_ul2_mode_assignment_and_semantics(spark):
+    from dqspark.operators.spancorrupt import ul2_denoisers
+
+    rows = [(i, f"doc number {i} with some body text " * 12) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ul2_denoisers(df).collect()}
+    modes = {r.denoiser for r in out.values()}
+    assert modes == {"R", "X", "S"}  # all three denoisers hit at n=90
+    texts = dict(rows)
+    for r in out.values():
+        t = texts[r.doc_id]
+        if r.denoiser == "S":
+            cut = len(t) * 3 // 4
+            assert r.input_text == t[:cut] + "<extra_id_0>"
+            assert r.target_text == "<extra_id_0>" + t[cut:] + "<extra_id_1>"
+            assert r.n_spans == 1 and r.corrupt_chars == len(t) - cut
+        else:
+            # R/X rows reconstruct through the sentinel splice
+            assert _reconstruct(r.input_text, r.target_text, r.n_spans) == t
+        if r.denoiser == "X":
+            # extreme denoising: every block corrupted, long spans
+            assert r.corrupt_chars >= r.n_spans * 3
+
+
+def test_ul2_deterministic_and_x_heavier_than_r(spark):
+    from dqspark.operators.spancorrupt import ul2_denoisers
+
+    rows = [(i, "content " * 100) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: tuple(r) for r in ul2_denoisers(df).collect()}
+    b = {r.doc_id: tuple(r) for r in ul2_denoisers(df.repartition(7)).collect()}
+    assert a == b
+    by_mode: dict[str, list[int]] = {}
+    for r in ul2_denoisers(df).collect():
+        by_mode.setdefault(r.denoiser, []).append(r.corrupt_chars)
+    # identical text everywhere: X must corrupt strictly more than R
+    assert min(by_mode["X"]) > max(by_mode["R"])
