@@ -217,6 +217,7 @@ def main() -> None:
             "quality_calibration",
             "embedding_sq8_audit",
             "ul2_denoisers",
+            "range_join_events",
         )
         if q in driver_queries.QUERIES
     ]

@@ -214,3 +214,80 @@ SELECT {keys}, session_id,
          AS duration_us
 FROM m GROUP BY {keys}, session_id
 """
+
+
+# ---------------------------------------------------------------------------
+# bucketed range join (point-in-interval)
+# ---------------------------------------------------------------------------
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_us: int = 300_000_000,
+) -> DataFrame:
+    """Inner join of point events onto enclosing [start, end] intervals
+    — the range join Spark has no native operator for.  A naive
+    ``ON p.ts BETWEEN i.start AND i.end`` plans as BroadcastNestedLoop
+    (or a cartesian product with keys), O(|points|×|intervals|) pair
+    work per key.
+
+    Bucketed construction instead: timestamps quantize to
+    ``bucket_us``-wide integer bins; each interval EXPLODES into the
+    bins it covers (fan-out = interval length / bucket, a bounded
+    constant when ``bucket_us`` matches the typical interval), each
+    point has exactly ONE bin — so the equi-join on (keys…, bin) finds
+    every containing interval exactly once (no dedup pass), and the
+    exact BETWEEN predicate filters bin-mates outside the interval.
+    One hash shuffle each side, join fan-in bounded by bin population —
+    the standard interval-join shape (cf. Spark's Structured Streaming
+    interval joins and Flink's window joins, built from the same
+    binning idea).
+    """
+    p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    pb = points.withColumn("_us", p_us).withColumn(
+        "_b", F.expr(f"_us div {bucket_us}")
+    )
+    ib = (
+        intervals.withColumn("_s", s_us)
+        .withColumn("_e", e_us)
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_s div {bucket_us}"), F.expr(f"_e div {bucket_us}")
+                )
+            ),
+        )
+    )
+    return (
+        pb.join(ib, [*keys, "_b"], "inner")
+        .where((F.col("_us") >= F.col("_s")) & (F.col("_us") <= F.col("_e")))
+        .drop("_us", "_b", "_s", "_e")
+    )
+
+
+def range_join_oracle(
+    points_sql: str,
+    intervals_sql: str,
+    keys: list[str],
+    select: str,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> str:
+    """The declarative BETWEEN join — fine at oracle scale; the point
+    of :func:`range_join` is avoiding this plan at corpus scale."""
+    on = " AND ".join(f"p.{k} = i.{k}" for k in keys)
+    return f"""
+WITH p AS ({points_sql}), i AS ({intervals_sql})
+SELECT {select}
+FROM p JOIN i ON {on}
+  AND p.{ts_col} >= i.{start_col} AND p.{ts_col} <= i.{end_col}
+"""

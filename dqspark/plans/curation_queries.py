@@ -40,6 +40,8 @@ from dqspark.operators.drift import profile_drift, profile_drift_oracle
 from dqspark.operators.eventjoins import (
     as_of_join,
     as_of_join_oracle,
+    range_join,
+    range_join_oracle,
     sessionize,
     sessionize_oracle,
 )
@@ -280,6 +282,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     return as_of_join(left, right, ["user_id"], tiebreak_col="event_id")
+
+
+_RJ_POINTS_SQL = "SELECT user_id, ts, event_id, event_type FROM events"
+_RJ_INTERVALS_SQL = (
+    "SELECT event_id AS interval_id, user_id, ts AS start_ts, "
+    "ts + INTERVAL 5 MINUTE AS end_ts FROM events "
+    "WHERE event_type = 'error'"
+)
+
+
+@register(
+    "range_join_events",
+    range_join_oracle(
+        _RJ_POINTS_SQL,
+        _RJ_INTERVALS_SQL,
+        ["user_id"],
+        select="i.interval_id, p.event_id, p.event_type",
+    ),
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event that falls inside a 5-minute window opened by an
+    error event of the same user — the point-in-interval range join,
+    bucketed so the plan is an equi hash join (no BNLJ/cartesian,
+    plan-asserted in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("user_id", "ts", "event_id", "event_type")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 5 MINUTES")).alias(
+            "end_ts"
+        ),
+    )
+    return range_join(points, intervals, ["user_id"]).select(
+        "interval_id", "event_id", "event_type"
+    )
 
 
 _SESSION_GAP_US = 3_600_000_000

@@ -91,3 +91,62 @@ def test_asof_right_ts_ties_resolved_by_tiebreak(spark):
         left, right, ["user_id"], tiebreak_col="event_id"
     ).collect()[0]
     assert (row.r_event_id, row.r_value) == (905, 7.0)
+
+
+def test_range_join_exact_containment_and_fanout(spark):
+    from datetime import datetime
+
+    from dqspark.operators.eventjoins import range_join
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return datetime(2026, 1, 1, 12, 0, 0).replace(
+            minute=sec // 60, second=sec % 60
+        )
+
+    points = spark.createDataFrame(
+        [
+            (1, at(0), 100),     # on interval start -> inclusive
+            (1, at(299), 101),   # 1s before end (interval [0, 300])
+            (1, at(300), 102),   # exactly end -> inclusive
+            (1, at(301), 103),   # outside
+            (2, at(150), 104),   # other key: no interval
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    intervals = spark.createDataFrame(
+        [(7, 1, t0, at(300))],
+        "interval_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    # tiny bucket (60s) forces the interval to explode into 6 bins —
+    # each matching point must still appear EXACTLY once
+    got = sorted(
+        r.event_id
+        for r in range_join(
+            points, intervals, ["user_id"], bucket_us=60_000_000
+        ).collect()
+    )
+    assert got == [100, 101, 102]
+
+
+def test_range_join_plan_is_equi_join_not_bnlj(spark):
+    from datetime import datetime
+
+    from dqspark.operators.eventjoins import range_join
+
+    t = datetime(2026, 1, 1)
+    points = spark.createDataFrame(
+        [(1, t, 1)], "user_id long, ts timestamp, event_id long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 1, t, t)],
+        "interval_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    plan = (
+        range_join(points, intervals, ["user_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
