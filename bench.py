@@ -218,6 +218,7 @@ def main() -> None:
             "embedding_sq8_audit",
             "ul2_denoisers",
             "range_join_events",
+            "cdc_apply",
         )
         if q in driver_queries.QUERIES
     ]

@@ -124,3 +124,98 @@ SELECT {coal},
        o.old_sha, n.new_sha
 FROM o FULL OUTER JOIN n ON {on}
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (upsert/merge)
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply an I/U/D changelog onto a base snapshot — the Delta/Hudi/
+    Iceberg merge primitive, the write side of incremental corpus
+    maintenance (snapshot_delta is the read side).
+
+    ``changelog`` rows carry ``op`` ∈ ('I','U','D') and a monotonically
+    increasing ``seq`` per key (commit order); ``base`` rows are
+    implicit seq-0 upserts.  The winner per key is the row with the
+    highest (seq, is_change) — a single struct-max groupBy (map-side
+    combined, ONE hash shuffle of narrow structs), after which 'D'
+    winners drop out.  No join, no window over corpus-wide
+    partitions, no driver state: the exact shape Delta Lake's
+    "latest-by-version" compaction and Hudi's COW merge reduce to.
+
+    Payload columns must match between base and changelog (enforced by
+    unionByName).  Ties on seq break toward the changelog side, then
+    arbitrary-but-deterministic by op string (descending struct order)
+    — give real changelogs unique seqs per key.
+    """
+    payload = [c for c in base.columns if c not in key_cols]
+    b = base.select(
+        *key_cols,
+        F.lit(0).cast("long").alias(seq_col),
+        F.lit("I").alias(op_col),
+        F.struct(*payload).alias("_p"),
+    )
+    c = changelog.select(
+        *key_cols,
+        F.col(seq_col).cast("long").alias(seq_col),
+        F.col(op_col),
+        F.struct(*payload).alias("_p"),
+    )
+    merged = (
+        b.unionByName(c)
+        .groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.struct(F.col(seq_col), F.col(op_col), F.col("_p"))
+            ).alias("_w")
+        )
+    )
+    alive = merged.where(F.col(f"_w.{op_col}") != "D")
+    return alive.select(
+        *key_cols, *[F.col(f"_w._p.{p}").alias(p) for p in payload]
+    )
+
+
+def cdc_apply_oracle(
+    base_sql: str,
+    changelog_sql: str,
+    key_cols: list[str],
+    payload_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> str:
+    """Same latest-wins semantics via a rank window (oracle scale).
+    The ORDER BY mirrors Spark's full struct comparison INCLUDING the
+    payload fields (DESC NULLS LAST ≡ null-smallest in a max), so even
+    degenerate changelogs with duplicate (key, seq, op) rows rank
+    identically in both engines."""
+    keys = ", ".join(key_cols)
+    pay = ", ".join(payload_cols)
+    pay_tiebreak = ", ".join(f"{p} DESC NULLS LAST" for p in payload_cols)
+    return f"""
+WITH b AS (
+  SELECT {keys}, 0::BIGINT AS {seq_col}, 'I' AS {op_col}, {pay}
+  FROM ({base_sql})
+),
+c AS (
+  SELECT {keys}, {seq_col}::BIGINT AS {seq_col}, {op_col}, {pay}
+  FROM ({changelog_sql})
+),
+u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {keys}
+    ORDER BY {seq_col} DESC, {op_col} DESC, {pay_tiebreak}
+  ) AS rn
+  FROM u
+)
+SELECT {keys}, {pay} FROM r WHERE rn = 1 AND {op_col} != 'D'
+"""

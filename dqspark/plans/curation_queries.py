@@ -31,6 +31,8 @@ from dqspark.operators.cms import (
 from dqspark.operators.complexity import code_complexity, code_complexity_oracle
 from dqspark.operators.compression import compression_signal, compression_values
 from dqspark.operators.delta import (
+    cdc_apply,
+    cdc_apply_oracle,
     delta_rollup,
     delta_rollup_oracle,
     snapshot_delta,
@@ -130,6 +132,74 @@ def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return snapshot_delta(old, new, ["doc_id"])
+
+
+# --- CDC changelog apply ------------------------------------------------------
+
+_CDC_BASE_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+_CDC_LOG_SQL = """
+SELECT doc_id, 1 AS seq, 'U' AS op, text || ' [rev2]' AS text,
+       lang, source, n_chars
+FROM documents WHERE doc_id % 7 = 1
+UNION ALL
+SELECT doc_id, 2 AS seq, 'D' AS op, text, lang, source, n_chars
+FROM documents WHERE doc_id % 13 = 2
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 1 AS seq, 'I' AS op,
+       'inserted ' || doc_id::VARCHAR AS text,
+       lang, source, 0::BIGINT AS n_chars
+FROM documents WHERE doc_id % 17 = 3
+"""
+
+
+@register(
+    "cdc_apply",
+    cdc_apply_oracle(
+        _CDC_BASE_SQL,
+        _CDC_LOG_SQL,
+        ["doc_id"],
+        ["text", "lang", "source", "n_chars"],
+    ),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an I/U/D changelog (updates on doc_id%7=1, deletes on
+    %13=2 — including update-then-delete keys — inserts above 10^6)
+    onto the documents snapshot: latest-wins struct-max merge, one
+    narrow shuffle (operators/delta.py ``cdc_apply``)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    upd = docs.where(F.col("doc_id") % 7 == 1).select(
+        "doc_id",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dele = docs.where(F.col("doc_id") % 13 == 2).select(
+        "doc_id",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    ins = docs.where(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("inserted "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(docs, log, ["doc_id"])
 
 
 # --- deterministic training shards -------------------------------------------

@@ -247,3 +247,37 @@ def test_shard_manifest_detects_tamper_and_key_swap(spark):
     df3 = spark.createDataFrame(swapped, "doc_id long, text string")
     m3 = {r.shard: r for r in shard_manifest(df3).collect()}
     assert any(base[s] != m3[s].content_xor for s in base)
+
+
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    from dqspark.operators.delta import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", "one-v2"),
+            (1, 2, "U", "one-v3"),   # latest wins
+            (2, 1, "D", "ignored"),  # delete
+            (3, 1, "U", "three-v2"),
+            (3, 2, "D", "x"),        # update then delete -> gone
+            (9, 1, "I", "nine"),     # insert
+        ],
+        "k long, seq long, op string, v string",
+    )
+    got = {r.k: r.v for r in cdc_apply(base, log, ["k"]).collect()}
+    assert got == {1: "one-v3", 9: "nine"}
+
+
+def test_cdc_apply_base_survives_and_plan_single_shuffle(spark):
+    from dqspark.operators.delta import cdc_apply
+
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k long, v string")
+    log = spark.createDataFrame([], "k long, seq long, op string, v string")
+    out = cdc_apply(base, log, ["k"])
+    # plan BEFORE the action (AQE's post-run string repeats stage nodes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one hash shuffle, no join/window
+    assert "Join" not in plan and "Window" not in plan
+    assert {r.k: r.v for r in out.collect()} == {i: f"v{i}" for i in range(50)}
