@@ -152,20 +152,23 @@ def cdc_apply(
     "latest-by-version" compaction and Hudi's COW merge reduce to.
 
     Payload columns must match between base and changelog (enforced by
-    unionByName).  Ties on seq break toward the changelog side, then
-    arbitrary-but-deterministic by op string (descending struct order)
-    — give real changelogs unique seqs per key.
+    unionByName).  Ties on seq break toward the changelog side via an
+    explicit is_change struct field (so a seq-0 delete DOES override
+    the base row), then deterministically by op string and payload —
+    give real changelogs unique seqs per key.
     """
     payload = [c for c in base.columns if c not in key_cols]
     b = base.select(
         *key_cols,
         F.lit(0).cast("long").alias(seq_col),
+        F.lit(0).alias("_chg"),
         F.lit("I").alias(op_col),
         F.struct(*payload).alias("_p"),
     )
     c = changelog.select(
         *key_cols,
         F.col(seq_col).cast("long").alias(seq_col),
+        F.lit(1).alias("_chg"),
         F.col(op_col),
         F.struct(*payload).alias("_p"),
     )
@@ -174,7 +177,9 @@ def cdc_apply(
         .groupBy(*key_cols)
         .agg(
             F.max(
-                F.struct(F.col(seq_col), F.col(op_col), F.col("_p"))
+                F.struct(
+                    F.col(seq_col), F.col("_chg"), F.col(op_col), F.col("_p")
+                )
             ).alias("_w")
         )
     )
@@ -202,18 +207,18 @@ def cdc_apply_oracle(
     pay_tiebreak = ", ".join(f"{p} DESC NULLS LAST" for p in payload_cols)
     return f"""
 WITH b AS (
-  SELECT {keys}, 0::BIGINT AS {seq_col}, 'I' AS {op_col}, {pay}
+  SELECT {keys}, 0::BIGINT AS {seq_col}, 0 AS chg, 'I' AS {op_col}, {pay}
   FROM ({base_sql})
 ),
 c AS (
-  SELECT {keys}, {seq_col}::BIGINT AS {seq_col}, {op_col}, {pay}
+  SELECT {keys}, {seq_col}::BIGINT AS {seq_col}, 1 AS chg, {op_col}, {pay}
   FROM ({changelog_sql})
 ),
 u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
 r AS (
   SELECT *, row_number() OVER (
     PARTITION BY {keys}
-    ORDER BY {seq_col} DESC, {op_col} DESC, {pay_tiebreak}
+    ORDER BY {seq_col} DESC, chg DESC, {op_col} DESC, {pay_tiebreak}
   ) AS rn
   FROM u
 )

@@ -36,6 +36,21 @@ from dqspark.operators.dedup import md5_long, md5_long_oracle
 from dqspark.operators.ranking import ranged_row_number
 
 
+def shuffle_order_key(key, salt: str):
+    """The canonical shuffle order hash — ONE definition shared by
+    training_shard and shard_manifest (the manifest validates the
+    shards training_shard produced, so the two constructions must
+    never diverge)."""
+    return md5_long(
+        F.concat_ws("|", F.lit("shuffle"), F.lit(salt), key.cast("string"))
+    )
+
+
+def shuffle_order_key_oracle(key_col: str, salt: str) -> str:
+    """DuckDB mirror of :func:`shuffle_order_key`."""
+    return md5_long_oracle(f"'shuffle|{salt}|' || {key_col}::VARCHAR")
+
+
 def training_shard(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -46,9 +61,7 @@ def training_shard(
     shuffle-shard assignment, reproducible from (key, salt) alone."""
     keyed = df.select(
         F.col(key_col),
-        md5_long(
-            F.concat_ws("|", F.lit("shuffle"), F.lit(salt), F.col(key_col).cast("string"))
-        ).alias("_ord"),
+        shuffle_order_key(F.col(key_col), salt).alias("_ord"),
     )
     ranked = ranged_row_number(keyed, ["_ord", key_col], out_col="position")
     return ranked.select(
@@ -69,7 +82,7 @@ def training_shard_oracle(
     """Same hash → same total order; DuckDB ranks with a window (fine
     at oracle scale — the point of ranged_row_number is avoiding this
     exact plan at corpus scale)."""
-    h = md5_long_oracle(f"'shuffle|{salt}|' || {key_col}::VARCHAR")
+    h = shuffle_order_key_oracle(key_col, salt)
     return f"""
 WITH corpus AS ({corpus_sql}),
 ranked AS (
@@ -110,11 +123,7 @@ def shard_manifest(
     """
     keyed = df.select(
         F.col(key_col),
-        md5_long(
-            F.concat_ws(
-                "|", F.lit("shuffle"), F.lit(salt), F.col(key_col).cast("string")
-            )
-        ).alias("_ord"),
+        shuffle_order_key(F.col(key_col), salt).alias("_ord"),
         F.coalesce(F.length(content_col), F.lit(0)).cast("long").alias("_len"),
         md5_long(
             F.concat_ws(
@@ -150,7 +159,7 @@ def shard_manifest_oracle(
     salt: str = "epoch0",
 ) -> str:
     """Same order hash, same row fingerprint, same rollup in DuckDB."""
-    h = md5_long_oracle(f"'shuffle|{salt}|' || {key_col}::VARCHAR")
+    h = shuffle_order_key_oracle(key_col, salt)
     rowh = md5_long_oracle(
         f"{key_col}::VARCHAR || '|' || coalesce({content_col}, '')"
     )

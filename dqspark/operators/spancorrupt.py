@@ -280,7 +280,9 @@ def ul2_denoisers(
     )
     r = sc_exprs(key, text, SC_BLOCK, *UL2_R, salt=salt + "|R")
     x = sc_exprs(key, text, SC_BLOCK, *UL2_X, salt=salt + "|X")
-    cut = F.expr(f"(length(coalesce({text_col}, '')) * {UL2_S_DEN - 1}) div {UL2_S_DEN}")
+    # n*(den-1)/den with den a power of two: the double division is
+    # exact (n*3 < 2^33 << 2^53), so floor ≡ integer div in both engines
+    cut = F.floor(n.cast("long") * (UL2_S_DEN - 1) / UL2_S_DEN).cast("long")
     s = {
         "n_spans": F.when(n > cut, F.lit(1)).otherwise(F.lit(0)),
         "corrupt_chars": (n - cut).cast("long"),

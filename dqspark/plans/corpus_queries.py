@@ -635,8 +635,9 @@ SELECT d.lang,
        count(*) AS n_docs,
        sum(t.n_chars)::BIGINT AS total_chars,
        sum(t.n_tokens)::BIGINT AS total_tokens,
-       round(sum(t.n_chars)::DOUBLE / sum(t.n_tokens), 4)::DOUBLE
-         AS chars_per_token
+       (CASE WHEN sum(t.n_tokens) > 0
+             THEN round(sum(t.n_chars)::DOUBLE / sum(t.n_tokens), 4)
+             ELSE 0.0 END)::DOUBLE AS chars_per_token
 FROM {values}
 JOIN documents d USING (doc_id)
 GROUP BY 1

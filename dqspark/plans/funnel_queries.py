@@ -42,13 +42,14 @@ from dqspark.operators.contamination import (
     benchmark_contamination,
     benchmark_contamination_oracle,
 )
-from dqspark.operators.dedup import exact_dedup, md5_long, md5_long_oracle
+from dqspark.operators.dedup import exact_dedup, md5_long_oracle
+from dqspark.operators.sampling import BUCKETS, sample_bucket
 from dqspark.plans.corpus_queries import _BENCH_SQL
 from dqspark.plans.driver_queries import register
 from dqspark.sources.catalog import load_table
 
 _MIN_LEN = 40
-_SAMPLE_MOD, _SAMPLE_KEEP = 100, 50
+_SAMPLE_KEEP_BUCKETS = BUCKETS // 2  # deterministic 50% keep
 _SALT = "funnel"
 
 _STAGES = ["length_lang_gate", "exact_dedup", "decontamination", "sample"]
@@ -58,7 +59,11 @@ def _funnel_oracle() -> str:
     contam = benchmark_contamination_oracle(
         "SELECT doc_id, text FROM s2", _BENCH_SQL
     )
-    keep_hash = md5_long_oracle(f"'{_SALT}|' || doc_id::VARCHAR")
+    # same construction as stratified_sample_oracle_predicate (the
+    # repo-wide sampler convention: salt|key md5 bucket in [0, BUCKETS))
+    keep_hash = md5_long_oracle(
+        f"concat_ws('|', '{_SALT}', CAST(doc_id AS VARCHAR))"
+    )
     return f"""
 WITH s0 AS (SELECT doc_id, text, lang FROM documents),
 s1 AS (
@@ -79,7 +84,8 @@ s3 AS (
   WHERE NOT contam.contaminated
 ),
 s4 AS (
-  SELECT * FROM s3 WHERE ({keep_hash}) % {_SAMPLE_MOD} < {_SAMPLE_KEEP}
+  SELECT * FROM s3
+  WHERE ({keep_hash}) % {BUCKETS} < {_SAMPLE_KEEP_BUCKETS}
 ),
 funnel AS (
           SELECT 1 AS stage_no, '{_STAGES[0]}' AS stage,
@@ -121,13 +127,7 @@ def curation_funnel_stages(docs: DataFrame) -> list[DataFrame]:
         "doc_id",
         "left_semi",
     )
-    s4 = s3.where(
-        md5_long(
-            F.concat_ws("|", F.lit(_SALT), F.col("doc_id").cast("string"))
-        )
-        % _SAMPLE_MOD
-        < _SAMPLE_KEEP
-    )
+    s4 = s3.where(sample_bucket(F.col("doc_id"), _SALT) < _SAMPLE_KEEP_BUCKETS)
     return [s1, s2, s3, s4]
 
 

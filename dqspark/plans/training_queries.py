@@ -1,7 +1,7 @@
 """Distributed-training queries (round 5): the model-FIT stage itself
 as cluster work, value-checked cross-engine.
 
-Five registrations:
+Six registrations:
 
 - ``langid_fit_distributed`` — multinomial-NB sufficient statistics
   (hashed-trigram count matrix) computed by Arrow-batch bincounts +
@@ -17,6 +17,14 @@ Five registrations:
   weights, oracle-checked by pure SQL that derives ITS OWN weights via
   the replica fit: a true end-to-end differential of featurize → fit →
   score across engines.
+- ``quality_calibration`` — reliability-diagram bins of the fitted
+  classifier (per score decile: count, mean predicted score, observed
+  positive rate); scores fold to integer micro-units before summing so
+  the per-bin mean is one associative integer sum.
+- ``lm_fit_distributed`` — the TrigramLM perplexity model's sufficient
+  statistics computed distributed (operators/training.py
+  lm_trigram_count), top-K cells + grand total vs a single-process
+  replay.
 - ``unimax_mixture`` — UniMax epoch-capped language budget allocation
   (Chung et al., ICLR 2023) over a per-language rollup, exact integer
   arithmetic.
@@ -220,8 +228,10 @@ FROM '{sf}/documents.parquet'
 def q_lr_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document under the FITTED weights — the oracle side
     refits independently, so this differential covers featurize → fit →
-    score end-to-end."""
-    feats = _feature_frame(spark, sf_dir).persist()
+    score end-to-end.  No outer persist: gd_fit caches (and unpersists)
+    its own narrow projection; the scoring pass recomputes the
+    featurize once."""
+    feats = _feature_frame(spark, sf_dir)
     trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
     w = trace[-1]["weights"]
     from dqspark.operators.training import _fast_sigmoid_col, _margin_col
@@ -265,10 +275,11 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units before summing so the per-bin mean is one integer sum
     (associative, partitioning-independent) followed by the identical
     IEEE division in both engines — no float-accumulation-order
-    divergence."""
+    divergence.  No outer persist: gd_fit caches (and unpersists) its
+    own narrow projection."""
     from dqspark.operators.training import _fast_sigmoid_col, _margin_col
 
-    feats = _feature_frame(spark, sf_dir).persist()
+    feats = _feature_frame(spark, sf_dir)
     trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
     w = trace[-1]["weights"]
     score = F.round(_fast_sigmoid_col(_margin_col(w, _FEATURE_COLS)), 6)
@@ -325,19 +336,25 @@ def q_lm_fit_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = lm_trigram_count(docs, "text").persist()
     order = [F.desc("cnt"), F.asc("ctx"), F.asc("nxt")]
+    # both reads of the cached count table are tiny (K rows + 1 row);
+    # materialize them now so the cache can be released before return
     top = (
         counts.orderBy(*order)
         .limit(_LM_TOPK)
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("ctx", "nxt", "cnt", "rank")
+        .collect()
     )
     totals = counts.agg(
         F.lit(-1).cast("long").alias("ctx"),
         F.lit(-1).cast("long").alias("nxt"),
         F.sum("cnt").alias("cnt"),
         F.lit(0).alias("rank"),
+    ).collect()
+    counts.unpersist()
+    return spark.createDataFrame(
+        top + totals, "ctx long, nxt long, cnt long, rank int"
     )
-    return top.unionByName(totals)
 
 
 # ---------------------------------------------------------------------------

@@ -281,3 +281,16 @@ def test_cdc_apply_base_survives_and_plan_single_shuffle(spark):
     assert plan.count("Exchange") <= 1  # one hash shuffle, no join/window
     assert "Join" not in plan and "Window" not in plan
     assert {r.k: r.v for r in out.collect()} == {i: f"v{i}" for i in range(50)}
+
+
+def test_cdc_apply_seq_zero_delete_overrides_base(spark):
+    from dqspark.operators.delta import cdc_apply
+
+    base = spark.createDataFrame([(1, "keep"), (2, "gone")], "k long, v string")
+    # a delete that TIES base's implicit seq 0 must still win (is_change
+    # tiebreak) — regression for the op-string-ordering bug
+    log = spark.createDataFrame(
+        [(2, 0, "D", "x")], "k long, seq long, op string, v string"
+    )
+    got = {r.k: r.v for r in cdc_apply(base, log, ["k"]).collect()}
+    assert got == {1: "keep"}

@@ -4,17 +4,17 @@ from __future__ import annotations
 
 import hashlib
 
+from dqspark.operators.sampling import BUCKETS
 from dqspark.plans.funnel_queries import (
     _SALT,
-    _SAMPLE_KEEP,
-    _SAMPLE_MOD,
+    _SAMPLE_KEEP_BUCKETS,
     curation_funnel_stages,
 )
 
 
 def _py_keep(doc_id: int) -> bool:
     h = int(hashlib.md5(f"{_SALT}|{doc_id}".encode()).hexdigest()[:15], 16)
-    return h % _SAMPLE_MOD < _SAMPLE_KEEP
+    return h % BUCKETS < _SAMPLE_KEEP_BUCKETS
 
 
 def _docs(spark):
