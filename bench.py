@@ -219,6 +219,7 @@ def main() -> None:
             "ul2_denoisers",
             "range_join_events",
             "cdc_apply",
+            "winsorize_values",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1,0 +1,78 @@
+"""Winsorization — clip numeric columns at exact percentile elements.
+
+The reference DETECTS numeric outliers (z-score/IQR flags,
+statistical_anomaly semantics re-expressed in operators/numeric.py);
+winsorization is the standard FIX applied before a numeric column
+feeds model training: values below the p_lo element are raised to it,
+values above p_hi lowered to it (Tukey/Hastings winsorized mean
+family).  At corpus scale the cut points must be EXACT and
+engine-portable, so they come from operators/quantiles.exact_quantiles
+— the iterative-histogram type-1 quantile ELEMENTS (members of the
+data, no interpolation) — O(log_B n) scans, O(2) driver floats.
+
+The transform itself is a pure projection under the two broadcast-free
+literal cut points: whole-stage codegen, no UDF, no shuffle.  Null
+values pass through as null with both clip flags false, in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.quantiles import exact_quantiles
+
+WINSOR_LO_BP, WINSOR_HI_BP = 100, 9900  # p1 / p99 in basis points
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    lo_bp: int = WINSOR_LO_BP,
+    hi_bp: int = WINSOR_HI_BP,
+) -> tuple[DataFrame, float, float]:
+    """→ (frame, lo, hi) with columns (ids…, value, value_w,
+    clipped_lo, clipped_hi); ``lo``/``hi`` are the exact quantile
+    elements used as cut points."""
+    cuts = {p: v for p, _rank, v in exact_quantiles(df, value_col, [lo_bp, hi_bp])}
+    lo, hi = float(cuts[lo_bp]), float(cuts[hi_bp])
+    v = F.col(value_col).cast("double")
+    clipped = (
+        F.when(v < lo, F.lit(lo)).when(v > hi, F.lit(hi)).otherwise(v)
+    )
+    out = df.select(
+        *id_cols,
+        v.alias(value_col),
+        clipped.alias(f"{value_col}_w"),
+        F.coalesce(v < lo, F.lit(False)).alias("clipped_lo"),
+        F.coalesce(v > hi, F.lit(False)).alias("clipped_hi"),
+    )
+    return out, lo, hi
+
+
+def winsorize_oracle(
+    corpus_sql: str,
+    value_col: str,
+    id_cols: list[str],
+    lo: float,
+    hi: float,
+) -> str:
+    """Same clip under the same cut-point doubles (repr round-trips the
+    exact bits — the margin_sql literal convention)."""
+    ids = ", ".join(id_cols)
+    lo_sql = f"CAST('{lo!r}' AS DOUBLE)"
+    hi_sql = f"CAST('{hi!r}' AS DOUBLE)"
+    v = f"{value_col}::DOUBLE"
+    return f"""
+WITH corpus AS ({corpus_sql})
+SELECT {ids},
+       {v} AS {value_col},
+       CASE WHEN {v} < {lo_sql} THEN {lo_sql}
+            WHEN {v} > {hi_sql} THEN {hi_sql}
+            ELSE {v} END AS {value_col}_w,
+       coalesce({v} < {lo_sql}, false) AS clipped_lo,
+       coalesce({v} > {hi_sql}, false) AS clipped_hi
+FROM corpus
+"""

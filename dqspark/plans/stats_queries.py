@@ -237,3 +237,51 @@ __all__ = [
     "q_hll_distinct_audit",
     "q_ppl_buckets",
 ]
+
+
+def _winsor_oracle() -> str:
+    import duckdb
+
+    from dqspark.operators.quantiles import exact_quantiles_oracle_sql
+    from dqspark.operators.winsorize import (
+        WINSOR_HI_BP,
+        WINSOR_LO_BP,
+        winsorize_oracle,
+    )
+    from dqspark.plans.local_oracle import oracle_sf_dir
+
+    sf = oracle_sf_dir()
+    # cut points derived INDEPENDENTLY in DuckDB (same type-1 rank
+    # formula) so the differential covers the quantile fit too
+    rows = duckdb.sql(
+        exact_quantiles_oracle_sql(
+            f"SELECT value FROM '{sf}/events.parquet'",
+            "value",
+            [WINSOR_LO_BP, WINSOR_HI_BP],
+        )
+    ).fetchall()
+    cuts = {int(round(p * 10000)): v for p, _r, v in rows}
+    return winsorize_oracle(
+        "SELECT event_id, value FROM events",
+        "value",
+        ["event_id"],
+        cuts[WINSOR_LO_BP],
+        cuts[WINSOR_HI_BP],
+    )
+
+
+@register("winsorize_values", _winsor_oracle)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, value, value_w, clipped_lo, clipped_hi) — events
+    values winsorized at the exact p1/p99 elements (the FIX counterpart
+    of the reference's numeric-outlier detection; cut points from the
+    distributed exact-quantile operator, transform is a pure
+    projection)."""
+    from dqspark.operators.winsorize import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    out, _lo, _hi = winsorize(ev, "value", ["event_id"])
+    return out
+
+
+__all__.append("q_winsorize_values")

@@ -1,0 +1,43 @@
+"""Winsorization at exact percentile elements (operators/winsorize.py)."""
+
+from __future__ import annotations
+
+from dqspark.operators.winsorize import winsorize
+
+
+def test_winsorize_closed_form(spark):
+    # values 1..100: p1 element = 1 (rank ceil(100/100)=1), p99 = 99
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k long, value double"
+    )
+    out, lo, hi = winsorize(df, "value", ["k"])
+    assert (lo, hi) == (1.0, 99.0)
+    rows = {r.k: r for r in out.collect()}
+    assert rows[100].value_w == 99.0 and rows[100].clipped_hi
+    assert rows[99].value_w == 99.0 and not rows[99].clipped_hi
+    assert rows[1].value_w == 1.0 and not rows[1].clipped_lo
+    assert all(1.0 <= r.value_w <= 99.0 for r in rows.values())
+
+
+def test_winsorize_nulls_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 500.0)]
+        + [(10 + i, float(i)) for i in range(300)],
+        "k long, value double",
+    )
+    out, _, hi = winsorize(df, "value", ["k"])
+    rows = {r.k: r for r in out.collect()}
+    assert rows[2].value_w is None
+    assert not rows[2].clipped_lo and not rows[2].clipped_hi
+    assert hi < 500.0  # p99 element of 302 values sits inside 0..299
+    assert rows[3].value_w == hi and rows[3].clipped_hi
+
+
+def test_winsorize_plan_is_projection(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, value double"
+    )
+    out, _, _ = winsorize(df, "value", ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Generate"):
+        assert op not in plan, f"unexpected {op} in winsorize plan:\n{plan}"
