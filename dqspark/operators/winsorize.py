@@ -37,6 +37,11 @@ def winsorize(
     clipped_lo, clipped_hi); ``lo``/``hi`` are the exact quantile
     elements used as cut points."""
     cuts = {p: v for p, _rank, v in exact_quantiles(df, value_col, [lo_bp, hi_bp])}
+    if lo_bp not in cuts or hi_bp not in cuts:
+        raise ValueError(
+            f"winsorize: no non-null rows in column {value_col!r} — "
+            "cannot derive cut points"
+        )
     lo, hi = float(cuts[lo_bp]), float(cuts[hi_bp])
     v = F.col(value_col).cast("double")
     clipped = (

@@ -260,13 +260,14 @@ def _winsor_oracle() -> str:
             [WINSOR_LO_BP, WINSOR_HI_BP],
         )
     ).fetchall()
-    cuts = {int(round(p * 10000)): v for p, _r, v in rows}
+    # key by sort order, not by round-tripping p through a double
+    (_, _, lo_v), (_, _, hi_v) = sorted(rows)
     return winsorize_oracle(
         "SELECT event_id, value FROM events",
         "value",
         ["event_id"],
-        cuts[WINSOR_LO_BP],
-        cuts[WINSOR_HI_BP],
+        lo_v,
+        hi_v,
     )
 
 

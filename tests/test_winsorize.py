@@ -41,3 +41,11 @@ def test_winsorize_plan_is_projection(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for op in ("Exchange", "Join", "Generate"):
         assert op not in plan, f"unexpected {op} in winsorize plan:\n{plan}"
+
+
+def test_winsorize_all_null_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, value double")
+    with pytest.raises(ValueError, match="no non-null rows"):
+        winsorize(df, "value", ["k"])
