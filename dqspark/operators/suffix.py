@@ -1,0 +1,274 @@
+"""Distributed suffix-array construction by prefix doubling, and the
+exact-substring duplicate detection it enables.
+
+Lee et al., "Deduplicating Training Data Makes Language Models Better"
+(ACL 2022) dedupes exact repeated spans via a *suffix array* over the
+concatenated corpus — built single-machine.  operators/spans.py covers
+the same use case with probabilistic content-defined fingerprint
+sampling; this module is the deterministic counterpart: the suffix
+order itself, computed distributed.
+
+The classic sequential constructions (SA-IS, DC3) are pointer-chasing
+and do not distribute.  The shape that does is **prefix doubling**
+(Manber & Myers, SODA 1990; the standard MPI/MapReduce SA construction,
+e.g. Flick & Aluru, SC 2015): after round k every suffix carries a rank
+order-isomorphic to its first 2^k code points, and one round extends
+the horizon to 2^(k+1) using only (rank[p], rank[p + 2^k]) pairs, with
+-1 when p + 2^k falls off the suffix (a shorter suffix whose codes are
+a prefix of a longer one sorts first, exactly like lexicographic list
+comparison — the proper-prefix case can only arise when the second
+slot is empty, so comparing the 2-tuples is always equivalent to
+comparing the concatenated prefixes).
+
+Two standard refinements keep every round cheap (both from the Manber–
+Myers paper; they are what make doubling practical):
+
+* **first-index ranks** (SQL ``rank()`` semantics, 0-based): a class of
+  c equal suffixes at rank r owns the index range [r, r+c-1], so when
+  it splits, its members renumber WITHIN that range and no other rank
+  in the table moves.  Re-keying is therefore one hash-partitioned
+  window per round — ``r + rank() over (partition by r order by r2) - 1``
+  — instead of a global distinct + dense re-index of the whole table.
+* **singleton freezing**: a suffix alone in its class is already in
+  final position (deeper comparison can neither reorder nor re-tie
+  it), so only rows in classes of size > 1 enter the window.  For real
+  text the active set collapses geometrically — most suffixes are
+  unique by depth 8-16 — and the loop exits as soon as it is empty.
+
+This file builds the **order-64 suffix array**: ranks after <= 6
+doubling rounds, i.e. the lexicographic order of each suffix's first
+64 code points (ties = identical 64-prefixes share a rank).  Order-64
+is the span-dedup operating point — Lee et al. use 50-token
+thresholds; 64 normalized chars is the same regime — and capping the
+depth caps the round count at a constant, independent of corpus size.
+
+Spark never materializes or sorts an array: every round shuffles only
+narrow (id, pos, int, int) rows — one equi self-join on (doc, pos) for
+the rank[p+step] lookup and one window keyed on the class id.  The
+initial single-code ranks come from one O(alphabet) count collect.
+The DuckDB oracle takes the opposite, direct route:
+``list_slice(codes, pos, pos+63)`` and ``rank() OVER (ORDER BY pref)``
+— an algorithmically independent derivation of the same total order,
+so agreement checks the doubling logic itself, not a shared
+implementation.
+
+Scale design (100 TB): per round the working set is 4 integers per
+*still-ambiguous* corpus position — no text, no arrays, no corpus-
+sized broadcast; driver state is the O(alphabet) seed histogram plus
+one count per round.  Round count is bounded by log2(depth), not
+log(corpus).  The per-round eager localCheckpoint bounds plan depth
+and lets the early-exit count reuse the materialized blocks.  Suffixes
+are per-document (no global concatenation order to coordinate), which
+is exactly what cross-document duplicate detection needs.
+
+Reference parity note: the reference repo has no suffix machinery —
+this is part of the training-data-curation extension suite
+(exact-substring dedup per Lee et al. 2022).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dqspark.operators.dedup import (
+    char_codes,
+    codes_oracle,
+    normalized,
+    normalized_oracle,
+)
+from dqspark.operators.spans import repeated_spans_from_fingerprints
+
+SA_DEPTH = 64  # rank horizon in code points; <= 6 doubling rounds
+
+
+def suffix_positions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, code, doc_len) — one row per code point of the
+    normalized text; ``pos`` is 1-based.  Empty normalized docs have no
+    suffixes (DuckDB's ``string_split('', '')`` is also empty)."""
+    codes = df.select(
+        F.col(id_col), char_codes(normalized(F.col(text_col))).alias("_cs")
+    ).where(F.size("_cs") > 0)
+    # guard the Spark split-of-empty-string quirk ([''] -> code 0 row)
+    codes = codes.where(~((F.size("_cs") == 1) & (F.element_at("_cs", 1) == 0)))
+    return codes.select(
+        id_col,
+        F.size("_cs").alias("doc_len"),
+        F.posexplode("_cs").alias("_p0", "code"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "code", "doc_len")
+
+
+def suffix_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = SA_DEPTH,
+) -> DataFrame:
+    """(id, pos, doc_len, rank) — ``rank`` is the 1-based first-index
+    rank (SQL ``rank()`` semantics: 1 + number of strictly smaller
+    suffixes) of the suffix starting at ``pos`` among ALL suffixes of
+    ALL documents, ordered by the first ``depth`` code points
+    (lexicographic, shorter-prefix-first).  Equal ``depth``-prefixes
+    share a rank."""
+    if depth < 4 or depth & (depth - 1):
+        raise ValueError("depth must be a power of two >= 4")
+    spark = df.sparkSession
+
+    # seed at depth 2: pack (code[p], code[p+1] or 0) into one long —
+    # code points are < 2^21 and real codes are >= 1, so 0 marks the
+    # one-code-left suffix and the packed key orders exactly like the
+    # 2-element prefix.  Seeding at depth 2 skips the most skewed
+    # doubling round (the single-char classes).  The pair is computed
+    # inside the codes array (F.get is 0-based, NULL past the end), so
+    # it costs nothing beyond the explode projection itself.
+    codes = df.select(
+        F.col(id_col), char_codes(normalized(F.col(text_col))).alias("_cs")
+    ).where(F.size("_cs") > 0)
+    codes = codes.where(~((F.size("_cs") == 1) & (F.element_at("_cs", 1) == 0)))
+    pair = F.transform(
+        "_cs",
+        lambda c, i: c.cast("long") * (1 << 21)
+        + F.coalesce(F.get("_cs", i + 1).cast("long"), F.lit(0)),
+    )
+    pos2 = codes.select(
+        F.col(id_col),
+        F.size("_cs").alias("doc_len"),
+        F.posexplode(pair).alias("_p0", "_k2"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "doc_len", "_k2")
+
+    # first-index seed ranks from one O(distinct-bigrams) histogram
+    # collect, prefix-summed driver-side, broadcast-joined back.
+    hist = sorted(
+        (r["_k2"], r["c"])
+        for r in pos2.groupBy("_k2").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    rows, acc = [], 0
+    for key, c in hist:
+        rows.append((key, acc, c))
+        acc += c
+    seed = spark.createDataFrame(rows, "_k2 long, _r long, _sz long")
+    cur = (
+        pos2.join(F.broadcast(seed), "_k2")
+        .select(id_col, "pos", "doc_len", "_r", "_sz")
+        .localCheckpoint(eager=True)
+    )
+
+    step = 2
+    while step < depth:
+        if cur.where(F.col("_sz") > 1).limit(1).count() == 0:
+            break  # every suffix already in a singleton class
+        active = cur.where(F.col("_sz") > 1)
+        right = cur.select(
+            id_col, (F.col("pos") - step).alias("pos"), F.col("_r").alias("_r2")
+        )
+        # shuffle-hash, not sort-merge: the right side is the full
+        # position table and re-sorting it every round is pure waste —
+        # the hash build side is the (shrinking) active set.
+        paired = active.hint("shuffle_hash").join(
+            right, on=[id_col, "pos"], how="left"
+        ).withColumn("_r2", F.coalesce("_r2", F.lit(-1)))
+        # split each class within its own index range: no other rank moves
+        w = Window.partitionBy("_r").orderBy("_r2")
+        w2 = Window.partitionBy("_r", "_r2")
+        updated = paired.select(
+            id_col,
+            "pos",
+            "doc_len",
+            (F.col("_r") + F.rank().over(w) - 1).alias("_r"),
+            F.count(F.lit(1)).over(w2).alias("_sz"),
+        )
+        cur = (
+            cur.where(F.col("_sz") == 1)
+            .unionByName(updated)
+            .localCheckpoint(eager=True)
+        )
+        step *= 2
+    return cur.select(id_col, "pos", "doc_len", (F.col("_r") + 1).alias("rank"))
+
+
+def sa_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = SA_DEPTH,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal per-document spans whose every ``depth``-char window is
+    shared verbatim (normalized) with >= ``min_docs`` distinct
+    documents — the exact-substring analogue of spans.repeated_spans,
+    with the suffix rank as the window key (rank equality <=> identical
+    ``depth``-prefix, so window-fit positions with a shared rank ARE
+    shared substrings; no hash, no collision term).  Returns (id,
+    span_start, span_end, span_len, n_windows); offsets are 1-based
+    inclusive in the normalized text."""
+    ranks = suffix_ranks(df, text_col, id_col, depth)
+    fit = ranks.where(F.col("pos") + depth - 1 <= F.col("doc_len")).select(
+        id_col, "pos", F.col("rank").alias("span_hash")
+    )
+    out = repeated_spans_from_fingerprints(
+        fit, id_col=id_col, window=depth, min_docs=min_docs
+    )
+    return out.withColumnRenamed("n_anchors", "n_windows")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (direct slice-sort derivation — independent
+# of the doubling construction)
+# ---------------------------------------------------------------------------
+
+def _suffix_pref_ctes(corpus_sql: str, depth: int = SA_DEPTH) -> str:
+    """CTE chain ending in ``pref(doc_id, pos, doc_len, pref)``."""
+    codes = codes_oracle("t")
+    return f"""
+corpus AS ({corpus_sql}),
+norm AS (SELECT doc_id, {normalized_oracle("text")} AS t FROM corpus),
+codes AS (SELECT doc_id, {codes} AS cs FROM norm WHERE length(t) > 0),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(cs))) AS pos, cs
+        FROM codes),
+pref AS (SELECT doc_id, pos, len(cs) AS doc_len,
+                list_slice(cs, pos, pos + {depth - 1}) AS pref
+         FROM pos)"""
+
+
+def suffix_ranks_oracle(
+    corpus_sql: str, depth: int = SA_DEPTH, sample_mod: int = 1
+) -> str:
+    where = f"WHERE pos % {sample_mod} = 0" if sample_mod > 1 else ""
+    return f"""
+WITH {_suffix_pref_ctes(corpus_sql, depth)},
+ranked AS (SELECT doc_id, pos, doc_len,
+                  rank() OVER (ORDER BY pref) AS rank
+           FROM pref)
+SELECT doc_id, pos, doc_len, rank FROM ranked {where}
+"""
+
+
+def sa_duplicate_spans_oracle(
+    corpus_sql: str, depth: int = SA_DEPTH, min_docs: int = 2
+) -> str:
+    prev = (
+        "max(e) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH {_suffix_pref_ctes(corpus_sql, depth)},
+fit AS (SELECT doc_id, pos, pref FROM pref
+        WHERE pos + {depth - 1} <= doc_len),
+dup AS (SELECT pref FROM fit GROUP BY pref
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+hit AS (SELECT f.doc_id, f.pos, f.pos + {depth - 1} AS e
+        FROM fit f JOIN dup d USING (pref)),
+isl AS (SELECT doc_id, pos, e,
+        CASE WHEN {prev} IS NULL OR pos > {prev} + 1 THEN 1 ELSE 0 END AS n
+        FROM hit),
+g AS (SELECT doc_id, pos, e,
+      sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM isl)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+       max(e) - min(pos) + 1 AS span_len, count(*) AS n_windows
+FROM g GROUP BY doc_id, isl
+"""

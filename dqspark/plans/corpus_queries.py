@@ -49,6 +49,12 @@ from dqspark.operators.sampling import (
     stratified_sample,
     stratified_sample_oracle_predicate,
 )
+from dqspark.operators.suffix import (
+    sa_duplicate_spans,
+    sa_duplicate_spans_oracle,
+    suffix_ranks,
+    suffix_ranks_oracle,
+)
 from dqspark.operators.spans import (
     repeated_spans,
     repeated_spans_oracle,
@@ -708,3 +714,35 @@ def q_file_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return chunk_files(docs, max_chars=256)
+
+
+# ---------------------------------------------------------------------------
+# distributed suffix array (prefix doubling) + exact-substring dup spans
+# ---------------------------------------------------------------------------
+
+# Order-64 suffix ranks over the document corpus: Spark derives them by
+# 6 prefix-doubling rounds over narrow int pairs (operators/suffix.py);
+# the oracle independently sorts the actual 64-code list slices.  The
+# rank column is dense over ALL suffixes; only every 17th position is
+# emitted to bound the compared row count.
+@register(
+    "suffix_ranks",
+    suffix_ranks_oracle("SELECT doc_id, text FROM documents", sample_mod=17),
+)
+def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return suffix_ranks(docs).where(F.col("pos") % 17 == 0)
+
+
+# Exact-substring duplicate spans via shared suffix ranks over the
+# spliced corpus (every 15th doc's 240-char chunk re-appears in a new
+# doc) — the deterministic, collision-free counterpart of
+# repeated_spans' fingerprint sampling.
+@register(
+    "sa_dup_spans",
+    sa_duplicate_spans_oracle(_DOCS_SPLICED_SQL),
+)
+def q_sa_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sa_duplicate_spans(_docs_spliced(spark, sf_dir))

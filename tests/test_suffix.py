@@ -1,0 +1,159 @@
+"""Distributed suffix array (prefix doubling) — operators/suffix.py.
+
+The registered queries are oracle-checked against DuckDB's direct
+slice-sort derivation by tools/selfcheck.py; these tests pin the
+algorithm against a pure-Python reference (sort the actual suffix
+prefixes), the freezing/early-exit behavior, and the duplicate-span
+contract on planted corpora.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqspark.operators.suffix import (
+    SA_DEPTH,
+    sa_duplicate_spans,
+    suffix_positions,
+    suffix_ranks,
+)
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def _ref_ranks(docs: dict[int, str], depth: int) -> dict[tuple[int, int], int]:
+    """rank() semantics over suffix prefixes of the normalized texts."""
+    suf = []
+    for d, t in docs.items():
+        n = _norm(t)
+        for p in range(1, len(n) + 1):
+            suf.append((tuple(ord(c) for c in n[p - 1 : p - 1 + depth]), d, p))
+    suf.sort(key=lambda x: x[0])
+    ranks, r = {}, 0
+    for i, (pref, d, p) in enumerate(suf):
+        if i == 0 or pref != suf[i - 1][0]:
+            r = i + 1
+        ranks[(d, p)] = r
+    return ranks
+
+
+def _docs_df(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+
+
+def test_ranks_match_python_reference_fuzz(spark):
+    rng = random.Random(41)
+    docs = {}
+    for d in range(12):
+        n = rng.randint(0, 120)
+        docs[d] = "".join(rng.choice("ab c") for _ in range(n))
+    # plant an exact shared chunk at different offsets
+    chunk = "the quick brown fox jumps over the lazy dog again and again!"
+    docs[100] = "xx " + chunk + " yy"
+    docs[101] = "zzzzz " + chunk
+    for depth in (4, 16, SA_DEPTH):
+        got = {
+            (r["doc_id"], r["pos"]): r["rank"]
+            for r in suffix_ranks(_docs_df(spark, docs), depth=depth).collect()
+        }
+        assert got == _ref_ranks(docs, depth)
+
+
+def test_rank_is_first_index_with_ties(spark):
+    # 3 identical docs: every suffix appears 3x; ranks must be
+    # 1, 4, 7, ... (rank() semantics, ties share the first index)
+    docs = {1: "abcab", 2: "abcab", 3: "abcab"}
+    out = suffix_ranks(_docs_df(spark, docs), depth=8).collect()
+    by_rank: dict[int, int] = {}
+    for r in out:
+        by_rank[r["rank"]] = by_rank.get(r["rank"], 0) + 1
+    assert all(c == 3 for c in by_rank.values())
+    assert sorted(by_rank) == [1, 4, 7, 10, 13]
+
+
+def test_early_exit_all_singletons(spark):
+    # all-distinct single chars: unique at depth 2 already; the loop
+    # must early-exit and still produce correct full-depth ranks
+    docs = {1: "dcba"}
+    out = {
+        (r["pos"]): r["rank"]
+        for r in suffix_ranks(_docs_df(spark, docs), depth=64).collect()
+    }
+    # suffixes: dcba(4) cba(3) ba(2) a(1) -> sorted: a, ba, cba, dcba
+    assert out == {4: 1, 3: 2, 2: 3, 1: 4}
+
+
+def test_shorter_prefix_sorts_first(spark):
+    # suffix "ab" vs "abx": proper prefix sorts first
+    docs = {1: "ab", 2: "abx"}
+    got = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(_docs_df(spark, docs), depth=4).collect()
+    }
+    assert got[(1, 1)] < got[(2, 1)]  # "ab" < "abx"
+    assert got[(1, 2)] < got[(2, 2)]  # "b" < "bx"
+    assert got == _ref_ranks(docs, 4)
+
+
+def test_dup_spans_planted_chunk(spark):
+    rng = random.Random(7)
+    pad1 = "q" + "".join(rng.choice("abcdefgh") for _ in range(39))
+    pad2 = "z" + "".join(rng.choice("ijklmnop") for _ in range(34))
+    # aperiodic 90-char chunk (>= depth 64), disjoint alphabet from the
+    # pads so no accidental cross-boundary or self-periodic matches
+    chunk = "".join(rng.choice("RSTUVWXY") for _ in range(90))
+    docs = {
+        1: pad1 + chunk + pad2,
+        2: chunk + pad1,
+        3: pad2 + pad1,
+    }
+    out = {
+        (r["doc_id"]): (r["span_start"], r["span_end"])
+        for r in sa_duplicate_spans(_docs_df(spark, docs), depth=64).collect()
+        if r["span_len"] >= 64
+    }
+    # the 90-char chunk is shared between docs 1 and 2 at different
+    # offsets; every 64-window inside it is flagged and merges to the
+    # full chunk span
+    assert out[1] == (41, 130)
+    assert out[2] == (1, 90)
+    assert 3 not in out  # no >=64-char substring shared with 2+ docs
+
+
+def test_intra_doc_repeat_alone_not_flagged(spark):
+    chunk = "x" * 100
+    docs = {1: chunk + " middle " + chunk, 2: "something unrelated entirely"}
+    out = sa_duplicate_spans(_docs_df(spark, docs), depth=64).collect()
+    assert out == []  # repeats within one doc don't meet min_docs=2
+
+
+def test_positions_and_empty_docs(spark):
+    docs = {1: "", 2: "   ", 3: "ab"}
+    pos = suffix_positions(_docs_df(spark, docs)).collect()
+    assert sorted((r["doc_id"], r["pos"], r["code"]) for r in pos) == [
+        (3, 1, ord("a")),
+        (3, 2, ord("b")),
+    ]
+
+
+def test_depth_must_be_power_of_two(spark):
+    docs = _docs_df(spark, {1: "abc"})
+    with pytest.raises(ValueError):
+        suffix_ranks(docs, depth=48)
+    with pytest.raises(ValueError):
+        suffix_ranks(docs, depth=2)
+
+
+def test_no_global_single_partition_window(spark):
+    """The construction must never funnel through a partition-less
+    window (the classic scale failure)."""
+    docs = _docs_df(spark, {i: f"text number {i} padding" for i in range(20)})
+    plan = suffix_ranks(docs, depth=8)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
