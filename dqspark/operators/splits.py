@@ -1,0 +1,168 @@
+"""Deterministic train/val/test splitting with duplicate-leakage audit.
+
+Evaluation-set contamination via duplicates is a standard corpus-prep
+failure: if near-identical documents land on both sides of a
+train/eval split, held-out metrics are inflated (the decontamination
+literature — Brown et al. GPT-3 appendix C, Dodge et al. C4 analysis —
+treats train/TEST overlap; the same hazard applies to splits drawn
+from one corpus).  This module provides
+
+* :func:`assign_split` — hash-bucketed assignment from a salted stable
+  key (same md5-bucket primitive as operators/sampling.py: stateless,
+  shuffle-free, reproducible on any cluster size / resume);
+* :func:`split_leakage` — the audit: group documents by normalized
+  content fingerprint and roll up how many multi-document groups
+  straddle more than one split;
+* :func:`assign_split_grouped` — the fix: key the hash on the GROUP
+  canonical (min doc id per fingerprint) so every duplicate lands in
+  its group's split by construction.  Cost at scale: one map-side
+  combined groupBy over (fingerprint, id) plus one narrow join back on
+  the fingerprint — both hash-partitioned on the same key, no second
+  exchange; nothing is broadcast or collected.
+
+The split boundaries are exact integer bucket thresholds (cumulative
+fractions of BUCKETS), so no float comparison crosses the Spark/DuckDB
+differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.functions.hashing import content_fingerprint, fingerprint_oracle_expr
+from dqspark.operators.dedup import md5_long_oracle
+from dqspark.operators.sampling import BUCKETS, sample_bucket
+
+DEFAULT_SPLITS: list[tuple[str, float]] = [
+    ("train", 0.8),
+    ("val", 0.1),
+    ("test", 0.1),
+]
+
+
+def _cum_thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    for name, frac in splits:
+        acc += frac
+        out.append((name, int(round(acc * BUCKETS))))
+    out[-1] = (out[-1][0], BUCKETS)  # close the last interval exactly
+    return out
+
+
+def split_of_bucket(bucket: Column, splits=None) -> Column:
+    cum = _cum_thresholds(splits or DEFAULT_SPLITS)
+    expr = None
+    for name, thr in cum[:-1]:
+        cond = bucket < thr
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(cum[-1][0]) if expr is not None else F.lit(cum[-1][0])
+
+
+def split_of_bucket_oracle(bucket_expr: str, splits=None) -> str:
+    cum = _cum_thresholds(splits or DEFAULT_SPLITS)
+    whens = " ".join(
+        f"WHEN {bucket_expr} < {thr} THEN '{name}'" for name, thr in cum[:-1]
+    )
+    return f"CASE {whens} ELSE '{cum[-1][0]}' END"
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "dqsplit",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append ``out_col`` — a deterministic split label from the salted
+    md5 bucket of ``key_col``.  Pure projection: shuffle-free,
+    partitioning/retry/resume-invariant."""
+    b = sample_bucket(F.col(key_col), salt)
+    return df.withColumn(out_col, split_of_bucket(b, splits))
+
+
+def split_bucket_oracle(key_expr: str, salt: str) -> str:
+    return (
+        md5_long_oracle(f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR))")
+        + f" % {BUCKETS}"
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Audit: every multi-document normalized-content-fingerprint group,
+    rolled up by the sorted set of splits its members landed in.
+    Returns (split_set, n_groups, n_docs); any row whose ``split_set``
+    names more than one split is leakage.  One map-side-combined
+    groupBy on the fingerprint, one tiny rollup — the text itself never
+    moves (only its sha256)."""
+    fp = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        content_fingerprint(text_col).alias("_fp"),
+    )
+    groups = fp.groupBy("_fp").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.concat_ws("|", F.sort_array(F.collect_set(split_col))).alias(
+            "split_set"
+        ),
+    )
+    return (
+        groups.where(F.col("_n") >= 2)
+        .groupBy("split_set")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("_n").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def assign_split_grouped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "dqsplit",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe assignment: the hash key is the group canonical
+    (min ``id_col`` per content fingerprint), so every member of a
+    duplicate group receives the same split by construction."""
+    fp = df.withColumn("_fp", content_fingerprint(text_col))
+    canon = fp.groupBy("_fp").agg(F.min(id_col).alias("_canon"))
+    joined = fp.join(canon, "_fp")  # co-partitioned on _fp with the groupBy
+    b = sample_bucket(F.col("_canon"), salt)
+    return joined.withColumn(out_col, split_of_bucket(b, splits)).drop(
+        "_fp", "_canon"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders
+# ---------------------------------------------------------------------------
+
+def split_leakage_oracle(
+    corpus_sql: str,
+    split_case: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """``split_case`` is a SQL expression producing the split label for
+    a corpus row (see :func:`split_of_bucket_oracle`)."""
+    fp = fingerprint_oracle_expr(text_col)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+lab AS (SELECT {id_col}, {split_case} AS split, {fp} AS fp FROM corpus),
+grp AS (SELECT fp, count(*) AS n,
+               array_to_string(list_sort(list(DISTINCT split)), '|') AS split_set
+        FROM lab GROUP BY fp)
+SELECT split_set, count(*) AS n_groups, sum(n)::BIGINT AS n_docs
+FROM grp WHERE n >= 2 GROUP BY split_set
+"""

@@ -29,6 +29,15 @@ from dqspark.operators.cms import (
     cms_estimates_oracle,
 )
 from dqspark.operators.complexity import code_complexity, code_complexity_oracle
+from dqspark.functions.hashing import fingerprint_oracle_expr
+from dqspark.operators.splits import (
+    assign_split,
+    assign_split_grouped,
+    split_bucket_oracle,
+    split_leakage,
+    split_leakage_oracle,
+    split_of_bucket_oracle,
+)
 from dqspark.operators.compression import compression_signal, compression_values
 from dqspark.operators.delta import (
     cdc_apply,
@@ -592,3 +601,98 @@ def _bm25_oracle() -> str:
 def q_corpus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_search(docs, _QUERIES, k=_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# train/val/test splitting + duplicate-leakage audit (operators/splits.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "dqsplit"
+
+
+# Doc-level split assignment (sampled rows so the differential checks
+# per-row labels, not just totals).
+@register(
+    "split_assign",
+    f"""
+SELECT doc_id,
+       {split_of_bucket_oracle(split_bucket_oracle('doc_id', _SPLIT_SALT))} AS split
+FROM documents WHERE doc_id % 7 = 0
+""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(docs, "doc_id", salt=_SPLIT_SALT).where(
+        F.col("doc_id") % 7 == 0
+    )
+
+
+# Planted duplicate corpus: every 6th document re-appears verbatim
+# under a fresh id (and every 12th twice), so exact-fingerprint groups
+# of size 2-3 exist by construction on both engines.
+_DOCS_DUP_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 12 = 0
+"""
+
+
+def _docs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d1 = docs.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    d2 = docs.where(F.col("doc_id") % 12 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(d1).unionByName(d2)
+
+
+# Naive per-doc hash split leaks: duplicate-content groups straddle
+# splits because members hash independently.  The audit rolls
+# multi-doc fingerprint groups up by the sorted set of splits they
+# landed in — multi-split rows ARE the leakage.
+@register(
+    "split_leakage",
+    split_leakage_oracle(
+        _DOCS_DUP_SQL,
+        split_of_bucket_oracle(split_bucket_oracle("doc_id", _SPLIT_SALT)),
+    ),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_dup(spark, sf_dir)
+    return split_leakage(assign_split(docs, "doc_id", salt=_SPLIT_SALT))
+
+
+# Group-canonical split: every duplicate group lands whole — the same
+# audit must come back with only single-split rows (the oracle derives
+# the canonical and the rollup independently, so the differential
+# proves the guarantee, not just the totals).
+_GROUPED_SPLIT_SQL = f"""
+  SELECT d.doc_id, d.text,
+         {split_of_bucket_oracle(split_bucket_oracle('c.canon', _SPLIT_SALT))} AS split
+  FROM (SELECT doc_id, text, {fingerprint_oracle_expr('text')} AS fp
+        FROM ({_DOCS_DUP_SQL}) base) d
+  JOIN (SELECT {fingerprint_oracle_expr('text')} AS fp,
+               min(doc_id) AS canon
+        FROM ({_DOCS_DUP_SQL}) base2 GROUP BY fp) c USING (fp)
+"""
+
+
+@register(
+    "split_safe",
+    f"""
+WITH lab AS ({_GROUPED_SPLIT_SQL}),
+grp AS (SELECT fp, count(*) AS n,
+               array_to_string(list_sort(list(DISTINCT split)), '|') AS split_set
+        FROM (SELECT {fingerprint_oracle_expr('text')} AS fp, split FROM lab) x
+        GROUP BY fp)
+SELECT split_set, count(*) AS n_groups, sum(n)::BIGINT AS n_docs
+FROM grp WHERE n >= 2 GROUP BY split_set
+""",
+)
+def q_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = assign_split_grouped(_docs_dup(spark, sf_dir), salt=_SPLIT_SALT)
+    return split_leakage(labeled)

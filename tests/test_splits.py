@@ -1,0 +1,87 @@
+"""Train/val/test splitting + duplicate-leakage audit — operators/splits.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqspark.operators.splits import (
+    DEFAULT_SPLITS,
+    _cum_thresholds,
+    assign_split,
+    assign_split_grouped,
+    split_leakage,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fractions_must_sum_to_one():
+    with pytest.raises(ValueError):
+        _cum_thresholds([("a", 0.5), ("b", 0.4)])
+
+
+def test_assignment_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark, [(i, f"text {i}") for i in range(500)])
+    a = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    # fractions roughly honored (binomial tolerance at n=500)
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s, _ in DEFAULT_SPLITS}
+    assert abs(frac["train"] - 0.8) < 0.08
+    assert abs(frac["val"] - 0.1) < 0.06
+    assert abs(frac["test"] - 0.1) < 0.06
+
+
+def test_assignment_is_projection_only(spark):
+    docs = _docs(spark, [(i, "t") for i in range(10)])
+    plan = (
+        assign_split(docs, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_leakage_detected_then_fixed_by_grouping(spark):
+    # 60 unique docs + every doc duplicated once under a new id:
+    # naive split must leak at least one group; grouped split never.
+    rows = [(i, f"document body number {i}") for i in range(60)]
+    rows += [(i + 1000, f"document body number {i}") for i in range(60)]
+    docs = _docs(spark, rows)
+
+    naive = split_leakage(assign_split(docs, "doc_id"))
+    naive_sets = {r["split_set"] for r in naive.collect()}
+    assert any("|" in s for s in naive_sets)
+
+    safe = split_leakage(assign_split_grouped(docs))
+    safe_rows = safe.collect()
+    assert safe_rows  # all 60 groups are multi-doc
+    assert all("|" not in r["split_set"] for r in safe_rows)
+    assert sum(r["n_groups"] for r in safe_rows) == 60
+    assert sum(r["n_docs"] for r in safe_rows) == 120
+
+
+def test_grouped_assignment_constant_within_group(spark):
+    rows = [(i, f"body {i % 20}") for i in range(100)]  # 20 groups of 5
+    labeled = assign_split_grouped(_docs(spark, rows))
+    per_group = (
+        labeled.withColumn("_g", F.col("doc_id") % 20)
+        .groupBy("_g")
+        .agg(F.count_distinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+
+
+def test_fingerprint_ignores_formatting(spark):
+    docs = _docs(spark, [(1, "Hello   World"), (2, "hello world ")])
+    out = split_leakage(assign_split_grouped(docs)).collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2  # one group of two
