@@ -1,0 +1,278 @@
+"""Fully-distributed Lloyd k-means over embedding columns, and the
+SemDeDup cluster-bucketed semantic pruning it enables.
+
+SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", 2023) prunes semantic
+duplicates by (1) k-means-clustering the corpus embeddings and
+(2) comparing pairs ONLY within a cluster — turning the O(N^2)
+all-pairs problem into O(N^2 / k).  operators/similarity.py already
+uses driver-side k-means to train small ANN quantizers from a sample;
+this module is the full distributed fit the SemDeDup recipe needs
+(every vector participates in every round, so cluster sizes stay
+balanced at corpus scale — a sampled quantizer cannot promise that).
+
+Determinism / cross-engine exactness: float summation is
+order-dependent, so a naive mean would diverge between Spark's
+partition-order reductions and DuckDB.  All centroid arithmetic is
+therefore integer: embeddings quantize once to micro-units
+(``floor(x * 2^20)``), per-cluster sums are exact integer aggregates
+(map-side combined; the shuffle per round is O(partitions * k * dims)
+rows, never O(N)), and the centroid update is an explicit
+floored division ``(s - ((s % n) + n) % n) / n`` written identically
+in both engines (DuckDB's ``//`` truncates toward zero on negatives,
+Python's ``//`` floors — the mod-adjusted form is exact and
+engine-independent).  Seeds are the k smallest ids' vectors; argmin
+ties break on the smaller cluster id via struct-ordered ``array_min``
+(Spark) == ``ORDER BY dist, c`` (DuckDB).  Round count is fixed —
+Lloyd iterations are a hyperparameter, not a convergence loop, which
+also keeps the unrolled SQL oracle finite.
+
+Scale design (100 TB): driver state is the O(k * dims) centroid table
+per round (the standard k-means driver footprint); each round is one
+scan + one map-side-combined groupBy producing k * dims rows; the
+assignment expression is whole-stage-codegen integer arithmetic
+(zip_with/aggregate, no UDF).  SemDeDup's pair join is hash-bucketed
+by cluster id, so candidate volume is sum_c n_c^2 ~ N^2 / k, the
+paper's operating point; the pruning rule (drop a vector iff a
+SMALLER-id vector in the same cluster exceeds the cosine threshold)
+is a deterministic greedy policy expressible as one semi-join — no
+iterative components pass.  Cosine thresholds compare exact integer
+dot products under identically-written double arithmetic, so no
+accumulation order crosses the differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1 << 20
+KM_K = 8
+KM_ROUNDS = 3
+
+
+def to_units(vec: Column) -> Column:
+    """array<long> micro-unit quantization of an array<float> column."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * UNIT).cast("long"))
+
+
+def to_units_oracle(vec_expr: str) -> str:
+    return (
+        f"list_transform({vec_expr}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {UNIT}) AS BIGINT))"
+    )
+
+
+def _sq_dist(u: Column, cent: list[int]) -> Column:
+    lit = F.array(*[F.lit(int(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(u, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cluster(u: Column, cents: list[list[int]]) -> Column:
+    """argmin_c ||u - cents[c]||^2, ties to the smaller c (struct
+    ordering of (dist, c))."""
+    entries = [
+        F.struct(_sq_dist(u, cent).alias("d"), F.lit(c).alias("c"))
+        for c, cent in enumerate(cents)
+    ]
+    return F.array_min(F.array(*entries)).getField("c")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+):
+    """Fixed-round distributed Lloyd iteration.  Returns
+    ``(assigned, cents)``: ``assigned`` = (id, u, cluster) under the
+    FINAL centroids, ``cents`` = list of k integer centroid vectors
+    (the O(k*dims) driver state)."""
+    units = df.select(
+        F.col(id_col), to_units(F.col(vec_col)).alias("_u")
+    ).localCheckpoint(eager=False)
+    seed_rows = units.orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} clusters")
+    cents = [list(r["_u"]) for r in seed_rows]
+    dims = len(cents[0])
+    for _ in range(rounds):
+        assigned = units.select(
+            id_col, "_u", assign_cluster(F.col("_u"), cents).alias("_c")
+        )
+        stats = (
+            assigned.select("_c", F.posexplode("_u").alias("_d0", "_v"))
+            .groupBy("_c", (F.col("_d0") + 1).alias("_dim"))
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        for r in stats:
+            new[r["_c"]][r["_dim"] - 1] = r["_s"] // r["_n"]  # floor div
+        cents = new
+    assigned = units.select(
+        id_col, "_u", assign_cluster(F.col("_u"), cents).alias("cluster")
+    )
+    return assigned, cents
+
+
+def centroids_df(spark, cents: list[list[int]]) -> DataFrame:
+    rows = [
+        (c, dim + 1, int(v))
+        for c, cent in enumerate(cents)
+        for dim, v in enumerate(cent)
+    ]
+    return spark.createDataFrame(rows, "cluster int, dim int, c_val long")
+
+
+def semdedup_prune(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.97,
+) -> DataFrame:
+    """(id, cluster, pruned) — ``pruned`` iff a SMALLER-id vector in
+    the same cluster has cosine >= threshold.  Pairs exist only inside
+    a cluster bucket (the SemDeDup candidate-volume bound)."""
+    t2 = float(threshold) * float(threshold)
+    left = assigned.select(
+        F.col(id_col).alias("_ida"), F.col("cluster"), F.col("_u").alias("_ua")
+    )
+    right = assigned.select(
+        F.col(id_col).alias("_idb"), F.col("cluster"), F.col("_u").alias("_ub")
+    )
+    dot = F.aggregate(
+        F.zip_with("_ua", "_ub", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.zip_with(col, col, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        left.join(right, "cluster")
+        .where(F.col("_idb") < F.col("_ida"))
+        .withColumn("_dot", dot)
+        .where(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot").cast("double") * F.col("_dot").cast("double")
+                >= F.lit(t2) * (sq("_ua").cast("double") * sq("_ub").cast("double"))
+            )
+        )
+        .select(F.col("_ida"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pairs, assigned[id_col] == pairs["_ida"], "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("_pruned", F.lit(False)).alias("pruned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders: the full Lloyd iteration unrolled as CTEs —
+# independent list-arithmetic derivation of the same integer math
+# ---------------------------------------------------------------------------
+
+def _fld(s: str, n: str) -> str:
+    """floored integer division, sign-exact in DuckDB (// truncates)."""
+    return f"(({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n})"
+
+
+def kmeans_ctes(emb_sql: str, k: int = KM_K, rounds: int = KM_ROUNDS) -> str:
+    """CTE chain ending in ``afin(vec_id, c)`` (assignment under the
+    final centroids) and ``cfin(c, dim, val)``."""
+    units = to_units_oracle("embedding")
+    dist = (
+        "list_reduce(list_transform(range(1, len(e.u) + 1), "
+        "i -> (e.u[i] - kc.cent[i]) * (e.u[i] - kc.cent[i])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"emb AS (SELECT vec_id, {units} AS u FROM ({emb_sql}) base)",
+        f"""seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+          FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k}))""",
+        """c0 AS (SELECT s.c, unnest(range(1, len(e.u) + 1)) AS dim,
+                 unnest(e.u) AS val
+          FROM seed s JOIN emb e USING (vec_id))""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"""k{p} AS (SELECT c, list(val ORDER BY dim) AS cent
+              FROM c{p} GROUP BY c)""",
+            f"""a{r} AS (SELECT vec_id, c FROM (
+                SELECT e.vec_id, kc.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {dist}, kc.c) AS rn
+                FROM emb e CROSS JOIN k{p} kc) x WHERE rn = 1)""",
+            f"""n{r} AS (SELECT a.c, unnest(range(1, len(e.u) + 1)) AS dim,
+                     unnest(e.u) AS val
+              FROM a{r} a JOIN emb e USING (vec_id))""",
+            f"""m{r} AS (SELECT c, dim, sum(val) AS sv, count(*) AS n
+              FROM n{r} GROUP BY c, dim)""",
+            f"""c{r} AS (SELECT p.c, p.dim,
+                     CAST(coalesce({_fld('m.sv', 'm.n')}, p.val) AS BIGINT) AS val
+              FROM c{p} p LEFT JOIN m{r} m ON p.c = m.c AND p.dim = m.dim)""",
+        ]
+    parts += [
+        f"""kfin AS (SELECT c, list(val ORDER BY dim) AS cent
+          FROM c{rounds} GROUP BY c)""",
+        f"""afin AS (SELECT vec_id, c FROM (
+            SELECT e.vec_id, kc.c,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, kc.c) AS rn
+            FROM emb e CROSS JOIN kfin kc) x WHERE rn = 1)""",
+        f"cfin AS (SELECT c, dim, val FROM c{rounds})",
+    ]
+    return ",\n".join(parts)
+
+
+def kmeans_assign_oracle(emb_sql: str, k: int = KM_K, rounds: int = KM_ROUNDS) -> str:
+    return f"""
+WITH {kmeans_ctes(emb_sql, k, rounds)}
+SELECT vec_id, c AS cluster FROM afin
+"""
+
+
+def kmeans_centroids_oracle(
+    emb_sql: str, k: int = KM_K, rounds: int = KM_ROUNDS
+) -> str:
+    return f"""
+WITH {kmeans_ctes(emb_sql, k, rounds)}
+SELECT c AS cluster, dim, val AS c_val FROM cfin
+"""
+
+
+def semdedup_prune_oracle(
+    emb_sql: str,
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+    threshold: float = 0.97,
+) -> str:
+    t2 = float(threshold) * float(threshold)
+    dot = "list_reduce(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]), (x, y) -> x + y)"
+    sqa = "list_reduce(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * a.u[i]), (x, y) -> x + y)"
+    sqb = "list_reduce(list_transform(range(1, len(b.u) + 1), i -> b.u[i] * b.u[i]), (x, y) -> x + y)"
+    return f"""
+WITH {kmeans_ctes(emb_sql, k, rounds)},
+lab AS (SELECT e.vec_id, e.u, f.c AS cluster FROM emb e JOIN afin f USING (vec_id)),
+pr AS (SELECT DISTINCT a.vec_id
+       FROM lab a JOIN lab b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       WHERE {dot} > 0
+         AND CAST({dot} AS DOUBLE) * CAST({dot} AS DOUBLE)
+             >= {t2!r}::DOUBLE * (CAST({sqa} AS DOUBLE) * CAST({sqb} AS DOUBLE)))
+SELECT l.vec_id, l.cluster,
+       (p.vec_id IS NOT NULL) AS pruned
+FROM lab l LEFT JOIN pr p USING (vec_id)
+"""

@@ -626,3 +626,4 @@ from dqspark.plans import repo_queries  # noqa: E402,F401  (registration side-ef
 from dqspark.plans import curation_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import training_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import funnel_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import kmeans_queries  # noqa: E402,F401  (registration side-effect)

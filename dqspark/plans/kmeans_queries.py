@@ -1,0 +1,51 @@
+"""Driver-contract queries for distributed k-means + SemDeDup
+(operators/kmeans.py).
+
+The oracle unrolls the full fixed-round Lloyd iteration as DuckDB CTEs
+over list arithmetic — an independent derivation of the same integer
+math (micro-unit quantization, exact integer sums, mod-adjusted floor
+division, dist-then-id argmin ties), so the differential checks every
+round's assignment and centroid update, not just the final rollup.
+
+``semdedup_prune`` runs on the planted near-dup embedding corpus
+(dedup_queries._EMB_SQL: every 40th vector re-appears scaled by 1.001,
+cosine ~1.0), so the pruning rule provably fires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dqspark.operators.kmeans import (
+    centroids_df,
+    kmeans_assign_oracle,
+    kmeans_centroids_oracle,
+    kmeans_fit,
+    semdedup_prune,
+    semdedup_prune_oracle,
+)
+from dqspark.plans import dedup_queries as _dq
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+_RAW_EMB_SQL = "SELECT vec_id, embedding FROM embeddings"
+
+
+@register("kmeans_assign", kmeans_assign_oracle(_RAW_EMB_SQL))
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _ = kmeans_fit(emb)
+    return assigned.select("vec_id", "cluster")
+
+
+@register("kmeans_centroids", kmeans_centroids_oracle(_RAW_EMB_SQL))
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cents = kmeans_fit(emb)
+    return centroids_df(spark, cents)
+
+
+@register("semdedup_prune", lambda: semdedup_prune_oracle(_dq._EMB_SQL))
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, _ = kmeans_fit(_dq._emb_planted(spark, sf_dir))
+    return semdedup_prune(assigned)

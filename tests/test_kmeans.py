@@ -1,0 +1,143 @@
+"""Distributed k-means + SemDeDup pruning — operators/kmeans.py."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqspark.operators.kmeans import (
+    UNIT,
+    kmeans_fit,
+    semdedup_prune,
+    to_units,
+)
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _blobs(seed=3, n_per=40, centers=((1.0, 0.0), (0.0, 1.0), (-1.0, -1.0))):
+    """ids interleave across blobs (id % len(centers) = blob), so the
+    k-smallest-id seeds start one-per-blob."""
+    rng = random.Random(seed)
+    rows = []
+    for j in range(n_per):
+        for b, (cx, cy) in enumerate(centers):
+            rows.append(
+                (
+                    j * len(centers) + b,
+                    [cx + rng.uniform(-0.05, 0.05), cy + rng.uniform(-0.05, 0.05)],
+                )
+            )
+    return rows
+
+
+def _ref_kmeans(rows, k, rounds):
+    """Pure-Python replica of the integer Lloyd iteration."""
+    units = {i: [math.floor(x * UNIT) for x in v] for i, v in rows}
+    ids = sorted(units)
+    cents = [list(units[i]) for i in ids[:k]]
+
+    def assign(u):
+        best = None
+        for c, cent in enumerate(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(u, cent))
+            if best is None or (d, c) < best:
+                best = (d, c)
+        return best[1]
+
+    for _ in range(rounds):
+        buckets: dict[int, list[list[int]]] = {}
+        for i in ids:
+            buckets.setdefault(assign(units[i]), []).append(units[i])
+        new = [list(c) for c in cents]
+        for c, members in buckets.items():
+            new[c] = [
+                sum(m[d] for m in members) // len(members)
+                for d in range(len(cents[0]))
+            ]
+        cents = new
+    return {i: assign(units[i]) for i in ids}, cents
+
+
+def test_matches_python_reference(spark):
+    rows = _blobs()
+    assigned, cents = kmeans_fit(_emb_df(spark, rows), k=3, rounds=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    ref_assign, ref_cents = _ref_kmeans(rows, k=3, rounds=3)
+    assert got == ref_assign
+    assert cents == ref_cents
+
+
+def test_blobs_recovered(spark):
+    rows = _blobs()
+    assigned, _ = kmeans_fit(_emb_df(spark, rows), k=3, rounds=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # each ground-truth blob maps to exactly one cluster id
+    blobs = {b: {got[i] for i in got if i % 3 == b} for b in range(3)}
+    assert all(len(s) == 1 for s in blobs.values())
+    assert len({next(iter(s)) for s in blobs.values()}) == 3
+
+
+def test_partition_invariance(spark):
+    rows = _blobs(seed=9)
+    df = _emb_df(spark, rows)
+    a1, c1 = kmeans_fit(df, k=3, rounds=2)
+    a2, c2 = kmeans_fit(df.repartition(13), k=3, rounds=2)
+    assert c1 == c2
+    assert sorted(map(tuple, a1.select("vec_id", "cluster").collect())) == sorted(
+        map(tuple, a2.select("vec_id", "cluster").collect())
+    )
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # two far blobs, k=3 seeded from the first 3 ids (all in blob 0):
+    # at least one seed centroid ends up empty and must persist
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + [(i + 5, [1.0, 1.0]) for i in range(5)]
+    assigned, cents = kmeans_fit(_emb_df(spark, rows), k=3, rounds=2)
+    assert len(cents) == 3
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert len(set(got.values())) <= 3
+
+
+def test_semdedup_prunes_smaller_id_rule(spark):
+    rows = _blobs(seed=5)
+    # replicas of vectors 0 (blob 0) and 41 (blob 2) under larger ids
+    v0 = dict(rows)[0]
+    v41 = dict(rows)[41]
+    rows.append((1000, v0))
+    rows.append((1001, [x * 1.0005 for x in v41]))
+    assigned, _ = kmeans_fit(_emb_df(spark, rows), k=3, rounds=3)
+    # threshold tight enough that only the planted replicas match
+    # (intra-blob cosines top out ~0.999)
+    out = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup_prune(assigned, threshold=0.9999).collect()
+    }
+    assert out[1000] and out[1001]  # replicas pruned
+    assert not out[0] and not out[41]  # originals kept (smallest id wins)
+
+
+def test_semdedup_pairs_only_within_cluster(spark):
+    # identical direction but assigned to different blobs' clusters
+    rows = _blobs(seed=7)
+    assigned, _ = kmeans_fit(_emb_df(spark, rows), k=3, rounds=3)
+    pruned = semdedup_prune(assigned, threshold=1.0)
+    # cos >= 1.0 holds only for exactly collinear quantized vectors —
+    # absent planted duplicates nothing may be pruned
+    assert pruned.where(F.col("pruned")).count() == 0
+
+
+def test_units_quantization_floor(spark):
+    df = _emb_df(spark, [(1, [0.5, -0.5])])
+    u = df.select(to_units(F.col("embedding")).alias("u")).collect()[0]["u"]
+    assert u == [524288, -524288]
+
+
+def test_seed_requires_k_vectors(spark):
+    with pytest.raises(ValueError):
+        kmeans_fit(_emb_df(spark, [(1, [0.0])]), k=4, rounds=1)
