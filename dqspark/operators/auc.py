@@ -1,0 +1,100 @@
+"""Exact ROC AUC (Mann–Whitney U) as a distributed integer rollup.
+
+AUC is THE acceptance metric for a learned quality filter (the
+reference trains a per-column anomaly classifier; FineWeb/DCLM-style
+pipelines gate corpus membership on a classifier score), yet the
+textbook computation — rank every score globally, average ranks over
+ties — funnels through a global sort.  This operator uses the pairwise
+identity instead:
+
+    AUC = [ sum_s  p_s * N_less(s)  +  0.5 * p_s * n_s ] / (P * N)
+
+where p_s / n_s are the positive/negative counts at distinct score s
+and N_less(s) the negatives strictly below s.  Everything reduces to
+ONE groupBy over distinct integer score units plus an ordered prefix
+sum over that (bounded) table — computed with the two-phase
+block-offset idiom (per-block windows + one O(blocks) collect), never
+a partition-less global window.  Scores are micro-unit integers, all
+sums exact integer arithmetic; the single final division is written
+identically in both engines, so the differential is bit-honest.
+
+Ties are handled exactly (the 0.5 term), matching the statistical
+definition: AUC = P(score_pos > score_neg) + 0.5 * P(equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+AUC_BLOCK = 1024
+
+
+def exact_auc(
+    scored: DataFrame,
+    units_col: str = "units",
+    label_col: str = "label",
+    block: int = AUC_BLOCK,
+) -> DataFrame:
+    """One row: (auc, n_pos, n_neg).  ``units_col`` must be a
+    non-negative integer score; ``label_col`` 0/1."""
+    per = (
+        scored.groupBy(F.col(units_col).alias("_u"))
+        .agg(
+            F.sum(label_col).cast("long").alias("_p"),
+            (F.count(F.lit(1)) - F.sum(label_col)).cast("long").alias("_n"),
+        )
+        .withColumn("_b", F.expr(f"_u div {block}"))
+    )
+    per = per.localCheckpoint(eager=False)  # one source for blocks + body
+    # exclusive per-block negative offsets: O(score-range/block) driver state
+    brows = sorted(
+        (r["_b"], r["s"])
+        for r in per.groupBy("_b").agg(F.sum("_n").alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for b, s in brows:
+        offsets += [F.lit(int(b)), F.lit(int(acc))]
+        acc += s
+    omap = F.create_map(*offsets) if offsets else F.create_map()
+    w = Window.partitionBy("_b").orderBy("_u").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nl = omap[F.col("_b")] + F.coalesce(F.sum("_n").over(w), F.lit(0))
+    agg = per.withColumn("_nl", nl).agg(
+        F.sum(F.col("_p") * (2 * F.col("_nl") + F.col("_n"))).alias("_num2"),
+        F.sum("_p").alias("n_pos"),
+        F.sum("_n").alias("n_neg"),
+    )
+    return agg.select(
+        F.round(
+            F.col("_num2").cast("double")
+            / (F.lit(2.0) * (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))),
+            6,
+        ).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+    )
+
+
+def exact_auc_oracle(scored_sql: str) -> str:
+    """``scored_sql`` must yield (units BIGINT, label INT).  Derivation
+    is independent: a single window cumulative sum over distinct units
+    (fine in DuckDB — single-node by design)."""
+    return f"""
+WITH s AS ({scored_sql}),
+per AS (SELECT units AS u, sum(label)::BIGINT AS p,
+               (count(*) - sum(label))::BIGINT AS n
+        FROM s GROUP BY units),
+o AS (SELECT u, p, n,
+             coalesce(sum(n) OVER (ORDER BY u
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nl
+      FROM per)
+SELECT round(sum(p * (2 * nl + n))::DOUBLE /
+             (2.0 * ((SELECT sum(p) FROM per)::DOUBLE * (SELECT sum(n) FROM per)::DOUBLE)),
+             6) AS auc,
+       (SELECT sum(p) FROM per)::BIGINT AS n_pos,
+       (SELECT sum(n) FROM per)::BIGINT AS n_neg
+FROM o
+"""

@@ -1,0 +1,141 @@
+"""Span excision: rewrite a text column with flagged character
+intervals removed — the CUT stage that turns span *detection*
+(operators/spans.py, operators/suffix.py) into span *dedup*.
+
+C4 (Raffel et al. 2020) removes repeated boilerplate lines;
+Lee et al. (ACL 2022) cut duplicated spans found by their suffix
+array.  This operator is the generic primitive: given (id, span_start,
+span_end) 1-based inclusive intervals over the NORMALIZED text (the
+offset convention of the whole span suite), produce the stitched
+remainder.  It is policy-agnostic — feed it every flagged occurrence
+for boilerplate-style removal, or the non-canonical occurrences only
+for keep-one-copy dedup.
+
+Shape: one groupBy collecting each doc's (few) intervals into a sorted
+array, one join back to the corpus, then a pure whole-stage-codegen
+``aggregate`` fold that merges overlapping intervals and stitches the
+kept segments — the text is traversed once, no UDF, no explode of the
+corpus.  Interval counts per document are bounded by construction
+(they are merged maximal islands), so the collected array is small; at
+100 TB the only shuffle is the narrow interval relation.
+
+The DuckDB oracle is derived independently at character level: explode
+positions, anti-join against the interval ranges, ``string_agg`` the
+survivors back in order — an O(corpus-chars) check that would be the
+WRONG plan at scale but is the strongest possible differential for the
+stitch arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+
+def _merge_sorted(spans):
+    """Fold a sorted array<struct<s,e>> into disjoint merged intervals."""
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+
+    def step(acc, cur):
+        last = F.element_at(acc, -1)
+        overlaps = cur["s"] <= last["e"] + 1
+        merged = F.struct(
+            last["s"].alias("s"), F.greatest(last["e"], cur["e"]).alias("e")
+        )
+        return F.when(F.size(acc) == 0, F.array(cur)).otherwise(
+            F.when(
+                overlaps,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(cur)))
+        )
+
+    return F.aggregate(spans, empty, step)
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """(id, old_len, new_len, new_sha256) — the normalized text with
+    every (possibly overlapping) interval removed.  Documents without
+    intervals pass through unchanged."""
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(start_col).cast("long").alias("s"),
+                    F.col(end_col).cast("long").alias("e"),
+                )
+            )
+        ).alias("_sp")
+    )
+    norm = docs.select(id_col, normalized(F.col(text_col)).alias("_t"))
+    j = norm.join(sp, id_col, "left")
+
+    merged = _merge_sorted(F.col("_sp"))
+
+    def stitch(acc, cur):
+        # acc: struct<t: kept-so-far, e: last removed end (0 initially)>
+        gap_start = acc["e"] + 1
+        gap_len = cur["s"] - gap_start  # may be <= 0 when spans touch
+        piece = F.when(
+            gap_len > 0,
+            F.col("_t").substr(gap_start.cast("int"), gap_len.cast("int")),
+        ).otherwise(F.lit(""))
+        return F.struct(
+            F.concat(acc["t"], piece).alias("t"), cur["e"].alias("e")
+        )
+
+    zero = F.struct(F.lit("").alias("t"), F.lit(0).cast("long").alias("e"))
+    folded = F.aggregate(merged, zero, stitch)
+    tail = F.expr("substring(_t, CAST(_f.e + 1 AS INT))")
+    new_text = F.when(F.col("_sp").isNull(), F.col("_t")).otherwise(
+        F.concat(F.col("_f").getField("t"), tail)
+    )
+    return (
+        j.withColumn("_f", folded)
+        .select(
+            id_col,
+            F.length("_t").cast("long").alias("old_len"),
+            F.length(new_text).cast("long").alias("new_len"),
+            F.sha2(new_text, 256).alias("new_sha256"),
+        )
+    )
+
+
+def excise_spans_oracle(
+    corpus_sql: str,
+    spans_ctes_and_final: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """``spans_ctes_and_final`` must be a full WITH-body whose FINAL
+    select yields (doc_id, span_start, span_end, ...) — e.g. the body
+    of ``sa_duplicate_spans_oracle`` without the ``WITH`` keyword.
+    The oracle removes covered positions character-by-character — an
+    independent derivation of the stitch."""
+    nt = normalized_oracle(text_col)
+    return f"""
+WITH spans_src AS ({spans_ctes_and_final}),
+docs AS (SELECT {id_col}, {nt} AS t FROM ({corpus_sql}) c),
+chars AS (SELECT {id_col}, unnest(generate_series(1, length(t))) AS p,
+                 unnest(string_split(t, '')) AS ch
+          FROM docs WHERE length(t) > 0),
+kept AS (SELECT c.{id_col}, c.p, c.ch FROM chars c
+         WHERE NOT EXISTS (SELECT 1 FROM spans_src s
+                           WHERE s.{id_col} = c.{id_col}
+                             AND c.p BETWEEN s.span_start AND s.span_end)),
+rebuilt AS (SELECT {id_col},
+                   coalesce(string_agg(ch, '' ORDER BY p), '') AS nt
+            FROM kept GROUP BY {id_col})
+SELECT d.{id_col}, length(d.t)::BIGINT AS old_len,
+       length(coalesce(r.nt, ''))::BIGINT AS new_len,
+       sha256(coalesce(r.nt, '')) AS new_sha256
+FROM docs d LEFT JOIN rebuilt r USING ({id_col})
+"""

@@ -49,6 +49,7 @@ from dqspark.operators.sampling import (
     stratified_sample,
     stratified_sample_oracle_predicate,
 )
+from dqspark.operators.excise import excise_spans, excise_spans_oracle
 from dqspark.operators.suffix import (
     sa_duplicate_spans,
     sa_duplicate_spans_oracle,
@@ -746,3 +747,22 @@ def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sa_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sa_duplicate_spans(_docs_spliced(spark, sf_dir))
+
+
+# Span excision — the CUT stage over the detected spans: every flagged
+# duplicated >=64-char window region is removed from every document
+# (C4-style boilerplate removal policy; keep-one-copy dedup is the
+# same operator fed the non-canonical occurrences).  The oracle
+# rebuilds survivors character-by-character — an independent
+# derivation of the stitch arithmetic.
+@register(
+    "sa_dedup_cut",
+    lambda: excise_spans_oracle(
+        _DOCS_SPLICED_SQL,
+        sa_duplicate_spans_oracle(_DOCS_SPLICED_SQL),
+    ),
+)
+def q_sa_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spliced(spark, sf_dir)
+    spans = sa_duplicate_spans(docs)
+    return excise_spans(docs, spans)

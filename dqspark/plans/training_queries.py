@@ -58,6 +58,7 @@ from dqspark.operators.training import (
     unimax_allocation,
     unimax_over,
 )
+from dqspark.operators.auc import exact_auc, exact_auc_oracle
 from dqspark.plans.driver_queries import register
 from dqspark.plans.local_oracle import oracle_sf_dir, values_table
 from dqspark.sources.catalog import load_table
@@ -300,6 +301,68 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").cast("double") / F.count(F.lit(1)), 6
         ).alias("frac_positive"),
     )
+
+
+def _auc_oracle() -> str:
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    p = fast_sigmoid_sql(margin_sql(weights, feats))
+    sf = oracle_sf_dir()
+    scored = f"""
+  SELECT CAST(round(round({p}, 6) * 1000000) AS BIGINT) AS units,
+         {y}::INT AS label
+  FROM '{sf}/documents.parquet'
+"""
+    return exact_auc_oracle(scored)
+
+
+@register("quality_auc", _auc_oracle)
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the fitted quality classifier against
+    its labels — the acceptance metric for a learned corpus gate.
+    Scores fold to integer micro-units (same convention as the
+    calibration bins) so rank arithmetic is exact; the oracle refits
+    independently and takes the direct single-window derivation."""
+    feats = _feature_frame(spark, sf_dir)
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    score = F.round(_fast_sigmoid_col(_margin_col(w, _FEATURE_COLS)), 6)
+    scored = feats.select(
+        F.round(score * 1000000).cast("long").alias("units"),
+        F.col("y").cast("int").alias("label"),
+    )
+    return exact_auc(scored)
+
+
+def _auc_len_oracle() -> str:
+    e_sql = text_metrics_oracle_exprs("text")
+    sf = oracle_sf_dir()
+    lab = f"(CASE WHEN ({e_sql['alnum_ratio']}) >= 0.82 THEN 1 ELSE 0 END)"
+    scored = f"""
+  SELECT CAST({e_sql['n_chars']} AS BIGINT) AS units, {lab}::INT AS label
+  FROM '{sf}/documents.parquet'
+"""
+    return exact_auc_oracle(scored)
+
+
+@register("length_auc", _auc_len_oracle)
+def q_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of a single raw heuristic (char count) against an
+    orthogonal label (alnum-ratio gate) — deliberately mid-range with
+    heavy score ties, so the Mann-Whitney tie term (0.5 * p_s * n_s)
+    is exercised at value level, unlike the separable fitted
+    classifier (quality_auc = 1.0 on this corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    m = with_text_metrics(docs, "content")
+    scored = m.select(
+        F.col("n_chars").cast("long").alias("units"),
+        F.when(F.col("alnum_ratio") >= 0.82, 1).otherwise(0).alias("label"),
+    )
+    return exact_auc(scored)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,126 @@
+"""Span excision (operators/excise.py) + exact AUC (operators/auc.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.auc import exact_auc
+from dqspark.operators.excise import excise_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, span_start long, span_end long"
+    )
+
+
+def _ref_cut(text: str, spans: list[tuple[int, int]]) -> str:
+    norm = " ".join(text.lower().split())
+    keep = [
+        ch
+        for i, ch in enumerate(norm, start=1)
+        if not any(s <= i <= e for s, e in spans)
+    ]
+    return "".join(keep)
+
+
+def test_excise_matches_python_reference_fuzz(spark):
+    rng = random.Random(11)
+    docs, spans, expect = [], [], {}
+    for d in range(25):
+        t = "".join(rng.choice("abcde fgh") for _ in range(rng.randint(0, 80)))
+        docs.append((d, t))
+        norm = " ".join(t.lower().split())
+        sp = []
+        for _ in range(rng.randint(0, 4)):
+            if len(norm) < 3:
+                continue
+            s = rng.randint(1, len(norm))
+            e = min(len(norm), s + rng.randint(0, 10))
+            sp.append((s, e))
+            spans.append((d, s, e))
+        expect[d] = _ref_cut(t, sp)
+    out = excise_spans(_docs(spark, docs), _spans(spark, spans)).collect()
+    for r in out:
+        ref = expect[r["doc_id"]]
+        assert r["new_len"] == len(ref)
+        assert r["new_sha256"] == hashlib.sha256(ref.encode()).hexdigest()
+
+
+def test_excise_overlapping_and_touching_spans_merge(spark):
+    docs = _docs(spark, [(1, "abcdefghij")])
+    spans = _spans(spark, [(1, 2, 4), (1, 4, 6), (1, 7, 7)])
+    out = excise_spans(docs, spans).collect()[0]
+    # removed 2-6 and 7 -> kept "a" + "" (pos 7 adjacent merge leaves
+    # nothing between 6 and 7) ... kept = a, then pos 8-10 = hij
+    ref = "ahij"
+    assert out["new_len"] == len(ref)
+    assert out["new_sha256"] == hashlib.sha256(ref.encode()).hexdigest()
+
+
+def test_excise_no_spans_passthrough_and_full_cut(spark):
+    docs = _docs(spark, [(1, "Hello  World"), (2, "zap")])
+    spans = _spans(spark, [(2, 1, 3)])
+    out = {r["doc_id"]: r for r in excise_spans(docs, spans).collect()}
+    assert out[1]["new_len"] == len("hello world")
+    assert (
+        out[1]["new_sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    )
+    assert out[2]["new_len"] == 0
+    assert out[2]["new_sha256"] == hashlib.sha256(b"").hexdigest()
+
+
+def _ref_auc(pairs):
+    pos = [u for u, l in pairs if l == 1]
+    neg = [u for u, l in pairs if l == 0]
+    num = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return round(num / (len(pos) * len(neg)), 6)
+
+
+def test_auc_matches_pairwise_reference_fuzz(spark):
+    rng = random.Random(23)
+    pairs = [
+        (rng.randint(0, 40), 1 if rng.random() < 0.4 else 0) for _ in range(300)
+    ]
+    # ensure both classes present
+    pairs += [(50, 1), (0, 0)]
+    df = spark.createDataFrame(pairs, "units long, label int")
+    got = exact_auc(df, block=16).collect()[0]
+    assert got["auc"] == _ref_auc(pairs)
+    assert got["n_pos"] == sum(1 for _, l in pairs if l == 1)
+    assert got["n_neg"] == sum(1 for _, l in pairs if l == 0)
+
+
+def test_auc_closed_forms(spark):
+    # perfect separation -> 1.0; all tied -> 0.5; inverted -> 0.0
+    sep = spark.createDataFrame(
+        [(10, 1)] * 5 + [(1, 0)] * 5, "units long, label int"
+    )
+    assert exact_auc(sep).collect()[0]["auc"] == 1.0
+    tied = spark.createDataFrame(
+        [(7, 1)] * 4 + [(7, 0)] * 6, "units long, label int"
+    )
+    assert exact_auc(tied).collect()[0]["auc"] == 0.5
+    inv = spark.createDataFrame(
+        [(1, 1)] * 3 + [(9, 0)] * 3, "units long, label int"
+    )
+    assert exact_auc(inv).collect()[0]["auc"] == 0.0
+
+
+def test_auc_partition_invariant(spark):
+    rng = random.Random(5)
+    pairs = [(rng.randint(0, 9), rng.randint(0, 1)) for _ in range(200)]
+    pairs += [(3, 1), (3, 0)]
+    df = spark.createDataFrame(pairs, "units long, label int")
+    a = exact_auc(df, block=4).collect()[0]["auc"]
+    b = exact_auc(df.repartition(17), block=4).collect()[0]["auc"]
+    assert a == b == _ref_auc(pairs)
