@@ -220,6 +220,17 @@ def main() -> None:
             "range_join_events",
             "cdc_apply",
             "winsorize_values",
+            "suffix_ranks",
+            "sa_dup_spans",
+            "sa_dedup_cut",
+            "split_assign",
+            "split_leakage",
+            "split_safe",
+            "kmeans_assign",
+            "kmeans_centroids",
+            "semdedup_prune",
+            "quality_auc",
+            "length_auc",
         )
         if q in driver_queries.QUERIES
     ]

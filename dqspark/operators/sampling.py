@@ -107,3 +107,39 @@ def stratified_sample_oracle_predicate(
     )
     thr = f"(CASE {whens} ELSE {dflt} END)"
     return bucket, f"({bucket}) < {thr}"
+
+
+def sample_exact_k(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "dqsample",
+    bucket_col: str = "sample_hash",
+) -> DataFrame:
+    """EXACTLY-k uniform sample: the k rows with the smallest salted
+    hash of ``key_col`` (ties broken by the key itself — md5 collisions
+    are astronomically rare but the order must be total).
+
+    Rate-based sampling (above) yields binomially-distributed sizes;
+    fixed eval subsets, audit panels, and per-round probe sets need an
+    exact count.  k-smallest-hash IS the classic distributed reservoir:
+    Spark plans it as TakeOrderedAndProject — each partition keeps its
+    local top-k, the driver merges O(partitions * k) rows, the corpus
+    is never globally sorted.  Deterministic on any cluster size /
+    resume; growing the corpus only displaces boundary rows (the sample
+    is a consistent bottom-k sketch of the hash ring)."""
+    h = md5_long(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    ).alias(bucket_col)
+    return df.select(F.col(key_col), h).orderBy(bucket_col, key_col).limit(k)
+
+
+def sample_exact_k_oracle(
+    corpus_sql: str, key_expr: str, k: int, salt: str = "dqsample"
+) -> str:
+    h = md5_long_oracle(f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR))")
+    return f"""
+SELECT {key_expr}, {h} AS sample_hash
+FROM ({corpus_sql}) c
+ORDER BY sample_hash, {key_expr} LIMIT {k}
+"""

@@ -46,6 +46,8 @@ from dqspark.operators.repetition import (
     repetition_metrics_oracle,
 )
 from dqspark.operators.sampling import (
+    sample_exact_k,
+    sample_exact_k_oracle,
     stratified_sample,
     stratified_sample_oracle_predicate,
 )
@@ -766,3 +768,16 @@ def q_sa_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spliced(spark, sf_dir)
     spans = sa_duplicate_spans(docs)
     return excise_spans(docs, spans)
+
+
+# Exactly-k deterministic sample: bottom-k of the salted hash ring
+# (plans as TakeOrderedAndProject — per-partition top-k + driver merge,
+# never a global sort).  Fixed eval subsets need exact counts, which
+# rate-based sampling cannot give.
+@register(
+    "exact_sample_k",
+    sample_exact_k_oracle("SELECT doc_id FROM documents", "doc_id", k=64),
+)
+def q_exact_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_exact_k(docs, "doc_id", k=64)

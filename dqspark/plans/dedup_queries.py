@@ -24,6 +24,7 @@ from dqspark.operators.dedup import (
     simhash_near_pairs,
     simhash_oracle,
     with_minhash,
+    with_shingle_hashes,
     with_simhash,
 )
 from dqspark.operators.contamination import semantic_contamination_oracle
@@ -830,3 +831,104 @@ def q_embedding_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return sq8_audit(emb)
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimation-error audit (the sketch-audit family: HLL, CMS,
+# Misra-Gries all carry measured-error audits — this is MinHash's)
+# ---------------------------------------------------------------------------
+
+def _minhash_error_oracle() -> str:
+    harr, mh = _mh_exprs()
+    r = K_MINHASH // LSH_BANDS
+    band_selects = []
+    for j in range(LSH_BANDS):
+        cols = ", ".join(f"mh_{j * r + i}" for i in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, concat_ws('_', {cols}) AS sig FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(K_MINHASH)
+    )
+    return f"""
+WITH corpus AS ({_DOCS_NEAR_SQL}),
+codes AS ({_CODES_CTE}),
+h AS (SELECT doc_id, {harr[0]} FROM codes),
+sigs AS (SELECT doc_id, {', '.join(mh)} FROM h),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS key1, r.doc_id AS key2
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+est AS (
+  SELECT p.key1, p.key2, ({matches}) AS m
+  FROM pairs p JOIN sigs l ON p.key1 = l.doc_id JOIN sigs r ON p.key2 = r.doc_id
+  WHERE ({matches}) >= {K_MINHASH // 2}
+),
+sh AS (SELECT doc_id AS k, unnest(list_distinct(__H)) AS s FROM h),
+sizes AS (SELECT k, count(*) AS sz FROM sh GROUP BY k),
+inter AS (SELECT l.k AS key1, r.k AS key2, count(*) AS i
+          FROM sh l JOIN sh r ON l.s = r.s AND l.k < r.k GROUP BY 1, 2),
+aud AS (SELECT e.m, coalesce(i.i, 0) AS i,
+               s1.sz + s2.sz - coalesce(i.i, 0) AS u
+        FROM est e
+        LEFT JOIN inter i ON e.key1 = i.key1 AND e.key2 = i.key2
+        JOIN sizes s1 ON e.key1 = s1.k JOIN sizes s2 ON e.key2 = s2.k)
+SELECT CAST((10 * abs(m * u - {K_MINHASH} * i)) // ({K_MINHASH} * u) AS INT) AS err_bin,
+       count(*) AS n_pairs
+FROM aud GROUP BY 1
+"""
+
+
+@register("minhash_error_audit", _minhash_error_oracle())
+def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|estimated - true| Jaccard over every LSH candidate pair,
+    bucketed in 0.1 bins with exact integer cross-multiplication
+    (est = m/K, true = i/u -> bin = (10*|m*u - K*i|) div (K*u)) so no
+    float rounding crosses the differential.  True Jaccard is computed
+    only for candidate keys (semi-join gate) — the audit cost scales
+    with candidates, not the corpus."""
+    docs = _docs_near(spark, sf_dir)
+    sigs = with_minhash(docs, "text", k=K_MINHASH)
+    cand = lsh_candidate_pairs(
+        sigs, "doc_id", k=K_MINHASH, bands=LSH_BANDS, min_est_jaccard=0.5
+    ).select(
+        "key1",
+        "key2",
+        F.round(F.col("est_jaccard") * K_MINHASH).cast("long").alias("m"),
+    )
+    keys = cand.select(F.col("key1").alias("k")).unionByName(
+        cand.select(F.col("key2").alias("k"))
+    ).distinct()
+    shx = (
+        with_shingle_hashes(docs, "text")
+        .select(F.col("doc_id").alias("k"), F.explode(F.array_distinct("_H")).alias("s"))
+        .join(keys, "k", "semi")
+    )
+    sizes = shx.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        shx.alias("l")
+        .join(
+            shx.alias("r"),
+            (F.col("l.s") == F.col("r.s")) & (F.col("l.k") < F.col("r.k")),
+        )
+        .groupBy(F.col("l.k").alias("key1"), F.col("r.k").alias("key2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    aud = (
+        cand.join(inter, ["key1", "key2"], "left")
+        .join(sizes.withColumnRenamed("k", "key1").withColumnRenamed("sz", "sz1"), "key1")
+        .join(sizes.withColumnRenamed("k", "key2").withColumnRenamed("sz", "sz2"), "key2")
+        .select(
+            "m",
+            F.coalesce("i", F.lit(0)).alias("i"),
+            (F.col("sz1") + F.col("sz2") - F.coalesce("i", F.lit(0))).alias("u"),
+        )
+    )
+    return aud.select(
+        F.expr(
+            f"CAST((10 * abs(m * u - {K_MINHASH} * i)) div ({K_MINHASH} * u) AS INT)"
+        ).alias("err_bin")
+    ).groupBy("err_bin").agg(F.count(F.lit(1)).alias("n_pairs"))

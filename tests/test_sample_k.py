@@ -1,0 +1,49 @@
+"""Exactly-k bottom-of-hash-ring sampling — operators/sampling.py."""
+
+from __future__ import annotations
+
+from dqspark.operators.sampling import sample_exact_k
+
+
+def _df(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+
+def test_exact_size_and_partition_invariance(spark):
+    df = _df(spark, 500)
+    a = sorted(r["doc_id"] for r in sample_exact_k(df, "doc_id", 32).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(df.repartition(11), "doc_id", 32).collect()
+    )
+    assert len(a) == 32
+    assert a == b
+
+
+def test_consistent_bottom_k_under_growth(spark):
+    # growing the corpus can only displace boundary rows: the sample of
+    # the superset restricted to old keys is a prefix of the old sample
+    old = {
+        r["doc_id"]: r["sample_hash"]
+        for r in sample_exact_k(_df(spark, 300), "doc_id", 40).collect()
+    }
+    new = {
+        r["doc_id"]: r["sample_hash"]
+        for r in sample_exact_k(_df(spark, 600), "doc_id", 40).collect()
+    }
+    surviving = set(old) & set(new)
+    # every surviving member keeps its hash, and anything in old that
+    # dropped out was displaced by a smaller new hash
+    assert all(old[k] == new[k] for k in surviving)
+    dropped = set(old) - set(new)
+    if dropped:
+        max_new = max(new.values())
+        assert all(old[k] > max_new or old[k] >= min(old.values()) for k in dropped)
+    assert len(new) == 40
+
+
+def test_salt_draws_independent_samples(spark):
+    df = _df(spark, 500)
+    a = {r["doc_id"] for r in sample_exact_k(df, "doc_id", 50, salt="s1").collect()}
+    b = {r["doc_id"] for r in sample_exact_k(df, "doc_id", 50, salt="s2").collect()}
+    assert a != b

@@ -157,3 +157,30 @@ def test_no_global_single_partition_window(spark):
     docs = _docs_df(spark, {i: f"text number {i} padding" for i in range(20)})
     plan = suffix_ranks(docs, depth=8)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_sa_spans_cover_fingerprint_spans(spark):
+    """Cross-detector consistency: the suffix-array detector is exact
+    (every window-fit position), the fingerprint detector samples
+    anchored positions — at the SAME window every fingerprint span must
+    be contained in some suffix-array span of the same document."""
+    from dqspark.operators.spans import repeated_spans
+
+    rng = random.Random(19)
+    docs = {}
+    chunk = "".join(rng.choice("abcdefgh ") for _ in range(140))
+    for d in range(10):
+        pad = "".join(rng.choice("qrstuvwx") for _ in range(rng.randint(10, 60)))
+        docs[d] = pad + (chunk if d % 3 == 0 else "") + pad[::-1]
+    df = _docs_df(spark, docs)
+    W = 16
+    fp = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in repeated_spans(df, window=W, anchor_n=8, anchor_mod=4).collect()
+    ]
+    sa = {}
+    for r in sa_duplicate_spans(df, depth=W).collect():
+        sa.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert fp  # the planted chunk must be detected by the sampler too
+    for d, s, e in fp:
+        assert any(s2 <= s and e <= e2 for s2, e2 in sa.get(d, [])), (d, s, e)
