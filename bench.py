@@ -55,6 +55,19 @@ def _run(df) -> float:
     return time.perf_counter() - t0
 
 
+def _run_full(fn, spark, sf_dir) -> float:
+    """Time plan CONSTRUCTION + execution.  Several operators do real
+    eager work while building the result (suffix-array doubling rounds
+    checkpoint eagerly, k-means collects per-round centroid sums, the
+    GD/BPE fits iterate driver-side) — timing only the final action
+    would under-report them.  For lazy queries the construction term is
+    sub-millisecond, so carried-over numbers stay comparable."""
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def _ref_run(spark) -> float:
     """Fixed-work reference job: sum of an arithmetic map over 100M longs,
     32 partitions, whole-stage codegen, no IO/shuffle/Python.  Runtime
@@ -231,6 +244,11 @@ def main() -> None:
             "semdedup_prune",
             "quality_auc",
             "length_auc",
+            "weighted_sample_k",
+            "chi2_drift",
+            "ks_drift",
+            "length_gini",
+            "source_top_docs",
         )
         if q in driver_queries.QUERIES
     ]
@@ -265,7 +283,7 @@ def main() -> None:
             r = _ref_run(spark)
             ref_times.append(r)
             try:
-                t = round(_run(fn(spark, sf_dir)), 3)
+                t = round(_run_full(fn, spark, sf_dir), 3)
             except Exception as exc:  # keep whatever runs completed
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
                 continue

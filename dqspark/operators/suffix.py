@@ -106,6 +106,7 @@ def suffix_ranks(
     text_col: str = "text",
     id_col: str = "doc_id",
     depth: int = SA_DEPTH,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """(id, pos, doc_len, rank) — ``rank`` is the 1-based first-index
     rank (SQL ``rank()`` semantics: 1 + number of strictly smaller
@@ -158,7 +159,15 @@ def suffix_ranks(
 
     step = 2
     while step < depth:
-        if cur.where(F.col("_sz") > 1).limit(1).count() == 0:
+        if round_stats is not None:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            n_active = cur.where(F.col("_sz") > 1).count()
+            round_stats.append({"step": step, "active_rows": n_active})
+            if n_active == 0:
+                break
+        elif cur.where(F.col("_sz") > 1).limit(1).count() == 0:
             break  # every suffix already in a singleton class
         active = cur.where(F.col("_sz") > 1)
         right = cur.select(
@@ -185,6 +194,8 @@ def suffix_ranks(
             .unionByName(updated)
             .localCheckpoint(eager=True)
         )
+        if round_stats is not None:
+            round_stats[-1]["wall_s"] = round(_time.perf_counter() - _t0, 3)
         step *= 2
     return cur.select(id_col, "pos", "doc_len", (F.col("_r") + 1).alias("rank"))
 

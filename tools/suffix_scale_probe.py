@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Suffix-array scale evidence: run the prefix-doubling construction on
+the sf0.1 document corpus and a 10x amplified version, recording
+per-round ACTIVE-SET sizes (the singleton-freezing claim), wall per
+round, and whole-job shuffle volume from the Spark REST API.
+
+The amplified corpus (tools/scale_evidence.amplified_documents) makes
+1/3 of replicas exact duplicates, so — unlike a unique-text corpus —
+the active set has a hard floor (duplicated docs share every suffix and
+can never freeze): the probe shows BOTH effects, the geometric
+collapse of unique text and the duplicate floor, which is the honest
+behavior at corpus scale where dup docs exist by construction.
+
+Usage: python tools/suffix_scale_probe.py [--amp 10] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dqspark.operators.suffix import suffix_ranks  # noqa: E402
+from dqspark.session import get_spark  # noqa: E402
+from tools.scale_evidence import (  # noqa: E402
+    _app_id,
+    _collect_delta,
+    _stage_snapshot,
+    amplified_documents,
+)
+
+
+def probe(spark, docs, depth: int) -> dict:
+    app = _app_id()
+    before = _stage_snapshot(app)
+    stats: list[dict] = []
+    t0 = time.perf_counter()
+    ranks = suffix_ranks(docs, depth=depth, round_stats=stats)
+    n_positions = ranks.count()
+    wall = round(time.perf_counter() - t0, 2)
+    shared = ranks.groupBy("rank").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("nd")
+    )
+    multi_doc_positions = (
+        shared.where(F.col("nd") >= 2)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        or 0
+    )
+    delta = _collect_delta(app, before)
+    return {
+        "positions": n_positions,
+        "depth": depth,
+        "rounds": stats,
+        "wall_sec": wall,
+        "positions_in_cross_doc_classes": int(multi_doc_positions),
+        **{
+            k: delta[k]
+            for k in (
+                "stages",
+                "tasks",
+                "shuffle_read_bytes",
+                "shuffle_write_bytes",
+                "peak_task_shuffle_read_bytes",
+            )
+        },
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--amp", type=int, default=10)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--depth", type=int, default=64)
+    ap.add_argument("--json", default="suffix_scale_probe_r5.json")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "suffix-scale-probe", extra_conf={"spark.ui.enabled": "true"}
+    )
+    base = (
+        spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .repartition(64, "doc_id")
+    )
+    out = {
+        "sf_dir": args.sf_dir,
+        "amp": args.amp,
+        "base": probe(spark, base, args.depth),
+        "amplified": probe(
+            spark, amplified_documents(spark, args.sf_dir, args.amp), args.depth
+        ),
+    }
+    b, a = out["base"], out["amplified"]
+    out["scale_factors"] = {
+        "positions": round(a["positions"] / b["positions"], 2),
+        "wall": round(a["wall_sec"] / b["wall_sec"], 2),
+        "shuffle": round(
+            a["shuffle_read_bytes"] / max(b["shuffle_read_bytes"], 1), 2
+        ),
+    }
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
