@@ -29,7 +29,7 @@ cross-snapshot differential.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NULL_DRIFT_AT = 0.02
@@ -139,4 +139,388 @@ SELECT po.col_name,
         OR abs(round(pn.distinct_ratio - po.distinct_ratio, 4))
           > CAST('{DISTINCT_DRIFT_AT!r}' AS DOUBLE)) AS drifted
 FROM po JOIN pn USING (col_name)
+"""
+
+
+# Upper 95% critical values of the chi-square distribution for dof
+# 1..20 (standard published table, e.g. NIST/SEMATECH e-Handbook
+# §1.3.6.7.4).  A literal CASE chain on both engines — no inverse-CDF
+# math crosses the comparison boundary.
+CHI2_CRIT_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+    11: 19.675, 12: 21.026, 13: 22.362, 14: 23.685, 15: 24.996,
+    16: 26.296, 17: 27.587, 18: 28.869, 19: 30.144, 20: 31.410,
+}
+
+CHI2_UNIT = 100_000_000  # 1e-8-unit integer contributions
+
+
+def chi2_contingency_drift(
+    old: DataFrame, new: DataFrame, cat_col: str
+) -> DataFrame:
+    """Pearson chi-square test of homogeneity between two snapshots of a
+    categorical column — the classical "did the language / source /
+    license mixture CHANGE between crawls?" drift test, complementing
+    :func:`profile_drift` (which watches per-column null/distinct
+    shape, not the category distribution itself).
+
+    One row per category: observed old/new counts, expected counts
+    under homogeneity, this cell-pair's chi-square contribution, plus
+    the table-level ``chi2`` / ``dof`` / ``drifted`` verdict repeated on
+    every row (``drifted`` compares chi2 against the 95% critical value
+    for the observed dof; NULL when dof exceeds the embedded table).
+
+    Engine-exactness: per-category contributions are pure arithmetic on
+    identical integer counts, so both engines produce bit-identical
+    doubles; each contribution is then rounded to an INTEGER number of
+    1e-8 units before the table-level sum, making ``chi2`` immune to
+    floating summation-order differences between Spark partitions and
+    DuckDB (the same scaled-integer trick as quality_calibration's
+    integer-unit means).
+
+    Scale shape: one union + one groupBy over the corpus (map-side
+    combined counts — the only corpus-sized pass), then windows over the
+    O(categories) cells relation; the single-partition window exchange
+    moves O(categories) rows, never corpus data.
+    """
+    tagged = old.select(
+        F.col(cat_col).cast("string").alias("category"), F.lit(1).alias("_s")
+    ).unionByName(
+        new.select(
+            F.col(cat_col).cast("string").alias("category"),
+            F.lit(0).alias("_s"),
+        )
+    )
+    cells = tagged.groupBy("category").agg(
+        F.sum(F.col("_s")).cast("long").alias("n_old"),
+        F.sum(1 - F.col("_s")).cast("long").alias("n_new"),
+    )
+    w = Window.partitionBy()
+    m = cells.select(
+        "category",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(w).alias("t_old"),
+        F.sum("n_new").over(w).alias("t_new"),
+        F.count(F.lit(1)).over(w).alias("n_cat"),
+    )
+    row_tot = (F.col("n_old") + F.col("n_new")).cast("double")
+    n = (F.col("t_old") + F.col("t_new")).cast("double")
+    e_old = row_tot * F.col("t_old").cast("double") / n
+    e_new = row_tot * F.col("t_new").cast("double") / n
+    contrib = (F.col("n_old") - e_old) * (F.col("n_old") - e_old) / e_old + (
+        F.col("n_new") - e_new
+    ) * (F.col("n_new") - e_new) / e_new
+    staged = m.select(
+        "category",
+        "n_old",
+        "n_new",
+        F.round(e_old, 4).alias("expected_old"),
+        F.round(e_new, 4).alias("expected_new"),
+        F.round(contrib * CHI2_UNIT).cast("long").alias("_units"),
+        (F.col("n_cat") - 1).cast("long").alias("dof"),
+    )
+    chi2 = F.round(F.sum("_units").over(w) / F.lit(float(CHI2_UNIT)), 4)
+    crit: Column = F.lit(None).cast("double")
+    for d, c in sorted(CHI2_CRIT_95.items(), reverse=True):
+        crit = F.when(F.col("dof") == d, F.lit(c)).otherwise(crit)
+    return staged.select(
+        "category",
+        "n_old",
+        "n_new",
+        "expected_old",
+        "expected_new",
+        F.round(F.col("_units") / F.lit(float(CHI2_UNIT)), 4).alias(
+            "contribution"
+        ),
+        chi2.alias("chi2"),
+        "dof",
+        (chi2 > crit).alias("drifted"),
+    )
+
+
+def chi2_contingency_drift_oracle(
+    old_sql: str, new_sql: str, cat_expr: str
+) -> str:
+    whens = " ".join(
+        f"WHEN dof = {d} THEN chi2 > {c!r}"
+        for d, c in sorted(CHI2_CRIT_95.items())
+    )
+    return f"""
+WITH u AS (
+  SELECT CAST({cat_expr} AS VARCHAR) AS category, 1 AS s FROM ({old_sql}) o
+  UNION ALL
+  SELECT CAST({cat_expr} AS VARCHAR) AS category, 0 AS s FROM ({new_sql}) n
+),
+cells AS (
+  SELECT category, sum(s)::BIGINT AS n_old, sum(1 - s)::BIGINT AS n_new
+  FROM u GROUP BY category
+),
+m AS (
+  SELECT category, n_old, n_new,
+         sum(n_old) OVER () AS t_old,
+         sum(n_new) OVER () AS t_new,
+         count(*) OVER () AS n_cat
+  FROM cells
+),
+e AS (
+  SELECT *,
+         CAST(n_old + n_new AS DOUBLE) * CAST(t_old AS DOUBLE)
+           / CAST(t_old + t_new AS DOUBLE) AS e_old,
+         CAST(n_old + n_new AS DOUBLE) * CAST(t_new AS DOUBLE)
+           / CAST(t_old + t_new AS DOUBLE) AS e_new
+  FROM m
+),
+c AS (
+  SELECT *,
+         CAST(round(((n_old - e_old) * (n_old - e_old) / e_old
+                     + (n_new - e_new) * (n_new - e_new) / e_new)
+                    * {CHI2_UNIT}) AS BIGINT) AS units
+  FROM e
+),
+t AS (
+  SELECT category, n_old, n_new,
+         round(e_old, 4) AS expected_old,
+         round(e_new, 4) AS expected_new,
+         round(units / {CHI2_UNIT}.0, 4) AS contribution,
+         round(sum(units) OVER () / {CHI2_UNIT}.0, 4) AS chi2,
+         (n_cat - 1)::BIGINT AS dof
+  FROM c
+)
+SELECT *, (CASE {whens} ELSE NULL END) AS drifted FROM t
+"""
+
+
+# c(alpha)^2 for the two-sample KS rejection rule at alpha = 0.05
+# (c = 1.358, Smirnov's asymptotic table) — squared so the verdict
+# compares products, never a sqrt, across the engine boundary.
+KS_C2_05 = 1.844164
+
+
+def ks_drift(old: DataFrame, new: DataFrame, val_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on a numeric column between
+    snapshots — DID THE DISTRIBUTION CHANGE, shape included (the
+    location-only counterpart is the Mann-Whitney AUC in
+    operators/excise_auc.py; chi2_contingency_drift covers categorical
+    mixtures).  One result row: sample sizes, the D statistic, the
+    value where the empirical CDFs diverge most, and the alpha=0.05
+    verdict.
+
+    Integer-exact construction: with cumulative counts C_old(v),
+    C_new(v) and totals n_old, n_new, the supremum gap is
+    ``max_v |C_old(v)*n_new - C_new(v)*n_old|`` — pure BIGINT
+    arithmetic, so the argmax value, the numerator, and the verdict
+    ``num^2 > c^2 * n_old * n_new * (n_old + n_new)`` (the D >
+    c*sqrt((n1+n2)/(n1*n2)) rule with both sides squared and scaled by
+    (n1*n2)^2) are engine-identical; only the REPORTED ``d_stat``
+    divides doubles, rounded to 6 dp on both sides.  The BIGINT
+    products bound the exact path at ~3e9 rows per side; beyond that
+    the double D itself is the number of record (1e-15 relative error
+    is irrelevant to a statistical test) — the oracle contract is what
+    needs exactness, and it is exercised at fixture scale.
+
+    Scale shape: one union + one groupBy(value) over the corpus
+    (map-side combined — the only corpus-sized pass), then ordered
+    windows over the O(distinct values) cells relation; the
+    single-partition window exchange moves O(distinct) rows.  The
+    final argmax is a 1-row TakeOrderedAndProject.
+    """
+    tagged = old.select(
+        F.col(val_col).alias("v"), F.lit(1).alias("_s")
+    ).unionByName(new.select(F.col(val_col).alias("v"), F.lit(0).alias("_s")))
+    cells = tagged.groupBy("v").agg(
+        F.sum(F.col("_s")).cast("long").alias("c_old"),
+        F.sum(1 - F.col("_s")).cast("long").alias("c_new"),
+    )
+    w_ord = (
+        Window.partitionBy()
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = cells.select(
+        "v",
+        F.sum("c_old").over(w_ord).alias("cum_old"),
+        F.sum("c_new").over(w_ord).alias("cum_new"),
+        F.sum("c_old").over(w_all).alias("n_old"),
+        F.sum("c_new").over(w_all).alias("n_new"),
+    )
+    num = F.abs(
+        F.col("cum_old") * F.col("n_new") - F.col("cum_new") * F.col("n_old")
+    )
+    scored = cum.select(
+        "v", "n_old", "n_new", num.alias("d_num")
+    ).orderBy(F.desc("d_num"), "v").limit(1)
+    n1d = F.col("n_old").cast("double")
+    n2d = F.col("n_new").cast("double")
+    numd = F.col("d_num").cast("double")
+    return scored.select(
+        "n_old",
+        "n_new",
+        "d_num",
+        F.round(numd / (n1d * n2d), 6).alias("d_stat"),
+        F.col("v").alias("at_value"),
+        (numd * numd > F.lit(KS_C2_05) * n1d * n2d * (n1d + n2d)).alias(
+            "drifted"
+        ),
+    )
+
+
+def ks_drift_oracle(old_sql: str, new_sql: str, val_expr: str) -> str:
+    return f"""
+WITH u AS (
+  SELECT {val_expr} AS v, 1 AS s FROM ({old_sql}) o
+  UNION ALL
+  SELECT {val_expr} AS v, 0 AS s FROM ({new_sql}) n
+),
+cells AS (
+  SELECT v, sum(s)::BIGINT AS c_old, sum(1 - s)::BIGINT AS c_new
+  FROM u GROUP BY v
+),
+cum AS (
+  SELECT v,
+         sum(c_old) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_old,
+         sum(c_new) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_new,
+         sum(c_old) OVER () AS n_old,
+         sum(c_new) OVER () AS n_new
+  FROM cells
+),
+top AS (
+  SELECT v, n_old, n_new,
+         abs(cum_old * n_new - cum_new * n_old) AS d_num
+  FROM cum
+  ORDER BY d_num DESC, v LIMIT 1
+)
+SELECT n_old::BIGINT AS n_old, n_new::BIGINT AS n_new,
+       d_num::BIGINT AS d_num,
+       round(CAST(d_num AS DOUBLE)
+             / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)), 6) AS d_stat,
+       v AS at_value,
+       (CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE)
+        > {KS_C2_05!r} * CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)
+          * (CAST(n_old AS DOUBLE) + CAST(n_new AS DOUBLE))) AS drifted
+FROM top
+"""
+
+
+EMB_UNIT = 1_000_000  # 1e-6-unit integer embedding components
+
+COS_DRIFT_FLOOR = 0.98
+
+
+def embedding_centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    cos_floor: float = COS_DRIFT_FLOOR,
+) -> DataFrame:
+    """Centroid drift between two snapshots of an embedding column —
+    the embeddings-modality member of the drift family (categorical:
+    chi2, numeric shape: KS, schema: profile_drift).  A retrained or
+    silently-changed encoder, a collapsed upstream modality, or a
+    mixture shift all move the corpus centroid; this reports the cosine
+    between snapshot centroids and the L2 of their difference, one row.
+
+    Engine-exactness: each component is rounded to an INTEGER number of
+    1e-6 units BEFORE summation (sums of identical integers are
+    order-free), so both engines hold bit-identical sum vectors; cosine
+    is scale-invariant, so it is computed directly on the integer sums
+    via a fixed-order 64-term product chain (identical IEEE doubles —
+    ``sqrt`` is correctly-rounded by the standard, unlike ln/pow, so it
+    may cross the engine boundary), rounded to 6 dp.
+
+    Scale shape: ONE aggregate pass per snapshot with map-side combine
+    (state = dim longs + a count), then a 1-row x 1-row cross join —
+    nothing corpus-sized moves and no explode ever happens; dim bounds
+    both the agg state and the expression width.
+    """
+
+    def _sums(df: DataFrame, tag: str):
+        aggs = [F.count(F.lit(1)).cast("long").alias(f"n_{tag}")] + [
+            F.sum(
+                F.round(
+                    F.element_at(F.col(vec_col), j + 1).cast("double")
+                    * EMB_UNIT
+                ).cast("long")
+            ).alias(f"{tag}_{j}")
+            for j in range(dim)
+        ]
+        return df.agg(*aggs)
+
+    joined = _sums(old, "old").crossJoin(_sums(new, "new"))
+
+    def _chain(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    od = [F.col(f"old_{j}").cast("double") for j in range(dim)]
+    nd = [F.col(f"new_{j}").cast("double") for j in range(dim)]
+    dot = _chain([a * b for a, b in zip(od, nd)])
+    norm_o = _chain([a * a for a in od])
+    norm_n = _chain([b * b for b in nd])
+    cos = F.round(dot / F.sqrt(norm_o * norm_n), 6)
+    mo = [a / (F.col("n_old").cast("double") * EMB_UNIT) for a in od]
+    mn = [b / (F.col("n_new").cast("double") * EMB_UNIT) for b in nd]
+    l2 = F.round(
+        F.sqrt(_chain([(a - b) * (a - b) for a, b in zip(mo, mn)])), 6
+    )
+    return joined.select(
+        "n_old",
+        "n_new",
+        cos.alias("centroid_cosine"),
+        l2.alias("centroid_l2_delta"),
+        (cos < F.lit(cos_floor)).alias("drifted"),
+    )
+
+
+def embedding_centroid_drift_oracle(
+    old_sql: str,
+    new_sql: str,
+    vec_expr: str = "embedding",
+    dim: int = 64,
+    cos_floor: float = COS_DRIFT_FLOOR,
+) -> str:
+    def _sums(tag: str) -> str:
+        comps = ", ".join(
+            f"sum(CAST(round(CAST({vec_expr}[{j + 1}] AS DOUBLE)"
+            f" * {EMB_UNIT}) AS BIGINT))::BIGINT AS {tag}_{j}"
+            for j in range(dim)
+        )
+        return f"count(*)::BIGINT AS n_{tag}, {comps}"
+
+    dot = " + ".join(
+        f"CAST(old_{j} AS DOUBLE) * CAST(new_{j} AS DOUBLE)"
+        for j in range(dim)
+    )
+    norm_o = " + ".join(
+        f"CAST(old_{j} AS DOUBLE) * CAST(old_{j} AS DOUBLE)"
+        for j in range(dim)
+    )
+    norm_n = " + ".join(
+        f"CAST(new_{j} AS DOUBLE) * CAST(new_{j} AS DOUBLE)"
+        for j in range(dim)
+    )
+    l2 = " + ".join(
+        f"(CAST(old_{j} AS DOUBLE) / (CAST(n_old AS DOUBLE) * {EMB_UNIT})"
+        f" - CAST(new_{j} AS DOUBLE) / (CAST(n_new AS DOUBLE) * {EMB_UNIT}))"
+        f" * (CAST(old_{j} AS DOUBLE) / (CAST(n_old AS DOUBLE) * {EMB_UNIT})"
+        f" - CAST(new_{j} AS DOUBLE) / (CAST(n_new AS DOUBLE) * {EMB_UNIT}))"
+        for j in range(dim)
+    )
+    return f"""
+WITH o AS (SELECT {_sums('old')} FROM ({old_sql}) t),
+n AS (SELECT {_sums('new')} FROM ({new_sql}) t),
+j AS (SELECT * FROM o CROSS JOIN n)
+SELECT n_old, n_new,
+       round(({dot}) / sqrt(({norm_o}) * ({norm_n})), 6) AS centroid_cosine,
+       round(sqrt({l2}), 6) AS centroid_l2_delta,
+       (round(({dot}) / sqrt(({norm_o}) * ({norm_n})), 6)
+          < CAST('{cos_floor!r}' AS DOUBLE)) AS drifted
+FROM j
 """

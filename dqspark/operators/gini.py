@@ -1,0 +1,147 @@
+"""Gini concentration audit — HOW SKEWED is the corpus?
+
+The north-star job salts its repartitioning because mega-repos hold a
+disproportionate share of rows (BASELINE.json: "salted repartitioning
+to break skew from mega-repos").  This operator MEASURES that skew so
+the salting decision is data-driven and monitorable: the Gini
+coefficient of a size column within each group (0 = perfectly even,
+→1 = one member holds everything).  Track it per snapshot and a rising
+Gini is an early warning that the current salt/bucket layout will
+straggle.
+
+Integer-exact construction: with group members sorted ascending by
+size x_1 <= ... <= x_n, the mean-difference form
+
+    G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+has an all-BIGINT numerator and denominator — ``i`` is a per-group
+``row_number`` and ties contribute identically under any tiebreak
+(swapping equal values leaves sum(i * x_i) unchanged), so the value is
+deterministic and engine-identical; only the final division is a
+double, rounded to 4 dp on both sides.  The BIGINT products bound the
+exact path at n * total_size < 2^63 per group (~10^6 members of ~10 TB
+each) — beyond that the double ratio is the number of record.
+
+Scale shape: one groupBy to per-member sizes (map-side combined — the
+only corpus-sized pass), then a rank window PER GROUP over the
+O(members) relation — partitioned by the group key, so no global sort
+and no single-partition exchange; the final rollup is one more
+per-group aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+) -> DataFrame:
+    """(group, n_members, total_size, gini) — one row per group.
+
+    ``df`` is member-grained (one row per member, e.g. one per doc with
+    its char count, or a pre-aggregated (repo, bytes) relation).
+    """
+    w = Window.partitionBy("grp").orderBy("x")
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(size_col).cast("long").alias("x"),
+    ).withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("x").cast("long").alias("total_size"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("_ix"),
+    )
+    num = 2 * F.col("_ix") - (F.col("n_members") + 1) * F.col("total_size")
+    den = F.col("n_members") * F.col("total_size")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_members",
+        "total_size",
+        F.round(
+            num.cast("double")
+            / F.greatest(den, F.lit(1)).cast("double"),
+            4,
+        ).alias("gini"),
+    )
+
+
+def gini_by_group_oracle(
+    corpus_sql: str, group_expr: str, size_expr: str
+) -> str:
+    """DuckDB mirror: same rank window, same integer numerator, same
+    4-dp division."""
+    return f"""
+WITH members AS (
+  SELECT {group_expr} AS grp, CAST({size_expr} AS BIGINT) AS x
+  FROM ({corpus_sql}) c
+),
+ranked AS (
+  SELECT grp, x,
+         row_number() OVER (PARTITION BY grp ORDER BY x)::BIGINT AS i
+  FROM members
+),
+agg AS (
+  SELECT grp,
+         count(*)::BIGINT AS n_members,
+         sum(x)::BIGINT AS total_size,
+         sum(i * x)::BIGINT AS ix
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS {group_expr.split('.')[-1]},
+       n_members,
+       total_size,
+       round(CAST(2 * ix - (n_members + 1) * total_size AS DOUBLE)
+             / CAST(greatest(n_members * total_size, 1) AS DOUBLE),
+             4) AS gini
+FROM agg
+"""
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """(group, k-largest members by ``order_col``) — the per-group
+    counterpart of the global top-k in operators/scoring.py.  Ties are
+    broken by ``tiebreak_col`` so the selection is total and
+    engine-identical.
+
+    Scale shape: ONE hash exchange on the group key + an in-partition
+    sort feeding ``row_number`` — no global ordering; with AQE skew
+    handling a mega-group splits across tasks only at the exchange, the
+    rank window itself is per-group sequential by construction (rank
+    windows cannot be split; if a single group's membership exceeds a
+    task, pre-aggregate or cap upstream).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(tiebreak_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(group_col, tiebreak_col, order_col, "rk")
+    )
+
+
+def top_k_per_group_oracle(
+    corpus_sql: str,
+    group_expr: str,
+    order_expr: str,
+    tiebreak_expr: str,
+    k: int,
+) -> str:
+    return f"""
+SELECT {group_expr}, {tiebreak_expr}, {order_expr}, rk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY {group_expr}
+      ORDER BY {order_expr} DESC, {tiebreak_expr})::BIGINT AS rk
+  FROM ({corpus_sql}) c
+) t WHERE rk <= {k}
+"""

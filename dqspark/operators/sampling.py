@@ -143,3 +143,86 @@ SELECT {key_expr}, {h} AS sample_hash
 FROM ({corpus_sql}) c
 ORDER BY sample_hash, {key_expr} LIMIT {k}
 """
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    salt: str = "dqweighted",
+    max_weight: int = 64,
+    draw_col: str = "draw_hash",
+) -> DataFrame:
+    """EXACTLY-k weighted sample without replacement — the lottery-ticket
+    scheme: a row with integer weight ``w`` (clamped to [1, max_weight])
+    holds ``w`` tickets, ticket ``i``'s value is the salted hash of
+    ``(key, i)``, the row's draw is its BEST (minimum) ticket, and the k
+    smallest draws win.  The draw is the minimum of w iid uniforms, so
+    heavier rows stochastically dominate lighter ones (P(win) rises
+    monotonically with w) — the replication formulation of weighted
+    reservoir sampling (Efraimidis & Spirakis, IPL 2006, restricted to
+    integer weights so no ``pow``/``ln`` double ever crosses the
+    engine boundary).
+
+    Typical use: token-mass-weighted document subsampling — weight a doc
+    by its size so the SAMPLE's token mass, not its doc count, tracks
+    the corpus mixture.
+
+    Scale shape: the tickets are a ``transform`` over ``sequence(1, w)``
+    folded by ``array_min`` — a pure O(w)-per-row projection, never an
+    explode (row count is unchanged; no shuffle is introduced).  The
+    k-smallest selection plans as TakeOrderedAndProject: per-partition
+    top-k, driver merges O(partitions * k) rows, the corpus is never
+    globally sorted.  Deterministic on any cluster size / partitioning /
+    resume; ``max_weight`` bounds per-row work so a pathological weight
+    column cannot create a straggler row.
+    """
+    # clamp in LONG space first — ANSI mode makes a narrowing cast of an
+    # out-of-range weight throw, so the int cast must happen post-clamp
+    w = F.greatest(
+        F.least(weight_col.cast("long"), F.lit(int(max_weight)).cast("long")),
+        F.lit(1).cast("long"),
+    ).cast("int")
+    tickets = F.transform(
+        F.sequence(F.lit(1), w),
+        lambda i: md5_long(
+            F.concat_ws(
+                "|", F.lit(salt), F.col(key_col).cast("string"), i.cast("string")
+            )
+        ),
+    )
+    out = df.select(
+        F.col(key_col),
+        w.cast("long").alias("tickets"),
+        F.array_min(tickets).alias(draw_col),
+    )
+    return out.orderBy(draw_col, key_col).limit(k)
+
+
+def weighted_sample_k_oracle(
+    corpus_sql: str,
+    key_expr: str,
+    weight_expr: str,
+    k: int,
+    salt: str = "dqweighted",
+    max_weight: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample_k`, bit-for-bit: same
+    clamp, same per-ticket hash, same min-fold, same (draw, key) total
+    order."""
+    h = md5_long_oracle(
+        f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR), i::VARCHAR)"
+    )
+    return f"""
+WITH w AS (
+  SELECT {key_expr} AS key,
+         greatest(least(CAST({weight_expr} AS BIGINT), {int(max_weight)}), 1) AS wt
+  FROM ({corpus_sql}) c
+)
+SELECT key AS {key_expr.split('.')[-1]},
+       wt::BIGINT AS tickets,
+       list_min(list_transform(generate_series(1, wt), i -> {h})) AS draw_hash
+FROM w
+ORDER BY draw_hash, key LIMIT {k}
+"""

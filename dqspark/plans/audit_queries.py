@@ -24,6 +24,12 @@ from dqspark.operators.corpus_stats import (
     repo_skew,
     repo_skew_oracle,
 )
+from dqspark.operators.gini import (
+    gini_by_group,
+    gini_by_group_oracle,
+    top_k_per_group,
+    top_k_per_group_oracle,
+)
 from dqspark.pipeline.quality import run_quality_pipeline
 from dqspark.plans import pipeline_queries as _pq
 from dqspark.plans.driver_queries import register
@@ -67,6 +73,40 @@ def q_repo_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     return repo_skew(rebalance(cf))
+
+
+# Gini concentration of document length per language — the group-level
+# summary of the skew repo_skew itemizes per repo (0 = even, ->1 = one
+# member dominates); the salting dial's monitoring metric.
+@register(
+    "length_gini",
+    gini_by_group_oracle(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars"
+    ),
+)
+def q_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return gini_by_group(rebalance(docs), "lang", "n_chars")
+
+
+# Per-group top-k: the 3 largest docs per source (grouped counterpart
+# of the global top-k in severity_ranking; one hash exchange + rank
+# window, no global sort).
+@register(
+    "source_top_docs",
+    top_k_per_group_oracle(
+        "SELECT source, doc_id, n_chars FROM documents",
+        "source",
+        "n_chars",
+        "doc_id",
+        k=3,
+    ),
+)
+def q_source_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return top_k_per_group(rebalance(docs), "source", "n_chars", "doc_id", k=3)
 
 
 # ---------------------------------------------------------------------------

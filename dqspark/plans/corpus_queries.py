@@ -48,6 +48,8 @@ from dqspark.operators.repetition import (
 from dqspark.operators.sampling import (
     sample_exact_k,
     sample_exact_k_oracle,
+    weighted_sample_k,
+    weighted_sample_k_oracle,
     stratified_sample,
     stratified_sample_oracle_predicate,
 )
@@ -781,3 +783,25 @@ def q_sa_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return sample_exact_k(docs, "doc_id", k=64)
+
+
+# Token-mass-weighted exactly-k sample: each doc holds (n_chars div 64
+# + 1) lottery tickets, so the sample's CHARACTER mass, not its doc
+# count, tracks the corpus — the weighted counterpart of exact_sample_k
+# (integral weight expression on both engines; double->int cast
+# rounding differs between Spark and DuckDB, so the operator contract
+# requires integer weights).
+@register(
+    "weighted_sample_k",
+    weighted_sample_k_oracle(
+        "SELECT doc_id, n_chars FROM documents",
+        "doc_id",
+        "n_chars // 64 + 1",
+        k=64,
+    ),
+)
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_k(
+        docs, "doc_id", F.expr("n_chars div 64 + 1"), k=64
+    )

@@ -47,7 +47,16 @@ from dqspark.operators.delta import (
     snapshot_delta,
     snapshot_delta_oracle,
 )
-from dqspark.operators.drift import profile_drift, profile_drift_oracle
+from dqspark.operators.drift import (
+    chi2_contingency_drift,
+    chi2_contingency_drift_oracle,
+    embedding_centroid_drift,
+    embedding_centroid_drift_oracle,
+    ks_drift,
+    ks_drift_oracle,
+    profile_drift,
+    profile_drift_oracle,
+)
 from dqspark.operators.eventjoins import (
     as_of_join,
     as_of_join_oracle,
@@ -443,6 +452,77 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return profile_drift(old, new, _DRIFT_COLS)
+
+
+# Chi-square homogeneity test on the language mixture between snapshot
+# halves; the NEW snapshot keeps only 1-in-6 German docs, so the 'de'
+# cell carries most of the statistic and the 95% verdict fires at dof=4.
+_CHI2_OLD_SQL = "SELECT * FROM documents WHERE doc_id % 2 = 0"
+_CHI2_NEW_SQL = (
+    "SELECT * FROM documents "
+    "WHERE doc_id % 2 = 1 AND (lang <> 'de' OR doc_id % 6 = 1)"
+)
+
+
+@register(
+    "chi2_drift",
+    chi2_contingency_drift_oracle(_CHI2_OLD_SQL, _CHI2_NEW_SQL, "lang"),
+)
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(
+        (F.col("doc_id") % 2 == 1)
+        & ((F.col("lang") != "de") | (F.col("doc_id") % 6 == 1))
+    )
+    return chi2_contingency_drift(old, new, "lang")
+
+
+# Two-sample KS on document length: the NEW snapshot inflates every
+# third doc by 150 chars — a shape change the categorical tests cannot
+# see; the integer numerator makes argmax + verdict engine-exact.
+_KS_OLD_SQL = "SELECT n_chars FROM documents WHERE doc_id % 2 = 0"
+_KS_NEW_SQL = (
+    "SELECT n_chars + (CASE WHEN doc_id % 3 = 0 THEN 150 ELSE 0 END)"
+    " AS n_chars FROM documents WHERE doc_id % 2 = 1"
+)
+
+
+# Embedding-centroid drift: the NEW snapshot over-represents clusters
+# 0-2 (a mixture shift a retrained encoder or collapsed modality would
+# also produce) — centroids diverge, cosine drops below the floor.
+_EMB_OLD_SQL = "SELECT embedding FROM embeddings WHERE vec_id % 2 = 0"
+_EMB_NEW_SQL = (
+    "SELECT embedding FROM embeddings WHERE vec_id % 2 = 1 AND label <= 2"
+)
+
+
+@register(
+    "embedding_drift",
+    embedding_centroid_drift_oracle(_EMB_OLD_SQL, _EMB_NEW_SQL),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    old = emb.where(F.col("vec_id") % 2 == 0).select("embedding")
+    new = emb.where(
+        (F.col("vec_id") % 2 == 1) & (F.col("label") <= 2)
+    ).select("embedding")
+    return embedding_centroid_drift(old, new)
+
+
+@register("ks_drift", ks_drift_oracle(_KS_OLD_SQL, _KS_NEW_SQL, "n_chars"))
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    old = docs.where(F.col("doc_id") % 2 == 0).select("n_chars")
+    new = docs.where(F.col("doc_id") % 2 == 1).select(
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 3 == 0, F.lit(150)).otherwise(F.lit(0))
+        ).alias("n_chars")
+    )
+    return ks_drift(old, new, "n_chars")
 
 
 @register("delta_rollup", delta_rollup_oracle(_OLD_SQL, _NEW_SQL, ["doc_id"]))

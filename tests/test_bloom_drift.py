@@ -109,3 +109,101 @@ def test_bloom_duplicate_corpus_keys_not_multiplied(spark):
     assert len(out) == 6
     assert sum(1 for r in out if r.blocked) == 3
     assert {r.v for r in out if r.key == "dup"} == {0, 1, 2}
+
+
+# --- chi-square contingency drift ---------------------------------------------
+
+from dqspark.operators.drift import (  # noqa: E402
+    chi2_contingency_drift,
+    ks_drift,
+)
+
+
+def test_chi2_matches_hand_computation(spark):
+    # 2x2 table old=(a:30, b:10), new=(a:10, b:30); chi2 = 20.0 exactly
+    old = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 10, "lang string"
+    )
+    new = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 30, "lang string"
+    )
+    rows = {r.category: r for r in chi2_contingency_drift(old, new, "lang").collect()}
+    # expected: each cell e = 40*40/80 = 20; contribution per category
+    # = (30-20)^2/20 + (10-20)^2/20 = 10.0
+    assert rows["a"].expected_old == 20.0 and rows["a"].contribution == 10.0
+    assert rows["a"].chi2 == 20.0 and rows["a"].dof == 1
+    assert rows["a"].drifted is True  # 20.0 > 3.841
+
+
+def test_chi2_identical_mixture_is_zero(spark):
+    old = spark.createDataFrame([("a",)] * 8 + [("b",)] * 4, "lang string")
+    rows = chi2_contingency_drift(old, old, "lang").collect()
+    assert all(r.chi2 == 0.0 and r.drifted is False for r in rows)
+
+
+# --- two-sample Kolmogorov-Smirnov drift --------------------------------------
+
+
+def test_ks_disjoint_supports_give_d_one(spark):
+    old = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    new = spark.createDataFrame([(i + 1000,) for i in range(100)], "v long")
+    r = ks_drift(old, new, "v").collect()[0]
+    assert r.d_stat == 1.0 and r.at_value == 99
+    assert r.d_num == 100 * 100 and r.drifted is True
+
+
+def test_ks_identical_samples_not_drifted(spark):
+    old = spark.createDataFrame([(i % 13,) for i in range(200)], "v long")
+    r = ks_drift(old, old, "v").collect()[0]
+    assert r.d_num == 0 and r.d_stat == 0.0 and r.drifted is False
+
+
+def test_ks_hand_case(spark):
+    # old = {1,2,3,4}, new = {3,4,5,6}: D = 1/2 at v=2
+    old = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "v long")
+    new = spark.createDataFrame([(v,) for v in (3, 4, 5, 6)], "v long")
+    r = ks_drift(old, new, "v").collect()[0]
+    assert r.d_num == 8 and r.d_stat == 0.5 and r.at_value == 2
+    # n too small for significance at alpha=.05: crit = 1.358*sqrt(8/16)
+    assert r.drifted is False
+
+
+# --- embedding centroid drift --------------------------------------------------
+
+from dqspark.operators.drift import embedding_centroid_drift  # noqa: E402
+
+
+def test_embedding_drift_identical_snapshots(spark):
+    rows = [([float(j % 5) / 4 for j in range(i, i + 8)],) for i in range(30)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    r = embedding_centroid_drift(df, df, dim=8).collect()[0]
+    assert r.centroid_cosine == 1.0
+    assert r.centroid_l2_delta == 0.0
+    assert r.drifted is False
+
+
+def test_embedding_drift_orthogonal_centroids(spark):
+    # old mass on dims 0-3, new mass on dims 4-7: cosine exactly 0
+    old = spark.createDataFrame(
+        [([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0],)] * 10,
+        "embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [([0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0],)] * 20,
+        "embedding array<float>",
+    )
+    r = embedding_centroid_drift(old, new, dim=8).collect()[0]
+    assert r.centroid_cosine == 0.0 and r.drifted is True
+    assert r.n_old == 10 and r.n_new == 20
+    # mean diff is (+1,+1,+1,+1,-1,-1,-1,-1): L2 = sqrt(8)
+    assert r.centroid_l2_delta == round(8 ** 0.5, 6)
+
+
+def test_embedding_drift_partition_invariance(spark):
+    rows = [([float((i * 7 + j) % 11) / 10 for j in range(8)],) for i in range(50)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    a = embedding_centroid_drift(df, df.limit(25), dim=8).collect()[0]
+    b = embedding_centroid_drift(
+        df.repartition(9), df.limit(25).repartition(4), dim=8
+    ).collect()[0]
+    assert a == b

@@ -1,0 +1,47 @@
+"""Gini concentration + per-group top-k — operators/gini.py."""
+
+from __future__ import annotations
+
+from dqspark.operators.gini import gini_by_group, top_k_per_group
+
+
+def test_gini_uniform_is_zero(spark):
+    df = spark.createDataFrame([("a", 7)] * 10, "grp string, sz long")
+    r = gini_by_group(df, "grp", "sz").collect()[0]
+    assert r.gini == 0.0 and r.n_members == 10 and r.total_size == 70
+
+
+def test_gini_total_concentration_approaches_one(spark):
+    # one member holds everything: G = (n-1)/n = 0.9 for n=10
+    rows = [("a", 0)] * 9 + [("a", 1000)]
+    df = spark.createDataFrame(rows, "grp string, sz long")
+    r = gini_by_group(df, "grp", "sz").collect()[0]
+    assert r.gini == 0.9
+
+
+def test_gini_hand_case_and_tie_invariance(spark):
+    # x = [1, 2, 3, 4]: sum(i*x) = 1+4+9+16 = 30, G = (60 - 5*10)/40 = 0.25
+    df = spark.createDataFrame(
+        [("g", v) for v in (3, 1, 4, 2)], "grp string, sz long"
+    )
+    assert gini_by_group(df, "grp", "sz").collect()[0].gini == 0.25
+    # ties: [2, 2, 2, 6]: sum(i*x) = 2+4+6+24 = 36, G = (72-60)/48 = 0.25
+    # regardless of which tied row gets which rank
+    tied = spark.createDataFrame(
+        [("g", v) for v in (2, 6, 2, 2)], "grp string, sz long"
+    )
+    a = gini_by_group(tied, "grp", "sz").collect()[0].gini
+    b = gini_by_group(tied.repartition(5), "grp", "sz").collect()[0].gini
+    assert a == b == 0.25
+
+
+def test_top_k_per_group_ties_and_counts(spark):
+    rows = [("s1", i, 10 + (i % 3)) for i in range(9)] + [("s2", 100, 5)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, sz long")
+    out = top_k_per_group(df, "src", "sz", "doc_id", 3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append((r.rk, r.doc_id, r.sz))
+    assert sorted(by_src["s2"]) == [(1, 100, 5)]
+    # s1: sz=12 for doc_id 2,5,8 — all three selected, tie-broken by id
+    assert sorted(by_src["s1"]) == [(1, 2, 12), (2, 5, 12), (3, 8, 12)]

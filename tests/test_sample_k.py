@@ -47,3 +47,69 @@ def test_salt_draws_independent_samples(spark):
     a = {r["doc_id"] for r in sample_exact_k(df, "doc_id", 50, salt="s1").collect()}
     b = {r["doc_id"] for r in sample_exact_k(df, "doc_id", 50, salt="s2").collect()}
     assert a != b
+
+
+# --- weighted exactly-k (lottery-ticket scheme) -------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dqspark.operators.sampling import weighted_sample_k  # noqa: E402
+
+
+def _wdf(spark, n):
+    # weight 1 for most rows, 32 for every 10th
+    return spark.createDataFrame(
+        [(i, 32 if i % 10 == 0 else 1) for i in range(n)], "doc_id long, wt long"
+    )
+
+
+def test_weighted_exact_size_and_partition_invariance(spark):
+    df = _wdf(spark, 500)
+    a = sorted(
+        r["doc_id"]
+        for r in weighted_sample_k(df, "doc_id", F.col("wt"), 40).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample_k(
+            df.repartition(13), "doc_id", F.col("wt"), 40
+        ).collect()
+    )
+    assert len(a) == 40 and a == b
+
+
+def test_weighted_heavy_rows_overrepresented(spark):
+    # 10% of rows carry weight 32 (~78% of ticket mass); they must make
+    # up far more than 10% of the sample
+    df = _wdf(spark, 1000)
+    samp = weighted_sample_k(df, "doc_id", F.col("wt"), 100).collect()
+    heavy = sum(1 for r in samp if r["doc_id"] % 10 == 0)
+    assert heavy > 30  # E[heavy] ~ 70+; uniform sampling would give ~10
+
+
+def test_weighted_clamp_bounds_per_row_work(spark):
+    df = spark.createDataFrame(
+        [(1, 10**12), (2, 0), (3, -5)], "doc_id long, wt long"
+    )
+    rows = {
+        r["doc_id"]: r["tickets"]
+        for r in weighted_sample_k(df, "doc_id", F.col("wt"), 3).collect()
+    }
+    assert rows == {1: 64, 2: 1, 3: 1}
+
+
+def test_weight_one_degenerates_to_uniform_ring(spark):
+    # with all weights 1 the draw is the single ticket hash — same
+    # selection law as sample_exact_k up to the ticket-index salt term
+    df = spark.createDataFrame([(i, 1) for i in range(400)], "doc_id long, wt long")
+    a = sorted(
+        r["doc_id"]
+        for r in weighted_sample_k(df, "doc_id", F.col("wt"), 25).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample_k(
+            df.repartition(7), "doc_id", F.col("wt"), 25
+        ).collect()
+    )
+    assert a == b and len(a) == 25
