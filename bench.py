@@ -247,8 +247,12 @@ def main() -> None:
             "weighted_sample_k",
             "chi2_drift",
             "ks_drift",
+            "embedding_drift",
             "length_gini",
             "source_top_docs",
+            "percentile_gate",
+            "zorder_prune",
+            "bootstrap_ci",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1,0 +1,167 @@
+"""Distributed Poisson bootstrap — error bars for corpus statistics.
+
+A 100-TB pipeline reports means (quality score, doc length, keep rate)
+whose month-over-month movement needs a significance call: the
+bootstrap gives a confidence interval without distributional
+assumptions.  The classical resample-n-rows bootstrap is
+shuffle-hostile; the POISSON bootstrap (Chamandy et al., "Estimating
+uncertainty for massive data streams", Google 2012; equivalently the
+online bootstrap of Oza & Russell) replaces multinomial resampling
+with an independent Poisson(1) weight per (row, replicate) — each
+replicate's weighted sum is computable in the SAME single aggregation
+pass as the statistic itself, embarrassingly parallel, no resample
+materialization.
+
+Determinism/engine-exactness: the Poisson draw inverts the CDF on a
+salted md5 bucket in [0, 1e6) against INTEGER literal thresholds
+(cumulative pmf of Poisson(1), scaled — no exp/ln crosses any
+boundary, and retries/repartitions redraw identical weights).  Weighted
+sums and weight totals are BIGINT-exact; only the final per-replicate
+mean divides doubles (rounded to 6 dp on both sides).  The CI bounds
+are the empirical 2.5%/97.5% replicate means picked by INTEGER rank.
+
+Scale shape: ONE corpus pass computing 2*B aggregate longs (B
+replicates; map-side combined, driver state O(B)), a 1-row explode to
+the O(B) replicate relation, and rank windows over those B rows.  Per
+row the projection evaluates B salted hashes — the knob that trades
+CPU for replicate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+
+# cumulative pmf of Poisson(1) scaled to 1e6 buckets:
+# P(X<=k) for k = 0..7; bucket beyond the last threshold draws weight 8
+POIS1_CDF_1E6 = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+
+POIS_BUCKETS = 1_000_000
+
+
+def _pois_weight_col(u):
+    w = F.lit(len(POIS1_CDF_1E6))
+    for i, t in reversed(list(enumerate(POIS1_CDF_1E6))):
+        w = F.when(u < t, F.lit(i)).otherwise(w)
+    return w.cast("long")
+
+
+def _pois_weight_sql(u_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN ({u_expr}) < {t} THEN {i}"
+        for i, t in enumerate(POIS1_CDF_1E6)
+    )
+    return f"(CASE {whens} ELSE {len(POIS1_CDF_1E6)} END)::BIGINT"
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_replicates: int = 40,
+    salt: str = "dqboot",
+) -> DataFrame:
+    """(replicate, n_eff, sum_wx, mean_x, ci_lo, ci_hi) — one row per
+    bootstrap replicate, with the empirical 95% CI of the mean of
+    ``value_col`` repeated on every row.  ``n_eff`` is the replicate's
+    total Poisson weight (~n).  ``value_col`` must be integral (the
+    BIGINT-exact contract; scale fixed-point upstream)."""
+    b_range = list(range(n_replicates))
+    aggs = []
+    for b in b_range:
+        u = (
+            md5_long(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col(key_col).cast("string"),
+                    F.lit(str(b)),
+                )
+            )
+            % POIS_BUCKETS
+        )
+        w = _pois_weight_col(u)
+        aggs.append(
+            F.sum(w * F.col(value_col).cast("long")).cast("long").alias(f"sx_{b}")
+        )
+        aggs.append(F.sum(w).cast("long").alias(f"sw_{b}"))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("replicate"),
+                F.col(f"sx_{b}").alias("sx"),
+                F.col(f"sw_{b}").alias("sw"),
+            )
+            for b in b_range
+        ]
+    )
+    reps = one.select(F.explode(entries).alias("e")).select(
+        F.col("e.replicate").alias("replicate"),
+        F.col("e.sw").alias("n_eff"),
+        F.col("e.sx").alias("sum_wx"),
+        F.round(
+            F.col("e.sx").cast("double") / F.col("e.sw").cast("double"), 6
+        ).alias("mean_x"),
+    )
+    lo_rank = n_replicates * 25 // 1000 + 1  # floor(0.025*B) + 1
+    hi_rank = -(-n_replicates * 975 // 1000)  # ceil(0.975*B)
+    w_rank = Window.orderBy("mean_x", "replicate")
+    w_all = Window.partitionBy()
+    ranked = reps.withColumn("_rk", F.row_number().over(w_rank))
+    return ranked.select(
+        "replicate",
+        "n_eff",
+        "sum_wx",
+        "mean_x",
+        F.max(F.when(F.col("_rk") == lo_rank, F.col("mean_x")))
+        .over(w_all)
+        .alias("ci_lo"),
+        F.max(F.when(F.col("_rk") == hi_rank, F.col("mean_x")))
+        .over(w_all)
+        .alias("ci_hi"),
+    )
+
+
+def bootstrap_mean_ci_oracle(
+    corpus_sql: str,
+    key_expr: str,
+    value_expr: str,
+    n_replicates: int = 40,
+    salt: str = "dqboot",
+) -> str:
+    u = (
+        md5_long_oracle(
+            f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR),"
+            f" b::VARCHAR)"
+        )
+        + f" % {POIS_BUCKETS}"
+    )
+    wt = _pois_weight_sql(u)
+    lo_rank = n_replicates * 25 // 1000 + 1
+    hi_rank = -(-n_replicates * 975 // 1000)
+    return f"""
+WITH reps AS (SELECT unnest(generate_series(0, {n_replicates - 1})) AS b),
+weighted AS (
+  SELECT r.b AS replicate, {wt} AS wt, CAST({value_expr} AS BIGINT) AS x,
+         {key_expr} AS k
+  FROM ({corpus_sql}) c CROSS JOIN reps r
+),
+agg AS (
+  SELECT replicate,
+         sum(wt)::BIGINT AS n_eff,
+         sum(wt * x)::BIGINT AS sum_wx,
+         round(CAST(sum(wt * x) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
+           AS mean_x
+  FROM weighted GROUP BY replicate
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY mean_x, replicate) AS rk FROM agg
+)
+SELECT replicate::BIGINT AS replicate, n_eff, sum_wx, mean_x,
+       max(CASE WHEN rk = {lo_rank} THEN mean_x END) OVER () AS ci_lo,
+       max(CASE WHEN rk = {hi_rank} THEN mean_x END) OVER () AS ci_hi
+FROM ranked
+"""

@@ -145,3 +145,72 @@ SELECT {group_expr}, {tiebreak_expr}, {order_expr}, rk FROM (
   FROM ({corpus_sql}) c
 ) t WHERE rk <= {k}
 """
+
+
+def percentile_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    keep_num: int,
+    keep_den: int,
+) -> DataFrame:
+    """Per-group percentile gate: annotate each row with its rank by
+    ``score_col`` (descending) WITHIN its group and keep the top
+    ``keep_num/keep_den`` fraction — the CCNet-style per-language
+    quality threshold (Wenzek et al., LREC 2020 §4.3 keep the best
+    perplexity buckets PER LANGUAGE, not globally — a global cut would
+    empty low-resource languages whose score distribution sits lower).
+
+    The keep rule is pure integer arithmetic — ``rank * keep_den <=
+    n_group * keep_num`` keeps exactly ``floor(n * num / den)`` rows
+    per group with no float percentile crossing the engine boundary;
+    ties are broken by ``tiebreak_col`` so the boundary row is total
+    and engine-identical.
+
+    Rows are ANNOTATED (grp_n, grp_rank, kept), not filtered, so the
+    decision boundary itself is auditable and oracle-checkable; the
+    production filter is ``.where("kept")``.
+
+    Scale shape: one hash exchange on the group key + an in-partition
+    sort feeding the rank window and a count window on the same
+    partitioning (single exchange total, no global sort).
+    """
+    wr = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(tiebreak_col)
+    )
+    wn = Window.partitionBy(group_col)
+    return df.select(
+        group_col,
+        tiebreak_col,
+        score_col,
+        F.count(F.lit(1)).over(wn).cast("long").alias("grp_n"),
+        F.row_number().over(wr).cast("long").alias("grp_rank"),
+    ).withColumn(
+        "kept",
+        F.col("grp_rank") * F.lit(int(keep_den))
+        <= F.col("grp_n") * F.lit(int(keep_num)),
+    )
+
+
+def percentile_gate_oracle(
+    corpus_sql: str,
+    group_expr: str,
+    score_expr: str,
+    tiebreak_expr: str,
+    keep_num: int,
+    keep_den: int,
+) -> str:
+    return f"""
+SELECT {group_expr}, {tiebreak_expr}, {score_expr},
+       count(*) OVER (PARTITION BY {group_expr})::BIGINT AS grp_n,
+       row_number() OVER (PARTITION BY {group_expr}
+                          ORDER BY {score_expr} DESC, {tiebreak_expr})::BIGINT
+         AS grp_rank,
+       (row_number() OVER (PARTITION BY {group_expr}
+                           ORDER BY {score_expr} DESC, {tiebreak_expr})
+          * {int(keep_den)}
+        <= count(*) OVER (PARTITION BY {group_expr}) * {int(keep_num)})
+         AS kept
+FROM ({corpus_sql}) c
+"""

@@ -157,3 +157,197 @@ SELECT pred_id, lo::BIGINT AS lo, hi::BIGINT AS hi,
 FROM zm CROSS JOIN preds
 GROUP BY pred_id, lo, hi
 """
+
+
+def zorder_key(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two non-negative ints (< 2^bits)
+    into one long: bit j of x lands at position 2j, bit j of y at
+    2j+1.  Pure shift/mask arithmetic — whole-stage-codegen on Spark,
+    the identical expression on DuckDB — so the curve position is
+    engine-exact."""
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = z + F.shiftleft(
+            F.shiftright(x.cast("long"), j).bitwiseAND(F.lit(1)), 2 * j
+        )
+        z = z + F.shiftleft(
+            F.shiftright(y.cast("long"), j).bitwiseAND(F.lit(1)), 2 * j + 1
+        )
+    return z
+
+
+def zorder_key_oracle(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((({x_expr}) >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((({y_expr}) >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_prune_audit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+    predicates: list[tuple[str, int, int, int, int]],
+    rows_per_shard: int = 32,
+    bits: int = 8,
+) -> DataFrame:
+    """MEASURED comparison of two file layouts under 2-D range
+    predicates: rows binned into shards of ``rows_per_shard`` either in
+    ``x_col`` order (the single-column sort a naive OPTIMIZE produces)
+    or in Z-order of (x, y) (Delta/Iceberg OPTIMIZE ZORDER), zone maps
+    (min/max per shard, BOTH dims) built for each, and every rectangle
+    predicate scored: a shard is scanned iff its zone overlaps the
+    rectangle on both axes.  One row per predicate with shards/rows
+    scanned under each layout — the pruning benefit is measured, not
+    claimed.
+
+    This is a LAYOUT SIMULATION: shard numbering here uses a global
+    rank window (fine at audit scale); the production writer gets the
+    same assignment from repartitionByRange(sort_key) +
+    sortWithinPartitions — the exact two-phase shape of
+    operators/ranking.py:ranged_row_number — because sorting IS what a
+    layout rewrite does.  Zone-map construction and predicate scoring
+    are one map-side-combined groupBy + a broadcast cross join against
+    the O(predicates) relation, per layout.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(tiebreak_col).alias("tb"),
+    ).withColumn("z", zorder_key(F.col("x"), F.col("y"), bits))
+    # integer `div`, not double division + cast (the compaction_plan
+    # pitfall): bin ids must floor identically on both engines
+    shards = base.select(
+        "x",
+        "y",
+        (F.row_number().over(Window.orderBy("x", "tb")) - 1)
+        .cast("long")
+        .alias("_rl"),
+        (F.row_number().over(Window.orderBy("z", "tb")) - 1)
+        .cast("long")
+        .alias("_rz"),
+    ).select(
+        "x",
+        "y",
+        F.expr(f"_rl div {int(rows_per_shard)}").alias("shard_linear"),
+        F.expr(f"_rz div {int(rows_per_shard)}").alias("shard_zorder"),
+    )
+    preds = spark.createDataFrame(
+        predicates, "pred_id string, x_lo long, x_hi long, y_lo long, y_hi long"
+    )
+
+    def _scan(shard_col: str, tag: str) -> DataFrame:
+        zm = shards.groupBy(shard_col).agg(
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        hit = (
+            (F.col("x_min") <= F.col("x_hi"))
+            & (F.col("x_max") >= F.col("x_lo"))
+            & (F.col("y_min") <= F.col("y_hi"))
+            & (F.col("y_max") >= F.col("y_lo"))
+        )
+        return (
+            zm.crossJoin(F.broadcast(preds))
+            .groupBy("pred_id", "x_lo", "x_hi", "y_lo", "y_hi")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("shards_total"),
+                F.sum(F.when(hit, 1).otherwise(0))
+                .cast("long")
+                .alias(f"shards_{tag}"),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias(f"rows_{tag}"),
+            )
+        )
+
+    lin = _scan("shard_linear", "linear")
+    zo = _scan("shard_zorder", "zorder").select(
+        "pred_id", "shards_zorder", "rows_zorder"
+    )
+    return lin.join(zo, on="pred_id").select(
+        "pred_id",
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        "shards_total",
+        "shards_linear",
+        "rows_linear",
+        "shards_zorder",
+        "rows_zorder",
+    )
+
+
+def zorder_prune_audit_oracle(
+    corpus_sql: str,
+    x_expr: str,
+    y_expr: str,
+    tiebreak_expr: str,
+    predicates: list[tuple[str, int, int, int, int]],
+    rows_per_shard: int = 32,
+    bits: int = 8,
+) -> str:
+    zk = zorder_key_oracle("x", "y", bits)
+    vals = ", ".join(
+        f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in predicates
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y,
+         {tiebreak_expr} AS tb
+  FROM ({corpus_sql}) c
+),
+curve AS (SELECT x, y, tb, {zk} AS z FROM base),
+shards AS (
+  SELECT x, y,
+         ((row_number() OVER (ORDER BY x, tb) - 1) // {rows_per_shard})::BIGINT
+           AS shard_linear,
+         ((row_number() OVER (ORDER BY z, tb) - 1) // {rows_per_shard})::BIGINT
+           AS shard_zorder
+  FROM curve
+),
+preds(pred_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {vals}),
+zml AS (
+  SELECT shard_linear, min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max, count(*)::BIGINT AS n_rows
+  FROM shards GROUP BY shard_linear
+),
+zmz AS (
+  SELECT shard_zorder, min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max, count(*)::BIGINT AS n_rows
+  FROM shards GROUP BY shard_zorder
+),
+lin AS (
+  SELECT pred_id, x_lo, x_hi, y_lo, y_hi,
+         count(*)::BIGINT AS shards_total,
+         sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo
+                   AND y_min <= y_hi AND y_max >= y_lo
+             THEN 1 ELSE 0 END)::BIGINT AS shards_linear,
+         sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo
+                   AND y_min <= y_hi AND y_max >= y_lo
+             THEN n_rows ELSE 0 END)::BIGINT AS rows_linear
+  FROM zml CROSS JOIN preds
+  GROUP BY pred_id, x_lo, x_hi, y_lo, y_hi
+),
+zo AS (
+  SELECT pred_id,
+         sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo
+                   AND y_min <= y_hi AND y_max >= y_lo
+             THEN 1 ELSE 0 END)::BIGINT AS shards_zorder,
+         sum(CASE WHEN x_min <= x_hi AND x_max >= x_lo
+                   AND y_min <= y_hi AND y_max >= y_lo
+             THEN n_rows ELSE 0 END)::BIGINT AS rows_zorder
+  FROM zmz CROSS JOIN preds
+  GROUP BY pred_id
+)
+SELECT lin.pred_id, x_lo, x_hi, y_lo, y_hi, shards_total,
+       shards_linear, rows_linear, shards_zorder, rows_zorder
+FROM lin JOIN zo ON lin.pred_id = zo.pred_id
+"""

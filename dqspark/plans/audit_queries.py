@@ -27,6 +27,8 @@ from dqspark.operators.corpus_stats import (
 from dqspark.operators.gini import (
     gini_by_group,
     gini_by_group_oracle,
+    percentile_gate,
+    percentile_gate_oracle,
     top_k_per_group,
     top_k_per_group_oracle,
 )
@@ -107,6 +109,30 @@ def q_source_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "n_chars"
     )
     return top_k_per_group(rebalance(docs), "source", "n_chars", "doc_id", k=3)
+
+
+# CCNet-style per-language percentile gate: keep the top 3/5 of each
+# language by score (length as the demo score; in production the
+# trigram log-ppl or classifier score slots in).  Integer rank rule —
+# the boundary row per group is oracle-checked exactly.
+@register(
+    "percentile_gate",
+    percentile_gate_oracle(
+        "SELECT lang, doc_id, n_chars FROM documents",
+        "lang",
+        "n_chars",
+        "doc_id",
+        keep_num=3,
+        keep_den=5,
+    ),
+)
+def q_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return percentile_gate(
+        rebalance(docs), "lang", "n_chars", "doc_id", keep_num=3, keep_den=5
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,8 @@ from dqspark.operators.layout import (
     compaction_plan_oracle,
     zone_prune,
     zone_prune_oracle,
+    zorder_prune_audit,
+    zorder_prune_audit_oracle,
 )
 from dqspark.operators.pii import pii_signals, pii_signals_oracle
 from dqspark.operators.search import bm25_oracle, bm25_search
@@ -623,6 +625,37 @@ def q_zone_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 25).alias("shard"), F.col("n_chars").alias("value")
     )
     return zone_prune(sharded, _PREDICATES)
+
+
+# Z-order vs single-column layout under 2-D range predicates: x/y are
+# independent 8-bit projections of the corpus, so an x-sorted layout
+# leaves y zones full-width while the Morton curve bounds both — the
+# rectangle predicates measure the difference shard by shard.
+_Z_PREDICATES = [
+    ("q_corner", 0, 63, 0, 63),
+    ("q_band_x", 128, 255, 0, 31),
+    ("q_center", 32, 95, 160, 255),
+]
+_Z_SQL = (
+    "SELECT n_chars % 256 AS xv, doc_id % 256 AS yv, doc_id FROM documents"
+)
+
+
+@register(
+    "zorder_prune",
+    zorder_prune_audit_oracle(
+        _Z_SQL, "xv", "yv", "doc_id", _Z_PREDICATES, rows_per_shard=32
+    ),
+)
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") % 256).alias("xv"),
+        (F.col("doc_id") % 256).alias("yv"),
+        "doc_id",
+    )
+    return zorder_prune_audit(
+        docs, "xv", "yv", "doc_id", _Z_PREDICATES, rows_per_shard=32
+    )
 
 
 # --- Luhn-validated payment-card / phone PII ---------------------------------

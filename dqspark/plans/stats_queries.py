@@ -286,3 +286,26 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__.append("q_winsorize_values")
+
+
+# --- Poisson-bootstrap confidence interval ------------------------------------
+
+from dqspark.operators.bootstrap import (  # noqa: E402
+    bootstrap_mean_ci,
+    bootstrap_mean_ci_oracle,
+)
+
+
+# 95% CI on the corpus mean document length: 40 Poisson(1) replicates
+# drawn from salted-hash CDF inversion, all computed in one aggregate
+# pass (2*B longs of state); the CI is the empirical 2.5%/97.5%
+# replicate mean picked by integer rank.
+@register(
+    "bootstrap_ci",
+    bootstrap_mean_ci_oracle(
+        "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars"
+    ),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return bootstrap_mean_ci(rebalance(docs), "doc_id", "n_chars")

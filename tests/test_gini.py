@@ -45,3 +45,77 @@ def test_top_k_per_group_ties_and_counts(spark):
     assert sorted(by_src["s2"]) == [(1, 100, 5)]
     # s1: sz=12 for doc_id 2,5,8 — all three selected, tie-broken by id
     assert sorted(by_src["s1"]) == [(1, 2, 12), (2, 5, 12), (3, 8, 12)]
+
+
+# --- per-group percentile gate --------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dqspark.operators.gini import percentile_gate  # noqa: E402
+from dqspark.operators.sampling import weighted_sample_k  # noqa: E402
+
+
+def test_percentile_gate_exact_floor_counts(spark):
+    rows = [("a", i, i * 3 % 17) for i in range(10)] + [
+        ("b", 100 + i, i % 4) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score long")
+    out = percentile_gate(df, "lang", "score", "doc_id", 3, 5).collect()
+    kept = {}
+    for r in out:
+        kept[r.lang] = kept.get(r.lang, 0) + int(r.kept)
+    # floor(10*3/5)=6, floor(7*3/5)=4
+    assert kept == {"a": 6, "b": 4}
+    # kept rows are exactly grp_rank <= floor(n*3/5)
+    for r in out:
+        assert r.kept == (r.grp_rank * 5 <= r.grp_n * 3)
+
+
+def test_percentile_gate_tie_boundary_deterministic(spark):
+    # all scores equal: the gate must still pick a stable floor(n*f)
+    # subset, by tiebreak id
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(10)], "lang string, doc_id long, score long"
+    )
+    a = sorted(
+        r.doc_id
+        for r in percentile_gate(df, "lang", "score", "doc_id", 1, 2).collect()
+        if r.kept
+    )
+    b = sorted(
+        r.doc_id
+        for r in percentile_gate(
+            df.repartition(7), "lang", "score", "doc_id", 1, 2
+        ).collect()
+        if r.kept
+    )
+    assert a == b and len(a) == 5 == len(b)
+    assert a == list(range(5))  # smallest ids win at equal score
+
+
+def test_percentile_gate_single_exchange_plan(spark):
+    df = spark.createDataFrame(
+        [("a", i, i % 9) for i in range(50)], "lang string, doc_id long, score long"
+    )
+    plan = (
+        percentile_gate(df, "lang", "score", "doc_id", 3, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_weighted_sample_k_plans_take_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, 1 + i % 5) for i in range(200)], "doc_id long, wt long"
+    )
+    plan = (
+        weighted_sample_k(df, "doc_id", F.col("wt"), 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle at all: scan -> local top-k -> merge

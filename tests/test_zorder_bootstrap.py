@@ -1,0 +1,82 @@
+"""Z-order layout audit (operators/layout.py) and Poisson bootstrap
+(operators/bootstrap.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.bootstrap import bootstrap_mean_ci
+from dqspark.operators.layout import zorder_key, zorder_prune_audit
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # x=0b101, y=0b011: z bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 27
+    df = spark.createDataFrame([(5, 3)], "x long, y long")
+    z = df.select(zorder_key(F.col("x"), F.col("y"), 3).alias("z")).collect()
+    assert z[0].z == 27
+    # identity checks: (0,0) -> 0, (2^k-1, 0) -> 0b0101..01
+    df2 = spark.createDataFrame([(0, 0), (7, 0), (0, 7)], "x long, y long")
+    zs = [r.z for r in df2.select(zorder_key(F.col("x"), F.col("y"), 3).alias("z")).collect()]
+    assert zs == [0, 0b010101, 0b101010]
+
+
+def test_zorder_prunes_better_on_grid_corner(spark):
+    # a full 16x16 grid, 16 shards of 16 rows: the corner rectangle
+    # [0,3]x[0,3] touches every linear shard's y range but only the
+    # z-curve shards that cover the corner quadrant
+    rows = [(x, y, x * 16 + y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "xv long, yv long, rid long")
+    out = zorder_prune_audit(
+        df, "xv", "yv", "rid", [("corner", 0, 3, 0, 3)], rows_per_shard=16, bits=4
+    ).collect()[0]
+    assert out.shards_total == 16
+    # linear layout: each shard = one x value, 4 shards overlap x<=3
+    assert out.shards_linear == 4 and out.rows_linear == 64
+    # z-order: the 4x4 corner is exactly one 16-row Morton block
+    assert out.shards_zorder == 1 and out.rows_zorder == 16
+
+
+def test_zorder_audit_partition_invariance(spark):
+    rows = [(x % 13, (x * 7) % 11, x) for x in range(200)]
+    df = spark.createDataFrame(rows, "xv long, yv long, rid long")
+    preds = [("p", 2, 6, 3, 9)]
+    a = zorder_prune_audit(df, "xv", "yv", "rid", preds, rows_per_shard=32).collect()
+    b = zorder_prune_audit(
+        df.repartition(9), "xv", "yv", "rid", preds, rows_per_shard=32
+    ).collect()
+    assert a == b
+
+
+def test_bootstrap_constant_column_degenerate_ci(spark):
+    df = spark.createDataFrame([(i, 7) for i in range(500)], "k long, v long")
+    rows = bootstrap_mean_ci(df, "k", "v", n_replicates=12).collect()
+    assert len(rows) == 12
+    assert all(r.mean_x == 7.0 for r in rows)
+    assert all(r.ci_lo == 7.0 and r.ci_hi == 7.0 for r in rows)
+
+
+def test_bootstrap_weights_near_n_and_ci_brackets_mean(spark):
+    n = 2000
+    df = spark.createDataFrame([(i, i % 100) for i in range(n)], "k long, v long")
+    rows = bootstrap_mean_ci(df, "k", "v", n_replicates=20).collect()
+    for r in rows:
+        assert 0.85 * n < r.n_eff < 1.15 * n  # Poisson(1) total ~ n
+    lo, hi = rows[0].ci_lo, rows[0].ci_hi
+    assert lo <= hi
+    true_mean = sum(i % 100 for i in range(n)) / n
+    assert lo < true_mean < hi
+    # CI should be tight around the mean at n=2000 (sd ~ 29/sqrt(2000) ~ 0.65)
+    assert hi - lo < 5
+
+
+def test_bootstrap_partition_and_salt_determinism(spark):
+    df = spark.createDataFrame([(i, i % 37) for i in range(800)], "k long, v long")
+    a = sorted(map(tuple, bootstrap_mean_ci(df, "k", "v", 10).collect()))
+    b = sorted(
+        map(tuple, bootstrap_mean_ci(df.repartition(11), "k", "v", 10).collect())
+    )
+    assert a == b
+    c = sorted(
+        map(tuple, bootstrap_mean_ci(df, "k", "v", 10, salt="other").collect())
+    )
+    assert a != c
