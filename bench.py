@@ -253,6 +253,7 @@ def main() -> None:
             "percentile_gate",
             "zorder_prune",
             "bootstrap_ci",
+            "mixture_drift_windows",
         )
         if q in driver_queries.QUERIES
     ]

@@ -196,8 +196,20 @@ def chi2_contingency_drift(
         F.sum(F.col("_s")).cast("long").alias("n_old"),
         F.sum(1 - F.col("_s")).cast("long").alias("n_new"),
     )
-    w = Window.partitionBy()
+    return chi2_from_cells(cells, [])
+
+
+def chi2_from_cells(cells: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Chi-square homogeneity from a pre-counted cells relation
+    (``part_cols + [category, n_old, n_new]``) — the shared core of
+    :func:`chi2_contingency_drift` (one table, ``part_cols=[]``) and
+    the per-window monitor :func:`windowed_chi2_drift` (test repeated
+    PER PARTITION KEY, e.g. per time window — the statistic windows
+    are then partitioned by key, so there is no single-partition funnel
+    at all)."""
+    w = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
     m = cells.select(
+        *part_cols,
         "category",
         "n_old",
         "n_new",
@@ -213,6 +225,7 @@ def chi2_contingency_drift(
         F.col("n_new") - e_new
     ) * (F.col("n_new") - e_new) / e_new
     staged = m.select(
+        *part_cols,
         "category",
         "n_old",
         "n_new",
@@ -226,6 +239,7 @@ def chi2_contingency_drift(
     for d, c in sorted(CHI2_CRIT_95.items(), reverse=True):
         crit = F.when(F.col("dof") == d, F.lit(c)).otherwise(crit)
     return staged.select(
+        *part_cols,
         "category",
         "n_old",
         "n_new",
@@ -238,6 +252,55 @@ def chi2_contingency_drift(
         "dof",
         (chi2 > crit).alias("drifted"),
     )
+
+
+def windowed_chi2_drift(
+    cells: DataFrame,
+    baseline: DataFrame,
+    part_cols: list[str],
+    cat_col: str = "category",
+    n_col: str = "n_obs",
+    base_col: str = "n_base",
+) -> DataFrame:
+    """Chi-square mixture drift of EACH partition (time window, shard,
+    crawl) against a FROZEN baseline mixture — the monitoring form:
+    ``cells`` is the per-partition observed counts
+    (``part_cols + [cat_col, n_col]``), ``baseline`` the reference
+    counts (``cat_col, base_col``), e.g. from a bootstrap batch run
+    (the same frozen-stats convention streaming/quality_stream.py uses;
+    under Structured Streaming compute ``cells`` with a watermarked
+    window aggregate and apply this finisher in foreachBatch).
+
+    The baseline DEFINES the watched category domain: categories absent
+    from a window score with observed 0; route unseen categories to an
+    OTHER bucket upstream if the domain is open.
+
+    Scale shape: one distinct over the O(windows) keys, a broadcast
+    cross join against the O(categories) baseline, a left join back to
+    the cells, then the chi2 windows PARTITIONED BY the window key —
+    every exchange moves O(windows x categories) rows, never raw data.
+    """
+    windows = cells.select(*part_cols).distinct()
+    grid = windows.crossJoin(
+        F.broadcast(
+            baseline.select(
+                F.col(cat_col).cast("string").alias("category"),
+                F.col(base_col).cast("long").alias("n_old"),
+            )
+        )
+    )
+    obs = cells.select(
+        *part_cols,
+        F.col(cat_col).cast("string").alias("category"),
+        F.col(n_col).cast("long").alias("_n_obs"),
+    )
+    joined = grid.join(obs, on=[*part_cols, "category"], how="left").select(
+        *part_cols,
+        "category",
+        "n_old",
+        F.coalesce(F.col("_n_obs"), F.lit(0)).cast("long").alias("n_new"),
+    )
+    return chi2_from_cells(joined, part_cols)
 
 
 def chi2_contingency_drift_oracle(
@@ -523,4 +586,69 @@ SELECT n_old, n_new,
        (round(({dot}) / sqrt(({norm_o}) * ({norm_n})), 6)
           < CAST('{cos_floor!r}' AS DOUBLE)) AS drifted
 FROM j
+"""
+
+
+def windowed_chi2_drift_oracle(
+    cells_sql: str,
+    baseline_sql: str,
+    part_cols: list[str],
+) -> str:
+    """DuckDB mirror of :func:`windowed_chi2_drift` ∘
+    :func:`chi2_from_cells`: ``cells_sql`` yields
+    ``part_cols + (category, n_obs)``, ``baseline_sql`` yields
+    ``(category, n_base)``."""
+    pc = ", ".join(part_cols)
+    on = " AND ".join(f"g.{c} = c.{c}" for c in part_cols)
+    whens = " ".join(
+        f"WHEN dof = {d} THEN chi2 > {c!r}"
+        for d, c in sorted(CHI2_CRIT_95.items())
+    )
+    return f"""
+WITH cells AS ({cells_sql}),
+base AS (
+  SELECT CAST(category AS VARCHAR) AS category, n_base::BIGINT AS n_old
+  FROM ({baseline_sql}) b
+),
+wins AS (SELECT DISTINCT {pc} FROM cells),
+grid AS (SELECT {pc}, category, n_old FROM wins CROSS JOIN base),
+joined AS (
+  SELECT {', '.join('g.' + c for c in part_cols)}, g.category, g.n_old,
+         coalesce(c.n_obs, 0)::BIGINT AS n_new
+  FROM grid g LEFT JOIN cells c
+    ON {on} AND g.category = CAST(c.category AS VARCHAR)
+),
+m AS (
+  SELECT *,
+         sum(n_old) OVER (PARTITION BY {pc}) AS t_old,
+         sum(n_new) OVER (PARTITION BY {pc}) AS t_new,
+         count(*) OVER (PARTITION BY {pc}) AS n_cat
+  FROM joined
+),
+e AS (
+  SELECT *,
+         CAST(n_old + n_new AS DOUBLE) * CAST(t_old AS DOUBLE)
+           / CAST(t_old + t_new AS DOUBLE) AS e_old,
+         CAST(n_old + n_new AS DOUBLE) * CAST(t_new AS DOUBLE)
+           / CAST(t_old + t_new AS DOUBLE) AS e_new
+  FROM m
+),
+c AS (
+  SELECT *,
+         CAST(round(((n_old - e_old) * (n_old - e_old) / e_old
+                     + (n_new - e_new) * (n_new - e_new) / e_new)
+                    * {CHI2_UNIT}) AS BIGINT) AS units
+  FROM e
+),
+t AS (
+  SELECT {pc}, category, n_old, n_new,
+         round(e_old, 4) AS expected_old,
+         round(e_new, 4) AS expected_new,
+         round(units / {CHI2_UNIT}.0, 4) AS contribution,
+         round(sum(units) OVER (PARTITION BY {pc}) / {CHI2_UNIT}.0, 4)
+           AS chi2,
+         (n_cat - 1)::BIGINT AS dof
+  FROM c
+)
+SELECT *, (CASE {whens} ELSE NULL END) AS drifted FROM t
 """

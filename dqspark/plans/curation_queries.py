@@ -56,6 +56,8 @@ from dqspark.operators.drift import (
     ks_drift_oracle,
     profile_drift,
     profile_drift_oracle,
+    windowed_chi2_drift,
+    windowed_chi2_drift_oracle,
 )
 from dqspark.operators.eventjoins import (
     as_of_join,
@@ -478,6 +480,36 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("lang") != "de") | (F.col("doc_id") % 6 == 1))
     )
     return chi2_contingency_drift(old, new, "lang")
+
+
+# Per-day mixture drift monitor: each day's event_type mixture tested
+# against the frozen whole-corpus baseline — the batch form of the
+# streaming drift monitor (same finisher runs in foreachBatch over
+# watermarked window counts).
+_MDW_CELLS_SQL = (
+    "SELECT date_trunc('day', ts) AS w_day, event_type AS category,"
+    " count(*)::BIGINT AS n_obs FROM events GROUP BY 1, 2"
+)
+_MDW_BASE_SQL = (
+    "SELECT event_type AS category, count(*)::BIGINT AS n_base"
+    " FROM events GROUP BY 1"
+)
+
+
+@register(
+    "mixture_drift_windows",
+    windowed_chi2_drift_oracle(_MDW_CELLS_SQL, _MDW_BASE_SQL, ["w_day"]),
+)
+def q_mixture_drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    cells = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("w_day"),
+        F.col("event_type").alias("category"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    baseline = ev.groupBy(F.col("event_type").alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base")
+    )
+    return windowed_chi2_drift(cells, baseline, ["w_day"])
 
 
 # Two-sample KS on document length: the NEW snapshot inflates every

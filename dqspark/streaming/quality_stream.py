@@ -227,3 +227,76 @@ def stream_event_rate(
             "mean_value",
         )
     )
+
+
+def windowed_category_counts(
+    events: DataFrame,
+    cat_col: str = "event_type",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked per-(window, category) counts — the streaming half of
+    the mixture-drift monitor.  Append mode emits a window only once the
+    watermark closes it, so every emitted window is COMPLETE and the
+    chi-square finisher can score it in the same epoch."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            F.col(cat_col).alias("category"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "category",
+            "n_obs",
+        )
+    )
+
+
+def stream_mixture_drift(
+    events_stream: DataFrame,
+    baseline: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    cat_col: str = "event_type",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+):
+    """Streaming mixture-drift monitor: watermarked window counts →
+    per-window chi-square against a FROZEN baseline mixture (the same
+    frozen-stats convention as stream_quality_filter — the baseline
+    comes from a bootstrap batch run and every epoch scores against
+    identical reference counts).  The finisher
+    (operators/drift.py:windowed_chi2_drift) runs in foreachBatch on
+    the closed windows of each epoch; per-epoch output directories with
+    mode("overwrite") keep the sink idempotent under replay, exactly
+    like stream_quality_filter.  Returns the started StreamingQuery.
+    """
+    from dqspark.operators.drift import windowed_chi2_drift
+
+    counts = windowed_category_counts(
+        events_stream, cat_col, window_duration, watermark
+    )
+    frozen = baseline.persist()
+    frozen.count()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = windowed_chi2_drift(
+            batch_df, frozen, ["window_start", "window_end"]
+        )
+        scored.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -671,3 +671,53 @@ def test_stream_code_filter_prestage_matches_batch(spark, tmp_path):
     assert (s.cf_drop_reason.fillna("") == b.cf_drop_reason.fillna("")).all()
     assert (b.cf_drop_reason == "vendored").sum() >= 1
     assert (b.cf_drop_reason == "generated").sum() >= 1
+
+
+def test_stream_mixture_drift_matches_batch(spark, tmp_path):
+    """availableNow stream -> watermarked window counts -> per-window
+    chi-square vs a frozen baseline == the batch finisher on the same
+    closed windows (values, not just counts)."""
+    from dqspark.operators.drift import windowed_chi2_drift
+    from dqspark.streaming.quality_stream import (
+        stream_mixture_drift,
+        windowed_category_counts,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(2000)
+    src = str(tmp_path / "mdsrc")
+    events.write.parquet(src)
+    baseline = (
+        spark.read.parquet(src)
+        .groupBy(F.col("event_type").alias("category"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
+
+    out_dir = str(tmp_path / "mdout")
+    q = stream_mixture_drift(
+        spark.readStream.schema(events.schema).parquet(src),
+        baseline,
+        out_dir,
+        str(tmp_path / "mdchk"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) > 0
+
+    batch_cells = windowed_category_counts(spark.read.parquet(src))
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    batch = (
+        windowed_chi2_drift(
+            batch_cells, baseline, ["window_start", "window_end"]
+        )
+        .where(F.col("window_end") <= F.lit(max_ts))
+        .toPandas()
+    )
+    key = ["window_start", "category"]
+    g = got.set_index(key).sort_index()
+    b = batch.set_index(key).sort_index()
+    join = g.join(b, how="inner", rsuffix="_b")
+    # every streamed window must match batch exactly; the stream may
+    # close one fewer boundary window than the <=max_ts approximation
+    assert len(join) == len(g) and len(g) >= len(b) * 0.9 and len(b) > 0
+    for c in ("n_old", "n_new", "contribution", "chi2", "dof", "drifted"):
+        assert (join[c] == join[f"{c}_b"]).all(), c
