@@ -32,20 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dqspark.operators.dedup import md5_long, md5_long_oracle
+from dqspark.operators.dedup import md5_long_oracle
 
 # cumulative pmf of Poisson(1) scaled to 1e6 buckets:
 # P(X<=k) for k = 0..7; bucket beyond the last threshold draws weight 8
 POIS1_CDF_1E6 = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
 
 POIS_BUCKETS = 1_000_000
-
-
-def _pois_weight_col(u):
-    w = F.lit(len(POIS1_CDF_1E6))
-    for i, t in reversed(list(enumerate(POIS1_CDF_1E6))):
-        w = F.when(u < t, F.lit(i)).otherwise(w)
-    return w.cast("long")
 
 
 def _pois_weight_sql(u_expr: str) -> str:
@@ -69,34 +62,46 @@ def bootstrap_mean_ci(
     total Poisson weight (~n).  ``value_col`` must be integral (the
     BIGINT-exact contract; scale fixed-point upstream)."""
     b_range = list(range(n_replicates))
-    aggs = []
-    for b in b_range:
-        u = (
-            md5_long(
-                F.concat_ws(
-                    "|",
-                    F.lit(salt),
-                    F.col(key_col).cast("string"),
-                    F.lit(str(b)),
-                )
-            )
-            % POIS_BUCKETS
-        )
-        w = _pois_weight_col(u)
-        aggs.append(
-            F.sum(w * F.col(value_col).cast("long")).cast("long").alias(f"sx_{b}")
-        )
-        aggs.append(F.sum(w).cast("long").alias(f"sw_{b}"))
-    one = df.agg(*aggs)
-    entries = F.array(
+    # expressions are built as SQL strings (one py4j round-trip each,
+    # parsed server-side) — a Column tree of 2B deep when-chains costs
+    # seconds of driver time at B=40 before Spark ever sees the plan
+    whens = " ".join(
+        f"WHEN _u_{{b}} < {t} THEN {i}" for i, t in enumerate(POIS1_CDF_1E6)
+    )
+    staged = df.selectExpr(
+        f"CAST({value_col} AS BIGINT) AS _x",
         *[
-            F.struct(
-                F.lit(b).cast("long").alias("replicate"),
-                F.col(f"sx_{b}").alias("sx"),
-                F.col(f"sw_{b}").alias("sw"),
-            )
+            f"CAST(conv(substring(md5(concat_ws('|', '{salt}',"
+            f" CAST({key_col} AS STRING), '{b}')), 1, 15), 16, 10) AS BIGINT)"
+            f" % {POIS_BUCKETS} AS _u_{b}"
             for b in b_range
+        ],
+    ).selectExpr(
+        "_x",
+        *[
+            f"CAST(CASE {whens.format(b=b)} ELSE {len(POIS1_CDF_1E6)} END"
+            f" AS BIGINT) AS _w_{b}"
+            for b in b_range
+        ],
+    )
+    one = staged.agg(
+        *[
+            F.expr(e)
+            for b in b_range
+            for e in (
+                f"CAST(sum(_w_{b} * _x) AS BIGINT) AS sx_{b}",
+                f"CAST(sum(_w_{b}) AS BIGINT) AS sw_{b}",
+            )
         ]
+    )
+    entries = F.expr(
+        "array("
+        + ", ".join(
+            f"struct(CAST({b} AS BIGINT) AS replicate, sx_{b} AS sx,"
+            f" sw_{b} AS sw)"
+            for b in b_range
+        )
+        + ")"
     )
     reps = one.select(F.explode(entries).alias("e")).select(
         F.col("e.replicate").alias("replicate"),

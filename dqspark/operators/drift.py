@@ -502,43 +502,67 @@ def embedding_centroid_drift(
     both the agg state and the expression width.
     """
 
-    def _sums(df: DataFrame, tag: str):
-        aggs = [F.count(F.lit(1)).cast("long").alias(f"n_{tag}")] + [
-            F.sum(
-                F.round(
-                    F.element_at(F.col(vec_col), j + 1).cast("double")
-                    * EMB_UNIT
-                ).cast("long")
-            ).alias(f"{tag}_{j}")
-            for j in range(dim)
-        ]
-        return df.agg(*aggs)
+    # per-dim sums stay one agg pass; the dot/norm/l2 reductions then run
+    # over an EXPLODED O(dim) relation with DECIMAL(38,0)-exact sums —
+    # order-free integer arithmetic (stronger than fixed-order IEEE) and
+    # no dim-wide expression tree (a 64-term chain costs seconds of
+    # Catalyst analysis and at dim~512 would blow the JVM's 64KB codegen
+    # method limit).  Bounds for the exact path: |s_j| < ~1e15 keeps
+    # every product under DECIMAL(38,0) / int128.
 
-    joined = _sums(old, "old").crossJoin(_sums(new, "new"))
+    def _dim_sums(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("j", "v"))
+            .selectExpr(
+                "j",
+                f"CAST(round(CAST(v AS DOUBLE) * {EMB_UNIT}) AS BIGINT) AS u",
+            )
+            .groupBy("j")
+            .agg(F.expr(f"CAST(sum(u) AS BIGINT) AS {out}"))
+        )
 
-    def _chain(terms):
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
-    od = [F.col(f"old_{j}").cast("double") for j in range(dim)]
-    nd = [F.col(f"new_{j}").cast("double") for j in range(dim)]
-    dot = _chain([a * b for a, b in zip(od, nd)])
-    norm_o = _chain([a * a for a in od])
-    norm_n = _chain([b * b for b in nd])
-    cos = F.round(dot / F.sqrt(norm_o * norm_n), 6)
-    mo = [a / (F.col("n_old").cast("double") * EMB_UNIT) for a in od]
-    mn = [b / (F.col("n_new").cast("double") * EMB_UNIT) for b in nd]
-    l2 = F.round(
-        F.sqrt(_chain([(a - b) * (a - b) for a, b in zip(mo, mn)])), 6
+    counts = (
+        old.agg(F.expr("CAST(count(1) AS BIGINT) AS n_old"))
+        .crossJoin(new.agg(F.expr("CAST(count(1) AS BIGINT) AS n_new")))
     )
-    return joined.select(
+    per = (
+        _dim_sums(old, "so")
+        .join(_dim_sums(new, "sn"), on="j")
+        .crossJoin(F.broadcast(counts))
+        .selectExpr(
+            "n_old",
+            "n_new",
+            "CAST(so AS DECIMAL(25, 0)) AS o",
+            "CAST(sn AS DECIMAL(25, 0)) AS nw",
+        )
+    )
+    agg = per.agg(
+        F.expr("max(n_old) AS n_old"),
+        F.expr("max(n_new) AS n_new"),
+        F.expr("sum(o * nw) AS dot"),
+        F.expr("sum(o * o) AS norm_o"),
+        F.expr("sum(nw * nw) AS norm_n"),
+        F.expr(
+            "sum((o * CAST(n_new AS DECIMAL(25, 0))"
+            " - nw * CAST(n_old AS DECIMAL(25, 0)))"
+            " * (o * CAST(n_new AS DECIMAL(25, 0))"
+            " - nw * CAST(n_old AS DECIMAL(25, 0)))) AS l2num"
+        ),
+    )
+    cos = (
+        "round(CAST(dot AS DOUBLE)"
+        " / sqrt(CAST(norm_o AS DOUBLE) * CAST(norm_n AS DOUBLE)), 6)"
+    )
+    l2 = (
+        "round(sqrt(CAST(l2num AS DOUBLE))"
+        f" / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE) * {EMB_UNIT}), 6)"
+    )
+    return agg.selectExpr(
         "n_old",
         "n_new",
-        cos.alias("centroid_cosine"),
-        l2.alias("centroid_l2_delta"),
-        (cos < F.lit(cos_floor)).alias("drifted"),
+        f"{cos} AS centroid_cosine",
+        f"{l2} AS centroid_l2_delta",
+        f"({cos} < CAST('{cos_floor!r}' AS DOUBLE)) AS drifted",
     )
 
 
@@ -549,43 +573,53 @@ def embedding_centroid_drift_oracle(
     dim: int = 64,
     cos_floor: float = COS_DRIFT_FLOOR,
 ) -> str:
-    def _sums(tag: str) -> str:
-        comps = ", ".join(
-            f"sum(CAST(round(CAST({vec_expr}[{j + 1}] AS DOUBLE)"
-            f" * {EMB_UNIT}) AS BIGINT))::BIGINT AS {tag}_{j}"
-            for j in range(dim)
-        )
-        return f"count(*)::BIGINT AS n_{tag}, {comps}"
-
-    dot = " + ".join(
-        f"CAST(old_{j} AS DOUBLE) * CAST(new_{j} AS DOUBLE)"
-        for j in range(dim)
+    """DuckDB mirror of the exploded-relation construction: identical
+    per-dim integer sums, HUGEINT-exact (int128) reductions in place of
+    Spark's DECIMAL(38,0), identical final double formulas."""
+    comp = (
+        f"sum(CAST(round(CAST(list_extract({vec_expr}, j) AS DOUBLE)"
+        f" * {EMB_UNIT}) AS BIGINT))::HUGEINT"
     )
-    norm_o = " + ".join(
-        f"CAST(old_{j} AS DOUBLE) * CAST(old_{j} AS DOUBLE)"
-        for j in range(dim)
+    cos = (
+        "round(CAST(dot AS DOUBLE)"
+        " / sqrt(CAST(norm_o AS DOUBLE) * CAST(norm_n AS DOUBLE)), 6)"
     )
-    norm_n = " + ".join(
-        f"CAST(new_{j} AS DOUBLE) * CAST(new_{j} AS DOUBLE)"
-        for j in range(dim)
-    )
-    l2 = " + ".join(
-        f"(CAST(old_{j} AS DOUBLE) / (CAST(n_old AS DOUBLE) * {EMB_UNIT})"
-        f" - CAST(new_{j} AS DOUBLE) / (CAST(n_new AS DOUBLE) * {EMB_UNIT}))"
-        f" * (CAST(old_{j} AS DOUBLE) / (CAST(n_old AS DOUBLE) * {EMB_UNIT})"
-        f" - CAST(new_{j} AS DOUBLE) / (CAST(n_new AS DOUBLE) * {EMB_UNIT}))"
-        for j in range(dim)
+    l2 = (
+        "round(sqrt(CAST(l2num AS DOUBLE))"
+        f" / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE) * {EMB_UNIT}), 6)"
     )
     return f"""
-WITH o AS (SELECT {_sums('old')} FROM ({old_sql}) t),
-n AS (SELECT {_sums('new')} FROM ({new_sql}) t),
-j AS (SELECT * FROM o CROSS JOIN n)
+WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS j),
+o_sums AS (
+  SELECT j, {comp} AS o
+  FROM ({old_sql}) c CROSS JOIN dims GROUP BY j
+),
+n_sums AS (
+  SELECT j, {comp} AS nw
+  FROM ({new_sql}) c CROSS JOIN dims GROUP BY j
+),
+counts AS (
+  SELECT (SELECT count(*) FROM ({old_sql}) a)::BIGINT AS n_old,
+         (SELECT count(*) FROM ({new_sql}) b)::BIGINT AS n_new
+),
+per AS (
+  SELECT o, nw, n_old, n_new
+  FROM o_sums JOIN n_sums USING (j) CROSS JOIN counts
+),
+agg AS (
+  SELECT max(n_old) AS n_old, max(n_new) AS n_new,
+         sum(o * nw) AS dot,
+         sum(o * o) AS norm_o,
+         sum(nw * nw) AS norm_n,
+         sum((o * n_new::HUGEINT - nw * n_old::HUGEINT)
+             * (o * n_new::HUGEINT - nw * n_old::HUGEINT)) AS l2num
+  FROM per
+)
 SELECT n_old, n_new,
-       round(({dot}) / sqrt(({norm_o}) * ({norm_n})), 6) AS centroid_cosine,
-       round(sqrt({l2}), 6) AS centroid_l2_delta,
-       (round(({dot}) / sqrt(({norm_o}) * ({norm_n})), 6)
-          < CAST('{cos_floor!r}' AS DOUBLE)) AS drifted
-FROM j
+       {cos} AS centroid_cosine,
+       {l2} AS centroid_l2_delta,
+       ({cos} < CAST('{cos_floor!r}' AS DOUBLE)) AS drifted
+FROM agg
 """
 
 
