@@ -254,6 +254,7 @@ def main() -> None:
             "zorder_prune",
             "bootstrap_ci",
             "mixture_drift_windows",
+            "cohort_retention",
         )
         if q in driver_queries.QUERIES
     ]

@@ -490,16 +490,19 @@ def embedding_centroid_drift(
 
     Engine-exactness: each component is rounded to an INTEGER number of
     1e-6 units BEFORE summation (sums of identical integers are
-    order-free), so both engines hold bit-identical sum vectors; cosine
-    is scale-invariant, so it is computed directly on the integer sums
-    via a fixed-order 64-term product chain (identical IEEE doubles —
-    ``sqrt`` is correctly-rounded by the standard, unlike ln/pow, so it
-    may cross the engine boundary), rounded to 6 dp.
+    order-free), so both engines hold bit-identical per-dim sum vectors;
+    cosine is scale-invariant, so dot and norms are computed on those
+    integer sums with DECIMAL(38,0)/HUGEINT-exact reductions — every
+    value is an exact integer until the final division, and ``sqrt`` is
+    correctly-rounded by IEEE 754 (unlike ln/pow), so it may cross the
+    engine boundary; results rounded to 6 dp.
 
-    Scale shape: ONE aggregate pass per snapshot with map-side combine
-    (state = dim longs + a count), then a 1-row x 1-row cross join —
-    nothing corpus-sized moves and no explode ever happens; dim bounds
-    both the agg state and the expression width.
+    Scale shape: a posexplode + map-side-combined groupBy(dim) per
+    snapshot (shuffle = dim rows per task), then all reductions run over
+    the O(dim) joined relation — nothing corpus-sized moves, agg state
+    is O(dim) longs, and no dim-wide expression tree exists (a 64-term
+    chain costs seconds of Catalyst analysis and would blow the JVM's
+    64KB codegen method limit near dim=512).
     """
 
     # per-dim sums stay one agg pass; the dot/norm/l2 reductions then run

@@ -291,3 +291,86 @@ SELECT {select}
 FROM p JOIN i ON {on}
   AND p.{ts_col} >= i.{start_col} AND p.{ts_col} <= i.{end_col}
 """
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by FIRST-ACTIVITY day,
+    each cohort's distinct active users counted at every age (days
+    since first activity) — the standard product/engagement rollup, and
+    for a training-data platform the freshness view of contributor /
+    source activity.  Output: (cohort_day, age_days, n_active,
+    cohort_size, retention_pct).
+
+    Scale shape: one groupBy(user) for first-activity days and one
+    distinct over (user, day) — both hash-partitioned on the user key,
+    so the join between them co-locates without a third shuffle (AQE
+    may further turn the first-day side into a broadcast when small);
+    the retention rollup and the cohort-size window then run on the
+    O(cohorts x ages) relation.  ``datediff`` on date_trunc'd days is
+    integer-exact; only retention_pct divides, rounded to 4 dp.
+    """
+    days = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("d"),
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    aged = days.join(first, on="u").select(
+        "u",
+        "cohort_day",
+        F.datediff(F.col("d"), F.col("cohort_day")).cast("long").alias(
+            "age_days"
+        ),
+    )
+    cells = aged.groupBy("cohort_day", "age_days").agg(
+        F.count_distinct("u").cast("long").alias("n_active")
+    )
+    w = Window.partitionBy("cohort_day")
+    return cells.select(
+        "cohort_day",
+        "age_days",
+        "n_active",
+        F.max(F.when(F.col("age_days") == 0, F.col("n_active")))
+        .over(w)
+        .cast("long")
+        .alias("cohort_size"),
+    ).withColumn(
+        "retention_pct",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double"),
+            4,
+        ),
+    )
+
+
+def cohort_retention_oracle(
+    events_sql: str, user_expr: str = "user_id", ts_expr: str = "ts"
+) -> str:
+    return f"""
+WITH days AS (
+  SELECT DISTINCT {user_expr} AS u, date_trunc('day', {ts_expr}) AS d
+  FROM ({events_sql}) e
+),
+first AS (SELECT u, min(d) AS cohort_day FROM days GROUP BY u),
+aged AS (
+  SELECT days.u, cohort_day,
+         date_diff('day', cohort_day, d)::BIGINT AS age_days
+  FROM days JOIN first ON days.u = first.u
+),
+cells AS (
+  SELECT cohort_day, age_days, count(DISTINCT u)::BIGINT AS n_active
+  FROM aged GROUP BY cohort_day, age_days
+)
+SELECT cohort_day, age_days, n_active,
+       max(CASE WHEN age_days = 0 THEN n_active END)
+         OVER (PARTITION BY cohort_day)::BIGINT AS cohort_size,
+       round(CAST(n_active AS DOUBLE)
+             / CAST(max(CASE WHEN age_days = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_day) AS DOUBLE), 4)
+         AS retention_pct
+FROM cells
+"""

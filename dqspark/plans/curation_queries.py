@@ -62,6 +62,8 @@ from dqspark.operators.drift import (
 from dqspark.operators.eventjoins import (
     as_of_join,
     as_of_join_oracle,
+    cohort_retention,
+    cohort_retention_oracle,
     range_join,
     range_join_oracle,
     sessionize,
@@ -425,6 +427,18 @@ _SESSION_SQL = "SELECT user_id, ts FROM events"
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return sessionize(ev, ["user_id"], gap_us=_SESSION_GAP_US)
+
+
+# Cohort retention triangle over the events table: users bucketed by
+# first-activity day, distinct-active counts at every age — two
+# user-keyed shuffles, rollup on the O(cohorts x ages) relation.
+@register(
+    "cohort_retention",
+    cohort_retention_oracle("SELECT user_id, ts FROM events"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(ev)
 
 
 # --- profile drift + churn rollup --------------------------------------------

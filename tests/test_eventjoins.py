@@ -150,3 +150,42 @@ def test_range_join_plan_is_equi_join_not_bnlj(spark):
         .toString()
     )
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+# --- cohort retention -----------------------------------------------------------
+
+import datetime as _dt
+
+from dqspark.operators.eventjoins import cohort_retention
+
+
+def test_cohort_retention_hand_triangle(spark):
+    d = lambda day, h=0: _dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # cohort Jan-1: users 1,2,3; user1 active d1,d2,d3; user2 d1,d3; user3 d1
+        (1, d(1)), (1, d(2)), (1, d(3)),
+        (2, d(1)), (2, d(3)),
+        (3, d(1)), (3, d(1, 5)),  # same-day dup must not double count
+        # cohort Jan-2: user 4 active d2 only
+        (4, d(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_day.day, r.age_days): (r.n_active, r.cohort_size, r.retention_pct)
+        for r in cohort_retention(df).collect()
+    }
+    assert out[(1, 0)] == (3, 3, 1.0)
+    assert out[(1, 1)] == (1, 3, 0.3333)
+    assert out[(1, 2)] == (2, 3, 0.6667)
+    assert out[(2, 0)] == (1, 1, 1.0)
+    assert len(out) == 4
+
+
+def test_cohort_retention_partition_invariance(spark):
+    rows = [
+        (i % 7, _dt.datetime(2024, 1, 1 + (i * 3) % 9, i % 24)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    a = sorted(map(tuple, cohort_retention(df).collect()))
+    b = sorted(map(tuple, cohort_retention(df.repartition(13)).collect()))
+    assert a == b and len(a) > 0
