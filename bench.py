@@ -255,6 +255,9 @@ def main() -> None:
             "bootstrap_ci",
             "mixture_drift_windows",
             "cohort_retention",
+            "sample_k_per_lang",
+            "vocab_growth",
+            "source_lang_diversity",
         )
         if q in driver_queries.QUERIES
     ]

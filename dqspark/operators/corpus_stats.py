@@ -330,3 +330,70 @@ SELECT issue, count(*) AS n_flagged,
        count(*) FILTER (WHERE NOT keep AND n = 1) AS n_sole_cause
 FROM ex GROUP BY issue
 """
+
+
+def mixture_diversity(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Simpson concentration / Gini-Simpson diversity of a categorical
+    mixture per group — ecology's diversity indices applied to corpus
+    composition (how concentrated is each source's language mix?).
+    Simpson's D = sum n_i(n_i - 1) / (N(N - 1)) is the probability two
+    draws WITHOUT replacement share a category; Gini-Simpson = 1 - D.
+    Complements the Gini size-concentration audit (operators/gini.py):
+    that measures member-size skew, this measures categorical evenness.
+
+    Integer-exact: numerator and denominator are pure BIGINT products
+    of counts; only the final division is a double, rounded to 6 dp
+    identically on both engines.  Groups with N <= 1 report NULL (no
+    pair exists).
+
+    Scale shape: one map-side-combined groupBy(group, category) — the
+    only corpus-sized pass — then an O(cells) per-group aggregate.
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).cast("string").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = cells.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("_nn"),
+    )
+    den = (F.col("n_rows") * (F.col("n_rows") - 1)).cast("double")
+    d = F.when(
+        F.col("n_rows") > 1, F.round(F.col("_nn").cast("double") / den, 6)
+    )
+    gs = F.when(
+        F.col("n_rows") > 1,
+        F.round(1 - F.col("_nn").cast("double") / den, 6),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        "n_categories",
+        d.alias("simpson"),
+        gs.alias("gini_simpson"),
+    )
+
+
+def mixture_diversity_oracle(
+    corpus_sql: str, group_expr: str, cat_expr: str
+) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {group_expr} AS grp, CAST({cat_expr} AS VARCHAR) AS c,
+         count(*)::BIGINT AS n
+  FROM ({corpus_sql}) x GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_categories,
+         sum(n * (n - 1))::BIGINT AS nn
+  FROM cells GROUP BY grp
+)
+SELECT grp AS {group_expr.split('.')[-1]}, n_rows, n_categories,
+       CASE WHEN n_rows > 1 THEN round(CAST(nn AS DOUBLE)
+            / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) END AS simpson,
+       CASE WHEN n_rows > 1 THEN round(1 - CAST(nn AS DOUBLE)
+            / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) END AS gini_simpson
+FROM agg
+"""

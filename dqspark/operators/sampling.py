@@ -28,7 +28,7 @@ the Spark/DuckDB line).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dqspark.operators.dedup import md5_long, md5_long_oracle
@@ -225,4 +225,52 @@ SELECT key AS {key_expr.split('.')[-1]},
        list_min(list_transform(generate_series(1, wt), i -> {h})) AS draw_hash
 FROM w
 ORDER BY draw_hash, key LIMIT {k}
+"""
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "dqsample",
+) -> DataFrame:
+    """EXACTLY-k uniform sample PER GROUP (a fixed-size eval panel per
+    language/source): bottom-k of the salted hash ring within each
+    group, ties on the key.  The stratified counterpart of
+    :func:`sample_exact_k` — a global bottom-k would fill the panel
+    with the dominant stratum.
+
+    Scale shape: one hash exchange on the group key + an in-partition
+    sort feeding a rank window — no global order; deterministic on any
+    cluster size / resume, and per-group panels stay consistent under
+    corpus growth (each group's panel is its own bottom-k hash sketch).
+    """
+    h = md5_long(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy("sample_hash", key_col)
+    return (
+        df.select(group_col, key_col)
+        .withColumn("sample_hash", h)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def sample_k_per_group_oracle(
+    corpus_sql: str,
+    group_expr: str,
+    key_expr: str,
+    k: int,
+    salt: str = "dqsample",
+) -> str:
+    h = md5_long_oracle(f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR))")
+    return f"""
+SELECT {group_expr}, {key_expr}, sample_hash, rk FROM (
+  SELECT {group_expr}, {key_expr}, {h} AS sample_hash,
+         row_number() OVER (PARTITION BY {group_expr}
+                            ORDER BY {h}, {key_expr})::BIGINT AS rk
+  FROM ({corpus_sql}) c
+) t WHERE rk <= {k}
 """

@@ -1,0 +1,107 @@
+"""Vocabulary-growth (Heaps'-law) audit.
+
+How fast does the token vocabulary grow as the corpus grows?  Heaps'
+law (V ~ k·N^b, b≈0.5 for natural text) is the corpus linguist's
+sanity curve: a vocabulary growing LINEARLY with corpus size means the
+"tokens" are serial numbers / hashes / minified junk (a quality
+problem the per-doc filters can miss), and a curve that suddenly
+flattens after an ingest means the new slice is duplicated content.
+Dedup and tokenizer-budget planning both read this curve.
+
+The distributed trick: cumulative-distinct-per-prefix is NOT computed
+by re-scanning each prefix (O(B·N)).  Each token contributes exactly
+one FIRST-OCCURRENCE bucket (``min(bucket)`` over its occurrences);
+the number of NEW types in bucket b is then a count over the O(vocab)
+first-occurrence relation, and the vocabulary size at prefix b is a
+running sum over the O(B) bucket relation — the whole curve from ONE
+corpus pass plus sketch-sized rollups.
+
+Scale shape: one explode over tokens feeding two map-side-combined
+groupBys (token-keyed min — the only vocabulary-sized shuffle — and a
+bucket-keyed count), then an ordered window over the O(B) bucket rows.
+Everything is integer-exact; there are no floats at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+
+def _tokens(text_col: str):
+    t = normalized(F.coalesce(F.col(text_col), F.lit("")))
+    return F.filter(F.split(t, " "), lambda x: F.length(x) > 0)
+
+
+def vocab_growth(
+    df: DataFrame,
+    bucket_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, n_tokens, n_tokens_cum, new_types, vocab_cum) — one row
+    per corpus-prefix bucket.  ``bucket_col`` is an integer prefix
+    index (0..B-1) in corpus order: bucket b's row describes the corpus
+    consisting of buckets 0..b."""
+    toks = df.select(
+        F.col(bucket_col).cast("long").alias("b"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    )
+    totals = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first = toks.groupBy("tok").agg(F.min("b").alias("b"))
+    news = first.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    joined = totals.join(news, on="b", how="left").select(
+        "b",
+        "n_tokens",
+        F.coalesce(F.col("new_types"), F.lit(0)).cast("long").alias(
+            "new_types"
+        ),
+    )
+    w = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("b").alias("bucket"),
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("n_tokens_cum"),
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("vocab_cum"),
+    )
+
+
+def vocab_growth_oracle(
+    corpus_sql: str, bucket_expr: str, text_expr: str = "text"
+) -> str:
+    """``corpus_sql`` yields the text column; tokenization mirrors the
+    heavy-hitters family (lowercase, whitespace-collapse, split)."""
+    norm = normalized_oracle(f"coalesce({text_expr}, '')")
+    return f"""
+WITH toks AS (
+  SELECT CAST({bucket_expr} AS BIGINT) AS b,
+         unnest(list_filter(string_split({norm}, ' '),
+                            x -> length(x) > 0)) AS tok
+  FROM ({corpus_sql}) c
+),
+totals AS (SELECT b, count(*)::BIGINT AS n_tokens FROM toks GROUP BY b),
+first AS (SELECT tok, min(b) AS b FROM toks GROUP BY tok),
+news AS (SELECT b, count(*)::BIGINT AS new_types FROM first GROUP BY b),
+joined AS (
+  SELECT t.b, t.n_tokens, coalesce(n.new_types, 0)::BIGINT AS new_types
+  FROM totals t LEFT JOIN news n ON t.b = n.b
+)
+SELECT b AS bucket, n_tokens,
+       sum(n_tokens) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS n_tokens_cum,
+       new_types,
+       sum(new_types) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS vocab_cum
+FROM joined
+"""

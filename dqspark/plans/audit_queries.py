@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from dqspark.operators.corpus_stats import (
     corpus_mixture,
     corpus_mixture_oracle,
+    mixture_diversity,
+    mixture_diversity_oracle,
     drop_attribution,
     drop_attribution_oracle,
     encoding_anomalies,
@@ -51,6 +53,19 @@ from dqspark.sources.catalog import load_table, rebalance
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
     return corpus_mixture(rebalance(docs), ["lang", "source"])
+
+
+# Simpson / Gini-Simpson diversity of each source's language mixture —
+# categorical evenness, complementing length_gini's size concentration.
+@register(
+    "source_lang_diversity",
+    mixture_diversity_oracle(
+        "SELECT source, lang FROM documents", "source", "lang"
+    ),
+)
+def q_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    return mixture_diversity(rebalance(docs), "source", "lang")
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,8 @@ from dqspark.operators.repetition import (
 from dqspark.operators.sampling import (
     sample_exact_k,
     sample_exact_k_oracle,
+    sample_k_per_group,
+    sample_k_per_group_oracle,
     weighted_sample_k,
     weighted_sample_k_oracle,
     stratified_sample,
@@ -805,3 +807,43 @@ def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(
         docs, "doc_id", F.expr("n_chars div 64 + 1"), k=64
     )
+
+
+# Fixed-size eval panel PER LANGUAGE: bottom-16 of the hash ring within
+# each group — a global bottom-k would fill the panel with the dominant
+# language.
+@register(
+    "sample_k_per_lang",
+    sample_k_per_group_oracle(
+        "SELECT lang, doc_id FROM documents", "lang", "doc_id", k=16
+    ),
+)
+def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return sample_k_per_group(docs, "lang", "doc_id", k=16)
+
+
+# Heaps'-law vocabulary-growth curve over ten corpus-prefix deciles:
+# first-occurrence buckets make the cumulative-distinct curve ONE
+# corpus pass + sketch-sized rollups (operators/vocab.py).
+from dqspark.operators.vocab import vocab_growth, vocab_growth_oracle  # noqa: E402
+
+_VG_BUCKET_SQL = (
+    "least((doc_id * 10) // (SELECT max(doc_id) + 1 FROM documents), 9)"
+)
+
+
+@register(
+    "vocab_growth",
+    vocab_growth_oracle(
+        f"SELECT {_VG_BUCKET_SQL} AS bucket, text FROM documents",
+        "bucket",
+    ),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    span = docs.agg(F.expr("CAST(max(doc_id) AS BIGINT) + 1 AS _span"))
+    bucketed = docs.crossJoin(F.broadcast(span)).selectExpr(
+        "least((doc_id * 10) div _span, 9) AS bucket", "text"
+    )
+    return vocab_growth(bucketed, "bucket")

@@ -578,3 +578,38 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = benchmark_contamination(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- Heaps'-law vocabulary growth -------------------------------------------------
+
+from dqspark.operators.vocab import vocab_growth
+
+
+def test_vocab_growth_hand_curve(spark):
+    rows = [
+        (0, "a b c"),       # 3 tokens, 3 new types
+        (0, "a a"),         # 2 tokens, 0 new
+        (1, "b d"),         # 2 tokens, 1 new (d)
+        (2, "e"),           # 1 token, 1 new
+        (3, "a b c d e"),   # 5 tokens, 0 new
+    ]
+    df = spark.createDataFrame(rows, "bucket long, text string")
+    out = {r.bucket: r for r in vocab_growth(df, "bucket").collect()}
+    assert (out[0].n_tokens, out[0].new_types, out[0].vocab_cum) == (5, 3, 3)
+    assert (out[1].n_tokens, out[1].new_types, out[1].vocab_cum) == (2, 1, 4)
+    assert (out[2].new_types, out[2].vocab_cum) == (1, 5)
+    assert (out[3].n_tokens, out[3].new_types, out[3].vocab_cum) == (5, 0, 5)
+    assert out[3].n_tokens_cum == 13  # 5 + 2 + 1 + 5
+
+
+def test_vocab_growth_partition_invariance_and_dup_flatline(spark):
+    base = [(i // 25, f"tok{i % 40} tok{(i * 7) % 40}") for i in range(100)]
+    dup = [(4 + i // 50, base[i % 100][1]) for i in range(100)]  # pure repeats
+    df = spark.createDataFrame(base + dup, "bucket long, text string")
+    a = sorted(map(tuple, vocab_growth(df, "bucket").collect()))
+    b = sorted(map(tuple, vocab_growth(df.repartition(11), "bucket").collect()))
+    assert a == b
+    out = {r[0]: r for r in a}
+    # duplicated tail buckets add tokens but zero new types: the curve flatlines
+    assert out[4][3] == 0 and out[5][3] == 0
+    assert out[5][4] == out[3][4]  # vocab_cum unchanged

@@ -126,3 +126,23 @@ def test_mixture_and_skew_plans_have_no_global_window(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- Simpson / Gini-Simpson mixture diversity ------------------------------------
+
+from dqspark.operators.corpus_stats import mixture_diversity
+
+
+def test_mixture_diversity_hand_cases(spark):
+    rows = (
+        [("s1", "en")] * 2 + [("s1", "de")] * 2  # even 2-cat: D = 4/12
+        + [("s2", "en")] * 3                      # single cat: D = 1
+        + [("s3", "fr")]                          # N=1: NULL
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r.source: r for r in mixture_diversity(df, "source", "lang").collect()}
+    assert out["s1"].simpson == round(4 / 12, 6) == 0.333333
+    assert out["s1"].gini_simpson == round(1 - 4 / 12, 6)
+    assert out["s1"].n_categories == 2
+    assert out["s2"].simpson == 1.0 and out["s2"].gini_simpson == 0.0
+    assert out["s3"].simpson is None and out["s3"].gini_simpson is None

@@ -113,3 +113,21 @@ def test_weight_one_degenerates_to_uniform_ring(spark):
         ).collect()
     )
     assert a == b and len(a) == 25
+
+
+# --- per-group exactly-k --------------------------------------------------------
+
+from dqspark.operators.sampling import sample_k_per_group  # noqa: E402
+
+
+def test_per_group_exact_k_and_invariance(spark):
+    rows = [("a", i) for i in range(100)] + [("b", 1000 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = sample_k_per_group(df, "lang", "doc_id", 8).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by["a"]) == 8
+    assert by["b"] == {1000 + i for i in range(5)}  # short group kept whole
+    out2 = sample_k_per_group(df.repartition(9), "lang", "doc_id", 8).collect()
+    assert {(r.lang, r.doc_id) for r in out} == {(r.lang, r.doc_id) for r in out2}
