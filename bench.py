@@ -258,6 +258,7 @@ def main() -> None:
             "sample_k_per_lang",
             "vocab_growth",
             "source_lang_diversity",
+            "expectation_suite",
         )
         if q in driver_queries.QUERIES
     ]

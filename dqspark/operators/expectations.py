@@ -1,0 +1,143 @@
+"""Declarative data-expectation suite — the contract form of the
+reference's quality checks.
+
+The reference detects anomalies statistically; production pipelines
+ALSO pin explicit contracts ("lang is never null", "doc_id is unique",
+"n_chars in [1, 1e6]", "lang in the supported set") and fail the
+ingest when a contract breaks — the Great-Expectations/dbt-test shape.
+This operator evaluates a whole suite in ONE aggregate pass and emits
+one row per expectation: observed violation count, total rows, the
+allowed-violation threshold, and the verdict.
+
+Thresholds are rational (``allowed_num/allowed_den`` of rows) and the
+verdict is the pure integer rule ``violations * den <= n * num`` — no
+float fraction crosses the engine boundary.  ``unique`` counts excess
+occurrences (n - distinct), so 0 means every value distinct.
+
+Scale shape: the whole suite folds into ONE map-side-combined
+aggregate over the corpus (state = one long per expectation + a
+count), then a 1-row explode to the O(expectations) relation — the
+same single-pass shape as profile_relation.  ``unique`` adds one exact
+count_distinct per uniqueness expectation (the only hashing state;
+swap for HLL via operators/hll.py when approximate suffices).
+
+Expectation kinds:
+- ``not_null(col)`` — violation: NULL value
+- ``between(col, lo, hi)`` — violation: value outside [lo, hi] (NULL
+  is NOT a violation here; pair with not_null to require both)
+- ``in_set(col, values)`` — violation: non-NULL value outside the set
+- ``matches(col, regex)`` — violation: non-NULL value not matching
+  (Spark ``rlike`` / DuckDB ``regexp_matches``; keep patterns in the
+  shared RE2-compatible subset)
+- ``unique(col)`` — violations: n - count_distinct (excess duplicates)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    kind: str  # not_null | between | in_set | matches | unique
+    col: str
+    lo: int | None = None
+    hi: int | None = None
+    values: tuple = field(default_factory=tuple)
+    pattern: str | None = None
+    allowed_num: int = 0  # allowed violation fraction = num/den
+    allowed_den: int = 1
+
+
+def _violation_expr_sql(e: Expectation) -> str:
+    """Violation-count aggregate, identical text on both engines."""
+    if e.kind == "not_null":
+        return f"sum(CASE WHEN {e.col} IS NULL THEN 1 ELSE 0 END)"
+    if e.kind == "between":
+        return (
+            f"sum(CASE WHEN {e.col} IS NOT NULL AND"
+            f" ({e.col} < {e.lo} OR {e.col} > {e.hi}) THEN 1 ELSE 0 END)"
+        )
+    if e.kind == "in_set":
+        vals = ", ".join(f"'{v}'" for v in e.values)
+        return (
+            f"sum(CASE WHEN {e.col} IS NOT NULL AND"
+            f" {e.col} NOT IN ({vals}) THEN 1 ELSE 0 END)"
+        )
+    if e.kind == "matches":
+        return (
+            f"sum(CASE WHEN {e.col} IS NOT NULL AND"
+            f" NOT regexp_like(CAST({e.col} AS STRING), '{e.pattern}')"
+            f" THEN 1 ELSE 0 END)"
+        )
+    if e.kind == "unique":
+        return f"count({e.col}) - count(DISTINCT {e.col})"
+    raise ValueError(f"unknown expectation kind: {e.kind}")
+
+
+def expectation_suite(
+    df: DataFrame, expectations: list[Expectation]
+) -> DataFrame:
+    """(expectation, kind, col_name, violations, n_rows, allowed_num,
+    allowed_den, passed) — one row per expectation, one corpus pass."""
+    aggs = [F.expr("CAST(count(1) AS BIGINT) AS _n")]
+    for i, e in enumerate(expectations):
+        aggs.append(
+            F.expr(f"CAST({_violation_expr_sql(e)} AS BIGINT) AS _v_{i}")
+        )
+    one = df.agg(*aggs)
+    entries = F.expr(
+        "array("
+        + ", ".join(
+            f"struct('{e.name}' AS expectation, '{e.kind}' AS kind,"
+            f" '{e.col}' AS col_name, _v_{i} AS violations,"
+            f" CAST({int(e.allowed_num)} AS BIGINT) AS allowed_num,"
+            f" CAST({int(e.allowed_den)} AS BIGINT) AS allowed_den)"
+            for i, e in enumerate(expectations)
+        )
+        + ")"
+    )
+    return (
+        one.select(F.col("_n").alias("n_rows"), F.explode(entries).alias("e"))
+        .selectExpr(
+            "e.expectation AS expectation",
+            "e.kind AS kind",
+            "e.col_name AS col_name",
+            "e.violations AS violations",
+            "n_rows",
+            "e.allowed_num AS allowed_num",
+            "e.allowed_den AS allowed_den",
+            "e.violations * e.allowed_den <= n_rows * e.allowed_num"
+            " AS passed",
+        )
+    )
+
+
+def expectation_suite_oracle(
+    corpus_sql: str, expectations: list[Expectation]
+) -> str:
+    viols = ", ".join(
+        _violation_expr_sql(e)
+        .replace("regexp_like", "regexp_matches")
+        .replace(" AS STRING)", " AS VARCHAR)")
+        + f"::BIGINT AS v_{i}"
+        for i, e in enumerate(expectations)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{e.name}' AS expectation, '{e.kind}' AS kind,"
+        f" '{e.col}' AS col_name, v_{i} AS violations, n AS n_rows,"
+        f" {int(e.allowed_num)}::BIGINT AS allowed_num,"
+        f" {int(e.allowed_den)}::BIGINT AS allowed_den,"
+        f" v_{i} * {int(e.allowed_den)} <= n * {int(e.allowed_num)} AS passed"
+        f" FROM agg"
+        for i, e in enumerate(expectations)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+agg AS (SELECT count(*)::BIGINT AS n, {viols} FROM corpus)
+{rows}
+"""

@@ -68,6 +68,49 @@ def q_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_diversity(rebalance(docs), "source", "lang")
 
 
+# Declarative data contract evaluated in ONE pass — the explicit-rule
+# counterpart of the statistical detectors; suite mixes passing and
+# failing expectations plus the rational-threshold rule.
+from dqspark.operators.expectations import (  # noqa: E402
+    Expectation,
+    expectation_suite,
+    expectation_suite_oracle,
+)
+
+_SUITE = [
+    Expectation("lang_present", "not_null", "lang"),
+    Expectation("doc_id_unique", "unique", "doc_id"),
+    Expectation("lang_unique_fails", "unique", "lang"),
+    Expectation(
+        "lang_in_domain", "in_set", "lang",
+        values=("en", "de", "fr", "es", "zh"),
+    ),
+    Expectation("chars_sane", "between", "n_chars", lo=1, hi=100000),
+    Expectation(
+        "chars_mid_tolerant", "between", "n_chars", lo=100, hi=400,
+        allowed_num=9, allowed_den=10,
+    ),
+    Expectation(
+        "chars_mid_strict", "between", "n_chars", lo=100, hi=400,
+        allowed_num=1, allowed_den=100,
+    ),
+    Expectation("lang_shape", "matches", "lang", pattern="^[a-z]{2}$"),
+]
+
+
+@register(
+    "expectation_suite",
+    expectation_suite_oracle(
+        "SELECT doc_id, lang, n_chars FROM documents", _SUITE
+    ),
+)
+def q_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return expectation_suite(rebalance(docs), _SUITE)
+
+
 # ---------------------------------------------------------------------------
 # mega-repo skew diagnostics (planted: two thirds of files collapse
 # into one mega-repo, the imbalance salted_repartition exists to break)

@@ -1,0 +1,54 @@
+"""Declarative expectation suite — operators/expectations.py."""
+
+from __future__ import annotations
+
+from dqspark.operators.expectations import Expectation, expectation_suite
+
+
+def _df(spark):
+    rows = [
+        (1, "en", 50),
+        (2, "de", 500),
+        (3, None, 20),
+        (4, "xx", 2_000_000),
+        (4, "en", 30),  # duplicate id
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_each_kind_counts_violations(spark):
+    suite = [
+        Expectation("nn", "not_null", "lang"),
+        Expectation("uq", "unique", "doc_id"),
+        Expectation("dom", "in_set", "lang", values=("en", "de")),
+        Expectation("rng", "between", "n_chars", lo=1, hi=1000),
+        Expectation("shape", "matches", "lang", pattern="^[a-z]{2}$"),
+    ]
+    out = {r.expectation: r for r in expectation_suite(_df(spark), suite).collect()}
+    assert out["nn"].violations == 1 and out["nn"].passed is False
+    assert out["uq"].violations == 1 and out["uq"].passed is False
+    assert out["dom"].violations == 1  # 'xx'; NULL not counted
+    assert out["rng"].violations == 1  # 2_000_000; NULL not counted
+    assert out["shape"].violations == 0 and out["shape"].passed is True
+    assert all(r.n_rows == 5 for r in out.values())
+
+
+def test_rational_threshold_rule(spark):
+    # 1 violation of 5 rows: allowed 1/5 passes, 1/6 fails
+    loose = Expectation("l", "not_null", "lang", allowed_num=1, allowed_den=5)
+    tight = Expectation("t", "not_null", "lang", allowed_num=1, allowed_den=6)
+    out = {r.expectation: r.passed
+           for r in expectation_suite(_df(spark), [loose, tight]).collect()}
+    assert out["l"] is True and out["t"] is False
+
+
+def test_single_pass_partition_invariance(spark):
+    suite = [
+        Expectation("nn", "not_null", "lang"),
+        Expectation("rng", "between", "n_chars", lo=1, hi=1000),
+    ]
+    a = sorted(map(tuple, expectation_suite(_df(spark), suite).collect()))
+    b = sorted(
+        map(tuple, expectation_suite(_df(spark).repartition(7), suite).collect())
+    )
+    assert a == b
