@@ -259,6 +259,7 @@ def main() -> None:
             "vocab_growth",
             "source_lang_diversity",
             "expectation_suite",
+            "ngram_novelty",
         )
         if q in driver_queries.QUERIES
     ]

@@ -194,3 +194,136 @@ SELECT c.doc_id,
          AS contaminated
 FROM cs c LEFT JOIN ov o USING (doc_id)
 """
+
+
+def _strided_oracle(arr_expr: str, stride: int) -> str:
+    if stride <= 1:
+        return arr_expr
+    return (
+        f"list_transform(generate_series(0, CASE WHEN len({arr_expr}) = 0"
+        f" THEN -1 ELSE (len({arr_expr}) - 1) // {stride} END),"
+        f" i -> list_extract({arr_expr}, i * {stride} + 1))"
+    )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CONTAM_N,
+    stride: int = 1,
+) -> DataFrame:
+    """Per-doc novelty against a CORPUS-SIZED reference (the previous
+    crawl, the already-trained-on set): the fraction of the document's
+    distinct char n-gram hashes NOT present anywhere in the reference —
+    the overlap/memorization rate read before deciding whether a new
+    ingest adds anything (novelty ~0 = already have it; C4/CCNet-style
+    cross-crawl dedup reads exactly this signal).
+
+    This is the large-reference counterpart of
+    :func:`benchmark_contamination`: there the benchmark's hash set is
+    tiny and broadcast; here BOTH sides are corpus-sized, so seen-ness
+    is decided by a hash-keyed LEFT join of the corpus's distinct
+    (id, h) pairs against the reference's distinct hashes — both sides
+    shuffle once on h and co-partition; when most shingles are expected
+    novel, a Bloom pre-filter (operators/bloom.py) slots in front to
+    shrink the join's probe side.  Documents shorter than ``n`` have no
+    shingles and report novelty NULL with n_shingles 0 (still present —
+    the output is a total decision table like dedup_decisions).
+
+    ``stride`` samples every stride-th shingle POSITION on both sides
+    (deterministic, array-level — unsampled shingles are never
+    exploded): dense n-gram coverage costs ~len rows per doc per side,
+    and position-strided sampling is the standard dial (the estimate of
+    the novelty FRACTION stays unbiased for homogeneous docs while the
+    exploded volume drops by the stride factor).
+    """
+    # stride via posexplode_outer + position filter, NOT an array-slicing
+    # lambda: a lambda's repeated references to _H let CollapseProject
+    # inline the full shingle expression per element — O(len^2).  And it
+    # must be the OUTER generator: plain posexplode adds a size(_H) > 0
+    # constraint that InferFiltersFromConstraints pushes into the scan
+    # as the fully-INLINED shingle expression (the 270s-measured
+    # pathology in with_shingle_hashes' docstring); the outer form
+    # yields no such constraint, and empty-array rows drop via the
+    # post-generator null filter instead.
+    def _side(df, *keep):
+        ex = df.select(
+            *keep, F.posexplode_outer("_H").alias("_p", "h")
+        ).where(F.col("h").isNotNull())
+        if stride > 1:
+            ex = ex.where(F.col("_p") % stride == 0)
+        return ex.drop("_p").distinct()
+
+    c = _side(
+        with_shingle_hashes(corpus.select(id_col, text_col), text_col, n=n),
+        id_col,
+    )
+    r = _side(
+        with_shingle_hashes(reference.select(text_col), text_col, n=n)
+    ).withColumn("_seen", F.lit(1))
+    per = (
+        c.join(r, on="h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen"),
+        )
+    )
+    out = corpus.select(id_col).join(per, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias(
+            "n_shingles"
+        ),
+        F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long").alias("n_unseen"),
+    )
+    return out.withColumn(
+        "novelty",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(
+                F.col("n_unseen").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        ),
+    )
+
+
+def ngram_novelty_oracle(
+    corpus_sql: str,
+    reference_sql: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    n: int = CONTAM_N,
+    stride: int = 1,
+) -> str:
+    # materialize (AS MATERIALIZED -- DuckDB inlines single-use CTEs)
+    # the shingle LIST in its own CTE column before the
+    # stride slice: slicing the shingle EXPRESSION would inline the
+    # whole list build per extracted element -- O(len^2) per row in an
+    # interpreted engine (the same staging rule with_shingle_hashes
+    # enforces on the Spark side)
+    sh = shingle_hashes_oracle(text_expr, n)
+    st = _strided_oracle("hs", stride)
+    return f"""
+WITH c0 AS MATERIALIZED (SELECT {id_expr} AS id, {sh} AS hs FROM ({corpus_sql}) x),
+c AS (SELECT DISTINCT id, unnest({st}) AS h FROM c0),
+r0 AS MATERIALIZED (SELECT {sh} AS hs FROM ({reference_sql}) y),
+r AS (SELECT DISTINCT unnest({st}) AS h FROM r0),
+per AS (
+  SELECT c.id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unseen
+  FROM c LEFT JOIN r ON c.h = r.h
+  GROUP BY c.id
+)
+SELECT {id_expr}, coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(n_unseen, 0)::BIGINT AS n_unseen,
+       CASE WHEN coalesce(n_shingles, 0) > 0
+            THEN round(CAST(coalesce(n_unseen, 0) AS DOUBLE)
+                       / CAST(n_shingles AS DOUBLE), 6) END AS novelty
+FROM ({corpus_sql}) b LEFT JOIN per ON b.{id_expr} = per.id
+"""

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from dqspark.operators.contamination import (
     benchmark_contamination,
     benchmark_contamination_oracle,
+    ngram_novelty,
+    ngram_novelty_oracle,
 )
 from dqspark.operators.chunking import chunk_files, chunk_files_oracle
 from dqspark.operators.components import (
@@ -450,6 +452,24 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.substring("text", 21, 160).alias("text"))
     )
     return benchmark_contamination(docs, bench)
+
+
+# Cross-crawl novelty: every doc scored against the even-id half as the
+# "previous crawl" — even docs report novelty 0 (fully seen), odd docs
+# whatever their template shares; hash-keyed co-partitioned join, the
+# large-reference counterpart of the broadcast contamination check.
+@register(
+    "ngram_novelty",
+    ngram_novelty_oracle(
+        "SELECT doc_id, text FROM documents",
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        stride=4,
+    ),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0).select("text")
+    return ngram_novelty(rebalance(docs), ref, stride=4)
 
 
 # ---------------------------------------------------------------------------

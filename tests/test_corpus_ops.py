@@ -613,3 +613,47 @@ def test_vocab_growth_partition_invariance_and_dup_flatline(spark):
     # duplicated tail buckets add tokens but zero new types: the curve flatlines
     assert out[4][3] == 0 and out[5][3] == 0
     assert out[5][4] == out[3][4]  # vocab_cum unchanged
+
+
+# --- n-gram novelty vs reference corpus -------------------------------------------
+
+from dqspark.operators.contamination import ngram_novelty
+
+
+def test_ngram_novelty_seen_and_unseen(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(1, base), (2, base), (3, "zz" + "".join(chr(97 + (i * 7) % 26) for i in range(120)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.where("doc_id = 1").select("text")
+    out = {r.doc_id: r for r in ngram_novelty(df, ref).collect()}
+    assert out[1].novelty == 0.0  # literally in the reference
+    assert out[2].novelty == 0.0  # exact copy of a reference doc
+    assert out[3].novelty > 0.9   # random-ish text unseen
+    assert out[3].n_shingles > 0
+
+
+def test_ngram_novelty_short_doc_null_and_stride(spark):
+    rows = [(1, "tiny"), (2, "a decent length sentence for shingling here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df, df.select("text"), stride=2).collect()}
+    assert out[1].n_shingles == 0 and out[1].novelty is None
+    assert out[2].novelty == 0.0  # reference includes itself
+
+
+def test_ngram_novelty_scan_stays_clean(spark):
+    # the generator must not let InferFiltersFromConstraints push the
+    # inlined shingle expression into the parquet/file scan (O(len^2)
+    # per row — the measured with_shingle_hashes pathology)
+    df = spark.createDataFrame(
+        [(i, "some text for shingles " * 3) for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        ngram_novelty(df, df.select("text"), stride=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Scan" in line or "Filter" in line:
+            assert "65599" not in line, line  # the shingle fold constant
