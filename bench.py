@@ -260,6 +260,9 @@ def main() -> None:
             "source_lang_diversity",
             "expectation_suite",
             "ngram_novelty",
+            "event_funnel",
+            "markov_transitions",
+            "editdist_pairs",
         )
         if q in driver_queries.QUERIES
     ]

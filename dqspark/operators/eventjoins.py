@@ -374,3 +374,180 @@ SELECT cohort_day, age_days, n_active,
          AS retention_pct
 FROM cells
 """
+
+
+def funnel_depth(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Anchored event funnel (the ClickHouse ``windowFunnel`` /
+    Flink-CEP shape, with a deterministic spec): per user, the anchor
+    is the FIRST step-1 event; depth = the longest prefix of ``steps``
+    completable by events at strictly increasing timestamps, all
+    within ``window_us`` microseconds of the anchor.  Greedy
+    earliest-completion is exact here because the anchor is pinned —
+    an exchange argument shows taking the earliest valid event for
+    step k never forecloses a deeper chain within the fixed window
+    (any later valid step-k event permits a subset of the step-k+1
+    candidates).  ClickHouse's own semantics re-anchor mid-scan and
+    are implementation-defined across versions; pinning the anchor
+    makes the operator cross-engine value-oracle-able.
+
+    Output: one row per user present in the step-filtered stream —
+    (user, t1..tK epoch-micros, NULL where unreached, depth 0..K).
+    All comparisons are integer microseconds; no floats cross the
+    differential.
+
+    Scale shape: ONE hash exchange on the user key, then K stacked
+    Window nodes over the same partitioning (Spark reuses the
+    clustering — no re-shuffle; ordering is irrelevant because each
+    window is an unordered per-partition min), and a final groupBy on
+    the same key.  State per user is O(K); no event array is ever
+    collected, so a mega-user (bot traffic) costs only its scan.
+    Reference parity: none (no temporal operators in the reference);
+    event-analytics extension suite (SURVEY §2-ext).
+    """
+    w = Window.partitionBy("_u")
+    df = events.where(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(type_col).alias("_et"),
+    )
+    prev = None
+    for k, step in enumerate(steps, start=1):
+        cond = F.col("_et") == F.lit(step)
+        if prev is not None:
+            cond = (
+                cond
+                & (F.col("_us") > F.col(prev))
+                & (F.col("_us") <= F.col("t1") + F.lit(window_us))
+            )
+        df = df.withColumn(f"t{k}", F.min(F.when(cond, F.col("_us"))).over(w))
+        prev = f"t{k}"
+    depth = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"t{k}").isNotNull(), F.lit(k)).otherwise(depth)
+    agg = [F.max(f"t{k}").alias(f"t{k}") for k in range(1, len(steps) + 1)]
+    return (
+        df.groupBy(F.col("_u").alias(user_col))
+        .agg(*agg)
+        .withColumn("depth", depth.cast("int"))
+    )
+
+
+def funnel_depth_oracle(
+    events_sql: str,
+    steps: list[str],
+    window_us: int,
+    user_expr: str = "user_id",
+    ts_expr: str = "ts",
+    type_expr: str = "event_type",
+) -> str:
+    step_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"ev AS (SELECT {user_expr} AS u, epoch_us({ts_expr}) AS us, "
+        f"{type_expr} AS et FROM ({events_sql}) e WHERE {type_expr} IN ({step_list}))"
+    ]
+    src = "ev"
+    for k, step in enumerate(steps, start=1):
+        cond = f"et = '{step}'"
+        if k > 1:
+            cond += f" AND us > t{k - 1} AND us <= t1 + {window_us}"
+        ctes.append(
+            f"s{k} AS (SELECT *, min(CASE WHEN {cond} THEN us END) "
+            f"OVER (PARTITION BY u) AS t{k} FROM {src})"
+        )
+        src = f"s{k}"
+    t_cols = ", ".join(
+        f"max(t{k}) AS t{k}" for k in range(1, len(steps) + 1)
+    )
+    depth = "CASE "
+    for k in range(len(steps), 0, -1):
+        depth += f"WHEN max(t{k}) IS NOT NULL THEN {k} "
+    depth += "ELSE 0 END"
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT u AS {user_expr}, {t_cols}, "
+        f"CAST({depth} AS INT) AS depth FROM {src} GROUP BY u"
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (user-journey analysis; for a data platform, the
+    ingest-state-machine audit — which pipeline stage follows which).
+    Events order by ``(ts, tiebreak)`` within each user — the unique
+    tiebreak makes the lag pairing deterministic cross-engine (the
+    as-of join's ADVICE lesson applied from the start).  Output one
+    row per observed (from_type, to_type): transition count, the
+    from-state total, and prob = round(n / n_from, 4) — counts are
+    exact BIGINTs, the single division is written identically in both
+    engines.
+
+    Scale shape: one hash exchange on the user key + in-partition
+    sort for the lag window, then a map-side-combined groupBy on the
+    O(types^2) pair relation; the from-state totals come from a
+    window over that tiny relation, not a second pass over events.
+    """
+    seq = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(type_col).alias("_et"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w = Window.partitionBy("_u").orderBy("_us", "_tb")
+    pairs = (
+        seq.withColumn("_prev", F.lag("_et").over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_type"), F.col("_et").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wf).cast("long").alias("n_from"),
+    ).withColumn(
+        "prob",
+        F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 4),
+    )
+
+
+def markov_transitions_oracle(
+    events_sql: str,
+    user_expr: str = "user_id",
+    ts_expr: str = "ts",
+    type_expr: str = "event_type",
+    tiebreak_expr: str = "event_id",
+) -> str:
+    return f"""
+WITH seq AS (
+  SELECT {user_expr} AS u, {type_expr} AS et,
+         lag({type_expr}) OVER (
+           PARTITION BY {user_expr}
+           ORDER BY epoch_us({ts_expr}), {tiebreak_expr}) AS prev
+  FROM ({events_sql}) e
+),
+pairs AS (
+  SELECT prev AS from_type, et AS to_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, et
+)
+SELECT from_type, to_type, n,
+       sum(n) OVER (PARTITION BY from_type)::BIGINT AS n_from,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+         AS prob
+FROM pairs
+"""

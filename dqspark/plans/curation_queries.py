@@ -64,6 +64,10 @@ from dqspark.operators.eventjoins import (
     as_of_join_oracle,
     cohort_retention,
     cohort_retention_oracle,
+    funnel_depth,
+    funnel_depth_oracle,
+    markov_transitions,
+    markov_transitions_oracle,
     range_join,
     range_join_oracle,
     sessionize,
@@ -855,3 +859,37 @@ FROM grp WHERE n >= 2 GROUP BY split_set
 def q_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = assign_split_grouped(_docs_dup(spark, sf_dir), salt=_SPLIT_SALT)
     return split_leakage(labeled)
+
+
+# --- anchored event funnel + Markov transition matrix -------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_US = 48 * 3600 * 1_000_000  # 48 h
+_FUNNEL_SQL = "SELECT user_id, ts, event_type FROM events"
+
+
+@register(
+    "event_funnel",
+    funnel_depth_oracle(_FUNNEL_SQL, _FUNNEL_STEPS, _FUNNEL_WINDOW_US),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anchored funnel depth over view -> click -> purchase
+    within 48 h of the first view: one hash exchange on user_id, K
+    stacked unordered windows, integer-microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    return funnel_depth(ev, _FUNNEL_STEPS, _FUNNEL_WINDOW_US)
+
+
+@register(
+    "markov_transitions",
+    markov_transitions_oracle("SELECT user_id, ts, event_type, event_id FROM events"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user journey,
+    lag-paired on (ts, event_id) so the sequence is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return markov_transitions(ev)

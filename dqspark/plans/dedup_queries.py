@@ -28,6 +28,7 @@ from dqspark.operators.dedup import (
     with_simhash,
 )
 from dqspark.operators.contamination import semantic_contamination_oracle
+from dqspark.operators.editdist import editdist_pairs, editdist_pairs_oracle
 from dqspark.operators.similarity import (
     cosine_oracle,
     embedding_near_dup_pairs,
@@ -932,3 +933,52 @@ def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((10 * abs(m * u - {K_MINHASH} * i)) div ({K_MINHASH} * u) AS INT)"
         ).alias("err_bin")
     ).groupBy("err_bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- edit-distance near-dup join (FastSS deletion neighborhoods) --------------
+
+# 24-char lowercased alnum title prefixes; planted one-edit variants
+# (substitution on doc_id % 17, deletion on doc_id % 23) join the
+# natural near-dup titles the corpus already contains.
+_ED_CORPUS_SQL = """
+  SELECT doc_id AS id,
+         regexp_replace(lower(substr(text, 1, 24)), '[^a-z0-9 ]', '', 'g')
+           AS title
+  FROM documents
+"""
+_ED_FULL_SQL = f"""
+  SELECT id, title FROM ({_ED_CORPUS_SQL}) base
+  UNION ALL
+  SELECT id + 10000000 AS id, 'x' || substr(title, 2) AS title
+  FROM ({_ED_CORPUS_SQL}) p1 WHERE id % 17 = 0
+  UNION ALL
+  SELECT id + 20000000 AS id, substr(title, 2) AS title
+  FROM ({_ED_CORPUS_SQL}) p2 WHERE id % 23 = 0
+"""
+
+
+def _ed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.regexp_replace(
+            F.lower(F.substring(F.col("text"), 1, 24)), "[^a-z0-9 ]", ""
+        ).alias("title"),
+    )
+    p1 = base.where(F.col("id") % 17 == 0).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.concat(F.lit("x"), F.expr("substr(title, 2)")).alias("title"),
+    )
+    p2 = base.where(F.col("id") % 23 == 0).select(
+        (F.col("id") + 20_000_000).alias("id"),
+        F.expr("substr(title, 2)").alias("title"),
+    )
+    return base.unionByName(p1).unionByName(p2)
+
+
+@register("editdist_pairs", editdist_pairs_oracle(_ED_FULL_SQL))
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title pairs within edit distance 1 via FastSS deletion-
+    neighborhood blocking + exact levenshtein verify; the oracle is
+    the naive all-pairs join, so the differential proves the blocking
+    misses nothing."""
+    return editdist_pairs(_ed_corpus(spark, sf_dir))

@@ -1,0 +1,235 @@
+"""Anchored event funnel + Markov transition matrix + edit-distance
+near-dup join (operators/eventjoins.py, operators/editdist.py)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.editdist import editdist_pairs
+from dqspark.operators.eventjoins import funnel_depth, markov_transitions
+
+HOUR_US = 3600 * 1_000_000
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def d(day, h=0, m=0):
+    return _dt.datetime(2024, 1, day, h, m)
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def test_funnel_hand_depths(spark):
+    rows = [
+        # u1: full chain inside 48h -> depth 3
+        (1, d(1, 0), "view"), (1, d(1, 5), "click"), (1, d(2, 0), "purchase"),
+        # u2: click only BEFORE the first view -> strict order stops at 1
+        (2, d(1, 6), "view"), (2, d(1, 0), "click"),
+        # u3: click outside the 48h window -> depth 1
+        (3, d(1, 0), "view"), (3, d(4, 0), "click"),
+        # u4: purchase ties the click timestamp -> strict > stops at 2
+        (4, d(1, 0), "view"), (4, d(1, 1), "click"), (4, d(1, 1), "purchase"),
+        # u5: no view at all -> depth 0
+        (5, d(1, 0), "click"), (5, d(1, 1), "purchase"),
+    ]
+    out = {
+        r.user_id: (r.depth, r.t1, r.t2, r.t3)
+        for r in funnel_depth(_ev(spark, rows), STEPS, 48 * HOUR_US).collect()
+    }
+    assert out[1][0] == 3
+    assert out[2][0] == 1 and out[2][2] is None
+    assert out[3][0] == 1
+    assert out[4][0] == 2
+    assert out[5][0] == 0 and out[5][1] is None
+    # anchor is the FIRST view: strictly earlier than the click it admits
+    assert out[1][1] is not None and out[1][1] < out[1][2] < out[1][3]
+
+
+def test_funnel_second_view_does_not_reanchor(spark):
+    # first view's window expires before the click; a later view would
+    # fit — the anchored spec still reports depth 1 (documented choice).
+    rows = [
+        (1, d(1, 0), "view"), (1, d(10, 0), "view"), (1, d(10, 1), "click"),
+    ]
+    out = funnel_depth(_ev(spark, rows), STEPS, 48 * HOUR_US).collect()
+    assert out[0].depth == 1
+
+
+def test_funnel_partition_invariance(spark):
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.randrange(20),
+            _dt.datetime(2024, 1, 1 + rng.randrange(20), rng.randrange(24)),
+            rng.choice(["view", "click", "purchase", "error"]),
+        )
+        for _ in range(600)
+    ]
+    df = _ev(spark, rows)
+    a = sorted(map(tuple, funnel_depth(df, STEPS, 48 * HOUR_US).collect()))
+    b = sorted(
+        map(tuple, funnel_depth(df.repartition(13), STEPS, 48 * HOUR_US).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_funnel_single_exchange_plan(spark, sf_dir):
+    from dqspark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    plan = (
+        funnel_depth(ev, STEPS, 48 * HOUR_US)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # K stacked windows + final agg reuse ONE hash exchange on the user key
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_markov_hand_matrix(spark):
+    rows = [
+        # u1 journey a->b->a ; tie at 01:00 broken by event_id (2 before 3)
+        (1, d(1, 0), "a", 1), (1, d(1, 1), "b", 2), (1, d(1, 1), "a", 3),
+        # u2 journey b->b
+        (2, d(1, 0), "b", 4), (2, d(1, 2), "b", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.prob)
+        for r in markov_transitions(df).collect()
+    }
+    assert out[("a", "b")] == (1, 1, 1.0)
+    assert out[("b", "a")] == (1, 2, 0.5)
+    assert out[("b", "b")] == (1, 2, 0.5)
+    assert len(out) == 3
+
+
+def test_markov_probs_sum_to_one(spark, sf_dir):
+    from dqspark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    rows = (
+        markov_transitions(ev)
+        .groupBy("from_type")
+        .agg(F.sum("n").alias("n"), F.max("n_from").alias("n_from"))
+        .collect()
+    )
+    assert rows and all(r.n == r.n_from for r in rows)
+
+
+def test_markov_partition_invariance(spark):
+    rng = random.Random(11)
+    rows = [
+        (
+            rng.randrange(9),
+            _dt.datetime(2024, 1, 1, rng.randrange(24), rng.randrange(60)),
+            rng.choice("abc"),
+            i,
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    a = sorted(map(tuple, markov_transitions(df).collect()))
+    b = sorted(map(tuple, markov_transitions(df.repartition(17)).collect()))
+    assert a == b and len(a) > 0
+
+
+# --- edit-distance near-dup join ----------------------------------------------
+
+
+def _pairs(spark, strings):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, title string"
+    )
+    return {
+        (r.id_a, r.id_b): r.dist for r in editdist_pairs(df).collect()
+    }
+
+
+def test_editdist_hand_cases(spark):
+    out = _pairs(
+        spark,
+        [
+            "spark engine",   # 0
+            "spark enging",   # 1: substitution of 0
+            "spark engin",    # 2: deletion of 0 (and of 1)
+            "sparkk engine",  # 3: insertion into 0
+            "ab",             # 4
+            "ba",             # 5: distance 2 from 4 — must NOT pair
+            "zzzz",           # 6: isolated
+        ],
+    )
+    assert out[(0, 1)] == 1 and out[(0, 2)] == 1 and out[(0, 3)] == 1
+    assert out[(1, 2)] == 1
+    assert (4, 5) not in out
+    assert all(k[0] != 6 and k[1] != 6 for k in out)
+
+
+def test_editdist_exact_dup_and_empty(spark):
+    out = _pairs(spark, ["same", "same", "", "", "x"])
+    assert out[(0, 1)] == 0          # identical strings pair at dist 0
+    assert out[(2, 3)] == 0          # empty strings pair with each other
+    assert out[(2, 4)] == 1 and out[(3, 4)] == 1  # '' vs 'x' is one insert
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_fuzz_completeness(spark):
+    """Blocking + verify must reproduce the naive quadratic ground
+    truth exactly — short random strings over a tiny alphabet force
+    plenty of true pairs AND plenty of distance-2 shared-signature
+    decoys."""
+    rng = random.Random(3)
+    strings = [
+        "".join(rng.choice("ab") for _ in range(rng.randrange(0, 5)))
+        for _ in range(60)
+    ]
+    want = {
+        (i, j): _lev(a, b)
+        for i, a in enumerate(strings)
+        for j, b in enumerate(strings)
+        if i < j and _lev(a, b) <= 1
+    }
+    assert want, "fixture must contain true pairs"
+    assert _pairs(spark, strings) == want
+
+
+def test_editdist_partition_invariance_and_plan(spark):
+    rng = random.Random(5)
+    strings = [
+        "".join(rng.choice("abcd") for _ in range(rng.randrange(0, 8)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, title string"
+    )
+    a = sorted(map(tuple, editdist_pairs(df).collect()))
+    b = sorted(map(tuple, editdist_pairs(df.repartition(11)).collect()))
+    assert a == b and len(a) > 0
+    plan = (
+        editdist_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
