@@ -263,6 +263,9 @@ def main() -> None:
             "event_funnel",
             "markov_transitions",
             "editdist_pairs",
+            "benford_digits",
+            "mad_outliers",
+            "null_patterns",
         )
         if q in driver_queries.QUERIES
     ]

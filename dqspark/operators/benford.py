@@ -1,0 +1,186 @@
+"""Benford's-law first-digit audit (Newcomb 1881 / Benford 1938;
+Nigrini's forensic-accounting test): the classical fraud / fabricated-
+data screen for naturally-occurring positive quantities (amounts,
+populations, file sizes) — digits of organic multi-magnitude data
+follow P(d) = log10(1 + 1/d); fabricated or truncated data does not.
+For a training-data platform, the audit flags synthetic or templated
+numeric fields masquerading as organic measurements.
+
+Cross-engine exactness: the expected distribution is embedded as FIXED
+integer micro-unit constants (BENFORD_P_UNITS, summing to exactly
+1,000,000) — no ``log10`` is ever evaluated at query time, so no libm
+ulp divergence can cross the differential.  The leading digit comes
+from BIGINT→string (unambiguous in both engines; doubles never
+stringify).  The goodness-of-fit statistic is assembled exactly like
+drift.py's chi-square: per-digit deviations stay BIGINT-exact
+(obs·1e6 − n·p fits well under 2^63 through corpus scale: n = 1e12
+rows gives |diff| ≤ ~3·10^17), are cast to double only for the one
+square-and-divide written identically in both engines, and the
+per-digit contributions fold to integer CHI2_UNITs before summing so
+the total is summation-order-free.  Verdict compares against the
+embedded 95% critical value at dof = 8.
+
+Scale shape: ONE map-side-combined groupBy over 9 keys; everything
+after runs on the O(9) relation.  Non-positive and NULL values are
+excluded (Benford is defined on positive magnitudes) and reported via
+``n_excluded`` on every row.
+
+Reference parity: extends the reference's numeric anomaly detectors
+(backend z-score/IQR) with a distributional fabrication test; §2-ext.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.drift import CHI2_CRIT_95, CHI2_UNIT
+
+# round(log10(1 + 1/d) * 1e6): sums to exactly 1_000_000
+BENFORD_P_UNITS = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit distribution of a positive BIGINT column vs the
+    Benford expectation.  Output: one row per digit 1..9 —
+    (digit, n_obs, n_total, n_excluded, expected, contrib,
+    chi2, dof, crit_95, verdict)."""
+    v = F.col(value_col).cast("long")
+    # ONE corpus pass: non-positive/NULL rows land in the NULL-digit
+    # group so the exclusion count needs no second scan
+    tagged = df.select(
+        F.when(v > 0, F.substring(v.cast("string"), 1, 1).cast("int")).alias(
+            "digit"
+        )
+    )
+    counts = tagged.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # 1-row frame over the <=10-row counts relation; cross-joined back so
+    # the all-excluded edge (zero positive rows) still reports correctly
+    excl = counts.select(
+        F.coalesce(
+            F.sum(F.when(F.col("digit").isNull(), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("_n_excluded")
+    )
+    # all 9 digits always present: a digit with zero observations still
+    # contributes n*p to the statistic
+    digits = df.sparkSession.createDataFrame(
+        [(d,) for d in range(1, 10)], "digit int"
+    )
+    obs = (
+        digits.join(
+            counts.where(F.col("digit").isNotNull()), on="digit", how="left"
+        )
+        .crossJoin(F.broadcast(excl))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_obs"),
+            "_n_excluded",
+        )
+    )
+    w = Window.partitionBy()
+    p_units = F.lit(None).cast("long")
+    for d, p in sorted(BENFORD_P_UNITS.items(), reverse=True):
+        p_units = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_units)
+    m = obs.select(
+        "digit",
+        "n_obs",
+        "_n_excluded",
+        F.sum("n_obs").over(w).cast("long").alias("n_total"),
+        p_units.alias("_p"),
+    )
+    diff = F.col("n_obs") * F.lit(1_000_000) - F.col("n_total") * F.col("_p")
+    contrib = (diff.cast("double") * diff.cast("double")) / (
+        F.lit(1_000_000.0) * F.col("n_total").cast("double") * F.col("_p").cast("double")
+    )
+    staged = m.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        F.col("_n_excluded").alias("n_excluded"),
+        F.round(
+            F.col("n_total").cast("double") * F.col("_p").cast("double")
+            / F.lit(1_000_000.0),
+            4,
+        ).alias("expected"),
+        F.round(contrib, 4).alias("contrib"),
+        F.round(contrib * CHI2_UNIT).cast("long").alias("_units"),
+    )
+    chi2 = F.round(F.sum("_units").over(w) / F.lit(float(CHI2_UNIT)), 4)
+    crit = float(CHI2_CRIT_95[8])
+    return staged.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        "n_excluded",
+        "expected",
+        "contrib",
+        chi2.alias("chi2"),
+        F.lit(8).cast("long").alias("dof"),
+        F.lit(crit).alias("crit_95"),
+        F.when(chi2 > F.lit(crit), F.lit("nonconforming"))
+        .otherwise(F.lit("conforming"))
+        .alias("verdict"),
+    )
+
+
+def benford_audit_oracle(source_sql: str, value_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {p}" for d, p in BENFORD_P_UNITS.items()
+    )
+    crit = float(CHI2_CRIT_95[8])
+    return f"""
+WITH src AS (SELECT CAST({value_expr} AS BIGINT) AS v FROM ({source_sql}) q),
+pos AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM src WHERE v > 0
+),
+obs AS (
+  SELECT d.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs
+  FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit) d
+  LEFT JOIN (SELECT digit, count(*)::BIGINT AS n_obs FROM pos GROUP BY digit) o
+    USING (digit)
+),
+m AS (
+  SELECT digit, n_obs,
+         sum(n_obs) OVER ()::BIGINT AS n_total,
+         (CASE {cases} END)::BIGINT AS p
+  FROM obs
+),
+staged AS (
+  SELECT digit, n_obs, n_total,
+         (SELECT count(*) FROM src)::BIGINT - n_total AS n_excluded,
+         round(CAST(n_total AS DOUBLE) * CAST(p AS DOUBLE) / 1000000.0::DOUBLE, 4)
+           AS expected,
+         round(CAST(n_obs * 1000000 - n_total * p AS DOUBLE)
+               * CAST(n_obs * 1000000 - n_total * p AS DOUBLE)
+               / (1000000.0::DOUBLE * CAST(n_total AS DOUBLE) * CAST(p AS DOUBLE)),
+               4) AS contrib,
+         CAST(round(CAST(n_obs * 1000000 - n_total * p AS DOUBLE)
+               * CAST(n_obs * 1000000 - n_total * p AS DOUBLE)
+               / (1000000.0::DOUBLE * CAST(n_total AS DOUBLE) * CAST(p AS DOUBLE))
+               * {CHI2_UNIT}) AS BIGINT) AS units
+  FROM m
+)
+SELECT digit, n_obs, n_total, n_excluded, expected, contrib,
+       round(sum(units) OVER () / {float(CHI2_UNIT)}::DOUBLE, 4) AS chi2,
+       8::BIGINT AS dof,
+       {crit}::DOUBLE AS crit_95,
+       CASE WHEN round(sum(units) OVER () / {float(CHI2_UNIT)}::DOUBLE, 4)
+                 > {crit}::DOUBLE
+            THEN 'nonconforming' ELSE 'conforming' END AS verdict
+FROM staged
+"""

@@ -8,7 +8,7 @@ reference does three separate full-table pandas passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,3 +41,57 @@ def dtype_histogram(df: DataFrame) -> dict[str, int]:
     for _, t in df.dtypes:
         hist[t] = hist.get(t, 0) + 1
     return hist
+
+
+def null_pattern_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Null-pattern mining (the missingno/profiling view of MISSINGNESS
+    STRUCTURE): rows group by their presence bitmap over ``cols`` —
+    '1' = present, '0' = NULL, ordered as given — so correlated
+    missingness (fields that vanish together, the signature of a
+    broken upstream join or a schema migration) shows up as one heavy
+    pattern instead of N independent null fractions (the A6 per-column
+    view the reference computes).  Output: (pattern, n_rows, pct)
+    sorted nowhere — the caller orders.
+
+    Scale shape: ONE map-side-combined groupBy on a computed string of
+    len(cols) chars; the pct window runs on the O(2^len(cols))-bounded
+    pattern relation, never the corpus.  Pure codegen expressions.
+    """
+    bits = F.concat(
+        *[
+            F.when(F.col(c).isNotNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in cols
+        ]
+    )
+    counts = (
+        df.select(bits.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "pattern",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.sum("n_rows").over(w).cast("double"),
+            4,
+        ).alias("pct"),
+    )
+
+
+def null_pattern_profile_oracle(source_sql: str, col_exprs: list[str]) -> str:
+    bits = " || ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN '1' ELSE '0' END" for c in col_exprs
+    )
+    return f"""
+WITH pat AS (
+  SELECT {bits} AS pattern FROM ({source_sql}) q
+),
+counts AS (
+  SELECT pattern, count(*)::BIGINT AS n_rows FROM pat GROUP BY pattern
+)
+SELECT pattern, n_rows,
+       round(CAST(n_rows AS DOUBLE)
+             / CAST(sum(n_rows) OVER () AS DOUBLE), 4) AS pct
+FROM counts
+"""

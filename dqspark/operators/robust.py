@@ -1,0 +1,110 @@
+"""Robust outlier detection via the median absolute deviation
+(Hampel identifier; Iglewicz & Hoaglin 1993): flag x where
+``|x - median| > cutoff * MAD``.  The reference detects numeric
+outliers with mean/stddev z-scores and IQR fences
+(backend/analysis.py) — both are themselves dragged by the outliers
+they hunt (a single 1e9 spike inflates sigma enough to hide real
+anomalies); the median/MAD pair has a 50% breakdown point and is the
+standard robust replacement.
+
+Exactness: both the median and the MAD are TYPE-1 (element)
+quantiles computed by the distributed exact-quantile operator
+(operators/quantiles.py — O(log_B n) one-scan histogram-refinement
+rounds, O(1) driver floats), so each is an actual data element, not
+an interpolation; ``|x - med|`` and the cutoff comparison are the
+same IEEE double operations written identically in the DuckDB oracle
+(which derives BOTH quantiles independently via the integer rank
+formula over a full sort — the thing the Spark path avoids).  The
+differential therefore covers the two-phase quantile fit AND the
+flag rule.  Rows are ANNOTATED, not filtered, so the decision
+boundary is auditable (the percentile-gate convention).
+
+Degenerate guard: when MAD = 0 (>=50% of values tied at the median)
+every non-median value is trivially "infinitely many MADs away"; the
+operator then reports ``robust_z`` NULL and flags nothing rather
+than dividing by zero — matching the scipy/statsmodels convention of
+leaving the caller to fall back to another detector.
+
+Scale shape: two exact-quantile fits (each a handful of full scans
+with O(buckets) driver state) + one shuffle-free annotation
+projection; nothing is ever globally sorted or collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.quantiles import exact_quantiles
+
+# |x - med| > MAD_CUTOFF * MAD  <=>  |robust_z| > 3.5 with the
+# 0.6745 normal-consistency constant (Iglewicz & Hoaglin's 3.5 rule):
+# 3.5 / 0.6745 expressed exactly as the two published constants so
+# both engines evaluate the identical double product.
+MAD_K = 0.6745
+Z_CUT = 3.5
+
+
+def mad_outliers(df: DataFrame, value_col: str, id_cols: list[str]) -> DataFrame:
+    """Annotate every non-NULL row with (median, mad, abs_dev,
+    robust_z, is_outlier)."""
+    med = exact_quantiles(df, value_col, [5000])[0][2]
+    devs = df.where(F.col(value_col).isNotNull()).withColumn(
+        "_ad", F.abs(F.col(value_col).cast("double") - F.lit(med))
+    )
+    mad = exact_quantiles(devs, "_ad", [5000])[0][2]
+    z = F.when(
+        F.lit(mad) > 0.0,
+        F.round(
+            F.col("_ad") * F.lit(MAD_K) / F.lit(mad),
+            4,
+        ),
+    )
+    return devs.select(
+        *id_cols,
+        F.col(value_col).cast("double").alias("value"),
+        F.lit(med).alias("median"),
+        F.lit(mad).alias("mad"),
+        F.col("_ad").alias("abs_dev"),
+        z.alias("robust_z"),
+        F.coalesce(z > F.lit(Z_CUT), F.lit(False)).alias("is_outlier"),
+    )
+
+
+def mad_outliers_oracle(
+    source_sql: str, value_expr: str, id_exprs: list[str]
+) -> str:
+    """Both quantiles re-derived independently in DuckDB via the
+    integer rank formula (type-1 elements over a full sort)."""
+    ids = ", ".join(id_exprs)
+    return f"""
+WITH src AS (
+  SELECT {ids}, CAST({value_expr} AS DOUBLE) AS v FROM ({source_sql}) q
+  WHERE {value_expr} IS NOT NULL
+),
+med AS (
+  SELECT v AS m FROM (
+    SELECT v, row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS n
+    FROM src) s
+  WHERE r = greatest(1, (5000 * n + 9999) // 10000)
+),
+devs AS (SELECT src.*, abs(v - (SELECT m FROM med)) AS ad FROM src),
+mad AS (
+  SELECT ad AS m FROM (
+    SELECT ad, row_number() OVER (ORDER BY ad) AS r, count(*) OVER () AS n
+    FROM devs) s
+  WHERE r = greatest(1, (5000 * n + 9999) // 10000)
+)
+SELECT {ids}, v AS value,
+       (SELECT m FROM med)::DOUBLE AS median,
+       (SELECT m FROM mad)::DOUBLE AS mad,
+       ad AS abs_dev,
+       CASE WHEN (SELECT m FROM mad) > 0.0::DOUBLE
+            THEN round(ad * {MAD_K}::DOUBLE / (SELECT m FROM mad), 4)
+            END AS robust_z,
+       coalesce(CASE WHEN (SELECT m FROM mad) > 0.0::DOUBLE
+                     THEN round(ad * {MAD_K}::DOUBLE / (SELECT m FROM mad), 4)
+                          > {Z_CUT}::DOUBLE
+                     END, false) AS is_outlier
+FROM devs
+"""

@@ -289,3 +289,89 @@ def q_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = _pq._to_codefiles(_pq._planted_corpus(spark, sf_dir))
     res = run_quality_pipeline(cf, with_models=False)
     return drop_attribution(res)
+
+
+# --- Benford first-digit audit, MAD robust outliers, null-pattern mining ------
+
+from dqspark.operators.benford import benford_audit, benford_audit_oracle
+from dqspark.operators.profile import (
+    null_pattern_profile,
+    null_pattern_profile_oracle,
+)
+from dqspark.operators.robust import mad_outliers, mad_outliers_oracle
+
+# exact integer cents of the extended price: decimal(12,2) * 100 is exact
+_BENFORD_SQL = (
+    "SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents FROM lineitem"
+)
+
+
+@register("benford_digits", benford_audit_oracle(_BENFORD_SQL, "cents"))
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of line-item prices vs Benford's law,
+    with the chi-square conformity verdict (dof 8, 95% critical)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return benford_audit(li, "cents")
+
+
+# planted magnitude spikes so both tails of the flag rule are exercised
+_MAD_SQL = """
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN value * 1000.0 ELSE value END AS v
+  FROM events
+"""
+
+
+@register(
+    "mad_outliers",
+    mad_outliers_oracle(_MAD_SQL, "v", ["event_id"]),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel/MAD robust outliers over event values with planted
+    1000x spikes; median and MAD from the distributed exact-quantile
+    operator, independently re-derived by the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.col("value") * 1000.0)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return mad_outliers(ev, "v", ["event_id"])
+
+
+# planted correlated missingness: value+props vanish TOGETHER on one
+# modulus (the broken-upstream-join signature) plus independent holes
+_NULLPAT_COLS = ["event_type", "value", "props"]
+_NULLPAT_SQL = """
+  SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0 THEN NULL ELSE props END AS props
+  FROM events
+"""
+
+
+@register(
+    "null_patterns",
+    null_pattern_profile_oracle(_NULLPAT_SQL, _NULLPAT_COLS),
+)
+def q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-structure profile: rows grouped by their presence
+    bitmap; the planted correlated hole (value+props on one modulus)
+    dominates the mixed patterns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(
+            (F.col("event_id") % 7 == 0) | (F.col("event_id") % 11 == 0),
+            F.lit(None),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return null_pattern_profile(ev, _NULLPAT_COLS)

@@ -1,0 +1,127 @@
+"""Benford first-digit audit, MAD robust outliers, null-pattern
+profile (operators/benford.py, robust.py, profile.py)."""
+
+from __future__ import annotations
+
+import random
+
+from dqspark.operators.benford import BENFORD_P_UNITS, benford_audit
+from dqspark.operators.profile import null_pattern_profile
+from dqspark.operators.robust import mad_outliers
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(int(x),) for x in xs], "v long")
+
+
+def test_benford_constants_sum():
+    assert sum(BENFORD_P_UNITS.values()) == 1_000_000
+
+
+def test_benford_conforming_sample(spark):
+    # digit counts pinned to round(n * p): chi2 ~ 0 -> conforming
+    xs = []
+    for d, p in BENFORD_P_UNITS.items():
+        xs += [d * 100 + 7] * round(10000 * p / 1_000_000)
+    rows = benford_audit(_vals(spark, xs), "v").collect()
+    assert len(rows) == 9
+    assert all(r.verdict == "conforming" for r in rows)
+    assert rows[0].chi2 < 1.0
+    assert all(r.n_excluded == 0 for r in rows)
+
+
+def test_benford_uniform_digits_nonconforming(spark):
+    xs = [d * 1000 + i for d in range(1, 10) for i in range(500)]
+    rows = benford_audit(_vals(spark, xs), "v").collect()
+    assert all(r.verdict == "nonconforming" for r in rows)
+    # digit 1 is the most under-represented under uniformity
+    by_digit = {r.digit: r for r in rows}
+    assert by_digit[1].contrib == max(r.contrib for r in rows)
+
+
+def test_benford_exclusions_and_missing_digit(spark):
+    # zeros, negatives and NULLs excluded; digit 9 absent but still a row
+    df = spark.createDataFrame(
+        [(1,), (23,), (-5,), (0,), (None,), (345,)], "v long"
+    )
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert len(rows) == 9
+    assert rows[1].n_total == 3 and rows[1].n_excluded == 3
+    assert rows[9].n_obs == 0 and rows[9].contrib > 0
+
+
+def test_benford_partition_invariance(spark):
+    rng = random.Random(2)
+    xs = [rng.randrange(1, 10**6) for _ in range(3000)]
+    df = _vals(spark, xs)
+    a = sorted(map(tuple, benford_audit(df, "v").collect()))
+    b = sorted(map(tuple, benford_audit(df.repartition(13), "v").collect()))
+    assert a == b
+
+
+def test_mad_hand_case(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(list(range(1, 10)) + [1000])],
+        "id long, x double",
+    )
+    rows = {r.id: r for r in mad_outliers(df, "x", ["id"]).collect()}
+    assert rows[0].median == 5.0 and rows[0].mad == 2.0
+    assert rows[9].is_outlier and rows[9].robust_z > 300
+    assert not rows[0].is_outlier and rows[0].robust_z == round(4 * 0.6745 / 2, 4)
+
+
+def test_mad_degenerate_zero_mad(spark):
+    df = spark.createDataFrame(
+        [(i, 7.0 if i < 8 else 9.0) for i in range(10)], "id long, x double"
+    )
+    rows = mad_outliers(df, "x", ["id"]).collect()
+    assert all(r.mad == 0.0 for r in rows)
+    assert all(r.robust_z is None and not r.is_outlier for r in rows)
+
+
+def test_mad_robust_to_the_spike_it_flags(spark):
+    # the classical failure of z-scores: one huge spike inflates sigma;
+    # median/MAD must still flag it AND keep the base flags unchanged
+    base = [(i, float(i % 7)) for i in range(500)]
+    df1 = spark.createDataFrame(base, "id long, x double")
+    df2 = spark.createDataFrame(base + [(999, 1e9)], "id long, x double")
+    f1 = {r.id for r in mad_outliers(df1, "x", ["id"]).collect() if r.is_outlier}
+    f2 = {r.id for r in mad_outliers(df2, "x", ["id"]).collect() if r.is_outlier}
+    assert 999 in f2 and f2 - {999} == f1
+
+
+def test_null_pattern_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, "p"),
+            ("b", None, "q"),
+            (None, None, None),
+            ("c", 2.0, "r"),
+        ],
+        "s string, x double, t string",
+    )
+    rows = {
+        r.pattern: (r.n_rows, r.pct)
+        for r in null_pattern_profile(df, ["s", "x", "t"]).collect()
+    }
+    assert rows["111"] == (2, 0.5)
+    assert rows["101"] == (1, 0.25)
+    assert rows["000"] == (1, 0.25)
+    assert len(rows) == 3
+
+
+def test_null_pattern_partition_invariance(spark):
+    rng = random.Random(4)
+    data = [
+        (
+            None if rng.random() < 0.3 else "s",
+            None if rng.random() < 0.5 else 1.0,
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(data, "a string, b double")
+    a = sorted(map(tuple, null_pattern_profile(df, ["a", "b"]).collect()))
+    b = sorted(
+        map(tuple, null_pattern_profile(df.repartition(9), ["a", "b"]).collect())
+    )
+    assert a == b and sum(r[1] for r in a) == 400
