@@ -266,6 +266,8 @@ def main() -> None:
             "benford_digits",
             "mad_outliers",
             "null_patterns",
+            "interval_stats",
+            "hybrid_search",
         )
         if q in driver_queries.QUERIES
     ]

@@ -240,3 +240,78 @@ ranked AS (
 SELECT query_id, rank, doc_id, score_micro
 FROM ranked WHERE rank <= {k}
 """
+
+
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k_rrf: int = 60,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009)
+    of two rank lists — the standard hybrid-search combiner (lexical ×
+    semantic, or field-weighted body × title): each list contributes
+    ``1/(k + rank)`` and docs missing from a list contribute nothing.
+
+    Exactness: contributions are computed as ``unit div (k + rank)``
+    — EXACT integer division in both engines (the sharding.py ``div``
+    convention), so the fused score is an order-free BIGINT sum and no
+    float ever crosses the differential.  The fused rank breaks score
+    ties on doc_id.
+
+    Inputs carry (query_id, doc_id, rank).  Output: (query_id, doc_id,
+    rank_a, rank_b, rrf_units, fused_rank).
+
+    Scale shape: rank lists are already top-k relations (O(queries*k)
+    rows) — the full-outer join and the per-query row_number window
+    both run on that tiny relation, never the corpus.
+    """
+    a = ranks_a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    b = ranks_b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    fused = a.join(b, on=["query_id", "doc_id"], how="full_outer").select(
+        "query_id",
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(
+                F.expr(f"{unit} div ({k_rrf} + rank_a)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{unit} div ({k_rrf} + rank_b)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_units"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_units").desc(), F.col("doc_id")
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )
+
+
+def rrf_fuse_oracle(
+    ranks_a_sql: str, ranks_b_sql: str, k_rrf: int = 60, unit: int = 1_000_000
+) -> str:
+    """Each input SQL is a complete statement producing
+    (query_id, rank, doc_id, ...) — e.g. a :func:`bm25_oracle` replay —
+    composed here as parenthesized subqueries."""
+    return f"""
+WITH fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.rank AS rank_a, b.rank AS rank_b,
+         (coalesce({unit} // ({k_rrf} + a.rank), 0)
+          + coalesce({unit} // ({k_rrf} + b.rank), 0))::BIGINT AS rrf_units
+  FROM ({ranks_a_sql}) a
+  FULL OUTER JOIN ({ranks_b_sql}) b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT query_id, doc_id, rank_a, rank_b, rrf_units,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_units DESC, doc_id) AS INT)
+         AS fused_rank
+FROM fused
+"""

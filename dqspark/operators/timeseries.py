@@ -1,0 +1,159 @@
+"""Per-key event-stream interval statistics: time-weighted average
+(the TimescaleDB/InfluxDB ``time_weight`` primitive — the honest mean
+of an irregularly-sampled step signal, where the plain mean
+over-weights chatty periods) and Goh-Barabási burstiness
+B = (sigma - mu)/(sigma + mu) over inter-arrival times (B -> -1
+periodic, ~0 Poisson, -> +1 bursty — the standard bot/spam-traffic
+signature, and for corpus curation the submit-pattern screen for
+machine-generated contributions).
+
+Exactness discipline (the embedding_drift convention): values fold to
+integer micro-units FIRST (one identical round in both engines), all
+sums run as DECIMAL(38,0) (HUGEINT in DuckDB) so no float-summation
+order crosses the differential — value*dt products reach ~1e20 and
+dt^2 sums ~1e25, both far inside 38 digits yet far outside BIGINT —
+and the finishing arithmetic (two divisions, one sqrt: IEEE
+correctly-rounded in both engines) is written identically on both
+sides, then rounded to 4 dp.
+
+Scale shape: ONE hash exchange on the key + in-partition sort for the
+lead() window, then a map-side-combined groupBy on the same key (no
+second exchange); output is O(users).  Mega-key skew shares the dedup
+suite's salting options upstream.
+
+Reference parity: none (no temporal operators in the reference);
+event-analytics extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VALUE_UNIT = 1_000_000  # micro-units
+
+
+def interval_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per key: (n_events, n_intervals, span_us, twap, simple_mean,
+    mean_dt_us, burstiness).
+
+    twap integrates the step function that holds each value until the
+    next event: sum(value_micro * dt) / (span * UNIT) — the last event
+    has no interval and contributes only to simple_mean.  Keys with
+    fewer than 2 events have no intervals: twap / mean_dt_us /
+    burstiness are NULL.  Zero-variance gaps (exactly periodic) give
+    burstiness = -1; a key whose events all share one timestamp has
+    mu = sigma = 0 and reports NULL (0/0 guarded).
+    """
+    w = Window.partitionBy("_u").orderBy("_us", "_tb")
+    seq = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.floor(F.col(value_col).cast("double") * VALUE_UNIT + F.lit(0.5))
+        .cast("long")
+        .alias("_vm"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).withColumn("_dt", F.lead("_us").over(w) - F.col("_us"))
+    dec = "decimal(38,0)"
+    agg = seq.groupBy(F.col("_u").alias(user_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("_dt").cast("long").alias("n_intervals"),
+        (F.max("_us") - F.min("_us")).cast("long").alias("span_us"),
+        F.sum(F.col("_vm").cast(dec)).cast(dec).alias("_sv"),
+        F.sum((F.col("_vm").cast(dec) * F.col("_dt").cast(dec))).cast(dec).alias("_svdt"),
+        F.sum(F.col("_dt").cast(dec)).cast(dec).alias("_sdt"),
+        F.sum((F.col("_dt").cast(dec) * F.col("_dt").cast(dec))).cast(dec).alias("_sdt2"),
+    )
+    n_i = F.col("n_intervals").cast("double")
+    mu = F.col("_sdt").cast("double") / n_i
+    var = F.col("_sdt2").cast("double") / n_i - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        user_col,
+        "n_events",
+        "n_intervals",
+        "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.round(
+                F.col("_svdt").cast("double")
+                / (F.lit(float(VALUE_UNIT)) * F.col("span_us").cast("double")),
+                4,
+            ),
+        ).alias("twap"),
+        F.round(
+            F.col("_sv").cast("double")
+            / (F.lit(float(VALUE_UNIT)) * F.col("n_events").cast("double")),
+            4,
+        ).alias("simple_mean"),
+        F.when(F.col("n_intervals") > 0, F.round(mu, 4)).alias("mean_dt_us"),
+        F.when(
+            (F.col("n_intervals") > 0) & (sigma + mu > 0.0),
+            F.round((sigma - mu) / (sigma + mu), 4),
+        ).alias("burstiness"),
+    )
+
+
+def interval_stats_oracle(
+    events_sql: str,
+    user_expr: str = "user_id",
+    ts_expr: str = "ts",
+    value_expr: str = "value",
+    tiebreak_expr: str = "event_id",
+) -> str:
+    return f"""
+WITH seq AS (
+  SELECT {user_expr} AS u, epoch_us({ts_expr}) AS us,
+         CAST(floor(CAST({value_expr} AS DOUBLE) * {VALUE_UNIT} + 0.5::DOUBLE) AS BIGINT) AS vm,
+         lead(epoch_us({ts_expr})) OVER (
+           PARTITION BY {user_expr}
+           ORDER BY epoch_us({ts_expr}), {tiebreak_expr}) - epoch_us({ts_expr})
+           AS dt
+  FROM ({events_sql}) e
+),
+agg AS (
+  SELECT u, count(*)::BIGINT AS n_events, count(dt)::BIGINT AS n_intervals,
+         (max(us) - min(us))::BIGINT AS span_us,
+         sum(vm::HUGEINT) AS sv,
+         sum(vm::HUGEINT * dt::HUGEINT) AS svdt,
+         sum(dt::HUGEINT) AS sdt,
+         sum(dt::HUGEINT * dt::HUGEINT) AS sdt2
+  FROM seq GROUP BY u
+)
+SELECT u AS {user_expr}, n_events, n_intervals, span_us,
+       CASE WHEN span_us > 0 THEN
+         round(CAST(svdt AS DOUBLE)
+               / ({float(VALUE_UNIT)}::DOUBLE * CAST(span_us AS DOUBLE)), 4)
+       END AS twap,
+       round(CAST(sv AS DOUBLE)
+             / ({float(VALUE_UNIT)}::DOUBLE * CAST(n_events AS DOUBLE)), 4)
+         AS simple_mean,
+       CASE WHEN n_intervals > 0 THEN
+         round(CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE), 4)
+       END AS mean_dt_us,
+       CASE WHEN n_intervals > 0
+             AND sqrt(greatest(CAST(sdt2 AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+                      - (CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE))
+                        * (CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE)),
+                      0.0::DOUBLE))
+                 + CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE) > 0.0::DOUBLE
+            THEN
+         round((sqrt(greatest(CAST(sdt2 AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+                     - (CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE))
+                       * (CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE)),
+                     0.0::DOUBLE))
+                - CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE))
+               / (sqrt(greatest(CAST(sdt2 AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+                       - (CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE))
+                         * (CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE)),
+                       0.0::DOUBLE))
+                  + CAST(sdt AS DOUBLE) / CAST(n_intervals AS DOUBLE)), 4)
+       END AS burstiness
+FROM agg
+"""

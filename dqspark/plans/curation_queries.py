@@ -893,3 +893,55 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_type", "event_id"
     )
     return markov_transitions(ev)
+
+
+# --- interval stats (TWAP + burstiness) + hybrid-search RRF fusion ------------
+
+from dqspark.operators.timeseries import interval_stats, interval_stats_oracle
+from dqspark.operators.search import rrf_fuse, rrf_fuse_oracle
+
+
+@register(
+    "interval_stats",
+    interval_stats_oracle("SELECT user_id, ts, event_id, value FROM events"),
+)
+def q_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average vs plain mean, plus Goh-Barabasi
+    burstiness over inter-arrival gaps — integer micro-unit sums in
+    DECIMAL(38,0), one exchange + one window + one co-partitioned agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return interval_stats(ev)
+
+
+_RRF_K_LIST = 20  # depth of each input rank list
+
+_RRF_TITLE_SQL = "SELECT doc_id, substr(text, 1, 64) AS text FROM documents"
+
+
+def _rrf_oracle() -> str:
+    from dqspark.operators.search import bm25_oracle
+
+    return rrf_fuse_oracle(
+        bm25_oracle("SELECT doc_id, text FROM documents", _QUERIES, k=_RRF_K_LIST),
+        bm25_oracle(_RRF_TITLE_SQL, _QUERIES, k=_RRF_K_LIST),
+    )
+
+
+@register("hybrid_search", _rrf_oracle)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted hybrid search: BM25 over the full body fused with
+    BM25 over the 64-char title prefix by reciprocal-rank fusion —
+    integer-exact `div` contributions, fused rank tie-broken on doc_id,
+    everything after the two top-k lists runs on O(queries*k) rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    body = bm25_search(docs, _QUERIES, k=_RRF_K_LIST)
+    title = bm25_search(
+        docs.select(
+            "doc_id", F.substring("text", 1, 64).alias("text")
+        ),
+        _QUERIES,
+        k=_RRF_K_LIST,
+    )
+    return rrf_fuse(body, title)

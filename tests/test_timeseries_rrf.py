@@ -1,0 +1,119 @@
+"""Interval stats (TWAP + burstiness) and reciprocal-rank fusion
+(operators/timeseries.py, operators/search.py::rrf_fuse)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from dqspark.operators.search import rrf_fuse
+from dqspark.operators.timeseries import interval_stats
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+
+
+def t(sec):
+    return _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=sec)
+
+
+def test_interval_stats_hand_step_function(spark):
+    rows = [(1, t(0), 1, 1.0), (1, t(10), 2, 3.0), (1, t(20), 3, 5.0)]
+    r = interval_stats(_ev(spark, rows)).collect()[0]
+    assert r.n_events == 3 and r.n_intervals == 2
+    assert r.span_us == 20_000_000
+    # step integral: (1*10 + 3*10) / 20 — the last value never counts
+    assert r.twap == 2.0
+    assert r.simple_mean == 3.0
+    assert r.mean_dt_us == 10_000_000.0
+    # exactly periodic gaps: sigma = 0 -> B = -1
+    assert r.burstiness == -1.0
+
+
+def test_interval_stats_twap_vs_mean_weighting(spark):
+    # value 100 held for 99 s, value 0 for 1 s: twap ~ 99, mean = 50
+    rows = [(1, t(0), 1, 100.0), (1, t(99), 2, 0.0), (1, t(100), 3, 0.0)]
+    r = interval_stats(_ev(spark, rows)).collect()[0]
+    assert r.twap == 99.0
+    assert abs(r.simple_mean - 33.3333) < 1e-9
+
+
+def test_interval_stats_degenerates(spark):
+    rows = [
+        (1, t(0), 1, 2.0),                      # single event
+        (2, t(5), 2, 1.0), (2, t(5), 3, 9.0),   # all at one timestamp
+    ]
+    out = {r.user_id: r for r in interval_stats(_ev(spark, rows)).collect()}
+    r1 = out[1]
+    assert r1.n_intervals == 0 and r1.twap is None
+    assert r1.simple_mean == 2.0
+    assert r1.mean_dt_us is None and r1.burstiness is None
+    r2 = out[2]
+    assert r2.span_us == 0 and r2.twap is None
+    assert r2.mean_dt_us == 0.0 and r2.burstiness is None  # mu = sigma = 0
+
+
+def test_interval_stats_bursty_beats_periodic(spark):
+    per = [(1, t(i * 10), i, 1.0) for i in range(20)]
+    gaps = [1, 1, 1, 1, 200, 1, 1, 1, 1, 200, 1, 1, 1, 1, 200, 1, 1, 1, 1]
+    acc, bur = 0, []
+    for i, g in enumerate(gaps):
+        bur.append((2, t(acc), 100 + i, 1.0))
+        acc += g
+    bur.append((2, t(acc), 199, 1.0))
+    out = {
+        r.user_id: r.burstiness
+        for r in interval_stats(_ev(spark, per + bur)).collect()
+    }
+    assert out[1] == -1.0
+    assert out[2] == 0.3824  # (sigma - mu)/(sigma + mu) of the planted gaps
+
+
+def test_interval_stats_partition_invariance(spark):
+    rng = random.Random(9)
+    rows = [
+        (
+            rng.randrange(8),
+            t(rng.randrange(100000)),
+            i,
+            rng.uniform(-5, 5),
+        )
+        for i in range(800)
+    ]
+    df = _ev(spark, rows)
+    a = sorted(map(tuple, interval_stats(df).collect()))
+    b = sorted(map(tuple, interval_stats(df.repartition(11)).collect()))
+    assert a == b and len(a) == 8
+
+
+def _ranks(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, doc_id long, rank int")
+
+
+def test_rrf_hand_case(spark):
+    a = _ranks(spark, [("q", 1, 1), ("q", 2, 2)])
+    b = _ranks(spark, [("q", 2, 1), ("q", 3, 2)])
+    out = {r.doc_id: r for r in rrf_fuse(a, b).collect()}
+    u = 1_000_000
+    assert out[2].rrf_units == u // 61 + u // 62
+    assert out[1].rrf_units == u // 61 and out[1].rank_b is None
+    assert out[3].rrf_units == u // 62 and out[3].rank_a is None
+    assert [out[d].fused_rank for d in (2, 1, 3)] == [1, 2, 3]
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    a = _ranks(spark, [("q", 7, 1), ("q", 3, 1)])  # impossible real list,
+    b = _ranks(spark, [])                           # but ties must be stable
+    out = {r.doc_id: r.fused_rank for r in rrf_fuse(a, b).collect()}
+    assert out[3] == 1 and out[7] == 2
+
+
+def test_rrf_queries_fuse_independently(spark):
+    a = _ranks(spark, [("q0", 1, 1), ("q1", 1, 5)])
+    b = _ranks(spark, [("q0", 1, 9), ("q1", 2, 1)])
+    rows = rrf_fuse(a, b).collect()
+    got = {(r.query_id, r.doc_id): r.fused_rank for r in rows}
+    assert got[("q0", 1)] == 1 and got[("q1", 2)] == 1 and got[("q1", 1)] == 2
