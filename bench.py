@@ -268,6 +268,9 @@ def main() -> None:
             "null_patterns",
             "interval_stats",
             "hybrid_search",
+            "corr_matrix",
+            "readability",
+            "funnel_conversion",
         )
         if q in driver_queries.QUERIES
     ]

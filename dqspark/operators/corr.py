@@ -1,0 +1,123 @@
+"""Exact Pearson correlation matrix over a set of numeric columns —
+the multivariate completion of the reference's per-column profiling
+(backend/analysis.py computes mean/std per column; correlated columns
+are how redundant features, unit mix-ups (price vs price_cents), and
+derived-column leaks actually show up in a data audit).
+
+Exactness: every column quantizes to integer micro-units once
+(floor(x·1e6 + 0.5), the shared convention), then ALL sufficient
+statistics — n, Σx, Σx², and the Σxy cross terms for every pair —
+accumulate in ONE map-side-combined aggregate pass as DECIMAL(38,0)
+(HUGEINT in DuckDB): order-free integer sums, so the only doubles are
+the one closed-form finish
+    corr = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+written identically in both engines and rounded to 4 dp.  Magnitude
+budget: |x_micro| ≤ 1e12 and n ≤ 1e9 keep every term under 38 digits.
+Zero-variance columns yield NULL correlation (0/0 guarded), matching
+pandas' NaN.
+
+NULL policy: rows where ANY of the profiled columns is NULL are
+dropped (complete-case / listwise deletion — pandas ``DataFrame.corr``
+computes PAIRWISE deletion instead; listwise keeps the single-pass
+shape and one shared n, and is the documented choice).
+
+Scale shape: one full scan, O(k²) driver-free aggregate state, output
+unpivoted from the single agg row via a literal stack — no shuffle at
+all beyond the final single-row aggregate.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per unordered column pair: (col_x, col_y, n, corr)."""
+    dec = "decimal(38,0)"
+    base = df.dropna(subset=cols).select(
+        *[
+            F.floor(F.col(c).cast("double") * UNIT + F.lit(0.5))
+            .cast("long")
+            .alias(c)
+            for c in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).cast(dec).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c).cast(dec) * F.col(c).cast(dec)))
+            .cast(dec)
+            .alias(f"ss_{c}")
+        )
+    for a, b in combinations(cols, 2):
+        aggs.append(
+            F.sum((F.col(a).cast(dec) * F.col(b).cast(dec)))
+            .cast(dec)
+            .alias(f"sp_{a}_{b}")
+        )
+    one = base.agg(*aggs)
+    rows = []
+    for a, b in combinations(cols, 2):
+        n = F.col("n")
+        cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        vx = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vy = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        corr = F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                4,
+            ),
+        )
+        rows.append(
+            one.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def corr_matrix_oracle(source_sql: str, col_exprs: list[str]) -> str:
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in col_exprs)
+    q = ", ".join(
+        f"CAST(floor(CAST({c} AS DOUBLE) * {UNIT} + 0.5::DOUBLE) AS BIGINT) AS {c}"
+        for c in col_exprs
+    )
+    sums = ["count(*)::HUGEINT AS n"]
+    for c in col_exprs:
+        sums.append(f"sum({c}::HUGEINT) AS s_{c}")
+        sums.append(f"sum({c}::HUGEINT * {c}::HUGEINT) AS ss_{c}")
+    for a, b in combinations(col_exprs, 2):
+        sums.append(f"sum({a}::HUGEINT * {b}::HUGEINT) AS sp_{a}_{b}")
+    parts = []
+    for a, b in combinations(col_exprs, 2):
+        cov = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        vx = f"(n * ss_{a} - s_{a} * s_{a})"
+        vy = f"(n * ss_{b} - s_{b} * s_{b})"
+        parts.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n::BIGINT AS n, "
+            f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+            f"round(CAST({cov} AS DOUBLE) "
+            f"/ sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 4) "
+            f"END AS corr FROM agg"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    sums_sql = ", ".join(sums)
+    return f"""
+WITH q AS (SELECT {q} FROM ({source_sql}) src WHERE {not_null}),
+agg AS (SELECT {sums_sql} FROM q)
+{union}
+"""

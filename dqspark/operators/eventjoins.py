@@ -551,3 +551,66 @@ SELECT from_type, to_type, n,
          AS prob
 FROM pairs
 """
+
+
+def funnel_conversion(
+    funnel: DataFrame, steps: list[str], user_col: str = "user_id"
+) -> DataFrame:
+    """Conversion rollup over :func:`funnel_depth` output: one row per
+    step — users reaching it, share of the population, and the
+    step-over-step conversion rate (the product-analytics funnel
+    report).  All counts fold in ONE aggregate pass (K conditional
+    sums, O(K) state); the divisions are written identically in the
+    oracle.  Output: (step, step_name, n_reached, pct_of_users,
+    conv_from_prev) — step 1's conv_from_prev is vs the whole
+    population."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n0")]
+    for k in range(1, len(steps) + 1):
+        aggs.append(
+            F.sum((F.col("depth") >= k).cast("long")).cast("long").alias(f"n{k}")
+        )
+    one = funnel.agg(*aggs)
+    rows = None
+    for k, name in enumerate(steps, start=1):
+        r = one.select(
+            F.lit(k).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col(f"n{k}").alias("n_reached"),
+            F.round(
+                F.col(f"n{k}").cast("double") / F.col("n0").cast("double"), 4
+            ).alias("pct_of_users"),
+            F.when(
+                F.col(f"n{k - 1}") > 0,
+                F.round(
+                    F.col(f"n{k}").cast("double")
+                    / F.col(f"n{k - 1}").cast("double"),
+                    4,
+                ),
+            ).alias("conv_from_prev"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def funnel_conversion_oracle(funnel_sql: str, steps: list[str]) -> str:
+    """``funnel_sql`` must produce the funnel_depth output (any SQL —
+    typically the :func:`funnel_depth_oracle` replay as a subquery)."""
+    sums = ["count(*)::BIGINT AS n0"] + [
+        f"sum(CASE WHEN depth >= {k} THEN 1 ELSE 0 END)::BIGINT AS n{k}"
+        for k in range(1, len(steps) + 1)
+    ]
+    parts = []
+    for k, name in enumerate(steps, start=1):
+        parts.append(
+            f"SELECT {k} AS step, '{name}' AS step_name, n{k} AS n_reached, "
+            f"round(CAST(n{k} AS DOUBLE) / CAST(n0 AS DOUBLE), 4) AS pct_of_users, "
+            f"CASE WHEN n{k - 1} > 0 THEN "
+            f"round(CAST(n{k} AS DOUBLE) / CAST(n{k - 1} AS DOUBLE), 4) END "
+            f"AS conv_from_prev FROM agg"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    sums_sql = ", ".join(sums)
+    return f"""
+WITH agg AS (SELECT {sums_sql} FROM ({funnel_sql}) f)
+{union}
+"""

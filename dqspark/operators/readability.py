@@ -1,0 +1,110 @@
+"""Flesch readability metrics (Flesch 1948; Kincaid et al. 1975) —
+the classical prose-complexity scores used as quality-filter features
+(too-low grade = listicle/boilerplate, absurdly-high = OCR junk or
+run-on machine text; CCNet/Gopher-style pipelines bin on exactly such
+surface statistics).
+
+Counting conventions (documented, shared verbatim by both engines):
+words = maximal ``[a-z]+`` runs of the lowercased text; sentences =
+maximal ``[.!?]+`` runs, floored at 1 so headline-only fragments stay
+defined; syllables = maximal vowel-group ``[aeiouy]+`` runs (the
+standard approximation — silent-e handling is deliberately out of
+scope; the score is a FILTER FEATURE, not a linguistics result).
+Only simple character-class regexes are used, where Java's engine and
+DuckDB's RE2 agree by construction.
+
+    fk_grade    = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    flesch_ease = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+
+Integer counts cross the differential; the two published-constant
+formulas are the only double arithmetic, written identically and
+rounded to 4 dp.  W = 0 yields NULL scores.  The ease band cuts at
+the conventional 90/60/30 boundaries ON THE ROUNDED value so both
+engines band identically.
+
+Scale shape: a pure shuffle-free whole-stage-codegen projection —
+three regexp_count expressions per row, no UDF, no exchange.
+
+Reference parity: extends the reference's text-quality heuristics
+(word/char ratios in ml/quality.py); quality-filter extension suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+W_PAT = "[a-z]+"
+S_PAT = "[.!?]+"
+Y_PAT = "[aeiouy]+"
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    low = F.lower(F.col(text_col))
+    w = F.regexp_count(low, F.lit(W_PAT)).cast("long")
+    s = F.greatest(
+        F.regexp_count(low, F.lit(S_PAT)).cast("long"), F.lit(1).cast("long")
+    )
+    y = F.regexp_count(low, F.lit(Y_PAT)).cast("long")
+    wps = w.cast("double") / s.cast("double")
+    ypw = y.cast("double") / w.cast("double")
+    fk = F.round(
+        F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 4
+    )
+    ease = F.round(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 4
+    )
+    band = (
+        F.when(ease >= 90.0, F.lit("very_easy"))
+        .when(ease >= 60.0, F.lit("standard"))
+        .when(ease >= 30.0, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return df.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        F.when(w > 0, fk).alias("fk_grade"),
+        F.when(w > 0, ease).alias("flesch_ease"),
+        F.when(w > 0, band).alias("ease_band"),
+    )
+
+
+def readability_oracle(
+    source_sql: str, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    return f"""
+WITH c AS (
+  SELECT {id_expr} AS id,
+         len(regexp_extract_all(lower({text_expr}), '{W_PAT}'))::BIGINT AS w,
+         greatest(len(regexp_extract_all(lower({text_expr}), '{S_PAT}'))::BIGINT,
+                  1::BIGINT) AS s,
+         len(regexp_extract_all(lower({text_expr}), '{Y_PAT}'))::BIGINT AS y
+  FROM ({source_sql}) q
+)
+SELECT id AS {id_expr}, w AS n_words, s AS n_sentences, y AS n_syllables,
+       CASE WHEN w > 0 THEN
+         round(0.39::DOUBLE * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               + 11.8::DOUBLE * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+               - 15.59::DOUBLE, 4) END AS fk_grade,
+       CASE WHEN w > 0 THEN
+         round(206.835::DOUBLE - 1.015::DOUBLE * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               - 84.6::DOUBLE * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+       END AS flesch_ease,
+       CASE WHEN w > 0 THEN
+         CASE WHEN round(206.835::DOUBLE - 1.015::DOUBLE * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - 84.6::DOUBLE * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+                   >= 90.0::DOUBLE THEN 'very_easy'
+              WHEN round(206.835::DOUBLE - 1.015::DOUBLE * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - 84.6::DOUBLE * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+                   >= 60.0::DOUBLE THEN 'standard'
+              WHEN round(206.835::DOUBLE - 1.015::DOUBLE * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - 84.6::DOUBLE * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+                   >= 30.0::DOUBLE THEN 'difficult'
+              ELSE 'very_difficult' END
+       END AS ease_band
+FROM c
+"""

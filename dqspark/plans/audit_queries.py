@@ -375,3 +375,34 @@ def q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("props"),
     )
     return null_pattern_profile(ev, _NULLPAT_COLS)
+
+
+# --- Pearson correlation matrix + Flesch readability --------------------------
+
+from dqspark.operators.corr import corr_matrix, corr_matrix_oracle
+from dqspark.operators.readability import readability, readability_oracle
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "corr_matrix",
+    corr_matrix_oracle("SELECT * FROM lineitem", _CORR_COLS),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlations between the lineitem numeric columns:
+    micro-unit DECIMAL(38,0) sufficient statistics in one pass, the
+    closed-form finish as the only double arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS)
+
+
+@register(
+    "readability",
+    readability_oracle("SELECT doc_id, text FROM documents"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + reading-ease band per document — a pure
+    codegen projection of three character-class regexp counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability(docs)

@@ -945,3 +945,24 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_RRF_K_LIST,
     )
     return rrf_fuse(body, title)
+
+
+from dqspark.operators.eventjoins import funnel_conversion, funnel_conversion_oracle
+
+
+@register(
+    "funnel_conversion",
+    funnel_conversion_oracle(
+        funnel_depth_oracle(_FUNNEL_SQL, _FUNNEL_STEPS, _FUNNEL_WINDOW_US),
+        _FUNNEL_STEPS,
+    ),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-over-step conversion report over the anchored funnel —
+    one conditional-sum aggregate pass, O(steps) output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    return funnel_conversion(
+        funnel_depth(ev, _FUNNEL_STEPS, _FUNNEL_WINDOW_US), _FUNNEL_STEPS
+    )

@@ -1,0 +1,119 @@
+"""Pearson correlation matrix, Flesch readability, funnel conversion
+(operators/corr.py, readability.py, eventjoins.py)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from dqspark.operators.corr import corr_matrix
+from dqspark.operators.eventjoins import funnel_conversion, funnel_depth
+from dqspark.operators.readability import readability
+
+
+def test_corr_hand_cases(spark):
+    rows = [
+        (float(i), float(2 * i + 3), float(-i), 7.0) for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {
+        (r.col_x, r.col_y): r.corr
+        for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert out[("a", "b")] == 1.0      # exact linear
+    assert out[("a", "c")] == -1.0     # exact anti-linear
+    assert out[("a", "d")] is None     # zero variance -> NULL, not NaN
+    assert len(out) == 6
+
+
+def test_corr_matches_python(spark):
+    rng = random.Random(6)
+    rows = [
+        (rng.uniform(-3, 3), rng.uniform(0, 10)) for _ in range(500)
+    ]
+    # replicate the operator's micro-unit quantization exactly
+    import math
+
+    q = [
+        (math.floor(a * 1e6 + 0.5), math.floor(b * 1e6 + 0.5)) for a, b in rows
+    ]
+    n = len(q)
+    sa, sb = sum(a for a, _ in q), sum(b for _, b in q)
+    saa = sum(a * a for a, _ in q)
+    sbb = sum(b * b for _, b in q)
+    sab = sum(a * b for a, b in q)
+    want = round(
+        (n * sab - sa * sb)
+        / math.sqrt(float(n * saa - sa * sa) * float(n * sbb - sb * sb)),
+        4,
+    )
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = corr_matrix(df, ["a", "b"]).collect()[0]
+    assert got.corr == want and got.n == 500
+
+
+def test_corr_listwise_deletion(spark):
+    rows = [(1.0, 1.0), (2.0, None), (3.0, 3.0), (None, 4.0), (5.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = corr_matrix(df, ["a", "b"]).collect()[0]
+    assert r.n == 3 and r.corr == 1.0
+
+
+def test_corr_partition_invariance(spark):
+    rng = random.Random(8)
+    rows = [(rng.uniform(0, 1), rng.gauss(0, 2)) for _ in range(600)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    a = sorted(map(tuple, corr_matrix(df, ["a", "b"]).collect()))
+    b = sorted(map(tuple, corr_matrix(df.repartition(13), ["a", "b"]).collect()))
+    assert a == b
+
+
+def test_readability_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "12345 --- !!!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability(df).collect()}
+    r = out[1]
+    assert r.n_words == 6 and r.n_sentences == 2
+    # vowel groups: e, a, a, e, o, a -> 6
+    assert r.n_syllables == 6
+    assert r.fk_grade == round(0.39 * 3 + 11.8 * 1.0 - 15.59, 4)
+    assert r.flesch_ease == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 4)
+    assert r.ease_band == "very_easy"
+    # no words at all -> NULL scores, sentences still floored at 1
+    assert out[2].n_words == 0 and out[2].fk_grade is None
+    assert out[2].n_sentences >= 1 and out[2].ease_band is None
+
+
+def test_readability_band_ordering(spark):
+    easy = "He is to go. " * 30                      # short words, many sentences
+    hard = (
+        "Incomprehensibility characterization notwithstanding "
+        "institutionalization obfuscation perpendicularity "
+    ) * 20 + "."
+    df = spark.createDataFrame(
+        [(1, easy), (2, hard)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in readability(df).collect()}
+    assert out[1].flesch_ease > out[2].flesch_ease
+    assert out[1].fk_grade < out[2].fk_grade
+    assert out[2].ease_band == "very_difficult"
+
+
+def test_funnel_conversion_hand(spark):
+    d = lambda day, h=0: _dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1), "view"), (1, d(1, 1), "click"), (1, d(1, 2), "purchase"),
+        (2, d(1), "view"), (2, d(1, 1), "click"),
+        (3, d(1), "view"),
+        (4, d(1), "click"),  # depth 0 user
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    fun = funnel_depth(ev, steps, 48 * 3600 * 1_000_000)
+    out = {r.step: r for r in funnel_conversion(fun, steps).collect()}
+    assert out[1].n_reached == 3 and out[1].pct_of_users == 0.75
+    assert out[2].n_reached == 2 and out[2].conv_from_prev == 0.6667
+    assert out[3].n_reached == 1 and out[3].conv_from_prev == 0.5
+    assert out[1].conv_from_prev == 0.75  # step 1 converts vs population
