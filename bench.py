@@ -271,6 +271,8 @@ def main() -> None:
             "corr_matrix",
             "readability",
             "funnel_conversion",
+            "cusum_rates",
+            "import_communities",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1,0 +1,145 @@
+"""CUSUM change-point detection over per-key daily event rates
+(Page 1954; the classical sequential drift alarm — for a data
+platform, the ingest-rate monitor that catches a crawler dying or a
+source flooding long before a mean-shift is visible in a dashboard).
+
+The textbook recurrence S_t = max(0, S_{t-1} + y_t) looks inherently
+sequential, but has the exact closed form
+
+    S_t = P_t − min(0, min_{j<=t} P_j)        with P_t = Σ_{i<=t} y_i
+
+so both CUSUM sides compute as a running sum + running min over an
+ordered window — no recursion, no UDF, no driver loop.
+
+Exactness: everything is BIGINT.  Per key, the residual is scaled by
+the day count so the mean never divides: r_t = x_t·D − T (Σr = 0 by
+construction); the slack and threshold are integer fractions of T via
+``div`` (slack = T div 10 ≈ half a sigma of a 20%-CV series;
+h = T div 2).  y⁺ = r − slack feeds the upper (rate-spike) side,
+y⁻ = −r − slack the lower (rate-drop) side.  Magnitudes: x·D ≤ 1e12
+even at 1e9 events/day over 1000 days — far inside BIGINT.
+
+Scale shape: one map-side-combined groupBy to the O(keys × days)
+daily relation, then every window partitions BY KEY over that tiny
+relation (never the event stream, never a single global partition).
+
+Reference parity: none; monitoring extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SLACK_DIV = 10  # slack = T div 10
+H_DIV = 2  # alarm threshold = T div 2
+
+
+def cusum_daily(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (key, day): daily count, scaled residual, both CUSUM sides
+    and their alarm flags.  Output: (key, day, x, resid_scaled,
+    s_pos, s_neg, alarm_pos, alarm_neg)."""
+    daily = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    wk = Window.partitionBy("k")
+    stats = daily.select(
+        "k",
+        "day",
+        "x",
+        F.sum("x").over(wk).cast("long").alias("_T"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("_D"),
+    )
+    r = (F.col("x") * F.col("_D") - F.col("_T")).cast("long")
+    slack = F.expr(f"_T div {SLACK_DIV}")
+    h = F.expr(f"_T div {H_DIV}")
+    staged = stats.select(
+        "k",
+        "day",
+        "x",
+        r.alias("resid_scaled"),
+        (r - slack).cast("long").alias("_yp"),
+        (-r - slack).cast("long").alias("_yn"),
+        h.cast("long").alias("_h"),
+    )
+    wo = Window.partitionBy("k").orderBy("day")
+    pp = F.sum("_yp").over(wo).cast("long")
+    pn = F.sum("_yn").over(wo).cast("long")
+    staged = staged.select(
+        "k",
+        "day",
+        "x",
+        "resid_scaled",
+        "_h",
+        pp.alias("_pp"),
+        pn.alias("_pn"),
+    )
+    s_pos = (
+        F.col("_pp")
+        - F.least(F.lit(0).cast("long"), F.min("_pp").over(wo))
+    ).cast("long")
+    s_neg = (
+        F.col("_pn")
+        - F.least(F.lit(0).cast("long"), F.min("_pn").over(wo))
+    ).cast("long")
+    return staged.select(
+        F.col("k").alias(key_col),
+        "day",
+        "x",
+        "resid_scaled",
+        s_pos.alias("s_pos"),
+        s_neg.alias("s_neg"),
+        (s_pos > F.col("_h")).alias("alarm_pos"),
+        (s_neg > F.col("_h")).alias("alarm_neg"),
+    )
+
+
+def cusum_daily_oracle(
+    events_sql: str, key_expr: str = "event_type", ts_expr: str = "ts"
+) -> str:
+    return f"""
+WITH daily AS (
+  SELECT {key_expr} AS k, date_trunc('day', {ts_expr}) AS day,
+         count(*)::BIGINT AS x
+  FROM ({events_sql}) e GROUP BY k, day
+),
+stats AS (
+  SELECT k, day, x,
+         sum(x) OVER (PARTITION BY k)::BIGINT AS t,
+         count(*) OVER (PARTITION BY k)::BIGINT AS d
+  FROM daily
+),
+staged AS (
+  SELECT k, day, x,
+         (x * d - t)::BIGINT AS resid_scaled,
+         (x * d - t - t // {SLACK_DIV})::BIGINT AS yp,
+         (-(x * d - t) - t // {SLACK_DIV})::BIGINT AS yn,
+         (t // {H_DIV})::BIGINT AS h
+  FROM stats
+),
+pre AS (
+  SELECT k, day, x, resid_scaled, h,
+         sum(yp) OVER (PARTITION BY k ORDER BY day)::BIGINT AS pp,
+         sum(yn) OVER (PARTITION BY k ORDER BY day)::BIGINT AS pn
+  FROM staged
+)
+SELECT k AS {key_expr}, day, x, resid_scaled,
+       (pp - least(0, min(pp) OVER (PARTITION BY k ORDER BY day)))::BIGINT
+         AS s_pos,
+       (pn - least(0, min(pn) OVER (PARTITION BY k ORDER BY day)))::BIGINT
+         AS s_neg,
+       (pp - least(0, min(pp) OVER (PARTITION BY k ORDER BY day))) > h
+         AS alarm_pos,
+       (pn - least(0, min(pn) OVER (PARTITION BY k ORDER BY day))) > h
+         AS alarm_neg
+FROM pre
+"""

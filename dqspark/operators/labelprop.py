@@ -1,0 +1,96 @@
+"""Deterministic synchronous label propagation (Raghavan, Albert &
+Kumara 2007) — community detection over the import graph, completing
+the graph family (connected components find REACHABILITY, PageRank
+finds IMPORTANCE; label propagation finds DENSITY clusters: the
+vendored-library / framework-ecosystem structure of a code corpus).
+
+The textbook algorithm is randomized and asynchronous; this variant
+pins every free choice so the result is exactly replayable in a
+single-process Python oracle (the pagerank.py replay protocol):
+
+- undirected view: each edge votes in both directions; self-loops
+  and duplicate edges dropped once up front;
+- SYNCHRONOUS rounds: all round-t+1 labels computed from round-t
+  labels (no update order to choose);
+- each node casts ONE self-vote plus one vote per distinct neighbor;
+- new label = most frequent voted label, ties to the SMALLEST label
+  (struct-ordered min of (-count, label) — the deterministic stand-in
+  for the paper's random tie-break);
+- fixed round count (the judge-able termination rule; synchronous LPA
+  can 2-cycle on bipartite subgraphs, so convergence is not assumed).
+
+Scale shape per round: one hash join (labels onto edge endpoints) +
+one map-side-combined (node, label) count + one struct-min argmax per
+node — all partitioned by node id; driver state is O(1).  R rounds =
+R bounded jobs, the pagerank.py shape exactly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """→ (node, community) after ``iters`` synchronous rounds over the
+    undirected simple graph."""
+    sym = _sym_edges(edges).persist()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(sym.src.alias("node"), "label")
+        )
+        votes = (
+            nbr.union(labels.select("node", "label"))  # self-vote
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("label")))
+                .alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+        )
+        labels = labels.localCheckpoint()  # cut the lineage per round
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_replay(
+    edge_rows: list[tuple[int, int]], iters: int = 5
+) -> dict[int, int]:
+    """Single-process replay of the identical recurrence."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_rows:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbrs in adj.items():
+            c = Counter(labels[u] for u in nbrs)
+            c[labels[v]] += 1  # self-vote
+            nxt[v] = min((-n, lab) for lab, n in c.items())[1]
+        labels = nxt
+    return labels

@@ -966,3 +966,31 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(
         funnel_depth(ev, _FUNNEL_STEPS, _FUNNEL_WINDOW_US), _FUNNEL_STEPS
     )
+
+
+# --- CUSUM rate-shift monitor --------------------------------------------------
+
+from dqspark.operators.cusum import cusum_daily, cusum_daily_oracle
+
+# planted regime change: 3 of 4 click events dropped in the back
+# third of each month -> the lower CUSUM must fire on the click series
+_CUSUM_SQL = """
+  SELECT event_type, ts FROM events
+  WHERE NOT (event_type = 'click' AND event_id % 4 != 0
+             AND day(ts) >= 20)
+"""
+
+
+@register("cusum_rates", cusum_daily_oracle(_CUSUM_SQL))
+def q_cusum_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM over per-type daily event counts via the exact
+    prefix-min closed form — all-BIGINT, windows partitioned by type
+    over the O(types x days) daily relation."""
+    ev = load_table(spark, sf_dir, "events").where(
+        ~(
+            (F.col("event_type") == "click")
+            & (F.col("event_id") % 4 != 0)
+            & (F.dayofmonth(F.col("ts")) >= 20)
+        )
+    ).select("event_type", "ts")
+    return cusum_daily(ev)

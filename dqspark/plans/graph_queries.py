@@ -85,3 +85,36 @@ def _pagerank_oracle() -> str:
 ORACLES["import_pagerank"] = _pagerank_oracle
 
 __all__ = ["q_import_pagerank"]
+
+
+# --- label-propagation communities (replay-oracle protocol) -------------------
+
+from dqspark.operators.labelprop import (
+    label_propagation,
+    label_propagation_replay,
+)
+
+_LP_ITERS = 5
+
+
+def q_import_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, community) after 5 deterministic synchronous
+    label-propagation rounds over the imports graph."""
+    return label_propagation(_import_edges(spark, sf_dir), iters=_LP_ITERS)
+
+
+def _labelprop_oracle() -> str:
+    con = _connect(oracle_sf_dir())
+    edges = con.sql(_EDGES_SQL).fetchall()
+    labels = label_propagation_replay(edges, iters=_LP_ITERS)
+    rows = ", ".join(f"({n}, {c})" for n, c in sorted(labels.items()))
+    return (
+        f"SELECT node::BIGINT AS node, community::BIGINT AS community "
+        f"FROM (VALUES {rows}) AS t(node, community)"
+    )
+
+
+register("import_communities")(q_import_communities)
+ORACLES["import_communities"] = _labelprop_oracle
+
+__all__ = ["q_import_pagerank", "q_import_communities"]

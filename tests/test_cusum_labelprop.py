@@ -1,0 +1,130 @@
+"""CUSUM change-point monitor + label-propagation communities
+(operators/cusum.py, operators/labelprop.py)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from dqspark.operators.cusum import SLACK_DIV, cusum_daily
+from dqspark.operators.labelprop import (
+    label_propagation,
+    label_propagation_replay,
+)
+
+
+def _series(spark, counts, key="k"):
+    """counts[i] events on day i+1."""
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((key, _dt.datetime(2024, 1, i + 1, eid % 24)))
+            eid += 1
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def _naive_cusum(counts):
+    """The textbook sequential recurrence the closed form must equal."""
+    t, d = sum(counts), len(counts)
+    slack = t // SLACK_DIV
+    sp = sn = 0
+    out = []
+    for x in counts:
+        r = x * d - t
+        sp = max(0, sp + r - slack)
+        sn = max(0, sn + (-r) - slack)
+        out.append((sp, sn))
+    return out
+
+
+def test_cusum_equals_textbook_recurrence(spark):
+    rng = random.Random(13)
+    counts = [rng.randrange(5, 40) for _ in range(25)]
+    got = sorted(
+        (r.day.day, r.s_pos, r.s_neg)
+        for r in cusum_daily(_series(spark, counts)).collect()
+    )
+    want = [(i + 1, sp, sn) for i, (sp, sn) in enumerate(_naive_cusum(counts))]
+    assert got == want
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    out = cusum_daily(_series(spark, [10] * 20)).collect()
+    assert all(r.s_pos == 0 and r.s_neg == 0 for r in out)
+    assert not any(r.alarm_pos or r.alarm_neg for r in out)
+
+
+def test_cusum_step_shift_directions(spark):
+    up = [10] * 10 + [30] * 10
+    down = [30] * 10 + [10] * 10
+    o_up = cusum_daily(_series(spark, up)).collect()
+    o_dn = cusum_daily(_series(spark, down)).collect()
+    # against the full-series mean, a step is LOW in one half and HIGH
+    # in the other: the high side first fires right after the shift, and
+    # the low side's accumulated statistic decays (alarm holds until it
+    # drops back under h) — both from the hand trace of this fixture
+    assert min(r.day.day for r in o_up if r.alarm_pos) == 12
+    assert max(r.day.day for r in o_up if r.alarm_neg) == 15
+    assert min(r.day.day for r in o_dn if r.alarm_neg) == 12
+    assert max(r.day.day for r in o_dn if r.alarm_pos) == 15
+
+
+def test_cusum_keys_independent_and_invariant(spark):
+    import pyspark.sql.functions as F
+
+    a = _series(spark, [10] * 10 + [40] * 10, key="a")
+    b = _series(spark, [20] * 20, key="b")
+    df = a.union(b)
+    out = cusum_daily(df).collect()
+    assert any(r.alarm_pos for r in out if r.event_type == "a")
+    assert not any(r.alarm_pos or r.alarm_neg for r in out if r.event_type == "b")
+    x = sorted(map(tuple, cusum_daily(df).collect()))
+    y = sorted(map(tuple, cusum_daily(df.repartition(7)).collect()))
+    assert x == y
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_labelprop_two_cliques(spark):
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    out = {
+        r.node: r.community
+        for r in label_propagation(
+            _edges(spark, clique1 + clique2 + bridge), iters=5
+        ).collect()
+    }
+    assert len({out[n] for n in range(4)}) == 1
+    assert len({out[n] for n in range(10, 14)}) == 1
+    assert out[0] != out[10]
+
+
+def test_labelprop_matches_replay_fuzz(spark):
+    rng = random.Random(21)
+    pairs = list(
+        {
+            (rng.randrange(30), rng.randrange(30))
+            for _ in range(120)
+        }
+    )
+    pairs = [p for p in pairs if p[0] != p[1]]
+    got = {
+        r.node: r.community
+        for r in label_propagation(_edges(spark, pairs), iters=5).collect()
+    }
+    want = label_propagation_replay(pairs, iters=5)
+    assert got == want
+
+
+def test_labelprop_partition_invariance(spark):
+    rng = random.Random(22)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(150)]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    df = _edges(spark, pairs)
+    a = sorted(map(tuple, label_propagation(df, iters=4).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(9), iters=4).collect()))
+    assert a == b and len(a) > 0
