@@ -273,6 +273,8 @@ def main() -> None:
             "funnel_conversion",
             "cusum_rates",
             "import_communities",
+            "weighted_quantiles",
+            "lang_source_lift",
         )
         if q in driver_queries.QUERIES
     ]

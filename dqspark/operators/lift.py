@@ -1,0 +1,99 @@
+"""Categorical association lift (the support/lift core of
+Agrawal-Srikant association rules, specialized to column pairs):
+lift(x, y) = P(x,y) / (P(x)·P(y)) — 1 under independence.  As a data
+audit it flags STRUCTURAL coupling between columns that should be
+independent (a source that only ever emits one language = a
+misconfigured crawler; a category pair that never co-occurs = a
+broken join fanning out NULL-ish defaults).
+
+Exactness: the four counts (n, n_x, n_y, n_xy) are BIGINTs from one
+groupBy + three windows over the O(|X|·|Y|) pair relation; every
+count is < 2^53 so casting each to double is exact, and the single
+expression round((n·n_xy)/(n_x·n_y), 4) is the same IEEE arithmetic
+in both engines.  The verdict bands on the ROUNDED value (over ≥ 2,
+under ≤ 0.5 — the conventional 2x enrichment / depletion cuts).
+
+Scale shape: ONE map-side-combined groupBy over the corpus; the
+marginal windows and banding run on the pair relation (bounded by the
+category-domain product), never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OVER_LIFT = 2.0
+UNDER_LIFT = 0.5
+
+
+def category_lift(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row per observed (x, y): (x, y, n_xy, n_x, n_y, n, lift,
+    assoc ∈ over|under|normal).  NULL categories participate as their
+    own level via the <null> sentinel so broken-default coupling is
+    visible rather than silently dropped."""
+    x = F.coalesce(F.col(x_col).cast("string"), F.lit("<null>"))
+    y = F.coalesce(F.col(y_col).cast("string"), F.lit("<null>"))
+    pairs = (
+        df.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    staged = pairs.select(
+        "x",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(wx).cast("long").alias("n_x"),
+        F.sum("n_xy").over(wy).cast("long").alias("n_y"),
+        F.sum("n_xy").over(wall).cast("long").alias("n"),
+    )
+    lift = F.round(
+        (F.col("n").cast("double") * F.col("n_xy").cast("double"))
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double")),
+        4,
+    )
+    return staged.select(
+        F.col("x").alias(x_col),
+        F.col("y").alias(y_col),
+        "n_xy",
+        "n_x",
+        "n_y",
+        "n",
+        lift.alias("lift"),
+        F.when(lift >= F.lit(OVER_LIFT), F.lit("over"))
+        .when(lift <= F.lit(UNDER_LIFT), F.lit("under"))
+        .otherwise(F.lit("normal"))
+        .alias("assoc"),
+    )
+
+
+def category_lift_oracle(source_sql: str, x_expr: str, y_expr: str) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT coalesce(CAST({x_expr} AS VARCHAR), '<null>') AS x,
+         coalesce(CAST({y_expr} AS VARCHAR), '<null>') AS y,
+         count(*)::BIGINT AS n_xy
+  FROM ({source_sql}) q GROUP BY 1, 2
+),
+staged AS (
+  SELECT x, y, n_xy,
+         sum(n_xy) OVER (PARTITION BY x)::BIGINT AS n_x,
+         sum(n_xy) OVER (PARTITION BY y)::BIGINT AS n_y,
+         sum(n_xy) OVER ()::BIGINT AS n
+  FROM pairs
+)
+SELECT x AS {x_expr}, y AS {y_expr}, n_xy, n_x, n_y, n,
+       round((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+             / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)), 4) AS lift,
+       CASE WHEN round((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)), 4)
+                 >= {OVER_LIFT}::DOUBLE THEN 'over'
+            WHEN round((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)), 4)
+                 <= {UNDER_LIFT}::DOUBLE THEN 'under'
+            ELSE 'normal' END AS assoc
+FROM staged
+"""

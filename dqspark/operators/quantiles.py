@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_BUCKETS = 1024
@@ -275,4 +275,92 @@ SELECT CAST(p_bp AS DOUBLE) / 10000.0::DOUBLE AS p,
        greatest(1, (p_bp * n + 9999) // 10000) AS rank,
        v AS value
 FROM ps JOIN s ON s.r = greatest(1, (p_bp * n + 9999) // 10000)
+"""
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    p_bps: list[int],
+    block: int = 1024,
+) -> DataFrame:
+    """Exact WEIGHTED type-1 quantiles of a non-negative integer value
+    column under integer weights: the smallest value v whose cumulative
+    weight reaches ceil(p·W) — the token-mass view of a corpus
+    distribution (the median DOCUMENT length and the median length a
+    TOKEN lives in differ wildly under heavy tails; mixture policy
+    reads the latter).
+
+    No global sort: weights fold per DISTINCT VALUE (one map-side
+    combined groupBy — the value-distinct relation, not the corpus),
+    then the exclusive cumulative weight comes from the AUC operator's
+    two-phase block-offset idiom (per-block windows + one O(blocks)
+    collect).  All rank arithmetic is integer: target = max(1,
+    (p_bp·W + 9999) div 10000); the boundary row satisfies
+    cum_lo < target <= cum_lo + w.  Output: (p_bp, target_w, value),
+    one row per requested quantile.
+    """
+    per = (
+        df.groupBy(F.col(value_col).cast("long").alias("_v"))
+        .agg(F.sum(F.col(weight_col).cast("long")).cast("long").alias("_w"))
+        .withColumn("_b", F.expr(f"_v div {block}"))
+    )
+    per = per.localCheckpoint(eager=False)
+    brows = sorted(
+        (r["_b"], r["s"])
+        for r in per.groupBy("_b").agg(F.sum("_w").alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for b, s in brows:
+        offsets += [F.lit(int(b)), F.lit(int(acc))]
+        acc += int(s)
+    total_w = acc
+    omap = F.create_map(*offsets) if offsets else F.create_map()
+    wnd = Window.partitionBy("_b").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_lo = omap[F.col("_b")] + F.coalesce(F.sum("_w").over(wnd), F.lit(0))
+    staged = per.withColumn("_lo", cum_lo.cast("long"))
+    out = None
+    for p_bp in sorted(p_bps):
+        target = max(1, (p_bp * total_w + 9999) // 10000)
+        r = staged.where(
+            (F.col("_lo") < F.lit(target))
+            & (F.lit(target) <= F.col("_lo") + F.col("_w"))
+        ).select(
+            F.lit(p_bp).cast("long").alias("p_bp"),
+            F.lit(target).cast("long").alias("target_w"),
+            F.col("_v").alias("value"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def weighted_quantiles_oracle_sql(
+    source_sql: str, value_expr: str, weight_expr: str, p_bps: list[int]
+) -> str:
+    """Independent DuckDB derivation: cumulative weights over a full
+    sort of distinct values (the thing the Spark path avoids)."""
+    ps = ", ".join(str(p) for p in sorted(p_bps))
+    return f"""
+WITH per AS (
+  SELECT CAST({value_expr} AS BIGINT) AS v,
+         sum(CAST({weight_expr} AS BIGINT))::BIGINT AS w
+  FROM ({source_sql}) q GROUP BY 1
+),
+c AS (
+  SELECT v, w,
+         coalesce(sum(w) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS lo,
+         sum(w) OVER ()::BIGINT AS tw
+  FROM per
+),
+ps AS (SELECT unnest([{ps}]) AS p_bp)
+SELECT p_bp::BIGINT AS p_bp,
+       greatest(1, (p_bp * tw + 9999) // 10000)::BIGINT AS target_w,
+       v AS value
+FROM ps JOIN c
+  ON c.lo < greatest(1, (p_bp * tw + 9999) // 10000)
+ AND greatest(1, (p_bp * tw + 9999) // 10000) <= c.lo + c.w
 """

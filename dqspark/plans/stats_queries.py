@@ -309,3 +309,51 @@ from dqspark.operators.bootstrap import (  # noqa: E402
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return bootstrap_mean_ci(rebalance(docs), "doc_id", "n_chars")
+
+
+# --- weighted quantiles (token-mass view) + categorical lift ------------------
+
+from dqspark.operators.quantiles import (
+    weighted_quantiles,
+    weighted_quantiles_oracle_sql,
+)
+from dqspark.operators.lift import category_lift, category_lift_oracle
+
+_WQ_PBPS = [2500, 5000, 7500, 9900]
+
+# weight = whitespace token count (the bm25 tokenize convention), so
+# these are the quantiles of doc length AS A TOKEN EXPERIENCES IT
+_WQ_SQL = """
+  SELECT n_chars,
+         len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+  FROM documents
+"""
+
+
+@register(
+    "weighted_quantiles",
+    weighted_quantiles_oracle_sql(_WQ_SQL, "n_chars", "w", _WQ_PBPS),
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted doc-length quantiles: weights fold per
+    distinct length, exclusive cumulative weight via the block-offset
+    idiom, integer rank rule — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+        ).alias("w"),
+    )
+    return weighted_quantiles(docs, "n_chars", "w", _WQ_PBPS)
+
+
+@register(
+    "lang_source_lift",
+    category_lift_oracle("SELECT lang, source FROM documents", "lang", "source"),
+)
+def q_lang_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between language and source — the
+    crawler-misconfiguration screen; all counts BIGINT, one identical
+    IEEE finish."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return category_lift(docs, "lang", "source")

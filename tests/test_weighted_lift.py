@@ -1,0 +1,104 @@
+"""Weighted exact quantiles + categorical association lift
+(operators/quantiles.py::weighted_quantiles, operators/lift.py)."""
+
+from __future__ import annotations
+
+import random
+
+from dqspark.operators.lift import category_lift
+from dqspark.operators.quantiles import weighted_quantiles
+
+
+def _wq(spark, pairs, p_bps):
+    df = spark.createDataFrame(pairs, "v long, w long")
+    return {
+        r.p_bp: (r.target_w, r.value)
+        for r in weighted_quantiles(df, "v", "w", p_bps).collect()
+    }
+
+
+def test_weighted_quantiles_hand(spark):
+    # value 10 carries weight 1, value 20 weight 98, value 30 weight 1:
+    # nearly all mass sits at 20 — the weighted median and p99-1 are 20
+    out = _wq(spark, [(10, 1), (20, 98), (30, 1)], [100, 5000, 9900, 10000])
+    assert out[5000] == (50, 20)
+    assert out[100] == (1, 10)       # ceil(0.01*100) = 1 -> first value
+    assert out[9900] == (99, 20)
+    assert out[10000] == (100, 30)
+    # unweighted median of the VALUES would be 20 too, but of the three
+    # distinct rows it's the count view; weight 98 is what pins p01->p99
+
+
+def test_weighted_quantiles_equals_expansion(spark):
+    """Weighted quantile over (v, w) == unweighted type-1 quantile over
+    v repeated w times (the defining property)."""
+    rng = random.Random(17)
+    pairs = [(rng.randrange(0, 5000), rng.randrange(1, 9)) for _ in range(300)]
+    expanded = sorted(v for v, w in pairs for _ in range(w))
+    tw = len(expanded)
+    p_bps = [1000, 2500, 5000, 7500, 9999]
+    out = _wq(spark, pairs, p_bps)
+    for p in p_bps:
+        target = max(1, -(-p * tw // 10000))  # ceil
+        assert out[p] == (target, expanded[target - 1]), p
+
+
+def test_weighted_quantiles_duplicate_values_fold(spark):
+    # same value appearing in many rows folds its weights
+    out = _wq(spark, [(5, 1), (5, 1), (5, 1), (9, 2)], [5000])
+    assert out[5000] == (3, 5)
+
+
+def test_weighted_quantiles_partition_invariance(spark):
+    rng = random.Random(19)
+    pairs = [(rng.randrange(0, 3000), rng.randrange(1, 50)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "v long, w long")
+    a = sorted(map(tuple, weighted_quantiles(df, "v", "w", [2500, 7500]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            weighted_quantiles(df.repartition(11), "v", "w", [2500, 7500]).collect(),
+        )
+    )
+    assert a == b and len(a) == 2
+
+
+def test_lift_hand_case(spark):
+    # x=a occurs only with y=1 (perfect coupling); b spreads evenly
+    rows = [("a", "1")] * 10 + [("b", "1")] * 10 + [("b", "2")] * 20
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {(r.x, r.y): r for r in category_lift(df, "x", "y").collect()}
+    a1 = out[("a", "1")]
+    # lift = n*n_xy/(n_x*n_y) = 40*10/(10*20) = 2.0 -> 'over'
+    assert a1.lift == 2.0 and a1.assoc == "over"
+    b2 = out[("b", "2")]
+    # 40*20/(30*20) = 1.3333
+    assert b2.lift == 1.3333 and b2.assoc == "normal"
+    assert ("a", "2") not in out  # only observed pairs emitted
+
+
+def test_lift_null_is_a_level(spark):
+    rows = [("a", None)] * 5 + [("a", "y")] * 5 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {(r.x, r.y): r for r in category_lift(df, "x", "y").collect()}
+    nl = out[("a", "<null>")]
+    # nulls only ever co-occur with x=a: lift 20*5/(10*5) = 2.0
+    assert nl.lift == 2.0 and nl.assoc == "over"
+
+
+def test_lift_independence_is_one(spark):
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(25)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = category_lift(df, "x", "y").collect()
+    assert all(r.lift == 1.0 and r.assoc == "normal" for r in out)
+
+
+def test_lift_partition_invariance(spark):
+    rng = random.Random(23)
+    rows = [
+        (rng.choice("abcd"), rng.choice("xyz")) for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    a = sorted(map(tuple, category_lift(df, "x", "y").collect()))
+    b = sorted(map(tuple, category_lift(df.repartition(13), "x", "y").collect()))
+    assert a == b
