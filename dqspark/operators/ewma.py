@@ -1,0 +1,135 @@
+"""Bounded-horizon EWMA monitor per event stream — the
+exponential-smoothing sibling of the CUSUM rate-shift monitor
+(operators/cusum.py): for every user, smooth the value series with
+weights alpha*(1-alpha)^j over the last K events and flag streams
+whose LATEST value spikes above twice the smoothed level (reference
+parity: backend/analysis.py's z-score outlier check is the
+whole-column special case; this is the per-stream, recency-weighted
+version a rate monitor actually needs).
+
+Determinism protocol: the horizon is BOUNDED (K lags), so the EWMA is
+a fixed left-associative expression over LAG columns — no recursive
+state, no variable-length float accumulation.  The weight constants
+are Python-computed doubles embedded as identical literals in both
+engines; every addition happens in the same written order, so the
+doubles agree bitwise and the 4-dp rounding is stable.  A truly
+unbounded EWMA would need order-dependent accumulation that two
+engines cannot be guaranteed to replay identically — the bounded form
+IS the cross-engine-checkable design, and with (1-alpha)^K = 0.1 the
+truncation error is below the rounding floor anyway.
+
+Scale shape: ONE hash exchange on user_id + in-partition sort (the
+single window), then a row_number pick of the latest event — the same
+one-shuffle shape as sessionization.  No Python, no self-join, no
+per-row UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ALPHA = 0.25
+K = 8
+_WEIGHTS = []
+_w = ALPHA
+for _ in range(K):
+    _WEIGHTS.append(_w)
+    _w = _w * (1.0 - ALPHA)
+
+
+def ewma_latest(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Latest event per stream with its bounded-horizon EWMA:
+    (user_id, event_id, n_recent, ewma, spike)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    lags = [
+        (F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)).alias(
+            f"_l{j}"
+        )
+        for j in range(K)
+    ]
+    df = events.select(key_col, ts_col, tiebreak_col, value_col, *lags)
+
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    n_recent = F.lit(0)
+    for j, wt in enumerate(_WEIGHTS):
+        lj = F.col(f"_l{j}")
+        num = num + F.when(lj.isNull(), 0.0).otherwise(F.lit(wt) * lj)
+        den = den + F.when(lj.isNull(), 0.0).otherwise(F.lit(wt))
+        n_recent = n_recent + F.when(lj.isNull(), 0).otherwise(1)
+
+    latest = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("_ewma", num / den)
+        .withColumn("_rn", F.row_number().over(latest))
+        .where(F.col("_rn") == 1)
+        .select(
+            key_col,
+            tiebreak_col,
+            n_recent.cast("long").alias("n_recent"),
+            F.round(F.col("_ewma"), 4).alias("ewma"),
+            (F.col(value_col) > 2.0 * F.col("_ewma")).alias("spike"),
+        )
+    )
+
+
+def ewma_latest_oracle(
+    source_sql: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    over = f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})"
+    lag_defs = ", ".join(
+        (
+            f"{value_col} AS _l0"
+            if j == 0
+            else f"LAG({value_col}, {j}) {over} AS _l{j}"
+        )
+        for j in range(K)
+    )
+    num = " + ".join(
+        f"CASE WHEN _l{j} IS NULL THEN 0.0 ELSE {wt!r} * _l{j} END"
+        for j, wt in enumerate(_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN _l{j} IS NULL THEN 0.0 ELSE {wt!r} END"
+        for j, wt in enumerate(_WEIGHTS)
+    )
+    nrec = " + ".join(
+        f"CASE WHEN _l{j} IS NULL THEN 0 ELSE 1 END" for j in range(K)
+    )
+    return f"""
+WITH lagged AS (
+  SELECT {key_col}, {ts_col}, {tiebreak_col}, {value_col}, {lag_defs},
+         ROW_NUMBER() OVER (
+           PARTITION BY {key_col}
+           ORDER BY {ts_col} DESC, {tiebreak_col} DESC
+         ) AS _rn
+  FROM ({source_sql}) src
+),
+scored AS (
+  SELECT {key_col}, {tiebreak_col},
+         (0.0 + {num}) / (0.0 + {den}) AS _ewma,
+         (0 + {nrec})::BIGINT AS n_recent,
+         {value_col} AS _v
+  FROM lagged WHERE _rn = 1
+)
+SELECT {key_col}, {tiebreak_col}, n_recent,
+       round(_ewma, 4) AS ewma,
+       _v > 2.0 * _ewma AS spike
+FROM scored
+"""
+
+
+__all__ = ["ewma_latest", "ewma_latest_oracle", "ALPHA", "K"]

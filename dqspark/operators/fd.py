@@ -1,0 +1,73 @@
+"""Functional-dependency audit: for declared candidate dependencies
+A -> B, count the determinant groups where more than one dependent
+value appears — the classic data-profiling primitive (Metanome / Tane
+family) behind "is this column derivable from that one?", composite-
+key discovery, and denormalization drift checks (reference parity:
+backend/analysis.py's inconsistent-updates check is the special case
+A = entity key, B = attribute; this generalizes it to ANY declared
+pair and reports violation mass instead of rows).
+
+Semantics: rows where either side IS NULL are excluded (a NULL
+determinant is not a group; a NULL dependent asserts nothing), then
+for each pair
+  n_groups            = COUNT(DISTINCT A)
+  violating_groups    = # of A-groups with >= 2 distinct B values
+  max_distinct_deps   = max over A-groups of COUNT(DISTINCT B)
+  holds               = violating_groups == 0
+
+Scale shape: per pair, ONE exact two-phase aggregation — Spark plans
+count(DISTINCT) as a partial groupBy(A, B) then groupBy(A), both
+map-side combined, so the shuffle carries only distinct (A, B) pairs,
+never rows.  Pairs are independent single-key shuffles unioned at the
+end (O(pairs) rows total).  All-integer output; no Python, no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fd_violations(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """One row per declared (determinant, dependent) pair."""
+    out = None
+    for det, dep in pairs:
+        grouped = (
+            df.where(F.col(det).isNotNull() & F.col(dep).isNotNull())
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("_nd"))
+        )
+        row = grouped.agg(
+            F.lit(det).alias("det_col"),
+            F.lit(dep).alias("dep_col"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_groups"),
+            F.max("_nd").cast("long").alias("max_distinct_deps"),
+        ).withColumn("holds", F.col("violating_groups") == 0)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def fd_violations_oracle(source_sql: str, pairs: list[tuple[str, str]]) -> str:
+    parts = []
+    for det, dep in pairs:
+        parts.append(
+            f"""
+SELECT '{det}' AS det_col, '{dep}' AS dep_col,
+       COUNT(*)::BIGINT AS n_groups,
+       SUM(CASE WHEN _nd > 1 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+       MAX(_nd)::BIGINT AS max_distinct_deps,
+       SUM(CASE WHEN _nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT {det}, COUNT(DISTINCT {dep}) AS _nd
+  FROM ({source_sql}) src
+  WHERE {det} IS NOT NULL AND {dep} IS NOT NULL
+  GROUP BY {det}
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+__all__ = ["fd_violations", "fd_violations_oracle"]

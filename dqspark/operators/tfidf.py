@@ -1,0 +1,119 @@
+"""Per-document salient terms by TF-IDF — the corpus-curation
+counterpart of the BM25 search ranker (operators/search.py): instead
+of scoring documents for a query, it surfaces each document's most
+distinctive vocabulary (keyword extraction, topic drift spot-checks,
+boilerplate detection: documents whose top terms are template words
+are template pages).  IDF uses the smoothed sklearn convention
+idf = ln((1+N)/(1+df)) + 1 (public: scikit-learn TfidfTransformer
+docs), with N = total rows of the corpus table.
+
+Determinism protocol: the RANKING is all-integer — row_number over
+(tf DESC, df ASC, term ASC) — so which terms are selected never
+depends on float behavior; the tfidf column itself is computed from
+the same exact integers through the same ln/arithmetic expression on
+both engines and rounded to 4 dp (values are fixed at a given sf, so
+the differential is deterministic).
+
+Scale shape: one explode→groupBy(doc, term) for tf (map-side
+combined), one groupBy(term) over the tf relation for df (shuffles
+only distinct (doc, term) pairs, never tokens), N as a single-row
+aggregate cross-joined back (O(1) broadcast), and one window per doc
+over its own terms.  The emitted-doc sample (doc_id % stride == 0)
+bounds OUTPUT, not the statistics: tf/df/N are computed over the full
+corpus, so scores are identical to the unsampled run.  No Python UDFs
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    stride: int = 20,
+) -> DataFrame:
+    """Top-k TF-IDF terms per sampled document:
+    (doc_id, term, tf, df, tfidf)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_tbl = docs.agg(F.count(F.lit(1)).alias("_n"))
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.where((F.col(id_col) % stride) == 0)
+        .join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (1.0 + F.col("_n").cast("double"))
+                        / (1.0 + F.col("df").cast("double"))
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_topk_oracle(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    stride: int = 20,
+) -> str:
+    norm = normalized_oracle(f"coalesce({text_col}, '')")
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(list_filter(string_split({norm}, ' '), t -> t <> '')) AS term
+  FROM ({source_sql}) src
+),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM toks GROUP BY {id_col}, term),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS _n FROM ({source_sql}) src2),
+ranked AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, dft.df, n._n,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.{id_col}
+           ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC
+         ) AS _rk
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+  WHERE tf.{id_col} % {stride} = 0
+)
+SELECT {id_col}, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       round(tf::DOUBLE * (ln((1.0 + _n::DOUBLE) / (1.0 + df::DOUBLE)) + 1.0), 4)
+         AS tfidf
+FROM ranked WHERE _rk <= {k}
+"""
+
+
+__all__ = ["tfidf_topk", "tfidf_topk_oracle"]

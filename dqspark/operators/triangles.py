@@ -1,0 +1,155 @@
+"""Triangle counting + local clustering coefficient over a graph of
+(src, dst) edges — the structural complement of the PageRank/community
+audits (operators/pagerank.py, labelprop.py): triangles measure how
+clique-like each repo's import neighborhood is, and a near-zero
+clustering coefficient on a high-degree node is the classic shape of a
+hub/utility module (reference parity: backend/analysis.py profiles
+per-column structure; this is the graph-shaped analogue for the repo
+dependency audit).
+
+Algorithm: compact-forward / degree-ordered orientation (Latapy 2008,
+"Main-memory triangle computations for very large (sparse) graphs").
+Every undirected edge {u, v} is oriented from the endpoint with the
+SMALLER (degree, id) pair to the larger one, so each wedge is generated
+exactly once at its lowest-ordered vertex and per-vertex out-degree is
+bounded by O(sqrt(E)) on any graph — the property that keeps the wedge
+join from exploding on power-law degree distributions (a hub with
+degree d contributes d^2 wedges un-oriented, but only the wedges among
+its HIGHER-ordered neighbors oriented).
+
+Scale shape: two hash joins on vertex ids (wedge build + closing-edge
+probe), each a plain shuffle on the join key — no broadcast of
+anything O(V), no driver state, no iteration.  The triangle relation
+is materialized once and unpivoted to per-corner counts with one
+groupBy.  Everything is integer arithmetic; the only double is the
+final clustering coefficient 2T / (d (d - 1)), rounded to 4 dp
+identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrized, self-loop-free, deduplicated edge set (u, v) with
+    BOTH directions present — the adjacency relation."""
+    e = edges.where(F.col("src") != F.col("dst"))
+    return (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row per vertex: (node, degree, triangles, clustering).
+
+    ``triangles`` counts unordered triangles incident to the vertex;
+    ``clustering`` = 2T / (d(d-1)) for d >= 2, else 0.0.
+    """
+    adj = undirected(edges)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+
+    # orient each undirected edge low -> high in (degree, id) order;
+    # keeping only one direction halves the edge set and bounds wedge
+    # fanout at the low-ordered endpoint (compact-forward invariant)
+    du = deg.withColumnRenamed("u", "x").withColumnRenamed("d", "dx")
+    dv = deg.withColumnRenamed("u", "y").withColumnRenamed("d", "dy")
+    oriented = (
+        adj.join(du, adj["u"] == du["x"])
+        .join(dv, adj["v"] == dv["y"])
+        .where(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("lo"), F.col("v").alias("hi"))
+    )
+
+    # wedge build: (a -> b), (b -> c) with a,b,c pairwise ordered;
+    # closing-edge probe: does (a -> c) exist?
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = oriented.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b2"])
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+    return (
+        deg.withColumnRenamed("u", "node")
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                    / (F.col("d").cast("double") * (F.col("d").cast("double") - 1.0)),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("clustering"),
+        )
+    )
+
+
+def triangle_stats_oracle(edges_sql: str) -> str:
+    """DuckDB SQL computing the identical result over the same edge
+    relation (same orientation rule, same rounding)."""
+    return f"""
+WITH raw AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS v FROM raw WHERE src <> dst
+  )
+),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+oriented AS (
+  SELECT a.u AS lo, a.v AS hi
+  FROM und a
+  JOIN deg du ON du.u = a.u
+  JOIN deg dv ON dv.u = a.v
+  WHERE du.d < dv.d OR (du.d = dv.d AND a.u < a.v)
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.lo = e1.hi
+  JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT deg.u::BIGINT AS node,
+       deg.d::BIGINT AS degree,
+       COALESCE(corners.triangles, 0)::BIGINT AS triangles,
+       ROUND(CASE WHEN deg.d >= 2
+                  THEN 2.0 * COALESCE(corners.triangles, 0)::DOUBLE
+                       / (deg.d::DOUBLE * (deg.d::DOUBLE - 1.0))
+                  ELSE 0.0 END, 4) AS clustering
+FROM deg LEFT JOIN corners ON corners.node = deg.u
+"""
+
+
+__all__ = ["undirected", "triangle_stats", "triangle_stats_oracle"]

@@ -406,3 +406,51 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen projection of three character-class regexp counts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return readability(docs)
+
+
+# --- multivariate (Mahalanobis) outlier ranking --------------------------------
+
+from dqspark.operators.mahalanobis import mahalanobis_topk, mahalanobis_topk_oracle
+
+_MAHA_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_MAHA_KEYS = ["l_orderkey", "l_linenumber"]
+
+
+@register(
+    "mahalanobis_outliers",
+    mahalanobis_topk_oracle(
+        "SELECT * FROM lineitem", _MAHA_COLS, _MAHA_KEYS, k=100
+    ),
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 lineitem rows by squared Mahalanobis distance over
+    (quantity, extendedprice, discount) — joint outliers the marginal
+    z-score checks cannot see; bit-identical cross-engine via the
+    shared integer-sufficient-statistics + single-formula protocol."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mahalanobis_topk(li, _MAHA_COLS, _MAHA_KEYS, k=100)
+
+
+# --- functional-dependency audit -----------------------------------------------
+
+from dqspark.operators.fd import fd_violations, fd_violations_oracle
+
+_FD_PAIRS = [
+    ("c_custkey", "c_name"),
+    ("c_custkey", "c_mktsegment"),
+    ("c_nationkey", "c_mktsegment"),
+    ("c_mktsegment", "c_nationkey"),
+    ("c_name", "c_custkey"),
+]
+
+
+@register(
+    "functional_deps",
+    fd_violations_oracle("SELECT * FROM customer", _FD_PAIRS),
+)
+def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-candidate functional-dependency audit over customer:
+    key->attribute pairs should hold, nation<->segment should not —
+    violation mass per pair in one exact two-phase aggregate each."""
+    cust = load_table(spark, sf_dir, "customer")
+    return fd_violations(cust, _FD_PAIRS)

@@ -867,3 +867,19 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "least((doc_id * 10) div _span, 9) AS bucket", "text"
     )
     return vocab_growth(bucketed, "bucket")
+
+
+# --- per-document salient terms (TF-IDF) ---------------------------------------
+
+from dqspark.operators.tfidf import tfidf_topk, tfidf_topk_oracle
+
+
+@register(
+    "tfidf_terms",
+    tfidf_topk_oracle("SELECT doc_id, text FROM documents"),
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per sampled document (doc_id % 20 == 0);
+    tf/df/N computed over the FULL corpus, all-integer ranking keys."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(docs)

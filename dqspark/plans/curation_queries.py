@@ -994,3 +994,22 @@ def q_cusum_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select("event_type", "ts")
     return cusum_daily(ev)
+
+
+# --- bounded-horizon EWMA stream monitor ---------------------------------------
+
+from dqspark.operators.ewma import ewma_latest, ewma_latest_oracle
+
+
+@register(
+    "ewma_streams",
+    ewma_latest_oracle("SELECT user_id, ts, event_id, value FROM events"),
+)
+def q_ewma_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user with its K=8, alpha=0.25 EWMA and a
+    spike flag — one hash exchange + in-partition sort, fixed
+    left-associative weight expression on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ewma_latest(ev)

@@ -117,4 +117,19 @@ def _labelprop_oracle() -> str:
 register("import_communities")(q_import_communities)
 ORACLES["import_communities"] = _labelprop_oracle
 
-__all__ = ["q_import_pagerank", "q_import_communities"]
+
+# --- triangle census (pure-SQL oracle, all-integer core) ----------------------
+
+from dqspark.operators.triangles import triangle_stats, triangle_stats_oracle
+
+
+def q_import_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, degree, triangles, clustering) — compact-forward triangle
+    census of the imports graph; clustering = 2T/(d(d-1)) rounded 4 dp."""
+    return triangle_stats(_import_edges(spark, sf_dir))
+
+
+register("import_triangles")(q_import_triangles)
+ORACLES["import_triangles"] = triangle_stats_oracle(_EDGES_SQL)
+
+__all__ = ["q_import_pagerank", "q_import_communities", "q_import_triangles"]

@@ -1,0 +1,124 @@
+"""Unit tests for the round-5 profiling additions: triangle census,
+Mahalanobis outliers, functional-dependency audit, TF-IDF salient
+terms, and the bounded-horizon EWMA monitor."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.ewma import _WEIGHTS, ewma_latest
+from dqspark.operators.fd import fd_violations
+from dqspark.operators.mahalanobis import mahalanobis_topk
+from dqspark.operators.tfidf import tfidf_topk
+from dqspark.operators.triangles import triangle_stats
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 vertices: every node in 3 triangles, C = 1.0
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert r["degree"] == 3
+        assert r["triangles"] == 3
+        assert r["clustering"] == 1.0
+
+
+def test_triangles_path_and_star(spark):
+    # path 0-1-2-3 has no triangles; star center has clustering 0
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert all(r["triangles"] == 0 for r in triangle_stats(path).collect())
+    star = spark.createDataFrame([(9, i) for i in range(4)], ["src", "dst"])
+    rows = {r["node"]: r for r in triangle_stats(star).collect()}
+    assert rows[9]["degree"] == 4 and rows[9]["clustering"] == 0.0
+
+
+def test_triangles_ignores_duplicates_and_loops(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0), (1, 2), (2, 0), (1, 2)], ["src", "dst"]
+    )
+    rows = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert all(r["triangles"] == 1 for r in rows.values())
+
+
+def test_mahalanobis_joint_outlier(spark):
+    # x and y strongly correlated (y = 2x + noise); the planted point is
+    # marginally ordinary but breaks the correlation -> top Mahalanobis
+    rows = [(i, float(i % 20), 2.0 * (i % 20) + 0.1 * (i % 3), 1.0) for i in range(200)]
+    rows.append((999, 5.0, 35.0, 1.0))  # y should be ~10, marginals fine
+    df = spark.createDataFrame(rows, ["id", "x", "y", "z"])
+    # z is constant -> zero variance -> singular covariance -> NULL d2
+    top = mahalanobis_topk(df, ["x", "y", "z"], ["id"], k=3).collect()
+    assert all(r["d2"] is None for r in top)
+    # with a varying third column the planted point wins
+    df2 = df.withColumn("z", (F.col("id") % 7).cast("double"))
+    top2 = mahalanobis_topk(df2, ["x", "y", "z"], ["id"], k=3).collect()
+    assert top2[0]["id"] == 999
+    assert top2[0]["d2"] > top2[1]["d2"]
+
+
+def test_fd_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x"),
+            (3, "b", "y"),
+            (4, "b", "z"),  # code 'b' maps to two labels -> violation
+            (5, None, "w"),  # NULL determinant excluded
+        ],
+        ["id", "code", "label"],
+    )
+    out = {
+        (r["det_col"], r["dep_col"]): r
+        for r in fd_violations(
+            df, [("id", "code"), ("code", "label")]
+        ).collect()
+    }
+    assert out[("id", "code")]["holds"] is True
+    assert out[("id", "code")]["violating_groups"] == 0
+    r = out[("code", "label")]
+    assert r["holds"] is False
+    assert r["n_groups"] == 2
+    assert r["violating_groups"] == 1
+    assert r["max_distinct_deps"] == 2
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "common common rare"),
+            (20, "common unique unique"),
+            (40, "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk(docs, k=1, stride=20).collect()
+    best = {r["doc_id"]: r for r in out}
+    # doc 0: tf ties (common 2? no: common=2, rare=1) -> common wins on tf
+    assert best[0]["term"] == "common" and best[0]["tf"] == 2
+    # doc 20: unique has tf=2 AND df=1 -> wins; df computed corpus-wide
+    assert best[20]["term"] == "unique"
+    assert best[20]["df"] == 1
+    assert best[40]["term"] == "common" and best[40]["df"] == 3
+
+
+def test_ewma_latest_exact(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    vals = [1.0, 2.0, 4.0, 8.0]
+    rows = [
+        (7, t0 + datetime.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = ewma_latest(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 3 and r["n_recent"] == 4
+    # lags at the latest row: [8, 4, 2, 1] against the first 4 weights
+    num = sum(w * v for w, v in zip(_WEIGHTS, [8.0, 4.0, 2.0, 1.0]))
+    den = sum(_WEIGHTS[:4])
+    assert abs(r["ewma"] - round(num / den, 4)) < 1e-9
+    assert r["spike"] == (8.0 > 2.0 * num / den)
