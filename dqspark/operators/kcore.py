@@ -1,0 +1,124 @@
+"""k-core decomposition by synchronous peeling — the graph-robustness
+member of the graph family (components = reachability, PageRank =
+importance, label propagation = density, triangles = local cohesion;
+the k-core is the maximal subgraph where every node keeps >= k
+neighbors INSIDE the subgraph).  Corpus uses: the 2-core of the import
+graph strips leaf utilities to expose the framework skeleton; a
+repo's coreness is a much stronger centrality-robustness signal than
+raw degree (a hub of leaves has degree N but coreness 1).
+
+Algorithm: classic peeling (Batagelj & Zaversnik 2003), synchronous
+variant — each round removes EVERY node whose degree within the
+surviving subgraph is < k, simultaneously; repeat until a round
+removes nothing.  Synchronous peeling has no update order to choose,
+so the distributed run and the single-process replay are exactly
+identical (the pagerank.py / labelprop.py replay-oracle protocol).
+Rounds are bounded by ``max_iters`` with the fixpoint WITNESSED (the
+final round must remove zero nodes — asserted by the caller's test,
+and reported in the ``rounds`` column), never assumed.
+
+Scale shape per round: one semi-join of the edge list against the
+surviving node set + one map-side-combined degree count — both
+partitioned by node id; driver state is a single removed-count long
+per round.  R rounds = R bounded jobs.  Peeling rounds needed equal
+the graph's degeneracy ordering depth, typically O(log n) on
+power-law graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.labelprop import _sym_edges
+
+
+def kcore_membership(
+    edges: DataFrame, k: int = 3, max_iters: int = 30
+) -> DataFrame:
+    """→ (node, degree, core_degree, in_core, rounds): original degree,
+    degree within the k-core (0 if peeled), membership flag, and the
+    number of peeling rounds until fixpoint (same value on every row).
+    """
+    sym = _sym_edges(edges).persist()
+    deg0 = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+    alive = deg0.select("node", F.col("degree").alias("d"))
+    rounds = 0
+    for _ in range(max_iters):
+        doomed = alive.where(F.col("d") < k)
+        n_doomed = doomed.count()  # O(1) driver state: the fixpoint witness
+        if n_doomed == 0:
+            break
+        rounds += 1
+        survivors = alive.where(F.col("d") >= k).select("node")
+        live_edges = (
+            sym.join(
+                survivors.withColumnRenamed("node", "src"), "src", "left_semi"
+            ).join(
+                survivors.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
+        )
+        alive = (
+            survivors.join(
+                live_edges.groupBy(F.col("src").alias("node")).agg(
+                    F.count(F.lit(1)).alias("d")
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+            .localCheckpoint()
+        )
+
+    core = alive.select(
+        "node", F.col("d").alias("core_degree"), F.lit(True).alias("in_core")
+    )
+    out = (
+        deg0.join(core, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("core_degree"), F.lit(0))
+            .cast("long")
+            .alias("core_degree"),
+            F.coalesce(F.col("in_core"), F.lit(False)).alias("in_core"),
+            F.lit(rounds).cast("long").alias("rounds"),
+        )
+    )
+    sym.unpersist()
+    return out
+
+
+def kcore_replay(
+    edge_rows: list[tuple[int, int]], k: int = 3, max_iters: int = 30
+) -> dict[int, tuple[int, int, bool, int]]:
+    """Single-process replay: node -> (degree, core_degree, in_core,
+    rounds)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_rows:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg0 = {v: len(ns) for v, ns in adj.items()}
+    alive = dict(deg0)
+    rounds = 0
+    for _ in range(max_iters):
+        doomed = [v for v, d in alive.items() if d < k]
+        if not doomed:
+            break
+        rounds += 1
+        for v in doomed:
+            del alive[v]
+        alive = {
+            v: sum(1 for u in adj[v] if u in alive) for v in alive
+        }
+    return {
+        v: (deg0[v], alive.get(v, 0), v in alive, rounds) for v in deg0
+    }
+
+
+__all__ = ["kcore_membership", "kcore_replay"]

@@ -1,0 +1,155 @@
+"""Mutual information / normalized MI between categorical column
+pairs — the information-theoretic dependence profile completing the
+association family: lift (operators/lift.py) scores individual
+category pairs, the chi-square drift test scores significance, MI
+scores the WHOLE dependence in nats and NMI = MI / sqrt(Hx·Hy) puts it
+on a [0, 1] scale (Cover & Thomas, Elements of Information Theory).
+Data-audit uses: redundant-column discovery (NMI ~ 1 means one column
+is derivable from the other — drop it before training), leakage
+detection (a feature with high NMI to the label), and enum-drift
+triage.
+
+Exactness protocol (shared with chi2_from_cells / psi_drift): every
+per-cell contribution is a double derived from exact integer counts
+through one identical expression, quantized to integer nano-units
+BEFORE summing — order-free BIGINT sums, no float accumulation
+hazard.  Products that could overflow BIGINT at 10^12 rows are formed
+in doubles ((n_xy/n)·ln((n_xy·n)/(n_x·n_y)) with every operand cast
+to double first).
+
+NULL policy: rows where either column is NULL are excluded (complete-
+case, matching operators/corr.py).
+
+Scale shape per pair: ONE groupBy(x, y) over the table (map-side
+combined — the shuffle carries distinct cells, not rows), margins and
+totals re-aggregated from the O(cells) joint relation, one output row
+per pair.  No windows over the base table, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MI_UNIT = 1_000_000_000
+
+
+def _mi_one_pair(df: DataFrame, x: str, y: str) -> DataFrame:
+    joint = (
+        df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(F.col(x).alias("_x"), F.col(y).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_nxy"))
+    )
+    mx = joint.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    my = joint.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    tot = joint.agg(F.sum("_nxy").alias("_n"))
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mi_units = (
+        joint.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (d("_nxy") / d("_n"))
+                * F.log((d("_nxy") * d("_n")) / (d("_nx") * d("_ny")))
+                * MI_UNIT
+            )
+            .cast("long")
+            .alias("_u")
+        )
+        .agg(F.sum("_u").alias("_mi_u"))
+    )
+    hx_units = (
+        mx.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(d("_nx") / d("_n")) * F.log(d("_nx") / d("_n")) * MI_UNIT
+            )
+            .cast("long")
+            .alias("_u")
+        )
+        .agg(F.sum("_u").alias("_hx_u"))
+    )
+    hy_units = (
+        my.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(d("_ny") / d("_n")) * F.log(d("_ny") / d("_n")) * MI_UNIT
+            )
+            .cast("long")
+            .alias("_u")
+        )
+        .agg(F.sum("_u").alias("_hy_u"))
+    )
+    unit = F.lit(float(MI_UNIT))
+    return (
+        tot.crossJoin(mi_units)
+        .crossJoin(hx_units)
+        .crossJoin(hy_units)
+        .select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(d("_mi_u") / unit, 4).alias("mi"),
+            F.round(d("_hx_u") / unit, 4).alias("h_x"),
+            F.round(d("_hy_u") / unit, 4).alias("h_y"),
+            F.when(
+                (F.col("_hx_u") > 0) & (F.col("_hy_u") > 0),
+                F.round(
+                    d("_mi_u") / F.sqrt(d("_hx_u") * d("_hy_u")), 4
+                ),
+            ).alias("nmi"),
+        )
+    )
+
+
+def mutual_info(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """One row per pair: (col_x, col_y, n, mi, h_x, h_y, nmi)."""
+    out = None
+    for x, y in pairs:
+        row = _mi_one_pair(df, x, y)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def mutual_info_oracle(source_sql: str, pairs: list[tuple[str, str]]) -> str:
+    parts = []
+    for x, y in pairs:
+        parts.append(
+            f"""
+SELECT '{x}' AS col_x, '{y}' AS col_y, n::BIGINT AS n,
+       round(mi_u::DOUBLE / {float(MI_UNIT)!r}, 4) AS mi,
+       round(hx_u::DOUBLE / {float(MI_UNIT)!r}, 4) AS h_x,
+       round(hy_u::DOUBLE / {float(MI_UNIT)!r}, 4) AS h_y,
+       CASE WHEN hx_u > 0 AND hy_u > 0
+            THEN round(mi_u::DOUBLE / sqrt(hx_u::DOUBLE * hy_u::DOUBLE), 4)
+       END AS nmi
+FROM (
+  WITH joint AS (
+    SELECT {x} AS _x, {y} AS _y, COUNT(*) AS _nxy
+    FROM ({source_sql}) src
+    WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    GROUP BY 1, 2
+  ),
+  mx AS (SELECT _x, SUM(_nxy) AS _nx FROM joint GROUP BY _x),
+  my AS (SELECT _y, SUM(_nxy) AS _ny FROM joint GROUP BY _y),
+  tot AS (SELECT SUM(_nxy) AS _n FROM joint)
+  SELECT tot._n AS n,
+    (SELECT SUM(CAST(round((j._nxy::DOUBLE / tot._n::DOUBLE)
+        * ln((j._nxy::DOUBLE * tot._n::DOUBLE)
+           / (mx._nx::DOUBLE * my._ny::DOUBLE)) * {MI_UNIT}) AS BIGINT))
+     FROM joint j JOIN mx ON mx._x = j._x JOIN my ON my._y = j._y) AS mi_u,
+    (SELECT SUM(CAST(round(-(mx._nx::DOUBLE / tot._n::DOUBLE)
+        * ln(mx._nx::DOUBLE / tot._n::DOUBLE) * {MI_UNIT}) AS BIGINT))
+     FROM mx) AS hx_u,
+    (SELECT SUM(CAST(round(-(my._ny::DOUBLE / tot._n::DOUBLE)
+        * ln(my._ny::DOUBLE / tot._n::DOUBLE) * {MI_UNIT}) AS BIGINT))
+     FROM my) AS hy_u
+  FROM tot
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+__all__ = ["mutual_info", "mutual_info_oracle", "MI_UNIT"]

@@ -1,0 +1,151 @@
+"""Pointwise-mutual-information collocations — corpus-level discovery
+of token pairs that co-occur far more than chance (Church & Hanks
+1990, "Word association norms, mutual information, and lexicography").
+In a curation pipeline PMI surfaces boilerplate phrases, templated
+license headers, and tokenizer-merge candidates; it is the
+bigram-level sibling of the BPE pair statistics (operators/bpe.py) and
+the TF-IDF salient terms (operators/tfidf.py).
+
+PMI(x, y) = ln( (c_xy / N_b) / ((c_x / N_u) (c_y / N_u)) )
+with c_xy adjacent-bigram counts, c_* unigram counts, N_b / N_u the
+bigram / unigram totals.  A support gate c_xy >= min_count kills the
+noisy tail (classical PMI overweights hapax pairs).
+
+Determinism: counts are exact integers; the PMI double derives from
+identical integers via one identical expression; ranking sorts on the
+4-dp ROUNDED score with (x, y) as total tiebreak, so selection never
+depends on sub-rounding float noise.
+
+Scale shape: bigrams come from ONE projection (transform over the
+token array — no posexplode self-join), one groupBy(x, y) with
+map-side combine, unigrams one groupBy over the same exploded tokens,
+totals as 1-row aggregates broadcast back, final top-k via
+TakeOrderedAndProject.  The support gate prunes the pair relation
+BEFORE the unigram joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-token collocations by PMI:
+    (x, y, c_xy, c_x, c_y, pmi)."""
+    toked = docs.select(_tokens(text_col).alias("_t"))
+    pairs = toked.where(F.size("_t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> struct(element_at(_t, i) AS x,"
+                " element_at(_t, i + 1) AS y))"
+            )
+        ).alias("_p")
+    ).select("_p.x", "_p.y")
+    c_xy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    gated = c_xy.where(F.col("c_xy") >= min_count)
+
+    uni = toked.select(F.explode("_t").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = uni.agg(
+        F.sum("c").cast("long").alias("n_u"),
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+
+    ux = uni.select(F.col("term").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("term").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        gated.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("n_b").cast("double"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("n_u").cast("double"))
+                        * (F.col("c_y").cast("double") / F.col("n_u").cast("double"))
+                    )
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("x"), F.col("y"))
+        .limit(k)
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            "pmi",
+        )
+    )
+
+
+def pmi_collocations_oracle(
+    source_sql: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> str:
+    norm = normalized_oracle(f"coalesce({text_col}, '')")
+    return f"""
+WITH toked AS (
+  SELECT list_filter(string_split({norm}, ' '), t -> t <> '') AS _t
+  FROM ({source_sql}) src
+),
+pairs AS (
+  SELECT u.x AS x, u.y AS y FROM (
+    SELECT unnest(list_transform(generate_series(1, len(_t) - 1),
+                  i -> {{'x': _t[i], 'y': _t[i + 1]}})) AS u
+    FROM toked WHERE len(_t) >= 2
+  )
+),
+c_xy AS (SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y),
+gated AS (SELECT * FROM c_xy WHERE c_xy >= {min_count}),
+uni AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(_t) AS term FROM toked
+  ) GROUP BY term
+),
+totals AS (
+  SELECT (SELECT SUM(c) FROM uni)::BIGINT AS n_u,
+         (SELECT COUNT(*) FROM pairs)::BIGINT AS n_b
+),
+scored AS (
+  SELECT g.x, g.y, g.c_xy, ux.c AS c_x, uy.c AS c_y,
+         round(ln((g.c_xy::DOUBLE / t.n_b::DOUBLE)
+                / ((ux.c::DOUBLE / t.n_u::DOUBLE)
+                 * (uy.c::DOUBLE / t.n_u::DOUBLE))), 4) AS pmi
+  FROM gated g
+  JOIN uni ux ON ux.term = g.x
+  JOIN uni uy ON uy.term = g.y
+  CROSS JOIN totals t
+)
+SELECT x, y, c_xy::BIGINT AS c_xy, c_x::BIGINT AS c_x, c_y::BIGINT AS c_y, pmi
+FROM scored
+ORDER BY pmi DESC, x, y
+LIMIT {k}
+"""
+
+
+__all__ = ["pmi_collocations", "pmi_collocations_oracle"]

@@ -1,0 +1,151 @@
+"""Population Stability Index between two corpus snapshots — the
+industry-standard drift score (credit-model monitoring literature;
+PSI = sum_i (p_i - q_i) * ln(p_i / q_i)) complementing the chi-square
+and KS tests in operators/drift.py: chi-square answers "is the change
+statistically significant" (sample-size sensitive), PSI answers "how
+BIG is the mixture shift" on a sample-size-free scale with the
+conventional 0.1 (watch) / 0.25 (act) thresholds.
+
+Exactness protocol (shared with chi2_from_cells): per-category
+contributions are doubles derived from exact integer counts through an
+identical expression tree, quantized to integer nano-units
+(round(c * 1e9) as BIGINT) BEFORE the cross-category sum, so the total
+is an order-free integer sum — no float accumulation-order hazard.
+
+Zero-count policy: a category present on only one side makes the
+classical PSI infinite; the standard practical fix is a floor — each
+side's probability is computed with +1/2 Laplace smoothing over the
+category union (documented, applied identically on both engines), so
+every contribution is finite and the score stays comparable across
+snapshots.
+
+Scale shape: one groupBy(category) per snapshot (map-side combined),
+an outer join on the O(categories) relation, totals via a single
+unpartitioned window over O(categories) rows — nothing corpus-sized
+past the first aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PSI_UNIT = 1_000_000_000
+WATCH_AT = 0.1
+ACT_AT = 0.25
+
+
+def psi_drift(old: DataFrame, new: DataFrame, cat_col: str) -> DataFrame:
+    """One row per category of the union domain:
+    (category, n_old, n_new, p_old, p_new, contribution, psi, verdict)."""
+    co = old.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    cn = new.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    cells = (
+        co.join(cn, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+    )
+    w = Window.partitionBy()
+    m = cells.select(
+        "category",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(w).alias("t_old"),
+        F.sum("n_new").over(w).alias("t_new"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    # Laplace +1/2 over the union domain, identical on both engines
+    p = (F.col("n_old").cast("double") + 0.5) / (
+        F.col("t_old").cast("double") + 0.5 * F.col("k").cast("double")
+    )
+    q = (F.col("n_new").cast("double") + 0.5) / (
+        F.col("t_new").cast("double") + 0.5 * F.col("k").cast("double")
+    )
+    contrib = (p - q) * F.log(p / q)
+    staged = m.select(
+        "category",
+        "n_old",
+        "n_new",
+        F.round(p, 6).alias("p_old"),
+        F.round(q, 6).alias("p_new"),
+        F.round(contrib * PSI_UNIT).cast("long").alias("_units"),
+    )
+    psi = F.round(
+        F.sum("_units").over(Window.partitionBy()) / F.lit(float(PSI_UNIT)), 4
+    )
+    return staged.select(
+        "category",
+        "n_old",
+        "n_new",
+        "p_old",
+        "p_new",
+        F.round(F.col("_units") / F.lit(float(PSI_UNIT)), 4).alias(
+            "contribution"
+        ),
+        psi.alias("psi"),
+        F.when(psi > ACT_AT, "act")
+        .when(psi > WATCH_AT, "watch")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+def psi_drift_oracle(old_sql: str, new_sql: str, cat_expr: str) -> str:
+    return f"""
+WITH co AS (
+  SELECT {cat_expr} AS category, COUNT(*)::BIGINT AS n_old
+  FROM ({old_sql}) o GROUP BY 1
+),
+cn AS (
+  SELECT {cat_expr} AS category, COUNT(*)::BIGINT AS n_new
+  FROM ({new_sql}) nw GROUP BY 1
+),
+cells AS (
+  SELECT COALESCE(co.category, cn.category) AS category,
+         COALESCE(n_old, 0)::BIGINT AS n_old,
+         COALESCE(n_new, 0)::BIGINT AS n_new
+  FROM co FULL OUTER JOIN cn ON co.category = cn.category
+),
+m AS (
+  SELECT category, n_old, n_new,
+         SUM(n_old) OVER () AS t_old,
+         SUM(n_new) OVER () AS t_new,
+         COUNT(*) OVER () AS k
+  FROM cells
+),
+staged AS (
+  SELECT category, n_old, n_new,
+         round((n_old::DOUBLE + 0.5) / (t_old::DOUBLE + 0.5 * k::DOUBLE), 6)
+           AS p_old,
+         round((n_new::DOUBLE + 0.5) / (t_new::DOUBLE + 0.5 * k::DOUBLE), 6)
+           AS p_new,
+         CAST(round((((n_old::DOUBLE + 0.5) / (t_old::DOUBLE + 0.5 * k::DOUBLE)
+                   - (n_new::DOUBLE + 0.5) / (t_new::DOUBLE + 0.5 * k::DOUBLE))
+              * ln(((n_old::DOUBLE + 0.5) / (t_old::DOUBLE + 0.5 * k::DOUBLE))
+                 / ((n_new::DOUBLE + 0.5) / (t_new::DOUBLE + 0.5 * k::DOUBLE))))
+              * {PSI_UNIT}) AS BIGINT) AS _units
+  FROM m
+)
+SELECT category, n_old, n_new, p_old, p_new,
+       round(_units / CAST('{float(PSI_UNIT)!r}' AS DOUBLE), 4) AS contribution,
+       round(SUM(_units) OVER () / CAST('{float(PSI_UNIT)!r}' AS DOUBLE), 4)
+         AS psi,
+       CASE WHEN round(SUM(_units) OVER ()
+                       / CAST('{float(PSI_UNIT)!r}' AS DOUBLE), 4) > {ACT_AT}
+            THEN 'act'
+            WHEN round(SUM(_units) OVER ()
+                       / CAST('{float(PSI_UNIT)!r}' AS DOUBLE), 4) > {WATCH_AT}
+            THEN 'watch'
+            ELSE 'stable' END AS verdict
+FROM staged
+"""
+
+
+__all__ = ["psi_drift", "psi_drift_oracle", "PSI_UNIT", "WATCH_AT", "ACT_AT"]

@@ -1,0 +1,105 @@
+"""Theil–Sen robust trend per series — the median of all pairwise
+slopes (Theil 1950 / Sen 1968), the standard outlier-proof alternative
+to least-squares for "is this event stream ramping up or decaying?".
+A single corrupted day moves OLS arbitrarily; Theil–Sen tolerates up
+to ~29% corrupted points — exactly the robustness story of the
+Hampel/MAD outlier family (operators/robust.py), applied to trend.
+
+Input contract: a pre-aggregated series relation
+(grp, day, cnt) — one row per (series, day).  The slope unit is
+"count per day".
+
+Determinism: slopes are doubles from exact integer (Δcount, Δdays)
+pairs — identical cross-engine; the median is an ELEMENT PICK (or the
+mean of the two middle elements, a single commutative addition), never
+a float accumulation; window order is (slope, d1, d2), a total order.
+
+Scale shape: the pairwise self-join is O(days²) PER SERIES — days per
+series is the explicit dial (a year of daily points = 66k pairs per
+series, trivially fine; for minute-grain series, pre-bucket to days
+first, which is also the statistically honest move).  One shuffle on
+grp for the join, one window per grp for the median pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def theilsen_trend(series: DataFrame) -> DataFrame:
+    """(grp, n_days, n_pairs, slope) — Theil–Sen slope per series over
+    a (grp, day, cnt) relation; slope rounded to 4 dp."""
+    a = series.select(
+        F.col("grp"),
+        F.col("day").alias("d1"),
+        F.col("cnt").alias("c1"),
+    )
+    b = series.select(
+        F.col("grp").alias("grp2"),
+        F.col("day").alias("d2"),
+        F.col("cnt").alias("c2"),
+    )
+    pairs = a.join(b, (a["grp"] == b["grp2"]) & (a["d1"] < b["d2"])).select(
+        "grp",
+        "d1",
+        "d2",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / F.datediff(F.col("d2"), F.col("d1")).cast("double")
+        ).alias("_slope"),
+    )
+    w = Window.partitionBy("grp").orderBy("_slope", "d1", "d2")
+    ranked = pairs.select(
+        "grp",
+        "_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("_np"),
+    )
+    # integer-division middles: floor((n+1)/2) and floor((n+2)/2) pick
+    # the single middle for odd n and BOTH middles for even n
+    mid = ranked.where(
+        (F.col("_rn") == F.expr("(_np + 1) div 2"))
+        | (F.col("_rn") == F.expr("(_np + 2) div 2"))
+    )
+    med = mid.groupBy("grp").agg(
+        F.round(F.sum("_slope") / F.count(F.lit(1)), 4).alias("slope"),
+        F.max("_np").cast("long").alias("n_pairs"),
+    )
+    ndays = series.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return ndays.join(med, "grp").select("grp", "n_days", "n_pairs", "slope")
+
+
+def theilsen_trend_oracle(series_sql: str) -> str:
+    """DuckDB SQL over the same (grp, day, cnt) relation."""
+    return f"""
+WITH s AS ({series_sql}),
+pairs AS (
+  SELECT a.grp, a.day AS d1, b.day AS d2,
+         (b.cnt - a.cnt)::DOUBLE
+           / date_diff('day', CAST(a.day AS DATE), CAST(b.day AS DATE))::DOUBLE
+           AS _slope
+  FROM s a JOIN s b ON a.grp = b.grp AND a.day < b.day
+),
+ranked AS (
+  SELECT grp, _slope,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY _slope, d1, d2) AS _rn,
+         COUNT(*) OVER (PARTITION BY grp) AS _np
+  FROM pairs
+),
+med AS (
+  SELECT grp, round(SUM(_slope) / COUNT(*), 4) AS slope,
+         MAX(_np)::BIGINT AS n_pairs
+  FROM ranked
+  WHERE _rn = (_np + 1) // 2 OR _rn = (_np + 2) // 2
+  GROUP BY grp
+),
+nd AS (SELECT grp, COUNT(*)::BIGINT AS n_days FROM s GROUP BY grp)
+SELECT nd.grp, nd.n_days, med.n_pairs, med.slope
+FROM nd JOIN med ON med.grp = nd.grp
+"""
+
+
+__all__ = ["theilsen_trend", "theilsen_trend_oracle"]

@@ -454,3 +454,37 @@ def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     violation mass per pair in one exact two-phase aggregate each."""
     cust = load_table(spark, sf_dir, "customer")
     return fd_violations(cust, _FD_PAIRS)
+
+
+# --- mutual-information dependence profile --------------------------------------
+
+from dqspark.operators.mutualinfo import mutual_info, mutual_info_oracle
+
+# lang_pfx collapses {en,es}->'e' but otherwise determines lang: NMI
+# high but < 1; lang_copy is fully redundant: NMI = 1; (lang, source)
+# measures the real corpus dependence
+_MI_SRC_SQL = (
+    "SELECT lang, source, substring(lang, 1, 1) AS lang_pfx,"
+    " lang AS lang_copy FROM documents"
+)
+_MI_PAIRS = [
+    ("lang", "source"),
+    ("lang_pfx", "lang"),
+    ("lang_copy", "lang"),
+]
+
+
+@register(
+    "mutual_info",
+    mutual_info_oracle(_MI_SRC_SQL, _MI_PAIRS),
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI / entropy / NMI per declared column pair over documents —
+    redundant-column and leakage triage; nano-unit integer sums."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.substring(F.col("lang"), 1, 1).alias("lang_pfx"),
+        F.col("lang").alias("lang_copy"),
+    )
+    return mutual_info(docs, _MI_PAIRS)

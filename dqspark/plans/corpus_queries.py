@@ -883,3 +883,19 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf/df/N computed over the FULL corpus, all-integer ranking keys."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_topk(docs)
+
+
+# --- PMI collocations -----------------------------------------------------------
+
+from dqspark.operators.pmi import pmi_collocations, pmi_collocations_oracle
+
+
+@register(
+    "pmi_collocations",
+    pmi_collocations_oracle("SELECT text FROM documents"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by PMI (support gate >= 5);
+    selection ranks on the 4-dp-rounded score with total tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(docs)

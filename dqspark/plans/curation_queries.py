@@ -1013,3 +1013,66 @@ def q_ewma_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     return ewma_latest(ev)
+
+
+# --- Population Stability Index drift ------------------------------------------
+
+from dqspark.operators.psi import psi_drift, psi_drift_oracle
+
+# planted mixture shift: the NEW snapshot drops 3 of 4 click events —
+# a big, obvious PSI movement on the event_type mixture
+_PSI_OLD_SQL = "SELECT event_type FROM events WHERE event_id % 2 = 0"
+_PSI_NEW_SQL = (
+    "SELECT event_type FROM events WHERE event_id % 2 = 1"
+    " AND NOT (event_type = 'click' AND event_id % 8 != 1)"
+)
+
+
+@register(
+    "psi_drift",
+    psi_drift_oracle(_PSI_OLD_SQL, _PSI_NEW_SQL, "event_type"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the event_type mixture between snapshot halves with a
+    planted click-rate collapse — Laplace-smoothed probabilities,
+    nano-unit integer contribution sum (order-free cross-engine)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    old = ev.where(F.col("event_id") % 2 == 0).select("event_type")
+    new = ev.where(
+        (F.col("event_id") % 2 == 1)
+        & ~((F.col("event_type") == "click") & (F.col("event_id") % 8 != 1))
+    ).select("event_type")
+    return psi_drift(old, new, "event_type")
+
+
+# --- Theil-Sen robust trend ------------------------------------------------------
+
+from dqspark.operators.theilsen import theilsen_trend, theilsen_trend_oracle
+
+# planted decay: click events drop with probability ramping over the
+# month (event_id % 31 < day-1) -> strongly negative Theil-Sen slope
+# for the click series, ~flat for the others
+_TS_SERIES_SQL = """
+  SELECT event_type AS grp, date_trunc('day', ts) AS day,
+         COUNT(*)::BIGINT AS cnt
+  FROM events
+  WHERE NOT (event_type = 'click' AND event_id % 31 < day(ts) - 1)
+  GROUP BY 1, 2
+"""
+
+
+@register("theilsen_trend", theilsen_trend_oracle(_TS_SERIES_SQL))
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of daily counts per event type with a planted
+    click decay — median-of-pairwise-slopes, element-pick exact."""
+    ev = load_table(spark, sf_dir, "events").where(
+        ~(
+            (F.col("event_type") == "click")
+            & (F.col("event_id") % 31 < F.dayofmonth(F.col("ts")) - 1)
+        )
+    )
+    series = ev.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return theilsen_trend(series)

@@ -133,3 +133,35 @@ register("import_triangles")(q_import_triangles)
 ORACLES["import_triangles"] = triangle_stats_oracle(_EDGES_SQL)
 
 __all__ = ["q_import_pagerank", "q_import_communities", "q_import_triangles"]
+
+
+# --- k-core decomposition (replay-oracle protocol) -----------------------------
+
+from dqspark.operators.kcore import kcore_membership, kcore_replay
+
+_KCORE_K = 3
+
+
+def q_import_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, degree, core_degree, in_core, rounds) — synchronous
+    peeling to the 3-core of the imports graph, fixpoint witnessed."""
+    return kcore_membership(_import_edges(spark, sf_dir), k=_KCORE_K)
+
+
+def _kcore_oracle() -> str:
+    con = _connect(oracle_sf_dir())
+    edges = con.sql(_EDGES_SQL).fetchall()
+    res = kcore_replay(edges, k=_KCORE_K)
+    rows = ", ".join(
+        f"({n}, {d}, {cd}, {'TRUE' if inc else 'FALSE'}, {r})"
+        for n, (d, cd, inc, r) in sorted(res.items())
+    )
+    return (
+        "SELECT node::BIGINT AS node, degree::BIGINT AS degree, "
+        "core_degree::BIGINT AS core_degree, in_core, rounds::BIGINT AS rounds "
+        f"FROM (VALUES {rows}) AS t(node, degree, core_degree, in_core, rounds)"
+    )
+
+
+register("import_kcore")(q_import_kcore)
+ORACLES["import_kcore"] = _kcore_oracle
