@@ -1,0 +1,127 @@
+"""Degree assortativity of the imports graph (Newman, PRL 89:208701,
+2002): the Pearson correlation between the degrees of the two
+endpoints of an edge.  Positive r = hubs import from hubs (a densely
+interconnected core — dedup/link-rot risk concentrates); negative r =
+hub-and-spoke (mega-repos imported by many leaves — the usual shape of
+a package ecosystem and the skew profile the pipeline's salted
+repartitioning targets, operators/corpus_stats.py repo_skew).
+
+Exactness protocol: degrees are integers, so every moment is an exact
+BIGINT sum over the undirected edge list.  With M edges and per-edge
+endpoint degrees (j, k):
+
+    r = [Σjk/M − (Σ(j+k)/2M)²] / [Σ(j²+k²)/2M − (Σ(j+k)/2M)²]
+
+Multiplying numerator and denominator by 4M² clears every fraction:
+
+    num = 4M·Σjk − (Σ(j+k))²        den = 2M·Σ(j²+k²) − (Σ(j+k))²
+
+so r = num/den is a ratio of two exactly-computed integers — the only
+float op is the final division, rounded to 6 dp identically on both
+engines.  (Overflow headroom: degrees ≤ |V|, so the integer terms are
+≤ 4·M²·|V|² — safe in int64 for any graph this operator targets; at
+web scale the sums remain three scalars.)
+
+Scale shape: one groupBy(node) for degrees, two broadcast-sized joins
+of the O(V) degree relation onto the edge list (Catalyst/AQE picks
+BroadcastHashJoin — the degree table is |V| rows), then a single
+partial-aggregated global sum producing ONE row.  Nothing wider than
+the edge list is ever shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.triangles import undirected
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row: (m_edges, s_jk, s_sum, s_sq, num, den, assortativity,
+    verdict) over the undirected simple graph induced by (src, dst).
+
+    Each undirected edge {u, v} contributes exactly once (kept in the
+    u < v orientation of the symmetrized adjacency).
+    """
+    adj = undirected(edges)
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    once = adj.where(F.col("u") < F.col("v"))
+    dj = deg.select(F.col("u").alias("_ju"), F.col("d").alias("j"))
+    dk = deg.select(F.col("u").alias("_kv"), F.col("d").alias("k"))
+    per_edge = (
+        once.join(F.broadcast(dj), once["u"] == dj["_ju"])
+        .join(F.broadcast(dk), once["v"] == dk["_kv"])
+        .select("j", "k")
+    )
+    sums = per_edge.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("s_sq"),
+    )
+    num = 4 * F.col("m_edges") * F.col("s_jk") - F.col("s_sum") * F.col("s_sum")
+    den = 2 * F.col("m_edges") * F.col("s_sq") - F.col("s_sum") * F.col("s_sum")
+    r = F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6))
+    return sums.select(
+        "m_edges",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        r.alias("assortativity"),
+        F.when(den == 0, "degenerate")
+        .when(num > 0, "assortative")
+        .when(num < 0, "disassortative")
+        .otherwise("neutral")
+        .alias("verdict"),
+    )
+
+
+def degree_assortativity_oracle(edges_sql: str) -> str:
+    """DuckDB SQL computing the identical single row over the same
+    (src, dst) edge relation — same symmetrization, same u < v
+    single-count orientation, same integer moments."""
+    return f"""
+WITH raw AS ({edges_sql}),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS v FROM raw WHERE src <> dst
+  )
+),
+deg AS (SELECT u, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+per_edge AS (
+  SELECT dj.d AS j, dk.d AS k
+  FROM und e
+  JOIN deg dj ON e.u = dj.u
+  JOIN deg dk ON e.v = dk.u
+  WHERE e.u < e.v
+),
+sums AS (
+  SELECT COUNT(*)::BIGINT AS m_edges,
+         SUM(j * k)::BIGINT AS s_jk,
+         SUM(j + k)::BIGINT AS s_sum,
+         SUM(j * j + k * k)::BIGINT AS s_sq
+  FROM per_edge
+)
+SELECT m_edges, s_jk, s_sum, s_sq,
+       (4 * m_edges * s_jk - s_sum * s_sum)::BIGINT AS num,
+       (2 * m_edges * s_sq - s_sum * s_sum)::BIGINT AS den,
+       CASE WHEN (2 * m_edges * s_sq - s_sum * s_sum) <> 0
+            THEN round((4 * m_edges * s_jk - s_sum * s_sum)::DOUBLE
+                       / (2 * m_edges * s_sq - s_sum * s_sum)::DOUBLE, 6)
+       END AS assortativity,
+       CASE WHEN (2 * m_edges * s_sq - s_sum * s_sum) = 0 THEN 'degenerate'
+            WHEN (4 * m_edges * s_jk - s_sum * s_sum) > 0 THEN 'assortative'
+            WHEN (4 * m_edges * s_jk - s_sum * s_sum) < 0 THEN 'disassortative'
+            ELSE 'neutral' END AS verdict
+FROM sums
+"""
+
+
+__all__ = ["degree_assortativity", "degree_assortativity_oracle"]

@@ -1,0 +1,156 @@
+"""Asymmetric shingle-containment join — catches the partial-overlap
+dups that RESEMBLANCE measures structurally miss: a short document
+quoted wholesale inside a long one (README excerpts, vendored snippet
+files, boilerplate headers re-shipped as standalone docs) has
+Jaccard(A, B) = |A|/|B| ≈ 0 when |B| >> |A|, but containment
+C(A, B) = |S(A) ∩ S(B)| / |S(A)| = 1.  Broder's original resemblance
+paper (SEQUENCES'97) defines both; dedup pipelines that only band on
+resemblance keep every contained excerpt as "unique".
+
+Semantics: over distinct char-``n``-gram shingle sets of the
+normalized text, emit every ORDERED pair (inner, outer), inner ≠
+outer, with |S(inner)| ≥ ``min_sz`` and
+C(inner, outer) ≥ t — evaluated in EXACT integer arithmetic
+(``inter * t_den ≥ t_num * inner_sz``), so there is no float-threshold
+hazard between engines.  Near-identical docs qualify in both
+directions and emit two rows, which is the honest answer.
+
+Scale shape (prefix-filtered containment join, the asymmetric cousin
+of the AllPairs/PPJoin machinery in operators/dedup.py
+ngram_jaccard_pairs): an overlap of ≥ ceil(t·|A|) forces — by
+pigeonhole — at least one match inside A's ``|A| − ceil(t·|A|) + 1``
+globally-rarest shingles, so only that prefix of the INNER side joins
+the full posting index; at t = 0.9 that is the rarest tenth of each
+document.  The outer side is pruned by the length filter
+|S(outer)| ≥ ceil(t·|A|) before pair materialization.  Candidates are
+distinct-ed (map-side combined) before the single exact
+``array_intersect`` verify against the full shingle arrays.  No
+all-pairs product, nothing corpus-sized broadcast; explode_outer +
+localCheckpoint guards per dedup.py's measured notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import (
+    codes_oracle,
+    normalized_oracle,
+    shingles_from_codes_oracle,
+    with_shingle_hashes,
+)
+
+
+def containment_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int = 4,
+    t_num: int = 9,
+    t_den: int = 10,
+    min_sz: int = 20,
+) -> DataFrame:
+    """(inner_id, outer_id, inner_sz, outer_sz, inter, containment) for
+    every ordered pair with C(inner, outer) ≥ t_num/t_den."""
+    d = (
+        with_shingle_hashes(
+            df.select(F.col(key_col).alias("k"), F.col(text_col).alias("_txt")),
+            "_txt",
+            out_col="_H",
+            n=n,
+        )
+        .select("k", F.array_distinct("_H").alias("_H"))
+        .localCheckpoint(eager=False)  # referenced by postings AND verify
+    )
+    sh = (
+        d.select("k", F.explode_outer("_H").alias("s"))
+        .where(F.col("s").isNotNull())
+        .localCheckpoint(eager=False)  # freq agg, sizes, prefix, index
+    )
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    # exact integer ceil(t*sz): (t_num*sz + t_den - 1) div t_den
+    alpha = F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}")
+    w = Window.partitionBy("k").orderBy("df", "s")
+    prefix = (
+        sh.join(freq, "s")
+        .join(sizes, "k")
+        .where(F.col("sz") >= min_sz)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz") - alpha + 1)
+        .select("k", "s", alpha.alias("need"))
+    )
+    index = sh.join(
+        sizes.select(F.col("k").alias("_ik"), F.col("sz").alias("_isz")),
+        sh["k"] == F.col("_ik"),
+    ).select(F.col("k").alias("ok"), "s", "_isz")
+    cands = (
+        prefix.join(
+            index,
+            (prefix["s"] == index["s"])
+            & (prefix["k"] != index["ok"])
+            & (index["_isz"] >= prefix["need"]),
+        )
+        .select(F.col("k").alias("inner_id"), F.col("ok").alias("outer_id"))
+        .distinct()
+    )
+    hi = d.select(F.col("k").alias("inner_id"), F.col("_H").alias("_hi"))
+    ho = d.select(F.col("k").alias("outer_id"), F.col("_H").alias("_ho"))
+    inter = F.size(F.array_intersect("_hi", "_ho")).cast("long")
+    return (
+        cands.join(hi, "inner_id")
+        .join(ho, "outer_id")
+        .select(
+            "inner_id",
+            "outer_id",
+            F.size("_hi").cast("long").alias("inner_sz"),
+            F.size("_ho").cast("long").alias("outer_sz"),
+            inter.alias("inter"),
+        )
+        .where(
+            (F.col("inner_sz") >= min_sz)
+            & (F.col("inter") * t_den >= t_num * F.col("inner_sz"))
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double") / F.col("inner_sz").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def containment_pairs_oracle(
+    corpus_sql: str,
+    n: int = 4,
+    t_num: int = 9,
+    t_den: int = 10,
+    min_sz: int = 20,
+) -> str:
+    """DuckDB SQL over a (doc_id, text) relation computing the identical
+    ordered pairs — brute-force intersection counts, same integer
+    threshold, same rounding."""
+    shingles = shingles_from_codes_oracle("u", n)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+codes AS (SELECT doc_id, {codes_oracle(normalized_oracle('text'))} AS u FROM corpus),
+sh AS (SELECT doc_id AS k, unnest(list_distinct({shingles})) AS s FROM codes),
+sizes AS (SELECT k, COUNT(*)::BIGINT AS sz FROM sh GROUP BY k),
+inter AS (
+  SELECT a.k AS inner_id, b.k AS outer_id, COUNT(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.k <> b.k
+  GROUP BY 1, 2
+)
+SELECT inner_id, outer_id,
+       s1.sz AS inner_sz, s2.sz AS outer_sz, i AS inter,
+       round(i::DOUBLE / s1.sz::DOUBLE, 6) AS containment
+FROM inter
+JOIN sizes s1 ON inter.inner_id = s1.k
+JOIN sizes s2 ON inter.outer_id = s2.k
+WHERE s1.sz >= {min_sz} AND i * {t_den} >= {t_num} * s1.sz
+"""
+
+
+__all__ = ["containment_pairs", "containment_pairs_oracle"]

@@ -1,0 +1,95 @@
+"""k-anonymity / l-diversity audit (Sweeney, IJUFKS 10(5) 2002;
+Machanavajjhala et al., ICDE 2006) — the release-safety counterpart of
+the PII scrub (operators/pii.py): scrubbing removes direct
+identifiers, but a table is still re-identifiable if a QUASI-identifier
+combination (e.g. nation × market segment) isolates individuals.  A
+table is k-anonymous if every equivalence class over the QI columns
+has ≥ k rows, and l-diverse if every class carries ≥ l distinct values
+of the sensitive attribute (defeating the homogeneity attack where a
+class is large but all its members share the secret).
+
+One row per equivalence class: exact class size, exact distinct
+sensitive count, per-class verdicts, plus the global audit scalars
+every class row carries (min class size = the k the table actually
+achieves, min diversity = the l it achieves, and the fraction of ROWS
+— not classes — living in classes below the k threshold, which is the
+re-identification exposure mass).
+
+Exactness: everything is integer counts until the single final
+fraction, rounded to 6 dp identically on both engines.
+
+Scale shape: one groupBy over the QI tuple computing
+count + count(distinct sensitive) (two-phase exact distinct — Spark
+plans a partial-aggregated expand; no row leaves its class bucket
+twice), then the O(classes) relation gets its global scalars from a
+single unpartitioned window — classes, not rows, cross the final
+exchange.  At 10^12 rows the class relation is |QI domain|-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """(qi..., class_size, l_distinct, anonymous, diverse, k_achieved,
+    l_achieved, rows_below_k_frac) — one row per QI equivalence class."""
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("l_distinct"),
+    )
+    w = Window.partitionBy()
+    below = F.when(F.col("class_size") < k, F.col("class_size")).otherwise(
+        F.lit(0)
+    )
+    return classes.select(
+        *qi_cols,
+        "class_size",
+        "l_distinct",
+        (F.col("class_size") >= k).alias("anonymous"),
+        (F.col("l_distinct") >= l).alias("diverse"),
+        F.min("class_size").over(w).alias("k_achieved"),
+        F.min("l_distinct").over(w).alias("l_achieved"),
+        F.round(
+            F.sum(below).over(w).cast("double")
+            / F.sum("class_size").over(w).cast("double"),
+            6,
+        ).alias("rows_below_k_frac"),
+    )
+
+
+def k_anonymity_oracle(
+    src_sql: str,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> str:
+    qi = ", ".join(qi_cols)
+    return f"""
+WITH src AS ({src_sql}),
+classes AS (
+  SELECT {qi}, COUNT(*)::BIGINT AS class_size,
+         COUNT(DISTINCT {sensitive_col})::BIGINT AS l_distinct
+  FROM src GROUP BY {qi}
+)
+SELECT {qi}, class_size, l_distinct,
+       class_size >= {k} AS anonymous,
+       l_distinct >= {l} AS diverse,
+       MIN(class_size) OVER ()::BIGINT AS k_achieved,
+       MIN(l_distinct) OVER ()::BIGINT AS l_achieved,
+       round(SUM(CASE WHEN class_size < {k} THEN class_size ELSE 0 END)
+               OVER ()::DOUBLE
+             / SUM(class_size) OVER ()::DOUBLE, 6) AS rows_below_k_frac
+FROM classes
+"""
+
+
+__all__ = ["k_anonymity", "k_anonymity_oracle"]

@@ -1,0 +1,137 @@
+"""Unicode script-mix audit — web-crawl poisoning / homoglyph-spoofing
+triage (the UTS #39 "mixed-script confusable" idea applied at corpus
+scale): a document whose letters are dominated by one script but carry
+a material admixture of a second (e.g. Cyrillic а/е/о inside Latin
+prose) is a classic spam-cloaking and prompt-injection vector, and a
+quality hazard the byte-level checks in operators/corpus_stats.py
+(encoding_anomalies) cannot see because the bytes are perfectly valid
+UTF-8.
+
+Per document: exact per-script letter counts (Latin, Cyrillic, Greek,
+CJK) via regex character-class projection — count = length of the text
+with everything OUTSIDE the class deleted, an expression both engines
+evaluate identically on code-point ranges (`\\x{...}` class syntax is
+shared by Java regex and RE2) — the dominant script under a fixed
+deterministic precedence (latin > cyrillic > greek > cjk on count
+ties), the runner-up count, its share of all letters (6 dp), and a
+``mixed`` verdict: runner-up ≥ MIN_SECOND letters AND ≥ MIN_FRAC of
+letters.
+
+Scale shape: pure per-row projection — four regexp_replace + length
+expressions inside whole-stage codegen, no UDF, no shuffle, no state.
+The only exchange is whatever the caller does with the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# code-point ranges understood by BOTH Java regex and RE2
+_CLASSES = {
+    "latin": "A-Za-z",
+    "cyrillic": "\\x{0400}-\\x{04FF}",
+    "greek": "\\x{0370}-\\x{03FF}",
+    "cjk": "\\x{4E00}-\\x{9FFF}",
+}
+_ORDER = ["latin", "cyrillic", "greek", "cjk"]  # tiebreak precedence
+MIN_SECOND = 3
+MIN_FRAC = 0.02
+
+
+def _count(col: Column, cls: str) -> Column:
+    return F.length(F.regexp_replace(col, f"[^{cls}]", ""))
+
+
+def script_mix(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """(key, latin, cyrillic, greek, cjk, letters, dominant,
+    second_count, second_frac, mixed) — one row per input row."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.select(
+        F.col(key_col),
+        *[
+            _count(t, cls).cast("long").alias(name)
+            for name, cls in _CLASSES.items()
+        ],
+    )
+    letters = sum(F.col(n) for n in _ORDER)
+    d = d.withColumn("letters", letters.cast("long"))
+    # dominant by count with fixed precedence on ties: compare each
+    # script against every EARLIER one with >=, every LATER with >
+    dom = F.lit(None).cast("string")
+    for i, name in enumerate(_ORDER):
+        cond = F.lit(True)
+        for j, other in enumerate(_ORDER):
+            if j < i:
+                cond = cond & (F.col(name) > F.col(other))
+            elif j > i:
+                cond = cond & (F.col(name) >= F.col(other))
+        dom = F.when((F.col("letters") > 0) & cond, name).otherwise(dom)
+    d = d.withColumn("dominant", dom)
+    # runner-up = second-largest element of the per-script count array
+    second = F.sort_array(F.array(*[F.col(n) for n in _ORDER]), False)[1]
+    frac = F.when(
+        F.col("letters") > 0,
+        F.round(second.cast("double") / F.col("letters").cast("double"), 6),
+    )
+    return d.select(
+        key_col,
+        *_ORDER,
+        "letters",
+        "dominant",
+        second.cast("long").alias("second_count"),
+        frac.alias("second_frac"),
+        (
+            (second >= MIN_SECOND)
+            & (
+                second.cast("double")
+                >= F.col("letters").cast("double") * MIN_FRAC
+            )
+        ).alias("mixed"),
+    )
+
+
+def script_mix_oracle(src_sql: str, key_col: str, text_col: str) -> str:
+    """DuckDB SQL over (key, text) computing the identical rows."""
+    counts = ",\n         ".join(
+        f"length(regexp_replace(coalesce({text_col}, ''), '[^{cls}]', '', 'g'))"
+        f"::BIGINT AS {name}"
+        for name, cls in _CLASSES.items()
+    )
+    letters = " + ".join(_ORDER)
+    dom_cases = []
+    for i, name in enumerate(_ORDER):
+        conds = []
+        for j, other in enumerate(_ORDER):
+            if j < i:
+                conds.append(f"{name} > {other}")
+            elif j > i:
+                conds.append(f"{name} >= {other}")
+        dom_cases.append(f"WHEN {' AND '.join(conds)} THEN '{name}'")
+    arr = ", ".join(_ORDER)
+    second = f"list_sort([{arr}], 'DESC')[2]"
+    return f"""
+WITH src AS ({src_sql}),
+counted AS (
+  SELECT {key_col},
+         {counts}
+  FROM src
+),
+staged AS (
+  SELECT *, ({letters})::BIGINT AS letters FROM counted
+)
+SELECT {key_col}, {arr}, letters,
+       CASE WHEN letters > 0 THEN
+         CASE {' '.join(dom_cases)} END
+       END AS dominant,
+       {second}::BIGINT AS second_count,
+       CASE WHEN letters > 0
+            THEN round({second}::DOUBLE / letters::DOUBLE, 6) END
+         AS second_frac,
+       ({second} >= {MIN_SECOND}
+        AND {second}::DOUBLE >= letters::DOUBLE * {MIN_FRAC}) AS mixed
+FROM staged
+"""
+
+
+__all__ = ["script_mix", "script_mix_oracle", "MIN_SECOND", "MIN_FRAC"]

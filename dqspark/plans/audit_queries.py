@@ -488,3 +488,44 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_copy"),
     )
     return mutual_info(docs, _MI_PAIRS)
+
+
+# --- k-anonymity / l-diversity release audit -------------------------------------
+
+from dqspark.operators.kanon import k_anonymity, k_anonymity_oracle
+
+# QI = (nation, market segment) — the classic linkable demographic
+# tuple; sensitive = the account-balance sign band.  At fixture scale
+# several (nation, segment) classes are singletons, so the audit's
+# below-k exposure mass is non-trivial.
+_KANON_SQL = """
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 5000 THEN 'low'
+              ELSE 'high' END AS bal_band
+  FROM customer
+"""
+
+
+@register(
+    "k_anonymity",
+    k_anonymity_oracle(
+        _KANON_SQL, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2
+    ),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity/l-diversity audit of customers over the
+    (nation, segment) quasi-identifier with the balance band as the
+    sensitive attribute — exact class sizes, exact distinct counts,
+    row-mass exposure fraction."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2
+    )

@@ -899,3 +899,40 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection ranks on the 4-dp-rounded score with total tiebreaks."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return pmi_collocations(docs)
+
+
+# --- Unicode script-mix audit -----------------------------------------------------
+
+from dqspark.operators.scripts import script_mix, script_mix_oracle
+
+# plants: a Cyrillic phrase appended to every 23rd doc and a Greek one
+# to every 41st — deterministic mixed-script rows on top of whatever
+# the zh fixture docs contribute naturally on the CJK axis
+_SCRIPT_SQL = """
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 23 = 0 THEN ' пример данных схема'
+                      ELSE '' END
+              || CASE WHEN doc_id % 41 = 0 THEN ' δοκιμή' ELSE '' END
+           AS text
+  FROM documents
+"""
+
+
+def _script_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 23 == 0, " пример данных схема").otherwise(""),
+            F.when(d % 41 == 0, " δοκιμή").otherwise(""),
+        ).alias("text"),
+    )
+
+
+@register("script_mix", script_mix_oracle(_SCRIPT_SQL, "doc_id", "text"))
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script profile (Latin/Cyrillic/Greek/CJK letter
+    counts), dominant script, runner-up share, mixed-script verdict —
+    pure codegen projection, no UDF, no shuffle."""
+    return script_mix(_script_docs(spark, sf_dir), "doc_id", "text")

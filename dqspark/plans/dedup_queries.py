@@ -982,3 +982,42 @@ def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive all-pairs join, so the differential proves the blocking
     misses nothing."""
     return editdist_pairs(_ed_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# asymmetric shingle containment (excerpt/quotation dedup)
+# ---------------------------------------------------------------------------
+
+from dqspark.operators.containment import (
+    containment_pairs,
+    containment_pairs_oracle,
+)
+
+# plant: every 25th document also appears as a standalone 130-char
+# excerpt (a contiguous raw slice, so its normalized shingles are a
+# subset of the parent's up to slice-boundary effects) — Jaccard vs the
+# parent is ~excerpt/parent ratio (below any resemblance threshold),
+# containment is ~1.0: exactly the case resemblance dedup misses
+_CONTAIN_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 11, 130) FROM documents
+  WHERE doc_id % 25 = 0
+"""
+
+
+def _contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring("text", 11, 130).alias("text"),
+    )
+    return rebalance(docs.unionByName(plants))
+
+
+@register("containment_pairs", containment_pairs_oracle(_CONTAIN_SQL))
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (inner, outer) pairs with shingle containment >= 0.9 —
+    prefix-filtered containment join; the oracle is brute force, so
+    the differential proves the prefix index misses nothing."""
+    return containment_pairs(_contain_corpus(spark, sf_dir), "doc_id", "text")

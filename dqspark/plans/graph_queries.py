@@ -165,3 +165,18 @@ def _kcore_oracle() -> str:
 
 register("import_kcore")(q_import_kcore)
 ORACLES["import_kcore"] = _kcore_oracle
+
+
+# --- degree assortativity --------------------------------------------------------
+
+from dqspark.operators.assortativity import (
+    degree_assortativity,
+    degree_assortativity_oracle,
+)
+
+
+@register("import_assortativity", degree_assortativity_oracle(_EDGES_SQL))
+def q_import_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the imports graph — exact BIGINT
+    moments over the undirected edge list, one output row."""
+    return degree_assortativity(_import_edges(spark, sf_dir))

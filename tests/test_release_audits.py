@@ -1,0 +1,159 @@
+"""Containment join, k-anonymity, script-mix, assortativity
+(operators/containment.py, kanon.py, scripts.py, assortativity.py)."""
+
+from __future__ import annotations
+
+import random
+
+from dqspark.operators.assortativity import degree_assortativity
+from dqspark.operators.containment import containment_pairs
+from dqspark.operators.kanon import k_anonymity
+from dqspark.operators.scripts import script_mix
+
+# --- assortativity ----------------------------------------------------------
+
+
+def _assort(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return degree_assortativity(df).collect()[0]
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # K_{1,3}: every edge joins degree 3 to degree 1 — perfectly
+    # disassortative, r = -1 exactly
+    r = _assort(spark, [(0, 1), (0, 2), (0, 3)])
+    assert r.m_edges == 3 and r.s_jk == 9 and r.s_sum == 12 and r.s_sq == 30
+    assert r.assortativity == -1.0 and r.verdict == "disassortative"
+
+
+def test_assortativity_path3(spark):
+    # path 1-2-3: degrees (1,2,1); also r = -1 (endpoints anti-correlate)
+    r = _assort(spark, [(1, 2), (2, 3)])
+    assert (r.num, r.den) == (-4, 4)
+    assert r.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    # K4 is 3-regular: zero degree variance on both ends -> den = 0
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = _assort(spark, edges)
+    assert r.den == 0 and r.assortativity is None
+    assert r.verdict == "degenerate"
+
+
+def test_assortativity_ignores_direction_dupes_loops(spark):
+    # duplicates, reversed copies, and self-loops don't change the graph
+    base = [(0, 1), (0, 2), (0, 3)]
+    noisy = base + [(1, 0), (0, 2), (2, 2)]
+    assert _assort(spark, noisy) == _assort(spark, base)
+
+
+# --- k-anonymity ------------------------------------------------------------
+
+
+def test_k_anonymity_hand(spark):
+    rows = (
+        [("us", "a", "x")] * 5
+        + [("us", "b", "x")] * 2  # below k=3; homogeneous (l=1)
+        + [("fr", "a", "x"), ("fr", "a", "y"), ("fr", "a", "z")]
+    )
+    df = spark.createDataFrame(rows, "nat string, seg string, sec string")
+    out = {
+        (r.nat, r.seg): r
+        for r in k_anonymity(df, ["nat", "seg"], "sec", k=3, l=2).collect()
+    }
+    assert len(out) == 3
+    usb = out[("us", "b")]
+    assert (usb.class_size, usb.l_distinct) == (2, 1)
+    assert not usb.anonymous and not usb.diverse
+    usa = out[("us", "a")]
+    assert usa.anonymous and not usa.diverse  # 5 rows, all 'x'
+    fra = out[("fr", "a")]
+    assert fra.anonymous and fra.diverse
+    # global scalars ride on every row: k=2 achieved, l=1 achieved,
+    # 2 of 10 rows live in below-k classes
+    assert usa.k_achieved == 2 and usa.l_achieved == 1
+    assert usa.rows_below_k_frac == 0.2
+
+
+# --- script mix -------------------------------------------------------------
+
+
+def test_script_mix_hand(spark):
+    rows = [
+        (1, "hello world"),  # pure latin
+        (2, "hello мир and more мирного"),  # latin-dominant + cyrillic
+        (3, "数据质量"),  # pure CJK
+        (4, ""),  # empty
+        (5, None),  # null text
+        (6, "abcабв"),  # exact tie latin/cyrillic -> latin precedence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_mix(df, "doc_id", "text").collect()}
+    assert out[1].dominant == "latin" and not out[1].mixed
+    assert out[1].cyrillic == 0 and out[1].second_count == 0
+    r2 = out[2]
+    assert r2.dominant == "latin" and r2.mixed
+    assert r2.cyrillic == 10 and r2.second_count == 10
+    assert out[3].dominant == "cjk" and out[3].cjk == 4
+    assert out[4].dominant is None and out[4].letters == 0
+    assert out[5].letters == 0
+    assert out[6].dominant == "latin" and out[6].mixed
+
+
+# --- containment ------------------------------------------------------------
+
+
+def _shingles(text, n=4):
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def test_containment_excerpt_found(spark):
+    long = "the quick brown fox jumps over the lazy dog " * 4
+    excerpt = long[5:60]
+    other = "completely different content with nothing shared here ok " * 2
+    df = spark.createDataFrame(
+        [(1, long), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r.inner_id, r.outer_id): r
+        for r in containment_pairs(df, "doc_id", "text", min_sz=10).collect()
+    }
+    assert (2, 1) in out
+    assert out[(2, 1)].containment >= 0.9
+    assert all(3 not in pair for pair in out)
+
+
+def test_containment_matches_bruteforce(spark):
+    """Prefix-filtered output == brute force over a random corpus."""
+    rng = random.Random(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "kappa", "zeta"]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choices(vocab, k=rng.randrange(8, 30)))))
+    # plant excerpts
+    for i in range(3):
+        _, t = docs[i]
+        docs.append((100 + i, t[: max(25, len(t) * 2 // 3)]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.inner_id, r.outer_id): (r.inter, r.inner_sz)
+        for r in containment_pairs(
+            df, "doc_id", "text", t_num=9, t_den=10, min_sz=10
+        ).collect()
+    }
+    want = {}
+    sets = {k: _shingles(t) for k, t in docs}
+    for a, sa in sets.items():
+        if len(sa) < 10:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            i = len(sa & sb)
+            if i * 10 >= 9 * len(sa):
+                want[(a, b)] = (i, len(sa))
+    assert got == want
