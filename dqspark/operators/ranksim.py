@@ -1,0 +1,310 @@
+"""Ranking-agreement metrics between two quality-score versions —
+the regression gate for a learned/heuristic quality filter: before
+swapping score v2 for v1 in production, measure HOW DIFFERENTLY the
+two rank the corpus.  Two complementary views:
+
+``rbo_per_group`` — Rank-Biased Overlap (Webber/Moffat/Zobel, TOIS
+28(4) 2010), truncated at depth D with persistence p: top-weighted,
+comparing the PREFIXES users/samplers actually consume.  The weight
+series p^(d-1) is precomputed DRIVER-SIDE and injected as identical
+double literals into both engines (a join against a D-row weights
+relation), sidestepping cross-engine pow() last-ulp hazards; per-depth
+contributions are quantized to integer nano-units before the sum (the
+PSI protocol), so the total is an order-free integer sum.
+
+``kendall_tau_b`` — tau-b over BUCKETED scores: the contingency table
+over (bucket_x, bucket_y) is O(B²); concordant/discordant/tied pair
+counts are exact BIGINT sums over ordered cell pairs (each unordered
+concordant pair satisfies bx1<bx2 AND by1<by2 in exactly one
+orientation, so no /2 anywhere); the only float op is the final
+tau = (C-D)/sqrt((N0-Tx)(N0-Ty)), rounded to 6 dp identically.
+Bucketing makes the exact O(n²) pair statistic computable as an
+O(B⁴) reduction over a tiny relation — the honest trade is documented
+in the output (it IS tau-b of the bucketed scores, not an estimate of
+raw-score tau).
+
+Scale shape: RBO ranks within groups (windows partitioned by group —
+never a global sort), reduces to an O(groups·D) grid; tau-b is one
+groupBy over the corpus then O(B²)-row joins, everything past the
+first aggregate broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RBO_UNIT = 1_000_000_000
+
+
+def _rbo_weights(p: float, depth: int) -> list[tuple[int, float]]:
+    """(d, p^(d-1)) with the float computed ONCE here and shipped to
+    both engines verbatim."""
+    w, out = 1.0, []
+    for d in range(1, depth + 1):
+        out.append((d, w))
+        w *= p
+    return out
+
+
+def rbo_per_group(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score1_col: str,
+    score2_col: str,
+    p: float = 0.9,
+    depth: int = 25,
+) -> DataFrame:
+    """(grp, d, overlap, a_d, contribution, rbo) — one row per group
+    per depth 1..D; ``rbo`` (same value on every row of a group) is the
+    truncation-normalized Σ w_d·A_d with w_d = p^(d-1)·(1-p)/(1-p^D).
+
+    Rankings are score DESC with the item id as deterministic tiebreak;
+    both rankings are over the SAME item set (two scores, one corpus).
+    """
+    spark = df.sparkSession
+    w1 = Window.partitionBy(group_col).orderBy(
+        F.desc(score1_col), F.col(item_col)
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.desc(score2_col), F.col(item_col)
+    )
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    # an item is inside BOTH depth-d prefixes iff max(r1, r2) <= d
+    enters = (
+        ranked.withColumn("e", F.greatest("r1", "r2"))
+        .where(F.col("e") <= depth)
+        .groupBy("grp", "e")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    weights = spark.createDataFrame(
+        _rbo_weights(p, depth), "d long, w double"
+    )
+    grid = (
+        ranked.select("grp")
+        .distinct()
+        .crossJoin(F.broadcast(weights))
+        .join(
+            enters.withColumnRenamed("e", "d"), ["grp", "d"], "left"
+        )
+        .select(
+            "grp", "d", "w", F.coalesce(F.col("k"), F.lit(0)).alias("k")
+        )
+    )
+    wd = Window.partitionBy("grp").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    norm = (1.0 - p) / (1.0 - p**depth)
+    staged = grid.select(
+        "grp",
+        "d",
+        F.sum("k").over(wd).cast("long").alias("overlap"),
+    ).join(F.broadcast(weights), "d")
+    a_d = F.col("overlap").cast("double") / F.col("d").cast("double")
+    staged = staged.select(
+        "grp",
+        "d",
+        "overlap",
+        F.round(a_d, 6).alias("a_d"),
+        F.round(F.col("w") * a_d * norm * RBO_UNIT)
+        .cast("long")
+        .alias("_units"),
+    )
+    rbo = F.round(
+        F.sum("_units").over(Window.partitionBy("grp"))
+        / F.lit(float(RBO_UNIT)),
+        4,
+    )
+    return staged.select(
+        "grp",
+        "d",
+        "overlap",
+        "a_d",
+        F.round(F.col("_units") / F.lit(float(RBO_UNIT)), 4).alias(
+            "contribution"
+        ),
+        rbo.alias("rbo"),
+    )
+
+
+def rbo_per_group_oracle(
+    src_sql: str,
+    group_col: str,
+    item_col: str,
+    score1_col: str,
+    score2_col: str,
+    p: float = 0.9,
+    depth: int = 25,
+) -> str:
+    wrows = ", ".join(
+        f"({d}, CAST('{w!r}' AS DOUBLE))" for d, w in _rbo_weights(p, depth)
+    )
+    norm = (1.0 - p) / (1.0 - p**depth)
+    return f"""
+WITH src AS ({src_sql}),
+weights AS (SELECT d::BIGINT AS d, w FROM (VALUES {wrows}) AS t(d, w)),
+ranked AS (
+  SELECT {group_col} AS grp,
+         row_number() OVER (PARTITION BY {group_col}
+           ORDER BY {score1_col} DESC, {item_col}) AS r1,
+         row_number() OVER (PARTITION BY {group_col}
+           ORDER BY {score2_col} DESC, {item_col}) AS r2
+  FROM src
+),
+enters AS (
+  SELECT grp, greatest(r1, r2) AS e, COUNT(*)::BIGINT AS k
+  FROM ranked WHERE greatest(r1, r2) <= {depth}
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT g.grp, w.d, w.w, COALESCE(e.k, 0)::BIGINT AS k
+  FROM (SELECT DISTINCT grp FROM ranked) g
+  CROSS JOIN weights w
+  LEFT JOIN enters e ON e.grp = g.grp AND e.e = w.d
+),
+staged AS (
+  SELECT grp, d,
+         SUM(k) OVER (PARTITION BY grp ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS overlap,
+         w
+  FROM grid
+),
+q AS (
+  SELECT grp, d, overlap,
+         round(overlap::DOUBLE / d::DOUBLE, 6) AS a_d,
+         CAST(round(w * (overlap::DOUBLE / d::DOUBLE)
+                    * CAST('{norm!r}' AS DOUBLE) * {RBO_UNIT}) AS BIGINT)
+           AS _units
+  FROM staged
+)
+SELECT grp, d, overlap, a_d,
+       round(_units / CAST('{float(RBO_UNIT)!r}' AS DOUBLE), 4)
+         AS contribution,
+       round(SUM(_units) OVER (PARTITION BY grp)
+             / CAST('{float(RBO_UNIT)!r}' AS DOUBLE), 4) AS rbo
+FROM q
+"""
+
+
+def kendall_tau_b(
+    df: DataFrame, bx_col: str, by_col: str
+) -> DataFrame:
+    """One row: (n, n_cells, concordant, discordant, tied_x, tied_y,
+    tau_b) — exact tau-b of the two integer bucket columns."""
+    cells = df.groupBy(
+        F.col(bx_col).alias("bx"), F.col(by_col).alias("by")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cells.select(
+        F.col("bx").alias("x1"), F.col("by").alias("y1"), F.col("c").alias("c1")
+    )
+    b = cells.select(
+        F.col("bx").alias("x2"), F.col("by").alias("y2"), F.col("c").alias("c2")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("x1") < F.col("x2")),
+    ).select(
+        (F.col("c1") * F.col("c2")).alias("m"),
+        (F.col("y1") < F.col("y2")).alias("conc"),
+        (F.col("y1") > F.col("y2")).alias("disc"),
+    )
+    cd = pairs.agg(
+        F.sum(F.when(F.col("conc"), F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("disc"), F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+    )
+    n_total = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    tx = (
+        cells.groupBy("bx")
+        .agg(F.sum("c").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("tied_x")
+        )
+    )
+    ty = (
+        cells.groupBy("by")
+        .agg(F.sum("c").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("tied_y")
+        )
+    )
+    one = n_total.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+    n0 = F.expr("n * (n - 1) div 2")
+    denom = F.sqrt(
+        (n0 - F.col("tied_x")).cast("double")
+        * (n0 - F.col("tied_y")).cast("double")
+    )
+    return one.select(
+        "n",
+        "n_cells",
+        "concordant",
+        "discordant",
+        "tied_x",
+        "tied_y",
+        F.when(
+            denom > 0,
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / denom,
+                6,
+            ),
+        ).alias("tau_b"),
+    )
+
+
+def kendall_tau_b_oracle(src_sql: str, bx_expr: str, by_expr: str) -> str:
+    return f"""
+WITH src AS ({src_sql}),
+cells AS (
+  SELECT {bx_expr} AS bx, {by_expr} AS by, COUNT(*)::BIGINT AS c
+  FROM src GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN a.by < b.by THEN a.c * b.c END), 0)::BIGINT
+      AS concordant,
+    COALESCE(SUM(CASE WHEN a.by > b.by THEN a.c * b.c END), 0)::BIGINT
+      AS discordant
+  FROM cells a JOIN cells b ON a.bx < b.bx
+),
+tot AS (
+  SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS n_cells FROM cells
+),
+tx AS (
+  SELECT SUM(t * (t - 1) // 2)::BIGINT AS tied_x
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY bx)
+),
+ty AS (
+  SELECT SUM(t * (t - 1) // 2)::BIGINT AS tied_y
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY by)
+)
+SELECT n, n_cells, concordant, discordant, tied_x, tied_y,
+       CASE WHEN (n * (n - 1) // 2 - tied_x) > 0
+             AND (n * (n - 1) // 2 - tied_y) > 0
+            THEN round((concordant - discordant)::DOUBLE
+                       / sqrt((n * (n - 1) // 2 - tied_x)::DOUBLE
+                            * (n * (n - 1) // 2 - tied_y)::DOUBLE), 6)
+       END AS tau_b
+FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+__all__ = [
+    "rbo_per_group",
+    "rbo_per_group_oracle",
+    "kendall_tau_b",
+    "kendall_tau_b_oracle",
+    "RBO_UNIT",
+]

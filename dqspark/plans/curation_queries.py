@@ -1076,3 +1076,102 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"),
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     return theilsen_trend(series)
+
+
+# --- Wasserstein-1 drift ----------------------------------------------------------
+
+from dqspark.operators.drift import wasserstein_drift, wasserstein_drift_oracle
+
+# planted location shift: click events gain +750 cents on the NEW side
+# — KS sees "shapes differ", W1 reports BY HOW MUCH mass moved (cents)
+_W1_OLD_SQL = (
+    "SELECT CAST(floor(value * 100) AS BIGINT) AS cents"
+    " FROM events WHERE event_id % 2 = 0"
+)
+_W1_NEW_SQL = """
+  SELECT CAST(floor(value * 100) AS BIGINT)
+         + CASE WHEN event_type = 'click' THEN 750 ELSE 0 END AS cents
+  FROM events WHERE event_id % 2 = 1
+"""
+
+
+@register(
+    "wasserstein_drift",
+    wasserstein_drift_oracle(_W1_OLD_SQL, _W1_NEW_SQL, "cents"),
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth-mover distance of the event-value distribution
+    between snapshot halves with a planted click uplift — BIGINT
+    ∫|F1−F2|dv over the merged grid, one final division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    old = ev.where(F.col("event_id") % 2 == 0).select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        (
+            F.floor(F.col("value") * 100).cast("long")
+            + F.when(F.col("event_type") == "click", 750).otherwise(0)
+        ).alias("cents")
+    )
+    return wasserstein_drift(old, new, "cents")
+
+
+# --- ranking agreement: RBO + Kendall tau-b ---------------------------------------
+
+from dqspark.operators.ranksim import (
+    kendall_tau_b,
+    kendall_tau_b_oracle,
+    rbo_per_group,
+    rbo_per_group_oracle,
+)
+
+# score v1 = n_chars; score v2 demotes every 7th doc by half — the
+# "what changed between quality-model versions" regression fixture
+_RANK_SRC_SQL = """
+  SELECT lang, doc_id, n_chars AS s1,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars // 2 ELSE n_chars END AS s2
+  FROM documents
+"""
+
+
+def _rank_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("s1"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.expr("n_chars div 2")
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("s2"),
+    )
+
+
+@register(
+    "rbo_rankings",
+    rbo_per_group_oracle(_RANK_SRC_SQL, "lang", "doc_id", "s1", "s2"),
+)
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rank-biased overlap (p=0.9, depth 25) between the
+    two score versions — top-weighted prefix agreement, driver-injected
+    weight literals, nano-unit integer contribution sums."""
+    return rbo_per_group(_rank_src(spark, sf_dir), "lang", "doc_id", "s1", "s2")
+
+
+@register(
+    "kendall_tau",
+    kendall_tau_b_oracle(_RANK_SRC_SQL, "s1 // 50", "s2 // 50"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between the two scores bucketed at width 50
+    — whole-corpus ordinal agreement, integer C/D/tie counts over the
+    O(B²) contingency relation."""
+    src = _rank_src(spark, sf_dir).select(
+        F.expr("s1 div 50").alias("bx"), F.expr("s2 div 50").alias("by")
+    )
+    return kendall_tau_b(src, "bx", "by")

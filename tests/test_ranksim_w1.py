@@ -1,0 +1,139 @@
+"""Wasserstein drift + RBO + Kendall tau-b (operators/drift.py
+wasserstein_drift, operators/ranksim.py)."""
+
+from __future__ import annotations
+
+import random
+
+from dqspark.operators.drift import wasserstein_drift
+from dqspark.operators.ranksim import kendall_tau_b, rbo_per_group
+
+# --- W1 ----------------------------------------------------------------------
+
+
+def _w1(spark, old, new):
+    o = spark.createDataFrame([(v,) for v in old], "v long")
+    n = spark.createDataFrame([(v,) for v in new], "v long")
+    return wasserstein_drift(o, n, "v").collect()[0]
+
+
+def test_w1_pure_shift(spark):
+    # all mass moves 10 units -> W1 = 10 exactly
+    r = _w1(spark, [0, 0], [10, 10])
+    assert (r.n_old, r.n_new, r.w1_units, r.w1) == (2, 2, 40, 10.0)
+
+
+def test_w1_identical_zero(spark):
+    assert _w1(spark, [1, 5, 9], [1, 5, 9]).w1 == 0.0
+
+
+def test_w1_matches_sorted_assignment(spark):
+    """For equal sample sizes W1 == mean |sorted pairing| (the classic
+    1-D optimal-transport identity)."""
+    rng = random.Random(7)
+    old = [rng.randrange(0, 1000) for _ in range(40)]
+    new = [rng.randrange(0, 1000) for _ in range(40)]
+    want = sum(abs(a - b) for a, b in zip(sorted(old), sorted(new))) / 40
+    got = _w1(spark, old, new)
+    assert abs(got.w1 - want) < 1e-9
+
+
+def test_w1_unequal_sizes_bruteforce(spark):
+    """General case: W1 == integral of |F1 - F2| on a fine grid."""
+    old, new = [0, 2, 4, 9], [1, 1, 7]
+    lo, hi = 0, 10
+    want = 0.0
+    for v in range(lo, hi):
+        f1 = sum(1 for x in old if x <= v) / len(old)
+        f2 = sum(1 for x in new if x <= v) / len(new)
+        want += abs(f1 - f2)
+    got = _w1(spark, old, new)
+    assert abs(got.w1 - round(want, 6)) < 1e-9
+
+
+# --- RBO ---------------------------------------------------------------------
+
+
+def _rbo(spark, rows, depth=4, p=0.5):
+    df = spark.createDataFrame(rows, "g string, i long, s1 long, s2 long")
+    out = rbo_per_group(df, "g", "i", "s1", "s2", p=p, depth=depth).collect()
+    return {(r.grp, r.d): r for r in out}
+
+
+def test_rbo_identical_rankings_is_one(spark):
+    rows = [("a", i, 100 - i, 100 - i) for i in range(6)]
+    out = _rbo(spark, rows)
+    assert all(r.rbo == 1.0 for r in out.values())
+    assert out[("a", 3)].overlap == 3 and out[("a", 3)].a_d == 1.0
+
+
+def test_rbo_reversed_rankings(spark):
+    # 4 items, s2 exactly reverses s1: prefixes share nothing at d<=2,
+    # 2 of 3 at d=3, everything at d=4
+    rows = [("a", i, 10 - i, i) for i in range(1, 5)]
+    out = _rbo(spark, rows, depth=4, p=0.5)
+    assert out[("a", 1)].overlap == 0
+    assert out[("a", 2)].overlap == 0
+    assert out[("a", 3)].overlap == 2
+    assert out[("a", 4)].overlap == 4
+    # rbo = norm * (w3 * 2/3 + w4 * 1), norm = 0.5/(1-0.5^4)
+    norm = 0.5 / (1 - 0.5**4)
+    want = round(norm * (0.25 * 2 / 3 + 0.125 * 1.0), 4)
+    assert abs(out[("a", 1)].rbo - want) <= 0.0002  # per-d quantization
+
+
+def test_rbo_groups_independent(spark):
+    rows = [("a", i, 9 - i, 9 - i) for i in range(4)] + [
+        ("b", i, 9 - i, i) for i in range(4)
+    ]
+    out = _rbo(spark, rows)
+    assert out[("a", 1)].rbo == 1.0
+    assert out[("b", 1)].rbo < 1.0
+
+
+# --- Kendall tau-b -----------------------------------------------------------
+
+
+def _tau(spark, pairs):
+    df = spark.createDataFrame(pairs, "bx long, by long")
+    return kendall_tau_b(df, "bx", "by").collect()[0]
+
+
+def _tau_naive(pairs):
+    n = len(pairs)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            x1, y1 = pairs[i]
+            x2, y2 = pairs[j]
+            if x1 == x2:
+                tx += 1
+            if y1 == y2:
+                ty += 1
+            if x1 != x2 and y1 != y2:
+                if (x1 < x2) == (y1 < y2):
+                    c += 1
+                else:
+                    d += 1
+    n0 = n * (n - 1) // 2
+    den = ((n0 - tx) * (n0 - ty)) ** 0.5
+    return c, d, round((c - d) / den, 6)
+
+
+def test_tau_perfect_agreement(spark):
+    r = _tau(spark, [(i, i) for i in range(5)])
+    assert r.tau_b == 1.0 and r.discordant == 0 and r.concordant == 10
+
+
+def test_tau_perfect_reversal(spark):
+    r = _tau(spark, [(i, 4 - i) for i in range(5)])
+    assert r.tau_b == -1.0
+
+
+def test_tau_matches_bruteforce_with_ties(spark):
+    rng = random.Random(13)
+    pairs = [(rng.randrange(0, 6), rng.randrange(0, 6)) for _ in range(60)]
+    c, d, want = _tau_naive(pairs)
+    r = _tau(spark, pairs)
+    assert (r.concordant, r.discordant) == (c, d)
+    assert abs(r.tau_b - want) < 1e-9
