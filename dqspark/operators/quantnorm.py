@@ -1,0 +1,102 @@
+"""Cross-source quantile normalization of a quality score — the
+fairness transform behind per-dump/per-domain calibrated gating
+(CCNet §4.2 trains one LM per language then compares PERCENTILES, not
+raw perplexities; FineWeb applies its quality classifier per dump for
+the same reason): raw scores are not comparable across sources whose
+distributions differ, so each row's score is replaced by the GLOBAL
+score found at the same percentile — after the transform every source
+has (up to rank granularity) the global distribution and one threshold
+means the same thing everywhere.
+
+Semantics (type-1 / inverse-CDF, all-integer): row with rank r (1-based
+``row_number`` by score, item id as tiebreak) inside its source of size
+m maps to the global sorted value at index ``ceil(r·N/m)`` =
+``(r·N + m − 1) div m`` — exact integer arithmetic, no float
+percentile anywhere, so both engines pick the identical element.
+r = m maps to the global maximum, r = 1 to the element at ceil(N/m).
+
+Scale shape: per-source ranks come from windows PARTITIONED BY source
+(never a global single-partition window); the global sorted-value
+index is built once with ranged_row_number (two-phase range-partitioned
+numbering, operators/ranking.py) and joined back by index — a join on
+a bounded-width integer key that AQE plans as a plain shuffle join;
+nothing is ever collected or broadcast at corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.ranking import ranged_row_number
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+) -> DataFrame:
+    """(item, group, score, src_rank, src_n, global_idx, norm_score) —
+    one row per input row; ``norm_score`` is the global score at the
+    row's within-source percentile."""
+    w = Window.partitionBy(group_col).orderBy(score_col, item_col)
+    ranked = df.select(
+        F.col(item_col).alias("item"),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("score"),
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .cast("long")
+        .alias("src_n"),
+    )
+    glob = ranged_row_number(
+        df.select(F.col(score_col).alias("_gs"), F.col(item_col).alias("_gi")),
+        ["_gs", "_gi"],
+        out_col="_gidx",
+    ).select((F.col("_gidx") + 1).alias("global_idx"), F.col("_gs"))
+    n_total = df.count()
+    out = ranked.withColumn(
+        "global_idx",
+        F.expr(f"(src_rank * {n_total} + src_n - 1) div src_n"),
+    )
+    return out.join(glob, "global_idx").select(
+        "item",
+        "grp",
+        "score",
+        "src_rank",
+        "src_n",
+        "global_idx",
+        F.col("_gs").alias("norm_score"),
+    )
+
+
+def quantile_normalize_oracle(
+    src_sql: str, group_col: str, item_col: str, score_col: str
+) -> str:
+    return f"""
+WITH src AS ({src_sql}),
+ranked AS (
+  SELECT {item_col} AS item, {group_col} AS grp, {score_col} AS score,
+         row_number() OVER (PARTITION BY {group_col}
+           ORDER BY {score_col}, {item_col})::BIGINT AS src_rank,
+         COUNT(*) OVER (PARTITION BY {group_col})::BIGINT AS src_n
+  FROM src
+),
+gsorted AS (
+  SELECT row_number() OVER (ORDER BY {score_col}, {item_col})::BIGINT
+           AS global_idx,
+         {score_col} AS _gs
+  FROM src
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM src)
+SELECT item, grp, score, src_rank, src_n,
+       (src_rank * tot.n + src_n - 1) // src_n AS global_idx,
+       gsorted._gs AS norm_score
+FROM ranked CROSS JOIN tot
+JOIN gsorted ON gsorted.global_idx = (src_rank * tot.n + src_n - 1) // src_n
+"""
+
+
+__all__ = ["quantile_normalize", "quantile_normalize_oracle"]

@@ -308,3 +308,119 @@ __all__ = [
     "kendall_tau_b_oracle",
     "RBO_UNIT",
 ]
+
+
+# --- exact Spearman rank correlation ----------------------------------------
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row: (n, rho) — tie-corrected Spearman correlation, exact up
+    to the single final double formula.
+
+    Construction: the AVERAGE rank of value v is
+    ``cnt_less(v) + (cnt_eq(v)+1)/2``; doubling gives the INTEGER
+    double-rank ``R2(v) = 2·cnt_less + cnt_eq + 1`` (Pearson is
+    scale-invariant, so correlating double-ranks equals correlating
+    average ranks — no half-integers ever materialize).  Double-ranks
+    per DISTINCT value come from prefix sums over the value histogram
+    (the exact_auc shape), are joined back to the rows, and the five
+    Pearson moments are exact integer sums (decimal(38,0) accumulators:
+    Σr² ≤ 4n³ outgrows int64 near n = 10⁶; decimal extends the exact
+    path to ~10¹² rows).  rho is then one double expression over the
+    exact moments, rounded to 6 dp identically on both engines.
+
+    Scale shape: two value-histogram groupBys (map-side combined), two
+    O(distinct)-row window passes, two joins of the rank maps back onto
+    the rows (AQE broadcasts them when distinct counts are small), one
+    final 1-row aggregate.
+    """
+    w = Window.partitionBy()
+
+    def ranks(col: str, out: str) -> DataFrame:
+        hist = df.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        w_ord = (
+            Window.partitionBy()
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return hist.select(
+            "_v",
+            (
+                2 * (F.sum("_c").over(w_ord) - F.col("_c")) + F.col("_c") + 1
+            ).alias(out),
+        )
+
+    rx = ranks(x_col, "rx").withColumnRenamed("_v", "_vx")
+    ry = ranks(y_col, "ry").withColumnRenamed("_v", "_vy")
+    rowranks = (
+        df.select(F.col(x_col).alias("_vx"), F.col(y_col).alias("_vy"))
+        .join(rx, "_vx")
+        .join(ry, "_vy")
+    )
+    dec = "decimal(38,0)"
+    m = rowranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(dec)).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(dec)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return m.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        ).alias("rho"),
+    )
+
+
+def spearman_rho_oracle(src_sql: str, x_expr: str, y_expr: str) -> str:
+    def ranks_cte(col: str, name: str, out: str) -> str:
+        return f"""
+{name} AS (
+  SELECT _v, (2 * (cum - _c) + _c + 1)::HUGEINT AS {out}
+  FROM (
+    SELECT {col} AS _v, COUNT(*)::BIGINT AS _c,
+           SUM(COUNT(*)) OVER (ORDER BY {col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM staged GROUP BY {col}
+  )
+)"""
+
+    return f"""
+WITH src AS ({src_sql}),
+staged AS (SELECT {x_expr} AS x, {y_expr} AS y FROM src),{ranks_cte('x', 'rxm', 'rx')},{ranks_cte('y', 'rym', 'ry')},
+rowranks AS (
+  SELECT rx, ry
+  FROM staged s
+  JOIN rxm ON s.x = rxm._v
+  JOIN rym ON s.y = rym._v
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+         SUM(rx * ry) AS sxy
+  FROM rowranks
+)
+SELECT n,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                       / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                            * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+       END AS rho
+FROM m
+"""

@@ -1175,3 +1175,42 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s1 div 50").alias("bx"), F.expr("s2 div 50").alias("by")
     )
     return kendall_tau_b(src, "bx", "by")
+
+
+# --- exact Spearman + cross-source quantile normalization -------------------------
+
+from dqspark.operators.ranksim import spearman_rho, spearman_rho_oracle
+from dqspark.operators.quantnorm import (
+    quantile_normalize,
+    quantile_normalize_oracle,
+)
+
+
+@register(
+    "spearman_scores",
+    spearman_rho_oracle(_RANK_SRC_SQL, "s1", "s2"),
+)
+def q_spearman_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rho between the two score versions over
+    the whole corpus — integer double-ranks from value histograms,
+    decimal(38,0) exact moments, one final double formula."""
+    return spearman_rho(_rank_src(spark, sf_dir), "s1", "s2")
+
+
+@register(
+    "quantile_normalized",
+    quantile_normalize_oracle(
+        "SELECT source, doc_id, n_chars FROM documents",
+        "source",
+        "doc_id",
+        "n_chars",
+    ),
+)
+def q_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source → global quantile normalization of the length score:
+    each doc's n_chars is replaced by the global value at the doc's
+    within-source percentile (type-1, integer index arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return quantile_normalize(docs, "source", "doc_id", "n_chars")

@@ -137,3 +137,106 @@ def test_tau_matches_bruteforce_with_ties(spark):
     r = _tau(spark, pairs)
     assert (r.concordant, r.discordant) == (c, d)
     assert abs(r.tau_b - want) < 1e-9
+
+
+# --- Spearman ----------------------------------------------------------------
+
+from dqspark.operators.ranksim import spearman_rho
+
+
+def _rho(spark, pairs):
+    df = spark.createDataFrame(pairs, "x long, y long")
+    return spearman_rho(df, "x", "y").collect()[0]
+
+
+def test_spearman_monotone_is_one(spark):
+    r = _rho(spark, [(i, i * i) for i in range(10)])
+    assert r.n == 10 and r.rho == 1.0
+
+
+def test_spearman_reversed_is_minus_one(spark):
+    assert _rho(spark, [(i, -i) for i in range(10)]).rho == -1.0
+
+
+def test_spearman_constant_column_null(spark):
+    assert _rho(spark, [(i, 7) for i in range(5)]).rho is None
+
+
+def test_spearman_ties_match_reference(spark):
+    """Tie-corrected rho == textbook Pearson-of-average-ranks."""
+    import random
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(0, 8), rng.randrange(0, 8)) for _ in range(50)]
+
+    def avg_ranks(vals):
+        s = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and vals[s[j]] == vals[s[i]]:
+                j += 1
+            r = (i + 1 + j) / 2
+            for k in range(i, j):
+                ranks[s[k]] = r
+            i = j
+        return ranks
+
+    xs, ys = zip(*pairs)
+    rx, ry = avg_ranks(list(xs)), avg_ranks(list(ys))
+    n = len(pairs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    want = round(num / den, 6)
+    got = _rho(spark, pairs)
+    assert abs(got.rho - want) < 1e-6
+
+
+# --- quantile normalization ----------------------------------------------------
+
+from dqspark.operators.quantnorm import quantile_normalize
+
+
+def test_quantile_normalize_hand(spark):
+    # two sources with shifted scales: after normalization each source's
+    # ranks map onto the global sorted values
+    rows = [
+        ("a", 1, 10),
+        ("a", 2, 20),
+        ("b", 3, 1000),
+        ("b", 4, 2000),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, s long")
+    out = {r.item: r for r in quantile_normalize(df, "src", "id", "s").collect()}
+    # global sorted: [10, 20, 1000, 2000]; each source has m=2, N=4:
+    # rank 1 -> ceil(1*4/2)=2 -> 20; rank 2 -> ceil(2*4/2)=4 -> 2000
+    assert out[1].norm_score == 20 and out[2].norm_score == 2000
+    assert out[3].norm_score == 20 and out[4].norm_score == 2000
+    assert out[1].global_idx == 2 and out[2].global_idx == 4
+
+
+def test_quantile_normalize_single_source_identity(spark):
+    rows = [("a", i, 100 + 3 * i) for i in range(9)]
+    df = spark.createDataFrame(rows, "src string, id long, s long")
+    out = quantile_normalize(df, "src", "id", "s").collect()
+    assert all(r.norm_score == r.score for r in out)
+
+
+def test_quantile_normalize_max_maps_to_max(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (["a", "b", "c"][rng.randrange(3)], i, rng.randrange(0, 10_000))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, s long")
+    out = quantile_normalize(df, "src", "id", "s").collect()
+    gmax = max(r[2] for r in rows)
+    for r in out:
+        if r.src_rank == r.src_n:
+            assert r.norm_score == gmax
