@@ -1,0 +1,128 @@
+"""Perceptual image hashing + banded Hamming near-dup join — the
+image-side counterpart of text SimHash dedup: web-scale multimodal
+corpora carry the same asset re-encoded, brightness-shifted, or
+slightly recompressed thousands of times, and byte-level sha256 dedup
+(binary_features) sees none of it.  The average hash (aHash — the
+original perceptual-hash folklore, documented in the pHash literature,
+Zauner 2010 "Implementation and Benchmarking of Perceptual Image Hash
+Functions" §3.1) is brightness-shift invariant by construction: a
+pixel's bit compares it against the IMAGE'S OWN mean, so adding a
+constant to every pixel flips nothing (up to clipping).
+
+``ahash_images`` — decode → luma → 8×8 nearest-neighbor downsample →
+bit b = (pixel > mean) → one int64, all inside ONE Arrow-batched
+mapInPandas pass (bytes never leave their batch, the numpy work is
+vectorized per batch); undecodable payloads carry decode_ok=false
+instead of failing the job (same contract as decode_image).
+
+``hamming_pairs`` — generalizes the 32-bit SimHash banding
+(operators/dedup.py simhash_near_pairs) to arbitrary width: splitting
+``bits`` into (max_hamming + 1) bands guarantees by pigeonhole that any
+pair within the bound agrees exactly on ≥ 1 band, so the banded join +
+exact popcount filter returns EXACTLY the brute-force pair set — which
+is what the replay oracle checks (it brute-forces all pairs
+single-process).
+
+Scale shape: hashing is embarrassingly parallel (no shuffle); the pair
+join shuffles (band, sig) buckets of 8-byte hashes — never pixels —
+and the bucket sizes are the usual LSH skew dial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AHASH_GRID = 8  # 8x8 -> 64-bit hash
+AHASH_BITS = AHASH_GRID * AHASH_GRID
+
+
+def ahash_bytes(payload: bytes) -> int | None:
+    """Single-image aHash (shared by the Spark path and the replay
+    oracle — one implementation, two execution contexts).  None when
+    the payload doesn't decode."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import _luma, _resize_nearest, decode_png
+
+    try:
+        px = _resize_nearest(_luma(decode_png(payload)), (AHASH_GRID, AHASH_GRID))
+    except ValueError:
+        return None
+    bits = (px > px.mean()).astype(np.uint64).ravel()
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        h |= b << np.uint64(i)
+    return int(np.int64(h))  # two's-complement into a signed long
+
+
+def ahash_images(
+    df: DataFrame, key_col: str, payload_col: str
+) -> DataFrame:
+    """(key, decode_ok, ahash) — one row per input row."""
+    import pandas as pd
+
+    key_t = dict(df.dtypes)[key_col]
+    schema = f"`{key_col}` {key_t}, decode_ok boolean, ahash long"
+
+    def batch(it):
+        for pdf in it:
+            hashes = [ahash_bytes(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    "decode_ok": [h is not None for h in hashes],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(batch, schema=schema)
+
+
+def hamming_pairs(
+    df: DataFrame,
+    key_col: str,
+    hash_col: str,
+    bits: int = AHASH_BITS,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """(key1, key2, hamming) with key1 < key2 and popcount(x⊕y) ≤
+    max_hamming — exactly the brute-force result, via pigeonhole
+    banding (see module docstring)."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands + (1 if bits % n_bands else 0)
+    s = F.col(hash_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(s, j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("sig"),
+            )
+            for j in range((bits + width - 1) // width)
+        ]
+    )
+    sig = df.select(
+        F.col(key_col).alias("k"), s.alias("sh"), F.explode(bands).alias("b")
+    ).select("k", "sh", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.k") < F.col("r.k")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("l.k").alias("key1"),
+            F.col("r.k").alias("key2"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+__all__ = ["ahash_bytes", "ahash_images", "hamming_pairs", "AHASH_BITS", "AHASH_GRID"]

@@ -479,3 +479,162 @@ def q_event_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "mean_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + banded Hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+_AHASH_MAX_ID = 300
+_AHASH_VARIANT_BASE = 500000
+_AHASH_MAX_HAMMING = 10
+
+
+def _ahash_payload(doc_id: int) -> bytes:
+    """Deterministic payloads: seeded 16×12 RGB PNGs; ids ≥ 500000 are
+    brightness-shifted (+8, clipped) copies of their base id — aHash
+    near-dups by construction; every 10th base id is an undecodable
+    blob (decode_ok=false exclusion path)."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_png
+
+    base = doc_id % _AHASH_VARIANT_BASE
+    if base % 10 == 0:
+        return b"\xff\xd8\xff" + b"notanimage" * 3
+    rng = np.random.RandomState((base * 29 + 11) % (2**31 - 1))
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    if doc_id >= _AHASH_VARIANT_BASE:
+        img = np.minimum(img.astype(np.int32) + 8, 255).astype(np.uint8)
+    return encode_png(img)
+
+
+def _ahash_ids_sql() -> str:
+    return f"""
+  SELECT doc_id FROM documents WHERE doc_id < {_AHASH_MAX_ID}
+  UNION ALL
+  SELECT doc_id + {_AHASH_VARIANT_BASE} FROM documents
+  WHERE doc_id < {_AHASH_MAX_ID} AND doc_id % 5 = 0
+"""
+
+
+def _ahash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dqspark.operators.imagehash import ahash_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < _AHASH_MAX_ID
+    )
+    ids = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + _AHASH_VARIANT_BASE).alias("doc_id")
+        )
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_ahash_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(gen, "doc_id bigint, payload binary")
+    return ahash_images(payloads, "doc_id", "payload")
+
+
+def _ahash_rows() -> list[tuple]:
+    """Replay: hashes for every planted id, single-process."""
+    import duckdb
+
+    from dqspark.operators.imagehash import ahash_bytes
+    from dqspark.plans.local_oracle import oracle_sf_dir
+
+    con = duckdb.connect()
+    sf_dir = oracle_sf_dir()
+    ids = con.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_AHASH_MAX_ID} ORDER BY doc_id"
+    ).fetchall()
+    all_ids = [int(d) for (d,) in ids] + [
+        int(d) + _AHASH_VARIANT_BASE for (d,) in ids if int(d) % 5 == 0
+    ]
+    return [(i, ahash_bytes(_ahash_payload(i))) for i in all_ids]
+
+
+def _ahash_oracle() -> str:
+    from dqspark.plans.local_oracle import values_table
+
+    rows = [
+        (
+            i,
+            h is not None,
+            None if h is None else f"{h & ((1 << 64) - 1):016X}",
+        )
+        for i, h in _ahash_rows()
+    ]
+    values = values_table(rows, ["doc_id", "decode_ok", "ahash_hex"])
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, decode_ok, ahash_hex "
+        f"FROM {values}"
+    )
+
+
+@register("image_ahash", _ahash_oracle)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average-hash per planted image through the full Spark
+    path (binary column → Arrow batches → mapInPandas decode+hash);
+    the oracle replays the identical hash single-process.  The hash is
+    reported as fixed-width hex: a nullable int64 column would round
+    through pandas float64 in the comparison harness."""
+    h = _ahash_frame(spark, sf_dir)
+    return h.select(
+        "doc_id",
+        "decode_ok",
+        F.when(
+            F.col("decode_ok"), F.lpad(F.hex(F.col("ahash")), 16, "0")
+        ).alias("ahash_hex"),
+    )
+
+
+def _ahash_pairs_oracle() -> str:
+    """Brute-force Hamming pairs over the replayed hashes — proves the
+    banded join misses nothing."""
+    from dqspark.plans.local_oracle import values_table
+
+    hs = [(i, h) for i, h in _ahash_rows() if h is not None]
+    rows = []
+    for ai in range(len(hs)):
+        for bi in range(ai + 1, len(hs)):
+            (k1, h1), (k2, h2) = hs[ai], hs[bi]
+            if k1 > k2:
+                k1, k2, h1, h2 = k2, k1, h2, h1
+            d = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+            if d <= _AHASH_MAX_HAMMING:
+                rows.append((k1, k2, d))
+    if not rows:
+        return (
+            "SELECT 0::BIGINT AS key1, 0::BIGINT AS key2, 0::INT AS hamming "
+            "WHERE false"
+        )
+    values = values_table(rows, ["key1", "key2", "hamming"])
+    return (
+        f"SELECT key1::BIGINT AS key1, key2::BIGINT AS key2, "
+        f"hamming::INT AS hamming FROM {values}"
+    )
+
+
+@register("image_ahash_pairs", _ahash_pairs_oracle)
+def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (Hamming ≤ 10 over the 64-bit aHash)
+    via pigeonhole banding — planted brightness-shifted copies land at
+    Hamming ≈ 0; the oracle brute-forces all pairs, so the differential
+    proves banding exactness."""
+    from dqspark.operators.imagehash import hamming_pairs
+
+    hashed = _ahash_frame(spark, sf_dir).where(F.col("decode_ok"))
+    return hamming_pairs(
+        hashed, "doc_id", "ahash", max_hamming=_AHASH_MAX_HAMMING
+    )

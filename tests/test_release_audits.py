@@ -157,3 +157,55 @@ def test_containment_matches_bruteforce(spark):
             if i * 10 >= 9 * len(sa):
                 want[(a, b)] = (i, len(sa))
     assert got == want
+
+
+# --- perceptual image hash ----------------------------------------------------
+
+from dqspark.operators.imagehash import ahash_bytes, ahash_images, hamming_pairs
+
+
+def _png(seed, shift=0):
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_png
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    if shift:
+        img = np.minimum(img.astype(np.int32) + shift, 255).astype(np.uint8)
+    return encode_png(img)
+
+
+def test_ahash_brightness_invariant_modulo_clipping():
+    base = ahash_bytes(_png(7))
+    shifted = ahash_bytes(_png(7, shift=8))
+    d = bin((base ^ shifted) & ((1 << 64) - 1)).count("1")
+    assert d <= 4  # only clipped-saturated cells can flip
+
+
+def test_ahash_different_images_far():
+    a, b = ahash_bytes(_png(1)), ahash_bytes(_png(2))
+    d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert d > 10
+
+
+def test_ahash_undecodable_none():
+    assert ahash_bytes(b"garbage") is None
+
+
+def test_hamming_pairs_equal_bruteforce(spark):
+    payloads = [(i, _png(i % 8, shift=(i // 8) * 3)) for i in range(24)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    hashed = ahash_images(df, "doc_id", "payload")
+    got = {
+        (r.key1, r.key2): r.hamming
+        for r in hamming_pairs(hashed, "doc_id", "ahash", max_hamming=6).collect()
+    }
+    hs = {i: ahash_bytes(p) for i, p in payloads}
+    want = {}
+    for a in range(24):
+        for b in range(a + 1, 24):
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want and len(want) > 0
