@@ -1,0 +1,159 @@
+"""Local Outlier Factor over an embedding column (Breunig et al.,
+SIGMOD 2000) — density-aware out-of-distribution scoring for curation:
+a global distance/centroid rule (embedding_drift, mahalanobis_outliers)
+misses points that are far from THEIR OWN cluster but near the global
+mean; LOF compares each point's local density against its neighbors'
+(LOF ≈ 1 inlier, >> 1 outlier), which is the standard "weird embedding"
+triage for mixed-domain corpora.
+
+Engine-parity protocol (everything after the kNN is integer/rational):
+cosine distances enter as micro-units ``du = 1e6 − round(cos·1e6)``
+(BIGINT); k-distance = max du over the k-NN (integer max);
+reachability = max(du, kdist(b)) (integer); the reachability SUM per
+point is an order-free BIGINT; local reachability density is quantized
+once, ``lrd_units = round(k·1e12 / Σreach)`` (one double op on exact
+integers — identical on both engines); and
+``lof = Σ_b lrd_units(b) / (k · lrd_units(a))`` divides two exact
+integers.  No float ever crosses an accumulation-order boundary.
+
+Degenerate densities: a point whose k-NN are ALL exact duplicates of it
+(Σreach = 0) has classically infinite lrd; such rows get NULL
+lrd/lof (the honest answer), and points they neighbor still aggregate
+correctly because the sum skips NULL contributions on both engines
+identically (callers feeding deduplicated corpora — the normal
+pipeline order, dedup before outlier triage — never hit this).
+
+Scale shape: the kNN graph is the cost (this operator composes with
+ANY of the knn providers in operators/similarity.py — brute force at
+audit scale, IVF/IMI/LSH in production); everything after is three
+joins on the O(N·k) edge relation co-partitioned by point id, plus
+O(N)-row aggregates.  No window without a partition key anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LRD_UNIT = 1_000_000_000_000
+
+
+def lof_scores(knn: DataFrame, k: int) -> DataFrame:
+    """(vec_id, kdist_units, reach_sum_units, lrd_units, lof) from a
+    kNN edge relation (query_id, neighbor_id, cos_sim, rank) with
+    EXACTLY k rows per query (row_number semantics, rank <= k)."""
+    edges = knn.select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.lit(1_000_000)
+            - F.round(F.col("cos_sim") * 1_000_000).cast("long")
+        ).alias("du"),
+    )
+    kd = edges.groupBy("query_id").agg(F.max("du").alias("kdist_units"))
+    kd_b = kd.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("kdist_units").alias("_kd_b"),
+    )
+    reach = (
+        edges.join(kd_b, "neighbor_id")
+        .select(
+            "query_id",
+            F.greatest(F.col("du"), F.col("_kd_b")).alias("reach"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("reach").cast("long").alias("reach_sum_units"))
+    )
+    lrd = reach.select(
+        "query_id",
+        "reach_sum_units",
+        F.when(
+            F.col("reach_sum_units") > 0,
+            F.round(
+                F.lit(float(k * LRD_UNIT)) / F.col("reach_sum_units").cast("double")
+            ).cast("long"),
+        ).alias("lrd_units"),
+    )
+    lrd_b = lrd.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("lrd_units").alias("_lrd_b"),
+    )
+    nsum = (
+        edges.join(lrd_b, "neighbor_id")
+        .groupBy("query_id")
+        .agg(F.sum("_lrd_b").cast("long").alias("_lrd_nsum"))
+    )
+    return (
+        kd.join(lrd, "query_id")
+        .join(nsum, "query_id")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "kdist_units",
+            "reach_sum_units",
+            "lrd_units",
+            F.when(
+                F.col("lrd_units").isNotNull(),
+                F.round(
+                    F.col("_lrd_nsum").cast("double")
+                    / (F.lit(float(k)) * F.col("lrd_units").cast("double")),
+                    6,
+                ),
+            ).alias("lof"),
+        )
+    )
+
+
+def lof_oracle(emb_sql: str, cosine_expr: str, k: int) -> str:
+    """DuckDB SQL computing the identical rows: ``emb_sql`` yields
+    (vec_id, embedding); ``cosine_expr`` is the cosine of (q.embedding,
+    v.embedding) written with the same association as the Spark side."""
+    return f"""
+WITH emb AS ({emb_sql}),
+sims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round({cosine_expr}, 6) AS cos_sim
+  FROM emb q JOIN emb v ON q.vec_id <> v.vec_id
+),
+knn AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+),
+edges AS (
+  SELECT query_id, neighbor_id,
+         (1000000 - CAST(round(cos_sim * 1000000) AS BIGINT)) AS du
+  FROM knn WHERE rank <= {k}
+),
+kd AS (SELECT query_id, MAX(du)::BIGINT AS kdist_units FROM edges GROUP BY 1),
+reach AS (
+  SELECT e.query_id,
+         SUM(greatest(e.du, kb.kdist_units))::BIGINT AS reach_sum_units
+  FROM edges e JOIN kd kb ON e.neighbor_id = kb.query_id
+  GROUP BY 1
+),
+lrd AS (
+  SELECT query_id, reach_sum_units,
+         CASE WHEN reach_sum_units > 0
+              THEN CAST(round(CAST('{float(k * LRD_UNIT)!r}' AS DOUBLE)
+                              / reach_sum_units::DOUBLE) AS BIGINT)
+         END AS lrd_units
+  FROM reach
+),
+nsum AS (
+  SELECT e.query_id, SUM(lb.lrd_units)::BIGINT AS _lrd_nsum
+  FROM edges e JOIN lrd lb ON e.neighbor_id = lb.query_id
+  GROUP BY 1
+)
+SELECT kd.query_id AS vec_id, kd.kdist_units, lrd.reach_sum_units,
+       lrd.lrd_units,
+       CASE WHEN lrd.lrd_units IS NOT NULL
+            THEN round(_lrd_nsum::DOUBLE
+                       / (CAST('{float(k)!r}' AS DOUBLE)
+                          * lrd.lrd_units::DOUBLE), 6)
+       END AS lof
+FROM kd JOIN lrd ON kd.query_id = lrd.query_id
+JOIN nsum ON kd.query_id = nsum.query_id
+"""
+
+
+__all__ = ["lof_scores", "lof_oracle", "LRD_UNIT"]

@@ -1021,3 +1021,32 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filtered containment join; the oracle is brute force, so
     the differential proves the prefix index misses nothing."""
     return containment_pairs(_contain_corpus(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Local Outlier Factor over embeddings
+# ---------------------------------------------------------------------------
+
+from dqspark.operators.lof import lof_oracle, lof_scores
+
+_LOF_K = 5
+_LOF_EMB_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0"
+
+
+@register(
+    "embedding_lof",
+    lambda: lof_oracle(
+        _LOF_EMB_SQL, cosine_oracle("q.embedding", "v.embedding"), _LOF_K
+    ),
+)
+def q_embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-aware embedding outlier scores (LOF, k=5) over the
+    even-id slice — exact kNN feed, integer micro-unit reachability,
+    one quantized density; lof >> 1 marks OOD points."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 2 == 0)
+        .select("vec_id", "embedding")
+    )
+    knn = knn_bruteforce(emb, emb, k=_LOF_K)
+    return lof_scores(knn, k=_LOF_K)

@@ -209,3 +209,47 @@ def test_hamming_pairs_equal_bruteforce(spark):
             if d <= 6:
                 want[(a, b)] = d
     assert got == want and len(want) > 0
+
+
+# --- LOF ------------------------------------------------------------------------
+
+from dqspark.operators.lof import lof_scores
+from dqspark.operators.similarity import knn_bruteforce
+
+
+def test_lof_planted_outlier(spark):
+    """A tight cluster + one far point: the far point's LOF is the
+    maximum and well above 1; cluster members sit near 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(0, 0.01, size=(20, 8)) + np.array([1.0] * 8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((99, [float(x) for x in -np.ones(8) + rng.normal(0, 0.01, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    knn = knn_bruteforce(df, df, k=3)
+    out = {r.vec_id: r for r in lof_scores(knn, k=3).collect()}
+    assert len(out) == 21
+    lofs = {i: r.lof for i, r in out.items()}
+    assert max(lofs, key=lofs.get) == 99
+    assert lofs[99] > 10.0
+    cluster = [v for i, v in lofs.items() if i != 99]
+    assert all(0.5 < v < 2.0 for v in cluster)
+
+
+def test_lof_uniform_ring_near_one(spark):
+    """Symmetric configuration: every point has the same local density,
+    LOF == 1 for all."""
+    import math
+
+    rows = [
+        (
+            i,
+            [math.cos(2 * math.pi * i / 12), math.sin(2 * math.pi * i / 12)],
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    knn = knn_bruteforce(df, df, k=2)
+    out = lof_scores(knn, k=2).collect()
+    assert all(abs(r.lof - 1.0) < 0.01 for r in out)
