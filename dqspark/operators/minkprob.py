@@ -1,0 +1,96 @@
+"""Min-k% prob pretraining-membership audit (Shi et al., ICLR 2024,
+"Detecting Pretraining Data from Large Language Models") — the
+inference-side complement of decontamination: contamination checks ask
+"is this benchmark text in my corpus"; min-k% asks "was this text in
+the model's TRAINING SET", by scoring the k% least-probable token
+positions under the model — members have no deeply-surprising spans
+(the model saw them), non-members almost always do.  Here the model is
+the repo's char-trigram LM (pipeline/models.py TrigramLM) trained on a
+declared member split, so the audit is fully self-contained and the
+member/non-member separation is measurable inside the fixture.
+
+Protocol (M3/M4 parity, the langid_scores pattern): the LM trains
+DRIVER-SIDE on a deterministic, size-capped member slice (pinned
+arithmetic, no RNG), broadcasts to executors, and scores inside ONE
+Arrow-batched pandas pass; the oracle replays the IDENTICAL training +
+scoring single-process into a VALUES table, so the differential proves
+the broadcast + Arrow + batching plumbing changes nothing (per-doc
+scores are independent of batch boundaries by construction).
+
+Scale shape: scoring is embarrassingly parallel (no shuffle); the only
+non-distributed piece is the capped member-text collect feeding
+training — the documented driver-side model-fit pattern, with
+``lm_fit_distributed`` (operators/…) as the uncapped scale path for
+the counts themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from dqspark.pipeline.models import LM_MAX_CHARS, TrigramLM, _ords, _P2
+from dqspark.pipeline.models import N_CHAR_BUCKETS, N_CONTEXT_BUCKETS
+
+MINK_PCT = 20  # score the 20% most-surprising positions
+
+
+def mink_score(lm: TrigramLM, text: str, k_pct: int = MINK_PCT):
+    """(n_pos, score) for one document: score = -(mean of the m
+    smallest per-position log-probs), m = max(1, floor(k_pct·n/100)).
+    Deterministic: same numpy code runs on executors and in the replay
+    oracle; None score when the doc has no trigram positions."""
+    ords, _doc = _ords([text[:LM_MAX_CHARS]])
+    if ords.size < 3:
+        return 0, None
+    ctx = (ords[:-2] * _P2 + ords[1:-1]) % N_CONTEXT_BUCKETS
+    nxt = ords[2:] % N_CHAR_BUCKETS
+    lp = np.sort(lm.log_probs[ctx, nxt].astype(np.float64))
+    m = max(1, (k_pct * lp.size) // 100)
+    return int(lp.size), float(-lp[:m].mean())
+
+
+def train_member_lm(member_texts: list[str]) -> TrigramLM:
+    """Pinned-arithmetic LM fit on the member split (sorted input order
+    — training counts are order-free sums anyway)."""
+    return TrigramLM.train(member_texts)
+
+
+def mink_prob(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    lm: TrigramLM,
+    k_pct: int = MINK_PCT,
+) -> DataFrame:
+    """(key, n_pos, mink_score) — one row per document, scored against
+    the broadcast LM."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(lm.log_probs)
+    key_t = dict(df.dtypes)[key_col]
+    schema = f"`{key_col}` {key_t}, n_pos long, mink_score double"
+
+    def batch(it):
+        lm_w = TrigramLM(bc.value)
+        for pdf in it:
+            rows = [
+                mink_score(lm_w, t if isinstance(t, str) else "", k_pct)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    "n_pos": [n for n, _ in rows],
+                    "mink_score": [
+                        None if s is None else round(s, 4) for n, s in rows
+                    ],
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(batch, schema=schema)
+
+
+__all__ = ["mink_score", "mink_prob", "train_member_lm", "MINK_PCT"]

@@ -357,3 +357,74 @@ def q_lang_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE finish."""
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
     return category_lift(docs, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# min-k% prob membership audit (Shi et al., ICLR 2024)
+# ---------------------------------------------------------------------------
+
+_MINK_MEMBER_CAP = 4000  # driver-side training collect bound (M3 pattern)
+
+
+def _mink_member_pred():
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < _MINK_MEMBER_CAP)
+
+
+@register("mink_membership")
+def q_mink_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, member, n_pos, mink_score) — min-20% prob score of every
+    document under a char-trigram LM trained on the even-id member
+    slice; members score LOW (no deeply-surprising spans), giving the
+    measurable member/non-member separation the audit exists for."""
+    from dqspark.operators.minkprob import mink_prob, train_member_lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    member_texts = [
+        r.text or ""
+        for r in docs.where(_mink_member_pred())
+        .select("text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    lm = train_member_lm(member_texts)
+    scored = mink_prob(docs, "doc_id", "text", lm)
+    return scored.join(
+        docs.select(
+            "doc_id", _mink_member_pred().alias("member")
+        ),
+        "doc_id",
+    ).select("doc_id", "member", "n_pos", "mink_score")
+
+
+def _mink_oracle() -> str:
+    from dqspark.operators.minkprob import mink_score, train_member_lm
+    from dqspark.plans.local_oracle import _connect, values_table
+
+    con = _connect(oracle_sf_dir())
+    pdf = con.sql(
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents "
+        "ORDER BY doc_id"
+    ).df()
+    members = pdf[(pdf.doc_id % 2 == 0) & (pdf.doc_id < _MINK_MEMBER_CAP)]
+    lm = train_member_lm(members["text"].tolist())
+    rows = []
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        n, s = mink_score(lm, t)
+        rows.append(
+            (
+                int(d),
+                bool(d % 2 == 0 and d < _MINK_MEMBER_CAP),
+                n,
+                None if s is None else round(s, 4),
+            )
+        )
+    values = values_table(rows, ["doc_id", "member", "n_pos", "mink_score"])
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, member, n_pos::BIGINT AS n_pos, "
+        f"mink_score::DOUBLE AS mink_score FROM {values}"
+    )
+
+
+ORACLES["mink_membership"] = _mink_oracle

@@ -253,3 +253,54 @@ def test_lof_uniform_ring_near_one(spark):
     knn = knn_bruteforce(df, df, k=2)
     out = lof_scores(knn, k=2).collect()
     assert all(abs(r.lof - 1.0) < 0.01 for r in out)
+
+
+# --- min-k% membership ---------------------------------------------------------
+
+
+def test_mink_separates_members():
+    """Members (training texts) score strictly lower on average than
+    held-out texts from a different distribution."""
+    import random
+
+    from dqspark.operators.minkprob import mink_score, train_member_lm
+
+    rng = random.Random(23)
+    vocab = ["def", "return", "import", "class", "self", "data", "value"]
+    members = [
+        " ".join(rng.choices(vocab, k=40)) + "():" for _ in range(50)
+    ]
+    nonmembers = [
+        "".join(rng.choices("zqxjv987&#@", k=120)) for _ in range(20)
+    ]
+    lm = train_member_lm(members)
+    ms = [mink_score(lm, t)[1] for t in members]
+    ns = [mink_score(lm, t)[1] for t in nonmembers]
+    assert sum(ms) / len(ms) < sum(ns) / len(ns) - 1.0
+
+
+def test_mink_empty_text_none():
+    from dqspark.operators.minkprob import mink_score, train_member_lm
+
+    lm = train_member_lm(["hello world example text"])
+    n, s = mink_score(lm, "")
+    assert n == 0 and s is None
+
+
+def test_mink_batch_independence(spark):
+    """Per-doc scores are independent of Arrow batch composition:
+    scoring docs together == scoring each alone."""
+    from dqspark.operators.minkprob import mink_prob, mink_score, train_member_lm
+
+    texts = ["alpha beta gamma delta " * 5, "omega kappa zeta " * 8, "xy"]
+    lm = train_member_lm(texts[:1])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_pos, r.mink_score)
+        for r in mink_prob(df, "doc_id", "text", lm).collect()
+    }
+    for i, t in enumerate(texts):
+        n, s = mink_score(lm, t)
+        assert got[i] == (n, None if s is None else round(s, 4))
