@@ -1,0 +1,100 @@
+"""Video scene-change detection over Y4M payloads — the temporal
+dedup/segmentation primitive for video corpora: training pipelines
+sample frames per SCENE (a 10-minute static shot should not contribute
+600 near-identical frames), and the standard first-pass detector is a
+luma frame-difference threshold (the baseline every shot-boundary
+benchmark starts from, e.g. TRECVID SBD).
+
+``scene_stats_bytes`` — decode (operators/multimodal.py decode_y4m,
+luma planes only), then for each consecutive frame pair the mean
+absolute luma difference; a cut is a pair with diff > threshold.
+Per video: frame count, cut count, max/mean pair difference, and the
+scene lengths derived from cut positions.  Same function runs on
+executors (Arrow-batched mapInPandas) and in the replay oracle — the
+differential checks the distributed plumbing, the detector's own
+behavior is pytest-proven on planted segment videos.
+
+Scale shape: embarrassingly parallel per payload; frames never leave
+their batch; per-row output is O(1) scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+SCENE_CUT_THRESHOLD = 20.0
+
+
+def scene_stats_bytes(payload: bytes, threshold: float = SCENE_CUT_THRESHOLD):
+    """(ok, n_frames, n_cuts, max_diff, mean_diff, first_cut_at) for
+    one payload; (False, 0, 0, None, None, None) when not decodable."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import decode_y4m
+
+    try:
+        _, _, _, _, frames = decode_y4m(payload)
+    except ValueError:
+        return False, 0, 0, None, None, None
+    n = len(frames)
+    if n < 2:
+        return True, n, 0, None, None, None
+    diffs = [
+        float(
+            np.mean(
+                np.abs(
+                    frames[i].astype(np.int32) - frames[i - 1].astype(np.int32)
+                ),
+                dtype=np.float64,
+            )
+        )
+        for i in range(1, n)
+    ]
+    cuts = [i for i, d in enumerate(diffs, start=1) if d > threshold]
+    return (
+        True,
+        n,
+        len(cuts),
+        round(max(diffs), 4),
+        round(sum(diffs) / len(diffs), 4),
+        cuts[0] if cuts else None,
+    )
+
+
+def scene_stats(
+    df: DataFrame,
+    key_col: str,
+    payload_col: str,
+    threshold: float = SCENE_CUT_THRESHOLD,
+) -> DataFrame:
+    """(key, decode_ok, n_frames, n_cuts, max_diff, mean_diff,
+    first_cut_at) — one row per video payload."""
+    import pandas as pd
+
+    key_t = dict(df.dtypes)[key_col]
+    schema = (
+        f"`{key_col}` {key_t}, decode_ok boolean, n_frames long, "
+        "n_cuts long, max_diff double, mean_diff double, first_cut_at long"
+    )
+
+    def batch(it):
+        for pdf in it:
+            rows = [scene_stats_bytes(p, threshold) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].values,
+                    "decode_ok": [r[0] for r in rows],
+                    "n_frames": [r[1] for r in rows],
+                    "n_cuts": [r[2] for r in rows],
+                    "max_diff": [r[3] for r in rows],
+                    "mean_diff": [r[4] for r in rows],
+                    "first_cut_at": pd.array(
+                        [r[5] for r in rows], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(batch, schema=schema)
+
+
+__all__ = ["scene_stats", "scene_stats_bytes", "SCENE_CUT_THRESHOLD"]

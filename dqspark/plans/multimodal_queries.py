@@ -638,3 +638,99 @@ def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(
         hashed, "doc_id", "ahash", max_hamming=_AHASH_MAX_HAMMING
     )
+
+
+# ---------------------------------------------------------------------------
+# video scene-change detection over planted segment videos
+# ---------------------------------------------------------------------------
+
+
+def _planted_scene_y4m(doc_id: int) -> bytes:
+    """Segment videos: 1 + id%4 scenes of 3 frames each; frames within
+    a scene are a per-scene base level + tiny deterministic texture
+    (mean pair-diff << threshold), scene boundaries jump the base by
+    ≥ 60 luma levels (diff >> threshold) — so n_cuts = scenes - 1 by
+    construction.  Every 10th id stays the undecodable blob."""
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_y4m
+
+    if doc_id % 10 == 0:
+        return b"\x00\x00\x00\x18ftypmp42" + b"opaque" * 8
+    rng = np.random.RandomState((doc_id * 17 + 1) % (2**31 - 1))
+    n_scenes = 1 + doc_id % 4
+    bases = [(40 + 60 * s + doc_id % 17) % 256 for s in range(n_scenes)]
+    frames = []
+    for b in bases:
+        for _ in range(3):
+            noise = rng.randint(0, 6, size=(_Y4M_H, _Y4M_W), dtype=np.uint8)
+            frames.append(
+                np.minimum(np.int32(b) + noise, 255).astype(np.uint8)
+            )
+    return encode_y4m(frames)
+
+
+def _scene_oracle() -> str:
+    import duckdb
+
+    from dqspark.operators.scenes import scene_stats_bytes
+    from dqspark.plans.local_oracle import oracle_sf_dir, values_table
+
+    con = duckdb.connect()
+    sf_dir = oracle_sf_dir()
+    ids = con.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_DECODE_MAX_ID} ORDER BY doc_id"
+    ).fetchall()
+    rows = []
+    for (d,) in ids:
+        d = int(d)
+        ok, nf, nc, mx, mn, fc = scene_stats_bytes(_planted_scene_y4m(d))
+        rows.append((d, ok, nf, nc, mx, mn, fc))
+    values = values_table(
+        rows,
+        [
+            "doc_id",
+            "decode_ok",
+            "n_frames",
+            "n_cuts",
+            "max_diff",
+            "mean_diff",
+            "first_cut_at",
+        ],
+    )
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, decode_ok,
+       n_frames::BIGINT AS n_frames, n_cuts::BIGINT AS n_cuts,
+       max_diff::DOUBLE AS max_diff, mean_diff::DOUBLE AS mean_diff,
+       first_cut_at::BIGINT AS first_cut_at
+FROM {values}
+"""
+
+
+@register("video_scene_cuts", _scene_oracle)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luma frame-difference scene-cut detection over planted segment
+    videos through the full Spark path; planted cut counts equal
+    scenes-1 by construction, undecodable rows degrade gracefully."""
+    import pandas as pd
+
+    from dqspark.operators.scenes import scene_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < _DECODE_MAX_ID
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _planted_scene_y4m(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return scene_stats(payloads, "doc_id", "payload")

@@ -304,3 +304,42 @@ def test_mink_batch_independence(spark):
     for i, t in enumerate(texts):
         n, s = mink_score(lm, t)
         assert got[i] == (n, None if s is None else round(s, 4))
+
+
+# --- video scene cuts ------------------------------------------------------------
+
+from dqspark.operators.scenes import scene_stats_bytes
+
+
+def _segment_video(n_scenes, noise_seed=3):
+    import numpy as np
+
+    from dqspark.operators.multimodal import encode_y4m
+
+    rng = np.random.RandomState(noise_seed)
+    frames = []
+    for s in range(n_scenes):
+        base = 30 + 70 * s
+        for _ in range(3):
+            noise = rng.randint(0, 5, size=(24, 32), dtype=np.uint8)
+            frames.append(
+                np.minimum(np.int32(base) + noise, 255).astype(np.uint8)
+            )
+    return encode_y4m(frames)
+
+
+def test_scene_cuts_counts_segments():
+    for n in (1, 2, 3):
+        ok, nf, nc, mx, mn, fc = scene_stats_bytes(_segment_video(n))
+        assert ok and nf == 3 * n and nc == n - 1
+        if n > 1:
+            assert fc == 3 and mx > 20.0
+
+
+def test_scene_cuts_static_video_no_cuts():
+    ok, nf, nc, mx, mn, fc = scene_stats_bytes(_segment_video(1))
+    assert ok and nc == 0 and fc is None and mx < 5.0
+
+
+def test_scene_cuts_undecodable():
+    assert scene_stats_bytes(b"not a video") == (False, 0, 0, None, None, None)
