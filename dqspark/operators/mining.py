@@ -1,0 +1,135 @@
+"""Contrastive pair mining over a labeled embedding table — the
+training-data op behind embedding-model improvement loops (hard-negative
+mining is the standard recipe from FaceNet's semi-hard selection,
+Schroff et al. CVPR 2015, to DPR's BM25 negatives, Karpukhin et al.
+EMNLP 2020): for each anchor, the most-confusable wrong-label point
+(hardest negative = highest cosine with a DIFFERENT label) and the
+least-cohesive right-label point (hardest positive = lowest cosine with
+the SAME label), plus the margin between them — negative margins mark
+anchors whose neighborhood is label-inconsistent (mislabeled or
+boundary data: exactly what a curation pass should surface).
+
+Determinism: candidate ranking orders by (cos_sim rounded to 6 dp,
+candidate id) — the same convention as knn_bruteforce — so the argmax
+is engine-exact; the margin subtracts two already-rounded doubles.
+
+Scale shape: one groupBy(anchor) argmin/argmax over the similarity
+relation via struct-ordering aggregates (map-side combined — the
+all-pairs relation streams through partial aggregation, nothing
+quadratic is ever shuffled or materialized).  At corpus scale the
+similarity relation comes from the banded/IVF candidate generators in
+operators/similarity.py instead of the exact cross join used at audit
+scale — the reduction is provider-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.similarity import cosine_pre, norm
+
+
+def contrastive_pairs(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor_id, anchor_label, hard_neg_id, hard_neg_sim,
+    hard_pos_id, hard_pos_sim, margin, inconsistent) per anchor."""
+    a = emb.select(
+        F.col(key_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("an"),
+    )
+    b = emb.select(
+        F.col(key_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("bv"),
+        norm(F.col(vec_col)).alias("bn"),
+    )
+    sims = (
+        a.crossJoin(b)
+        .where(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(
+                cosine_pre(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    # struct-ordering argmax/argmin: (sim, -id) max == highest sim,
+    # smallest id on ties; (sim, -id) min == lowest sim, LARGEST id on
+    # ties — mirror the exact tuple order in the oracle
+    neg = F.max(
+        F.when(
+            F.col("cand_label") != F.col("anchor_label"),
+            F.struct(F.col("cos_sim"), (-F.col("cand_id")).alias("nid")),
+        )
+    ).alias("_neg")
+    pos = F.min(
+        F.when(
+            F.col("cand_label") == F.col("anchor_label"),
+            F.struct(F.col("cos_sim"), (-F.col("cand_id")).alias("nid")),
+        )
+    ).alias("_pos")
+    g = sims.groupBy("anchor_id", "anchor_label").agg(neg, pos)
+    margin = F.round(F.col("_pos.cos_sim") - F.col("_neg.cos_sim"), 6)
+    return g.select(
+        "anchor_id",
+        "anchor_label",
+        (-F.col("_neg.nid")).alias("hard_neg_id"),
+        F.col("_neg.cos_sim").alias("hard_neg_sim"),
+        (-F.col("_pos.nid")).alias("hard_pos_id"),
+        F.col("_pos.cos_sim").alias("hard_pos_sim"),
+        margin.alias("margin"),
+        (margin < 0).alias("inconsistent"),
+    )
+
+
+def contrastive_pairs_oracle(emb_sql: str, cosine_expr: str) -> str:
+    """DuckDB SQL over (vec_id, label, embedding) computing identical
+    rows; ``cosine_expr`` is cosine(a.embedding, b.embedding) with the
+    Spark association."""
+    return f"""
+WITH emb AS ({emb_sql}),
+sims AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS cand_id, b.label AS cand_label,
+         round({cosine_expr}, 6) AS cos_sim
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+anchors AS (SELECT DISTINCT anchor_id, anchor_label FROM sims),
+neg AS (
+  SELECT anchor_id, cand_id AS hard_neg_id, cos_sim AS hard_neg_sim
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+      ORDER BY cos_sim DESC, cand_id ASC) AS rn
+    FROM sims WHERE cand_label <> anchor_label
+  ) WHERE rn = 1
+),
+pos AS (
+  SELECT anchor_id, cand_id AS hard_pos_id, cos_sim AS hard_pos_sim
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+      ORDER BY cos_sim ASC, cand_id DESC) AS rn
+    FROM sims WHERE cand_label = anchor_label
+  ) WHERE rn = 1
+)
+SELECT a.anchor_id, a.anchor_label, hard_neg_id, hard_neg_sim,
+       hard_pos_id, hard_pos_sim,
+       round(hard_pos_sim - hard_neg_sim, 6) AS margin,
+       (round(hard_pos_sim - hard_neg_sim, 6) < 0) AS inconsistent
+FROM anchors a
+LEFT JOIN neg ON a.anchor_id = neg.anchor_id
+LEFT JOIN pos ON a.anchor_id = pos.anchor_id
+"""
+
+
+__all__ = ["contrastive_pairs", "contrastive_pairs_oracle"]

@@ -1,0 +1,164 @@
+"""V-optimal histogram (Jagadish/Koudas/Muthukrishnan/Poosala/Sevcik/
+Suel, VLDB 1998) — the principled way to choose zone-map / partition
+boundaries: equal-width bins waste resolution on empty ranges and
+equal-frequency bins split dense clusters; the V-optimal histogram
+chooses the k buckets that MINIMIZE total within-bucket variance, which
+is exactly the objective that makes min/max zone maps selective
+(complements the descriptive layout analytics in operators/layout.py
+compaction_plan / zone_prune and the Z-order audit).
+
+Split of labor (the exact_quantiles pattern — bounded driver state,
+distributed heavy math):
+
+1. one corpus groupBy pre-buckets values into ≤ ``n_bins`` integer
+   cells (integer division, identical on both engines);
+2. the O(bins) cell histogram is collected — bounded, documented
+   driver state — and the classic O(bins²·k) DP picks boundaries;
+   the DP uses float SSE internally, but ONLY the chosen boundaries
+   (integers) leave the driver, so cross-engine exactness never
+   depends on DP float behavior: the oracle replays the identical DP
+   (replay protocol, as pagerank/kcore) to get the same boundaries;
+3. per-bucket statistics are recomputed DISTRIBUTED in exact integer
+   arithmetic (Σc, Σc·v, Σc·v² as BIGINTs over the cell relation) and
+   the reported SSE = Σcv² − (Σcv)²/Σc is one double expression over
+   exact integers, rounded identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def vopt_boundaries(hist: list[tuple[int, int]], k: int) -> list[int]:
+    """DP over the (bin, count) histogram (ascending bins): returns the
+    inclusive UPPER bin of each of the k buckets (last = max bin).
+    Deterministic: ties prefer the smaller split point (strict <)."""
+    bins = [b for b, _ in hist]
+    cnt = [c for _, c in hist]
+    n = len(bins)
+    if n == 0:
+        return []
+    k = min(k, n)
+    # prefix sums for O(1) segment SSE
+    p0 = [0.0] * (n + 1)
+    p1 = [0.0] * (n + 1)
+    p2 = [0.0] * (n + 1)
+    for i in range(n):
+        p0[i + 1] = p0[i] + cnt[i]
+        p1[i + 1] = p1[i] + cnt[i] * bins[i]
+        p2[i + 1] = p2[i] + cnt[i] * bins[i] * bins[i]
+
+    def sse(a: int, b: int) -> float:  # bins[a..b] inclusive
+        c = p0[b + 1] - p0[a]
+        s = p1[b + 1] - p1[a]
+        q = p2[b + 1] - p2[a]
+        return q - s * s / c if c > 0 else 0.0
+
+    INF = float("inf")
+    dp = [[INF] * n for _ in range(k + 1)]
+    cut = [[-1] * n for _ in range(k + 1)]
+    for j in range(n):
+        dp[1][j] = sse(0, j)
+    for b in range(2, k + 1):
+        for j in range(b - 1, n):
+            best, arg = INF, -1
+            for m in range(b - 2, j):
+                v = dp[b - 1][m] + sse(m + 1, j)
+                if v < best:  # strict: first (smallest) split wins ties
+                    best, arg = v, m
+            dp[b][j] = best
+            cut[b][j] = arg
+    bounds, j, b = [], n - 1, k
+    while b > 1:
+        m = cut[b][j]
+        bounds.append(bins[j])
+        j, b = m, b - 1
+    bounds.append(bins[j])
+    return sorted(bounds)
+
+
+def vopt_histogram(
+    df: DataFrame,
+    units_col: str,
+    k: int = 8,
+    n_bins: int = 256,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """(bucket, lo_bin, hi_bin, n_rows, sum_units, sse) — the k
+    V-optimal buckets over ``units_col`` (a non-negative BIGINT),
+    statistics exact-integer distributed."""
+    width = bin_width
+    if width is None:
+        mx = df.agg(F.max(units_col).alias("m")).collect()[0]["m"] or 0
+        width = max(1, int(mx) // n_bins + 1)
+    cells = (
+        df.select(F.expr(f"{units_col} div {width}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    hist = sorted((int(r["bin"]), int(r["c"])) for r in cells.collect())
+    bounds = vopt_boundaries(hist, k)
+    # bucket of a bin = index of the first boundary >= bin
+    expr = F.lit(len(bounds) - 1)
+    for i in range(len(bounds) - 2, -1, -1):
+        expr = F.when(F.col("bin") <= bounds[i], i).otherwise(expr)
+    per = (
+        cells.withColumn("bucket", expr.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.min("bin").cast("long").alias("lo_bin"),
+            F.max("bin").cast("long").alias("hi_bin"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum(F.col("c") * F.col("bin")).cast("long").alias("sum_units"),
+            F.sum(F.col("c") * F.col("bin") * F.col("bin"))
+            .cast("long")
+            .alias("_sq_units"),
+        )
+    )
+    sse = F.col("_sq_units").cast("double") - (
+        F.col("sum_units").cast("double") * F.col("sum_units").cast("double")
+    ) / F.col("n_rows").cast("double")
+    return per.select(
+        "bucket",
+        "lo_bin",
+        "hi_bin",
+        "n_rows",
+        "sum_units",
+        F.round(sse, 4).alias("sse"),
+    )
+
+
+def vopt_oracle_sql(
+    src_sql: str, units_expr: str, bounds: list[int], width: int
+) -> str:
+    """Distributed-stats oracle given the replayed boundaries."""
+    if not bounds:
+        return (
+            "SELECT 0::INT AS bucket, 0::BIGINT AS lo_bin, 0::BIGINT AS "
+            "hi_bin, 0::BIGINT AS n_rows, 0::BIGINT AS sum_units, "
+            "0.0::DOUBLE AS sse WHERE false"
+        )
+    whens = " ".join(
+        f"WHEN bin <= {b} THEN {i}" for i, b in enumerate(bounds[:-1])
+    )
+    case = f"CASE {whens} ELSE {len(bounds) - 1} END" if whens else str(0)
+    return f"""
+WITH src AS ({src_sql}),
+cells AS (
+  SELECT ({units_expr}) // {width} AS bin, COUNT(*)::BIGINT AS c
+  FROM src GROUP BY 1
+),
+tagged AS (SELECT *, ({case})::INT AS bucket FROM cells)
+SELECT bucket,
+       MIN(bin)::BIGINT AS lo_bin, MAX(bin)::BIGINT AS hi_bin,
+       SUM(c)::BIGINT AS n_rows,
+       SUM(c * bin)::BIGINT AS sum_units,
+       round(SUM(c * bin * bin)::DOUBLE
+             - SUM(c * bin)::DOUBLE * SUM(c * bin)::DOUBLE
+               / SUM(c)::DOUBLE, 4) AS sse
+FROM tagged GROUP BY bucket
+"""
+
+
+__all__ = ["vopt_boundaries", "vopt_histogram", "vopt_oracle_sql"]

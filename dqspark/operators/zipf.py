@@ -1,0 +1,140 @@
+"""Zipf-slope corpus-health audit — natural language follows
+freq(rank) ∝ rank^(-s) with s ≈ 1 (Zipf 1949; Piantadosi 2014 reviews
+the regularity's robustness); a corpus whose top-of-vocabulary slope
+deviates strongly is usually synthetic, template-generated, or
+boilerplate-flooded — exactly the corpora a quality filter should get
+suspicious about.  Completes the vocabulary-statistics family:
+vocab_growth checks Heaps' law (vocabulary SIZE vs corpus size), this
+checks Zipf's law (frequency DECAY vs rank).
+
+Method: token frequencies over the whole corpus (the one corpus-sized
+pass, map-side combined), deterministic top-K ranking (freq DESC,
+token ASC), then OLS of ln(freq) on ln(rank) over the K points.
+Exactness protocol: ln() agrees between the engines at the precision
+this repo's PSI/MI operators already rely on; each point's
+(ln rank, ln freq) is quantized to MICRO-unit BIGINTs BEFORE any
+cross-point sum, so all five OLS moments are exact integer sums
+(|xu·yu| ≤ (1.4e7)² ≈ 2e14, × K=100 ≈ 2e16 — int64-safe) and the
+slope/intercept/r² are single double expressions over exact integers,
+rounded to 4 dp identically.
+
+Scale shape: groupBy(token) over the corpus, one TakeOrderedAndProject
+for the top-K, O(K) rows thereafter (single-partition window over K
+rows).  Nothing else moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+ZIPF_UNIT = 1_000_000
+
+
+def zipf_slope(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """One row: (k, n_tokens, slope, intercept, r2, verdict) — OLS of
+    ln(freq) on ln(rank) over the top-k vocabulary."""
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = freq.orderBy(F.desc("c"), F.asc("tok")).limit(k)
+    w = Window.partitionBy().orderBy(F.desc("c"), F.asc("tok"))
+    pts = top.select(
+        F.row_number().over(w).cast("long").alias("r"),
+        "c",
+    ).select(
+        F.round(F.log(F.col("r").cast("double")) * ZIPF_UNIT)
+        .cast("long")
+        .alias("xu"),
+        F.round(F.log(F.col("c").cast("double")) * ZIPF_UNIT)
+        .cast("long")
+        .alias("yu"),
+        "c",
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum("xu").cast("long").alias("sx"),
+        F.sum("yu").cast("long").alias("sy"),
+        F.sum(F.col("xu") * F.col("xu")).cast("long").alias("sxx"),
+        F.sum(F.col("yu") * F.col("yu")).cast("long").alias("syy"),
+        F.sum(F.col("xu") * F.col("yu")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    slope = cov / vx
+    intercept = (sy - slope * sx) / nd / ZIPF_UNIT
+    return m.select(
+        F.col("n").alias("k"),
+        "n_tokens",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 4).alias("r2"),
+        F.when(F.round(slope, 4) > -0.5, "too_flat")
+        .when(F.round(slope, 4) < -1.6, "too_steep")
+        .otherwise("zipfian")
+        .alias("verdict"),
+    )
+
+
+def zipf_slope_oracle(src_sql: str, text_col: str = "text", k: int = 100) -> str:
+    norm = normalized_oracle(f"coalesce({text_col}, '')")
+    return f"""
+WITH src AS ({src_sql}),
+toks AS (
+  SELECT unnest(list_filter(string_split({norm}, ' '), t -> t <> '')) AS tok
+  FROM src
+),
+freq AS (SELECT tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY tok),
+top AS (SELECT * FROM freq ORDER BY c DESC, tok ASC LIMIT {k}),
+pts AS (
+  SELECT CAST(round(ln((row_number() OVER (ORDER BY c DESC, tok ASC))::DOUBLE)
+              * {ZIPF_UNIT}) AS BIGINT) AS xu,
+         CAST(round(ln(c::DOUBLE) * {ZIPF_UNIT}) AS BIGINT) AS yu,
+         c
+  FROM top
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS n_tokens,
+         SUM(xu)::BIGINT AS sx, SUM(yu)::BIGINT AS sy,
+         SUM(xu * xu)::BIGINT AS sxx, SUM(yu * yu)::BIGINT AS syy,
+         SUM(xu * yu)::BIGINT AS sxy
+  FROM pts
+)
+SELECT n AS k, n_tokens,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4) AS slope,
+       round((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                          / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                          * sx::DOUBLE) / n::DOUBLE / {ZIPF_UNIT}, 4)
+         AS intercept,
+       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+         AS r2,
+       CASE WHEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4) > -0.5
+            THEN 'too_flat'
+            WHEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4) < -1.6
+            THEN 'too_steep'
+            ELSE 'zipfian' END AS verdict
+FROM m
+"""
+
+
+__all__ = ["zipf_slope", "zipf_slope_oracle", "ZIPF_UNIT"]

@@ -936,3 +936,16 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts), dominant script, runner-up share, mixed-script verdict —
     pure codegen projection, no UDF, no shuffle."""
     return script_mix(_script_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --- Zipf slope audit -------------------------------------------------------------
+
+from dqspark.operators.zipf import zipf_slope, zipf_slope_oracle
+
+
+@register("zipf_slope", zipf_slope_oracle("SELECT text FROM documents"))
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of ln(freq) vs ln(rank) over the top-100 vocabulary —
+    Zipf's-law conformance audit (micro-unit integer moments)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return zipf_slope(docs)

@@ -1214,3 +1214,44 @@ def q_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "n_chars"
     )
     return quantile_normalize(docs, "source", "doc_id", "n_chars")
+
+
+# --- V-optimal histogram (zone-map boundary selection) ----------------------------
+
+from dqspark.operators.vopt import (
+    vopt_boundaries,
+    vopt_histogram,
+    vopt_oracle_sql,
+)
+
+_VOPT_K = 8
+_VOPT_WIDTH = 4  # pinned bin width: both engines bucket n_chars div 4
+
+
+def _vopt_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+
+    con = _connect(oracle_sf_dir())
+    hist = sorted(
+        (int(b), int(c))
+        for b, c in con.sql(
+            f"SELECT n_chars // {_VOPT_WIDTH} AS bin, COUNT(*) "
+            "FROM documents GROUP BY 1"
+        ).fetchall()
+    )
+    bounds = vopt_boundaries(hist, _VOPT_K)
+    return vopt_oracle_sql(
+        "SELECT n_chars FROM documents", "n_chars", bounds, _VOPT_WIDTH
+    )
+
+
+@register("vopt_histogram", _vopt_oracle)
+def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal k=8 bucket boundaries over the document-length
+    distribution — DP on the O(bins) collected histogram picks the
+    minimum-variance split, per-bucket stats recomputed distributed in
+    exact integers (the zone-map boundary-selection audit)."""
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    return vopt_histogram(
+        docs, "n_chars", k=_VOPT_K, bin_width=_VOPT_WIDTH
+    )

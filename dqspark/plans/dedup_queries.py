@@ -1050,3 +1050,32 @@ def q_embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     knn = knn_bruteforce(emb, emb, k=_LOF_K)
     return lof_scores(knn, k=_LOF_K)
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-negative / hard-positive mining
+# ---------------------------------------------------------------------------
+
+from dqspark.operators.mining import contrastive_pairs, contrastive_pairs_oracle
+
+_MINE_EMB_SQL = (
+    "SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 1"
+)
+
+
+@register(
+    "contrastive_mining",
+    lambda: contrastive_pairs_oracle(
+        _MINE_EMB_SQL, cosine_oracle("a.embedding", "b.embedding")
+    ),
+)
+def q_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest negative + hardest positive per anchor over the odd-id
+    labeled slice — struct-argmax reduction, negative margins flag
+    label-inconsistent neighborhoods."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "label", "embedding")
+    )
+    return contrastive_pairs(emb)

@@ -343,3 +343,65 @@ def test_scene_cuts_static_video_no_cuts():
 
 def test_scene_cuts_undecodable():
     assert scene_stats_bytes(b"not a video") == (False, 0, 0, None, None, None)
+
+
+# --- contrastive mining / zipf / v-optimal ---------------------------------------
+
+from dqspark.operators.mining import contrastive_pairs
+from dqspark.operators.vopt import vopt_boundaries, vopt_histogram
+from dqspark.operators.zipf import zipf_slope
+
+
+def test_contrastive_hand(spark):
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [0.9, 0.1]),
+        (3, "b", [0.0, 1.0]),
+        (4, "b", [0.7, 0.3]),  # label b but leans into cluster a
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = {r.anchor_id: r for r in contrastive_pairs(df).collect()}
+    # anchor 1: hardest negative is 4 (label b, cos .92); positive 2 (.99)
+    assert out[1].hard_neg_id == 4 and out[1].hard_pos_id == 2
+    # anchor 4 is mislabeled: its positive (3) is orthogonal, its
+    # negatives (1,2) are nearly identical -> negative margin
+    assert out[4].inconsistent and out[4].margin < 0
+    assert not out[1].inconsistent
+
+
+def test_zipf_exact_powerlaw(spark):
+    # freq(rank) = round(1000 * rank^-1): slope ~ -1, r2 ~ 1
+    rows = []
+    for rank in range(1, 51):
+        tok = f"tok{rank:03d}"
+        rows.extend([(tok,)] * round(1000 / rank))
+    df = spark.createDataFrame(rows, "text string")
+    r = zipf_slope(df, "text", k=50).collect()[0]
+    assert -1.05 < r.slope < -0.95 and r.r2 > 0.999
+    assert r.verdict == "zipfian"
+
+
+def test_zipf_uniform_flat(spark):
+    rows = [(f"t{i:02d}",) for i in range(40)] * 25
+    df = spark.createDataFrame(rows, "text string")
+    r = zipf_slope(df, "text", k=40).collect()[0]
+    assert r.slope == 0.0 and r.verdict == "too_flat"
+
+
+def test_vopt_boundaries_bimodal():
+    # two tight clusters of bins: k=2 must split between them
+    hist = [(0, 10), (1, 12), (2, 11), (50, 9), (51, 13)]
+    assert vopt_boundaries(hist, 2) == [2, 51]
+
+
+def test_vopt_histogram_stats(spark):
+    rows = [(v,) for v in [0, 1, 2, 100, 101, 102, 103]]
+    df = spark.createDataFrame(rows, "u long")
+    out = {
+        r.bucket: r
+        for r in vopt_histogram(df, "u", k=2, bin_width=1).collect()
+    }
+    assert len(out) == 2
+    assert (out[0].lo_bin, out[0].hi_bin, out[0].n_rows) == (0, 2, 3)
+    assert (out[1].lo_bin, out[1].hi_bin, out[1].n_rows) == (100, 103, 4)
+    assert out[0].sse == 2.0  # var sum of {0,1,2} around mean 1
