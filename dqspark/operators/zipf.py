@@ -75,14 +75,16 @@ def zipf_slope(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFra
     vx = nd * sxx - sx * sx
     vy = nd * syy - sy * sy
     cov = nd * sxy - sx * sy
-    slope = cov / vx
+    # ANSI mode: guard the zero-variance denominators explicitly (a
+    # constant-frequency top-k makes vy = 0; vx = 0 only at n = 1)
+    slope = F.when(vx > 0, cov / vx)
     intercept = (sy - slope * sx) / nd / ZIPF_UNIT
     return m.select(
         F.col("n").alias("k"),
         "n_tokens",
         F.round(slope, 4).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
-        F.round(cov * cov / (vx * vy), 4).alias("r2"),
+        F.when(vx * vy > 0, F.round(cov * cov / (vx * vy), 4)).alias("r2"),
         F.when(F.round(slope, 4) > -0.5, "too_flat")
         .when(F.round(slope, 4) < -1.6, "too_steep")
         .otherwise("zipfian")
@@ -121,11 +123,13 @@ SELECT n AS k, n_tokens,
                           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
                           * sx::DOUBLE) / n::DOUBLE / {ZIPF_UNIT}, 4)
          AS intercept,
-       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-             / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-              * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
-         AS r2,
+       CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4)
+       END AS r2,
        CASE WHEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4) > -0.5
             THEN 'too_flat'
