@@ -1,0 +1,165 @@
+"""Greedy k-center coreset selection (Gonzalez, TCS 1985 — the 2-approx
+farthest-point heuristic; the "k-Center-Greedy" active-learning /
+data-selection baseline of Sener & Savarese, ICLR 2018) — pick k
+corpus exemplars that COVER embedding space: every point ends within
+the reported radius of a selected center.  This is the diversity-first
+complement of SemDeDup (operators/kmeans.py): SemDeDup removes what is
+redundant, k-center keeps what is maximally spread — the standard
+shape for "choose a small diverse training subset / eval panel".
+
+Determinism / exactness (the kmeans module's integer protocol):
+embeddings quantize once to micro-units (kmeans.to_units); all
+distances are exact BIGINT squared-L2 over the int vectors (≤ 64 dims
+× (2²⁰)² ≈ 7e13 per term — int64-safe); the greedy argmax breaks ties
+on the SMALLER id via struct ordering; so the selection trajectory is
+bit-identical on any engine and the oracle is a single-process replay
+(the pagerank/kcore protocol).
+
+Scale shape: k rounds, each ONE scan computing (a) the running
+min-distance-to-selected per point (a least() over the previous column
+and one new squared distance — whole-stage-codegen integer math, no
+UDF, no shuffle) and (b) a 1-row struct-max argmax (map-side combined).
+Driver state is the O(k·dims) selected set, exactly like the kmeans
+centroid table; localCheckpoint truncates the per-round lineage."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.kmeans import UNIT, to_units
+
+KC_K = 8
+
+
+def _sq_dist_units(u: Column, center: list[int]) -> Column:
+    cent = F.array(*[F.lit(int(c)).cast("long") for c in center])
+    return F.aggregate(
+        F.zip_with(u, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = KC_K,
+) -> list[tuple[int, int, int]]:
+    """Greedy trajectory [(round, center_id, radius_units_before)] —
+    radius_units_before is the max min-distance the new center was
+    chosen at (round 0 seeds the smallest id, radius 0 by convention).
+    Driver state: k (id, vector) pairs."""
+    d = emb.select(
+        F.col(key_col).alias("_id"), to_units(F.col(vec_col)).alias("_u")
+    ).localCheckpoint(eager=False)
+    first = d.orderBy("_id").limit(1).collect()[0]
+    selected = [(0, int(first["_id"]), 0)]
+    vectors = {int(first["_id"]): [int(x) for x in first["_u"]]}
+    cur = d.withColumn(
+        "_md", _sq_dist_units(F.col("_u"), vectors[selected[0][1]])
+    )
+    for rnd in range(1, k):
+        far = (
+            cur.agg(
+                F.max(
+                    F.struct(F.col("_md"), (-F.col("_id")).alias("nid"))
+                ).alias("m")
+            )
+            .select(
+                F.col("m._md").alias("md"), (-F.col("m.nid")).alias("id")
+            )
+            .collect()[0]
+        )
+        cid, radius = int(far["id"]), int(far["md"])
+        vec = [
+            int(x)
+            for x in d.where(F.col("_id") == cid).collect()[0]["_u"]
+        ]
+        selected.append((rnd, cid, radius))
+        vectors[cid] = vec
+        cur = cur.withColumn(
+            "_md",
+            F.least(F.col("_md"), _sq_dist_units(F.col("_u"), vec)),
+        ).localCheckpoint(eager=False)
+    return selected
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = KC_K,
+) -> DataFrame:
+    """(round, center_id, radius_units, n_assigned) — the greedy
+    trajectory plus each center's final cluster size (every point
+    assigned to its nearest center, ties to the smaller center id)."""
+    trajectory = kcenter_select(emb, key_col, vec_col, k)
+    spark = emb.sparkSession
+    d = emb.select(
+        F.col(key_col).alias("_id"), to_units(F.col(vec_col)).alias("_u")
+    )
+    center_ids = [cid for _, cid, _ in trajectory]
+    center_vecs = [
+        (int(r["_id"]), [int(x) for x in r["_u"]])
+        for r in d.where(F.col("_id").isin(center_ids)).collect()
+    ]
+    # nearest center via struct-min over (dist, center_id)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist_units(F.col("_u"), vec).alias("dd"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, vec in center_vecs
+            ]
+        )
+    )
+    assigned = d.select(best.getField("cid").alias("center_id")).groupBy(
+        "center_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+    traj_df = spark.createDataFrame(
+        [(r, c, u) for r, c, u in trajectory],
+        "round long, center_id long, radius_units long",
+    )
+    return traj_df.join(assigned, "center_id", "left").select(
+        "round",
+        "center_id",
+        "radius_units",
+        F.coalesce(F.col("n_assigned"), F.lit(0)).alias("n_assigned"),
+    )
+
+
+def kcenter_replay(
+    vectors: list[tuple[int, list[int]]], k: int = KC_K
+) -> list[tuple[int, int, int, int]]:
+    """Single-process replay over (id, unit-vector) pairs: returns
+    (round, center_id, radius_units, n_assigned) — identical integer
+    arithmetic to the distributed path."""
+    vecs = dict(vectors)
+    ids = sorted(vecs)
+    first = ids[0]
+    sel = [(0, first, 0)]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    md = {i: sq(vecs[i], vecs[first]) for i in ids}
+    for rnd in range(1, k):
+        far = max(ids, key=lambda i: (md[i], -i))
+        sel.append((rnd, far, md[far]))
+        for i in ids:
+            d2 = sq(vecs[i], vecs[far])
+            if d2 < md[i]:
+                md[i] = d2
+    counts = {c: 0 for _, c, _ in sel}
+    cids = [c for _, c, _ in sel]
+    for i in ids:
+        best = min(cids, key=lambda c: (sq(vecs[i], vecs[c]), c))
+        counts[best] += 1
+    return [(r, c, u, counts[c]) for r, c, u in sel]
+
+
+__all__ = ["kcenter_coreset", "kcenter_select", "kcenter_replay", "KC_K"]

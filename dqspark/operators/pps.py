@@ -1,0 +1,111 @@
+"""Poisson PPS (probability-proportional-to-size) sampling with a
+Horvitz-Thompson total estimator and a measured-error audit — the
+"estimate a corpus-wide total from a tiny sample" primitive (survey
+sampling classic: Horvitz & Thompson, JASA 1952; the shape behind
+every by-sampling token-count / cost dashboard at 10¹²-file scale,
+where exact Σ over the corpus is a full scan you don't want hourly).
+
+Determinism: the inclusion coin is a portable hash, not an RNG —
+include row i iff ``h_i · T < P31 · c · y_i`` (all BIGINT: h_i the
+md5-derived hash in [0, P31), T = Σy exact, c the target sample size),
+which is exactly ``u_i < min(1, c·y_i/T)`` with u_i = h_i/P31.  The
+HT contribution y_i/π_i is T/c for every uncapped sampled row and y_i
+for capped ones (π=1), so the estimator scaled by c —
+``Σ (T | uncapped, c·y_i | capped)`` — is an ORDER-FREE exact BIGINT
+sum; one final division reports the estimate.  Unbiasedness is the
+textbook HT property; what the differential proves is that both
+engines draw the identical sample and integer total.
+
+Scale shape: one aggregate for T (map-side combined), one
+whole-stage-codegen filter pass for the sample, one 1-row aggregate.
+Nothing is ever collected."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import P31, md5_long, md5_long_oracle
+
+
+def pps_ht_audit(
+    df: DataFrame, key_col: str, size_col: str, target: int = 50
+) -> DataFrame:
+    """One row: (n_total, total_size, n_sampled, ht_scaled, ht_estimate,
+    rel_err_pct) — deterministic Poisson-PPS sample of ~``target`` rows
+    and the Horvitz-Thompson estimate of Σ``size_col``."""
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(size_col).cast("long").alias("total_size"),
+    )
+    h = md5_long(F.col(key_col).cast("string")) % P31
+    tagged = df.crossJoin(F.broadcast(tot)).select(
+        "n_total",
+        "total_size",
+        F.col(size_col).cast("long").alias("y"),
+        h.alias("h"),
+    )
+    capped = F.lit(target).cast("long") * F.col("y") >= F.col("total_size")
+    included = (F.col("h") * F.col("total_size")) < (
+        F.lit(P31).cast("long") * F.lit(target).cast("long") * F.col("y")
+    )
+    sample = tagged.where(included)
+    agg = sample.groupBy("n_total", "total_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(
+            F.when(capped, F.lit(target).cast("long") * F.col("y")).otherwise(
+                F.col("total_size")
+            )
+        )
+        .cast("long")
+        .alias("ht_scaled"),
+    )
+    est = F.col("ht_scaled").cast("double") / target
+    return agg.select(
+        "n_total",
+        "total_size",
+        "n_sampled",
+        "ht_scaled",
+        F.round(est, 4).alias("ht_estimate"),
+        F.round(
+            (est - F.col("total_size").cast("double"))
+            / F.col("total_size").cast("double")
+            * 100.0,
+            4,
+        ).alias("rel_err_pct"),
+    )
+
+
+def pps_ht_audit_oracle(
+    src_sql: str, key_expr: str, size_expr: str, target: int = 50
+) -> str:
+    h = f"({md5_long_oracle(f'CAST({key_expr} AS VARCHAR)')} % {P31})"
+    return f"""
+WITH src AS ({src_sql}),
+tot AS (
+  SELECT COUNT(*)::BIGINT AS n_total, SUM({size_expr})::BIGINT AS total_size
+  FROM src
+),
+tagged AS (
+  SELECT n_total, total_size, ({size_expr})::BIGINT AS y, {h} AS h
+  FROM src CROSS JOIN tot
+),
+sample AS (
+  SELECT * FROM tagged
+  WHERE h * total_size < {P31}::BIGINT * {target} * y
+),
+agg AS (
+  SELECT n_total, total_size, COUNT(*)::BIGINT AS n_sampled,
+         SUM(CASE WHEN {target} * y >= total_size THEN {target} * y
+                  ELSE total_size END)::BIGINT AS ht_scaled
+  FROM sample GROUP BY 1, 2
+)
+SELECT n_total, total_size, n_sampled, ht_scaled,
+       round(ht_scaled::DOUBLE / {target}, 4) AS ht_estimate,
+       round((ht_scaled::DOUBLE / {target} - total_size::DOUBLE)
+             / total_size::DOUBLE * 100.0, 4) AS rel_err_pct
+FROM agg
+"""
+
+
+__all__ = ["pps_ht_audit", "pps_ht_audit_oracle"]

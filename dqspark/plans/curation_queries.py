@@ -1255,3 +1255,23 @@ def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vopt_histogram(
         docs, "n_chars", k=_VOPT_K, bin_width=_VOPT_WIDTH
     )
+
+
+# --- PPS sampling + Horvitz-Thompson audit -----------------------------------------
+
+from dqspark.operators.pps import pps_ht_audit, pps_ht_audit_oracle
+
+
+@register(
+    "pps_ht_audit",
+    pps_ht_audit_oracle(
+        "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars"
+    ),
+)
+def q_pps_ht_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-PPS sample (~50 docs, inclusion ∝ length)
+    and the Horvitz-Thompson estimate of total corpus chars — the
+    estimate-by-sampling primitive, error measured against the exact
+    total in the same row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pps_ht_audit(docs, "doc_id", "n_chars")

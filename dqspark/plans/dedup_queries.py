@@ -1079,3 +1079,45 @@ def q_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding")
     )
     return contrastive_pairs(emb)
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset (diversity selection)
+# ---------------------------------------------------------------------------
+
+from dqspark.operators.kcenter import KC_K, kcenter_coreset, kcenter_replay
+from dqspark.operators.kmeans import UNIT as _KM_UNIT
+
+
+def _kcenter_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    rows = con.sql(
+        "SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(floor(x * {_KM_UNIT}) AS BIGINT)) FROM embeddings"
+        " WHERE vec_id % 3 = 0 ORDER BY vec_id"
+    ).fetchall()
+    vectors = [(int(i), [int(x) for x in u]) for i, u in rows]
+    out = kcenter_replay(vectors, k=KC_K)
+    values = values_table(
+        out, ["round", "center_id", "radius_units", "n_assigned"]
+    )
+    return (
+        f"SELECT round::BIGINT AS round, center_id::BIGINT AS center_id, "
+        f"radius_units::BIGINT AS radius_units, "
+        f"n_assigned::BIGINT AS n_assigned FROM {values}"
+    )
+
+
+@register("kcenter_coreset", _kcenter_oracle)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point k-center selection (k=8) over the
+    vec_id%3 slice — integer-exact greedy trajectory + final cluster
+    sizes; the oracle replays the identical arithmetic."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 3 == 0)
+        .select("vec_id", "embedding")
+    )
+    return kcenter_coreset(emb)

@@ -428,3 +428,123 @@ def _mink_oracle() -> str:
 
 
 ORACLES["mink_membership"] = _mink_oracle
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union via register max, intersection via
+# inclusion-exclusion, both audited against exact distinct counts
+# ---------------------------------------------------------------------------
+
+_HLL_A_SQL = (
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events "
+    "WHERE event_type = 'click' AND user_id % 3 <> 0"
+)
+_HLL_B_SQL = (
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events "
+    "WHERE event_type = 'purchase' AND user_id % 2 = 0"
+)
+
+_ALG_SCHEMA = T.StructType(
+    [
+        T.StructField("est_a", T.DoubleType()),
+        T.StructField("est_b", T.DoubleType()),
+        T.StructField("est_union", T.DoubleType()),
+        T.StructField("est_inter", T.DoubleType()),
+        T.StructField("exact_a", T.LongType()),
+        T.StructField("exact_b", T.LongType()),
+        T.StructField("exact_union", T.LongType()),
+        T.StructField("exact_inter", T.LongType()),
+        T.StructField("union_err_pct", T.DoubleType()),
+    ]
+)
+
+
+def _hll_algebra_row(ra, rb, ea, eb, eu) -> tuple:
+    # union registers = elementwise max (THE mergeability property);
+    # intersection by inclusion-exclusion on the three estimates
+    ru = dict(ra)
+    for j, v in rb.items():
+        if v > ru.get(j, 0):
+            ru[j] = v
+    est_a, est_b, est_u = (
+        hll_estimate(ra),
+        hll_estimate(rb),
+        hll_estimate(ru),
+    )
+    est_i = est_a + est_b - est_u
+    return (
+        round(est_a, 4),
+        round(est_b, 4),
+        round(est_u, 4),
+        round(est_i, 4),
+        ea,
+        eb,
+        eu,
+        ea + eb - eu,
+        round((est_u - eu) / eu * 100.0, 4),
+    )
+
+
+@register("hll_set_algebra")
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user cardinalities of two planted behavioral cohorts,
+    their union (register-max merge — the property that lets per-shard
+    sketches combine without re-reading data) and inclusion-exclusion
+    intersection, each audited against exact distincts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    a = (
+        ev.where(
+            (F.col("event_type") == "click") & (F.col("user_id") % 3 != 0)
+        )
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+    )
+    b = (
+        ev.where(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 0)
+        )
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+    )
+    ra = collect_registers(hll_registers(a))
+    rb = collect_registers(hll_registers(b))
+    ea = a.count()
+    eb = b.count()
+    eu = a.unionByName(b).distinct().count()
+    return spark.createDataFrame(
+        [_hll_algebra_row(ra, rb, ea, eb, eu)], _ALG_SCHEMA
+    )
+
+
+def _hll_algebra_oracle() -> str:
+    from dqspark.plans.local_oracle import values_table
+
+    con = _connect(oracle_sf_dir())
+
+    def regs(sql: str) -> dict[int, int]:
+        return {
+            int(r): int(m)
+            for r, m in con.sql(
+                hll_registers_oracle_sql(sql)
+            ).fetchall()
+        }
+
+    ra, rb = regs(_HLL_A_SQL), regs(_HLL_B_SQL)
+    ea = con.sql(f"SELECT COUNT(*) FROM ({_HLL_A_SQL})").fetchone()[0]
+    eb = con.sql(f"SELECT COUNT(*) FROM ({_HLL_B_SQL})").fetchone()[0]
+    eu = con.sql(
+        f"SELECT COUNT(DISTINCT key) FROM "
+        f"(SELECT key FROM ({_HLL_A_SQL}) UNION ALL "
+        f"SELECT key FROM ({_HLL_B_SQL}))"
+    ).fetchone()[0]
+    row = _hll_algebra_row(ra, rb, int(ea), int(eb), int(eu))
+    values = values_table([row], [f.name for f in _ALG_SCHEMA.fields])
+    casts = ", ".join(
+        f"{f.name}::{'BIGINT' if isinstance(f.dataType, T.LongType) else 'DOUBLE'}"
+        f" AS {f.name}"
+        for f in _ALG_SCHEMA.fields
+    )
+    return f"SELECT {casts} FROM {values}"
+
+
+ORACLES["hll_set_algebra"] = _hll_algebra_oracle

@@ -405,3 +405,62 @@ def test_vopt_histogram_stats(spark):
     assert (out[0].lo_bin, out[0].hi_bin, out[0].n_rows) == (0, 2, 3)
     assert (out[1].lo_bin, out[1].hi_bin, out[1].n_rows) == (100, 103, 4)
     assert out[0].sse == 2.0  # var sum of {0,1,2} around mean 1
+
+
+# --- k-center / HLL algebra / PPS-HT ---------------------------------------------
+
+from dqspark.operators.kcenter import kcenter_coreset, kcenter_replay
+from dqspark.operators.kmeans import UNIT as _KM_UNIT
+from dqspark.operators.pps import pps_ht_audit
+
+
+def test_kcenter_spark_equals_replay(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r.round, r.center_id, r.radius_units, r.n_assigned)
+        for r in kcenter_coreset(df, k=5).collect()
+    )
+    import math
+
+    vecs = [
+        (i, [math.floor(np.float32(x) * _KM_UNIT) for x in v])
+        for i, v in rows
+    ]
+    want = sorted(kcenter_replay(vecs, k=5))
+    assert got == want
+
+
+def test_kcenter_covers_clusters(spark):
+    # three well-separated clusters, k=3: one center lands in each
+    import numpy as np
+
+    centers = [np.zeros(4), np.ones(4) * 5, -np.ones(4) * 5]
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(30):
+        c = i % 3
+        rows.append(
+            (i, [float(x) for x in centers[c] + rng.normal(0, 0.05, 4)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kcenter_coreset(df, k=3).collect()
+    picked_clusters = {r.center_id % 3 for r in out}
+    assert picked_clusters == {0, 1, 2}
+    sizes = sorted(r.n_assigned for r in out)
+    assert sizes == [10, 10, 10]
+
+
+def test_pps_ht_estimate_tracks_total(spark):
+    rows = [(i, 100 + (i * 37) % 400) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    r = pps_ht_audit(df, "doc_id", "n_chars", target=80).collect()[0]
+    assert r.n_total == 600
+    assert r.total_size == sum(v for _, v in rows)
+    assert 40 < r.n_sampled < 160  # hash coin near the target rate
+    assert abs(r.rel_err_pct) < 25.0  # HT estimate in the right ballpark
