@@ -1,0 +1,98 @@
+"""Difference-in-differences estimator (Card & Krueger 1994 canon) —
+the experimentation-analytics primitive for pipeline changes: when a
+filter/scorer rollout hits one cohort at a known cutover, the causal
+read of "what did the change do" is DiD =
+(treated_post − treated_pre) − (control_post − control_pre), which
+cancels both the cohort's level difference and the shared time trend.
+
+Exactness: the four cell means are rationals of exact BIGINT sums
+(value pre-quantized to integer units by the caller); the estimate is
+one double expression over the eight exact integers, rounded to 6 dp
+identically on both engines.  Output is one row per cell (n, sum,
+mean) with the DiD estimate and both simple differences riding on
+every row — the full 2×2 is auditable, not just the scalar.
+
+Scale shape: ONE map-side-combined groupBy over (treated, post) —
+four groups — then a 4-row self-pivot via conditional aggregation.
+Nothing else touches the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def did_estimate(
+    df: DataFrame, treated_col: str, post_col: str, units_col: str
+) -> DataFrame:
+    """(treated, post, n, sum_units, mean_units, diff_treated,
+    diff_control, did) — the 2×2 cell table with the estimator."""
+    cells = df.groupBy(
+        F.col(treated_col).cast("boolean").alias("treated"),
+        F.col(post_col).cast("boolean").alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(units_col).cast("long").alias("sum_units"),
+    )
+    w = Window.partitionBy()
+
+    def cell_mean(tr: bool, po: bool):
+        s = F.sum(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("sum_units"),
+            )
+        ).over(w)
+        c = F.sum(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po), F.col("n")
+            )
+        ).over(w)
+        return s.cast("double") / c.cast("double")
+
+    dt = cell_mean(True, True) - cell_mean(True, False)
+    dc = cell_mean(False, True) - cell_mean(False, False)
+    return cells.select(
+        "treated",
+        "post",
+        "n",
+        "sum_units",
+        F.round(F.col("sum_units").cast("double") / F.col("n").cast("double"), 6)
+        .alias("mean_units"),
+        F.round(dt, 6).alias("diff_treated"),
+        F.round(dc, 6).alias("diff_control"),
+        F.round(dt - dc, 6).alias("did"),
+    )
+
+
+def did_estimate_oracle(
+    src_sql: str, treated_expr: str, post_expr: str, units_expr: str
+) -> str:
+    def cm(tr: str, po: str) -> str:
+        return (
+            f"(SUM(CASE WHEN treated = {tr} AND post = {po} THEN sum_units END)"
+            f" OVER ())::DOUBLE"
+            f" / (SUM(CASE WHEN treated = {tr} AND post = {po} THEN n END)"
+            f" OVER ())::DOUBLE"
+        )
+
+    dt = f"({cm('true', 'true')} - {cm('true', 'false')})"
+    dc = f"({cm('false', 'true')} - {cm('false', 'false')})"
+    return f"""
+WITH src AS ({src_sql}),
+cells AS (
+  SELECT ({treated_expr}) AS treated, ({post_expr}) AS post,
+         COUNT(*)::BIGINT AS n, SUM({units_expr})::BIGINT AS sum_units
+  FROM src GROUP BY 1, 2
+)
+SELECT treated, post, n, sum_units,
+       round(sum_units::DOUBLE / n::DOUBLE, 6) AS mean_units,
+       round({dt}, 6) AS diff_treated,
+       round({dc}, 6) AS diff_control,
+       round({dt} - {dc}, 6) AS did
+FROM cells
+"""
+
+
+__all__ = ["did_estimate", "did_estimate_oracle"]

@@ -1275,3 +1275,42 @@ def q_pps_ht_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     total in the same row."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return pps_ht_audit(docs, "doc_id", "n_chars")
+
+
+# --- difference-in-differences ------------------------------------------------------
+
+from dqspark.operators.did import did_estimate, did_estimate_oracle
+
+# planted treatment: even-id users gain +120 cents per event after the
+# month's midpoint — DiD recovers ~120 while cancelling the cohorts'
+# level difference and the shared time trend
+_DID_SRC_SQL = """
+  SELECT (user_id % 2 = 0) AS treated,
+         (day(ts) > 15) AS post,
+         CAST(floor(value * 100) AS BIGINT)
+           + CASE WHEN user_id % 2 = 0 AND day(ts) > 15 THEN 120
+                  ELSE 0 END AS cents
+  FROM events
+"""
+
+
+@register(
+    "did_estimate",
+    did_estimate_oracle(_DID_SRC_SQL, "treated", "post", "cents"),
+)
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences over event values with a planted
+    +120-cent treated-post lift — exact integer cell sums, the
+    estimator one double expression."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    treated = F.col("user_id") % 2 == 0
+    post = F.dayofmonth("ts") > 15
+    src = ev.select(
+        treated.alias("treated"),
+        post.alias("post"),
+        (
+            F.floor(F.col("value") * 100).cast("long")
+            + F.when(treated & post, 120).otherwise(0)
+        ).alias("cents"),
+    )
+    return did_estimate(src, "treated", "post", "cents")

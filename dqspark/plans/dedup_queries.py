@@ -1121,3 +1121,61 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return kcenter_coreset(emb)
+
+
+# ---------------------------------------------------------------------------
+# detector-agreement audit: SimHash near-dup pairs measured against
+# exact n-gram-Jaccard ground truth on the same corpus
+# ---------------------------------------------------------------------------
+
+
+def _detector_agreement_oracle() -> str:
+    return f"""
+WITH truth AS ({_jaccard_oracle()}),
+pred AS ({_simhash_dedup_oracle()}),
+j AS (
+  SELECT COALESCE(t.key1, p.key1) AS key1,
+         COALESCE(t.key2, p.key2) AS key2,
+         (t.key1 IS NOT NULL) AS in_truth,
+         (p.key1 IS NOT NULL) AS in_pred
+  FROM truth t
+  FULL OUTER JOIN pred p ON t.key1 = p.key1 AND t.key2 = p.key2
+)
+SELECT COUNT(*) FILTER (in_truth)::BIGINT AS n_truth,
+       COUNT(*) FILTER (in_pred)::BIGINT AS n_pred,
+       COUNT(*) FILTER (in_truth AND in_pred)::BIGINT AS n_both,
+       round(COUNT(*) FILTER (in_truth AND in_pred)::DOUBLE
+             / COUNT(*) FILTER (in_pred)::DOUBLE, 6) AS precision,
+       round(COUNT(*) FILTER (in_truth AND in_pred)::DOUBLE
+             / COUNT(*) FILTER (in_truth)::DOUBLE, 6) AS recall
+FROM j
+"""
+
+
+@register("detector_agreement", _detector_agreement_oracle)
+def q_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the SimHash sketch detector (hamming ≤ 7)
+    against exact Jaccard ≥ 0.5 ground truth on the identical planted
+    corpus — the measured-error discipline of the sketch-audit family
+    applied to a PAIR detector."""
+    truth = ngram_jaccard_pairs(
+        _docs_near(spark, sf_dir), "doc_id", "text", shingle_n=4, threshold=0.5
+    ).select("key1", "key2", F.lit(True).alias("in_truth"))
+    sh = with_simhash(_docs_near(spark, sf_dir), "text")
+    pred = simhash_near_pairs(sh, "doc_id", max_hamming=7).select(
+        "key1", "key2", F.lit(True).alias("in_pred")
+    )
+    j = truth.join(pred, ["key1", "key2"], "full_outer").select(
+        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
+        F.coalesce(F.col("in_pred"), F.lit(False)).alias("in_pred"),
+    )
+    tp = F.sum(F.when(F.col("in_truth") & F.col("in_pred"), 1).otherwise(0))
+    nt = F.sum(F.when(F.col("in_truth"), 1).otherwise(0))
+    np_ = F.sum(F.when(F.col("in_pred"), 1).otherwise(0))
+    return j.agg(
+        nt.cast("long").alias("n_truth"),
+        np_.cast("long").alias("n_pred"),
+        tp.cast("long").alias("n_both"),
+        F.round(tp.cast("double") / np_.cast("double"), 6).alias("precision"),
+        F.round(tp.cast("double") / nt.cast("double"), 6).alias("recall"),
+    )

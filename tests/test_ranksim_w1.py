@@ -240,3 +240,37 @@ def test_quantile_normalize_max_maps_to_max(spark):
     for r in out:
         if r.src_rank == r.src_n:
             assert r.norm_score == gmax
+
+
+# --- DiD ----------------------------------------------------------------------
+
+from dqspark.operators.did import did_estimate
+
+
+def test_did_recovers_planted_effect(spark):
+    # control: 10 pre / 20 post (trend +10); treated: 30 pre / 45 post
+    # (trend +10, level +20, effect +5) -> DiD = 5 exactly
+    rows = (
+        [(False, False, 10)] * 4
+        + [(False, True, 20)] * 4
+        + [(True, False, 30)] * 4
+        + [(True, True, 45)] * 4
+    )
+    df = spark.createDataFrame(rows, "treated boolean, post boolean, u long")
+    out = {(r.treated, r.post): r for r in did_estimate(df, "treated", "post", "u").collect()}
+    assert len(out) == 4
+    r = out[(True, True)]
+    assert r.did == 5.0
+    assert r.diff_treated == 15.0 and r.diff_control == 10.0
+    assert out[(False, False)].mean_units == 10.0
+
+
+def test_did_no_effect_zero(spark):
+    rows = (
+        [(False, False, 5)] * 3
+        + [(False, True, 9)] * 3
+        + [(True, False, 7)] * 3
+        + [(True, True, 11)] * 3
+    )
+    df = spark.createDataFrame(rows, "treated boolean, post boolean, u long")
+    assert did_estimate(df, "treated", "post", "u").collect()[0].did == 0.0
