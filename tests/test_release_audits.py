@@ -464,3 +464,50 @@ def test_pps_ht_estimate_tracks_total(spark):
     assert r.total_size == sum(v for _, v in rows)
     assert 40 < r.n_sampled < 160  # hash coin near the target rate
     assert abs(r.rel_err_pct) < 25.0  # HT estimate in the right ballpark
+
+
+# --- plan-quality assertions for the new operators --------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_script_mix_plan_is_shuffle_free(spark):
+    # pure per-row projection: no Exchange, no Join, no Aggregate
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    plan = _plan(script_mix(df, "doc_id", "text"))
+    for op in ("Exchange", "Join", "Aggregate"):
+        assert op not in plan, op
+
+
+def test_assortativity_plan_broadcasts_degrees(spark):
+    # the O(V) degree relation must broadcast onto the edge list —
+    # never a SortMergeJoin of corpus-sized relations
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    plan = _plan(degree_assortativity(df))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kanon_plan_single_corpus_exchange(spark):
+    # one hash exchange for the QI groupBy (count-distinct adds its
+    # expand inside the same keyed exchange); the window runs on the
+    # O(classes) relation only
+    df = spark.createDataFrame(
+        [("us", "a", "x")], "nat string, seg string, sec string"
+    )
+    plan = _plan(k_anonymity(df, ["nat", "seg"], "sec"))
+    # hashpartitioning exchanges keyed by the QI tuple; the only
+    # SinglePartition exchange feeds the O(classes) global window
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_wasserstein_plan_shape(spark):
+    from dqspark.operators.drift import wasserstein_drift
+
+    o = spark.createDataFrame([(1,)], "v long")
+    n = spark.createDataFrame([(2,)], "v long")
+    plan = _plan(wasserstein_drift(o, n, "v"))
+    # corpus pass is the value groupBy; windows run over O(distinct)
+    assert "WindowExec" not in plan.split("HashAggregate")[0]
