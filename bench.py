@@ -275,6 +275,39 @@ def main() -> None:
             "import_communities",
             "weighted_quantiles",
             "lang_source_lift",
+            # second continuation wave
+            "tfidf_terms",
+            "ewma_streams",
+            "psi_drift",
+            "theilsen_trend",
+            "mutual_info",
+            "pmi_collocations",
+            "import_kcore",
+            "import_triangles",
+            "import_assortativity",
+            "mahalanobis_outliers",
+            "functional_deps",
+            "containment_pairs",
+            "k_anonymity",
+            "script_mix",
+            "wasserstein_drift",
+            "rbo_rankings",
+            "kendall_tau",
+            "spearman_scores",
+            "quantile_normalized",
+            "image_ahash",
+            "image_ahash_pairs",
+            "mink_membership",
+            "video_scene_cuts",
+            "contrastive_mining",
+            "embedding_lof",
+            "zipf_slope",
+            "vopt_histogram",
+            "kcenter_coreset",
+            "hll_set_algebra",
+            "pps_ht_audit",
+            "did_estimate",
+            "detector_agreement",
         )
         if q in driver_queries.QUERIES
     ]
