@@ -35,11 +35,98 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dqspark.operators.dedup import (
+    BITSET_VOCAB_MAX,
+    BITSET_WORD_BITS,
     codes_oracle,
     normalized_oracle,
     shingles_from_codes_oracle,
     with_shingle_hashes,
 )
+
+
+def _bitset_containment(
+    bitmaps: DataFrame,
+    nwords: int,
+    t_num: int,
+    t_den: int,
+    min_sz: int,
+) -> DataFrame:
+    """All-pairs exact containment over dense shingle bitsets — the
+    low-vocab physical strategy (see the cost model at the call site;
+    the prefix join remains the trillion-doc path).  Same vectorized
+    AND + byte-LUT popcount engine as dedup._bitset_allpairs; each
+    UNORDERED pair is intersected once and emits up to two ORDERED
+    rows (containment is asymmetric), thresholded with the exact
+    integer rule inside numpy — int64 arithmetic, no float crosses."""
+    import numpy as np
+    import pandas as pd
+
+    rows = bitmaps.select("k", "bm", "szp").toPandas()
+    ks = rows["k"].to_numpy(dtype=np.int64)
+    mat = np.array(
+        [np.asarray(b, dtype=np.int64) for b in rows["bm"]], dtype=np.int64
+    ).reshape(len(rows), nwords).astype(np.uint64)
+    szs = rows["szp"].to_numpy(dtype=np.int64)
+    order = np.argsort(ks, kind="stable")
+    ks, mat, szs = ks[order], mat[order], szs[order]
+    bc = bitmaps.sparkSession.sparkContext.broadcast((ks, mat, szs))
+    # 16-bit popcount LUT: half the lookups of the byte LUT (measured 2x)
+    _b = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    _i = np.arange(65536, dtype=np.uint32)
+    pop16 = (_b[_i & 0xFF] + _b[_i >> 8]).astype(np.uint8)
+
+    def gen(batches):
+        ks_all, mat_all, szs_all = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            kl = pdf["k"].to_numpy(dtype=np.int64)
+            bl = np.array(
+                [np.asarray(b, dtype=np.int64) for b in pdf["bm"]],
+                dtype=np.int64,
+            ).reshape(len(pdf), nwords).astype(np.uint64)
+            szl = pdf["szp"].to_numpy(dtype=np.int64)
+            for i in range(len(pdf)):
+                j0 = np.searchsorted(ks_all, kl[i], side="right")
+                if j0 >= len(ks_all):
+                    continue
+                inter = (
+                    pop16[(mat_all[j0:] & bl[i]).view(np.uint16)]
+                    .reshape(len(ks_all) - j0, nwords * 4)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                oks, osz = ks_all[j0:], szs_all[j0:]
+                # left contained in right, and right contained in left
+                h1 = (szl[i] >= min_sz) & (inter * t_den >= t_num * szl[i])
+                h2 = (osz >= min_sz) & (inter * t_den >= t_num * osz)
+                if h1.any() or h2.any():
+                    yield pd.DataFrame(
+                        {
+                            "inner_id": np.concatenate(
+                                [np.full(int(h1.sum()), kl[i]), oks[h2]]
+                            ),
+                            "outer_id": np.concatenate(
+                                [oks[h1], np.full(int(h2.sum()), kl[i])]
+                            ),
+                            "inner_sz": np.concatenate(
+                                [np.full(int(h1.sum()), szl[i]), osz[h2]]
+                            ),
+                            "outer_sz": np.concatenate(
+                                [osz[h1], np.full(int(h2.sum()), szl[i])]
+                            ),
+                            "inter": np.concatenate([inter[h1], inter[h2]]),
+                        }
+                    )
+
+    # round-robin repartition: AQE coalesces the tiny post-shuffle
+    # bitmap relation to ONE partition, serializing the O(n²) compare
+    # (the dedup.py candidate-join trap; measured 6.2 s -> sub-second
+    # at 32 threads)
+    par = bitmaps.sparkSession.sparkContext.defaultParallelism
+    return bitmaps.repartition(par).mapInPandas(
+        gen,
+        "inner_id long, outer_id long, inner_sz long, outer_sz long, inter long",
+    )
 
 
 def containment_pairs(
@@ -61,39 +148,140 @@ def containment_pairs(
             n=n,
         )
         .select("k", F.array_distinct("_H").alias("_H"))
-        .localCheckpoint(eager=False)  # referenced by postings AND verify
+        .localCheckpoint(eager=False)  # postings AND prefix-path verify
     )
     sh = (
         d.select("k", F.explode_outer("_H").alias("s"))
         .where(F.col("s").isNotNull())
         .localCheckpoint(eager=False)  # freq agg, sizes, prefix, index
     )
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+
+    # Cost-based physical pick (the ngram_jaccard_pairs move): prefix
+    # enumeration ≈ (1−t)·Σdf² instances (one side restricted to the
+    # (1−t)-prefix, the other the full posting list); brute all-pairs ≈
+    # n²/2 vectorized bitset rows.  Low-vocab corpora (rarity order
+    # can't prune — AllPairs' known failure regime) take the dense
+    # path; the prefix join remains the trillion-doc shape.  Output is
+    # value-identical either way — one DuckDB oracle covers both.
+    t = t_num / t_den
+    n_vocab = freq.count()
+    n_docs = sizes.count()
+    sum_df2 = (
+        freq.agg(F.sum(F.col("df") * F.col("df")).cast("double")).collect()[0][0]
+        or 0.0
+    )
+    est_prefix = (1.0 - t) * sum_df2
+    est_brute = n_docs * (n_docs - 1) / 2.0
+    if n_vocab <= BITSET_VOCAB_MAX and est_brute < est_prefix:
+        nwords = max(1, -(-n_vocab // BITSET_WORD_BITS))
+        # dense-id dictionary: the vocabulary is hard-gated at
+        # BITSET_VOCAB_MAX (2^18) rows in this branch, so a driver
+        # round-trip is O(MBs) and ~4 s cheaper than spinning up the
+        # two-phase ranged numbering for a relation this small
+        spark = df.sparkSession
+        vocab_rows = [
+            (r["s"], i)
+            for i, r in enumerate(
+                freq.orderBy("df", "s").select("s").collect()
+            )
+        ]
+        rid = F.broadcast(
+            spark.createDataFrame(vocab_rows, "s long, rid long")
+        )
+        word = (F.col("rid") / BITSET_WORD_BITS).cast("int").alias("word")
+        mask = (
+            F.pow(F.lit(2.0), (F.col("rid") % BITSET_WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("mask")
+        )
+        per_word = (
+            sh.join(rid, "s")
+            .select("k", word, mask)
+            .groupBy("k", "word")
+            .agg(F.bit_or("mask").alias("bits"))
+        )
+        bitmaps = (
+            per_word.groupBy("k")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("word", "bits"))
+                ).alias("_m")
+            )
+            .select(
+                "k",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nwords - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+                    ),
+                ).alias("bm"),
+            )
+            .withColumn(
+                "szp",
+                F.aggregate(
+                    F.col("bm"), F.lit(0), lambda acc, wd: acc + F.bit_count(wd)
+                ),
+            )
+        )
+        # checkpoint: the relation is read twice (driver matrix via
+        # toPandas + the streaming mapInPandas side) — without it the
+        # whole shingle->bitmap lineage recomputes for the second read
+        bitmaps = bitmaps.localCheckpoint(eager=False)
+        hits = _bitset_containment(bitmaps, nwords, t_num, t_den, min_sz)
+        return hits.withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double") / F.col("inner_sz").cast("double"),
+                6,
+            ),
+        )
+
     # exact integer ceil(t*sz): (t_num*sz + t_den - 1) div t_den
     alpha = F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}")
     w = Window.partitionBy("k").orderBy("df", "s")
-    prefix = (
+    # every posting ranked by global rarity ONCE — the prefix filter
+    # reads it as the inner side, the index as the outer side
+    ranked = (
         sh.join(freq, "s")
         .join(sizes, "k")
-        .where(F.col("sz") >= min_sz)
         .withColumn("rn", F.row_number().over(w))
+        .localCheckpoint(eager=False)
+    )
+    prefix = (
+        ranked.where(F.col("sz") >= min_sz)
         .where(F.col("rn") <= F.col("sz") - alpha + 1)
         .select("k", "s", alpha.alias("need"))
     )
-    index = sh.join(
-        sizes.select(F.col("k").alias("_ik"), F.col("sz").alias("_isz")),
-        sh["k"] == F.col("_ik"),
-    ).select(F.col("k").alias("ok"), "s", "_isz")
+    index = ranked.select(
+        F.col("k").alias("ok"),
+        "s",
+        F.col("sz").alias("_isz"),
+        F.col("rn").alias("_irn"),
+    )
+    # Positional filter on BOTH sides (PPJoin §3.2 argument, asymmetric
+    # form): for a true pair the RAREST common shingle w has every
+    # common element at global-rarity positions ≥ its own in both
+    # documents, so α ≤ sz − rn(w) + 1 holds on each side AT THAT
+    # instance — pruning instances that violate it never loses a pair
+    # (the w-instance itself always survives).  On a low-vocab corpus
+    # this is the difference between the posting-list cross product and
+    # a near-linear candidate set (measured 9.5M → O(true) pairs at
+    # sf0.1).
     cands = (
         prefix.join(
             index,
             (prefix["s"] == index["s"])
             & (prefix["k"] != index["ok"])
-            & (index["_isz"] >= prefix["need"]),
+            & (index["_isz"] >= prefix["need"])
+            & (index["_isz"] - index["_irn"] + 1 >= prefix["need"]),
         )
         .select(F.col("k").alias("inner_id"), F.col("ok").alias("outer_id"))
         .distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     hi = d.select(F.col("k").alias("inner_id"), F.col("_H").alias("_hi"))
     ho = d.select(F.col("k").alias("outer_id"), F.col("_H").alias("_ho"))
