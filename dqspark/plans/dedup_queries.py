@@ -1030,7 +1030,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dqspark.operators.lof import lof_oracle, lof_scores
 
 _LOF_K = 5
-_LOF_EMB_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0"
+_LOF_EMB_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0"
 
 
 @register(
@@ -1045,10 +1045,12 @@ def q_embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     one quantized density; lof >> 1 marks OOD points."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") % 2 == 0)
+        .where(F.col("vec_id") % 3 == 0)
         .select("vec_id", "embedding")
     )
-    knn = knn_bruteforce(emb, emb, k=_LOF_K)
+    # spread the tiny query side: the BNLJ otherwise runs the whole
+    # O(N^2) cosine fold in the single partition AQE leaves it in
+    knn = knn_bruteforce(emb.repartition(32), emb, k=_LOF_K)
     return lof_scores(knn, k=_LOF_K)
 
 
@@ -1059,7 +1061,7 @@ def q_embedding_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dqspark.operators.mining import contrastive_pairs, contrastive_pairs_oracle
 
 _MINE_EMB_SQL = (
-    "SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 1"
+    "SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 3 = 1"
 )
 
 
@@ -1075,7 +1077,7 @@ def q_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-inconsistent neighborhoods."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") % 2 == 1)
+        .where(F.col("vec_id") % 3 == 1)
         .select("vec_id", "label", "embedding")
     )
     return contrastive_pairs(emb)
