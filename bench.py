@@ -210,6 +210,8 @@ def main() -> None:
         q
         for q in (
             "knn_imi_fullprobe",
+            "quantile_sketch",
+            "quantile_sketch_audit",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

@@ -1,0 +1,215 @@
+"""One-pass mergeable quantile sketch: bottom-k coordinated sampling
+(Cohen & Kaplan, "Summarizing data using bottom-k sketches", PODC
+2007) with order-statistic estimation, completing the bounded-memory
+sketch family (distinct -> HLL, frequency -> Count-Min, heavy hitters
+-> Misra-Gries, membership -> Bloom, quantiles -> THIS).
+
+The sample is the k rows whose portable mixed hash (operators/hll.py
+avalanche over the operators/dedup.py polynomial hash — identical
+int64 arithmetic in Spark SQL and DuckDB) is smallest, totally
+ordered by (hash, key) so the selection is deterministic and
+partition-invariant.  Conditioned on the hash being uniform this is a
+uniform random sample without replacement, so the sample's own
+q-quantile estimates the population q-quantile with rank error
+O(n / sqrt(k)) — and the audit query MEASURES that error against the
+exact order statistics rather than assuming it (the discipline every
+sketch in this repo follows: hll_distinct_audit, cms_estimates,
+heavy_tokens_audit, minhash_error_audit).
+
+Scale design: ONE corpus scan with NO shuffle — Spark executes the
+orderBy+limit as TakeOrderedAndProject (per-partition bounded heap,
+O(k) state, driver merges the per-partition winners), the same
+physical shape the severity top-k (§2 O2) and weighted_sample_k
+queries rely on; a plan assertion test pins it.  Bottom-k samples
+are mergeable by construction — the bottom-k of a union is the
+bottom-k of the concatenated per-shard bottom-k's — so the sketch
+composes across Iceberg snapshots or streaming micro-batches.
+Contrast with operators/quantiles.py exact_quantiles (log_B(n)
+scans, exact answers): the sketch is the single-pass approximate
+counterpart; the audit row quantifies what that single pass gives up.
+
+Reference parity: the reference profiles numeric columns with eager
+pandas describe()/quantile() in one process (analyzer.py); this is
+the bounded-memory distributed analog for corpora where even one
+global sort is too expensive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import FIN_A, FIN_C, HASH_B, P31, token_hash
+from dqspark.operators.hll import hll_mix
+
+QS_K = 1024  # sample size cap — rank error ~ 1/sqrt(k) ~ 3% of n
+
+
+def sample_hash(key: Column) -> Column:
+    """Portable avalanche-mixed 31-bit hash of the row key (string) —
+    the coordinated-sampling rank.  Identical arithmetic to the HLL
+    register derivation so one hash column can feed both sketches."""
+    return hll_mix(token_hash(key))
+
+
+def _sample_cte_sql(table_sql: str, value_expr: str, key_expr: str, k: int) -> str:
+    """Shared CTE prefix deriving the identical mixed hash in staged
+    steps (the hll_registers_oracle_sql style — no correlated scalar
+    subqueries) and selecting the bottom-k sample."""
+    th = (
+        f"(list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(string_split(CAST({key_expr} AS VARCHAR), ''),"
+        f" c -> unicode(c)::BIGINT)),"
+        f" (a, b) -> (a * {HASH_B} + b) % {P31}) * {FIN_A} + {FIN_C}) % {P31}"
+    )
+    return f"""
+vals AS (
+  SELECT {value_expr}::DOUBLE AS v, CAST({key_expr} AS VARCHAR) AS _key,
+         {th} AS t
+  FROM ({table_sql})
+  WHERE {value_expr} IS NOT NULL
+),
+m1 AS (SELECT v, _key, (t * {FIN_A} + {FIN_C}) % {P31} AS h1 FROM vals),
+m2 AS (
+  SELECT v, _key, (((h1 * h1) % {P31}) * {HASH_B} + h1) % {P31} AS _h
+  FROM m1
+),
+samp AS (SELECT v FROM m2 ORDER BY _h, _key LIMIT {k}),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS m
+  FROM samp
+)"""
+
+
+def bottomk_sample(
+    df: DataFrame, value_col: str, key_col: str, k: int = QS_K
+) -> DataFrame:
+    """The k rows of ``df`` with the smallest (mixed_hash, key) —
+    one scan, TakeOrderedAndProject, no exchange.  Returns
+    (value, _h, _key) so callers can re-verify the selection order."""
+    h = sample_hash(F.col(key_col).cast("string"))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).alias("value"),
+            h.alias("_h"),
+            F.col(key_col).cast("string").alias("_key"),
+        )
+        .orderBy("_h", "_key")
+        .limit(k)
+    )
+
+
+def _est_index(p_bp: int, m: int) -> int:
+    """1-based order-statistic index for quantile p (basis points) in a
+    sample of m elements: clamp(ceil(p*m), 1, m) in integer math."""
+    return min(max((p_bp * m + 9999) // 10000, 1), m)
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    bps: list[int],
+    k: int = QS_K,
+) -> list[tuple[float, float]]:
+    """(p, est_value) per requested quantile: the sample's own
+    order statistics.  Driver state is the O(k) sample — the sketch
+    finalization step, same shape as hll_estimate over its O(m)
+    register table."""
+    rows = bottomk_sample(df, value_col, key_col, k).collect()
+    vals = sorted(r["value"] for r in rows)
+    m = len(vals)
+    return [(bp / 10000.0, float(vals[_est_index(bp, m) - 1])) for bp in bps]
+
+
+def sketch_oracle_sql(
+    table_sql: str, value_expr: str, key_expr: str, bps: list[int], k: int = QS_K
+) -> str:
+    """DuckDB replay: identical bottom-k selection + identical
+    order-statistic indexing, as pure SQL."""
+    arms = ", ".join(f"({bp})" for bp in bps)
+    return f"""
+WITH {_sample_cte_sql(table_sql, value_expr, key_expr, k)},
+want(p_bp) AS (VALUES {arms})
+SELECT CAST(p_bp AS DOUBLE) / 10000.0 AS p, v AS est_value
+FROM want JOIN ranked
+  ON rn = least(greatest((p_bp * m + 9999) // 10000, 1), m)
+"""
+
+
+def audit_oracle_sql(
+    table_sql: str, value_expr: str, key_expr: str, bps: list[int], k: int = QS_K
+) -> str:
+    """DuckDB replay of the full audit: sketch estimate, exact order
+    statistic (full sort — the plan the Spark path avoids), the
+    estimate's true rank, and the signed rank error in basis points."""
+    arms = ", ".join(f"({bp})" for bp in bps)
+    return f"""
+WITH {_sample_cte_sql(table_sql, value_expr, key_expr, k)},
+want(p_bp) AS (VALUES {arms}),
+est AS (
+  SELECT p_bp, v AS est_value
+  FROM want JOIN ranked
+    ON rn = least(greatest((p_bp * m + 9999) // 10000, 1), m)
+),
+sorted AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS n
+  FROM vals
+),
+exact AS (
+  SELECT p_bp, greatest(1, (p_bp * n + 9999) // 10000) AS target_rank,
+         v AS exact_value, n
+  FROM want JOIN sorted
+    ON r = greatest(1, (p_bp * n + 9999) // 10000)
+),
+tr AS (
+  SELECT e.p_bp,
+         (SELECT count(*) FROM vals WHERE v < e.est_value) + 1 AS true_rank
+  FROM est e
+)
+SELECT CAST(x.p_bp AS DOUBLE) / 10000.0 AS p,
+       x.target_rank, e.est_value, x.exact_value, t.true_rank,
+       round((t.true_rank - x.target_rank)::DOUBLE / x.n * 10000.0, 6)
+         AS rank_err_bp
+FROM exact x
+JOIN est e ON e.p_bp = x.p_bp
+JOIN tr t ON t.p_bp = x.p_bp
+"""
+
+
+def sketch_rank_audit(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    bps: list[int],
+    exact: list[tuple[int, int, float]],
+    k: int = QS_K,
+) -> list[tuple[float, int, float, float, int, float]]:
+    """(p, target_rank, est_value, exact_value, true_rank, rank_err_bp)
+    — the sketch estimate's TRUE rank (count of strictly-smaller rows
+    + 1, one conditional-aggregate pass) against the target rank, with
+    the exact order-statistic element alongside.  ``exact`` is the
+    (p_bp, rank, value) output of operators/quantiles.exact_quantiles
+    over the same column.  rank_err_bp is signed basis points of n."""
+    ests = dict(
+        zip(bps, (v for _, v in sketch_quantiles(df, value_col, key_col, bps, k)))
+    )
+    v = F.col(value_col)
+    aggs = [F.count(v).alias("n")] + [
+        F.sum(F.when(v < F.lit(ests[bp]), 1).otherwise(0)).alias(f"lt_{bp}")
+        for bp in bps
+    ]
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    by_bp = {p_bp: (rank, value) for p_bp, rank, value in exact}
+    out = []
+    for bp in bps:
+        target, exact_val = by_bp[bp]
+        true_rank = int(row[f"lt_{bp}"]) + 1
+        err = round((true_rank - target) / n * 10000.0, 6)
+        out.append(
+            (bp / 10000.0, target, ests[bp], float(exact_val), true_rank, err)
+        )
+    return out

@@ -548,3 +548,73 @@ def _hll_algebra_oracle() -> str:
 
 
 ORACLES["hll_set_algebra"] = _hll_algebra_oracle
+
+
+# ---------------------------------------------------------------------------
+# One-pass quantile sketch (bottom-k coordinated sample) + measured
+# rank-error audit vs the exact order statistics — the quantile member
+# of the sketch-audit family (operators/qsketch.py).
+# ---------------------------------------------------------------------------
+
+from dqspark.operators.qsketch import (  # noqa: E402
+    QS_K,
+    audit_oracle_sql,
+    sketch_oracle_sql,
+    sketch_quantiles,
+    sketch_rank_audit,
+)
+
+_QS_TABLE = "SELECT * FROM orders"
+_QS_VALUE = "o_totalprice"
+_QS_KEY = "o_orderkey"
+
+_SKETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("p", T.DoubleType()),
+        T.StructField("est_value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "quantile_sketch",
+    sketch_oracle_sql(_QS_TABLE, _QS_VALUE, _QS_KEY, _Q_BPS),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p, est_value) — one-pass bottom-k quantile sketch over
+    orders.o_totalprice: the k=1024 rows with smallest portable mixed
+    hash form a uniform sample whose own order statistics estimate the
+    population quantiles.  One scan, TakeOrderedAndProject, no
+    exchange (plan-asserted in tests)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows = sketch_quantiles(orders, _QS_VALUE, _QS_KEY, _Q_BPS)
+    return spark.createDataFrame(rows, _SKETCH_SCHEMA)
+
+
+_QS_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("p", T.DoubleType()),
+        T.StructField("target_rank", T.LongType()),
+        T.StructField("est_value", T.DoubleType()),
+        T.StructField("exact_value", T.DoubleType()),
+        T.StructField("true_rank", T.LongType()),
+        T.StructField("rank_err_bp", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "quantile_sketch_audit",
+    audit_oracle_sql(_QS_TABLE, _QS_VALUE, _QS_KEY, _Q_BPS),
+)
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p, target_rank, est_value, exact_value, true_rank, rank_err_bp)
+    — the sketch estimate's measured rank error against the exact
+    order statistics (histogram-refinement operator), per quantile.
+    The sketch trades the exact path's log_B(n) scans for ONE scan at
+    a measured ~1/sqrt(k) rank error; this query pins that error in a
+    tracked artifact rather than assuming the theory."""
+    orders = load_table(spark, sf_dir, "orders")
+    exact = exact_quantiles(orders, _QS_VALUE, _Q_BPS)
+    rows = sketch_rank_audit(orders, _QS_VALUE, _QS_KEY, _Q_BPS, exact)
+    return spark.createDataFrame(rows, _QS_AUDIT_SCHEMA)

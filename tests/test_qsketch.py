@@ -1,0 +1,95 @@
+"""Bottom-k quantile sketch — operators/qsketch.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.qsketch import (
+    _est_index,
+    bottomk_sample,
+    sketch_quantiles,
+    sketch_rank_audit,
+)
+from dqspark.operators.quantiles import exact_quantiles
+from dqspark.sources.catalog import load_table
+
+BPS = [100, 1000, 2500, 5000, 7500, 9000, 9900]
+
+
+def test_est_index_clamps_and_ceils():
+    assert _est_index(5000, 10) == 5
+    assert _est_index(5001, 10) == 6  # ceil, not round
+    assert _est_index(1, 10) == 1  # clamp low
+    assert _est_index(10000, 10) == 10
+    assert _est_index(9999, 3) == 3  # clamp high
+
+
+def test_plan_is_take_ordered_no_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    plan = bottomk_sample(orders, "o_totalprice", "o_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_partition_invariance(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = sketch_quantiles(orders, "o_totalprice", "o_orderkey", BPS)
+    b = sketch_quantiles(
+        orders.repartition(7), "o_totalprice", "o_orderkey", BPS
+    )
+    assert a == b
+
+
+def test_mergeability_bottomk_of_bottomks(spark, sf_dir):
+    # bottom-k of a union equals bottom-k over the concatenated
+    # per-shard bottom-k's — the property that lets sketches compose
+    # across snapshots / micro-batches.
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.where(F.col("o_orderkey") % 2 == 0)
+    hi = orders.where(F.col("o_orderkey") % 2 == 1)
+    k = 64
+    merged = bottomk_sample(
+        bottomk_sample(lo, "o_totalprice", "o_orderkey", k)
+        .select(
+            F.col("value").alias("o_totalprice"), F.col("_key").alias("o_orderkey")
+        )
+        .unionByName(
+            bottomk_sample(hi, "o_totalprice", "o_orderkey", k).select(
+                F.col("value").alias("o_totalprice"),
+                F.col("_key").alias("o_orderkey"),
+            )
+        ),
+        "o_totalprice",
+        "o_orderkey",
+        k,
+    )
+    direct = bottomk_sample(orders, "o_totalprice", "o_orderkey", k)
+    assert sorted(r["_key"] for r in merged.collect()) == sorted(
+        r["_key"] for r in direct.collect()
+    )
+
+
+def test_measured_rank_error_within_sampling_bound(spark, sf_dir):
+    # k = 1024 gives rank error O(1/sqrt(k)) ~ 312 bp per quantile;
+    # assert a generous 4-sigma envelope so the test pins behavior
+    # without flaking on the fixed fixture.
+    orders = load_table(spark, sf_dir, "orders")
+    exact = exact_quantiles(orders, "o_totalprice", BPS)
+    rows = sketch_rank_audit(orders, "o_totalprice", "o_orderkey", BPS, exact)
+    n = orders.where(F.col("o_totalprice").isNotNull()).count()
+    for p, target, est, exact_val, true_rank, err_bp in rows:
+        assert abs(err_bp) <= 1250.0, (p, err_bp)
+        # audit internal consistency: err_bp recomputes from the ranks
+        assert err_bp == round((true_rank - target) / n * 10000.0, 6)
+
+
+def test_exhaustive_sample_is_exact(spark, sf_dir):
+    # when k >= n the "sample" is the whole table and the sketch
+    # degrades to exact type-1 quantiles.
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.where(F.col("o_totalprice").isNotNull()).count()
+    est = dict(
+        sketch_quantiles(orders, "o_totalprice", "o_orderkey", BPS, k=n + 10)
+    )
+    for p_bp, _rank, value in exact_quantiles(orders, "o_totalprice", BPS):
+        assert est[p_bp / 10000.0] == value
