@@ -212,6 +212,7 @@ def main() -> None:
             "knn_imi_fullprobe",
             "quantile_sketch",
             "quantile_sketch_audit",
+            "event_rate_acf",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

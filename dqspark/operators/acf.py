@@ -1,0 +1,172 @@
+"""Autocorrelation function of per-key event-rate series (Box &
+Jenkins, "Time Series Analysis", 1970 — the standard lag-structure
+diagnostic): for each event type, the series of hourly event counts
+c_t over the COMPLETE observation range (absent hours are genuine
+zeros, materialized from an integer bucket spine — skipping them
+would silently splice the series) and its sample ACF at lags 1..L.
+
+Completes the monitoring family (EWMA smoothing → operators/ewma.py,
+CUSUM change points → operators/cusum.py, burstiness → Fano factor):
+EWMA/CUSUM detect LEVEL shifts; the ACF reads PERIODIC structure — a
+daily crawl cycle shows as a lag-24 peak, a dying source as slow
+positive decay, white noise as ~0 everywhere.
+
+Exactness: the estimator is rational in integer sums, so both sides
+of the differential compute it with the mean NEVER divided out.
+With S = Σc, Q = Σc², and per lag ℓ the cross sum P_ℓ = Σ c_t·c_{t+ℓ}
+plus head/tail partial sums H_ℓ = Σ_{t≤max-ℓ} c_t, T_ℓ = Σ_{t≥min+ℓ} c_t,
+multiplying numerator and denominator of the textbook estimator by n²
+gives
+
+    acf(ℓ) = [n²·P_ℓ − n·S·(H_ℓ+T_ℓ) + (n−ℓ)·S²] / [n²·Q − n·S²]
+
+— every bracket an exact integer (DECIMAL(38,0) in Spark, HUGEINT in
+DuckDB; n²·Q reaches ~1e23 at 10⁵ windows, past int64), with ONE
+identically-written double division at the end.  A constant series
+has denominator 0 → NULL via nullif, both engines.
+
+Scale shape: one map-side-combined groupBy collapses the event stream
+to the O(keys × hours) count relation; the spine, the lead windows
+(partitioned BY KEY, never global), and the closing aggregate all run
+on that tiny relation.  The event stream is scanned exactly once.
+
+Reference parity: none; monitoring extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ACF_LAGS = 12
+WINDOW_SEC = 3600
+
+_DEC = "DECIMAL(38,0)"
+
+
+def event_rate_acf(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: int = ACF_LAGS,
+    window_sec: int = WINDOW_SEC,
+) -> DataFrame:
+    """(key, lag, acf, n_windows) for lags 1..``lags`` over the hourly
+    count series of each key, zeros filled on the global bucket range."""
+    counts = (
+        events.select(
+            F.col(key_col).alias("k"),
+            (F.col(ts_col).cast("timestamp").cast("long") / window_sec)
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    rng = counts.agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    keys = counts.select("k").distinct()
+    spine = keys.crossJoin(F.broadcast(rng)).select(
+        "k", F.explode(F.sequence("b0", "b1")).alias("t")
+    )
+    ser = spine.join(
+        counts, (spine["k"] == counts["k"]) & (spine["t"] == counts["b"]), "left"
+    ).select(spine["k"], spine["t"], F.coalesce("x", F.lit(0)).cast("long").alias("c"))
+
+    w = Window.partitionBy("k").orderBy("t")
+    led = ser.select(
+        "k",
+        "c",
+        *[F.lead("c", l).over(w).alias(f"c{l}") for l in range(1, lags + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    ]
+    for l in range(1, lags + 1):
+        cl = F.col(f"c{l}")
+        aggs += [
+            F.sum(F.col("c") * cl).cast("long").alias(f"p{l}"),
+            F.sum(F.when(cl.isNotNull(), F.col("c"))).cast("long").alias(f"h{l}"),
+            F.sum(cl).cast("long").alias(f"t{l}"),
+        ]
+    agg = led.groupBy("k").agg(*aggs)
+
+    den = f"(CAST(n AS {_DEC}) * n * q - CAST(n AS {_DEC}) * s * s)"
+    arms = ", ".join(
+        f"named_struct('lag', {l}, 'acf', round(CAST("
+        f"CAST(n AS {_DEC}) * n * p{l}"
+        f" - CAST(n AS {_DEC}) * s * (h{l} + t{l})"
+        f" + CAST(n - {l} AS {_DEC}) * s * s"
+        f" AS DOUBLE) / CAST(nullif({den}, CAST(0 AS {_DEC})) AS DOUBLE), 6))"
+        for l in range(1, lags + 1)
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_windows"),
+        F.explode(F.expr(f"array({arms})")).alias("e"),
+    ).select(
+        key_col,
+        F.col("e.lag").cast("int").alias("lag"),
+        F.col("e.acf").alias("acf"),
+        "n_windows",
+    )
+
+
+def event_rate_acf_oracle(
+    events_sql: str,
+    key_expr: str = "event_type",
+    ts_expr: str = "ts",
+    lags: int = ACF_LAGS,
+    window_sec: int = WINDOW_SEC,
+) -> str:
+    """DuckDB replay: identical bucket spine, lead series, and
+    HUGEINT-scaled estimator."""
+    leads = ", ".join(
+        f"lead(c, {l}) OVER (PARTITION BY k ORDER BY t) AS c{l}"
+        for l in range(1, lags + 1)
+    )
+    sums = ", ".join(
+        f"sum(c * c{l})::HUGEINT AS p{l}, "
+        f"sum(CASE WHEN c{l} IS NOT NULL THEN c END)::HUGEINT AS h{l}, "
+        f"sum(c{l})::HUGEINT AS t{l}"
+        for l in range(1, lags + 1)
+    )
+    pick = lambda col: " ".join(  # noqa: E731
+        f"WHEN {l} THEN {col}{l}" for l in range(1, lags + 1)
+    )
+    arms = ", ".join(f"({l})" for l in range(1, lags + 1))
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS k,
+         CAST(floor(epoch({ts_expr})) AS BIGINT) // {window_sec} AS b,
+         count(*)::BIGINT AS x
+  FROM ({events_sql}) e GROUP BY k, b
+),
+rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+spine AS (
+  SELECT k, unnest(range(b0, b1 + 1)) AS t
+  FROM (SELECT DISTINCT k FROM counts), rng
+),
+ser AS (
+  SELECT s.k, s.t, COALESCE(c.x, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN counts c ON c.k = s.k AND c.b = s.t
+),
+led AS (SELECT k, c, {leads} FROM ser),
+agg AS (
+  SELECT k, count(*)::HUGEINT AS n, sum(c)::HUGEINT AS s,
+         sum(c * c)::HUGEINT AS q, {sums}
+  FROM led GROUP BY k
+),
+want(l) AS (VALUES {arms})
+SELECT k AS {key_expr}, l::INT AS lag,
+       round(
+         (n * n * (CASE l {pick('p')} END)
+          - n * s * ((CASE l {pick('h')} END) + (CASE l {pick('t')} END))
+          + (n - l) * s * s)::DOUBLE
+         / nullif(n * n * q - n * s * s, 0)::DOUBLE, 6) AS acf,
+       n::BIGINT AS n_windows
+FROM agg, want
+"""

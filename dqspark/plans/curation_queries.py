@@ -1314,3 +1314,21 @@ def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents"),
     )
     return did_estimate(src, "treated", "post", "cents")
+
+
+# --- event-rate autocorrelation (lag-structure monitor) ------------------------
+
+from dqspark.operators.acf import event_rate_acf, event_rate_acf_oracle  # noqa: E402
+
+_ACF_SQL = "SELECT event_type, ts FROM events"
+
+
+@register("event_rate_acf", event_rate_acf_oracle(_ACF_SQL))
+def q_event_rate_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF (lags 1..12) of each event type's hourly count
+    series, zero-filled on the global bucket spine — the periodic-
+    structure reading the EWMA/CUSUM level monitors cannot give.
+    Integer-scaled estimator: one double division crosses the
+    differential."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return event_rate_acf(ev)

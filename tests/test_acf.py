@@ -1,0 +1,66 @@
+"""Event-rate autocorrelation — operators/acf.py."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from dqspark.operators.acf import event_rate_acf
+
+
+def _ref_acf(cs: list[int], l: int):
+    """The identical integer-scaled estimator, replayed in Python."""
+    n, S = len(cs), sum(cs)
+    Q = sum(c * c for c in cs)
+    P = sum(cs[i] * cs[i + l] for i in range(n - l))
+    H, T = sum(cs[: n - l]), sum(cs[l:])
+    num = n * n * P - n * S * (H + T) + (n - l) * S * S
+    den = n * n * Q - n * S * S
+    return round(num / den, 6) if den else None
+
+
+def _events(spark, counts: list[int], key: str = "a"):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (key, base + timedelta(hours=h, minutes=m))
+        for h, c in enumerate(counts)
+        for m in range(c)
+    ]
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def test_matches_python_reference(spark):
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    out = {
+        r["lag"]: r["acf"]
+        for r in event_rate_acf(_events(spark, counts), lags=5).collect()
+    }
+    for l in range(1, 6):
+        assert out[l] == _ref_acf(counts, l), l
+
+
+def test_zero_fill_on_bucket_spine(spark):
+    # events only in hours 0, 2, 4 — hours 1 and 3 must enter as zeros
+    counts = [2, 0, 2, 0, 2]
+    df = _events(spark, counts)
+    rows = event_rate_acf(df, lags=2).collect()
+    assert all(r["n_windows"] == 5 for r in rows)
+    got = {r["lag"]: r["acf"] for r in rows}
+    assert got[1] == _ref_acf(counts, 1)  # alternating: strongly negative
+    assert got[2] == _ref_acf(counts, 2)  # period-2: strongly positive
+    assert got[1] < 0 < got[2]
+
+
+def test_constant_series_is_null(spark):
+    rows = event_rate_acf(_events(spark, [4] * 8), lags=3).collect()
+    assert len(rows) == 3 and all(r["acf"] is None for r in rows)
+
+
+def test_partition_invariance_and_multi_key(spark):
+    a = _events(spark, [1, 5, 2, 8, 3, 9, 4, 7], "a")
+    b = _events(spark, [9, 1, 9, 1, 9, 1, 9, 1], "b")
+    df = a.unionByName(b)
+    one = sorted(map(tuple, event_rate_acf(df, lags=4).collect()))
+    many = sorted(map(tuple, event_rate_acf(df.repartition(7), lags=4).collect()))
+    assert one == many
+    got_b = {r[1]: r[2] for r in one if r[0] == "b"}
+    assert got_b[1] == _ref_acf([9, 1] * 4, 1)
