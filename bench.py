@@ -213,6 +213,7 @@ def main() -> None:
             "quantile_sketch",
             "quantile_sketch_audit",
             "event_rate_acf",
+            "event_rate_pacf",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

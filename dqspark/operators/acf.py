@@ -170,3 +170,33 @@ SELECT k AS {key_expr}, l::INT AS lag,
        n::BIGINT AS n_windows
 FROM agg, want
 """
+
+
+def durbin_levinson(r: list[float]) -> list[float]:
+    """PACF φ_kk for k = 1..len(r) from ACF values r[0]=acf(1).. via
+    the Durbin-Levinson recursion (Durbin 1960) — O(L²) driver math
+    over the O(L) ACF vector; both differential sides run THIS
+    function on identically-rounded ACF inputs, so the doubles match
+    bit-for-bit.  A (near-)singular step (|den| < 1e-12, a perfectly
+    predictable series) yields None for that and later lags."""
+    L = len(r)
+    pacf: list[float | None] = []
+    phi: dict[int, float] = {}
+    for k in range(1, L + 1):
+        if any(r[i] is None for i in range(k)):
+            pacf.extend([None] * (L - k + 1))
+            break
+        if k == 1:
+            num, den = r[0], 1.0
+        else:
+            num = r[k - 1] - sum(phi[j] * r[k - 1 - j] for j in range(1, k))
+            den = 1.0 - sum(phi[j] * r[j - 1] for j in range(1, k))
+        if abs(den) < 1e-12:
+            pacf.extend([None] * (L - k + 1))
+            break
+        p = num / den
+        pacf.append(p)
+        nxt = {j: phi[j] - p * phi[k - j] for j in range(1, k)}
+        nxt[k] = p
+        phi = nxt
+    return pacf

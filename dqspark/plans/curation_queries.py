@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dqspark.operators.cms import (
     cms_counters,
@@ -89,7 +90,7 @@ from dqspark.operators.sharding import (
     training_shard,
     training_shard_oracle,
 )
-from dqspark.plans.driver_queries import register
+from dqspark.plans.driver_queries import ORACLES, register
 from dqspark.sources.catalog import load_table
 
 
@@ -1332,3 +1333,67 @@ def q_event_rate_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
     return event_rate_acf(ev)
+
+
+# --- partial autocorrelation (AR-order diagnostic) -----------------------------
+
+from dqspark.operators.acf import ACF_LAGS, durbin_levinson  # noqa: E402
+
+_PACF_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("lag", T.IntegerType()),
+        T.StructField("pacf", T.DoubleType()),
+    ]
+)
+
+
+def _pacf_rows(acf_rows: list[tuple[str, int, float]]) -> list[tuple]:
+    """Shared finisher: group ACF rows by key, run Durbin-Levinson,
+    round 6 — both differential sides call THIS on identically-rounded
+    ACF inputs."""
+    by_key: dict[str, dict[int, float]] = {}
+    for k, lag, acf in acf_rows:
+        by_key.setdefault(k, {})[lag] = acf
+    out: list[tuple] = []
+    for k in sorted(by_key):
+        r = [by_key[k].get(l) for l in range(1, ACF_LAGS + 1)]
+        for i, p in enumerate(durbin_levinson(r), 1):
+            out.append((k, i, None if p is None else round(p, 6)))
+    return out
+
+
+@register("event_rate_pacf")
+def q_event_rate_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, lag, pacf) — partial autocorrelation at lags 1..12
+    via Durbin-Levinson over the integer-exact ACF: the AR-order
+    diagnostic (an AR(p) series cuts off after lag p in PACF but
+    decays forever in ACF).  Distributed cost is exactly the ACF
+    query's; the recursion is O(keys·L²) driver math over the
+    collected O(keys·L) ACF relation."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    acf_rows = [
+        (r["event_type"], r["lag"], r["acf"])
+        for r in event_rate_acf(ev).collect()
+    ]
+    return spark.createDataFrame(_pacf_rows(acf_rows), _PACF_SCHEMA)
+
+
+def _pacf_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    acf_rows = [
+        (k, int(lag), acf)
+        for k, lag, acf, _n in con.sql(
+            event_rate_acf_oracle(_ACF_SQL)
+        ).fetchall()
+    ]
+    values = values_table(_pacf_rows(acf_rows), ["event_type", "lag", "pacf"])
+    return (
+        f"SELECT event_type, lag::INT AS lag, pacf::DOUBLE AS pacf"
+        f" FROM {values}"
+    )
+
+
+ORACLES["event_rate_pacf"] = _pacf_oracle

@@ -64,3 +64,30 @@ def test_partition_invariance_and_multi_key(spark):
     assert one == many
     got_b = {r[1]: r[2] for r in one if r[0] == "b"}
     assert got_b[1] == _ref_acf([9, 1] * 4, 1)
+
+
+# --- Durbin-Levinson PACF ---------------------------------------------------
+
+from dqspark.operators.acf import durbin_levinson  # noqa: E402
+
+
+def test_dl_ar1_cuts_off_after_lag_one():
+    # exact AR(1) ACF r_k = 0.6^k: PACF = [0.6, 0, 0, ...] up to fp dust
+    out = durbin_levinson([0.6 ** k for k in range(1, 7)])
+    assert out[0] == 0.6
+    assert all(abs(p) < 1e-12 for p in out[1:])
+
+
+def test_dl_singular_and_none_guards():
+    # perfectly predictable series: den = 1 - r1*r1 = 0 at k = 2
+    assert durbin_levinson([1.0, 1.0, 1.0]) == [1.0, None, None]
+    # a None acf (constant series upstream) propagates, no arithmetic on it
+    assert durbin_levinson([0.5, None, 0.1]) == [0.5, None, None]
+
+
+def test_dl_matches_statsmodels_convention_hand_case():
+    # MA(1)-like: r = [0.4, 0, 0]; DL gives phi11=0.4,
+    # phi22 = (0 - 0.4*0.4)/(1 - 0.4*0.4) = -0.16/0.84
+    out = durbin_levinson([0.4, 0.0, 0.0])
+    assert out[0] == 0.4
+    assert abs(out[1] - (-0.16 / 0.84)) < 1e-15
