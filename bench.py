@@ -214,6 +214,7 @@ def main() -> None:
             "quantile_sketch_audit",
             "event_rate_acf",
             "event_rate_pacf",
+            "event_rate_ccf",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

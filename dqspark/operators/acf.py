@@ -44,15 +44,14 @@ WINDOW_SEC = 3600
 _DEC = "DECIMAL(38,0)"
 
 
-def event_rate_acf(
+def rate_series(
     events: DataFrame,
     key_col: str = "event_type",
     ts_col: str = "ts",
-    lags: int = ACF_LAGS,
     window_sec: int = WINDOW_SEC,
 ) -> DataFrame:
-    """(key, lag, acf, n_windows) for lags 1..``lags`` over the hourly
-    count series of each key, zeros filled on the global bucket range."""
+    """(k, t, c) — the zero-filled per-key count series on the global
+    integer bucket spine; the shared front end of ACF and CCF."""
     counts = (
         events.select(
             F.col(key_col).alias("k"),
@@ -70,9 +69,26 @@ def event_rate_acf(
     spine = keys.crossJoin(F.broadcast(rng)).select(
         "k", F.explode(F.sequence("b0", "b1")).alias("t")
     )
-    ser = spine.join(
-        counts, (spine["k"] == counts["k"]) & (spine["t"] == counts["b"]), "left"
-    ).select(spine["k"], spine["t"], F.coalesce("x", F.lit(0)).cast("long").alias("c"))
+    cnt = counts.select(
+        F.col("k").alias("_ck"), F.col("b").alias("_cb"), "x"
+    )
+    return spine.join(
+        cnt,
+        (F.col("k") == F.col("_ck")) & (F.col("t") == F.col("_cb")),
+        "left",
+    ).select("k", "t", F.coalesce("x", F.lit(0)).cast("long").alias("c"))
+
+
+def event_rate_acf(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: int = ACF_LAGS,
+    window_sec: int = WINDOW_SEC,
+) -> DataFrame:
+    """(key, lag, acf, n_windows) for lags 1..``lags`` over the hourly
+    count series of each key, zeros filled on the global bucket range."""
+    ser = rate_series(events, key_col, ts_col, window_sec)
 
     w = Window.partitionBy("k").orderBy("t")
     led = ser.select(
@@ -200,3 +216,141 @@ def durbin_levinson(r: list[float]) -> list[float]:
         nxt[k] = p
         phi = nxt
     return pacf
+
+
+def event_rate_ccf(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: int = ACF_LAGS,
+    window_sec: int = WINDOW_SEC,
+) -> DataFrame:
+    """Cross-correlation ccf(a, b, ℓ) = corr(a_t, b_{t+ℓ}) for every
+    unordered key pair (a < b) at signed lags −L..L — the LEAD/LAG
+    diagnostic between streams (does a crawl burst precede an index
+    burst, and by how many hours?).  ccf(b, a, ℓ) is ccf(a, b, −ℓ),
+    so signed lags over ordered pairs cover everything.
+
+    Same exactness discipline as the ACF: all sufficient statistics
+    are integer sums scaled by n² (DECIMAL(38,0)/HUGEINT); the
+    denominator is the Pearson full-series normalizer
+    sqrt((n²Qa − nSa²)(n²Qb − nSb²)) — one identically-written
+    sqrt + division (the operators/corr.py convention), rounded 6.
+    Numerator sums run over the m = n − |ℓ| overlap positions with
+    full-series means, matching the ACF estimator's convention.
+
+    Scale shape: everything after the one event-stream scan operates
+    on the O(keys × hours) series — the lag explosion and pair join
+    are O(keys² · hours · L) rows of that tiny relation, never the
+    event stream."""
+    ser = rate_series(events, key_col, ts_col, window_sec)
+    stats = ser.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    lag_arr = ", ".join(str(l) for l in range(-lags, lags + 1))
+    a = ser.select(
+        F.col("k").alias("ka"), F.col("t").alias("ta"), F.col("c").alias("ca")
+    ).withColumn("l", F.explode(F.expr(f"array({lag_arr})")))
+    b = ser.select(
+        F.col("k").alias("kb"), F.col("t").alias("tb"), F.col("c").alias("cb")
+    )
+    g = (
+        a.join(b, (a["ta"] + a["l"] == b["tb"]) & (a["ka"] < b["kb"]))
+        .groupBy("ka", "kb", "l")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("p"),
+            F.sum("ca").cast("long").alias("ha"),
+            F.sum("cb").cast("long").alias("tb_sum"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+    )
+    sa = stats.select(
+        F.col("k").alias("ka"),
+        F.col("n").alias("n"),
+        F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    sb = stats.select(
+        F.col("k").alias("kb"), F.col("s").alias("s_b"), F.col("q").alias("q_b")
+    )
+    j = g.join(F.broadcast(sa), "ka").join(F.broadcast(sb), "kb")
+    num = (
+        f"CAST(n AS {_DEC}) * n * p"
+        f" - CAST(n AS {_DEC}) * s_b * ha"
+        f" - CAST(n AS {_DEC}) * s_a * tb_sum"
+        f" + CAST(m AS {_DEC}) * s_a * s_b"
+    )
+    vx = f"(CAST(n AS {_DEC}) * n * q_a - CAST(n AS {_DEC}) * s_a * s_a)"
+    vy = f"(CAST(n AS {_DEC}) * n * q_b - CAST(n AS {_DEC}) * s_b * s_b)"
+    ccf = (
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN"
+        f" round(CAST({num} AS DOUBLE)"
+        f" / sqrt(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE)), 6)"
+        f" END"
+    )
+    return j.select(
+        F.col("ka").alias("key_a"),
+        F.col("kb").alias("key_b"),
+        F.col("l").cast("int").alias("lag"),
+        F.expr(ccf).alias("ccf"),
+        F.col("n").alias("n_windows"),
+    )
+
+
+def event_rate_ccf_oracle(
+    events_sql: str,
+    key_expr: str = "event_type",
+    ts_expr: str = "ts",
+    lags: int = ACF_LAGS,
+    window_sec: int = WINDOW_SEC,
+) -> str:
+    """DuckDB replay: identical spine, pair join, and HUGEINT-scaled
+    Pearson finish."""
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS k,
+         CAST(floor(epoch({ts_expr})) AS BIGINT) // {window_sec} AS b,
+         count(*)::BIGINT AS x
+  FROM ({events_sql}) e GROUP BY k, b
+),
+rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+spine AS (
+  SELECT k, unnest(range(b0, b1 + 1)) AS t
+  FROM (SELECT DISTINCT k FROM counts), rng
+),
+ser AS (
+  SELECT s.k, s.t, COALESCE(c.x, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN counts c ON c.k = s.k AND c.b = s.t
+),
+stats AS (
+  SELECT k, count(*)::HUGEINT AS n, sum(c)::HUGEINT AS s,
+         sum(c * c)::HUGEINT AS q
+  FROM ser GROUP BY k
+),
+lagx AS (SELECT unnest(range(-{lags}, {lags} + 1)) AS l),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb, lagx.l,
+         sum(a.c * b.c)::HUGEINT AS p,
+         sum(a.c)::HUGEINT AS ha,
+         sum(b.c)::HUGEINT AS tb_sum,
+         count(*)::HUGEINT AS m
+  FROM ser a, lagx
+  JOIN ser b ON b.t = a.t + lagx.l AND a.k < b.k
+  GROUP BY 1, 2, 3
+)
+SELECT p.ka AS key_a, p.kb AS key_b, p.l::INT AS lag,
+       CASE WHEN (sa.n * sa.n * sa.q - sa.n * sa.s * sa.s) > 0
+             AND (sa.n * sa.n * sb.q - sa.n * sb.s * sb.s) > 0 THEN
+         round(
+           (sa.n * sa.n * p.p - sa.n * sb.s * p.ha
+            - sa.n * sa.s * p.tb_sum + p.m * sa.s * sb.s)::DOUBLE
+           / sqrt((sa.n * sa.n * sa.q - sa.n * sa.s * sa.s)::DOUBLE
+                  * (sa.n * sa.n * sb.q - sa.n * sb.s * sb.s)::DOUBLE), 6)
+       END AS ccf,
+       sa.n::BIGINT AS n_windows
+FROM pairs p
+JOIN stats sa ON sa.k = p.ka
+JOIN stats sb ON sb.k = p.kb
+"""

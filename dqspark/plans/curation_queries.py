@@ -1397,3 +1397,19 @@ def _pacf_oracle() -> str:
 
 
 ORACLES["event_rate_pacf"] = _pacf_oracle
+
+
+# --- cross-correlation between event streams -----------------------------------
+
+from dqspark.operators.acf import event_rate_ccf, event_rate_ccf_oracle  # noqa: E402
+
+
+@register("event_rate_ccf", event_rate_ccf_oracle(_ACF_SQL))
+def q_event_rate_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key_a, key_b, lag, ccf, n_windows) — Pearson cross-correlation
+    of each unordered event-type pair's hourly count series at signed
+    lags −12..12: the lead/lag diagnostic between streams.  Integer-
+    scaled sufficient statistics; one sqrt+division crosses the
+    differential."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return event_rate_ccf(ev)

@@ -91,3 +91,58 @@ def test_dl_matches_statsmodels_convention_hand_case():
     out = durbin_levinson([0.4, 0.0, 0.0])
     assert out[0] == 0.4
     assert abs(out[1] - (-0.16 / 0.84)) < 1e-15
+
+
+# --- cross-correlation ------------------------------------------------------
+
+from dqspark.operators.acf import event_rate_ccf  # noqa: E402
+
+
+def _ref_ccf(a: list[int], b: list[int], l: int):
+    """Identical integer-scaled Pearson estimator, replayed in Python.
+    ccf(l) aligns a_t with b_{t+l}."""
+    n, Sa, Sb = len(a), sum(a), sum(b)
+    Qa = sum(x * x for x in a)
+    Qb = sum(x * x for x in b)
+    if l >= 0:
+        pairs = list(zip(a[: n - l], b[l:]))
+    else:
+        pairs = list(zip(a[-l:], b[: n + l]))
+    P = sum(x * y for x, y in pairs)
+    Ha = sum(x for x, _ in pairs)
+    Tb = sum(y for _, y in pairs)
+    m = len(pairs)
+    num = n * n * P - n * Sb * Ha - n * Sa * Tb + m * Sa * Sb
+    vx = n * n * Qa - n * Sa * Sa
+    vy = n * n * Qb - n * Sb * Sb
+    if vx <= 0 or vy <= 0:
+        return None
+    return round(num / (vx * vy) ** 0.5, 6)
+
+
+def test_ccf_detects_shifted_copy(spark):
+    # b is a copy of a delayed by 2 hours: ccf peaks exactly at lag +2
+    a_counts = [1, 7, 2, 9, 3, 8, 1, 6, 4, 9, 2, 7]
+    b_counts = [5, 5] + a_counts[:-2]
+    df = _events(spark, a_counts, "a").unionByName(_events(spark, b_counts, "b"))
+    rows = event_rate_ccf(df, lags=4).collect()
+    got = {r["lag"]: r["ccf"] for r in rows}
+    assert all(r["key_a"] == "a" and r["key_b"] == "b" for r in rows)
+    assert len(got) == 9  # lags -4..4
+    assert max(got, key=lambda l: got[l]) == 2
+    for l in range(-4, 5):
+        assert got[l] == _ref_ccf(a_counts, b_counts, l), l
+
+
+def test_ccf_constant_series_is_null_and_partition_invariant(spark):
+    df = _events(spark, [3] * 6, "a").unionByName(
+        _events(spark, [1, 5, 2, 6, 1, 4], "b")
+    )
+    rows = event_rate_ccf(df, lags=2).collect()
+    assert all(r["ccf"] is None for r in rows)  # a has zero variance
+    df2 = _events(spark, [1, 5, 2, 6], "a").unionByName(
+        _events(spark, [2, 6, 1, 5], "b")
+    )
+    one = sorted(map(tuple, event_rate_ccf(df2, lags=2).collect()))
+    many = sorted(map(tuple, event_rate_ccf(df2.repartition(5), lags=2).collect()))
+    assert one == many
