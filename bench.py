@@ -215,6 +215,8 @@ def main() -> None:
             "event_rate_acf",
             "event_rate_pacf",
             "event_rate_ccf",
+            "neyman_alloc",
+            "neyman_sample",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

@@ -1,0 +1,173 @@
+"""Neyman-allocation stratified sampling (Neyman, JRSS 97(4), 1934):
+split a fixed sample budget k across strata proportionally to
+N_h·σ_h — the allocation that minimizes the variance of the
+stratified mean estimator.  For training-data curation this is the
+principled version of "sample more from the heterogeneous slices":
+a language whose document lengths vary wildly gets more budget than
+an equally-sized uniform one (uniform-proportional and temperature
+mixtures allocate on counts alone; this is the variance-aware member
+of the sampling family — stratified_sample, temperature_mixture,
+unimax_mixture, pps_ht_audit, sample_exact_k).
+
+Exactness: per-stratum sufficient statistics are integer sums
+(DECIMAL(38,0)/HUGEINT), and N_h²·var_h = N_h·Σx² − (Σx)² is an
+exact integer whose sqrt IS the Neyman weight N_h·σ_h — one sqrt per
+stratum, computed from the identical integer by both engines.  The
+largest-remainder rounding (floors + top-deficit remainders, ties on
+stratum name) runs in a shared Python finisher over the collected
+O(strata) relation on BOTH differential sides, so the integer
+allocation matches exactly.  Zero-variance strata draw weight 0 and
+therefore budget 0 (documented; give them a floor upstream if every
+stratum must appear).
+
+The sample itself is per-stratum exactly-k_h via the repo's salted
+md5 hash ring (operators/sampling.py discipline): rank rows within
+each stratum by (md5(salt|key), key) and keep rank ≤ k_h — cluster-
+size/resume-invariant, consistent under corpus growth, and the
+window partitions BY STRATUM (never a global sort).
+
+Scale shape: one corpus scan for the stats (map-side-combined
+groupBy over O(strata) keys), one for the ranked sample (hash
+exchange on stratum; skew-safe because k_h caps every partition's
+output).  Driver state is O(strata).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+
+NEYMAN_K = 100
+NEYMAN_SALT = "dqneyman"
+
+_DEC = "decimal(38,0)"
+
+
+def stratum_stats(
+    df: DataFrame, stratum_col: str, value_col: str
+) -> DataFrame:
+    """(stratum, n_h, sx, sxx) — integer sufficient statistics per
+    stratum; ``value_col`` must be integral (cast upstream)."""
+    x = F.col(value_col).cast(_DEC)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum(x).cast(_DEC).alias("sx"),
+            F.sum(x * x).cast(_DEC).alias("sxx"),
+        )
+    )
+
+
+def neyman_alloc_rows(
+    stats: list[tuple[str, int, int, int]], k: int
+) -> list[tuple[str, int, float, int]]:
+    """Shared finisher: (stratum, n_h, weight, k_h) via largest-
+    remainder rounding of k·w_h/W, w_h = sqrt(N_h·Σx² − (Σx)²).
+    Both differential sides run THIS on identical integer stats.
+    k_h is additionally capped at n_h (a stratum cannot yield more
+    rows than it has); freed budget goes to the next remainders."""
+    rows = sorted((str(s), int(n), int(sx), int(sxx)) for s, n, sx, sxx in stats)
+    w = {s: math.sqrt(n * sxx - sx * sx) for s, n, sx, sxx in rows}
+    W = sum(w[s] for s, *_ in rows)  # sorted order — deterministic fp
+    if W == 0.0:
+        return [(s, n, 0.0, 0) for s, n, _, _ in rows]
+    # zero-weight (zero-variance) strata never receive budget — not
+    # even cap spillover; Σk_h < k when every weighted stratum is full
+    cap = {s: (n if w[s] > 0 else 0) for s, n, _, _ in rows}
+    base = {s: min(int(k * w[s] / W), cap[s]) for s, *_ in rows}
+    rem = {s: k * w[s] / W - base[s] for s, *_ in rows}
+    deficit = k - sum(base.values())
+    order = [r[0] for r in sorted(rows, key=lambda r: (-rem[r[0]], r[0]))]
+    while deficit > 0:
+        progressed = False
+        for s in order:
+            if deficit <= 0:
+                break
+            if base[s] < cap[s]:
+                base[s] += 1
+                deficit -= 1
+                progressed = True
+        if not progressed:  # every stratum at cap: budget > corpus
+            break
+    return [(s, n, round(w[s], 6), base[s]) for s, n, _, _ in rows]
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = NEYMAN_K,
+    salt: str = NEYMAN_SALT,
+) -> DataFrame:
+    """(stratum, key, strat_rank) — the Neyman-allocated stratified
+    sample: exactly k_h hash-ring rows per stratum, Σk_h = min(k, Σcap)."""
+    alloc = neyman_alloc_rows(
+        [
+            (r["stratum"], r["n_h"], int(r["sx"]), int(r["sxx"]))
+            for r in stratum_stats(df, stratum_col, value_col).collect()
+        ],
+        k,
+    )
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {kh}" for s, _, _, kh in alloc
+    )
+    kh_expr = F.expr(f"CASE {whens} ELSE 0 END")
+    h = md5_long(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            F.col(key_col).alias("key"),
+            F.row_number().over(w).alias("strat_rank"),
+            kh_expr.alias("_kh"),
+        )
+        .where(F.col("strat_rank") <= F.col("_kh"))
+        .drop("_kh")
+    )
+
+
+def neyman_stats_oracle_sql(
+    table_sql: str, stratum_expr: str, value_expr: str
+) -> str:
+    return f"""
+SELECT {stratum_expr} AS stratum, count(*)::BIGINT AS n_h,
+       sum({value_expr}::HUGEINT)::HUGEINT AS sx,
+       sum({value_expr}::HUGEINT * {value_expr}::HUGEINT)::HUGEINT AS sxx
+FROM ({table_sql}) t WHERE {value_expr} IS NOT NULL
+GROUP BY 1
+"""
+
+
+def neyman_sample_oracle_sql(
+    table_sql: str,
+    stratum_expr: str,
+    value_expr: str,
+    key_expr: str,
+    alloc: list[tuple[str, int, float, int]],
+    salt: str = NEYMAN_SALT,
+) -> str:
+    """DuckDB replay given the (identical) allocation: same md5 ring,
+    same within-stratum ranking."""
+    whens = " ".join(f"WHEN '{s}' THEN {kh}" for s, _, _, kh in alloc)
+    h = md5_long_oracle(f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR))")
+    return f"""
+WITH ranked AS (
+  SELECT {stratum_expr} AS stratum, {key_expr} AS key,
+         row_number() OVER (
+           PARTITION BY {stratum_expr} ORDER BY {h}, {key_expr}
+         ) AS strat_rank
+  FROM ({table_sql}) t WHERE {value_expr} IS NOT NULL
+)
+SELECT stratum, key, strat_rank FROM ranked
+WHERE strat_rank <= (CASE stratum {whens} ELSE 0 END)
+"""

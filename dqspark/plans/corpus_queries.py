@@ -949,3 +949,95 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf's-law conformance audit (micro-unit integer moments)."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return zipf_slope(docs)
+
+
+# --- Neyman-allocation stratified sampling -------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from dqspark.operators.neyman import (  # noqa: E402
+    NEYMAN_K,
+    neyman_alloc_rows,
+    neyman_sample,
+    neyman_sample_oracle_sql,
+    neyman_stats_oracle_sql,
+    stratum_stats,
+)
+from dqspark.plans.driver_queries import ORACLES  # noqa: E402
+
+_NEY_TABLE = "SELECT * FROM documents"
+_NEY_STRAT = "lang"
+_NEY_VALUE = "n_chars"
+_NEY_KEY = "doc_id"
+
+_ALLOC_SCHEMA = T.StructType(
+    [
+        T.StructField("stratum", T.StringType()),
+        T.StructField("n_h", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+        T.StructField("k_h", T.LongType()),
+    ]
+)
+
+
+def _spark_alloc(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    return neyman_alloc_rows(
+        [
+            (r["stratum"], r["n_h"], int(r["sx"]), int(r["sxx"]))
+            for r in stratum_stats(docs, _NEY_STRAT, _NEY_VALUE).collect()
+        ],
+        NEYMAN_K,
+    )
+
+
+def _duck_alloc():
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+
+    con = _connect(oracle_sf_dir())
+    stats = con.sql(
+        neyman_stats_oracle_sql(_NEY_TABLE, _NEY_STRAT, _NEY_VALUE)
+    ).fetchall()
+    return neyman_alloc_rows(
+        [(s, int(n), int(sx), int(sxx)) for s, n, sx, sxx in stats], NEYMAN_K
+    )
+
+
+@register("neyman_alloc")
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stratum, n_h, weight, k_h) — Neyman variance-optimal budget
+    allocation across languages: weight = N_h·σ_h = sqrt(N_h·Σx²−(Σx)²)
+    over exact integer stats of n_chars, largest-remainder rounded to
+    Σk_h = 100 in a shared finisher both engines replay."""
+    return spark.createDataFrame(_spark_alloc(spark, sf_dir), _ALLOC_SCHEMA)
+
+
+def _neyman_alloc_oracle() -> str:
+    from dqspark.plans.local_oracle import values_table
+
+    values = values_table(_duck_alloc(), ["stratum", "n_h", "weight", "k_h"])
+    return (
+        f"SELECT stratum, n_h::BIGINT AS n_h, weight::DOUBLE AS weight,"
+        f" k_h::BIGINT AS k_h FROM {values}"
+    )
+
+
+ORACLES["neyman_alloc"] = _neyman_alloc_oracle
+
+
+@register("neyman_sample")
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stratum, key, strat_rank) — the Neyman-allocated sample:
+    exactly k_h salted-hash-ring rows per language stratum; windows
+    partition by stratum, output capped at k_h per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neyman_sample(docs, _NEY_STRAT, _NEY_VALUE, _NEY_KEY, NEYMAN_K)
+
+
+def _neyman_sample_oracle() -> str:
+    return neyman_sample_oracle_sql(
+        _NEY_TABLE, _NEY_STRAT, _NEY_VALUE, _NEY_KEY, _duck_alloc()
+    )
+
+
+ORACLES["neyman_sample"] = _neyman_sample_oracle

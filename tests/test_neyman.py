@@ -1,0 +1,72 @@
+"""Neyman-allocation stratified sampling — operators/neyman.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.neyman import (
+    neyman_alloc_rows,
+    neyman_sample,
+    stratum_stats,
+)
+
+
+def _stats(vals: dict[str, list[int]]):
+    return [
+        (s, len(xs), sum(xs), sum(x * x for x in xs))
+        for s, xs in vals.items()
+    ]
+
+
+def test_alloc_proportional_to_n_sigma():
+    # equal sizes, sigma ratio exactly 3:1 -> budget split 75/25
+    a = [10, 20] * 50  # sd 5
+    b = [10, 40] * 50  # sd 15
+    out = {s: kh for s, _, _, kh in neyman_alloc_rows(_stats({"a": a, "b": b}), 100)}
+    assert out == {"a": 25, "b": 75}
+
+
+def test_alloc_sums_to_k_with_largest_remainder():
+    stats = _stats({"a": [1, 9] * 30, "b": [2, 8] * 20, "c": [3, 7] * 10})
+    alloc = neyman_alloc_rows(stats, 97)
+    assert sum(kh for *_, kh in alloc) == 97
+    assert all(kh >= 0 for *_, kh in alloc)
+
+
+def test_alloc_zero_variance_and_caps():
+    # constant stratum draws nothing; budget beyond corpus stops at caps
+    alloc = neyman_alloc_rows(_stats({"flat": [5] * 40, "var": [1, 9] * 4}), 20)
+    d = {s: kh for s, _, _, kh in alloc}
+    assert d["flat"] == 0 and d["var"] == 8  # capped at n_h = 8
+    # all-constant corpus: weight 0 everywhere -> no allocation
+    assert all(
+        kh == 0 for *_, kh in neyman_alloc_rows(_stats({"x": [3] * 5}), 10)
+    )
+
+
+def test_sample_exact_per_stratum_counts_and_invariance(spark):
+    rows = [("a", i, (i * 37) % 100) for i in range(200)] + [
+        ("b", 1000 + i, (i * 91) % 1000) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    samp = neyman_sample(df, "lang", "n_chars", "doc_id", k=60)
+    got = {
+        r["stratum"]: r["cnt"]
+        for r in samp.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
+    }
+    stats = [
+        (r["stratum"], r["n_h"], int(r["sx"]), int(r["sxx"]))
+        for r in stratum_stats(df, "lang", "n_chars").collect()
+    ]
+    want = {s: kh for s, _, _, kh in neyman_alloc_rows(stats, 60)}
+    assert got == {s: k for s, k in want.items() if k > 0}
+    one = sorted(map(tuple, samp.collect()))
+    many = sorted(
+        map(
+            tuple,
+            neyman_sample(
+                df.repartition(7), "lang", "n_chars", "doc_id", k=60
+            ).collect(),
+        )
+    )
+    assert one == many
