@@ -217,6 +217,7 @@ def main() -> None:
             "event_rate_ccf",
             "neyman_alloc",
             "neyman_sample",
+            "cms_join_size",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

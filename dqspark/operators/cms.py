@@ -211,3 +211,177 @@ SELECT est.token, est.est,
        (est.est - coalesce(exact.exact, 0))::BIGINT AS overcount
 FROM est LEFT JOIN exact ON est.token = exact.token
 """
+
+
+# --- join-size estimation via sketch inner product ---------------------------
+
+
+def _key_hash_oracle(key_expr: str) -> str:
+    """Single-key portable hash (the HLL key convention): the
+    polynomial fold + finalizer over the key's string form."""
+    return (
+        f"(list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(string_split(CAST({key_expr} AS VARCHAR), ''),"
+        f" c -> unicode(c)::BIGINT)),"
+        f" (a, b) -> (a * {HASH_B} + b) % {P31}) * {FIN_A} + {FIN_C}) % {P31}"
+    )
+
+
+def cms_key_counters(df: DataFrame, key_col: str) -> DataFrame:
+    """(row, pos, c) — the CMS of a KEY multiset (one hash per row,
+    no tokenization); the sketch the join-size estimator consumes."""
+    hashes = df.where(F.col(key_col).isNotNull()).select(
+        token_hash(F.col(key_col).cast("string")).alias("h")
+    )
+    positions = hashes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _pos(F.col("h"), i).alias("pos")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.row").alias("row"), F.col("e.pos").alias("pos"))
+    return positions.groupBy("row", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def cms_join_size(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str
+) -> DataFrame:
+    """(est, exact, overcount, rel_err_pct) — |A ⋈ B| estimated as the
+    AMS/CMS inner product min_d Σ_pos A_d[pos]·B_d[pos] (Alon-Matias-
+    Szegedy 1996 F₂ idiom; Cormode & Muthukrishnan 2005 §4.2), against
+    the exact join cardinality Σ_v f_A(v)·f_B(v).
+
+    est ≥ exact ALWAYS (colliding keys only add mass — the point-query
+    one-sidedness lifts to inner products), asserted by the audit
+    columns.  This is the sketch a distributed planner uses to price a
+    join WITHOUT executing it: two O(d·w)-row sketches built in one
+    scan each (map-side-combined, shuffle capped at d·w regardless of
+    key cardinality), inner product over ≤ d·w counter rows.  The
+    exact side here is the audit baseline: the frequency-relation
+    product, a vocab-keyed shuffle the sketch path exists to avoid."""
+    sa = cms_key_counters(a, a_key)
+    sb = cms_key_counters(b, b_key)
+    per_row = (
+        sa.join(
+            sb.select(
+                F.col("row").alias("row2"),
+                F.col("pos").alias("pos2"),
+                F.col("c").alias("cb"),
+            ),
+            (F.col("row") == F.col("row2")) & (F.col("pos") == F.col("pos2")),
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("c") * F.col("cb")).cast("long").alias("ip"))
+    )
+    # a CMS row with no overlapping positions has inner product 0 and
+    # must participate in the min — spine over the d row ids
+    spark = a.sparkSession
+    rows = spark.createDataFrame([(i,) for i in range(CMS_D)], "row int")
+    est_df = rows.join(per_row, "row", "left").agg(
+        F.min(F.coalesce("ip", F.lit(0))).cast("long").alias("est")
+    )
+    fa = (
+        a.where(F.col(a_key).isNotNull())
+        .groupBy(F.col(a_key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    fb = (
+        b.where(F.col(b_key).isNotNull())
+        .groupBy(F.col(b_key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    exact_df = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("exact")
+    )
+    sizes = (
+        a.where(F.col(a_key).isNotNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(
+            b.where(F.col(b_key).isNotNull()).agg(
+                F.count(F.lit(1)).cast("long").alias("n_b")
+            )
+        )
+    )
+    # published guarantee (CM05 Thm 3): overcount <= e*n_a*n_b/w w.p.
+    # 1 - e^-d; e rounded UP to 3 keeps the bound integer-exact
+    bound = F.expr(f"(3 * n_a * n_b) div {CMS_W}")
+    return est_df.crossJoin(exact_df).crossJoin(sizes).select(
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+        F.when(
+            F.col("exact") > 0,
+            F.round(
+                (F.col("est") - F.col("exact")).cast("double")
+                / F.col("exact").cast("double")
+                * 100.0,
+                6,
+            ),
+        ).alias("rel_err_pct"),
+        bound.cast("long").alias("bound"),
+        ((F.col("est") - F.col("exact")) <= bound).alias("within_bound"),
+    )
+
+
+def cms_join_size_oracle(
+    a_sql: str, a_key: str, b_sql: str, b_key: str
+) -> str:
+    """DuckDB replay: identical per-side sketches, inner product, and
+    exact frequency-relation product."""
+
+    def sketch(src_sql: str, key: str, name: str) -> str:
+        return f"""
+{name}_h AS (
+  SELECT {_key_hash_oracle(key)} AS h FROM ({src_sql}) t
+  WHERE {key} IS NOT NULL
+),
+{name}_pos AS (
+  SELECT r.row, ((h * r.a + r.b) % {P31}) % {CMS_W} AS pos
+  FROM {name}_h CROSS JOIN {_rows_values_sql()}
+),
+{name}_sk AS (SELECT row, pos, count(*)::BIGINT AS c FROM {name}_pos GROUP BY 1, 2)
+"""
+
+    return f"""
+WITH {sketch(a_sql, a_key, "a")},
+{sketch(b_sql, b_key, "b")},
+rowsx(row) AS (VALUES (0), (1), (2), (3)),
+ip AS (
+  SELECT a_sk.row, sum(a_sk.c * b_sk.c)::BIGINT AS ip
+  FROM a_sk JOIN b_sk ON a_sk.row = b_sk.row AND a_sk.pos = b_sk.pos
+  GROUP BY 1
+),
+est AS (
+  SELECT min(coalesce(ip.ip, 0))::BIGINT AS est
+  FROM rowsx LEFT JOIN ip ON ip.row = rowsx.row
+),
+fa AS (
+  SELECT CAST({a_key} AS VARCHAR) AS k, count(*)::BIGINT AS ca
+  FROM ({a_sql}) t WHERE {a_key} IS NOT NULL GROUP BY 1
+),
+fb AS (
+  SELECT CAST({b_key} AS VARCHAR) AS k, count(*)::BIGINT AS cb
+  FROM ({b_sql}) t WHERE {b_key} IS NOT NULL GROUP BY 1
+),
+ex AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS exact FROM fa JOIN fb USING (k)),
+sz AS (
+  SELECT (SELECT count(*) FROM ({a_sql}) t WHERE {a_key} IS NOT NULL)::BIGINT AS n_a,
+         (SELECT count(*) FROM ({b_sql}) t WHERE {b_key} IS NOT NULL)::BIGINT AS n_b
+)
+SELECT est, exact, (est - exact)::BIGINT AS overcount,
+       CASE WHEN exact > 0 THEN
+         round((est - exact)::DOUBLE / exact::DOUBLE * 100.0, 6)
+       END AS rel_err_pct,
+       ((3 * n_a * n_b) // {CMS_W})::BIGINT AS bound,
+       (est - exact) <= ((3 * n_a * n_b) // {CMS_W}) AS within_bound
+FROM est, ex, sz
+"""

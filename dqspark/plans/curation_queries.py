@@ -1413,3 +1413,26 @@ def q_event_rate_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
     return event_rate_ccf(ev)
+
+
+# --- sketch-priced join cardinality --------------------------------------------
+
+from dqspark.operators.cms import cms_join_size, cms_join_size_oracle  # noqa: E402
+
+_JS_A_SQL = "SELECT user_id FROM events"
+_JS_B_SQL = "SELECT o_custkey FROM orders"
+
+
+@register(
+    "cms_join_size",
+    cms_join_size_oracle(_JS_A_SQL, "user_id", _JS_B_SQL, "o_custkey"),
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(est, exact, overcount, rel_err_pct) — |events ⋈ orders| on
+    user key, estimated from two O(d·w) CMS sketches via the AMS
+    inner product (min over rows), audited against the exact
+    frequency-relation product.  est ≥ exact always; the sketch path
+    never shuffles on the key."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cms_join_size(ev, "user_id", od, "o_custkey")

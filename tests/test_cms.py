@@ -64,3 +64,50 @@ def test_python_hash_matches_spark(spark):
     got = {r.tok: r.h for r in df.select("tok", token_hash(F.col("tok")).alias("h")).collect()}
     for tok, h in got.items():
         assert h == py_token_hash(tok)
+
+
+# --- join-size estimation ---------------------------------------------------
+
+from dqspark.operators.cms import cms_join_size  # noqa: E402
+
+
+def _keys_df(spark, keys: list[int]):
+    return spark.createDataFrame([(k,) for k in keys], "k long")
+
+
+def test_join_size_never_undercounts_and_audit_consistency(spark):
+    a = _keys_df(spark, [i % 37 for i in range(500)])
+    b = _keys_df(spark, [i % 23 for i in range(300)])
+    r = cms_join_size(a, "k", b, "k").collect()[0]
+    exact = r["exact"]
+    # direct join cardinality as independent ground truth
+    direct = a.join(b, "k").count()
+    assert exact == direct > 0
+    assert r["est"] >= exact
+    assert r["overcount"] == r["est"] - exact
+    assert r["rel_err_pct"] == round(r["overcount"] / exact * 100.0, 6)
+
+
+def test_join_size_disjoint_keys(spark):
+    a = _keys_df(spark, list(range(50)))
+    b = _keys_df(spark, list(range(1000, 1080)))
+    r = cms_join_size(a, "k", b, "k").collect()[0]
+    assert r["exact"] == 0 and r["est"] >= 0 and r["rel_err_pct"] is None
+
+
+def test_join_size_self_join_is_f2(spark):
+    keys = [1] * 10 + [2] * 5 + [3] * 1
+    a = _keys_df(spark, keys)
+    r = cms_join_size(a, "k", a, "k").collect()[0]
+    assert r["exact"] == 10 * 10 + 5 * 5 + 1  # F2 of the multiset
+    assert r["est"] >= r["exact"]
+
+
+def test_join_size_bound_columns(spark):
+    a = _keys_df(spark, [i % 37 for i in range(500)])
+    b = _keys_df(spark, [i % 23 for i in range(300)])
+    r = cms_join_size(a, "k", b, "k").collect()[0]
+    from dqspark.operators.cms import CMS_W
+
+    assert r["bound"] == (3 * 500 * 300) // CMS_W
+    assert r["within_bound"] is True
