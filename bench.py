@@ -218,6 +218,7 @@ def main() -> None:
             "neyman_alloc",
             "neyman_sample",
             "cms_join_size",
+            "simpson_audit",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

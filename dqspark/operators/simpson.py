@@ -1,0 +1,129 @@
+"""Simpson's-paradox audit (Simpson, JRSS B 13(2), 1951; Bickel et
+al., Science 187, 1975 — the Berkeley admissions case): does the
+aggregate association between a binary exposure and a binary outcome
+REVERSE inside every stratum?  For a data platform this is the
+confounding alarm on any dashboard ratio: a quality-filter pass rate
+that rises overall while falling within every language is a mixture
+shift, not an improvement, and acting on the aggregate number is the
+classic mistake this audit exists to catch.
+
+Exactness: each stratum's 2×2 table (a = exposed-positive, b =
+exposed-negative, c = unexposed-positive, d = unexposed-negative) is
+integer counts, and the risk-difference direction
+sign(a/(a+b) − c/(c+d)) is computed WITHOUT division as
+sign(a·(c+d) − c·(a+b)) — cross-multiplied integers in
+DECIMAL(38,0)/HUGEINT (the products pass int64 once strata reach
+~10¹⁰ rows), so both engines agree exactly, including the 0 (no
+association / empty-arm) case.
+
+Scale shape: ONE aggregation pass over the joined relation using
+ROLLUP(stratum) — per-stratum rows and the '__all__' row come from
+the same map-side-combined aggregate, no second scan, no union; the
+overall direction joins back onto the O(strata) relation as a
+1-row broadcast.
+
+Reference parity: none; statistical-audit extension suite (SURVEY
+§2-ext) alongside lift/MI/PSI — those measure association strength,
+this one checks its SIGN STABILITY under stratification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ALL = "__all__"
+
+_DEC = "decimal(38,0)"
+
+
+def _cnt(cond: Column) -> Column:
+    return F.sum(F.when(cond, 1).otherwise(0)).cast(_DEC)
+
+
+def simpson_audit(
+    df: DataFrame, stratum_col: str, exposed: Column, outcome: Column
+) -> DataFrame:
+    """(stratum, a, b, c, d, direction, reverses) — one row per
+    stratum plus the '__all__' aggregate row; ``reverses`` is true on
+    a stratum whose association direction is the exact opposite of
+    the aggregate's (both nonzero)."""
+    base = df.select(
+        F.col(stratum_col).alias("s"),
+        exposed.alias("e"),
+        outcome.alias("y"),
+    )
+    g = (
+        base.rollup("s")
+        .agg(
+            F.grouping("s").alias("_gr"),
+            _cnt(F.col("e") & F.col("y")).alias("a"),
+            _cnt(F.col("e") & ~F.col("y")).alias("b"),
+            _cnt(~F.col("e") & F.col("y")).alias("c"),
+            _cnt(~F.col("e") & ~F.col("y")).alias("d"),
+        )
+        .select(
+            F.when(F.col("_gr") == 1, F.lit(ALL))
+            .otherwise(F.col("s"))
+            .alias("stratum"),
+            "a",
+            "b",
+            "c",
+            "d",
+            F.signum(
+                (F.col("a") * (F.col("c") + F.col("d"))
+                 - F.col("c") * (F.col("a") + F.col("b"))).cast("double")
+            )
+            .cast("int")
+            .alias("direction"),
+        )
+    )
+    overall = g.where(F.col("stratum") == ALL).select(
+        F.col("direction").alias("_od")
+    )
+    return g.crossJoin(F.broadcast(overall)).select(
+        "stratum",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        "direction",
+        (
+            (F.col("stratum") != ALL)
+            & (F.col("direction") != 0)
+            & (F.col("_od") != 0)
+            & (F.col("direction") == -F.col("_od"))
+        ).alias("reverses"),
+    )
+
+
+def simpson_audit_oracle(
+    base_sql: str, stratum_expr: str, exposed_expr: str, outcome_expr: str
+) -> str:
+    """DuckDB replay: identical ROLLUP, cross-multiplied sign, and
+    reversal flag."""
+    return f"""
+WITH base AS (
+  SELECT {stratum_expr} AS s, {exposed_expr} AS e, {outcome_expr} AS y
+  FROM ({base_sql}) t
+),
+g AS (
+  SELECT CASE WHEN GROUPING(s) = 1 THEN '{ALL}' ELSE s END AS stratum,
+         sum(CASE WHEN e AND y THEN 1 ELSE 0 END)::HUGEINT AS a,
+         sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)::HUGEINT AS b,
+         sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)::HUGEINT AS c,
+         sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)::HUGEINT AS d
+  FROM base GROUP BY ROLLUP(s)
+),
+dirs AS (
+  SELECT stratum, a, b, c, d,
+         sign((a * (c + d) - c * (a + b))::DOUBLE)::INT AS direction
+  FROM g
+),
+o AS (SELECT direction AS od FROM dirs WHERE stratum = '{ALL}')
+SELECT stratum, a::BIGINT AS a, b::BIGINT AS b, c::BIGINT AS c,
+       d::BIGINT AS d, direction,
+       (stratum != '{ALL}' AND direction != 0 AND od != 0
+        AND direction = -od) AS reverses
+FROM dirs, o
+"""

@@ -224,3 +224,44 @@ def q_rel_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent"),
     )
     return detect_circular_references(edges, "id", "parent")
+
+
+# --- Simpson's-paradox stratified-association audit ----------------------------
+
+from pyspark.sql import functions as F  # noqa: E402,F811
+
+from dqspark.operators.simpson import simpson_audit, simpson_audit_oracle  # noqa: E402
+
+_SIMPSON_SQL = """
+  SELECT c_mktsegment, o_orderpriority, o_orderstatus
+  FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register(
+    "simpson_audit",
+    simpson_audit_oracle(
+        _SIMPSON_SQL,
+        "c_mktsegment",
+        "o_orderpriority < '3'",
+        "o_orderstatus = 'F'",
+    ),
+)
+def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stratum, a, b, c, d, direction, reverses) — does the
+    urgent-priority → finished-status association reverse inside any
+    market segment?  2×2 counts per stratum + '__all__' from ONE
+    ROLLUP aggregate; risk-difference sign via cross-multiplied
+    integers (no division crosses the differential)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return simpson_audit(
+        j,
+        "c_mktsegment",
+        F.col("o_orderpriority") < "3",
+        F.col("o_orderstatus") == "F",
+    )

@@ -1,0 +1,67 @@
+"""Simpson's-paradox audit — operators/simpson.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.simpson import ALL, simpson_audit
+
+
+def _df(spark, cells):
+    # cells: (stratum, exposed, outcome, count)
+    rows = [
+        (s, e, y) for s, e, y, n in cells for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "s string, e boolean, y boolean")
+
+
+def test_planted_reversal_berkeley_style(spark):
+    # within each stratum exposure HURTS; in aggregate it "helps"
+    cells = [
+        ("x", True, True, 1), ("x", True, False, 9),     # 10% vs
+        ("x", False, True, 5), ("x", False, False, 15),  # 25%
+        ("y", True, True, 60), ("y", True, False, 40),   # 60% vs
+        ("y", False, True, 7), ("y", False, False, 3),   # 70%
+    ]
+    out = {
+        r["stratum"]: r
+        for r in simpson_audit(
+            _df(spark, cells), "s", F.col("e"), F.col("y")
+        ).collect()
+    }
+    assert out[ALL]["direction"] == 1 and out[ALL]["reverses"] is False
+    for s in ("x", "y"):
+        assert out[s]["direction"] == -1 and out[s]["reverses"] is True
+    # 2x2 bookkeeping on the aggregate row
+    assert (out[ALL]["a"], out[ALL]["b"], out[ALL]["c"], out[ALL]["d"]) == (
+        61, 49, 12, 18,
+    )
+
+
+def test_empty_arm_and_no_association(spark):
+    cells = [
+        ("z", True, True, 5), ("z", True, False, 5),
+        # no unexposed rows in z: c = d = 0 -> direction 0, no reversal
+    ]
+    out = {r["stratum"]: r for r in simpson_audit(
+        _df(spark, cells), "s", F.col("e"), F.col("y")
+    ).collect()}
+    assert out["z"]["direction"] == 0 and out["z"]["reverses"] is False
+
+
+def test_partition_invariance(spark):
+    cells = [
+        ("a", True, True, 7), ("a", True, False, 3),
+        ("a", False, True, 2), ("a", False, False, 8),
+        ("b", True, True, 1), ("b", True, False, 9),
+        ("b", False, True, 6), ("b", False, False, 4),
+    ]
+    df = _df(spark, cells)
+    one = sorted(map(tuple, simpson_audit(df, "s", F.col("e"), F.col("y")).collect()))
+    many = sorted(
+        map(
+            tuple,
+            simpson_audit(df.repartition(11), "s", F.col("e"), F.col("y")).collect(),
+        )
+    )
+    assert one == many
