@@ -219,6 +219,7 @@ def main() -> None:
             "neyman_sample",
             "cms_join_size",
             "simpson_audit",
+            "conformal_coverage",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

@@ -1,0 +1,172 @@
+"""Split-conformal keep-threshold with measured coverage (Vovk et
+al., "Algorithmic Learning in a Random World", 2005; Papadopoulos et
+al. 2002 inductive conformal prediction): calibrate a score threshold
+τ on held-out POSITIVE documents so that a future positive scores
+≥ τ with probability ≥ 1−α, distribution-free — no assumption that
+the quality classifier's scores are calibrated probabilities (the
+reliability-diagram query measures calibration; THIS query gives a
+keep-rule whose recall guarantee survives even when calibration
+fails).  τ is the ⌊α·(n+1)⌋-th smallest calibration-positive score
+(the one-sided conformal quantile); the audit then MEASURES coverage
+on a disjoint eval split rather than trusting the theorem.
+
+Exactness: scores fold to integer micro-units (round(score·10⁶), the
+repo convention), so the order statistic is an exact element both
+engines select identically; coverage/FPR are integer counts with one
+rounded division each.
+
+Scale shape: selection never sorts the corpus — scores collapse to a
+groupBy over AT MOST 10⁶+1 distinct units (bounded regardless of
+corpus size), the cumulative rank runs as a window over that bounded
+relation (the ks_drift idiom), and the coverage pass is one
+conditional aggregate over the eval split.
+
+Reference parity: none; ML-evaluation extension suite alongside
+quality_calibration (reliability) and quality_auc (ranking) — this
+adds the distribution-free COVERAGE reading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000
+ALPHA_BP = 1000  # alpha = 0.10
+
+
+def conformal_tau_units(cal_scores: DataFrame, alpha_bp: int = ALPHA_BP):
+    """Exact τ (micro-units) = the r-th smallest calibration score,
+    r = ⌊alpha·(n+1)⌋, over a DataFrame with integer column ``units``.
+    Returns (n_cal, r, tau_units); r < 1 degrades to τ = 0 (keep
+    everything — the honest answer when n is too small for the level).
+    """
+    counts = cal_scores.groupBy("units").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("units").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "units", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    n_cal = cal_scores.count()
+    r = alpha_bp * (n_cal + 1) // 10000
+    if r < 1:
+        return n_cal, r, 0
+    tau = (
+        cum.where(F.col("cum") >= r)
+        .agg(F.min("units").cast("long").alias("t"))
+        .collect()[0]["t"]
+    )
+    return n_cal, r, int(tau)
+
+
+def conformal_coverage(
+    scores: DataFrame,
+    score_col: str,
+    label_col: str,
+    cal_flag,
+    alpha_bp: int = ALPHA_BP,
+) -> DataFrame:
+    """One audit row: (alpha_bp, n_cal, rank, tau_units, n_eval_pos,
+    covered, coverage, n_eval_neg, kept_neg, fpr, meets_nominal).
+    ``cal_flag`` is a boolean Column splitting calibration from eval;
+    calibration uses POSITIVE rows only (the conditional-coverage
+    target class)."""
+    spark = scores.sparkSession
+    base = scores.select(
+        F.round(F.col(score_col) * UNIT).cast("long").alias("units"),
+        F.col(label_col).cast("int").alias("label"),
+        cal_flag.alias("is_cal"),
+    )
+    cal = base.where(F.col("is_cal") & (F.col("label") == 1)).select("units")
+    n_cal, r, tau = conformal_tau_units(cal, alpha_bp)
+    ev = base.where(~F.col("is_cal")).agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval_pos"),
+        F.sum(
+            F.when((F.col("label") == 1) & (F.col("units") >= tau), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("covered"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval_neg"),
+        F.sum(
+            F.when((F.col("label") == 0) & (F.col("units") >= tau), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_neg"),
+    )
+    return ev.select(
+        F.lit(alpha_bp).cast("int").alias("alpha_bp"),
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(r).cast("long").alias("rank"),
+        F.lit(tau).cast("long").alias("tau_units"),
+        "n_eval_pos",
+        "covered",
+        F.round(
+            F.col("covered").cast("double") / F.col("n_eval_pos").cast("double"),
+            6,
+        ).alias("coverage"),
+        "n_eval_neg",
+        "kept_neg",
+        F.round(
+            F.col("kept_neg").cast("double") / F.col("n_eval_neg").cast("double"),
+            6,
+        ).alias("fpr"),
+        (
+            F.col("covered").cast("double") / F.col("n_eval_pos").cast("double")
+            >= F.lit(1.0 - alpha_bp / 10000.0)
+        ).alias("meets_nominal"),
+    )
+
+
+def conformal_coverage_oracle(
+    scores_sql: str,
+    score_expr: str,
+    label_expr: str,
+    cal_expr: str,
+    alpha_bp: int = ALPHA_BP,
+) -> str:
+    """DuckDB replay: identical micro-unit fold, rank formula,
+    threshold selection, and audit arithmetic."""
+    return f"""
+WITH base AS (
+  SELECT round(({score_expr}) * {UNIT})::BIGINT AS units,
+         ({label_expr})::INT AS label, ({cal_expr}) AS is_cal
+  FROM ({scores_sql}) t
+),
+cal AS (SELECT units FROM base WHERE is_cal AND label = 1),
+nc AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+rk AS (SELECT n_cal, ({alpha_bp} * (n_cal + 1)) // 10000 AS r FROM nc),
+cum AS (
+  SELECT units, sum(c) OVER (ORDER BY units)::BIGINT AS cum
+  FROM (SELECT units, count(*)::BIGINT AS c FROM cal GROUP BY 1) g
+),
+tau AS (
+  SELECT rk.n_cal, rk.r,
+         CASE WHEN rk.r < 1 THEN 0
+              ELSE (SELECT min(units) FROM cum WHERE cum >= rk.r)
+         END::BIGINT AS tau_units
+  FROM rk
+),
+ev AS (
+  SELECT
+    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n_eval_pos,
+    sum(CASE WHEN label = 1 AND units >= (SELECT tau_units FROM tau)
+        THEN 1 ELSE 0 END)::BIGINT AS covered,
+    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n_eval_neg,
+    sum(CASE WHEN label = 0 AND units >= (SELECT tau_units FROM tau)
+        THEN 1 ELSE 0 END)::BIGINT AS kept_neg
+  FROM base WHERE NOT is_cal
+)
+SELECT {alpha_bp}::INT AS alpha_bp, tau.n_cal, tau.r AS rank,
+       tau.tau_units, ev.n_eval_pos, ev.covered,
+       round(ev.covered::DOUBLE / ev.n_eval_pos::DOUBLE, 6) AS coverage,
+       ev.n_eval_neg, ev.kept_neg,
+       round(ev.kept_neg::DOUBLE / ev.n_eval_neg::DOUBLE, 6) AS fpr,
+       (ev.covered::DOUBLE / ev.n_eval_pos::DOUBLE)
+         >= (1.0 - {alpha_bp} / 10000.0) AS meets_nominal
+FROM tau, ev
+"""

@@ -458,3 +458,58 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang string, size_chars long, alloc_chars long, epochs double"
     )
+
+
+# --- split-conformal keep-threshold coverage audit -----------------------------
+
+from dqspark.operators.conformal import (  # noqa: E402
+    ALPHA_BP,
+    conformal_coverage,
+    conformal_coverage_oracle,
+)
+from dqspark.plans.driver_queries import ORACLES  # noqa: E402
+
+
+@register("conformal_coverage")
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free keep-rule audit for the fitted quality
+    classifier: τ = the ⌊α(n+1)⌋-th smallest calibration-positive
+    score (split on doc_id parity), coverage + FPR measured on the
+    disjoint eval half.  Complements quality_calibration (reliability)
+    and quality_auc (ranking) with the conformal COVERAGE reading —
+    valid even when the scores are miscalibrated."""
+    feats = _feature_frame(spark, sf_dir)
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    p = _fast_sigmoid_col(_margin_col(w, _FEATURE_COLS))
+    scores = feats.select(
+        "doc_id",
+        F.round(p, 6).alias("score"),
+        F.col("y").cast("int").alias("label"),
+    )
+    return conformal_coverage(
+        scores,
+        "score",
+        "label",
+        (F.col("doc_id") % 2) == 0,
+        ALPHA_BP,
+    )
+
+
+def _conformal_oracle() -> str:
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    p = fast_sigmoid_sql(margin_sql(weights, feats))
+    sf = oracle_sf_dir()
+    scores_sql = (
+        f"SELECT doc_id, round({p}, 6)::DOUBLE AS score, {y}::INT AS label"
+        f" FROM '{sf}/documents.parquet'"
+    )
+    return conformal_coverage_oracle(
+        scores_sql, "score", "label", "doc_id % 2 = 0", ALPHA_BP
+    )
+
+
+ORACLES["conformal_coverage"] = _conformal_oracle

@@ -1,0 +1,62 @@
+"""Split-conformal coverage — operators/conformal.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.conformal import conformal_coverage, conformal_tau_units
+
+
+def _scores(spark, rows):
+    # rows: (id, score, label)
+    return spark.createDataFrame(rows, "doc_id long, score double, label int")
+
+
+def test_tau_is_exact_order_statistic(spark):
+    # calibration positives score 0.01..0.99 (99 items):
+    # r = floor(0.1 * 100) = 10 -> tau = 10th smallest = 0.10
+    rows = [(i, i / 100.0, 1) for i in range(1, 100)]
+    df = _scores(spark, rows).select(
+        F.round(F.col("score") * 1_000_000).cast("long").alias("units")
+    )
+    n, r, tau = conformal_tau_units(df, 1000)
+    assert (n, r, tau) == (99, 10, 100_000)
+
+
+def test_small_n_degrades_to_keep_all(spark):
+    rows = [(i, 0.5, 1) for i in range(5)]  # r = floor(0.1*6) = 0
+    df = _scores(spark, rows).select(
+        F.round(F.col("score") * 1_000_000).cast("long").alias("units")
+    )
+    n, r, tau = conformal_tau_units(df, 1000)
+    assert (n, r, tau) == (5, 0, 0)
+
+
+def test_coverage_audit_hand_case(spark):
+    # cal positives (even ids) 0.01..0.99; eval positives (odd ids)
+    # same grid -> exactly the scores >= 0.10 are covered: 90 of 99
+    cal = [(2 * i, i / 100.0, 1) for i in range(1, 100)]
+    ev_pos = [(2 * i + 1, i / 100.0, 1) for i in range(1, 100)]
+    ev_neg = [(1001, 0.05, 0), (1003, 0.95, 0)]
+    out = conformal_coverage(
+        _scores(spark, cal + ev_pos + ev_neg),
+        "score",
+        "label",
+        (F.col("doc_id") % 2) == 0,
+        1000,
+    ).collect()[0]
+    assert out["tau_units"] == 100_000
+    assert out["n_eval_pos"] == 99 and out["covered"] == 90
+    assert out["coverage"] == round(90 / 99, 6)
+    assert out["meets_nominal"] is True  # 0.909... >= 0.9
+    assert out["n_eval_neg"] == 2 and out["kept_neg"] == 1
+    assert out["fpr"] == 0.5
+
+
+def test_partition_invariance(spark):
+    rows = [(i, ((i * 37) % 100) / 100.0, i % 3 != 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label boolean")
+    args = ("score", "label", (F.col("doc_id") % 2) == 0, 1000)
+    one = conformal_coverage(df, *args).collect()
+    many = conformal_coverage(df.repartition(13), *args).collect()
+    assert list(map(tuple, one)) == list(map(tuple, many))
