@@ -220,6 +220,7 @@ def main() -> None:
             "cms_join_size",
             "simpson_audit",
             "conformal_coverage",
+            "seasonal_anomalies",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

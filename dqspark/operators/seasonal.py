@@ -1,0 +1,169 @@
+"""Seasonal-profile anomalies over event-rate series: learn each
+key's hour-of-day baseline from the zero-filled hourly spine
+(operators/acf.py `rate_series`), then flag windows whose residual
+against their OWN hour class is a robust outlier (Hampel identifier,
+Iglewicz & Hoaglin 1993 — the operators/robust.py convention applied
+to deseasonalized rates).  A level monitor (EWMA/CUSUM) alarms every
+morning when traffic has a daily cycle; deseasonalizing first is the
+standard fix, and the ACF query is how you discover the cycle exists.
+
+Exactness AND robustness: the per-class baseline is the TYPE-1
+MEDIAN element of the (key, hour-of-day) class — not the mean, which
+the anomaly itself contaminates (a 6-day class with one 10× spike
+drags a mean baseline far enough to flag its healthy siblings; the
+median ignores it).  The residual is then the plain integer
+c_t − median_h, carried in micro-units (·10⁶) for scale continuity
+with the robust.py family.  The per-key MAD is the type-1 median
+element of |resid_fp| (row_number over a window PARTITIONED BY KEY —
+the per-key relation is O(hours), bounded; the class windows are
+O(days), also bounded), and the Hampel cutoff
+|resid| > 3.5·1.4826·MAD compares as the integer cross-multiplication
+|resid_fp|·10⁵ > 518910·MAD in DECIMAL(38,0)/HUGEINT — no division
+anywhere.  MAD = 0 (≥50% of residuals tied) flags nothing, per the
+robust.py degenerate convention.
+
+Scale shape: one event-stream scan → O(keys×hours) series; the
+hour-class stats are a second tiny groupBy; every window function
+partitions by key.  Output is annotated flagged windows only.
+
+Reference parity: none; monitoring extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.acf import WINDOW_SEC, rate_series
+
+SEASON_PERIOD = 24  # hour-of-day classes
+HAMPEL_NUM = 518910  # 3.5 * 1.4826 * 1e5, integer cutoff numerator
+HAMPEL_DEN = 100000
+
+_DEC = "decimal(38,0)"
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_sec: int = WINDOW_SEC,
+    period: int = SEASON_PERIOD,
+) -> DataFrame:
+    """(key, t, hod, c, season_med, resid_fp, mad_fp) — the
+    windows whose deseasonalized residual fails the Hampel test
+    against their key's residual distribution."""
+    ser = rate_series(events, key_col, ts_col, window_sec).withColumn(
+        "hod", (F.col("t") % period).cast("int")
+    )
+    wc = Window.partitionBy("k", "hod").orderBy("c", "t")
+    cw = Window.partitionBy("k", "hod")
+    med_src = ser.select(
+        "k",
+        "hod",
+        "c",
+        F.row_number().over(wc).alias("_rn"),
+        F.count(F.lit(1)).over(cw).alias("_nh"),
+    )
+    cls = med_src.where(F.col("_rn") == F.expr("(_nh + 1) div 2")).select(
+        "k", "hod", F.col("c").alias("season_med")
+    )
+    r = ser.join(F.broadcast(cls), ["k", "hod"]).select(
+        "k",
+        "t",
+        "hod",
+        "c",
+        F.col("season_med").cast("long").alias("season_med"),
+        ((F.col("c") - F.col("season_med")) * 1_000_000)
+        .cast("long")
+        .alias("resid_fp"),
+    )
+    w = Window.partitionBy("k").orderBy(F.abs(F.col("resid_fp")), "t")
+    cnt = Window.partitionBy("k")
+    ranked = r.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(cnt).alias("_m"),
+    )
+    med = (
+        ranked.where(F.col("_rn") == F.expr("(_m + 1) div 2"))
+        .select("k", F.abs(F.col("resid_fp")).alias("mad_fp"))
+    )
+    flagged = (
+        r.join(F.broadcast(med), "k")
+        .where(
+            (F.col("mad_fp") > 0)
+            & (
+                F.abs(F.col("resid_fp")).cast(_DEC) * HAMPEL_DEN
+                > F.lit(HAMPEL_NUM).cast(_DEC) * F.col("mad_fp")
+            )
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "t",
+            "hod",
+            "c",
+            "season_med",
+            "resid_fp",
+            "mad_fp",
+        )
+    )
+    return flagged
+
+
+def seasonal_anomalies_oracle(
+    events_sql: str,
+    key_expr: str = "event_type",
+    ts_expr: str = "ts",
+    window_sec: int = WINDOW_SEC,
+    period: int = SEASON_PERIOD,
+) -> str:
+    """DuckDB replay: identical spine, class stats, fixed-point
+    residual, type-1 MAD element, and integer Hampel comparison."""
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS k,
+         CAST(floor(epoch({ts_expr})) AS BIGINT) // {window_sec} AS b,
+         count(*)::BIGINT AS x
+  FROM ({events_sql}) e GROUP BY k, b
+),
+rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+spine AS (
+  SELECT k, unnest(range(b0, b1 + 1)) AS t
+  FROM (SELECT DISTINCT k FROM counts), rng
+),
+ser AS (
+  SELECT s.k, s.t, (s.t % {period})::INT AS hod, COALESCE(c.x, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN counts c ON c.k = s.k AND c.b = s.t
+),
+medsrc AS (
+  SELECT k, hod, c,
+         row_number() OVER (PARTITION BY k, hod ORDER BY c, t) AS rn,
+         count(*) OVER (PARTITION BY k, hod) AS nh
+  FROM ser
+),
+cls AS (
+  SELECT k, hod, c::BIGINT AS season_med FROM medsrc WHERE rn = (nh + 1) // 2
+),
+r AS (
+  SELECT ser.k, ser.t, ser.hod, ser.c,
+         cls.season_med,
+         ((ser.c - cls.season_med) * 1000000)::BIGINT AS resid_fp
+  FROM ser JOIN cls ON cls.k = ser.k AND cls.hod = ser.hod
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY abs(resid_fp), t) AS rn,
+         count(*) OVER (PARTITION BY k) AS m
+  FROM r
+),
+med AS (
+  SELECT k, abs(resid_fp)::BIGINT AS mad_fp
+  FROM ranked WHERE rn = (m + 1) // 2
+)
+SELECT r.k AS {key_expr}, r.t, r.hod, r.c, r.season_med,
+       r.resid_fp, med.mad_fp
+FROM r JOIN med ON med.k = r.k
+WHERE med.mad_fp > 0
+  AND abs(r.resid_fp)::HUGEINT * {HAMPEL_DEN}
+      > {HAMPEL_NUM}::HUGEINT * med.mad_fp
+"""

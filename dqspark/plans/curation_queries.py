@@ -1436,3 +1436,21 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     od = load_table(spark, sf_dir, "orders").select("o_custkey")
     return cms_join_size(ev, "user_id", od, "o_custkey")
+
+
+# --- seasonal-profile anomalies ------------------------------------------------
+
+from dqspark.operators.seasonal import (  # noqa: E402
+    seasonal_anomalies,
+    seasonal_anomalies_oracle,
+)
+
+
+@register("seasonal_anomalies", seasonal_anomalies_oracle(_ACF_SQL))
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day-deseasonalized Hampel outliers per event type — the
+    monitor that does NOT alarm every morning on a daily cycle.
+    Fixed-point integer residuals (div parity both engines), type-1
+    MAD element per key, integer cutoff comparison."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return seasonal_anomalies(ev)

@@ -1,0 +1,55 @@
+"""Seasonal-profile anomalies — operators/seasonal.py."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from dqspark.operators.seasonal import seasonal_anomalies
+
+
+def _events(spark, counts, key="a"):
+    base = datetime(2024, 1, 1)
+    rows = [
+        (key, base + timedelta(hours=h, minutes=m))
+        for h, c in enumerate(counts)
+        for m in range(c)
+    ]
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def test_spike_on_cyclic_series_is_flagged_mornings_are_not(spark):
+    # 6 noisy days with a strong 24h cycle (hour 9 always ~40) + one
+    # planted spike at day 3 hour 15; the cycle must NOT alarm, the
+    # spike must.  Noise (h*7 % 5) varies WITHIN each hour-of-day
+    # class across days, so the MAD is positive and the Hampel rule
+    # has a real scale to test against.
+    counts = [3 + (h * 7) % 5 + (37 if h % 24 == 9 else 0) for h in range(144)]
+    counts[3 * 24 + 15] = 60
+    out = seasonal_anomalies(_events(spark, counts)).collect()
+    assert [(r["t"] % 24, r["c"]) for r in out] == [(15, 60)]
+
+
+def test_pure_cycle_no_flags(spark):
+    day = [1, 5, 2, 8] * 6  # period divides 24 -> perfectly seasonal
+    out = seasonal_anomalies(_events(spark, day * 3)).collect()
+    assert out == []
+
+
+def test_mad_zero_flags_nothing(spark):
+    # one wild spike among constant residuals: MAD = 0 -> degenerate
+    # guard refuses to flag (robust.py convention)
+    counts = [3] * 48
+    counts[20] = 50
+    out = seasonal_anomalies(_events(spark, counts)).collect()
+    assert out == []
+
+
+def test_partition_invariance(spark):
+    day = [2] * 24
+    day[9] = 40
+    counts = day * 3
+    counts[30] = 25
+    df = _events(spark, counts)
+    one = sorted(map(tuple, seasonal_anomalies(df).collect()))
+    many = sorted(map(tuple, seasonal_anomalies(df.repartition(9)).collect()))
+    assert one == many
