@@ -221,6 +221,7 @@ def main() -> None:
             "simpson_audit",
             "conformal_coverage",
             "seasonal_anomalies",
+            "wl_roles",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

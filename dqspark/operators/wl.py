@@ -1,0 +1,159 @@
+"""Weisfeiler-Lehman color refinement over the import graph
+(Weisfeiler & Lehman, NTI 1968; Shervashidze et al., JMLR 2011 —
+the WL-kernel iteration): after k rounds, two nodes share a color
+iff their depth-k neighborhood structures are indistinguishable —
+structural ROLE discovery for a code corpus (mirror repos, template
+forks, and generated scaffolding land in the same color class even
+when content-level dedup misses them; PageRank ranks importance,
+k-core ranks embeddedness, WL classes say "these repos are wired the
+same way").
+
+Exactness: a color is an integer.  The refinement is
+
+    color'(v) = fold(fold(fold(color(v), sorted in-colors),
+                SEP), sorted out-colors)     (mod-P31 polynomial fold)
+
+— the same (acc·B + x) mod P31 integer fold as the repo's token
+hash, applied to integer color multisets (directed: in- and
+out-neighborhoods folded separately around a separator constant, so
+an importer and an importee of identical shape do NOT collide).
+Sorting makes the fold order canonical; everything is int64-safe and
+bit-identical in the single-process oracle replay (fixed k rounds,
+the pagerank/BPE VALUES-oracle protocol).
+
+Scale shape: each round is one join (edges ⋈ colors) + one
+groupBy(node) with sort_array(collect_list(color)) — per-node state
+bounded by degree (degree caps are the documented dial for
+pathological hubs; at 10⁸ nodes the collect_list is the same shape
+the repo-context renderer already bounds).  k is a constant (3), so
+the lineage is bounded without checkpointing.
+
+Reference parity: none; graph extension suite (SURVEY §2-ext)
+alongside pagerank/k-core/triangles/assortativity/label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import HASH_B, P31
+
+WL_ROUNDS = 3
+_SEP = 1_000_003  # separator constant folded between in- and out-multisets
+
+
+def _fold(acc, arr):
+    """(acc·B + x) mod P31 over a sorted integer array — JVM-side."""
+    return F.aggregate(
+        arr, acc.cast("long"), lambda a, x: (a * HASH_B + x) % P31
+    )
+
+
+def wl_colors(
+    edges: DataFrame, rounds: int = WL_ROUNDS
+) -> DataFrame:
+    """(node, wl_color, class_size) after ``rounds`` refinements.
+    ``edges`` has integer columns (src, dst); self-loops and duplicate
+    edges are dropped (the pagerank convention)."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # init color: (in_degree, out_degree) folded — structure-only seed
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    )
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("id_")
+    )
+    colors = (
+        nodes.join(outd, "node", "left")
+        .join(ind, "node", "left")
+        .select(
+            "node",
+            (
+                (F.coalesce("id_", F.lit(0)) * HASH_B + F.coalesce("od", F.lit(0)))
+                % P31
+            ).alias("color"),
+        )
+    )
+    for _ in range(rounds):
+        in_cols = (
+            e.join(colors.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sort_array(F.collect_list("color")).alias("in_colors"))
+        )
+        out_cols = (
+            e.join(colors.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sort_array(F.collect_list("color")).alias("out_colors"))
+        )
+        colors = (
+            colors.join(in_cols, "node", "left")
+            .join(out_cols, "node", "left")
+            .select(
+                "node",
+                _fold(
+                    (
+                        _fold(F.col("color"), F.coalesce("in_colors", F.array()))
+                        * HASH_B
+                        + _SEP
+                    )
+                    % P31,
+                    F.coalesce("out_colors", F.array()),
+                ).alias("color"),
+            )
+        )
+    sizes = colors.groupBy("color").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return colors.join(sizes, "color").select(
+        "node",
+        F.col("color").alias("wl_color"),
+        "class_size",
+    )
+
+
+def wl_replay(
+    edge_list: list[tuple[int, int]], rounds: int = WL_ROUNDS
+) -> list[tuple[int, int, int]]:
+    """Single-process replay of the identical refinement — the oracle
+    side (and the distributed path's bit-exactness witness)."""
+    e = sorted({(int(s), int(d)) for s, d in edge_list if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    outd: dict[int, int] = {}
+    ind: dict[int, int] = {}
+    ins: dict[int, list[int]] = {n: [] for n in nodes}
+    outs: dict[int, list[int]] = {n: [] for n in nodes}
+    for s, d in e:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+        ins[d].append(s)
+        outs[s].append(d)
+    color = {
+        n: (ind.get(n, 0) * HASH_B + outd.get(n, 0)) % P31 for n in nodes
+    }
+
+    def fold(acc: int, xs: list[int]) -> int:
+        for x in xs:
+            acc = (acc * HASH_B + x) % P31
+        return acc
+
+    for _ in range(rounds):
+        nxt = {}
+        for n in nodes:
+            acc = fold(color[n], sorted(color[u] for u in ins[n]))
+            acc = (acc * HASH_B + _SEP) % P31
+            nxt[n] = fold(acc, sorted(color[u] for u in outs[n]))
+        color = nxt
+    sizes: dict[int, int] = {}
+    for n in nodes:
+        sizes[color[n]] = sizes.get(color[n], 0) + 1
+    return [(n, color[n], sizes[color[n]]) for n in nodes]

@@ -180,3 +180,39 @@ def q_import_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity of the imports graph — exact BIGINT
     moments over the undirected edge list, one output row."""
     return degree_assortativity(_import_edges(spark, sf_dir))
+
+
+# --- Weisfeiler-Lehman structural roles ---------------------------------------
+
+from dqspark.operators.wl import wl_colors, wl_replay  # noqa: E402
+
+
+@register("wl_roles")
+def q_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, wl_color, class_size) — WL color refinement (3 rounds)
+    over the imports graph: repos sharing a color are wired
+    identically to depth 3 (structural clones the content-level
+    dedup family cannot see).  Integer polynomial-fold colors,
+    bit-identical to the single-process replay oracle."""
+    colors = wl_colors(_import_edges(spark, sf_dir))
+    return colors.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("wl_color").cast("long").alias("wl_color"),
+        "class_size",
+    )
+
+
+def _wl_oracle() -> str:
+    from dqspark.plans.local_oracle import values_table
+
+    con = _connect(oracle_sf_dir())
+    edges = con.sql(_EDGES_SQL).fetchall()
+    rows = wl_replay(edges)
+    values = values_table(rows, ["node", "wl_color", "class_size"])
+    return (
+        f"SELECT node::BIGINT AS node, wl_color::BIGINT AS wl_color,"
+        f" class_size::BIGINT AS class_size FROM {values}"
+    )
+
+
+ORACLES["wl_roles"] = _wl_oracle

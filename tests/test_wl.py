@@ -1,0 +1,50 @@
+"""Weisfeiler-Lehman color refinement — operators/wl.py."""
+
+from __future__ import annotations
+
+from dqspark.operators.wl import wl_colors, wl_replay
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def _colors(spark, edges, rounds=3):
+    return {
+        r["node"]: (r["wl_color"], r["class_size"])
+        for r in wl_colors(_df(spark, edges), rounds).collect()
+    }
+
+
+def test_isomorphic_components_share_colors(spark):
+    # two disjoint directed 3-cycles: all six nodes are structurally
+    # identical -> ONE color class of size 6
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    out = _colors(spark, edges)
+    assert len({c for c, _ in out.values()}) == 1
+    assert all(sz == 6 for _, sz in out.values())
+
+
+def test_refinement_distinguishes_path_positions(spark):
+    # directed path 0->1->2->3: every position has a distinct role
+    out = _colors(spark, [(0, 1), (1, 2), (2, 3)])
+    assert len({c for c, _ in out.values()}) == 4
+    assert all(sz == 1 for _, sz in out.values())
+
+
+def test_direction_matters(spark):
+    # hub importing 3 leaves vs hub imported BY 3 leaves: the two
+    # hubs must NOT collide (in/out multisets folded separately)
+    edges = [(0, 1), (0, 2), (0, 3), (11, 10), (12, 10), (13, 10)]
+    out = _colors(spark, edges)
+    assert out[0][0] != out[10][0]
+    # but the two leaf sets are internally uniform
+    assert out[1][0] == out[2][0] == out[3][0]
+    assert out[11][0] == out[12][0] == out[13][0]
+
+
+def test_distributed_matches_replay_and_dedups(spark):
+    edges = [(i % 7, (i * 3 + 1) % 7) for i in range(30)] + [(2, 2), (0, 1)]
+    got = sorted(map(tuple, wl_colors(_df(spark, edges)).collect()))
+    want = sorted(wl_replay(edges))
+    assert got == want
