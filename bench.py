@@ -222,6 +222,7 @@ def main() -> None:
             "conformal_coverage",
             "seasonal_anomalies",
             "wl_roles",
+            "hill_tail_index",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

@@ -1,0 +1,66 @@
+"""Hill tail-index estimator (Hill, Annals of Statistics 3(5), 1975):
+alpha = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) over the k largest values —
+the standard estimate of a power-law tail exponent.  For corpus
+curation this is the quantitative version of "document lengths are
+heavy-tailed": alpha ≤ 2 means infinite variance (mean-based
+capacity planning is meaningless; medians and exact quantiles are
+the only stable statistics), and a drifting alpha across snapshots
+means the long-document tail is growing faster than the corpus.
+Complements the Zipf-slope audit (rank-frequency law over the
+vocabulary) with the size-distribution law over documents.
+
+Exactness: the top k+1 order statistics are exact elements selected
+by TakeOrderedAndProject (per-partition heap + driver merge — the
+bounded top-k idiom, never a global sort); the log-sum runs in
+DRIVER Python over the collected O(k) values in descending sorted
+order, and the oracle replays the identical function on DuckDB's
+top-k — same floats, same summation order, bit-identical result
+(the VALUES-replay protocol).
+
+Scale shape: one scan, O(k) driver state.  Ties at x_(k+1) are
+resolved by the (value DESC, key ASC) total order, both engines.
+
+Reference parity: none; statistical-audit extension suite
+(SURVEY §2-ext) alongside zipf_slope / vopt_histogram.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HILL_K = 64
+
+
+def hill_rows(values_desc: list[float], k: int = HILL_K):
+    """Shared finisher: [(k_eff, x_tail, hill_alpha)] from the k+1
+    largest values in DESCENDING order.  Both differential sides run
+    THIS on identically-selected elements.  Degenerate cases (fewer
+    than k+1 positive values, or all top values equal → log-sum 0)
+    yield a NULL alpha."""
+    xs = [float(v) for v in values_desc[: k + 1]]
+    if len(xs) < k + 1 or xs[-1] <= 0:
+        return [(len(xs), xs[-1] if xs else None, None)]
+    x_tail = xs[k]
+    s = 0.0
+    for v in xs[:k]:  # descending order — fixed summation order
+        s += math.log(v / x_tail)
+    alpha = round(k / s, 6) if s > 0 else None
+    return [(k, x_tail, alpha)]
+
+
+def top_values_desc(
+    df: DataFrame, value_col: str, key_col: str, k: int = HILL_K
+) -> list[float]:
+    """The k+1 largest positive values, (value DESC, key ASC) order —
+    TakeOrderedAndProject, one scan, O(k) driver state."""
+    rows = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(F.col(value_col).cast("double").alias("v"), F.col(key_col))
+        .orderBy(F.col("v").desc(), F.col(key_col))
+        .limit(k + 1)
+        .collect()
+    )
+    return [r["v"] for r in rows]

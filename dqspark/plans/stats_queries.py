@@ -618,3 +618,52 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_quantiles(orders, _QS_VALUE, _Q_BPS)
     rows = sketch_rank_audit(orders, _QS_VALUE, _QS_KEY, _Q_BPS, exact)
     return spark.createDataFrame(rows, _QS_AUDIT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator over the document size distribution
+# ---------------------------------------------------------------------------
+
+from dqspark.operators.hill import HILL_K, hill_rows, top_values_desc  # noqa: E402
+from dqspark.plans.driver_queries import ORACLES  # noqa: E402
+
+_HILL_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("x_tail", T.DoubleType()),
+        T.StructField("hill_alpha", T.DoubleType()),
+    ]
+)
+
+
+@register("hill_tail_index")
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, x_tail, hill_alpha) — Hill power-law tail exponent of the
+    document size distribution over the 64 largest documents: the
+    heavy-tail audit behind "plan capacity on exact quantiles, not
+    means".  Top-k+1 exact elements via TakeOrderedAndProject; the
+    log-sum runs in fixed descending order on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    vals = top_values_desc(docs, "n_chars", "doc_id", HILL_K)
+    return spark.createDataFrame(hill_rows(vals, HILL_K), _HILL_SCHEMA)
+
+
+def _hill_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, values_table
+
+    con = _connect(oracle_sf_dir())
+    rows = con.sql(
+        f"SELECT n_chars::DOUBLE AS v FROM documents"
+        f" WHERE n_chars IS NOT NULL AND n_chars > 0"
+        f" ORDER BY v DESC, doc_id LIMIT {HILL_K + 1}"
+    ).fetchall()
+    values = values_table(
+        hill_rows([r[0] for r in rows], HILL_K), ["k", "x_tail", "hill_alpha"]
+    )
+    return (
+        f"SELECT k::BIGINT AS k, x_tail::DOUBLE AS x_tail,"
+        f" hill_alpha::DOUBLE AS hill_alpha FROM {values}"
+    )
+
+
+ORACLES["hill_tail_index"] = _hill_oracle

@@ -146,3 +146,46 @@ def test_mixture_diversity_hand_cases(spark):
     assert out["s1"].n_categories == 2
     assert out["s2"].simpson == 1.0 and out["s2"].gini_simpson == 0.0
     assert out["s3"].simpson is None and out["s3"].gini_simpson is None
+
+
+# --- Hill tail index --------------------------------------------------------
+
+import math  # noqa: E402
+
+from dqspark.operators.hill import hill_rows, top_values_desc  # noqa: E402
+
+
+def test_hill_pareto_closed_form(spark):
+    # exact Pareto(alpha) quantile grid: x_i = (i/n)^(-1/alpha);
+    # Hill over the top-k recovers alpha closely
+    alpha = 2.5
+    n, k = 2000, 64
+    rows = [(i, (i / n) ** (-1.0 / alpha)) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "doc_id long, v double")
+    vals = top_values_desc(df, "v", "doc_id", k)
+    (k_eff, x_tail, a) = hill_rows(vals, k)[0]
+    assert k_eff == k and x_tail == vals[k]
+    assert abs(a - alpha) / alpha < 0.08
+
+
+def test_hill_degenerate_guards(spark):
+    # fewer than k+1 positive values -> NULL alpha, honest k_eff
+    df = spark.createDataFrame([(i, 5.0) for i in range(10)], "doc_id long, v double")
+    vals = top_values_desc(df, "v", "doc_id", 64)
+    (k_eff, x_tail, a) = hill_rows(vals, 64)[0]
+    assert k_eff == 10 and a is None
+    # all-equal top values -> log-sum 0 -> NULL alpha
+    df2 = spark.createDataFrame(
+        [(i, 7.0) for i in range(100)], "doc_id long, v double"
+    )
+    (k2, xt2, a2) = hill_rows(top_values_desc(df2, "v", "doc_id", 64), 64)[0]
+    assert k2 == 64 and xt2 == 7.0 and a2 is None
+
+
+def test_hill_summation_order_is_fixed():
+    vals = [100.0, 50.0, 10.0, 2.0, 1.0]
+    (_, _, a) = hill_rows(vals, 4)[0]
+    s = 0.0
+    for v in vals[:4]:
+        s += math.log(v / 1.0)
+    assert a == round(4 / s, 6)
