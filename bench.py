@@ -223,6 +223,7 @@ def main() -> None:
             "seasonal_anomalies",
             "wl_roles",
             "hill_tail_index",
+            "dup_capture_recapture",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

@@ -1181,3 +1181,81 @@ def q_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp.cast("double") / np_.cast("double"), 6).alias("precision"),
         F.round(tp.cast("double") / nt.cast("double"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# capture-recapture residual-duplicate estimate (Chapman 1951)
+# ---------------------------------------------------------------------------
+
+
+def _capture_recapture_oracle() -> str:
+    return f"""
+WITH truth AS ({_jaccard_oracle()}),
+pred AS ({_simhash_dedup_oracle()}),
+j AS (
+  SELECT COALESCE(t.key1, p.key1) AS key1,
+         COALESCE(t.key2, p.key2) AS key2,
+         (t.key1 IS NOT NULL) AS in_truth,
+         (p.key1 IS NOT NULL) AS in_pred
+  FROM truth t
+  FULL OUTER JOIN pred p ON t.key1 = p.key1 AND t.key2 = p.key2
+),
+c AS (
+  SELECT COUNT(*) FILTER (in_truth)::BIGINT AS n1,
+         COUNT(*) FILTER (in_pred)::BIGINT AS n2,
+         COUNT(*) FILTER (in_truth AND in_pred)::BIGINT AS m
+  FROM j
+)
+SELECT n1 AS n_truth, n2 AS n_pred, m AS n_both,
+       round((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE - 1.0, 6)
+         AS chapman_est,
+       (n1 + n2 - m)::BIGINT AS observed_union,
+       round((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE / (m + 1)::DOUBLE - 1.0
+             - (n1 + n2 - m)::DOUBLE, 6) AS est_unseen
+FROM c
+"""
+
+
+@register("dup_capture_recapture", _capture_recapture_oracle)
+def q_dup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate (Chapman 1951; Lincoln-
+    Petersen with small-sample correction) of the TOTAL near-dup pair
+    population from two independent-ish detectors (exact n-gram
+    Jaccard as capture 1, SimHash as capture 2): the corpus-health
+    number dedup pipelines cannot read off directly — how many
+    duplicate pairs BOTH detectors missed.  est_unseen = N̂ − |union|.
+    Caveat (documented): the two captures share shingle features, so
+    positive dependence makes N̂ a LOWER bound on the true total."""
+    truth = ngram_jaccard_pairs(
+        _docs_near(spark, sf_dir), "doc_id", "text", shingle_n=4, threshold=0.5
+    ).select("key1", "key2", F.lit(True).alias("in_truth"))
+    sh = with_simhash(_docs_near(spark, sf_dir), "text")
+    pred = simhash_near_pairs(sh, "doc_id", max_hamming=7).select(
+        "key1", "key2", F.lit(True).alias("in_pred")
+    )
+    j = truth.join(pred, ["key1", "key2"], "full_outer").select(
+        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
+        F.coalesce(F.col("in_pred"), F.lit(False)).alias("in_pred"),
+    )
+    c = j.agg(
+        F.sum(F.when(F.col("in_truth"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("in_pred"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("in_truth") & F.col("in_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+    )
+    nhat = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - 1.0
+    )
+    union = F.col("n1") + F.col("n2") - F.col("m")
+    return c.select(
+        F.col("n1").alias("n_truth"),
+        F.col("n2").alias("n_pred"),
+        F.col("m").alias("n_both"),
+        F.round(nhat, 6).alias("chapman_est"),
+        union.cast("long").alias("observed_union"),
+        F.round(nhat - union.cast("double"), 6).alias("est_unseen"),
+    )

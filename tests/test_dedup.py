@@ -450,3 +450,20 @@ def test_neardup_sampled_equals_filtered_full(spark, emb):
     want = full[(full.key1 % 4 == 0) | (full.key2 % 4 == 0)]
     key = lambda df: sorted(map(tuple, df[["key1", "key2", "cos_sim"]].values))
     assert key(want) == key(sampled)
+
+
+# --- capture-recapture ------------------------------------------------------
+
+
+def test_capture_recapture_consistency(spark, sf_dir):
+    from dqspark.plans.dedup_queries import q_dup_capture_recapture
+
+    r = q_dup_capture_recapture(spark, sf_dir).collect()[0]
+    n1, n2, m = r["n_truth"], r["n_pred"], r["n_both"]
+    assert 0 <= m <= min(n1, n2)
+    chapman = round((n1 + 1) * (n2 + 1) / (m + 1) - 1.0, 6)
+    assert r["chapman_est"] == chapman
+    assert r["observed_union"] == n1 + n2 - m
+    assert r["est_unseen"] == round(chapman - (n1 + n2 - m), 6)
+    # the estimator never claims fewer pairs than either capture saw
+    assert chapman >= max(n1, n2)
