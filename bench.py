@@ -224,6 +224,7 @@ def main() -> None:
             "wl_roles",
             "hill_tail_index",
             "dup_capture_recapture",
+            "vocab_chao1",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

@@ -1,0 +1,111 @@
+"""Unseen-vocabulary estimation from frequency-of-frequencies:
+Chao1 richness (Chao, Scand. J. Statist. 11, 1984) and Good-Turing
+coverage (Good, Biometrika 40, 1953).  The HLL sketch answers "how
+many distinct tokens have we SEEN"; this answers the curation
+questions behind it — how many exist that we HAVEN'T (will the
+vocabulary keep growing if we crawl more?), and what probability
+mass do unseen tokens carry (the Good-Turing missing mass f₁/N —
+the number that says whether a tokenizer's OOV rate will hold on
+the next crawl).  Complements the Heaps'-law growth audit with a
+closed-form asymptotic estimate instead of a fitted curve.
+
+    Chao1 = D + f₁·(f₁−1)/(2·(f₂+1))      (bias-corrected form —
+                                           defined even when f₂ = 0)
+    GT coverage = 1 − f₁/N
+
+where D = distinct tokens, f₁/f₂ = tokens seen exactly once/twice,
+N = total token occurrences.
+
+Exactness: D, f₁, f₂, N are exact integers from ONE
+frequency-of-frequencies pass (groupBy token → groupBy count — the
+second groupBy's key cardinality is O(max frequency), tiny); the two
+estimator divisions are written identically in both engines and
+rounded to 6.
+
+Scale shape: the token-frequency relation is the one vocab-keyed
+shuffle (the same relation the BPE learner and heavy-hitter audits
+already materialize); everything after is O(distinct frequencies).
+
+Reference parity: none; corpus-statistics extension suite
+(SURVEY §2-ext) alongside heaps_vocab_growth / hll_distinct_audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.heavy import _tokens
+
+
+def chao1_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(distinct_seen, f1, f2, n_tokens, chao1_est, gt_coverage) —
+    one row."""
+    freq = (
+        df.select(F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fof = freq.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    agg = fof.agg(
+        F.sum("f").cast("long").alias("distinct_seen"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, F.col("f"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 2, F.col("f"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("f2"),
+        F.sum(F.col("c") * F.col("f")).cast("long").alias("n_tokens"),
+    )
+    chao1 = (
+        F.col("distinct_seen").cast("double")
+        + F.col("f1").cast("double")
+        * (F.col("f1") - 1).cast("double")
+        / (2.0 * (F.col("f2") + 1).cast("double"))
+    )
+    return agg.select(
+        "distinct_seen",
+        "f1",
+        "f2",
+        "n_tokens",
+        F.round(chao1, 6).alias("chao1_est"),
+        F.round(
+            1.0
+            - F.col("f1").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("gt_coverage"),
+    )
+
+
+def chao1_vocab_oracle(corpus_sql: str, text_col: str = "text") -> str:
+    """DuckDB replay: identical tokenization, fof pass, and estimator
+    arithmetic."""
+    from dqspark.operators.dedup import normalized_oracle
+
+    t = normalized_oracle(text_col)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (
+  SELECT unnest(list_filter(string_split({t}, ' '), x -> length(x) > 0)) AS tok
+  FROM corpus
+),
+freq AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+fof AS (SELECT c, count(*)::BIGINT AS f FROM freq GROUP BY c),
+agg AS (
+  SELECT sum(f)::BIGINT AS distinct_seen,
+         coalesce(sum(f) FILTER (c = 1), 0)::BIGINT AS f1,
+         coalesce(sum(f) FILTER (c = 2), 0)::BIGINT AS f2,
+         sum(c * f)::BIGINT AS n_tokens
+  FROM fof
+)
+SELECT distinct_seen, f1, f2, n_tokens,
+       round(distinct_seen::DOUBLE
+             + f1::DOUBLE * (f1 - 1)::DOUBLE / (2.0 * (f2 + 1)::DOUBLE), 6)
+         AS chao1_est,
+       round(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) AS gt_coverage
+FROM agg
+"""

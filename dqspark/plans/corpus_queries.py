@@ -1041,3 +1041,19 @@ def _neyman_sample_oracle() -> str:
 
 
 ORACLES["neyman_sample"] = _neyman_sample_oracle
+
+
+# --- unseen-vocabulary estimate ------------------------------------------------
+
+from dqspark.operators.chao import chao1_vocab, chao1_vocab_oracle  # noqa: E402
+
+
+@register("vocab_chao1", chao1_vocab_oracle("SELECT text FROM documents"))
+def q_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(distinct_seen, f1, f2, n_tokens, chao1_est, gt_coverage) —
+    Chao1 unseen-species richness + Good-Turing coverage of the
+    document vocabulary: will the vocabulary keep growing on the next
+    crawl, and how much probability mass is still unseen.  One
+    frequency-of-frequencies pass; integer sufficient statistics."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return chao1_vocab(rebalance(docs))

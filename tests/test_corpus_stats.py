@@ -189,3 +189,43 @@ def test_hill_summation_order_is_fixed():
     for v in vals[:4]:
         s += math.log(v / 1.0)
     assert a == round(4 / s, 6)
+
+
+# --- Chao1 / Good-Turing ----------------------------------------------------
+
+from dqspark.operators.chao import chao1_vocab  # noqa: E402
+
+
+def test_chao1_hand_case(spark):
+    # corpus: a a a b b c d  -> D=4, f1=2 (c,d), f2=1 (b), N=7
+    # chao1 = 4 + 2*1/(2*2) = 4.5 ; coverage = 1 - 2/7
+    df = spark.createDataFrame([("a a a b b c d",)], "text string")
+    r = chao1_vocab(df).collect()[0]
+    assert (r["distinct_seen"], r["f1"], r["f2"], r["n_tokens"]) == (4, 2, 1, 7)
+    assert r["chao1_est"] == 4.5
+    assert r["gt_coverage"] == round(1 - 2 / 7, 6)
+
+
+def test_chao1_no_singletons_means_closed_vocab(spark):
+    df = spark.createDataFrame([("x x y y z z",)], "text string")
+    r = chao1_vocab(df).collect()[0]
+    assert r["f1"] == 0 and r["chao1_est"] == float(r["distinct_seen"])
+    assert r["gt_coverage"] == 1.0
+
+
+def test_chao1_all_singletons_defined_via_bias_correction(spark):
+    # f2 = 0: the classic f1^2/(2 f2) form divides by zero; the
+    # bias-corrected form stays finite: D + f1(f1-1)/2
+    df = spark.createDataFrame([("p q r s",)], "text string")
+    r = chao1_vocab(df).collect()[0]
+    assert r["f1"] == 4 and r["f2"] == 0
+    assert r["chao1_est"] == 4 + 4 * 3 / 2
+    assert r["gt_coverage"] == 0.0
+
+
+def test_chao1_partition_invariance(spark):
+    rows = [(f"tok{i % 13} tok{i % 7} unique{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "text string")
+    a = chao1_vocab(df).collect()
+    b = chao1_vocab(df.repartition(9)).collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
