@@ -225,6 +225,7 @@ def main() -> None:
             "hill_tail_index",
             "dup_capture_recapture",
             "vocab_chao1",
+            "fdr_drift_monitor",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

@@ -1,0 +1,173 @@
+"""Multiple-testing control for monitoring families: per-source
+chi-square mixture drift with Benjamini-Hochberg FDR selection
+(Benjamini & Hochberg, JRSS B 57(1), 1995).  A platform that runs
+one drift test per source runs THOUSANDS of tests per snapshot; at
+α = 0.05 a thousand healthy sources yield ~50 false alarms a day —
+the monitoring suite's own base-rate fallacy.  BH caps the EXPECTED
+FALSE-DISCOVERY FRACTION of the flagged set at q, which is the
+operating guarantee an on-call rotation actually wants.
+
+Statistic: per source, Pearson chi-square of its language mix
+against the corpus mix —
+
+    chi2(s) = Σ_l (O_sl·N − n_s·n_l)² / (n_s·n_l·N)
+
+computed as a FOLD IN FIXED LANGUAGE ORDER over integer counts
+(sort_array of (lang, O) structs / list_sort in DuckDB), so the
+double summation is order-identical in both engines.  The p-value
+Q((L−1)/2, chi2/2) needs the regularized upper incomplete gamma,
+which neither engine ships — it runs in a SHARED Python finisher
+(series + continued fraction, Numerical Recipes 6.2 idiom) over the
+collected O(sources) chi2 relation, as does the BH step (sort p
+ascending; reject ranks 1..k*, k* = max{i : p_i ≤ i·q/m}).  Driver
+state is the monitored-family size, never the corpus.
+
+Scale shape: one corpus scan → the O(sources × langs) count
+relation; broadcast totals; one more tiny groupBy folds the chi2.
+
+Reference parity: none; statistical-audit extension suite
+(SURVEY §2-ext) — the selection layer over the drift family
+(chi2/KS/PSI), which reports statistics but no error control.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FDR_Q_BP = 1000  # q = 0.10
+
+
+def igamc(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) — series for
+    x < a+1, continued fraction otherwise (NR 6.2).  Pure driver
+    Python; both differential sides call THIS."""
+    if x <= 0.0:
+        return 1.0
+    gln = math.lgamma(a)
+    if x < a + 1.0:
+        ap, s, d = a, 1.0 / a, 1.0 / a
+        for _ in range(200):
+            ap += 1.0
+            d *= x / ap
+            s += d
+            if abs(d) < abs(s) * 1e-15:
+                break
+        return max(0.0, 1.0 - s * math.exp(-x + a * math.log(x) - gln))
+    b, c, d, h = x + 1.0 - a, 1e308, 1.0 / (x + 1.0 - a), 1.0 / (x + 1.0 - a)
+    for i in range(1, 200):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < 1e-308:
+            d = 1e-308
+        c = b + an / c
+        if abs(c) < 1e-308:
+            c = 1e-308
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return max(0.0, min(1.0, math.exp(-x + a * math.log(x) - gln) * h))
+
+
+def chi2_pvalue(chi2: float, dof: int) -> float:
+    return igamc(dof / 2.0, chi2 / 2.0)
+
+
+def bh_rows(
+    stats: list[tuple[str, float]], dof: int, q_bp: int = FDR_Q_BP
+) -> list[tuple[str, float, float, int, int, bool]]:
+    """Shared finisher: (group, chi2, p_value, rank, m, rejected) via
+    BH at q = q_bp/10000 over the family.  Ties in p break on group
+    name (total order both sides)."""
+    m = len(stats)
+    ps = sorted(
+        ((str(g), float(c), chi2_pvalue(float(c), dof)) for g, c in stats),
+        key=lambda r: (r[2], r[0]),
+    )
+    kstar = 0
+    for i, (_, _, p) in enumerate(ps, 1):
+        if p * m * 10000.0 <= i * q_bp:  # p <= i*q/m, division-free
+            kstar = i
+    out = []
+    for i, (g, c, p) in enumerate(ps, 1):
+        out.append((g, round(c, 6), round(p, 6), i, m, i <= kstar))
+    return out
+
+
+def source_mix_chi2(
+    df: DataFrame, group_col: str, class_col: str
+) -> DataFrame:
+    """(group, chi2) — per-group Pearson chi-square against the
+    global class mix, folded in sorted class order (cross-engine
+    deterministic double summation)."""
+    counts = (
+        df.where(F.col(group_col).isNotNull() & F.col(class_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(class_col).alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    class_tot = counts.groupBy("l").agg(F.sum("o").cast("long").alias("n_l"))
+    grand = counts.agg(F.sum("o").cast("long").alias("n")).collect()[0]["n"]
+    per = (
+        counts.join(F.broadcast(class_tot), "l")
+        .groupBy("g")
+        .agg(
+            F.sum("o").cast("long").alias("n_g"),
+            F.sum("n_l").cast("long").alias("nl_present"),
+            F.sort_array(
+                F.collect_list(F.struct("l", "o", "n_l"))
+            ).alias("cells"),
+        )
+    )
+    # classes ABSENT from a group still contribute (0-E)^2/E = E each;
+    # their total is exactly n_g*(N - sum_present n_l)/N — added in
+    # closed form instead of materializing a group x class spine
+    term = (
+        f"aggregate(cells, CAST(0.0 AS DOUBLE), (acc, e) -> acc + "
+        f"CAST((e.o * {grand} - n_g * e.n_l) AS DOUBLE)"
+        f" * CAST((e.o * {grand} - n_g * e.n_l) AS DOUBLE)"
+        f" / (CAST(n_g AS DOUBLE) * CAST(e.n_l AS DOUBLE) * {grand}.0))"
+        f" + CAST(n_g * ({grand} - nl_present) AS DOUBLE) / {grand}.0"
+    )
+    return per.select(F.col("g").alias("group"), F.expr(term).alias("chi2"))
+
+
+def source_mix_chi2_oracle(
+    table_sql: str, group_expr: str, class_expr: str
+) -> str:
+    """DuckDB replay of the chi2 relation: identical counts, totals,
+    and sorted-order fold."""
+    return f"""
+WITH base AS (
+  SELECT {group_expr} AS g, {class_expr} AS l FROM ({table_sql}) t
+  WHERE {group_expr} IS NOT NULL AND {class_expr} IS NOT NULL
+),
+counts AS (SELECT g, l, count(*)::BIGINT AS o FROM base GROUP BY g, l),
+ct AS (SELECT l, sum(o)::BIGINT AS n_l FROM counts GROUP BY l),
+n AS (SELECT sum(o)::BIGINT AS n FROM counts),
+per AS (
+  SELECT g, sum(o)::BIGINT AS n_g, sum(n_l)::BIGINT AS nl_present,
+         list_sort(list(struct_pack(l := counts.l, o := o, n_l := n_l)))
+           AS cells
+  FROM counts JOIN ct ON ct.l = counts.l
+  GROUP BY g
+)
+SELECT g AS "group",
+       list_reduce(
+         list_prepend(0.0::DOUBLE, list_transform(cells, e ->
+           ((e.o * n.n - n_g * e.n_l)::DOUBLE
+            * (e.o * n.n - n_g * e.n_l)::DOUBLE
+            / (n_g::DOUBLE * e.n_l::DOUBLE * n.n::DOUBLE)))),
+         (a, b) -> a + b)
+       + (n_g * (n.n - nl_present))::DOUBLE / n.n::DOUBLE AS chi2
+FROM per, n
+"""
+
+
+def missing_class_count(df_or_rows) -> int:
+    """Degrees of freedom helper: L − 1 from the distinct class count."""
+    return max(1, int(df_or_rows) - 1)

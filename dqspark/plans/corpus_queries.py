@@ -1057,3 +1057,67 @@ def q_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-of-frequencies pass; integer sufficient statistics."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return chao1_vocab(rebalance(docs))
+
+
+# --- FDR-controlled drift monitoring -------------------------------------------
+
+from dqspark.operators.fdr import (  # noqa: E402
+    FDR_Q_BP,
+    bh_rows,
+    source_mix_chi2,
+    source_mix_chi2_oracle,
+)
+from dqspark.plans.driver_queries import ORACLES  # noqa: E402
+
+_FDR_SCHEMA = (
+    "grp string, chi2 double, p_value double, rank int, m int, "
+    "rejected boolean"
+)
+_FDR_SQL = "SELECT source, lang FROM documents"
+
+
+@register("fdr_drift_monitor")
+def q_fdr_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, chi2, p_value, rank, m, rejected) — per-source
+    language-mix chi-square vs the corpus mix, selected at FDR
+    q = 0.10 by Benjamini-Hochberg: the error-control layer a
+    thousand-source monitoring family needs (raw per-test alpha
+    yields ~50 false alarms/day at m = 1000).  Sorted-order double
+    fold for the statistic; igamc p-values + BH in the shared
+    Python finisher over the O(sources) relation."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    dof = docs.where(F.col("lang").isNotNull()).select(
+        "lang"
+    ).distinct().count() - 1
+    stats = [
+        (r["group"], r["chi2"])
+        for r in source_mix_chi2(docs, "source", "lang").collect()
+    ]
+    return spark.createDataFrame(
+        bh_rows(stats, max(1, dof), FDR_Q_BP), _FDR_SCHEMA
+    )
+
+
+def _fdr_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    stats = con.sql(
+        source_mix_chi2_oracle(_FDR_SQL, "source", "lang")
+    ).fetchall()
+    dof = con.sql(
+        f"SELECT count(DISTINCT lang) FROM ({_FDR_SQL}) t"
+        f" WHERE lang IS NOT NULL"
+    ).fetchone()[0] - 1
+    rows = bh_rows([(g, c) for g, c in stats], max(1, int(dof)), FDR_Q_BP)
+    values = values_table(
+        rows, ["grp", "chi2", "p_value", "rank", "m", "rejected"]
+    )
+    return (
+        f'SELECT grp, chi2::DOUBLE AS chi2, p_value::DOUBLE AS p_value,'
+        f" rank::INT AS rank, m::INT AS m, rejected::BOOLEAN AS rejected"
+        f" FROM {values}"
+    )
+
+
+ORACLES["fdr_drift_monitor"] = _fdr_oracle

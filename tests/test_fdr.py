@@ -1,0 +1,55 @@
+"""FDR-controlled drift monitoring — operators/fdr.py."""
+
+from __future__ import annotations
+
+import math
+
+from dqspark.operators.fdr import bh_rows, chi2_pvalue, source_mix_chi2
+
+
+def test_igamc_known_chi2_quantiles():
+    # dof=2: p = exp(-x/2) exactly
+    for x in (0.5, 2.0, 4.60517, 9.21034):
+        assert abs(chi2_pvalue(x, 2) - math.exp(-x / 2)) < 1e-9
+    # dof=1 textbook 5% critical value
+    assert abs(chi2_pvalue(3.841459, 1) - 0.05) < 1e-4
+
+
+def test_bh_textbook_example():
+    # classic BH illustration: p = [.001,.008,.039,.041,.13,.42],
+    # q = .05, m = 6 -> reject exactly the two smallest
+    ps = [0.001, 0.008, 0.039, 0.041, 0.13, 0.42]
+    # dof=2 lets us invert p -> chi2 exactly: chi2 = -2 ln p
+    stats = [(f"g{i}", -2.0 * math.log(p)) for i, p in enumerate(ps)]
+    out = bh_rows(stats, 2, q_bp=500)
+    rejected = {g for g, _, _, _, _, rej in out if rej}
+    assert rejected == {"g0", "g1"}
+    # ranks follow ascending p, m recorded on every row
+    assert [r[3] for r in out] == [1, 2, 3, 4, 5, 6]
+    assert all(r[4] == 6 for r in out)
+
+
+def test_bh_step_up_not_step_down():
+    # p3 fails its own threshold but p4 passes -> ALL of p1..p4 reject
+    # (the step-UP property people get wrong)
+    ps = [0.010, 0.020, 0.060, 0.065, 0.9]
+    stats = [(f"g{i}", -2.0 * math.log(p)) for i, p in enumerate(ps)]
+    out = bh_rows(stats, 2, q_bp=1000)  # q=.10: thresholds .02,.04,.06,.08,.1
+    rejected = {g for g, _, _, _, _, rej in out if rej}
+    assert rejected == {"g0", "g1", "g2", "g3"}
+
+
+def test_chi2_includes_absent_class_cells(spark):
+    # A has only class x, B only class y: absent cells contribute E
+    # -> chi2 = 1 + 1 = 2 per group, exactly
+    rows = [("A", "x"), ("A", "x"), ("B", "y"), ("B", "y")]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {r["group"]: r["chi2"] for r in source_mix_chi2(df, "source", "lang").collect()}
+    assert out == {"A": 2.0, "B": 2.0}
+
+
+def test_chi2_uniform_mix_is_zero(spark):
+    rows = [(g, l) for g in ("A", "B", "C") for l in ("x", "y") for _ in range(4)]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = source_mix_chi2(df, "source", "lang").collect()
+    assert all(r["chi2"] == 0.0 for r in out)
