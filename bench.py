@@ -226,6 +226,7 @@ def main() -> None:
             "dup_capture_recapture",
             "vocab_chao1",
             "fdr_drift_monitor",
+            "source_coverage_greedy",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

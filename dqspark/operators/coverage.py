@@ -1,0 +1,138 @@
+"""Greedy max-coverage source selection (Nemhauser, Wolsey & Fisher,
+Math. Prog. 14, 1978: the greedy algorithm achieves (1−1/e) of the
+optimal coverage for submodular objectives — and token coverage is
+the canonical submodular function): rank corpus sources by MARGINAL
+vocabulary contribution, i.e. "which source should the next crawl
+dollar buy".  Mixture tooling upstream (temperature/UniMax/DSIR)
+needs the candidate ordering this produces; count-based source
+rollups overweight big sources whose vocabulary is already covered.
+
+Exactness: pure set arithmetic — the (source, token) DISTINCT
+relation, per-round uncovered counts via left_anti join, argmax with
+a (count DESC, source ASC) total order, all integers; the oracle
+replays the identical greedy on DuckDB-derived sets.
+
+Scale shape: the distinct pair relation is ONE vocab-keyed shuffle
+(the same relation the Chao1/heavy/BPE passes build).  Each greedy
+round is one anti-join + one map-side-combined groupBy against the
+accumulated covered-token set, which is re-distincted and
+localCheckpoint'd per round (the connected-components lineage
+protocol); rounds are K = min(sources, 10), a constant.  Driver
+state is O(sources) per round.
+
+Reference parity: none; curation extension suite (SURVEY §2-ext)
+alongside the mixture samplers and the Chao1/Heaps vocabulary
+audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.heavy import _tokens
+
+COVERAGE_ROUNDS = 10
+
+
+def source_token_pairs(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (src, tok) relation."""
+    return (
+        df.where(F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(_tokens(text_col)).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def greedy_source_coverage(
+    pairs: DataFrame, rounds: int = COVERAGE_ROUNDS
+) -> list[tuple[int, str, int, int]]:
+    """[(round, src, marginal_new_tokens, cumulative_tokens)] — the
+    greedy max-coverage trajectory.  Ties break on source name."""
+    spark = pairs.sparkSession
+    pairs = pairs.persist()
+    try:
+        out: list[tuple[int, str, int, int]] = []
+        covered: DataFrame | None = None
+        cumulative = 0
+        all_src = sorted(
+            r["src"] for r in pairs.select("src").distinct().collect()
+        )
+        remaining = list(all_src)
+        k = min(rounds, len(all_src))
+        rnd = 1
+        while rnd <= k and remaining:
+            cand = pairs.where(F.col("src").isin(remaining))
+            uncov = cand if covered is None else cand.join(
+                covered, "tok", "left_anti"
+            )
+            agg = {
+                r["src"]: r["m"]
+                for r in uncov.groupBy("src")
+                .agg(F.count(F.lit(1)).cast("long").alias("m"))
+                .collect()
+            }
+            # a source whose every token is covered drops out of the
+            # anti-join — its marginal is 0, same as the replay
+            marg = {s: int(agg.get(s, 0)) for s in remaining}
+            best_m = max(marg.values())
+            if best_m == 0:
+                # nothing left to gain — emit the rest in name order
+                for s in sorted(marg):
+                    if rnd > k:
+                        break
+                    out.append((rnd, s, 0, cumulative))
+                    rnd += 1
+                break
+            pick_src = min(s for s, m in marg.items() if m == best_m)
+            cumulative += best_m
+            out.append((rnd, pick_src, best_m, cumulative))
+            remaining.remove(pick_src)
+            rnd += 1
+            new_tokens = pairs.where(F.col("src") == pick_src).select("tok")
+            covered = (
+                new_tokens
+                if covered is None
+                else covered.union(new_tokens).distinct()
+            ).localCheckpoint()
+        return out
+    finally:
+        pairs.unpersist()
+
+
+def greedy_replay(
+    pair_list: list[tuple[str, str]], rounds: int = COVERAGE_ROUNDS
+) -> list[tuple[int, str, int, int]]:
+    """Single-process replay of the identical greedy — the oracle
+    side."""
+    by_src: dict[str, set[str]] = {}
+    for s, t in pair_list:
+        by_src.setdefault(str(s), set()).add(str(t))
+    out: list[tuple[int, str, int, int]] = []
+    covered: set[str] = set()
+    cumulative = 0
+    remaining = sorted(by_src)
+    k = min(rounds, len(by_src))
+    rnd = 1
+    while rnd <= k and remaining:
+        marg = {s: len(by_src[s] - covered) for s in remaining}
+        best_m = max(marg.values())
+        if best_m == 0:
+            for s in sorted(marg):
+                if rnd > k:
+                    break
+                out.append((rnd, s, 0, cumulative))
+                rnd += 1
+            break
+        pick_src = min(s for s, m in marg.items() if m == best_m)
+        cumulative += best_m
+        out.append((rnd, pick_src, best_m, cumulative))
+        remaining.remove(pick_src)
+        rnd += 1
+        covered |= by_src[pick_src]
+    return out

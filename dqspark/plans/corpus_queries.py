@@ -1121,3 +1121,57 @@ def _fdr_oracle() -> str:
 
 
 ORACLES["fdr_drift_monitor"] = _fdr_oracle
+
+
+# --- greedy max-coverage source selection --------------------------------------
+
+from dqspark.operators.coverage import (  # noqa: E402
+    COVERAGE_ROUNDS,
+    greedy_replay,
+    greedy_source_coverage,
+    source_token_pairs,
+)
+
+
+@register("source_coverage_greedy")
+def q_source_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, src, marginal_new_tokens, cumulative_tokens) — greedy
+    max-coverage ordering of corpus sources by MARGINAL vocabulary
+    contribution (Nemhauser 1978 (1−1/e) guarantee): the answer to
+    "which source should the next crawl dollar buy" that count-based
+    rollups get wrong.  Pure integer set arithmetic; one anti-join +
+    groupBy per round over the distinct (source, token) relation."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    rows = greedy_source_coverage(
+        source_token_pairs(docs), COVERAGE_ROUNDS
+    )
+    return spark.createDataFrame(
+        rows,
+        "round int, src string, marginal_new_tokens long, "
+        "cumulative_tokens long",
+    )
+
+
+def _coverage_oracle() -> str:
+    from dqspark.operators.dedup import normalized_oracle
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    t = normalized_oracle("text")
+    pair_list = con.sql(
+        f"SELECT DISTINCT source, unnest(list_filter(string_split({t}, ' '),"
+        f" x -> length(x) > 0)) AS tok"
+        f" FROM documents WHERE source IS NOT NULL"
+    ).fetchall()
+    rows = greedy_replay(pair_list, COVERAGE_ROUNDS)
+    values = values_table(
+        rows, ["round", "src", "marginal_new_tokens", "cumulative_tokens"]
+    )
+    return (
+        f"SELECT round::INT AS round, src,"
+        f" marginal_new_tokens::BIGINT AS marginal_new_tokens,"
+        f" cumulative_tokens::BIGINT AS cumulative_tokens FROM {values}"
+    )
+
+
+ORACLES["source_coverage_greedy"] = _coverage_oracle

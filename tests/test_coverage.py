@@ -1,0 +1,48 @@
+"""Greedy max-coverage source selection — operators/coverage.py."""
+
+from __future__ import annotations
+
+from dqspark.operators.coverage import (
+    greedy_replay,
+    greedy_source_coverage,
+    source_token_pairs,
+)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, tok string")
+
+
+def test_greedy_hand_case(spark):
+    pairs = [
+        ("A", "a"), ("A", "b"), ("A", "c"),
+        ("B", "b"), ("B", "c"),
+        ("C", "d"),
+    ]
+    out = greedy_source_coverage(_pairs_df(spark, pairs))
+    # A first (3 new), then C (1 new), then B (0 new — fully covered)
+    assert out == [(1, "A", 3, 3), (2, "C", 1, 4), (3, "B", 0, 4)]
+    assert out == greedy_replay(pairs)
+
+
+def test_tiebreak_on_name_and_submodular_marginals(spark):
+    pairs = [("Z", "x"), ("Z", "y"), ("M", "x"), ("M", "q"), ("A", "y"), ("A", "q")]
+    out = greedy_source_coverage(_pairs_df(spark, pairs))
+    # all three have 2 tokens; name order picks A first; marginals
+    # never increase (submodularity along the greedy path)
+    assert out[0][1] == "A"
+    margs = [m for _, _, m, _ in out]
+    assert margs == sorted(margs, reverse=True)
+    assert out == greedy_replay(pairs)
+
+
+def test_distributed_matches_replay_on_corpus(spark, sf_dir):
+    from dqspark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    pairs = source_token_pairs(docs)
+    got = greedy_source_coverage(pairs, rounds=5)
+    want = greedy_replay(
+        [(r["src"], r["tok"]) for r in pairs.collect()], rounds=5
+    )
+    assert got == want
