@@ -227,6 +227,7 @@ def main() -> None:
             "vocab_chao1",
             "fdr_drift_monitor",
             "source_coverage_greedy",
+            "source_shapley",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

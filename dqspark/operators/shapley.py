@@ -1,0 +1,130 @@
+"""Shapley-value attribution of vocabulary coverage across corpus
+sources (Shapley, "A value for n-person games", 1953; Ghorbani &
+Zou's Data Shapley, ICML 2019, is this idea applied to training
+data): each source's FAIR credit for the corpus's distinct-token
+coverage, accounting for overlap — two mirror crawls split the
+credit their shared vocabulary earns, where the greedy-coverage
+ranking gives the second one nothing and a count rollup pays both
+twice.
+
+The coalition value v(S) = |vocabulary of S| is evaluated on
+MERGEABLE HLL REGISTER TABLES (operators/hll.py): per-player
+registers merge by element-wise max, so every one of the 2ⁿ
+coalition values comes from the SAME one-pass sketches — no second
+corpus scan, and the whole game is driver arithmetic over
+O(n·4096) integers.  That is what makes exact Shapley (n!-weighted
+subset formula) tractable at corpus scale: n is capped at 8 players
+(the 7 largest sources by document count + a '__rest__' coalition of
+everything else, the documented dial), so 2⁸ = 256 register merges.
+
+Exactness: registers are integer-exact cross-engine (the HLL
+differential already pins them); the estimator and the Shapley
+weights |S|!·(n−1−|S|)!/n! run in a SHARED Python finisher on both
+differential sides — identical doubles.  Efficiency property
+Σφ_i = v(N) is asserted in tests, not assumed.
+
+Scale shape: one map-side-combined groupBy((player, register)) pass;
+driver state O(n·m_registers).
+
+Reference parity: none; curation extension suite (SURVEY §2-ext) —
+the overlap-aware counterpart of source_coverage_greedy.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.hll import HLL_M, hll_estimate, hll_mix, hll_rho
+from dqspark.operators.dedup import token_hash
+from dqspark.operators.heavy import _tokens
+
+SHAPLEY_PLAYERS = 8
+REST = "__rest__"
+
+
+def player_registers(
+    df: DataFrame,
+    top_sources: list[str],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(player, register, max_rho) — per-player HLL registers over the
+    token stream; sources outside ``top_sources`` pool into
+    '__rest__'."""
+    player = (
+        F.when(F.col(source_col).isin(top_sources), F.col(source_col))
+        .otherwise(F.lit(REST))
+        .alias("player")
+    )
+    h = hll_mix(token_hash(F.col("tok")))
+    return (
+        df.where(F.col(source_col).isNotNull())
+        .select(player, F.explode(_tokens(text_col)).alias("tok"))
+        .select(
+            "player",
+            (h % HLL_M).cast("int").alias("register"),
+            hll_rho(h).alias("rho"),
+        )
+        .groupBy("player", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def shapley_rows(
+    regs_by_player: dict[str, dict[int, int]],
+) -> list[tuple[str, float, float]]:
+    """Shared finisher: (player, shapley_tokens, share) — exact
+    Shapley values of the HLL-estimated coverage game.  Coalition
+    registers build by lowest-bit DP (each subset = one merge of a
+    smaller subset with a singleton)."""
+    players = sorted(regs_by_player)
+    n = len(players)
+    fact = [math.factorial(i) for i in range(n + 1)]
+    # subset register tables via DP on the lowest set bit
+    sub_regs: list[dict[int, int]] = [dict() for _ in range(1 << n)]
+    for i, p in enumerate(players):
+        sub_regs[1 << i] = dict(regs_by_player[p])
+    for s in range(1, 1 << n):
+        if s & (s - 1):  # not a singleton
+            low = s & -s
+            rest = s ^ low
+            merged = dict(sub_regs[rest])
+            for r, rho in sub_regs[low].items():
+                if rho > merged.get(r, 0):
+                    merged[r] = rho
+            sub_regs[s] = merged
+    v = [0.0] * (1 << n)
+    for s in range(1, 1 << n):
+        v[s] = hll_estimate(sub_regs[s])
+    phi = [0.0] * n
+    for i in range(n):
+        for s in range(1 << n):
+            if s & (1 << i):
+                continue
+            k = bin(s).count("1")
+            w = fact[k] * fact[n - k - 1] / fact[n]
+            phi[i] += w * (v[s | (1 << i)] - v[s])
+    total = v[(1 << n) - 1]
+    return [
+        (players[i], round(phi[i], 6), round(phi[i] / total, 6))
+        for i in range(n)
+    ]
+
+
+def top_sources_by_docs(
+    df: DataFrame, source_col: str = "source", k: int = SHAPLEY_PLAYERS - 1
+) -> list[str]:
+    """The k largest sources by document count, (count DESC, name ASC)
+    total order — TakeOrderedAndProject over the O(sources) rollup."""
+    rows = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(source_col))
+        .limit(k)
+        .collect()
+    )
+    return [r[source_col] for r in rows]

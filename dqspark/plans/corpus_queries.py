@@ -1175,3 +1175,91 @@ def _coverage_oracle() -> str:
 
 
 ORACLES["source_coverage_greedy"] = _coverage_oracle
+
+
+# --- Shapley coverage attribution ----------------------------------------------
+
+from dqspark.operators.hll import hll_registers_oracle_sql  # noqa: E402
+from dqspark.operators.shapley import (  # noqa: E402
+    REST,
+    SHAPLEY_PLAYERS,
+    player_registers,
+    shapley_rows,
+    top_sources_by_docs,
+)
+
+
+@register("source_shapley")
+def q_source_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(player, shapley_tokens, share) — each source's FAIR credit for
+    corpus vocabulary coverage (Shapley 1953 over the HLL-estimated
+    coverage game; mirror crawls split their shared credit where
+    greedy coverage pays the second one nothing).  8 players (top 7
+    sources + __rest__), 256 coalition values from ONE register
+    pass — sketches make the exponential game linear in the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    top = top_sources_by_docs(docs, "source", SHAPLEY_PLAYERS - 1)
+    regs = player_registers(docs, top, "source", "text").collect()
+    by_player: dict[str, dict[int, int]] = {}
+    for r in regs:
+        by_player.setdefault(r["player"], {})[r["register"]] = r["max_rho"]
+    return spark.createDataFrame(
+        shapley_rows(by_player), "player string, shapley_tokens double, share double"
+    )
+
+
+def _shapley_oracle() -> str:
+    from dqspark.operators.dedup import normalized_oracle
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    top = [
+        r[0]
+        for r in con.sql(
+            "SELECT source FROM documents WHERE source IS NOT NULL"
+            " GROUP BY source ORDER BY count(*) DESC, source"
+            f" LIMIT {SHAPLEY_PLAYERS - 1}"
+        ).fetchall()
+    ]
+    tl = ", ".join(f"'{s}'" for s in top)
+    t = normalized_oracle("text")
+    keys_sql = (
+        f"SELECT CASE WHEN source IN ({tl}) THEN source ELSE '{REST}' END"
+        f" AS player,"
+        f" unnest(list_filter(string_split({t}, ' '), x -> length(x) > 0))"
+        f" AS key"
+        f" FROM documents WHERE source IS NOT NULL"
+    )
+    # per-player registers: reuse the HLL oracle derivation with the
+    # player carried through
+    regs_sql = f"""
+WITH kp AS ({keys_sql}),
+th AS (SELECT player, (list_reduce(list_prepend(0::BIGINT,
+  list_transform(string_split(key, ''), c -> unicode(c)::BIGINT)),
+  (a, b) -> (a * 65599 + b) % 2147483647) * 1103515245 + 12345)
+  % 2147483647 AS t FROM kp),
+mx AS (SELECT player, (t * 1103515245 + 12345) % 2147483647 AS h1 FROM th),
+hashed AS (SELECT player,
+  (((h1 * h1) % 2147483647) * 65599 + h1) % 2147483647 AS h FROM mx),
+reg AS (
+  SELECT player, CAST(h % 4096 AS INT) AS register,
+         CAST(CASE WHEN h // 4096 = 0 THEN 20
+              ELSE 20 - length(bin(h // 4096)) END AS INT) AS rho
+  FROM hashed
+)
+SELECT player, register, max(rho) AS max_rho FROM reg
+GROUP BY player, register
+"""
+    by_player: dict[str, dict[int, int]] = {}
+    for p, r, mr in con.sql(regs_sql).fetchall():
+        by_player.setdefault(p, {})[int(r)] = int(mr)
+    values = values_table(
+        shapley_rows(by_player), ["player", "shapley_tokens", "share"]
+    )
+    return (
+        f"SELECT player, shapley_tokens::DOUBLE AS shapley_tokens,"
+        f" share::DOUBLE AS share FROM {values}"
+    )
+
+
+ORACLES["source_shapley"] = _shapley_oracle
