@@ -228,6 +228,7 @@ def main() -> None:
             "fdr_drift_monitor",
             "source_coverage_greedy",
             "source_shapley",
+            "eb_source_rates",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

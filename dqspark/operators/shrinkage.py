@@ -1,0 +1,84 @@
+"""Empirical-Bayes shrinkage of per-group rates (Efron & Morris,
+JASA 70, 1975; beta-binomial method-of-moments prior): a source with
+3 of 4 documents in English is NOT "75% English" the way one with
+1500 of 2000 is — ranking raw per-group rates lets tiny noisy groups
+dominate every dashboard top-list.  Shrinking each rate toward the
+family prior by its own sample size,
+
+    shrunk_i = (x_i + α) / (n_i + α + β)
+
+with (α, β) fitted by method of moments on the observed rate spread,
+is the classical fix (the same machinery behind "add-α smoothing"
+with the α chosen BY THE DATA).
+
+Exactness: per-group (n_i, x_i) are exact integers from one
+map-side-combined groupBy; the MoM fit and the shrink divisions run
+in a SHARED Python finisher over the collected O(groups) relation in
+sorted group order — identical doubles both differential sides.
+Degenerate guards: zero between-group variance, or variance at/above
+the binomial ceiling m1(1−m1) (MoM prior undefined), fall back to
+the global pooled rate / raw rates respectively, explicitly flagged
+in the ``prior_ok`` column rather than silently.
+
+Scale shape: one scan → O(groups) rows; driver state O(groups).
+
+Reference parity: the reference reports raw per-column/group
+frequencies (eager pandas); this is the stabilized ranking layer.
+Statistical-audit extension suite (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_rate_counts(
+    df: DataFrame, group_col: str, event: F.Column
+) -> DataFrame:
+    """(grp, n, x) — exact integer trials/successes per group."""
+    return (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(event, 1).otherwise(0)).cast("long").alias("x"),
+        )
+    )
+
+
+def eb_shrink_rows(
+    stats: list[tuple[str, int, int]],
+) -> list[tuple[str, int, int, float, float, float, float, bool]]:
+    """Shared finisher: (grp, n, x, raw_rate, shrunk_rate, alpha,
+    beta, prior_ok), sorted by group name.  MoM on the unweighted
+    per-group proportions: m1 = mean p_i, v = var p_i;
+    α+β = m1(1−m1)/v − 1."""
+    rows = sorted((str(g), int(n), int(x)) for g, n, x in stats)
+    m = len(rows)
+    ps = [x / n for _, n, x in rows]
+    out = []
+    m1 = sum(ps) / m
+    v = sum((p - m1) ** 2 for p in ps) / m
+    ceiling = m1 * (1.0 - m1)
+    prior_ok = m >= 2 and v > 0.0 and v < ceiling
+    if prior_ok:
+        s = ceiling / v - 1.0
+        alpha, beta = m1 * s, (1.0 - m1) * s
+    else:
+        alpha = beta = 0.0
+    for (g, n, x), p in zip(rows, ps):
+        shrunk = (x + alpha) / (n + alpha + beta) if prior_ok else p
+        out.append(
+            (
+                g,
+                n,
+                x,
+                round(p, 6),
+                round(shrunk, 6),
+                round(alpha, 6),
+                round(beta, 6),
+                prior_ok,
+            )
+        )
+    return out

@@ -1263,3 +1263,53 @@ GROUP BY player, register
 
 
 ORACLES["source_shapley"] = _shapley_oracle
+
+
+# --- empirical-Bayes rate shrinkage --------------------------------------------
+
+from dqspark.operators.shrinkage import eb_shrink_rows, group_rate_counts  # noqa: E402
+
+_EB_SCHEMA = (
+    "grp string, n long, x long, raw_rate double, shrunk_rate double, "
+    "alpha double, beta double, prior_ok boolean"
+)
+
+
+@register("eb_source_rates")
+def q_eb_source_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, n, x, raw_rate, shrunk_rate, alpha, beta, prior_ok) —
+    per-source English-document rate shrunk toward the beta-binomial
+    MoM prior (Efron-Morris): the stabilized ranking a raw-frequency
+    dashboard top-list gets wrong for tiny sources."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    stats = [
+        (r["grp"], r["n"], r["x"])
+        for r in group_rate_counts(
+            docs, "source", F.col("lang") == "en"
+        ).collect()
+    ]
+    return spark.createDataFrame(eb_shrink_rows(stats), _EB_SCHEMA)
+
+
+def _eb_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    stats = con.sql(
+        "SELECT source, count(*)::BIGINT,"
+        " sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT"
+        " FROM documents WHERE source IS NOT NULL GROUP BY source"
+    ).fetchall()
+    values = values_table(
+        eb_shrink_rows(stats),
+        ["grp", "n", "x", "raw_rate", "shrunk_rate", "alpha", "beta", "prior_ok"],
+    )
+    return (
+        f"SELECT grp, n::BIGINT AS n, x::BIGINT AS x,"
+        f" raw_rate::DOUBLE AS raw_rate, shrunk_rate::DOUBLE AS shrunk_rate,"
+        f" alpha::DOUBLE AS alpha, beta::DOUBLE AS beta,"
+        f" prior_ok::BOOLEAN AS prior_ok FROM {values}"
+    )
+
+
+ORACLES["eb_source_rates"] = _eb_oracle

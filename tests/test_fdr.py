@@ -53,3 +53,44 @@ def test_chi2_uniform_mix_is_zero(spark):
     df = spark.createDataFrame(rows, "source string, lang string")
     out = source_mix_chi2(df, "source", "lang").collect()
     assert all(r["chi2"] == 0.0 for r in out)
+
+
+# --- empirical-Bayes shrinkage ----------------------------------------------
+
+from dqspark.operators.shrinkage import eb_shrink_rows, group_rate_counts  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402,F811
+
+
+def test_eb_small_groups_shrink_more():
+    # same raw rate 0.75, wildly different n: the small group moves
+    # toward the prior mean far more than the big one
+    stats = [("big", 2000, 1500), ("small", 4, 3),
+             ("lo1", 1000, 200), ("lo2", 1000, 210)]
+    out = {r[0]: r for r in eb_shrink_rows(stats)}
+    assert out["big"][7] is True  # prior_ok
+    big_move = abs(out["big"][4] - out["big"][3])
+    small_move = abs(out["small"][4] - out["small"][3])
+    assert small_move > big_move
+    # shrinkage is toward the prior mean alpha/(alpha+beta)
+    a, b = out["small"][5], out["small"][6]
+    prior_mean = a / (a + b)
+    assert min(0.75, prior_mean) <= out["small"][4] <= max(0.75, prior_mean)
+
+
+def test_eb_degenerate_priors_flagged():
+    # identical rates: zero variance -> prior_ok False, raw passthrough
+    out = eb_shrink_rows([("a", 10, 5), ("b", 100, 50)])
+    assert all(r[7] is False and r[4] == r[3] for r in out)
+    # single group: no spread to fit
+    out1 = eb_shrink_rows([("only", 30, 9)])
+    assert out1[0][7] is False and out1[0][4] == 0.3
+
+
+def test_group_rate_counts_integers(spark):
+    rows = [("s1", "en"), ("s1", "fr"), ("s1", "en"), ("s2", "de")]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {
+        r["grp"]: (r["n"], r["x"])
+        for r in group_rate_counts(df, "source", F.col("lang") == "en").collect()
+    }
+    assert got == {"s1": (3, 2), "s2": (1, 0)}
