@@ -229,6 +229,7 @@ def main() -> None:
             "source_coverage_greedy",
             "source_shapley",
             "eb_source_rates",
+            "isotonic_calibration",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

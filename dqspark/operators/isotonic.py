@@ -1,0 +1,85 @@
+"""Isotonic calibration by pool-adjacent-violators (Ayer et al.,
+Ann. Math. Statist. 26, 1955; Zadrozny & Elkan KDD 2002 applied it
+to classifier calibration): the nonparametric monotone recalibration
+of a quality classifier's scores.  The reliability-diagram query
+MEASURES miscalibration per bin; THIS produces the repaired mapping
+— the maximum-likelihood NON-DECREASING rate curve — without
+assuming Platt's sigmoid shape.
+
+Exactness: PAV pools adjacent score bins while their empirical rates
+violate monotonicity; every pooling decision compares two rational
+rates x_i/n_i by INTEGER cross-multiplication (x_i·n_j > x_j·n_i),
+and pooled blocks accumulate integer (n, x) sums — the entire fit is
+exact integer arithmetic on both differential sides (shared Python
+finisher over the collected O(bins) relation; bins are bounded at
+1001 by per-mille score flooring).  Only the final per-block rate
+x/n divides, rounded 6.
+
+Scale shape: one scan folds the corpus to the bounded bin relation
+(map-side-combined groupBy on floor(score·1000)); the stack-based
+PAV is O(bins) driver work.  The fitted step function ships back as
+a literal CASE mapping if a transform stage needs it (the
+percentile-gate convention).
+
+Reference parity: none; ML-evaluation extension suite alongside
+quality_calibration (diagnosis), conformal_coverage (guarantee) —
+this is the repair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ISO_BINS = 1000
+
+
+def score_bins(
+    df: DataFrame, score_col: str, label_col: str, bins: int = ISO_BINS
+) -> DataFrame:
+    """(bin, n, x) — integer trials/successes per per-mille score bin."""
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("int")).cast("long").alias("x"),
+        )
+    )
+
+
+def pav_rows(
+    bins: list[tuple[int, int, int]],
+) -> list[tuple[int, int, int, float, float]]:
+    """Shared finisher: (bin, n, x, raw_rate, iso_rate) with iso_rate
+    the PAV-pooled non-decreasing fit.  Stack-based, integer-exact
+    pooling decisions."""
+    rows = sorted((int(b), int(n), int(x)) for b, n, x in bins)
+    # stack of blocks [start_idx, n_sum, x_sum]
+    stack: list[list[int]] = []
+    for i, (_, n, x) in enumerate(rows):
+        stack.append([i, n, x])
+        # pool while the previous block's rate EXCEEDS this one's:
+        # x_prev/n_prev > x_cur/n_cur  <=>  x_prev*n_cur > x_cur*n_prev
+        while (
+            len(stack) >= 2
+            and stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]
+        ):
+            s1 = stack.pop()
+            stack[-1][1] += s1[1]
+            stack[-1][2] += s1[2]
+    out = []
+    block_of = {}
+    for bi, (start, n_sum, x_sum) in enumerate(stack):
+        end = stack[bi + 1][0] if bi + 1 < len(stack) else len(rows)
+        for i in range(start, end):
+            block_of[i] = (n_sum, x_sum)
+    for i, (b, n, x) in enumerate(rows):
+        n_sum, x_sum = block_of[i]
+        out.append(
+            (b, n, x, round(x / n, 6), round(x_sum / n_sum, 6))
+        )
+    return out

@@ -513,3 +513,65 @@ def _conformal_oracle() -> str:
 
 
 ORACLES["conformal_coverage"] = _conformal_oracle
+
+
+# --- isotonic (PAV) calibration ------------------------------------------------
+
+from dqspark.operators.isotonic import ISO_BINS, pav_rows, score_bins  # noqa: E402
+
+
+@register("isotonic_calibration")
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n, x, raw_rate, iso_rate) — PAV monotone recalibration of
+    the fitted quality classifier's scores over per-mille bins:
+    quality_calibration diagnoses miscalibration, conformal_coverage
+    guarantees recall anyway, THIS repairs the mapping.  Integer-exact
+    pooling (cross-multiplied rate comparisons); one corpus scan."""
+    feats = _feature_frame(spark, sf_dir)
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    p = _fast_sigmoid_col(_margin_col(w, _FEATURE_COLS))
+    scores = feats.select(
+        F.round(p, 6).alias("score"), F.col("y").cast("int").alias("label")
+    )
+    stats = [
+        (r["bin"], r["n"], r["x"])
+        for r in score_bins(scores, "score", "label", ISO_BINS).collect()
+    ]
+    return spark.createDataFrame(
+        pav_rows(stats), "bin int, n long, x long, raw_rate double, iso_rate double"
+    )
+
+
+def _isotonic_oracle() -> str:
+    from dqspark.plans.local_oracle import values_table
+
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    p = fast_sigmoid_sql(margin_sql(weights, feats))
+    sf = oracle_sf_dir()
+    con = __import__("duckdb").connect()
+    stats = con.sql(
+        f"""
+WITH s AS (
+  SELECT round({p}, 6)::DOUBLE AS score, {y}::INT AS label
+  FROM '{sf}/documents.parquet'
+)
+SELECT least(floor(score * {ISO_BINS})::INT, {ISO_BINS - 1}) AS bin,
+       count(*)::BIGINT AS n, sum(label)::BIGINT AS x
+FROM s GROUP BY 1
+"""
+    ).fetchall()
+    values = values_table(
+        pav_rows(stats), ["bin", "n", "x", "raw_rate", "iso_rate"]
+    )
+    return (
+        f"SELECT bin::INT AS bin, n::BIGINT AS n, x::BIGINT AS x,"
+        f" raw_rate::DOUBLE AS raw_rate, iso_rate::DOUBLE AS iso_rate"
+        f" FROM {values}"
+    )
+
+
+ORACLES["isotonic_calibration"] = _isotonic_oracle

@@ -60,3 +60,49 @@ def test_partition_invariance(spark):
     one = conformal_coverage(df, *args).collect()
     many = conformal_coverage(df.repartition(13), *args).collect()
     assert list(map(tuple, one)) == list(map(tuple, many))
+
+
+# --- isotonic PAV -----------------------------------------------------------
+
+from dqspark.operators.isotonic import pav_rows, score_bins
+
+
+def test_pav_textbook_pooling():
+    # rates .2, .6, .4, .8: bins 2 and 3 violate -> pool to .5
+    bins = [(0, 10, 2), (1, 10, 6), (2, 10, 4), (3, 10, 8)]
+    out = pav_rows(bins)
+    assert [r[4] for r in out] == [0.2, 0.5, 0.5, 0.8]
+    assert [r[3] for r in out] == [0.2, 0.6, 0.4, 0.8]
+
+
+def test_pav_monotone_and_mass_conserving():
+    import random
+
+    rng = random.Random(7)
+    bins = [(b, rng.randint(1, 50), 0) for b in range(40)]
+    bins = [(b, n, rng.randint(0, n)) for b, n, _ in bins]
+    out = pav_rows(bins)
+    iso = [r[4] for r in out]
+    assert iso == sorted(iso)  # non-decreasing
+    # exact mass conservation per pooled block implies global equality
+    # of sum(n * iso) and sum(x) up to the 6-dp rounding of each rate
+    lhs = sum(n * r for (_, n, _, _, r) in out)
+    rhs = sum(x for (_, _, x, _, _) in out)
+    assert abs(lhs - rhs) < 1e-2 * len(bins)
+
+
+def test_pav_already_monotone_is_identity():
+    bins = [(0, 5, 0), (1, 5, 1), (2, 5, 3), (3, 5, 5)]
+    out = pav_rows(bins)
+    assert all(r[3] == r[4] for r in out)
+
+
+def test_score_bins_integer_counts(spark):
+    rows = [(0.0515, 1), (0.0518, 0), (0.9999, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {
+        r["bin"]: (r["n"], r["x"])
+        for r in score_bins(df, "score", "label").collect()
+    }
+    # score 1.0 clamps into the last bin (999)
+    assert got == {51: (2, 1), 999: (2, 2)}
