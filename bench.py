@@ -230,6 +230,7 @@ def main() -> None:
             "source_shapley",
             "eb_source_rates",
             "isotonic_calibration",
+            "hll_windows",
             "embedding_neardup_imi_home",
             "neardup_imi_recall",
             "bpe_merges_dist",

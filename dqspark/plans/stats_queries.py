@@ -667,3 +667,157 @@ def _hill_oracle() -> str:
 
 
 ORACLES["hill_tail_index"] = _hill_oracle
+
+
+# ---------------------------------------------------------------------------
+# windowed HLL: per-day distinct users + merged total from the SAME
+# register tables (mergeability over time, measured not assumed)
+# ---------------------------------------------------------------------------
+
+_HLLW_TOTAL = "__total__"
+
+
+def _hllw_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "win"
+        ),
+        F.col("user_id").cast("string").alias("key"),
+    )
+
+
+_HLLW_KEYS_SQL = (
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win,"
+    " CAST(user_id AS VARCHAR) AS key FROM events"
+)
+
+
+def _hllw_rows(
+    regs_by_window: dict[str, dict[int, int]],
+    exact_by_window: dict[str, int],
+    exact_total: int,
+) -> list[tuple]:
+    """Shared finisher: per-window audit rows + the '__total__' row
+    whose registers are the element-wise MAX of every window's —
+    the mergeability property, error-audited against the exact
+    all-time distinct."""
+    out = []
+    merged: dict[int, int] = {}
+    for w in sorted(regs_by_window):
+        regs = regs_by_window[w]
+        for r, mr in regs.items():
+            if mr > merged.get(r, 0):
+                merged[r] = mr
+        est = hll_estimate(regs)
+        exact = exact_by_window[w]
+        out.append(
+            (w, len(regs), round(est, 6), exact,
+             round((est - exact) / exact * 100.0, 6))
+        )
+    est_t = hll_estimate(merged)
+    out.append(
+        (_HLLW_TOTAL, len(merged), round(est_t, 6), exact_total,
+         round((est_t - exact_total) / exact_total * 100.0, 6))
+    )
+    return out
+
+
+_HLLW_SCHEMA = (
+    "win string, registers_used long, estimate double, "
+    "exact_distinct long, rel_err_pct double"
+)
+
+
+@register("hll_windows")
+def q_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(win, registers_used, estimate, exact_distinct, rel_err_pct)
+    — per-day distinct-user HLL audits plus a '__total__' row merged
+    from the SAME per-day register tables (register max): the
+    mergeable-over-time property a streaming distinct-count needs,
+    with its error measured against exact counts, not assumed."""
+    from dqspark.operators.dedup import token_hash
+    from dqspark.operators.hll import hll_mix, hll_rho
+
+    keys = _hllw_keys(spark, sf_dir)
+
+    h = hll_mix(token_hash(F.col("key")))
+    regs = (
+        keys.select(
+            "win",
+            (h % 4096).cast("int").alias("register"),
+            hll_rho(h).alias("rho"),
+        )
+        .groupBy("win", "register")
+        .agg(F.max("rho").alias("max_rho"))
+        .collect()
+    )
+    by_w: dict[str, dict[int, int]] = {}
+    for r in regs:
+        by_w.setdefault(r["win"], {})[r["register"]] = r["max_rho"]
+    exact_rows = (
+        keys.groupBy("win")
+        .agg(F.countDistinct("key").cast("long").alias("d"))
+        .collect()
+    )
+    exact_by_w = {r["win"]: r["d"] for r in exact_rows}
+    exact_total = keys.agg(F.countDistinct("key")).collect()[0][0]
+    return spark.createDataFrame(
+        _hllw_rows(by_w, exact_by_w, int(exact_total)), _HLLW_SCHEMA
+    )
+
+
+def _hllw_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, values_table
+
+    con = _connect(oracle_sf_dir())
+    con2 = con
+    # the register derivation with the window column carried inline
+    th = (
+        "(list_reduce(list_prepend(0::BIGINT,"
+        " list_transform(string_split(key, ''),"
+        " c -> unicode(c)::BIGINT)),"
+        " (a, b) -> (a * 65599 + b) % 2147483647) * 1103515245 + 12345)"
+        " % 2147483647"
+    )
+    q = f"""
+WITH kp AS ({_HLLW_KEYS_SQL}),
+th AS (SELECT win, {th} AS t FROM kp),
+mx AS (SELECT win, (t * 1103515245 + 12345) % 2147483647 AS h1 FROM th),
+hashed AS (SELECT win,
+  (((h1 * h1) % 2147483647) * 65599 + h1) % 2147483647 AS h FROM mx),
+reg AS (
+  SELECT win, CAST(h % 4096 AS INT) AS register,
+         CAST(CASE WHEN h // 4096 = 0 THEN 20
+              ELSE 20 - length(bin(h // 4096)) END AS INT) AS rho
+  FROM hashed
+)
+SELECT win, register, max(rho) AS max_rho FROM reg
+GROUP BY win, register
+"""
+    by_w: dict[str, dict[int, int]] = {}
+    for w, r, mr in con2.sql(q).fetchall():
+        by_w.setdefault(w, {})[int(r)] = int(mr)
+    exact_by_w = {
+        w: int(d)
+        for w, d in con2.sql(
+            f"SELECT win, count(DISTINCT key) FROM ({_HLLW_KEYS_SQL}) t"
+            " GROUP BY win"
+        ).fetchall()
+    }
+    exact_total = con2.sql(
+        f"SELECT count(DISTINCT key) FROM ({_HLLW_KEYS_SQL}) t"
+    ).fetchone()[0]
+    values = values_table(
+        _hllw_rows(by_w, exact_by_w, int(exact_total)),
+        ["win", "registers_used", "estimate", "exact_distinct", "rel_err_pct"],
+    )
+    return (
+        f"SELECT win, registers_used::BIGINT AS registers_used,"
+        f" estimate::DOUBLE AS estimate,"
+        f" exact_distinct::BIGINT AS exact_distinct,"
+        f" rel_err_pct::DOUBLE AS rel_err_pct FROM {values}"
+    )
+
+
+ORACLES["hll_windows"] = _hllw_oracle

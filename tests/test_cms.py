@@ -111,3 +111,21 @@ def test_join_size_bound_columns(spark):
 
     assert r["bound"] == (3 * 500 * 300) // CMS_W
     assert r["within_bound"] is True
+
+
+# --- windowed HLL mergeability ----------------------------------------------
+
+
+def test_hll_windows_merge_consistency(spark, sf_dir):
+    from dqspark.plans.stats_queries import q_hll_windows
+
+    rows = {r["win"]: r for r in q_hll_windows(spark, sf_dir).collect()}
+    total = rows.pop("__total__")
+    # merged registers dominate every window's register count
+    assert total["registers_used"] >= max(r["registers_used"] for r in rows.values())
+    # the total's exact distinct can't exceed the sum of windows',
+    # and the estimate is within the linear-counting regime's error
+    assert total["exact_distinct"] <= sum(r["exact_distinct"] for r in rows.values())
+    assert abs(total["rel_err_pct"]) < 5.0
+    for r in rows.values():
+        assert abs(r["rel_err_pct"]) < 5.0
