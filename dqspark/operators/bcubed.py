@@ -1,0 +1,99 @@
+"""B-cubed extrinsic clustering evaluation (Bagga & Baldwin,
+"Entity-based cross-document coreferencing using the vector space
+model", COLING-ACL 1998; the canonical dedup-clustering metric per
+Amigó et al., Information Retrieval 2009).
+
+The dedup family emits clusterings (MinHash-LSH components); the
+recall audits check PAIR recall.  B³ evaluates the CLUSTERING itself
+against planted truth, per item: precision(i) = |C(i)∩T(i)|/|C(i)|,
+recall(i) = |C(i)∩T(i)|/|T(i)| — so over-merging (one giant cluster)
+and over-splitting (all singletons) are punished separately, which
+pairwise counts conflate.
+
+Computation: every (cluster, truth) cell of size n_ct contributes
+n_ct items whose intersection is exactly n_ct, so
+
+    B³P = (1/N) Σ_cells n_ct² / n_c      B³R = (1/N) Σ_cells n_ct² / n_t
+
+— one groupBy over the assignment table, no per-item loop.  The
+rational terms are floor-quantized to 1e-9 units (integer div) before
+summing, so the aggregation is exact int64 in any partition order and
+either engine; n_ct²·10⁹ fits int64 for clusters up to ~3M members
+(move to decimal(38,0) beyond that, same protocol as the HITS
+normalizer).
+
+Scale: assignment join + two bounded aggregations; cells ≤ items.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 10**9
+
+
+def bcubed_scores(
+    assign: DataFrame, cluster_col: str = "cl", truth_col: str = "tr"
+) -> DataFrame:
+    """assign: one row per item with system cluster and truth labels →
+    single row (n_items, b3_precision, b3_recall, b3_f1)."""
+    cells = assign.groupBy(cluster_col, truth_col).agg(
+        F.count(F.lit(1)).alias("n_ct")
+    )
+    csz = cells.groupBy(cluster_col).agg(F.sum("n_ct").alias("n_c"))
+    tsz = cells.groupBy(truth_col).agg(F.sum("n_ct").alias("n_t"))
+    terms = (
+        cells.join(csz, cluster_col)
+        .join(tsz, truth_col)
+        .select(
+            F.expr(f"(n_ct * n_ct * {_Q}) div n_c").alias("tp"),
+            F.expr(f"(n_ct * n_ct * {_Q}) div n_t").alias("tr_"),
+            "n_ct",
+        )
+    )
+    agg = terms.agg(
+        F.sum("n_ct").alias("n_items"),
+        F.sum("tp").alias("sp"),
+        F.sum("tr_").alias("sr"),
+    )
+    p = F.col("sp").cast("double") / F.col("n_items") / F.lit(float(_Q))
+    r = F.col("sr").cast("double") / F.col("n_items") / F.lit(float(_Q))
+    return agg.select(
+        "n_items",
+        F.round(p, 4).alias("b3_precision"),
+        F.round(r, 4).alias("b3_recall"),
+        F.round(2 * p * r / (p + r), 4).alias("b3_f1"),
+    )
+
+
+def bcubed_oracle_sql(assign_sql: str) -> str:
+    """DuckDB mirror over the same (doc_id, cl, tr) assignment SQL."""
+    return f"""
+WITH assign AS ({assign_sql}),
+cells AS (
+  SELECT cl, tr, COUNT(*)::BIGINT AS n_ct FROM assign GROUP BY cl, tr
+),
+csz AS (SELECT cl, SUM(n_ct)::BIGINT AS n_c FROM cells GROUP BY cl),
+tsz AS (SELECT tr, SUM(n_ct)::BIGINT AS n_t FROM cells GROUP BY tr),
+terms AS (
+  SELECT c.n_ct,
+         (c.n_ct * c.n_ct * {_Q}) // s.n_c AS tp,
+         (c.n_ct * c.n_ct * {_Q}) // t.n_t AS tr_
+  FROM cells c JOIN csz s USING (cl) JOIN tsz t USING (tr)
+),
+agg AS (
+  SELECT CAST(SUM(n_ct) AS BIGINT) AS n_items,
+         CAST(SUM(tp) AS BIGINT) AS sp,
+         CAST(SUM(tr_) AS BIGINT) AS sr
+  FROM terms
+)
+SELECT n_items,
+       round(CAST(sp AS DOUBLE) / n_items / {float(_Q)!r}, 4) AS b3_precision,
+       round(CAST(sr AS DOUBLE) / n_items / {float(_Q)!r}, 4) AS b3_recall,
+       round(2 * (CAST(sp AS DOUBLE) / n_items / {float(_Q)!r})
+               * (CAST(sr AS DOUBLE) / n_items / {float(_Q)!r})
+             / (CAST(sp AS DOUBLE) / n_items / {float(_Q)!r}
+                + CAST(sr AS DOUBLE) / n_items / {float(_Q)!r}), 4) AS b3_f1
+FROM agg
+"""

@@ -1,0 +1,87 @@
+"""Differentially-private count release with a seeded Laplace
+mechanism (Dwork, McSherry, Nissim, Smith, "Calibrating noise to
+sensitivity in private data analysis", TCC 2006).
+
+Corpus statistics published alongside a dataset (per-source document
+counts, the mixture table) can leak membership; the Laplace mechanism
+releases count + Lap(Δf/ε) with sensitivity Δf = 1 for add/remove-one
+counting queries, giving ε-differential privacy.
+
+Determinism protocol: real DP needs fresh randomness; a DISTRIBUTED
+TEST of the mechanism needs replayable randomness.  The noise here is
+inverse-CDF Laplace driven by the salted md5 hash of the release key
+
+    u  = (md5_long(salt‖key) mod 2M+1 − M) / (M+1)   ∈ (−1, 1)
+    x  = −sign(u) · ln(1 − |u|) / ε                  ~ Lap(1/ε)
+
+— the engine-portable hash family used across the sampling operators,
+so Spark and DuckDB produce the identical release.  (Production use
+would swap the hash for a CSPRNG per release; everything else — the
+sensitivity analysis, the mechanism shape, the audit — is unchanged,
+and the docstring-level caveat is the honest price of a value-exact
+cross-engine differential.)
+
+The audit columns expose the true count and the realized |noise| —
+they exist to VERIFY the mechanism (calibration: E|x| = 1/ε) and
+would be dropped from an actual release.
+
+Scale: one map-side-combined count aggregation plus O(groups) scalar
+arithmetic — no extra shuffle beyond the groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long, md5_long_oracle
+
+DP_EPSILON = 1.0
+DP_SALT = "dplap"
+_M = 1_000_000
+
+
+def _u_expr(key: F.Column) -> F.Column:
+    h = md5_long(F.concat_ws("|", F.lit(DP_SALT), key.cast("string")))
+    return (h % (2 * _M + 1) - _M) / F.lit(float(_M + 1))
+
+
+def dp_release_counts(
+    df: DataFrame, key_col: str, epsilon: float = DP_EPSILON
+) -> DataFrame:
+    """→ (key, n_true, noise, n_noisy) — per-key counts under the
+    seeded Laplace mechanism; noise and n_noisy rounded 4 dp."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    u = _u_expr(F.col("key"))
+    # "+ 0.0" canonicalizes IEEE -0.0 (u = 0 makes signum yield -0.0
+    # on the JVM but +0 in DuckDB) so the rounded release matches
+    noise = F.round(
+        -F.signum(u) * F.log(1.0 - F.abs(u)) / F.lit(float(epsilon)) + 0.0, 4
+    )
+    return counts.select(
+        "key",
+        "n_true",
+        noise.alias("noise"),
+        F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+    )
+
+
+def dp_release_oracle_sql(
+    from_sql: str, key_expr: str, epsilon: float = DP_EPSILON
+) -> str:
+    h = md5_long_oracle(
+        f"concat_ws('|', '{DP_SALT}', CAST(key AS VARCHAR))"
+    )
+    u = f"(({h}) % {2 * _M + 1} - {_M}) / CAST({_M + 1} AS DOUBLE)"
+    noise = f"round(-sign({u}) * ln(1.0 - abs({u})) / {float(epsilon)!r} + 0.0, 4)"
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS key, COUNT(*)::BIGINT AS n_true
+  FROM ({from_sql}) GROUP BY 1
+)
+SELECT key, n_true, {noise} AS noise,
+       round(n_true + {noise}, 4) AS n_noisy
+FROM counts
+"""

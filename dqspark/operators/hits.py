@@ -1,0 +1,136 @@
+"""Distributed HITS (hubs & authorities) over the repository import
+graph, in exact fixed-point integer arithmetic (Kleinberg,
+"Authoritative sources in a hyperlinked environment", JACM 1999).
+
+PageRank (operators/pagerank.py) ranks repos by global endorsement
+mass; HITS separates the two roles a code-corpus curator actually
+cares about: *authorities* (libraries many repos import — keep, they
+are load-bearing) and *hubs* (aggregator/umbrella repos that import
+everything — often vendored mirrors or monorepo shells worth separate
+treatment).  The reference repo has no graph analytics; this extends
+the corpus-curation family the graft adds.
+
+Why fixed point: the HITS recurrence is two matvecs plus a
+normalization per round.  Floats would sum partial contributions in
+partition order and normalize with engine-specific rounding; instead
+the whole iteration is defined over int64:
+
+    auth'(v) = sum_{u->v} hub(u)
+    hub'(u)  = sum_{u->v} auth'(v)
+    normalize: x := (x * SCALE) div max(x)     (floor division)
+
+Integer sums are associative/commutative with no rounding and the
+max-normalization is a single scalar broadcast, so any partition order
+— and any engine — produces bit-identical scores; the oracle replays
+the same recurrence single-process and matches value-for-value.
+
+Scale design: each half-step is one co-partitionable join (edges ⋈
+scores on one endpoint) plus one map-side-combined groupBy — the same
+2-shuffle shape as the PageRank step, run twice per round.  The
+normalizer is an O(1) scalar agg (a fixpoint witness, not a data
+collect).  Scores stay in [0, SCALE] after normalization, so the
+pre-normalization sums are bounded by max_degree·SCALE ≤ 2^63 for
+max_degree < 9.2M at SCALE = 10^12 — far beyond any real import
+fan-in; lower SCALE for adversarial graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HITS_SCALE = 10**12
+CHECKPOINT_EVERY = 4
+
+
+def _normalize(df: DataFrame, col: str, scale: int) -> DataFrame:
+    # x·SCALE overflows int64 (sums reach degree·SCALE), so the
+    # multiply-divide runs in decimal(38,0) — exact to 10^38, floor
+    # division via `div` (IntegralDivide accepts decimals → long),
+    # matching Python's arbitrary-precision x*scale//mx bit-for-bit
+    mx = df.agg(F.max(col).alias("mx"))
+    return df.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.expr(
+            f"cast((cast({col} as decimal(38,0)) * {scale})"
+            f" div greatest(mx, 1L) as long)"
+        ).alias(col),
+    )
+
+
+def hits_fixed_point(
+    edges: DataFrame, iters: int = 8, scale: int = HITS_SCALE
+) -> DataFrame:
+    """→ (node, hub_fp, auth_fp) after ``iters`` exact integer rounds
+    over distinct (src, dst) edges (self-loops dropped).  Every node
+    appearing as src or dst gets a row; max hub and max auth are both
+    exactly ``scale`` after the final normalization."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub_fp"))
+    auth = None
+    for i in range(iters):
+        # auth'(v) = sum of hub over in-edges, normalized to max=SCALE
+        contrib_a = e.join(
+            hub.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.col("hub_fp").alias("c"))
+        auth = nodes.join(
+            contrib_a.groupBy("node").agg(F.sum("c").alias("auth_fp")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("auth_fp", F.lit(0)).alias("auth_fp"))
+        auth = _normalize(auth, "auth_fp", scale)
+        # hub'(u) = sum of new auth over out-edges, normalized
+        contrib_h = e.join(
+            auth.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), F.col("auth_fp").alias("c"))
+        hub = nodes.join(
+            contrib_h.groupBy("node").agg(F.sum("c").alias("hub_fp")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("hub_fp", F.lit(0)).alias("hub_fp"))
+        hub = _normalize(hub, "hub_fp", scale)
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    out = nodes.join(hub, "node").join(auth, "node").localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits_replay(
+    edge_list: list[tuple[int, int]], iters: int = 8, scale: int = HITS_SCALE
+) -> dict[int, tuple[int, int]]:
+    """Single-process replay of the identical integer recurrence — the
+    oracle builder's independent path to the same scores.
+    → {node: (hub_fp, auth_fp)}."""
+    edges = sorted({(s, d) for s, d in edge_list if s != d})
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iters):
+        auth = {n: 0 for n in nodes}
+        for s, d in edges:
+            auth[d] += hub[s]
+        mx = max(max(auth.values()), 1)
+        auth = {n: v * scale // mx for n, v in auth.items()}
+        hub = {n: 0 for n in nodes}
+        for s, d in edges:
+            hub[s] += auth[d]
+        mx = max(max(hub.values()), 1)
+        hub = {n: v * scale // mx for n, v in hub.items()}
+    return {n: (hub[n], auth[n]) for n in nodes}

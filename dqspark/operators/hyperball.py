@@ -1,0 +1,224 @@
+"""HyperBall: neighborhood function and effective diameter of the
+import graph via mergeable per-node HLL registers (Boldi & Vigna,
+"In-core computation of geometric centralities with HyperBall: a
+hundred billion nodes and beyond", ICDMW 2013; registers per
+Flajolet et al., HyperLogLog, AofA 2007).
+
+The neighborhood function NF(r) = Σ_v |Ball_r(v)| (how many ordered
+pairs are within distance r) yields the distance distribution and the
+effective diameter — for corpus curation, how tightly the import
+universe is knit and how deep transitive-dependency closures run.
+Exact per-node balls need Θ(n²) state; HyperBall keeps m registers
+per node and exploits that HLL union is register-wise max:
+
+    B_0(v) = {v};   M_{r+1}(v) = max(M_r(v), M_r(w)) for edges v->w
+
+so each round is one edge join + one (node, register) max-aggregation
+— the same 2-shuffle shape as the PageRank step, with O(n·m) state
+instead of O(n²).
+
+Exactness protocol: register init, the max-merge recurrence, and the
+raw-HLL estimator are all integer arithmetic (the estimator's
+Σ 2^(-M_j) is computed as Σ 2^(CAP - M_j) over a common denominator
+2^CAP, and alpha_16·m² = 172.288 enters as the exact rational
+172288/1000), so any engine and any partition order produces
+bit-identical estimates; the oracle replays the identical recurrence
+single-process.  The raw estimator (no small-range linear-counting
+correction) is used on BOTH sides — the differential checks the
+distributed machinery, and the estimator bias is itself measured by
+the fixture test against exact BFS ball sizes.
+
+Scale: state is n·m rows of 3 int64s; each round touches edges once.
+At 10^8 nodes and m = 64 that is ~6.4e9 register rows — partitioned
+by node it stays a normal shuffle; the register table is
+localCheckpoint'd per round to truncate lineage (on a cluster:
+checkpoint to durable storage, which is also the resume point).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HB_M = 16  # registers per node (2^4)
+HB_CAP = 40  # register ceiling; fixture rho never nears it
+HB_ALPHA_NUM = 172288  # alpha_16 * m^2 * 1000, exactly (0.673 * 256)
+HB_SALT = "hb|"
+
+# Small-range (linear-counting) correction, applied when V > 0 zero
+# registers remain and the raw estimate is ≤ 2.5m — without it the raw
+# estimator floors at ~10.8 for m = 16 and small balls read 10× high.
+# V has only m possible values, so m·ln(m/V)·1000 enters BOTH engines
+# as the same precomputed integer table: the ln never crosses the
+# engine boundary and the whole estimator stays integer-exact.
+import math as _math
+
+HB_LC_MILLI = [0] + [
+    int(round(HB_M * _math.log(HB_M / v) * 1000)) for v in range(1, HB_M + 1)
+]
+HB_LC_CUTOFF_MILLI = 2500 * HB_M  # 2.5m, in milli units
+
+
+def _init_registers(nodes: DataFrame) -> DataFrame:
+    """One (node, idx, val) row per node: its own HLL observation.
+    idx = h mod m; val = rho of the remaining bits (position of the
+    least-significant 1, i.e. length(bin(x & -x)), capped)."""
+    h = F.expr(
+        "conv(substring(md5(concat('"
+        + HB_SALT
+        + "', cast(node as string))), 1, 15), 16, 10)"
+    ).cast("long")
+    rest = F.expr("h div 16")
+    return (
+        nodes.withColumn("h", h)
+        .withColumn("idx", F.expr("h % 16").cast("int"))
+        .withColumn(
+            "val",
+            F.when(rest == 0, F.lit(HB_CAP)).otherwise(
+                F.least(
+                    F.length(F.bin(F.expr("(h div 16) & -(h div 16)"))),
+                    F.lit(HB_CAP),
+                )
+            ).cast("int"),
+        )
+        .select("node", "idx", "val")
+    )
+
+
+def _rho_py(node: int) -> tuple[int, int]:
+    h = int(
+        hashlib.md5((HB_SALT + str(node)).encode()).hexdigest()[:15], 16
+    )
+    idx = h % HB_M
+    rest = h // HB_M
+    val = HB_CAP if rest == 0 else min((rest & -rest).bit_length(), HB_CAP)
+    return idx, val
+
+
+def hyperball(
+    edges: DataFrame, radius: int = 6
+) -> DataFrame:
+    """→ (r, nf_milli) for r in 0..radius: the global neighborhood
+    function (sum over nodes of the raw-HLL ball-size estimate × 1000)
+    after r max-merge rounds over distinct (src, dst) edges."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reg = _init_registers(nodes).localCheckpoint()
+    rows = [(0, _nf_milli(reg))]
+    for r in range(1, radius + 1):
+        gathered = e.join(
+            reg.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "idx", "val")
+        reg = (
+            reg.unionByName(gathered)
+            .groupBy("node", "idx")
+            .agg(F.max("val").alias("val"))
+            .localCheckpoint()
+        )
+        rows.append((r, _nf_milli(reg)))
+    e.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, "r int, nf_milli long")
+
+
+def _nf_milli(reg: DataFrame) -> int:
+    """Global NF×1000 from the register table: one integer agg.
+    The per-node estimate is (ALPHA_NUM · 2^CAP) div S_v with
+    S_v = Σ_j 2^(CAP - M_j); summed over nodes.  O(1) driver state —
+    a fixpoint witness, not a data collect."""
+    per_node = reg.groupBy("node").agg(
+        F.sum(F.expr(f"shiftleft(1L, {HB_CAP} - val)")).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    lc_case = " ".join(
+        f"WHEN {HB_M} - present = {v} THEN {HB_LC_MILLI[v]}L"
+        for v in range(1, HB_M + 1)
+    )
+    est = per_node.select(
+        F.expr(
+            f"""CASE WHEN present < {HB_M}
+                      AND ({HB_ALPHA_NUM}L * {2 ** HB_CAP}L) div
+                          (s + ({HB_M} - present) * {2 ** HB_CAP}L)
+                          <= {HB_LC_CUTOFF_MILLI}
+                 THEN CASE {lc_case} END
+                 ELSE ({HB_ALPHA_NUM}L * {2 ** HB_CAP}L) div
+                      (s + ({HB_M} - present) * {2 ** HB_CAP}L)
+            END"""
+        ).alias("est_milli")
+    )
+    return est.agg(F.sum("est_milli")).collect()[0][0]
+
+
+def hyperball_replay(
+    edge_list: list[tuple[int, int]], radius: int = 6
+) -> list[tuple[int, int]]:
+    """Single-process replay of the identical integer recurrence —
+    the oracle builder's independent path to the same NF values.
+    → [(r, nf_milli)]."""
+    edges = sorted({(s, d) for s, d in edge_list if s != d})
+    nodes = sorted({n for e in edges for n in e})
+    reg: dict[int, dict[int, int]] = {}
+    for n in nodes:
+        idx, val = _rho_py(n)
+        reg[n] = {idx: val}
+
+    def nf_milli() -> int:
+        total = 0
+        for n in nodes:
+            s = sum(1 << (HB_CAP - v) for v in reg[n].values())
+            s += (HB_M - len(reg[n])) * (1 << HB_CAP)
+            raw = (HB_ALPHA_NUM * (1 << HB_CAP)) // s
+            v_zero = HB_M - len(reg[n])
+            if v_zero > 0 and raw <= HB_LC_CUTOFF_MILLI:
+                total += HB_LC_MILLI[v_zero]
+            else:
+                total += raw
+        return total
+
+    out = [(0, nf_milli())]
+    for r in range(1, radius + 1):
+        new = {n: dict(reg[n]) for n in nodes}
+        for s_, d in edges:
+            for idx, val in reg[d].items():
+                if new[s_].get(idx, 0) < val:
+                    new[s_][idx] = val
+        reg = new
+        out.append((r, nf_milli()))
+    return out
+
+
+def exact_balls(
+    edge_list: list[tuple[int, int]], radius: int = 6
+) -> list[tuple[int, int]]:
+    """Exact NF(r) by BFS — the fixture-scale truth the estimator's
+    bias is measured against in tests."""
+    edges = sorted({(s, d) for s, d in edge_list if s != d})
+    nodes = sorted({n for e in edges for n in e})
+    adj: dict[int, list[int]] = {n: [] for n in nodes}
+    for s, d in edges:
+        adj[s].append(d)
+    balls = {n: {n} for n in nodes}
+    out = [(0, len(nodes))]
+    for r in range(1, radius + 1):
+        balls = {
+            n: balls[n] | set().union(*(balls[w] for w in adj[n]))
+            if adj[n]
+            else balls[n]
+            for n in nodes
+        }
+        out.append((r, sum(len(b) for b in balls.values())))
+    return out

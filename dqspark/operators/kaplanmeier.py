@@ -1,0 +1,149 @@
+"""Kaplan-Meier survival estimation over user activity spans
+(Kaplan & Meier, "Nonparametric estimation from incomplete
+observations", JASA 1958).
+
+Retention analytics (operators/events.py cohort_retention) reports
+fixed-grid survival; the KM estimator is its right-censoring-aware
+generalization: users still active at the observation horizon are
+CENSORED, not churned, and the survival curve multiplies conditional
+survival only over observed churn times
+
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+with d_i churns at t_i and n_i the at-risk count (duration ≥ t_i,
+censored included until their censor time — the deaths-before-
+censorings tie convention).
+
+Exactness: d_i, n_i, c_i are exact integers on both engines (the
+at-risk count is a reverse cumulative sum over the per-duration
+rollup, not a rescan).  S(t) = exp(Σ ln(1 − d/n)) over the ordered
+window — the only float stage, rounded 4 dp at the boundary; the
+d = n absorbing state (everyone at risk churns) is handled by an
+integer flag because DuckDB's ln(0) raises rather than returning
+−inf.
+
+Scale: one shuffle to the per-user rollup (groupBy user), one tiny
+aggregation to per-duration counts (bounded by distinct durations,
+not users), and windows over that bounded table — the heavy table is
+touched once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KM_CENSOR_DAYS = 7  # active within the final week of the horizon ⇒ censored
+
+
+def km_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = KM_CENSOR_DAYS,
+) -> DataFrame:
+    """→ (t_days, n_risk, d_churned, c_censored, survival) — the KM
+    curve over per-user activity spans (first to last event), censored
+    when the last event falls within ``censor_days`` of the corpus
+    horizon."""
+    per_user = events.groupBy(user_col).agg(
+        F.min(ts_col).alias("t0"), F.max(ts_col).alias("t1")
+    )
+    horizon = events.agg(F.max(ts_col).alias("gmax"))
+    spans = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("t1"), F.col("t0")).cast("long").alias("t_days"),
+        (
+            F.col("t1")
+            >= F.col("gmax") - F.expr(f"INTERVAL {censor_days} DAYS")
+        )
+        .cast("int")
+        .alias("censored"),
+    )
+    per_t = spans.groupBy("t_days").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d_churned"),
+        F.sum("censored").cast("long").alias("c_censored"),
+    )
+    w_rev = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("d_churned") + F.col("c_censored")).over(w_rev)
+    )
+    w_fwd = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.when(
+        (F.col("d_churned") > 0) & (F.col("d_churned") < F.col("n_risk")),
+        F.log(1.0 - F.col("d_churned") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    absorbed = F.max(
+        (F.col("d_churned") == F.col("n_risk")).cast("int")
+    ).over(w_fwd)
+    return (
+        at_risk.withColumn("_lnsum", F.sum(term).over(w_fwd))
+        .withColumn("_dead", absorbed)
+        .select(
+            "t_days",
+            "n_risk",
+            "d_churned",
+            "c_censored",
+            F.when(F.col("_dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp("_lnsum"), 4))
+            .alias("survival"),
+        )
+    )
+
+
+def km_curve_oracle_sql(
+    events_sql: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = KM_CENSOR_DAYS,
+) -> str:
+    return f"""
+WITH ev AS ({events_sql}),
+per_user AS (
+  SELECT {user_col} AS uid, min({ts_col}) AS t0, max({ts_col}) AS t1
+  FROM ev GROUP BY {user_col}
+),
+horizon AS (SELECT max({ts_col}) AS gmax FROM ev),
+spans AS (
+  SELECT CAST(date_diff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT)
+           AS t_days,
+         CASE WHEN t1 >= gmax - INTERVAL {censor_days} DAY THEN 1 ELSE 0 END
+           AS censored
+  FROM per_user CROSS JOIN horizon
+),
+per_t AS (
+  SELECT t_days,
+         CAST(SUM(1 - censored) AS BIGINT) AS d_churned,
+         CAST(SUM(censored) AS BIGINT) AS c_censored
+  FROM spans GROUP BY t_days
+),
+at_risk AS (
+  SELECT *,
+         CAST(SUM(d_churned + c_censored) OVER (
+           ORDER BY t_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_risk
+  FROM per_t
+),
+curve AS (
+  SELECT *,
+         SUM(CASE WHEN d_churned > 0 AND d_churned < n_risk
+                  THEN ln(1.0 - CAST(d_churned AS DOUBLE) / n_risk)
+                  ELSE 0.0 END) OVER (
+           ORDER BY t_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS lnsum,
+         MAX(CASE WHEN d_churned = n_risk THEN 1 ELSE 0 END) OVER (
+           ORDER BY t_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS dead
+  FROM at_risk
+)
+SELECT t_days, n_risk, d_churned, c_censored,
+       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 4) END AS survival
+FROM curve
+"""

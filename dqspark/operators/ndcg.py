@@ -1,0 +1,193 @@
+"""nDCG@k retrieval evaluation of the BM25 corpus search
+(Järvelin & Kekäläinen, "Cumulated gain-based evaluation of IR
+techniques", TOIS 2002).
+
+corpus_search (operators/search.py) returns rankings; this grades
+them: graded relevance rel(q, d) = number of DISTINCT query terms
+present in the document (0..|q|, derivable identically on both
+engines from the same tokenization), exponential gain 2^rel − 1,
+inverse-log discount by rank, normalized by the ideal ordering.
+
+Determinism protocol (the BM25/DSIR discipline): the only
+transcendentals — the per-rank discounts 1/log2(r+1) — are computed
+ONCE in driver Python for r = 1..k and embedded as integer
+nano-literals, so DCG and IDCG are pure Σ gain·disc_nano int64 sums
+on both engines; nDCG is one int/int division rounded 4 dp.
+
+Scale: rides the bm25_search plan (token filter before explode, only
+query-vocab rows shuffle); the relevance table is bounded by
+|matched docs × queries| and the ideal ranking is a window over it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized
+from dqspark.operators.search import _tokenize_py, bm25_search
+
+NDCG_K = 10
+
+
+def _disc_nano(k: int) -> list[int]:
+    """disc_nano[r-1] = round(1e9 / log2(r+1)) for r = 1..k."""
+    return [int(round(1e9 / math.log2(r + 1))) for r in range(1, k + 1)]
+
+
+def _gain(rel_col: F.Column) -> F.Column:
+    # rel is tiny (≤ #query terms); 2^rel − 1 via shiftleft stays long
+    return F.expr(f"shiftleft(1L, cast({rel_col._jc.toString()} as int)) - 1L")
+
+
+def _relevance(
+    docs: DataFrame, queries: list[tuple[str, str]]
+) -> DataFrame:
+    """(query_id, doc_id, rel) — distinct query terms present."""
+    spark = docs.sparkSession
+    qterms = sorted(
+        {(qid, t) for qid, q in queries for t in _tokenize_py(q)}
+    )
+    vocab = sorted({t for _, t in qterms})
+    vocab_lit = F.array(*[F.lit(t) for t in vocab])
+    qt = spark.createDataFrame(qterms, "query_id string, term string")
+    toks = F.filter(
+        F.split(normalized(F.col("text")), " "), lambda x: F.length(x) > 0
+    )
+    matched = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(toks, lambda x: F.array_contains(vocab_lit, x))
+            ).alias("_m"),
+        )
+        .where(F.size("_m") > 0)
+        .select("doc_id", F.explode("_m").alias("term"))
+    )
+    return (
+        matched.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+    )
+
+
+def ndcg_at_k(
+    docs: DataFrame, queries: list[tuple[str, str]], k: int = NDCG_K
+) -> DataFrame:
+    """→ (query_id, dcg_nano, idcg_nano, ndcg) per query."""
+    results = bm25_search(docs, queries, k=k)
+    rel = _relevance(docs, queries)
+    discs = _disc_nano(k)
+    disc_expr = F.element_at(
+        F.array(*[F.lit(d) for d in discs]), F.col("rank")
+    ).cast("long")
+    dcg = (
+        results.join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            (
+                _gain(F.coalesce(F.col("rel"), F.lit(0))) * disc_expr
+            ).alias("t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("dcg_nano"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    ideal = (
+        rel.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            (_gain(F.col("rel")) * F.element_at(
+                F.array(*[F.lit(d) for d in discs]), F.col("rank")
+            ).cast("long")).alias("t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("idcg_nano"))
+    )
+    return dcg.join(ideal, "query_id", "left").select(
+        "query_id",
+        "dcg_nano",
+        F.coalesce("idcg_nano", F.lit(0)).alias("idcg_nano"),
+        F.when(
+            F.coalesce("idcg_nano", F.lit(0)) > 0,
+            F.round(
+                F.col("dcg_nano").cast("double") / F.col("idcg_nano"), 4
+            ),
+        ).alias("ndcg"),
+    )
+
+
+def ndcg_oracle_sql(
+    corpus_sql: str,
+    queries: list[tuple[str, str]],
+    k: int = NDCG_K,
+    sf_dir: str | None = None,
+) -> str:
+    """DuckDB mirror: bm25_oracle's ranking as a nested CTE plus the
+    same integer gain/discount arithmetic.  Lazy (reads the SF dir
+    through bm25_oracle)."""
+    from dqspark.operators.dedup import normalized_oracle
+    from dqspark.operators.search import bm25_oracle
+    from dqspark.plans.local_oracle import values_table
+
+    bm25_sql = bm25_oracle(corpus_sql, queries, k=k, sf_dir=sf_dir)
+    qterms = sorted(
+        {(qid, t) for qid, q in queries for t in _tokenize_py(q)}
+    )
+    vocab_sql = ", ".join(f"'{t}'" for t in sorted({t for _, t in qterms}))
+    qt = values_table(qterms, ["query_id", "term"]).replace(
+        "AS t(", "AS w("
+    )
+    norm = normalized_oracle("text")
+    discs = _disc_nano(k)
+    disc_vals = ", ".join(
+        f"({r + 1}, {d})" for r, d in enumerate(discs)
+    )
+    return f"""
+WITH results AS ({bm25_sql}),
+disc(rank, nano) AS (VALUES {disc_vals}),
+m AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           string_split({norm}, ' '),
+           x -> len(x) > 0 AND x IN ({vocab_sql})))) AS term
+  FROM ({corpus_sql})
+),
+rel AS (
+  SELECT w.query_id, m.doc_id, COUNT(*)::BIGINT AS rel
+  FROM m JOIN {qt} ON m.term = w.term
+  GROUP BY w.query_id, m.doc_id
+),
+dcg AS (
+  SELECT r.query_id,
+         CAST(SUM(((1 << COALESCE(rel.rel, 0)) - 1) * d.nano) AS BIGINT)
+           AS dcg_nano
+  FROM results r
+  JOIN disc d ON d.rank = r.rank
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+ideal_ranked AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS rnk
+  FROM rel
+),
+idcg AS (
+  SELECT i.query_id,
+         CAST(SUM(((1 << i.rel) - 1) * d.nano) AS BIGINT) AS idcg_nano
+  FROM ideal_ranked i JOIN disc d ON d.rank = i.rnk
+  WHERE i.rnk <= {k}
+  GROUP BY i.query_id
+)
+SELECT dcg.query_id, dcg.dcg_nano,
+       COALESCE(idcg.idcg_nano, 0) AS idcg_nano,
+       CASE WHEN COALESCE(idcg.idcg_nano, 0) > 0
+            THEN round(CAST(dcg.dcg_nano AS DOUBLE) / idcg.idcg_nano, 4)
+       END AS ndcg
+FROM dcg LEFT JOIN idcg ON dcg.query_id = idcg.query_id
+"""

@@ -1,0 +1,150 @@
+"""Silhouette validation of the k-means clustering (Rousseeuw,
+"Silhouettes: a graphical aid to the interpretation and validation of
+cluster analysis", J. Comput. Appl. Math. 1987).
+
+The kmeans family (operators/kmeans.py) produces assignments; this
+operator answers "was k right, and which clusters are mush": per
+point, a(i) = mean distance to its own cluster, b(i) = the best
+other-cluster mean, s(i) = (b−a)/max(a,b) ∈ [−1, 1]; reported as
+per-cluster means.
+
+Exactness protocol: distances are floor(sqrt(integer squared
+distance)) in micro-units — the sqrt is the single IEEE-correctly-
+rounded float op, so the quantized distance is engine-identical;
+per-(point, cluster) sums/counts are then exact integers, the
+a/b means are int64/int64 divisions (identical doubles), and s(i) is
+quantized to milli before the per-cluster mean so no order-dependent
+float summation crosses the engine boundary.
+
+Scale: exact silhouette is O(n²); the operator computes it over a
+deterministic hash sample (the standard estimator — Rousseeuw's s(i)
+on a sample is unbiased for the cluster mean) with the full-corpus
+assignment, so cost is O(sample²) regardless of corpus size.  The
+pair join is block-diagonal-free (sample × sample), bounded by the
+sample cap the caller picks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIL_SAMPLE_MOD = 4  # vec_id % MOD == 0 ⇒ in the silhouette sample
+
+
+def silhouette_by_cluster(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    units_col: str = "_u",
+    cluster_col: str = "cluster",
+    sample_mod: int = SIL_SAMPLE_MOD,
+) -> DataFrame:
+    """assigned: (id, units array<long>, cluster) →
+    (cluster, n_pts, mean_sil) over the ``id % sample_mod == 0``
+    sample."""
+    samp = assigned.where(F.col(id_col) % sample_mod == 0).select(
+        F.col(id_col).alias("i"),
+        F.col(units_col).alias("u"),
+        F.col(cluster_col).alias("ci"),
+    )
+    a, b = samp.alias("a"), samp.alias("b")
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("a.u"), F.col("b.u"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pd = a.join(b, F.col("a.i") != F.col("b.i")).select(
+        F.col("a.i").alias("i"),
+        F.col("a.ci").alias("ci"),
+        F.col("b.ci").alias("cj"),
+        F.floor(F.sqrt(sqd.cast("double"))).cast("long").alias("d"),
+    )
+    agg = pd.groupBy("i", "ci", "cj").agg(
+        F.sum("d").alias("sd"), F.count(F.lit(1)).alias("n")
+    )
+    ab = agg.groupBy("i", "ci").agg(
+        F.max(
+            F.when(
+                F.col("cj") == F.col("ci"),
+                F.col("sd").cast("double") / F.col("n"),
+            )
+        ).alias("a_mean"),
+        F.min(
+            F.when(
+                F.col("cj") != F.col("ci"),
+                F.col("sd").cast("double") / F.col("n"),
+            )
+        ).alias("b_mean"),
+    )
+    s = ab.select(
+        "i",
+        "ci",
+        F.when(
+            F.col("a_mean").isNull()
+            | F.col("b_mean").isNull()
+            | (F.greatest("a_mean", "b_mean") == 0),
+            F.lit(0),
+        )
+        .otherwise(
+            F.round(
+                (F.col("b_mean") - F.col("a_mean"))
+                / F.greatest("a_mean", "b_mean")
+                * 1000
+            )
+        )
+        .cast("long")
+        .alias("s_milli"),
+    )
+    return s.groupBy(F.col("ci").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.round(
+            F.sum("s_milli").cast("double") / F.count(F.lit(1)) / 1000.0, 4
+        ).alias("mean_sil"),
+    )
+
+
+def silhouette_oracle_sql(
+    kmeans_ctes_sql: str, sample_mod: int = SIL_SAMPLE_MOD
+) -> str:
+    """DuckDB mirror over the kmeans CTE chain (needs emb + afin)."""
+    sqd = (
+        "list_reduce(list_transform(range(1, len(a.u) + 1),"
+        " i -> (a.u[i] - b.u[i]) * (a.u[i] - b.u[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH {kmeans_ctes_sql},
+samp AS (
+  SELECT e.vec_id AS i, e.u, f.c AS ci
+  FROM emb e JOIN afin f USING (vec_id)
+  WHERE e.vec_id % {sample_mod} = 0
+),
+pd AS (
+  SELECT a.i, a.ci, b.ci AS cj,
+         CAST(floor(sqrt(CAST({sqd} AS DOUBLE))) AS BIGINT) AS d
+  FROM samp a JOIN samp b ON a.i <> b.i
+),
+agg AS (
+  SELECT i, ci, cj, SUM(d) AS sd, COUNT(*) AS n FROM pd GROUP BY i, ci, cj
+),
+ab AS (
+  SELECT i, ci,
+         MAX(CASE WHEN cj = ci THEN CAST(sd AS DOUBLE) / n END) AS a_mean,
+         MIN(CASE WHEN cj <> ci THEN CAST(sd AS DOUBLE) / n END) AS b_mean
+  FROM agg GROUP BY i, ci
+),
+s AS (
+  SELECT i, ci,
+         CASE WHEN a_mean IS NULL OR b_mean IS NULL
+                   OR greatest(a_mean, b_mean) = 0 THEN 0
+              ELSE CAST(round((b_mean - a_mean)
+                              / greatest(a_mean, b_mean) * 1000)
+                        AS BIGINT) END AS s_milli
+  FROM ab
+)
+SELECT ci AS cluster, COUNT(*)::BIGINT AS n_pts,
+       round(CAST(SUM(s_milli) AS DOUBLE) / COUNT(*) / 1000.0, 4)
+         AS mean_sil
+FROM s GROUP BY ci
+"""

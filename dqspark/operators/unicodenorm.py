@@ -1,0 +1,74 @@
+"""Unicode-normalization audit: NFC drift detection over a text
+corpus (Unicode Standard Annex #15, "Unicode Normalization Forms").
+
+Mixed-provenance corpora carry the same grapheme in different byte
+sequences — 'é' as U+00E9 or as 'e' + U+0301 — which silently splits
+exact-dedup groups, inflates token counts, and breaks the
+content-sha256 invariant across pipelines that normalize at different
+stages.  This audit reports, per document: whether NFC changes the
+text, the code-point delta, and the sha256 of the NFC form (the
+normalization-stable identity key to dedup on).
+
+Engine split: Spark applies Python's ``unicodedata.normalize("NFC",…)``
+inside an Arrow-batched pandas UDF (no JVM builtin exists); the DuckDB
+oracle uses its native ``nfc_normalize``.  Both implement UAX #15 for
+the same Unicode data, so the differential is a genuine two-
+implementation check of the normalizer itself, not a replay.
+
+Scale: one pandas UDF map stage, no shuffle; the UDF is the only
+Python in the plan and processes whole Arrow batches.  At 10^12 files
+this fuses into the scan like the langid/perplexity stages do.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _nfc_udf():
+    # built lazily: a module-level pandas_udf with a DDL return type
+    # needs an active session at import time
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    return _nfc
+
+
+def nfc_audit(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """→ (*id_cols, changed, cp_before, cp_after, nfc_sha256)."""
+    out = df.withColumn("_nfc", _nfc_udf()(F.col(text_col)))
+    return out.select(
+        *id_cols,
+        (F.col(text_col) != F.col("_nfc")).alias("changed"),
+        F.length(text_col).cast("long").alias("cp_before"),
+        F.length("_nfc").cast("long").alias("cp_after"),
+        F.sha2("_nfc", 256).alias("nfc_sha256"),
+    )
+
+
+def nfc_audit_oracle_sql(
+    from_sql: str, text_col: str = "text", id_exprs: str = "doc_id"
+) -> str:
+    return f"""
+SELECT {id_exprs},
+       {text_col} <> nfc_normalize({text_col}) AS changed,
+       CAST(length({text_col}) AS BIGINT) AS cp_before,
+       CAST(length(nfc_normalize({text_col})) AS BIGINT) AS cp_after,
+       sha256(nfc_normalize({text_col})) AS nfc_sha256
+FROM ({from_sql})
+"""

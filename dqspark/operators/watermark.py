@@ -1,0 +1,143 @@
+"""LLM-watermark detection: green-list token z-test (Kirchenbauer,
+Geiping, Wen, Katz, Miers, Goldstein, "A Watermark for Large Language
+Models", ICML 2023).
+
+A watermarking generator seeds a PRF with the previous token and
+biases sampling toward the "green" quarter of the vocabulary; a
+detector needs only the PRF: score each adjacent token pair, count
+greens g among n scored positions, and test g against Binomial(n, γ).
+For corpus curation this is a machine-generated-text screen —
+synthetic text injected into a training corpus by a watermarking
+model lights up at z ≫ 0 while human text sits at z ~ N(0, 1).
+
+PRF: green(prev, tok) ⇔ md5_long("wm|" + prev + "|" + tok) mod 4 = 0
+(γ = 1/4) — the same engine-portable md5 integer used across the
+dedup/sampling family, so the Spark expression and the DuckDB oracle
+agree bit-for-bit.  With γ = 1/4 the z-statistic reduces to
+
+    z = (4·g − n) / sqrt(3·n)
+
+whose numerator is exact int64; the single sqrt/divide is an IEEE
+double op identical cross-engine, rounded 4 dp at the boundary per
+repo convention.
+
+Scale design: the whole detector is one JVM ``aggregate`` fold over
+the tokenized array — no explode, no shuffle, no Python; per-doc cost
+is linear in tokens and the output is one row per document.  At
+10^12 files this is a pure map stage that fuses into whatever scan
+feeds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import md5_long_oracle
+
+WM_SALT = "wm"
+WM_Z_FLAG = 4.0  # z above this ⇒ flagged (P < 3e-5 under H0)
+
+
+def _greens_expr(toks: str) -> str:
+    """Spark SQL: count of green adjacent pairs in array column
+    ``toks`` (0-based indexing; guarded against size < 2 because
+    sequence(1, 0) would count DOWN)."""
+    h = (
+        f"conv(substring(md5(concat_ws('|', '{WM_SALT}', {toks}[i-1],"
+        f" {toks}[i])), 1, 15), 16, 10)"
+    )
+    return (
+        f"IF(size({toks}) < 2, 0L, aggregate(sequence(1, size({toks}) - 1),"
+        f" 0L, (acc, i) -> acc + IF({h} % 4 = 0, 1L, 0L)))"
+    )
+
+
+def watermark_scores(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """→ (*id_cols, n_scored, green_cnt, z, watermarked) — green-list
+    detector over whitespace tokens of ``text_col``."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn(
+            "n_scored", F.greatest(F.size("_toks") - 1, F.lit(0)).cast("long")
+        )
+        .withColumn("green_cnt", F.expr(_greens_expr("_toks")))
+    )
+    z: Column = F.round(
+        (4 * F.col("green_cnt") - F.col("n_scored"))
+        / F.sqrt(3.0 * F.col("n_scored")),
+        4,
+    )
+    return out.select(
+        *id_cols,
+        "n_scored",
+        "green_cnt",
+        F.when(F.col("n_scored") > 0, z).alias("z"),
+        F.when(F.col("n_scored") > 0, z > WM_Z_FLAG)
+        .otherwise(F.lit(False))
+        .alias("watermarked"),
+    )
+
+
+def watermark_oracle_sql(
+    from_sql: str, text_col: str = "text", id_exprs: str = "doc_id"
+) -> str:
+    """DuckDB mirror: 1-based lists, generate_series guard, identical
+    md5 fold and z arithmetic."""
+    h = md5_long_oracle(
+        f"concat_ws('|', '{WM_SALT}', t[i-1], t[i])"
+    )
+    greens = (
+        "CASE WHEN len(t) < 2 THEN 0 ELSE list_sum(list_transform("
+        f"generate_series(2, len(t)), i -> CASE WHEN ({h}) % 4 = 0"
+        " THEN 1 ELSE 0 END)) END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_exprs},
+         regexp_split_to_array(trim({text_col}), '\\s+') AS t
+  FROM ({from_sql})
+), counted AS (
+  SELECT {id_exprs},
+         CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_scored,
+         CAST({greens} AS BIGINT) AS green_cnt
+  FROM toks
+)
+SELECT {id_exprs}, n_scored, green_cnt,
+       CASE WHEN n_scored > 0
+            THEN round((4 * green_cnt - n_scored) / sqrt(3.0 * n_scored), 4)
+       END AS z,
+       CASE WHEN n_scored > 0
+            THEN round((4 * green_cnt - n_scored) / sqrt(3.0 * n_scored), 4)
+                 > {WM_Z_FLAG}
+            ELSE false END AS watermarked
+FROM counted
+"""
+
+
+def generate_watermarked_text(
+    vocab: list[str], n_tokens: int, seed_token: str = "the"
+) -> str:
+    """Greedy watermark *generator* for tests: from ``vocab``, always
+    emit the first token that is green w.r.t. the previous one (the
+    hard-red-list limit of the ICML'23 scheme).  Deterministic."""
+    import hashlib
+
+    def green(prev: str, tok: str) -> bool:
+        h = int(
+            hashlib.md5(
+                f"{WM_SALT}|{prev}|{tok}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        return h % 4 == 0
+
+    out = [seed_token]
+    for _ in range(n_tokens - 1):
+        prev = out[-1]
+        pick = next((t for t in vocab if green(prev, t)), vocab[0])
+        out.append(pick)
+    return " ".join(out)

@@ -1259,3 +1259,48 @@ def q_dup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         union.cast("long").alias("observed_union"),
         F.round(nhat - union.cast("double"), 6).alias("est_unseen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-cubed evaluation of the MinHash-LSH dedup clustering vs planted truth
+# ---------------------------------------------------------------------------
+
+from dqspark.operators.bcubed import bcubed_oracle_sql, bcubed_scores
+
+
+def _bcubed_assign_sql() -> str:
+    from dqspark.operators.components import neardup_groups_oracle
+
+    groups = neardup_groups_oracle(_minhash_dedup_oracle())
+    return f"""
+SELECT d.doc_id,
+       coalesce(g.component_id, d.doc_id) AS cl,
+       d.doc_id % 1000000 AS tr
+FROM (SELECT doc_id FROM ({_DOCS_NEAR_SQL})) d
+LEFT JOIN ({groups}) g ON d.doc_id = g.doc_id
+"""
+
+
+@register("dedup_bcubed", lambda: bcubed_oracle_sql(_bcubed_assign_sql()))
+def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_items, b3_precision, b3_recall, b3_f1) — B-cubed evaluation
+    of the MinHash-LSH near-dup CLUSTERING against the planted truth
+    (base id = truth label): over-merging and over-splitting scored
+    separately, unlike the pairwise recall audits."""
+    from dqspark.operators.components import neardup_groups
+
+    corpus = _docs_near(spark, sf_dir)
+    sigs = with_minhash(corpus, "text", k=K_MINHASH)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", k=K_MINHASH, bands=LSH_BANDS, min_est_jaccard=0.5
+    )
+    groups = neardup_groups(pairs, id_alias="doc_id")
+    assign = (
+        corpus.select("doc_id")
+        .join(groups.select("doc_id", "component_id"), "doc_id", "left")
+        .select(
+            F.coalesce("component_id", "doc_id").alias("cl"),
+            (F.col("doc_id") % 1000000).alias("tr"),
+        )
+    )
+    return bcubed_scores(assign)

@@ -627,3 +627,4 @@ from dqspark.plans import curation_queries  # noqa: E402,F401  (registration sid
 from dqspark.plans import training_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import funnel_queries  # noqa: E402,F401  (registration side-effect)
 from dqspark.plans import kmeans_queries  # noqa: E402,F401  (registration side-effect)
+from dqspark.plans import wave5_queries  # noqa: E402,F401  (registration side-effect)

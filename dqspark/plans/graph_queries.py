@@ -216,3 +216,87 @@ def _wl_oracle() -> str:
 
 
 ORACLES["wl_roles"] = _wl_oracle
+
+
+# --- HITS hubs & authorities (replay-oracle protocol) -------------------------
+
+from dqspark.operators.hits import HITS_SCALE, hits_fixed_point, hits_replay
+
+_HITS_ITERS = 8
+
+
+@register("import_hits")
+def q_import_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, hub_fp, auth_fp, hub, auth) — fixed-point HITS after 8
+    exact integer rounds over the imports graph: authorities are the
+    repos many others import (load-bearing libraries), hubs the repos
+    that import broadly (umbrella/vendored shells).  Bit-identical to
+    the single-process replay oracle."""
+    scores = hits_fixed_point(
+        _import_edges(spark, sf_dir), iters=_HITS_ITERS
+    )
+    s = float(HITS_SCALE)
+    return scores.select(
+        "node",
+        "hub_fp",
+        "auth_fp",
+        (F.col("hub_fp") / F.lit(s)).alias("hub"),
+        (F.col("auth_fp") / F.lit(s)).alias("auth"),
+    )
+
+
+def _hits_oracle() -> str:
+    con = _connect(oracle_sf_dir())
+    edges = con.sql(_EDGES_SQL).fetchall()
+    scores = hits_replay(edges, iters=_HITS_ITERS)
+    rows = ", ".join(
+        f"({n}, {h}, {a}, CAST('{h / HITS_SCALE!r}' AS DOUBLE),"
+        f" CAST('{a / HITS_SCALE!r}' AS DOUBLE))"
+        for n, (h, a) in sorted(scores.items())
+    )
+    return (
+        "SELECT node::BIGINT AS node, hub_fp::BIGINT AS hub_fp,"
+        " auth_fp::BIGINT AS auth_fp, hub, auth"
+        f" FROM (VALUES {rows}) AS t(node, hub_fp, auth_fp, hub, auth)"
+    )
+
+
+ORACLES["import_hits"] = _hits_oracle
+
+
+# --- HyperBall neighborhood function (replay-oracle protocol) -----------------
+
+from dqspark.operators.hyperball import hyperball, hyperball_replay
+
+_HB_RADIUS = 6
+
+
+@register("import_hyperball")
+def q_import_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, nf_milli, nf) — HyperBall neighborhood function of the
+    imports graph for radii 0..6: Σ_v |Ball_r(v)| estimated from
+    per-node mergeable HLL registers (integer max-merge recurrence +
+    integer raw estimator — bit-identical to the replay oracle).  The
+    distance distribution / effective diameter falls out of nf(r)."""
+    nf = hyperball(_import_edges(spark, sf_dir), radius=_HB_RADIUS)
+    return nf.select(
+        "r",
+        "nf_milli",
+        (F.col("nf_milli") / F.lit(1000.0)).alias("nf"),
+    )
+
+
+def _hyperball_oracle() -> str:
+    con = _connect(oracle_sf_dir())
+    edges = con.sql(_EDGES_SQL).fetchall()
+    rows = ", ".join(
+        f"({r}, {nf}, CAST('{nf / 1000.0!r}' AS DOUBLE))"
+        for r, nf in hyperball_replay(edges, radius=_HB_RADIUS)
+    )
+    return (
+        "SELECT r::INTEGER AS r, nf_milli::BIGINT AS nf_milli, nf"
+        f" FROM (VALUES {rows}) AS t(r, nf_milli, nf)"
+    )
+
+
+ORACLES["import_hyperball"] = _hyperball_oracle

@@ -49,3 +49,28 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = kmeans_fit(_dq._emb_planted(spark, sf_dir))
     return semdedup_prune(assigned)
+
+
+# --- silhouette validation of the k-means clustering -------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dqspark.operators.kmeans import kmeans_ctes  # noqa: E402
+from dqspark.operators.silhouette import (  # noqa: E402
+    silhouette_by_cluster,
+    silhouette_oracle_sql,
+)
+
+
+@register(
+    "kmeans_silhouette", silhouette_oracle_sql(kmeans_ctes(_RAW_EMB_SQL))
+)
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, n_pts, mean_sil) — Rousseeuw silhouette of the
+    fixed-round k-means clustering over the vec_id %% 4 sample:
+    quantized integer distances, milli-quantized s(i), so the
+    per-cluster means are engine-exact.  O(sample²), full-corpus
+    assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb)
+    return silhouette_by_cluster(assigned)

@@ -1,0 +1,255 @@
+"""Round-5 continuation wave: machine-generated-text screening and
+distributional audits.
+
+- watermark_detect: green-list LLM-watermark z-test per document
+  (operators/watermark.py) — full SQL oracle, the md5 PRF and the
+  z arithmetic are engine-portable.
+- source_lang_jsd: Jensen-Shannon divergence (bits) between each
+  source's language mixture and the corpus mixture — the symmetric,
+  bounded complement to the chi-square/PSI drift family
+  (operators/psi.py, operators/fdr.py): JSD ranks HOW far a source's
+  mix sits from the corpus on a [0,1] scale comparable across
+  sources with different row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqspark.operators.watermark import watermark_oracle_sql, watermark_scores
+from dqspark.plans.driver_queries import register
+from dqspark.sources.catalog import load_table
+
+
+@register(
+    "watermark_detect",
+    watermark_oracle_sql("SELECT doc_id, text FROM documents"),
+)
+def q_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_scored, green_cnt, z, watermarked) — Kirchenbauer
+    green-list watermark detector over every document: z ~ N(0,1) on
+    human text, z ≫ 0 on text emitted by a watermarking generator.
+    One JVM aggregate fold per row — no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return watermark_scores(docs, "text", ("doc_id",))
+
+
+# --- Jensen-Shannon divergence: per-source language mixture ------------------
+#
+# Exact integer counts feed a double log2 computation rounded 4 dp on
+# both sides (repo convention). The (source × lang) support is the
+# cross of the two distinct-value sets so q-only languages contribute
+# their KL(q||M) mass even when a source never emits them.
+
+_JSD_SPARK_DOC = """(source, n_docs, jsd_bits) — Jensen-Shannon
+divergence between each source's language distribution and the whole
+corpus's, in bits (0 = identical mix, 1 = disjoint support)."""
+
+
+@register(
+    "source_lang_jsd",
+    """
+WITH c AS (
+  SELECT source, lang, COUNT(*)::BIGINT AS n
+  FROM documents GROUP BY source, lang
+), srcs AS (
+  SELECT source, SUM(n)::BIGINT AS ns FROM c GROUP BY source
+), langs AS (
+  SELECT lang, SUM(n)::BIGINT AS nl FROM c GROUP BY lang
+), tot AS (
+  SELECT SUM(n)::BIGINT AS nt FROM c
+), grid AS (
+  SELECT s.source, l.lang, s.ns, l.nl, t.nt,
+         COALESCE(c.n, 0)::BIGINT AS n
+  FROM srcs s CROSS JOIN langs l CROSS JOIN tot t
+  LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+), terms AS (
+  SELECT source, ns,
+         CAST(n AS DOUBLE) / ns AS p,
+         CAST(nl AS DOUBLE) / nt AS q
+  FROM grid
+)
+SELECT source, MAX(ns) AS n_docs,
+       round(SUM(
+         CASE WHEN p > 0 THEN 0.5 * p * log2(2.0 * p / (p + q)) ELSE 0 END
+         + CASE WHEN q > 0 THEN 0.5 * q * log2(2.0 * q / (p + q)) ELSE 0 END
+       ), 4) AS jsd_bits
+FROM terms GROUP BY source
+""",
+)
+def q_source_lang_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    srcs = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    langs = c.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = c.agg(F.sum("n").alias("nt"))
+    grid = (
+        srcs.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["source", "lang"], "left")
+        .select(
+            "source",
+            "ns",
+            (F.coalesce("n", F.lit(0)).cast("double") / F.col("ns")).alias(
+                "p"
+            ),
+            (F.col("nl").cast("double") / F.col("nt")).alias("q"),
+        )
+    )
+    term_p = F.when(
+        F.col("p") > 0,
+        0.5 * F.col("p") * F.log2(2.0 * F.col("p") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0)
+    term_q = F.when(
+        F.col("q") > 0,
+        0.5 * F.col("q") * F.log2(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+    ).otherwise(0.0)
+    return grid.groupBy("source").agg(
+        F.max("ns").alias("n_docs"),
+        F.round(F.sum(term_p + term_q), 4).alias("jsd_bits"),
+    )
+
+
+q_source_lang_jsd.__doc__ = _JSD_SPARK_DOC
+
+
+# --- Unicode NFC normalization audit -----------------------------------------
+#
+# The fixture corpus is ASCII-clean, so denormalized sequences are
+# PLANTED deterministically (repo convention for detector queries):
+# every 13th document gets a combining-acute 'e' suffix, every
+# 13th+5 a combining-ring 'A' — the two classic NFC compositions.
+
+from dqspark.operators.unicodenorm import nfc_audit, nfc_audit_oracle_sql
+
+_NFC_SUFFIX_A = " cafe\u0301"  # e + combining acute -> e-acute under NFC
+_NFC_SUFFIX_B = " A\u030arhus"  # A + combining ring -> A-ring under NFC
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(_NFC_SUFFIX_A))
+            .when(F.col("doc_id") % 13 == 5, F.lit(_NFC_SUFFIX_B))
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+_NFC_PLANT_SQL = (
+    "SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 THEN '" + _NFC_SUFFIX_A
+    + "' WHEN doc_id % 13 = 5 THEN '" + _NFC_SUFFIX_B
+    + "' ELSE '' END AS text FROM documents"
+)
+
+
+@register("nfc_audit", nfc_audit_oracle_sql(_NFC_PLANT_SQL))
+def q_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, changed, cp_before, cp_after, nfc_sha256) — NFC
+    normalization drift per document: Python unicodedata in an
+    Arrow-batched UDF vs DuckDB's native nfc_normalize — a genuine
+    two-implementation differential of UAX #15."""
+    return nfc_audit(_planted_docs(spark, sf_dir), "text", ("doc_id",))
+
+
+# --- Record linkage over planted dirty customer records ----------------------
+#
+# The fixture customers are clean, so dirty duplicates are PLANTED:
+# every 7th customer gets a copy with rid + 1,000,000, its name's 3rd
+# character dropped (a typo the exact-dedup family cannot see), the
+# balance drifted by 0.01·(key mod 5), and — for every 21st — a
+# corrupted segment.  The same derivation runs on both engines.
+
+from dqspark.operators.recordlinkage import (
+    link_records,
+    link_records_oracle_sql,
+)
+
+_RL_RECS_SQL = """
+SELECT c_custkey AS rid, c_nationkey AS block,
+       lower(c_name) AS norm_name, c_acctbal AS acctbal,
+       c_mktsegment AS segment
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, c_nationkey,
+       lower(substr(c_name, 1, 2) || substr(c_name, 4)),
+       c_acctbal + CAST(0.01 AS DOUBLE) * (c_custkey % 5),
+       CASE WHEN c_custkey % 21 = 0 THEN 'altered' ELSE c_mktsegment END
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_nationkey").alias("block"),
+        F.lower("c_name").alias("norm_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    k = F.col("c_custkey")
+    dirty = cust.where(k % 7 == 0).select(
+        (k + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("block"),
+        F.lower(
+            F.concat(F.substring("c_name", 1, 2), F.expr("substring(c_name, 4)"))
+        ).alias("norm_name"),
+        (F.col("c_acctbal") + 0.01 * (k % 5)).alias("acctbal"),
+        F.when(k % 21 == 0, F.lit("altered"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return base.unionByName(dirty)
+
+
+@register("record_linkage", link_records_oracle_sql(_RL_RECS_SQL))
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rid_a, rid_b, score_milli, decision) — multi-pass sorted-
+    neighborhood blocking + Fellegi-Sunter scoring over customers with
+    planted typo'd duplicates: match / possible pairs only, candidate
+    volume bounded by block × window, never all-pairs."""
+    return link_records(_dirty_customers(spark, sf_dir))
+
+
+# --- Kaplan-Meier survival over user activity spans --------------------------
+
+from dqspark.operators.kaplanmeier import km_curve, km_curve_oracle_sql
+
+
+@register(
+    "kaplan_meier",
+    km_curve_oracle_sql("SELECT user_id, ts FROM events"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t_days, n_risk, d_churned, c_censored, survival) — censoring-
+    aware KM survival curve of user activity spans: users active in
+    the final week are censored, not churned.  Exact integer risk
+    sets; the survival product is the only float stage."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return km_curve(ev)
+
+
+# --- seeded-Laplace DP release of per-source counts --------------------------
+
+from dqspark.operators.dprelease import (
+    dp_release_counts,
+    dp_release_oracle_sql,
+)
+
+
+@register(
+    "dp_source_counts",
+    dp_release_oracle_sql("SELECT source FROM documents", "source"),
+)
+def q_dp_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, n_true, noise, n_noisy) — ε=1 Laplace-mechanism release
+    of per-source document counts with replayable inverse-CDF noise;
+    n_true/noise are audit columns verifying the mechanism's
+    calibration, dropped from a real release."""
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    return dp_release_counts(docs, "source")

@@ -1,0 +1,67 @@
+"""HITS and HyperBall: distributed integer recurrences must be
+bit-identical to their single-process replays, and the HyperBall
+estimator must track exact BFS ball sizes at fixture scale."""
+
+from __future__ import annotations
+
+from dqspark.operators.hits import hits_fixed_point, hits_replay
+from dqspark.operators.hyperball import (
+    exact_balls,
+    hyperball,
+    hyperball_replay,
+)
+
+# a small digraph with a clear hub (0 imports everything) and a clear
+# authority (9 imported by everything), plus a chain for diameter
+EDGES = (
+    [(0, i) for i in range(1, 9)]
+    + [(i, 9) for i in range(1, 9)]
+    + [(10, 11), (11, 12), (12, 13), (13, 14), (0, 10)]
+    + [(3, 3), (0, 1)]  # self-loop and duplicate: must be dropped
+)
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_hits_matches_replay(spark):
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits_fixed_point(_edges_df(spark), iters=6).collect()
+    }
+    assert got == hits_replay(EDGES, iters=6)
+
+
+def test_hits_roles(spark):
+    scores = hits_replay(EDGES, iters=6)
+    # node 0 is the top hub; node 9 the top authority (normalized max)
+    assert max(scores, key=lambda n: scores[n][0]) == 0
+    assert max(scores, key=lambda n: scores[n][1]) == 9
+    top_hub, top_auth = scores[0][0], scores[9][1]
+    assert top_hub == max(h for h, _ in scores.values())
+    assert top_auth == max(a for _, a in scores.values())
+
+
+def test_hyperball_matches_replay(spark):
+    got = [
+        (r["r"], r["nf_milli"])
+        for r in hyperball(_edges_df(spark), radius=4)
+        .orderBy("r")
+        .collect()
+    ]
+    assert got == hyperball_replay(EDGES, radius=4)
+
+
+def test_hyperball_tracks_exact_nf():
+    est = dict(hyperball_replay(EDGES, radius=5))
+    exact = dict(exact_balls(EDGES, radius=5))
+    # raw-HLL estimator at m=16: loose per-point tolerance, but the
+    # growth curve must be monotone and land within 35% of truth
+    for r in exact:
+        rel = est[r] / 1000.0 / exact[r]
+        assert 0.65 < rel < 1.35, (r, est[r], exact[r])
+    vals = [est[r] for r in sorted(est)]
+    assert vals == sorted(vals)
+    # saturation: the chain means NF keeps growing to r=5
+    assert exact[5] > exact[1]

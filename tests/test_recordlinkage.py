@@ -1,0 +1,57 @@
+"""Sorted-neighborhood record linkage: planted typo'd duplicates must
+surface as matches, clean pairs must not, and the Spark path must
+match the DuckDB oracle exactly (integer scores)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from dqspark.operators.recordlinkage import (
+    RL_MATCH_MILLI,
+    link_records,
+    link_records_oracle_sql,
+)
+
+# (rid, block, norm_name, acctbal, segment)
+RECS = [
+    (1, 0, "customer#000000001", 100.0, "AUTO"),
+    (2, 0, "customer#000000002", 250.0, "BUILD"),
+    # typo'd duplicate of 1: 3rd char dropped, balance drifted 0.02
+    (1000001, 0, "cutomer#000000001", 100.02, "AUTO"),
+    # same name tail but different block: never a candidate
+    (3, 1, "customer#000000001", 100.0, "AUTO"),
+    (4, 1, "customer#000000004", 77.0, "HOUSE"),
+    # exact duplicate of 4 (re-ingest): top score
+    (1000004, 1, "customer#000000004", 77.0, "HOUSE"),
+]
+SCHEMA = "rid long, block long, norm_name string, acctbal double, segment string"
+
+
+def test_linkage_finds_planted_dups(spark):
+    got = {
+        (r["rid_a"], r["rid_b"]): (r["score_milli"], r["decision"])
+        for r in link_records(spark.createDataFrame(RECS, SCHEMA)).collect()
+    }
+    assert (1, 1000001) in got and got[(1, 1000001)][1] == "match"
+    assert (4, 1000004) in got and got[(4, 1000004)][0] >= RL_MATCH_MILLI
+    # cross-block pair excluded by blocking
+    assert (1, 3) not in got and (3, 1000001) not in got
+    # clean distinct customers in the same block never reach the band
+    assert (1, 2) not in got
+
+
+def test_linkage_oracle_parity(spark):
+    got = sorted(
+        tuple(r)
+        for r in link_records(
+            spark.createDataFrame(RECS, SCHEMA)
+        ).collect()
+    )
+    con = duckdb.connect()
+    union = " UNION ALL ".join(
+        f"SELECT {rid} AS rid, {b} AS block, '{n}' AS norm_name,"
+        f" {a} AS acctbal, '{s}' AS segment"
+        for rid, b, n, a, s in RECS
+    )
+    want = sorted(con.sql(link_records_oracle_sql(union)).fetchall())
+    assert got == want

@@ -1,0 +1,60 @@
+"""Silhouette and DP-release unit tests: geometry sanity on separated
+clusters, mechanism calibration, and DuckDB parity for the release."""
+
+from __future__ import annotations
+
+import duckdb
+
+from dqspark.operators.dprelease import dp_release_counts, dp_release_oracle_sql
+from dqspark.operators.silhouette import silhouette_by_cluster
+
+
+def test_silhouette_separated_clusters(spark):
+    # two tight, well-separated clusters in 2-D (units already long);
+    # ids all divisible by 4 so every point is in the sample
+    pts = [
+        (0, [0, 0], 0),
+        (4, [1, 0], 0),
+        (8, [0, 1], 0),
+        (12, [1000, 1000], 1),
+        (16, [1001, 1000], 1),
+        (20, [1000, 1001], 1),
+    ]
+    df = spark.createDataFrame(
+        pts, "vec_id long, _u array<long>, cluster int"
+    )
+    rows = {r["cluster"]: r for r in silhouette_by_cluster(df).collect()}
+    assert rows[0]["n_pts"] == 3 and rows[1]["n_pts"] == 3
+    assert rows[0]["mean_sil"] > 0.99 and rows[1]["mean_sil"] > 0.99
+
+
+def test_silhouette_singleton_cluster_is_zero(spark):
+    pts = [(0, [0, 0], 0), (4, [5, 5], 1), (8, [6, 5], 1)]
+    df = spark.createDataFrame(
+        pts, "vec_id long, _u array<long>, cluster int"
+    )
+    rows = {r["cluster"]: r for r in silhouette_by_cluster(df).collect()}
+    assert rows[0]["mean_sil"] == 0.0  # convention for singletons
+
+
+def test_dp_release_parity_and_calibration(spark):
+    data = [(f"src{i % 10}",) for i in range(200)]
+    df = spark.createDataFrame(data, "source string")
+    got = sorted(
+        tuple(r) for r in dp_release_counts(df, "source").collect()
+    )
+    con = duckdb.connect()
+    union = " UNION ALL ".join(
+        f"SELECT 'src{i}' AS source FROM range(20)" for i in range(10)
+    )
+    want = sorted(
+        con.sql(dp_release_oracle_sql(union, "source")).fetchall()
+    )
+    assert [g[:2] for g in got] == [tuple(w[:2]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9
+    # calibration: Laplace(1/eps=1) noise, |noise| should average ~1
+    # and sit within a generous band on 10 draws
+    noises = [abs(g[2]) for g in got]
+    assert 0.05 < sum(noises) / len(noises) < 4.0
+    assert all(n < 15 for n in noises)

@@ -1,0 +1,58 @@
+"""Green-list watermark detector: generated text lights up, human
+text doesn't, degenerate rows are safe, and the Spark path matches
+the DuckDB oracle value-for-value on a mixed corpus."""
+
+from __future__ import annotations
+
+import duckdb
+
+from dqspark.operators.watermark import (
+    generate_watermarked_text,
+    watermark_oracle_sql,
+    watermark_scores,
+)
+
+VOCAB = (
+    "the a cat dog sat ran on under mat rug big small red blue very "
+    "quite house tree river stone".split()
+)
+HUMAN = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm window sill and the rain taps the glass"
+)
+
+
+def test_watermarked_text_flags(spark):
+    wm = generate_watermarked_text(VOCAB, 120)
+    df = spark.createDataFrame(
+        [(1, wm), (2, HUMAN), (3, ""), (4, "single")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in watermark_scores(df).collect()
+    }
+    assert rows[1]["watermarked"] and rows[1]["z"] > 10
+    assert not rows[2]["watermarked"] and abs(rows[2]["z"]) < 3
+    assert rows[3]["n_scored"] == 0 and rows[3]["z"] is None
+    assert rows[4]["n_scored"] == 0 and not rows[4]["watermarked"]
+
+
+def test_watermark_oracle_parity(spark):
+    wm = generate_watermarked_text(VOCAB, 60, seed_token="river")
+    data = [(1, wm), (2, HUMAN), (3, "  leading  and   trailing  ")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_scored"], r["green_cnt"], r["z"], r["watermarked"])
+        for r in watermark_scores(df).collect()
+    )
+    con = duckdb.connect()
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in data
+    )
+    want = sorted(con.sql(watermark_oracle_sql(union)).fetchall())
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert (g[3] is None) == (w[3] is None)
+        if g[3] is not None:
+            assert abs(g[3] - w[3]) < 1e-9
+        assert g[4] == w[4]
