@@ -1,0 +1,98 @@
+"""Jaro-Winkler string similarity (Jaro, JASA 1989; Winkler, ASA
+Survey Research Methods 1990) as an Arrow-batched pandas UDF, with
+DuckDB's native ``jaro_winkler_similarity`` as the cross-
+implementation oracle.
+
+The record-linkage operator (operators/recordlinkage.py) scores
+fields with exact/threshold comparators; Jaro-Winkler is the survey-
+statistics standard for NAME fields — transposition-tolerant, with a
+common-prefix bonus — and rounds out the comparator family.
+
+Spark has no built-in; the UDF implements the textbook algorithm
+(match window ⌊max/2⌋−1, transpositions/2, prefix bonus
+p = 0.1 · min(prefix, 4) · (1−jaro) applied only when jaro > 0.7)
+which matches DuckDB's implementation exactly on the probe matrix in
+tests/test_jarowinkler.py — so the oracle differential is a genuine
+two-implementation check, like the NFC audit, not a replay.
+
+Scale: pure map stage over Arrow batches; no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+JW_PREFIX_WEIGHT = 0.1
+JW_BOOST_THRESHOLD = 0.7
+
+
+def jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    j = jaro(s1, s2)
+    if j > JW_BOOST_THRESHOLD:
+        pre = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pre += 1
+        return j + pre * JW_PREFIX_WEIGHT * (1 - j)
+    return j
+
+
+def _jw_udf():
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler(x, y) if x is not None and y is not None else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return _jw
+
+
+def with_jaro_winkler(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "jw"
+) -> DataFrame:
+    """Adds ``out_col`` = round(jaro_winkler(a, b), 4)."""
+    return df.withColumn(
+        out_col, F.round(_jw_udf()(F.col(a_col), F.col(b_col)), 4)
+    )

@@ -1,0 +1,93 @@
+"""Entropic optimal-transport data-mixing plan via Sinkhorn scaling
+(Cuturi, "Sinkhorn distances: lightspeed computation of optimal
+transport", NIPS 2013; Sinkhorn & Knopp 1967).
+
+Mixture rebalancing made concrete: given the corpus's (source × lang)
+composition and a TARGET language mixture (temperature-annealed, the
+same rule as operators/sampling.py), the transport plan T(s, l) says
+how much of the sampling budget to draw from each source for each
+language — respecting both the per-source supply (row marginals = the
+source mass shares) and the target demand (column marginals), while
+minimizing a cost that charges drawing language l from a source that
+barely contains it:  C(s, l) = 1 − n_sl / n_s.
+
+Engine split (the BM25/DSIR discipline): the DISTRIBUTED work is the
+(source × lang) count table — one map-side-combined groupBy over the
+corpus; the Sinkhorn iteration runs driver-side on that O(S·L)
+matrix (50 fixed rounds of row/column scaling — microseconds), and
+the oracle replays the identical Python on DuckDB-derived counts, so
+the differential verifies the distributed aggregation end-to-end and
+the plan value-for-value.
+
+Scale: the corpus pass is one aggregation; S·L is bounded by label
+cardinalities, not rows — the plan matrix stays driver-sized at any
+corpus scale (the same O(strata) argument as temperature_mixture).
+"""
+
+from __future__ import annotations
+
+import math
+
+OT_EPS = 0.1  # entropic regularization
+OT_ITERS = 50
+OT_TEMP = 0.5  # target mixture temperature over observed lang counts
+
+
+def target_mixture(
+    lang_counts: dict[str, int], temperature: float = OT_TEMP
+) -> dict[str, float]:
+    """Temperature-annealed target: q(l) ∝ n_l^T (T < 1 upweights
+    rare languages; Lample & Conneau 2019)."""
+    raw = {l: float(n) ** temperature for l, n in lang_counts.items() if n}
+    z = sum(raw.values())
+    return {l: v / z for l, v in raw.items()}
+
+
+def sinkhorn_plan(
+    counts: dict[tuple[str, str], int],
+    eps: float = OT_EPS,
+    iters: int = OT_ITERS,
+    temperature: float = OT_TEMP,
+) -> list[tuple[str, str, int, int]]:
+    """counts: {(source, lang): n} →
+    [(source, lang, cost_milli, mass_micro)] — the entropic OT plan
+    between the source-mass marginal and the temperature target,
+    deterministic fixed-round scaling in plain Python floats
+    (identical on both oracle paths; only counts are engine-derived).
+    Cells with zero corpus support keep cost 1 (max) but remain
+    feasible — the regularized plan may still route mass through
+    them if marginals force it."""
+    sources = sorted({s for s, _ in counts})
+    langs = sorted({l for _, l in counts})
+    n_s = {s: sum(n for (s2, _), n in counts.items() if s2 == s) for s in sources}
+    total = sum(n_s.values())
+    a = [n_s[s] / total for s in sources]  # supply
+    lang_tot = {
+        l: sum(n for (_, l2), n in counts.items() if l2 == l) for l in langs
+    }
+    tgt = target_mixture(lang_tot, temperature)
+    b = [tgt[l] for l in langs]  # demand
+    cost = [
+        [1.0 - counts.get((s, l), 0) / n_s[s] for l in langs] for s in sources
+    ]
+    k = [[math.exp(-c / eps) for c in row] for row in cost]
+    u = [1.0] * len(sources)
+    v = [1.0] * len(langs)
+    for _ in range(iters):
+        for i in range(len(sources)):
+            u[i] = a[i] / sum(k[i][j] * v[j] for j in range(len(langs)))
+        for j in range(len(langs)):
+            v[j] = b[j] / sum(k[i][j] * u[i] for i in range(len(sources)))
+    out = []
+    for i, s in enumerate(sources):
+        for j, l in enumerate(langs):
+            mass = u[i] * k[i][j] * v[j]
+            out.append(
+                (
+                    s,
+                    l,
+                    int(round(cost[i][j] * 1000)),
+                    int(round(mass * 1_000_000)),
+                )
+            )
+    return out

@@ -253,3 +253,389 @@ def q_dp_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration, dropped from a real release."""
     docs = load_table(spark, sf_dir, "documents").select("source")
     return dp_release_counts(docs, "source")
+
+
+# --- nDCG@10 of the BM25 corpus search ---------------------------------------
+#
+# Relevance = distinct query terms present (derived identically on
+# both engines); discounts are driver-computed integer nano-literals,
+# so DCG/IDCG are exact int64 sums.
+
+from dqspark.operators.ndcg import ndcg_at_k, ndcg_oracle_sql
+from dqspark.plans.curation_queries import _QUERIES as _SEARCH_QUERIES
+
+
+@register(
+    "search_ndcg",
+    lambda: ndcg_oracle_sql(
+        "SELECT doc_id, text FROM documents", _SEARCH_QUERIES
+    ),
+)
+def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, dcg_nano, idcg_nano, ndcg) — nDCG@10 of corpus_search
+    against term-presence graded relevance: the retrieval-quality gauge
+    for the BM25 ranking, integer-exact up to one final division."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ndcg_at_k(docs, _SEARCH_QUERIES)
+
+
+# --- Jaro-Winkler name similarity (two-implementation differential) ----------
+#
+# Planted pairs over customers: every 7th name against its 3rd-char-
+# dropped typo (a true near-match) and every 11th against the NEXT
+# customer's name (a hard negative with a long shared prefix).
+
+from dqspark.operators.jarowinkler import with_jaro_winkler
+
+_JW_PAIRS_SQL = """
+SELECT c_custkey AS rid, 'dup' AS kind,
+       lower(c_name) AS name_a,
+       lower(substr(c_name, 1, 2) || substr(c_name, 4)) AS name_b
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT a.c_custkey, 'neg', lower(a.c_name), lower(b.c_name)
+FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+WHERE a.c_custkey % 11 = 0
+"""
+
+
+@register(
+    "name_jw_pairs",
+    f"""
+SELECT rid, kind, round(jaro_winkler_similarity(name_a, name_b), 4) AS jw
+FROM ({_JW_PAIRS_SQL})
+""",
+)
+def q_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rid, kind, jw) — Jaro-Winkler similarity on planted typo pairs
+    ('dup') and adjacent-name hard negatives ('neg'): the pandas-UDF
+    textbook implementation differentially checked against DuckDB's
+    native jaro_winkler_similarity."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dup = cust.where(k % 7 == 0).select(
+        k.alias("rid"),
+        F.lit("dup").alias("kind"),
+        F.lower("c_name").alias("name_a"),
+        F.lower(
+            F.concat(F.substring("c_name", 1, 2), F.expr("substring(c_name, 4)"))
+        ).alias("name_b"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    neg = (
+        a.join(b, F.col("b.c_custkey") == F.col("a.c_custkey") + 1)
+        .where(F.col("a.c_custkey") % 11 == 0)
+        .select(
+            F.col("a.c_custkey").alias("rid"),
+            F.lit("neg").alias("kind"),
+            F.lower("a.c_name").alias("name_a"),
+            F.lower("b.c_name").alias("name_b"),
+        )
+    )
+    pairs = dup.unionByName(neg)
+    return with_jaro_winkler(pairs, "name_a", "name_b").select(
+        "rid", "kind", "jw"
+    )
+
+
+# --- cross-language duplicate audit ------------------------------------------
+#
+# Same normalized content under different language labels = mislabeled
+# or machine-translated copies; exact-dedup by fingerprint never sees
+# the lang column, so these silently survive per-language pipelines.
+# Planted: every 31st document re-appears under lang 'xx'.
+
+from dqspark.functions.hashing import content_fingerprint, fingerprint_oracle_expr
+
+_XLANG_SQL = """
+SELECT doc_id, text, lang FROM documents
+UNION ALL
+SELECT doc_id + 2000000, text, 'xx' FROM documents WHERE doc_id % 31 = 0
+"""
+
+
+@register(
+    "cross_lang_dups",
+    f"""
+WITH corpus AS ({_XLANG_SQL}),
+fp AS (
+  SELECT {fingerprint_oracle_expr('text')} AS fingerprint, doc_id, lang
+  FROM corpus
+)
+SELECT fingerprint,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT lang)::BIGINT AS n_langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM fp
+GROUP BY fingerprint
+HAVING COUNT(DISTINCT lang) > 1
+""",
+)
+def q_cross_lang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fingerprint, n_docs, n_langs, langs) — normalized-content
+    groups spanning >1 language label: translation/mislabel leaks that
+    per-language dedup pipelines never see."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 31 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "text",
+            F.lit("xx").alias("lang"),
+        )
+    )
+    fp = corpus.select(
+        content_fingerprint("text").alias("fingerprint"), "doc_id", "lang"
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+        )
+        .where(F.col("n_langs") > 1)
+    )
+
+
+# --- keep-rate parity audit (four-fifths rule) -------------------------------
+#
+# Disparate-impact screen of the heuristic keep decision across
+# sources: a source whose keep rate falls below 0.8x the overall rate
+# is being systematically filtered — intended or not, it should be
+# visible.  Counts are exact; rates rounded 4 dp.
+
+from dqspark.plans.pipeline_queries import (
+    _planted_corpus,
+    _quality_heuristic_oracle,
+    _to_codefiles,
+)
+from dqspark.pipeline.quality import run_quality_pipeline
+
+
+def _keep_parity_oracle() -> str:
+    return f"""
+WITH keeps AS ({_quality_heuristic_oracle()}),
+joined AS (
+  SELECT d.source, k.keep
+  FROM keeps k JOIN documents d USING (doc_id)
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS overall
+  FROM joined
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS keep_rate,
+       round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) / overall, 4) AS di_ratio,
+       (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) / overall) < 0.8 AS flagged
+FROM joined CROSS JOIN tot
+GROUP BY source, overall
+"""
+
+
+@register("keep_rate_parity", _keep_parity_oracle)
+def q_keep_rate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n, kept, keep_rate, di_ratio, flagged) — four-fifths
+    disparate-impact audit of the heuristic keep decision by source:
+    flagged sources fall below 0.8x the overall keep rate."""
+    cf = _to_codefiles(_planted_corpus(spark, sf_dir))
+    res = run_quality_pipeline(cf, with_models=False).select(
+        F.col("path").cast("bigint").alias("doc_id"), "keep"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = res.join(docs, "doc_id")
+    tot = joined.agg(
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("overall")
+    )
+    kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    rate = kept.cast("double") / F.count(F.lit(1))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .groupBy("source", "overall")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            kept.cast("long").alias("kept"),
+            F.round(rate, 4).alias("keep_rate"),
+            F.round(rate / F.col("overall"), 4).alias("di_ratio"),
+            ((rate / F.col("overall")) < 0.8).alias("flagged"),
+        )
+        .drop("overall")
+    )
+
+
+# --- Sinkhorn OT mixture-rebalancing plan ------------------------------------
+
+from dqspark.operators.otplan import sinkhorn_plan
+
+_OT_SCHEMA = "source string, lang string, cost_milli long, mass_micro long"
+
+
+@register("mixture_ot_plan")
+def q_mixture_ot_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, cost_milli, mass_micro) — entropic-OT sampling
+    plan moving the corpus's source mass onto the temperature-annealed
+    target language mixture; the distributed stage is the (source ×
+    lang) count table, the Sinkhorn rounds run on the O(S·L) driver
+    matrix (model-replication oracle protocol)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    counts = {
+        (r["source"], r["lang"]): int(r["n"])
+        for r in docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return spark.createDataFrame(sinkhorn_plan(counts), _OT_SCHEMA)
+
+
+def _ot_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    counts = {
+        (s, l): int(n)
+        for s, l, n in con.sql(
+            "SELECT source, lang, COUNT(*) FROM documents GROUP BY 1, 2"
+        ).fetchall()
+    }
+    rows = sinkhorn_plan(counts)
+    vt = values_table(rows, ["source", "lang", "cost_milli", "mass_micro"])
+    return (
+        "SELECT source, lang, cost_milli::BIGINT AS cost_milli,"
+        f" mass_micro::BIGINT AS mass_micro FROM {vt}"
+    )
+
+
+from dqspark.plans.driver_queries import ORACLES
+
+ORACLES["mixture_ot_plan"] = _ot_oracle
+
+
+# --- dedup-adjusted mixture: retention + re-annealed rates -------------------
+#
+# Dedup changes the mixture: sources with heavy duplication lose more
+# mass, so sampling rates tuned on raw counts are stale after dedup.
+# This composition query runs exact dedup (min-id canonical per
+# fingerprint), measures per-source retention, and re-derives the
+# temperature-annealed keep-rates on the POST-dedup counts (same
+# rule as temperature_mixture).  Planted: every 20th doc re-appears
+# verbatim under a fresh id (same source).
+
+from dqspark.operators.sampling import temperature_rates
+
+_DAM_TEMP = 0.7
+_DAM_SQL = """
+SELECT doc_id, text, source FROM documents
+UNION ALL
+SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _dam_counts_spark(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    from pyspark.sql import Window
+
+    fp = corpus.withColumn("fp", content_fingerprint("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = fp.withColumn("rn", F.row_number().over(w)).withColumn(
+        "is_canonical", F.col("rn") == 1
+    )
+    rows = (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+        .collect()
+    )
+    return {
+        r["source"]: (int(r["n_before"]), int(r["n_after"])) for r in rows
+    }
+
+
+def _dam_rows(counts: dict) -> list[tuple]:
+    rates = temperature_rates(
+        {s: a for s, (_, a) in counts.items()}, _DAM_TEMP
+    )
+    return [
+        (
+            s,
+            b,
+            a,
+            round(a / b, 4),
+            int(round(rates.get(s, 0.0) * 1_000_000)),
+        )
+        for s, (b, a) in sorted(counts.items())
+    ]
+
+
+_DAM_SCHEMA = (
+    "source string, n_before long, n_after long, retention double,"
+    " adj_rate_micro long"
+)
+
+
+@register("dedup_adjusted_mixture")
+def q_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_before, n_after, retention, adj_rate_micro) — exact
+    dedup then per-source retention and temperature-re-annealed
+    sampling rates on the deduped counts (the distributed stages are
+    the fingerprint window + count rollup; the O(S) rate table is
+    driver state, model-replication oracle protocol)."""
+    return spark.createDataFrame(
+        _dam_rows(_dam_counts_spark(spark, sf_dir)), _DAM_SCHEMA
+    )
+
+
+def _dam_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    fp = fingerprint_oracle_expr("text")
+    rows = con.sql(
+        f"""
+WITH corpus AS ({_DAM_SQL}),
+k AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) = 1
+           AS is_canonical
+  FROM corpus
+)
+SELECT source, COUNT(*),
+       SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END)
+FROM k GROUP BY source
+"""
+    ).fetchall()
+    counts = {s: (int(b), int(a)) for s, b, a in rows}
+    vt = values_table(
+        _dam_rows(counts),
+        ["source", "n_before", "n_after", "retention", "adj_rate_micro"],
+    )
+    return (
+        "SELECT source, n_before::BIGINT AS n_before,"
+        " n_after::BIGINT AS n_after, retention,"
+        f" adj_rate_micro::BIGINT AS adj_rate_micro FROM {vt}"
+    )
+
+
+ORACLES["dedup_adjusted_mixture"] = _dam_oracle

@@ -1,0 +1,64 @@
+"""nDCG and Jaro-Winkler unit tests: hand-computed nDCG on a tiny
+corpus, perfect-ranking invariant, and the JW probe matrix against
+DuckDB's native implementation (the oracle premise)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dqspark.operators.jarowinkler import jaro, jaro_winkler
+from dqspark.operators.ndcg import _disc_nano, ndcg_at_k
+
+DOCS = [
+    (1, "spark join window functions"),
+    (2, "spark join"),
+    (3, "window shopping"),
+    (4, "nothing relevant here"),
+    (5, "join the window with spark"),
+]
+QUERIES = [("q0", "spark join window")]
+
+
+def test_ndcg_perfect_when_bm25_ranks_by_coverage(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = {r["query_id"]: r for r in ndcg_at_k(df, QUERIES, k=5).collect()}
+    r = rows["q0"]
+    # docs 1 and 5 carry all 3 terms, doc 2 two, doc 3 one, doc 4 none
+    # -> ideal gains (7,7,3,1); BM25 must put the 3-term docs first,
+    # so nDCG is high; it is 1.0 iff the whole order matches the ideal
+    assert r["idcg_nano"] > 0
+    assert 0.9 <= r["ndcg"] <= 1.0
+
+
+def test_ndcg_discounts_are_monotone():
+    d = _disc_nano(10)
+    assert d[0] == 10**9  # 1/log2(2) = 1
+    assert d == sorted(d, reverse=True)
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("customer#000000001", "cutomer#000000001"),
+        ("abc", "xyz"),
+        ("", "x"),
+        ("a", "a"),
+        ("prefix", "pref"),
+        ("crate", "trace"),
+        ("dwayne", "duane"),
+        ("abcdef", "abzzzz"),  # shared prefix but jaro <= 0.7: no boost
+        ("aaaaaaaaaa", "aaaaaaaaab"),
+    ],
+)
+def test_jw_matches_duckdb(a, b):
+    con = duckdb.connect()
+    jw_d, j_d = con.sql(
+        "SELECT jaro_winkler_similarity(?, ?), jaro_similarity(?, ?)",
+        params=[a, b, a, b],
+    ).fetchone()
+    assert abs(jaro(a, b) - j_d) < 1e-9
+    assert abs(jaro_winkler(a, b) - jw_d) < 1e-9

@@ -1,0 +1,57 @@
+"""Sinkhorn OT plan: marginal feasibility, cost sanity, determinism;
+dedup-adjusted mixture: retention arithmetic and rate monotonicity."""
+
+from __future__ import annotations
+
+from dqspark.operators.otplan import sinkhorn_plan, target_mixture
+from dqspark.operators.sampling import temperature_rates
+
+COUNTS = {
+    ("web", "en"): 700,
+    ("web", "de"): 100,
+    ("books", "en"): 150,
+    ("books", "fr"): 50,
+    ("code", "en"): 400,
+}
+
+
+def test_sinkhorn_marginals_and_cost():
+    plan = sinkhorn_plan(COUNTS)
+    total = sum(m for _, _, _, m in plan)
+    assert abs(total - 1_000_000) < 200  # plan is a prob. distribution
+    # row marginals = source shares (supply respected)
+    n = sum(COUNTS.values())
+    for src in {"web", "books", "code"}:
+        row = sum(m for s, _, _, m in plan if s == src)
+        want = sum(v for (s, _), v in COUNTS.items() if s == src) / n
+        assert abs(row / 1e6 - want) < 0.002, (src, row, want)
+    # column marginals approach the temperature target (demand)
+    lang_tot = {"en": 1250, "de": 100, "fr": 50}
+    tgt = target_mixture(lang_tot)
+    for lang, want in tgt.items():
+        col = sum(m for _, l, _, m in plan if l == lang)
+        assert abs(col / 1e6 - want) < 0.01, (lang, col, want)
+    # cost column: zero-support cells carry max cost 1000
+    costs = {(s, l): c for s, l, c, _ in plan}
+    assert costs[("code", "fr")] == 1000
+    assert costs[("web", "en")] == 1000 - round(700 / 800 * 1000)
+
+
+def test_sinkhorn_prefers_supported_cells():
+    plan = {(s, l): m for s, l, _, m in sinkhorn_plan(COUNTS)}
+    # French demand should be served by books (its only real supplier),
+    # not by code/web which have no French at all
+    assert plan[("books", "fr")] > plan[("code", "fr")]
+    assert plan[("books", "fr")] > plan[("web", "fr")]
+
+
+def test_sinkhorn_deterministic_under_dict_order():
+    shuffled = dict(reversed(list(COUNTS.items())))
+    assert sinkhorn_plan(COUNTS) == sinkhorn_plan(shuffled)
+
+
+def test_temperature_rates_upweight_rare():
+    rates = temperature_rates({"en": 1250, "de": 100, "fr": 50}, 0.7)
+    # r_s ∝ n_s^(T−1): with T < 1 the rarest stratum gets rate 1
+    assert rates["fr"] == 1.0
+    assert rates["fr"] > rates["de"] > rates["en"]

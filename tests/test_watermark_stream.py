@@ -1,0 +1,47 @@
+"""Streaming parity for the watermark detector: the green-list z-test
+is a stateless map, so an availableNow file stream through the same
+expression must equal the batch result row-for-row."""
+
+from __future__ import annotations
+
+from dqspark.operators.watermark import (
+    generate_watermarked_text,
+    watermark_scores,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def test_stream_watermark_matches_batch(spark, tmp_path):
+    rows = [
+        (i, generate_watermarked_text(VOCAB, 40, seed_token=VOCAB[i % 5]))
+        if i % 3 == 0
+        else (i, f"plain human text number {i} with ordinary words")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        watermark_scores(stream)
+        .writeStream.format("memory")
+        .queryName("wm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_scored"], r["green_cnt"], r["z"], r["watermarked"])
+        for r in spark.sql("select * from wm_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_scored"], r["green_cnt"], r["z"], r["watermarked"])
+        for r in watermark_scores(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == want and len(got) == 60
+    assert any(v[3] for v in got.values())  # planted generator rows flag
