@@ -1,0 +1,157 @@
+"""Johnson-Lindenstrauss random projection with a measured distortion
+audit (Johnson & Lindenstrauss 1984; Achlioptas, "Database-friendly
+random projections", JCSS 2003 — the ±1 sign-matrix construction).
+
+Embedding pipelines at corpus scale need cheaper vectors; a seeded
+±1 projection R ∈ {±1}^{k×d} gives y = R·u with the JL guarantee
+that sampled pair distances distort by at most ~(1 ± ε) at
+k = O(log n / ε²).  This operator materializes the projection AND
+measures the realized distortion on a deterministic pair sample —
+the audit-the-estimate discipline of the sketch family (HLL/CMS/MG).
+
+Exactness: the sign matrix derives from md5(salt|j|d) parity, the
+input is the micro-unit integer quantization (operators/kmeans.py
+to_units), so projected coordinates are exact int64 dot products and
+the per-pair distortion ratio  1000·‖ya−yb‖² / (k·‖ua−ub‖²)
+is floor-quantized integer division — bit-identical on any engine;
+the oracle replays the identical arithmetic in Python over the
+DuckDB-read vectors.
+
+Scale: projection is a pure map (k integer folds per row, JVM-side,
+no shuffle); the audit is O(sample²) like the silhouette estimator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.kmeans import to_units
+
+JL_K = 16
+JL_SALT = "jl"
+JL_PAIR_MOD = 25  # vec_id % MOD == 0 ⇒ in the distortion sample
+
+
+def jl_signs(k: int, dims: int, salt: str = JL_SALT) -> list[list[int]]:
+    """Deterministic ±1 matrix: sign = parity of md5(salt|j|d)."""
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{salt}|{j}|{d}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for d in range(dims)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_project(
+    emb: DataFrame,
+    dims: int,
+    k: int = JL_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, y array<long>) — exact integer ±1 projection of the
+    micro-unit quantized vectors."""
+    signs = jl_signs(k, dims)
+    u = to_units(F.col(vec_col))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                u,
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(k)
+    ]
+    return emb.select(F.col(id_col).alias("vec_id"), F.array(*comps).alias("y"))
+
+
+def jl_distortion_pairs(
+    emb: DataFrame,
+    dims: int,
+    k: int = JL_K,
+    pair_mod: int = JL_PAIR_MOD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_a, id_b, d2_orig, d2_proj, ratio_milli) over the sampled
+    pairs: ratio_milli = (‖Δy‖²·1000) div (k·‖Δu‖²) ≈ 1000 when the
+    projection preserves the pair distance (E‖RΔ‖² = k·‖Δ‖² for ±1
+    entries)."""
+    units = emb.where(F.col(id_col) % pair_mod == 0).select(
+        F.col(id_col).alias("vec_id"), to_units(F.col(vec_col)).alias("u")
+    )
+    proj = jl_project(
+        emb.where(F.col(id_col) % pair_mod == 0), dims, k, id_col, vec_col
+    )
+    pts = units.join(proj, "vec_id")
+    a, b = pts.alias("a"), pts.alias("b")
+
+    def ssq(col_a, col_b):
+        return F.aggregate(
+            F.zip_with(col_a, col_b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            ssq(F.col("a.u"), F.col("b.u")).alias("d2_orig"),
+            ssq(F.col("a.y"), F.col("b.y")).alias("d2_proj"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "d2_orig",
+            "d2_proj",
+            F.expr(f"(d2_proj * 1000) div ({k} * d2_orig)").alias(
+                "ratio_milli"
+            ),
+        )
+    )
+
+
+def jl_distortion_replay(
+    vectors: dict[int, list[float]], dims: int, k: int = JL_K
+) -> list[tuple[int, int, int, int, int]]:
+    """Python replay over raw float vectors (same floor quantization),
+    the oracle builder's independent path."""
+    import math
+
+    from dqspark.operators.kmeans import UNIT
+
+    signs = jl_signs(k, dims)
+    units = {
+        i: [int(math.floor(float(x) * UNIT)) for x in v]
+        for i, v in vectors.items()
+    }
+    proj = {
+        i: [sum(s * x for s, x in zip(signs[j], u)) for j in range(k)]
+        for i, u in units.items()
+    }
+    out = []
+    ids = sorted(units)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            ia, ib = ids[ai], ids[bi]
+            d2o = sum((x - y) ** 2 for x, y in zip(units[ia], units[ib]))
+            d2p = sum((x - y) ** 2 for x, y in zip(proj[ia], proj[ib]))
+            out.append(
+                (ia, ib, d2o, d2p, (d2p * 1000) // (k * d2o))
+            )
+    return out

@@ -1,0 +1,141 @@
+"""Two-sample Maximum Mean Discrepancy over embedding groups
+(Gretton, Borgwardt, Rasch, Schölkopf, Smola, "A kernel two-sample
+test", JMLR 2012).
+
+Distribution drift between embedding populations (two sources, two
+snapshot dates, two label groups) is invisible to per-coordinate
+drift tests once the shift is joint; MMD² compares the populations in
+RKHS:  MMD²_u = mean k(x,x') + mean k(y,y') − 2·mean k(x,y) with the
+unbiased (diagonal-excluded) estimators.
+
+Kernel choice is the exactness lever: the Gaussian kernel's exp()
+differs in the last ulp across libm implementations, so this operator
+uses the inverse-multiquadric family's rational cousin
+
+    k(x, y) = c / (c + ‖x−y‖²)
+
+which is characteristic (distinguishes distributions) and — over the
+micro-unit integer quantization — computes as ONE integer division
+per pair:  k_milli = (1000·c) div (c + d²).  The three pair sums are
+exact int64 in any partition order and either engine; MMD² is three
+int/int divisions at the end, rounded 4 dp.
+
+Scale: O(|A|·|B|) pair joins on bounded group slices (the standard
+MMD estimator cost); groups are hash-sampled by the caller when
+populations are large — the estimator is unbiased under sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.kmeans import to_units, to_units_oracle
+
+MMD_C = 1 << 44  # kernel scale c in micro^2 units (~16 in unit space)
+# kernel quantization: k_milli in [0, 1000].  1000 * 2^44 ~ 1.8e16 keeps
+# the numerator inside int64 (a nano scale would overflow: 1e9 * 2^44 > 2^63)
+_KSCALE = 1000
+
+
+def _pair_sum(a: DataFrame, b: DataFrame, same: bool) -> DataFrame:
+    """Σ k_milli over ordered pairs (i < j within one group, full cross
+    between groups) plus the pair count."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.u"), F.col("b.u"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cond = (
+        (F.col("a.vec_id") < F.col("b.vec_id"))
+        if same
+        else F.lit(True)
+    )
+    k_milli = F.expr(
+        f"({_KSCALE} * cast({MMD_C} as long)) div (cast({MMD_C} as long) + _d2)"
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), cond)
+        .select(d2.alias("_d2"))
+        .select(k_milli.alias("k"))
+        .agg(F.sum("k").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def mmd2_between(
+    emb: DataFrame,
+    group_a,
+    group_b,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int, int, int, int, int]:
+    """→ (s_xx, n_xx, s_yy, n_yy, s_xy, n_xy) integer pair sums for
+    the two label groups (unbiased: within-group pairs exclude the
+    diagonal via i < j, counted once)."""
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("g"),
+        to_units(F.col(vec_col)).alias("u"),
+    ).persist()
+    xa = pts.where(F.col("g") == group_a).drop("g")
+    xb = pts.where(F.col("g") == group_b).drop("g")
+    rxx = _pair_sum(xa, xa, same=True).collect()[0]
+    ryy = _pair_sum(xb, xb, same=True).collect()[0]
+    rxy = _pair_sum(xa, xb, same=False).collect()[0]
+    pts.unpersist()
+    return (
+        int(rxx["s"]), int(rxx["n"]),
+        int(ryy["s"]), int(ryy["n"]),
+        int(rxy["s"]), int(rxy["n"]),
+    )
+
+
+def mmd2_value(sums: tuple[int, int, int, int, int, int]) -> float:
+    """MMD²_u in milli-kernel units → plain value, from the exact
+    integer sums (identical arithmetic on both oracle paths)."""
+    s_xx, n_xx, s_yy, n_yy, s_xy, n_xy = sums
+    return (
+        s_xx / n_xx / _KSCALE
+        + s_yy / n_yy / _KSCALE
+        - 2.0 * s_xy / n_xy / _KSCALE
+    )
+
+
+def mmd_oracle_pair_sql(emb_sql: str, ga: str, gb: str) -> str:
+    """DuckDB: the same three integer pair sums for one group pair."""
+    u = to_units_oracle("embedding")
+    d2 = (
+        "list_reduce(list_transform(range(1, len(a.u) + 1),"
+        " i -> (a.u[i] - b.u[i]) * (a.u[i] - b.u[i])), (x, y) -> x + y)"
+    )
+    k = f"(({_KSCALE} * CAST({MMD_C} AS BIGINT)) // (CAST({MMD_C} AS BIGINT) + d2))"
+    return f"""
+WITH pts AS (
+  SELECT vec_id, label AS g, {u} AS u FROM ({emb_sql})
+),
+xx AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS s, COUNT(*)::BIGINT AS n FROM (
+    SELECT {k} AS k FROM (
+      SELECT {d2} AS d2 FROM pts a JOIN pts b
+      ON a.g = {ga} AND b.g = {ga} AND a.vec_id < b.vec_id))
+),
+yy AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS s, COUNT(*)::BIGINT AS n FROM (
+    SELECT {k} AS k FROM (
+      SELECT {d2} AS d2 FROM pts a JOIN pts b
+      ON a.g = {gb} AND b.g = {gb} AND a.vec_id < b.vec_id))
+),
+xy AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS s, COUNT(*)::BIGINT AS n FROM (
+    SELECT {k} AS k FROM (
+      SELECT {d2} AS d2 FROM pts a JOIN pts b
+      ON a.g = {ga} AND b.g = {gb}))
+)
+SELECT xx.s AS s_xx, xx.n AS n_xx, yy.s AS s_yy, yy.n AS n_yy,
+       xy.s AS s_xy, xy.n AS n_xy
+FROM xx, yy, xy
+"""

@@ -1,0 +1,134 @@
+"""Top principal component of the embedding cloud by power iteration
+over an exactly-computed integer scatter matrix (von Mises &
+Pollaczek-Geiringer 1929; standard distributed-PCA shape: d×d scatter
+by map-side outer products, e.g. Zadeh et al., "Matrix computations
+and optimization in Apache Spark", KDD 2016).
+
+The leading PC of an embedding corpus is the curation workhorse for
+anisotropy diagnosis (is the cloud collapsing to a line?) and for
+whitening decisions; d is small (64) while n is the corpus, so the
+right distribution is: one pass computing the d×d scatter matrix as
+map-side-combined integer sums, then an O(d²)-per-round power
+iteration on the driver.
+
+Exactness: vectors are micro-unit ints (operators/kmeans.py), the
+per-dimension mean is a sign-exact floor division, centered outer
+products are int64, and the driver iteration is pure-Python integer
+arithmetic (multiply, add, floor-div normalization) — the oracle
+re-derives the scatter from the same parquet single-process and
+replays the identical iteration, matching bit-for-bit.
+
+int64 headroom: |centered| ≤ 2·UNIT ≈ 2²¹, so a scatter cell grows
+as n·2⁴² — safe to n ≈ 2²¹ rows per partial; beyond that, aggregate
+in decimal(38,0) (the HITS normalizer protocol) or rescale UNIT.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.kmeans import UNIT, to_units
+
+PCA_SCALE = 10**9
+PCA_ITERS = 30
+
+
+def scatter_matrix(
+    emb: DataFrame, dims: int, vec_col: str = "embedding"
+) -> tuple[list[int], list[list[int]], int]:
+    """→ (means, M, n): per-dim floor means, the centered integer
+    scatter matrix, and the row count — the only distributed work."""
+    units = emb.select(to_units(F.col(vec_col)).alias("u")).persist()
+    sums_row = units.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("u", d + 1)).alias(f"s{d}")
+            for d in range(dims)
+        ],
+    ).collect()[0]
+    n = int(sums_row["n"])
+    means = [int(sums_row[f"s{d}"]) // n for d in range(dims)]
+    c = F.transform(
+        F.col("u"),
+        lambda x, i: x
+        - F.element_at(F.array(*[F.lit(m) for m in means]), i + 1),
+    )
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dims - 1)),
+                    lambda j: F.struct(
+                        i.alias("d1"),
+                        j.alias("d2"),
+                        (
+                            F.element_at(F.col("_c"), i + 1)
+                            * F.element_at(F.col("_c"), j + 1)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+    )
+    cells = (
+        units.withColumn("_c", c)
+        .select(pairs.alias("e"))
+        .select("e.d1", "e.d2", "e.p")
+        .groupBy("d1", "d2")
+        .agg(F.sum("p").alias("s"))
+        .collect()
+    )
+    units.unpersist()
+    m = [[0] * dims for _ in range(dims)]
+    for r in cells:
+        m[r["d1"]][r["d2"]] = int(r["s"])
+        m[r["d2"]][r["d1"]] = int(r["s"])
+    return means, m, n
+
+
+def power_iteration(
+    m: list[list[int]], iters: int = PCA_ITERS, scale: int = PCA_SCALE
+) -> tuple[list[int], int]:
+    """Integer power iteration: v ← floor(M·v·scale / max|M·v|);
+    → (v_fp, lambda_fp) with λ the Rayleigh quotient in scale units.
+    Pure-Python arbitrary-precision — replayed identically by the
+    oracle builder."""
+    dims = len(m)
+    v = [scale] * dims
+    for _ in range(iters):
+        w = [sum(m[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        mx = max(abs(x) for x in w) or 1
+        v = [x * scale // mx for x in w]
+    num = sum(
+        v[i] * m[i][j] * v[j] for i in range(dims) for j in range(dims)
+    )
+    den = sum(x * x for x in v)
+    lam = num // den
+    return v, lam
+
+
+def scatter_replay(
+    vectors: list[list[float]], dims: int
+) -> tuple[list[int], list[list[int]], int]:
+    """Single-process scatter from raw floats — the oracle's
+    independent derivation (same floor quantization)."""
+    units = [
+        [int(math.floor(float(x) * UNIT)) for x in vec] for vec in vectors
+    ]
+    n = len(units)
+    means = [sum(u[d] for u in units) // n for d in range(dims)]
+    c = [[u[d] - means[d] for d in range(dims)] for u in units]
+    m = [[0] * dims for _ in range(dims)]
+    for row in c:
+        for i in range(dims):
+            ri = row[i]
+            for j in range(i, dims):
+                m[i][j] += ri * row[j]
+    for i in range(dims):
+        for j in range(i + 1, dims):
+            m[j][i] = m[i][j]
+    return means, m, n

@@ -639,3 +639,171 @@ FROM k GROUP BY source
 
 
 ORACLES["dedup_adjusted_mixture"] = _dam_oracle
+
+
+# --- JL projection distortion audit + MMD two-sample drift -------------------
+
+from dqspark.operators.jlproj import (
+    JL_K,
+    JL_PAIR_MOD,
+    jl_distortion_pairs,
+    jl_distortion_replay,
+)
+
+_EMB_DIMS = 64
+
+
+@register("jl_distortion")
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, d2_orig, d2_proj, ratio_milli) — Johnson-
+    Lindenstrauss ±1 projection 64→16 dims with the realized pair-
+    distance distortion on the vec_id % 25 sample; exact integer dot
+    products, replay oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_distortion_pairs(emb, _EMB_DIMS, JL_K)
+
+
+def _jl_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    vecs = {
+        int(i): list(v)
+        for i, v in con.sql(
+            f"SELECT vec_id, embedding FROM embeddings"
+            f" WHERE vec_id % {JL_PAIR_MOD} = 0"
+        ).fetchall()
+    }
+    rows = jl_distortion_replay(vecs, _EMB_DIMS, JL_K)
+    vt = values_table(
+        rows, ["id_a", "id_b", "d2_orig", "d2_proj", "ratio_milli"]
+    )
+    return (
+        "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,"
+        " d2_orig::BIGINT AS d2_orig, d2_proj::BIGINT AS d2_proj,"
+        f" ratio_milli::BIGINT AS ratio_milli FROM {vt}"
+    )
+
+
+ORACLES["jl_distortion"] = _jl_oracle
+
+
+from dqspark.operators.mmd import (
+    mmd2_between,
+    mmd2_value,
+    mmd_oracle_pair_sql,
+)
+
+_MMD_SCHEMA = (
+    "cmp string, s_xx long, n_xx long, s_yy long, n_yy long,"
+    " s_xy long, n_xy long, mmd2 double"
+)
+
+
+def _mmd_comparisons(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    l0_split = emb.where(F.col("label") == 0).withColumn(
+        "grp", (F.col("vec_id") % 2).cast("int")
+    )
+    return [
+        ("l0_even_vs_l0_odd", mmd2_between(l0_split, 0, 1, label_col="grp")),
+        ("l0_vs_l1", mmd2_between(emb, 0, 1)),
+        ("l0_vs_l2", mmd2_between(emb, 0, 2)),
+    ]
+
+
+@register("embedding_mmd")
+def q_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cmp, s_xx, n_xx, s_yy, n_yy, s_xy, n_xy, mmd2) — unbiased
+    MMD² between embedding groups under the rational inverse-
+    multiquadric kernel (integer pair sums, zero transcendentals):
+    the null comparison (label-0 even vs odd ids) calibrates ≈0,
+    cross-label rows measure real separation."""
+    rows = [
+        (cmp, *sums, round(mmd2_value(sums), 6))
+        for cmp, sums in _mmd_comparisons(spark, sf_dir)
+    ]
+    return spark.createDataFrame(rows, _MMD_SCHEMA)
+
+
+def _mmd_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    split_sql = (
+        "SELECT vec_id, embedding, vec_id % 2 AS label"
+        " FROM (SELECT * FROM embeddings WHERE label = 0)"
+    )
+    full_sql = "SELECT vec_id, embedding, label FROM embeddings"
+    rows = []
+    for cmp, sql, ga, gb in [
+        ("l0_even_vs_l0_odd", split_sql, "0", "1"),
+        ("l0_vs_l1", full_sql, "0", "1"),
+        ("l0_vs_l2", full_sql, "0", "2"),
+    ]:
+        sums = tuple(
+            int(x)
+            for x in con.sql(mmd_oracle_pair_sql(sql, ga, gb)).fetchone()
+        )
+        rows.append((cmp, *sums, round(mmd2_value(sums), 6)))
+    vt = values_table(
+        rows,
+        ["cmp", "s_xx", "n_xx", "s_yy", "n_yy", "s_xy", "n_xy", "mmd2"],
+    )
+    return (
+        "SELECT cmp, s_xx::BIGINT AS s_xx, n_xx::BIGINT AS n_xx,"
+        " s_yy::BIGINT AS s_yy, n_yy::BIGINT AS n_yy,"
+        " s_xy::BIGINT AS s_xy, n_xy::BIGINT AS n_xy, mmd2"
+        f" FROM {vt}"
+    )
+
+
+ORACLES["embedding_mmd"] = _mmd_oracle
+
+
+# --- top principal component by integer power iteration ----------------------
+
+from dqspark.operators.pca import (
+    power_iteration,
+    scatter_matrix,
+    scatter_replay,
+)
+
+_PC_SCHEMA = "dim int, mean_micro long, v_fp long, lambda_fp long"
+
+
+@register("embedding_top_pc")
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, mean_micro, v_fp, lambda_fp) — leading principal
+    component of the embedding cloud: one distributed pass builds the
+    exact integer scatter matrix (map-side-combined outer products),
+    30 driver-side integer power-iteration rounds extract the
+    eigenvector; bit-identical to the single-process replay oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    means, m, _ = scatter_matrix(emb, 64)
+    v, lam = power_iteration(m)
+    rows = [(d, means[d], v[d], lam) for d in range(64)]
+    return spark.createDataFrame(rows, _PC_SCHEMA)
+
+
+def _pca_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    vecs = [
+        list(v)
+        for (v,) in con.sql(
+            "SELECT embedding FROM embeddings ORDER BY vec_id"
+        ).fetchall()
+    ]
+    means, m, _ = scatter_replay(vecs, 64)
+    v, lam = power_iteration(m)
+    rows = [(d, means[d], v[d], lam) for d in range(64)]
+    vt = values_table(rows, ["dim", "mean_micro", "v_fp", "lambda_fp"])
+    return (
+        "SELECT dim::INTEGER AS dim, mean_micro::BIGINT AS mean_micro,"
+        f" v_fp::BIGINT AS v_fp, lambda_fp::BIGINT AS lambda_fp FROM {vt}"
+    )
+
+
+ORACLES["embedding_top_pc"] = _pca_oracle

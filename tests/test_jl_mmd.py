@@ -1,0 +1,83 @@
+"""JL distortion: replay parity + the JL bound holds on the fixture;
+MMD: null comparison near zero, separated groups clearly positive,
+Spark integer sums equal the DuckDB pair sums."""
+
+from __future__ import annotations
+
+import duckdb
+
+from dqspark.operators.jlproj import (
+    jl_distortion_pairs,
+    jl_distortion_replay,
+    jl_signs,
+)
+from dqspark.operators.mmd import (
+    mmd2_between,
+    mmd2_value,
+    mmd_oracle_pair_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jl_signs_balanced():
+    signs = jl_signs(16, 64)
+    flat = [s for row in signs for s in row]
+    assert set(flat) == {-1, 1}
+    # hash parity should be roughly balanced
+    assert 0.4 < flat.count(1) / len(flat) < 0.6
+
+
+def test_jl_matches_replay_and_bound(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in jl_distortion_pairs(emb, 64, 16, pair_mod=10).collect()
+    )
+    vecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.where("vec_id % 10 = 0").collect()
+    }
+    want = sorted(jl_distortion_replay(vecs, 64, 16))
+    assert got == want
+    ratios = [r[4] / 1000.0 for r in got]
+    # k=16: loose JL regime — mean distortion near 1, spread bounded
+    assert 0.7 < sum(ratios) / len(ratios) < 1.3
+    assert all(0.2 < r < 2.5 for r in ratios)
+
+
+def test_mmd_separates_shifted_groups(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i * 2, 0, base))  # group 0
+        rows.append((i * 2 + 1, 1, [x + 2.0 for x in base]))  # shifted
+        rows.append((1000 + i, 2, [rng.uniform(-1, 1) for _ in range(8)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    shifted = mmd2_value(mmd2_between(df, 0, 1))
+    null = mmd2_value(mmd2_between(df, 0, 2))
+    assert shifted > 5 * max(null, 1e-6)
+    assert abs(null) < 0.05
+
+
+def test_mmd_sums_match_duckdb(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = mmd2_between(emb, 0, 1)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = tuple(
+        int(x)
+        for x in con.sql(
+            mmd_oracle_pair_sql(
+                "SELECT vec_id, embedding, label FROM embeddings", "0", "1"
+            )
+        ).fetchone()
+    )
+    assert got == want

@@ -1,0 +1,52 @@
+"""Integer power-iteration PCA: the distributed scatter must equal
+the single-process replay exactly, and the extracted direction must
+align with a planted dominant axis."""
+
+from __future__ import annotations
+
+from dqspark.operators.pca import (
+    power_iteration,
+    scatter_matrix,
+    scatter_replay,
+)
+
+
+def _cloud():
+    # dominant variance along axis 0 with a slight tilt into axis 1;
+    # tiny noise elsewhere — deterministic, no RNG
+    rows = []
+    for i in range(60):
+        t = (i - 30) / 10.0
+        rows.append(
+            [t, 0.3 * t, ((i * 7) % 5 - 2) / 50.0, ((i * 11) % 3 - 1) / 50.0]
+        )
+    return rows
+
+
+def test_scatter_matches_replay(spark):
+    vecs = _cloud()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    means_d, m_d, n_d = scatter_matrix(df, 4)
+    means_r, m_r, n_r = scatter_replay(vecs, 4)
+    assert n_d == n_r == 60
+    assert means_d == means_r
+    assert m_d == m_r
+
+
+def test_power_iteration_finds_planted_axis():
+    _, m, _ = scatter_replay(_cloud(), 4)
+    v, lam = power_iteration(m)
+    assert lam > 0
+    # direction ~ (1, 0.3, ~0, ~0): component 0 dominates, the ratio
+    # v1/v0 approximates the planted tilt
+    assert abs(v[0]) == max(abs(x) for x in v)
+    assert abs(v[1] / v[0] - 0.3) < 0.02
+    assert abs(v[2] / v[0]) < 0.05 and abs(v[3] / v[0]) < 0.05
+
+
+def test_power_iteration_deterministic():
+    _, m, _ = scatter_replay(_cloud(), 4)
+    assert power_iteration(m) == power_iteration(m)

@@ -1,0 +1,80 @@
+"""Plan-quality assertions for the fourth/fifth-wave operators:
+the shapes the 100-TB design claims must be visible in the physical
+plan, not just asserted in docstrings.
+
+- watermark_scores: pure map — zero exchanges, whole-stage codegen.
+- nfc_audit: one ArrowEvalPython stage, zero exchanges.
+- km_curve: per-user rollup is the ONLY full-data hash exchange; the
+  window/horizon stages run on the bounded per-duration table.
+- record linkage: exchanges only on the block key (hash), never a
+  global sort of the record table.
+- dp_release_counts: one hash exchange (the groupBy), noise is
+  expression-only on the aggregated rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.dprelease import dp_release_counts
+from dqspark.operators.kaplanmeier import km_curve
+from dqspark.operators.recordlinkage import link_records
+from dqspark.operators.unicodenorm import nfc_audit
+from dqspark.operators.watermark import watermark_scores
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_watermark_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    plan = _plan(watermark_scores(df))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen stages print as "*(n)" in executedPlan().toString(); the
+    # higher-order aggregate fold itself is interpreted (expected), but
+    # the surrounding projections stay inside codegen
+    assert "*(" in plan
+
+
+def test_nfc_plan_is_one_arrow_stage_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "cafe")], "doc_id long, text string")
+    plan = _plan(nfc_audit(df))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # never the row-at-a-time path
+
+
+def test_km_plan_single_full_data_exchange(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i % 7, dt.datetime(2024, 1, 1 + i % 20)) for i in range(100)],
+        "user_id long, ts timestamp",
+    )
+    plan = _plan(km_curve(df))
+    # the per-user groupBy is the only hashpartitioning over event rows;
+    # everything after runs on the per-duration rollup (SinglePartition
+    # windows over a bounded table are the design, not a smell here)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_linkage_plan_shuffles_on_block_only(spark):
+    recs = spark.createDataFrame(
+        [(i, i % 3, f"name{i:06d}", float(i), "SEG") for i in range(60)],
+        "rid long, block long, norm_name string, acctbal double, segment string",
+    )
+    plan = _plan(link_records(recs))
+    assert "Exchange hashpartitioning" in plan
+    # no global (range-partitioned) sort of the record table
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_dp_plan_one_exchange_noise_post_agg(spark):
+    df = spark.createDataFrame([(f"s{i % 5}",) for i in range(50)], "k string")
+    plan = _plan(dp_release_counts(df, "k"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
