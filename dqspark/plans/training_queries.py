@@ -575,3 +575,152 @@ FROM s GROUP BY 1
 
 
 ORACLES["isotonic_calibration"] = _isotonic_oracle
+
+
+# ---------------------------------------------------------------------------
+# Brier-score decomposition of the fitted quality classifier
+# (Murphy, "A new vector partition of the probability score", JAM 1973)
+# ---------------------------------------------------------------------------
+#
+# BS = REL − RES + UNC over the decile bins: reliability (bin mean
+# score vs observed rate), resolution (bin rate vs base rate),
+# uncertainty (base-rate variance) — the diagnosis behind the
+# reliability diagram: a filter can be well-calibrated (low REL) yet
+# useless (low RES).  decomp_gap = BS − (REL − RES + UNC) is the
+# within-bin-variance residual of using bin means; reported, not
+# hidden.
+#
+# Exactness: scores are micro-ints, labels 0/1, so BS's Σ(p−o)² is
+# one exact int64 sum; per-bin terms n_b(p̄_b−ō_b)² are quantized to
+# pico-units per bin (≤10 bins, identical doubles both engines)
+# before the final integer sum — no order-dependent float
+# accumulation anywhere.
+
+
+def _brier_decomposition_oracle() -> str:
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    p = fast_sigmoid_sql(margin_sql(weights, feats))
+    sf = oracle_sf_dir()
+    return f"""
+WITH s AS (
+  SELECT round({p}, 6)::DOUBLE AS score,
+         round({p} * 1000000)::BIGINT AS pu,
+         {y}::INT AS label
+  FROM '{sf}/documents.parquet'
+),
+base AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         CAST(SUM(label) AS BIGINT) AS pos,
+         CAST(SUM((pu - label * 1000000) * (pu - label * 1000000))
+              AS BIGINT) AS sse
+  FROM s
+),
+bins AS (
+  SELECT least(floor(score * 10)::INT, 9) AS bin,
+         COUNT(*)::BIGINT AS nb,
+         CAST(SUM(pu) AS BIGINT) AS sp,
+         CAST(SUM(label) AS BIGINT) AS sl
+  FROM s GROUP BY 1
+),
+terms AS (
+  SELECT
+    CAST(round(b.nb * (CAST(b.sp AS DOUBLE) / b.nb / 1000000
+                       - CAST(b.sl AS DOUBLE) / b.nb)
+                     * (CAST(b.sp AS DOUBLE) / b.nb / 1000000
+                       - CAST(b.sl AS DOUBLE) / b.nb) * 1000000000000)
+         AS BIGINT) AS rel_pico,
+    CAST(round(b.nb * (CAST(b.sl AS DOUBLE) / b.nb
+                       - CAST(t.pos AS DOUBLE) / t.n)
+                     * (CAST(b.sl AS DOUBLE) / b.nb
+                       - CAST(t.pos AS DOUBLE) / t.n) * 1000000000000)
+         AS BIGINT) AS res_pico
+  FROM bins b CROSS JOIN base t
+)
+SELECT t.n,
+       round(CAST(t.sse AS DOUBLE) / t.n / 1000000000000.0, 6) AS bs,
+       round(CAST(SUM(m.rel_pico) AS DOUBLE) / t.n / 1000000000000.0, 6)
+         AS reliability,
+       round(CAST(SUM(m.res_pico) AS DOUBLE) / t.n / 1000000000000.0, 6)
+         AS resolution,
+       round(CAST(t.pos AS DOUBLE) / t.n
+             * (1.0 - CAST(t.pos AS DOUBLE) / t.n), 6) AS uncertainty
+FROM terms m CROSS JOIN base t
+GROUP BY t.n, t.sse, t.pos
+"""
+
+
+@register("brier_decomposition", _brier_decomposition_oracle)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, bs, reliability, resolution, uncertainty) — Murphy
+    decomposition of the fitted quality classifier's Brier score over
+    decile bins; every aggregation is an exact integer sum (micro
+    scores, pico bin terms)."""
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    feats = _feature_frame(spark, sf_dir)
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    score = F.round(_fast_sigmoid_col(_margin_col(w, _FEATURE_COLS)), 6)
+    s = feats.select(
+        score.alias("score"),
+        F.round(score * 1000000).cast("long").alias("pu"),
+        F.col("y").cast("int").alias("label"),
+    ).persist()
+    base = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+        F.sum(
+            (F.col("pu") - F.col("label") * 1000000)
+            * (F.col("pu") - F.col("label") * 1000000)
+        )
+        .cast("long")
+        .alias("sse"),
+    )
+    bins = s.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("pu").cast("long").alias("sp"),
+        F.sum("label").cast("long").alias("sl"),
+    )
+    pbar = F.col("sp").cast("double") / F.col("nb") / 1000000
+    obar = F.col("sl").cast("double") / F.col("nb")
+    obase = F.col("pos").cast("double") / F.col("n")
+    terms = bins.crossJoin(F.broadcast(base)).select(
+        F.round(
+            F.col("nb") * (pbar - obar) * (pbar - obar) * F.lit(10.0**12)
+        )
+        .cast("long")
+        .alias("rel_pico"),
+        F.round(
+            F.col("nb") * (obar - obase) * (obar - obase) * F.lit(10.0**12)
+        )
+        .cast("long")
+        .alias("res_pico"),
+    )
+    out = (
+        terms.crossJoin(F.broadcast(base))
+        .groupBy("n", "sse", "pos")
+        .agg(
+            F.sum("rel_pico").alias("srel"),
+            F.sum("res_pico").alias("sres"),
+        )
+        .select(
+            "n",
+            F.round(
+                F.col("sse").cast("double") / F.col("n") / F.lit(10.0**12), 6
+            ).alias("bs"),
+            F.round(
+                F.col("srel").cast("double") / F.col("n") / F.lit(10.0**12), 6
+            ).alias("reliability"),
+            F.round(
+                F.col("sres").cast("double") / F.col("n") / F.lit(10.0**12), 6
+            ).alias("resolution"),
+            F.round(obase * (1.0 - obase), 6).alias("uncertainty"),
+        )
+    )
+    s.unpersist()
+    return out

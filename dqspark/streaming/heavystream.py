@@ -1,0 +1,140 @@
+"""Streaming Misra-Gries heavy hitters via ``applyInPandasWithState``
+(Misra & Gries, "Finding repeated elements", Sci. Comput. Program.
+1982; the mergeable-summaries view per Agarwal et al., PODS 2012).
+
+The batch operator (operators/heavy.py) scans partitions with bounded
+MG state; the streaming form keeps the SAME bounded summary alive
+across micro-batches: tokens are hash-sharded (each token's whole
+substream lands on one shard), each shard folds its arrivals into a
+per-shard MG dict carried in group state, and every micro-batch emits
+the shard's current summary in ``update`` mode.
+
+Guarantee carried over: per shard, est(t) lower-bounds the true count
+with deficit < N_shard/(capacity+1).  An MG summary is order-
+DEPENDENT (which counters survive a decrement depends on arrival
+order), so stream and batch summaries need not be identical — what
+must agree is the certified top-k after an exact recount of the
+candidate union, which is exactly what the parity test asserts
+(the same is_exact certificate as heavy_tokens' audit).
+
+State design: one dict of ≤ capacity counters per shard — O(shards ×
+capacity) total state, independent of stream length; shards are the
+parallelism dial exactly like the batch packing/BPE shards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dqspark.operators.dedup import md5_long
+from dqspark.operators.heavy import MG_CAPACITY, _tokens
+
+HH_SHARDS = 8
+HH_OUT_SCHEMA = "shard int, token string, est long, n_shard long"
+HH_STATE_SCHEMA = "tokens array<string>, counts array<long>, n long"
+
+
+def _hh_update_fn(capacity: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            toks, cnts, n = state.get
+            summ = dict(zip(list(toks), [int(c) for c in cnts]))
+            n = int(n)
+        else:
+            summ, n = {}, 0
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                n += 1
+                if tok in summ:
+                    summ[tok] += 1
+                elif len(summ) < capacity:
+                    summ[tok] = 1
+                else:
+                    dead = []
+                    for k2 in summ:
+                        summ[k2] -= 1
+                        if summ[k2] == 0:
+                            dead.append(k2)
+                    for k2 in dead:
+                        del summ[k2]
+        state.update((list(summ.keys()), list(summ.values()), n))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summ),
+                "token": list(summ.keys()),
+                "est": list(summ.values()),
+                "n_shard": [n] * len(summ),
+            }
+        )
+
+    return update
+
+
+def stream_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    capacity: int = MG_CAPACITY,
+    shards: int = HH_SHARDS,
+    time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming (shard, token, est, n_shard) — bounded MG summaries
+    carried across micro-batches.  Without ``time_col`` the state uses
+    no timeout (bounded by shards × capacity regardless)."""
+    toks = docs.select(
+        F.explode(_tokens(text_col)).alias("token"),
+        *( [F.col(time_col)] if time_col else [] ),
+    ).withColumn("shard", (md5_long(F.col("token")) % shards).cast("int"))
+    grouped = toks
+    timeout = GroupStateTimeout.NoTimeout
+    if time_col:
+        grouped = toks.withWatermark(time_col, watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return grouped.groupBy("shard").applyInPandasWithState(
+        _hh_update_fn(capacity),
+        HH_OUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        timeout,
+    )
+
+
+def run_heavy_stream(
+    spark: Any,
+    input_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    capacity: int = MG_CAPACITY,
+    shards: int = HH_SHARDS,
+    max_files_per_trigger: int = 1,
+):
+    """availableNow file stream → sharded MG state → memory sink.
+    Returns (query, table); the current summary per shard is the row
+    set with that shard's maximal n_shard."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    out = stream_heavy_hitters(stream, capacity=capacity, shards=shards)
+    name = "heavy_hitters_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, name

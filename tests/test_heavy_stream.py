@@ -1,0 +1,82 @@
+"""Streaming MG heavy hitters: multi-micro-batch state carry, the MG
+deficit bound, and certified-top-k agreement with the batch operator
+after exact recount of the streaming candidates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqspark.operators.heavy import _tokens, heavy_tokens
+from dqspark.streaming.heavystream import run_heavy_stream
+
+
+def _corpus(spark):
+    # skewed vocabulary: 'alpha' dominates, then 'beta', then a tail
+    rows = []
+    for i in range(300):
+        toks = ["alpha"] * 5 + ["beta"] * 3 + [f"tail{i % 40}"]
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stream_mg_certified_topk_matches_batch(spark, tmp_path):
+    docs = _corpus(spark)
+    src = str(tmp_path / "src")
+    # several files ⇒ several micro-batches at maxFilesPerTrigger=1:
+    # the state genuinely carries across batches
+    docs.repartition(3).write.parquet(src)
+
+    q, table = run_heavy_stream(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        "doc_id long, text string",
+        capacity=16,
+        shards=4,
+    )
+    q.awaitTermination(180)
+    summ = spark.sql(
+        f"""SELECT shard, token, est, n_shard FROM {table} t
+        WHERE n_shard = (SELECT max(n_shard) FROM {table} WHERE shard = t.shard)"""
+    )
+    rows = summ.collect()
+    assert rows, "stream emitted no summaries"
+    n_total = spark.read.parquet(src).select(
+        F.explode(_tokens("text")).alias("t")
+    ).count()
+    shard_n = {r["shard"]: r["n_shard"] for r in rows}
+    assert sum(shard_n.values()) == n_total  # every token counted once
+
+    # MG deficit bound per shard: est <= true count, true - est < n/(cap+1)
+    truth = {
+        r["token"]: r["cnt"]
+        for r in spark.read.parquet(src)
+        .select(F.explode(_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r["est"] <= truth[r["token"]]
+        assert truth[r["token"]] - r["est"] < shard_n[r["shard"]] / 17
+
+    # certified top-k parity: exact recount of streaming candidates
+    # must reproduce the batch operator's certified top-k (k=2: only
+    # alpha/beta clear the N/(cap+1) certificate at capacity 16)
+    cands = summ.select("token").distinct()
+    exact = (
+        spark.read.parquet(src)
+        .select(F.explode(_tokens("text")).alias("token"))
+        .join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+        .orderBy(F.col("term_freq").desc(), F.col("token"))
+        .limit(2)
+    )
+    top_b, audit = heavy_tokens(
+        spark.read.parquet(src), capacity=16, k=2
+    )
+    assert audit.collect()[0]["is_exact"]
+    got = [(r["token"], r["term_freq"]) for r in exact.collect()]
+    want = [(r["token"], r["term_freq"]) for r in top_b.collect()]
+    assert got == want
