@@ -1,0 +1,121 @@
+"""Kruskal-Wallis rank test across source groups (Kruskal & Wallis,
+"Use of ranks in one-criterion variance analysis", JASA 1952).
+
+The drift family tests categorical mixtures (chi-square/PSI) and
+paired rankings (Spearman/Kendall); Kruskal-Wallis answers the
+k-sample LOCATION question — do document-length distributions differ
+across sources at all? — distribution-free, so heavy-tailed length
+distributions (Hill-index territory) don't invalidate it.
+
+Construction reuses the tie-exact double-rank histogram of
+operators/ranksim.py: R2(v) = 2·cnt_less(v) + cnt_eq(v) + 1 is an
+INTEGER encoding of twice the average rank, derived from one value-
+histogram prefix sum — never a global row sort.  Per-group rank sums
+S2_g = Σ R2 and the tie term ΣT = Σ(t³−t) are exact integers; the
+driver folds them through the textbook formula
+
+    H  = 12/(N(N+1)) · Σ (S2_g/2)²/n_g − 3(N+1)
+    H' = H / (1 − ΣT/(N³−N))          p = Q(df/2, H'/2)
+
+with the SAME Python (incl. the igamc p-value, operators/fdr.py) on
+both oracle paths — the differential verifies the distributed rank
+derivation, the formula rides the model-replication protocol.
+
+Scale: one map-side-combined histogram, one O(distinct) window, one
+join-back, one k-row collect.  Integer headroom: S2_g ≤ 2N·n_g fits
+int64 to N ≈ 2³¹; squaring happens in driver Python (arbitrary
+precision), not in the engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.fdr import chi2_pvalue
+
+
+def kw_group_stats(
+    df: DataFrame, group_col: str, value_col: str
+) -> tuple[list[tuple[str, int, int]], int]:
+    """→ ([(group, n_g, S2_g)], tie_term) from one distributed
+    derivation: double-ranks per distinct value, joined back."""
+    hist = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w_ord = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranks = hist.select(
+        "_v",
+        (
+            2 * (F.sum("_c").over(w_ord) - F.col("_c")) + F.col("_c") + 1
+        ).alias("_r2"),
+        "_c",
+    )
+    joined = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).join(ranks.select("_v", "_r2"), "_v")
+    rows = (
+        joined.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("_r2").cast("long").alias("s2_g"),
+        )
+        .collect()
+    )
+    ties = ranks.agg(
+        F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c"))
+        .cast("long")
+        .alias("t")
+    ).collect()[0]["t"]
+    return (
+        sorted((str(r["_g"]), int(r["n_g"]), int(r["s2_g"])) for r in rows),
+        int(ties),
+    )
+
+
+def kw_statistic(
+    stats: list[tuple[str, int, int]], tie_term: int
+) -> tuple[int, int, float, float, float]:
+    """(n, k, h, h_tc, p_value) from the exact integer stats —
+    identical Python on both oracle paths."""
+    n = sum(n_g for _, n_g, _ in stats)
+    k = len(stats)
+    # Σ R_g²/n_g with R_g = S2_g/2 — exact rational via integers:
+    # (1/4)·Σ S2_g²/n_g; do the division in float at the end
+    s = sum((s2 * s2) / (4.0 * n_g) for _, n_g, s2 in stats)
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    denom = 1.0 - tie_term / float(n**3 - n) if n > 1 else 1.0
+    h_tc = h / denom if denom > 0 else float("nan")
+    p = chi2_pvalue(h_tc, k - 1) if k > 1 else 1.0
+    return n, k, round(h, 6), round(h_tc, 6), round(p, 6)
+
+
+def kw_oracle_stats_sql(from_sql: str, group_expr: str, value_expr: str) -> str:
+    """DuckDB: the same (group, n_g, S2_g) rows + tie term (last row,
+    group = NULL sentinel not used — fetched separately by builder)."""
+    return f"""
+WITH src AS (SELECT {group_expr} AS g, {value_expr} AS v FROM ({from_sql})),
+hist AS (SELECT v, COUNT(*)::BIGINT AS c FROM src GROUP BY v),
+ranks AS (
+  SELECT v,
+         2 * (SUM(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c) + c + 1 AS r2
+  FROM hist
+)
+SELECT s.g, COUNT(*)::BIGINT AS n_g, CAST(SUM(r.r2) AS BIGINT) AS s2_g
+FROM src s JOIN ranks r ON s.v = r.v
+GROUP BY s.g ORDER BY s.g
+"""
+
+
+def kw_oracle_ties_sql(from_sql: str, group_expr: str, value_expr: str) -> str:
+    return f"""
+WITH src AS (SELECT {group_expr} AS g, {value_expr} AS v FROM ({from_sql})),
+hist AS (SELECT v, COUNT(*)::BIGINT AS c FROM src GROUP BY v)
+SELECT CAST(SUM(c * c * c - c) AS BIGINT) FROM hist
+"""

@@ -1,0 +1,148 @@
+"""RAKE keyword extraction (Rose, Engel, Cramer, Cowley, "Automatic
+keyword extraction from individual documents", in *Text Mining:
+Applications and Theory*, 2010).
+
+TF-IDF and PMI (operators/tfidf.py, pmi.py) score single terms;
+RAKE surfaces multi-word KEYPHRASES: candidate phrases are maximal
+runs of non-stopword tokens, each word scores deg(w)/freq(w) (degree
+counts co-occurring words within candidate phrases, frequency counts
+appearances), and a phrase scores the sum of its word scores — high
+for words that appear mostly inside longer, distinctive phrases.
+
+Exactness: phrase segmentation is a deterministic JVM string fold
+(append '|' at stopwords, ' token' otherwise — identical list_reduce
+in DuckDB), deg/freq are integer sums, the word score is the integer
+(deg·1000) div freq, and a phrase's score is an integer sum of word
+milli-scores — no floats anywhere; top-k under a total order.
+
+Scale: segmentation is a map; stats are two word-keyed map-side-
+combined aggregations plus a join back onto phrase words; top-k is
+TakeOrderedAndProject.  Stopword list is a fixed broadcast literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.dedup import normalized, normalized_oracle
+
+RAKE_TOP_K = 25
+
+# compact English function-word list (public domain; the classic RAKE
+# evaluations use the Fox 1989 list — this is its high-frequency core)
+RAKE_STOPWORDS = (
+    "a an and are as at be but by for from has have if in into is it its "
+    "of on or that the their then there these they this to was were will "
+    "with not no we you he she his her our your i am do does did so such "
+    "than too very can could would should about over under between"
+).split()
+
+
+def _phrase_fold(text_col: str) -> F.Column:
+    # map each token to its segment piece and join — a pure projection
+    # (no aggregate fold), so it stays inside whole-stage codegen
+    toks = F.filter(
+        F.split(normalized(F.col(text_col)), " "), lambda x: F.length(x) > 0
+    )
+    stop = F.array(*[F.lit(s) for s in RAKE_STOPWORDS])
+    pieces = F.transform(
+        toks,
+        lambda t: F.when(F.array_contains(stop, t), F.lit("|")).otherwise(
+            F.concat(F.lit(" "), t)
+        ),
+    )
+    return F.array_join(pieces, "")
+
+
+def rake_phrases(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(phrase, n_words) — one row per candidate-phrase OCCURRENCE."""
+    segs = df.select(
+        F.explode(F.split(_phrase_fold(text_col), r"\|")).alias("_seg")
+    )
+    return segs.select(F.trim(F.col("_seg")).alias("phrase")).where(
+        F.length("phrase") > 0
+    ).withColumn("n_words", F.size(F.split(F.col("phrase"), " ")))
+
+
+def rake_keywords(
+    df: DataFrame, text_col: str = "text", k: int = RAKE_TOP_K
+) -> DataFrame:
+    """→ top-k (phrase, n_words, n_occurrences, score_milli)."""
+    occ = rake_phrases(df, text_col).persist()
+    # word stats over OCCURRENCES: freq = appearances, deg = sum of
+    # co-occurring-phrase lengths (self included, RAKE convention)
+    stats = (
+        occ.select("n_words", F.explode(F.split("phrase", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("deg"),
+        )
+    )
+    phrases = occ.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    occ.unpersist()
+    score = (
+        phrases.select(
+            "phrase", F.explode(F.split("phrase", " ")).alias("word")
+        )
+        .join(stats, "word")
+        .groupBy("phrase")
+        .agg(F.sum(F.expr("(deg * 1000) div freq")).alias("score_milli"))
+    )
+    return (
+        phrases.join(score, "phrase")
+        .select("phrase", "n_words", "n_occurrences", "score_milli")
+        .orderBy(F.col("score_milli").desc(), F.col("phrase"))
+        .limit(k)
+    )
+
+
+def rake_oracle_sql(
+    corpus_sql: str, text_col: str = "text", k: int = RAKE_TOP_K
+) -> str:
+    norm = normalized_oracle(text_col)
+    stop = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (
+  SELECT list_filter(string_split({norm}, ' '), x -> len(x) > 0) AS tk
+  FROM corpus
+),
+seg AS (
+  SELECT unnest(string_split(array_to_string(
+           list_transform(tk, t -> CASE WHEN t IN ({stop}) THEN '|'
+                                        ELSE ' ' || t END), ''), '|')) AS s
+  FROM toks
+),
+occ AS (
+  SELECT trim(s) AS phrase,
+         len(string_split(trim(s), ' '))::INT AS n_words
+  FROM seg WHERE len(trim(s)) > 0
+),
+words AS (
+  SELECT n_words, unnest(string_split(phrase, ' ')) AS word FROM occ
+),
+stats AS (
+  SELECT word, COUNT(*)::BIGINT AS freq,
+         CAST(SUM(n_words) AS BIGINT) AS deg
+  FROM words GROUP BY word
+),
+phrases AS (
+  SELECT phrase, n_words, COUNT(*)::BIGINT AS n_occurrences
+  FROM occ GROUP BY phrase, n_words
+),
+pw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM phrases
+),
+score AS (
+  SELECT phrase, CAST(SUM((deg * 1000) // freq) AS BIGINT) AS score_milli
+  FROM pw JOIN stats USING (word) GROUP BY phrase
+)
+SELECT p.phrase, p.n_words, p.n_occurrences, s.score_milli
+FROM phrases p JOIN score s USING (phrase)
+ORDER BY s.score_milli DESC, p.phrase
+LIMIT {k}
+"""

@@ -807,3 +807,70 @@ def _pca_oracle() -> str:
 
 
 ORACLES["embedding_top_pc"] = _pca_oracle
+
+
+# --- Kruskal-Wallis k-sample length test -------------------------------------
+
+from dqspark.operators.kruskal import (
+    kw_group_stats,
+    kw_oracle_stats_sql,
+    kw_oracle_ties_sql,
+    kw_statistic,
+)
+
+_KW_SCHEMA = "n long, k_groups int, h double, h_tc double, p_value double"
+
+
+@register("kruskal_wallis")
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, k_groups, h, h_tc, p_value) — Kruskal-Wallis test of
+    document-length location across sources: tie-exact integer
+    double-ranks from a value-histogram prefix sum (never a global row
+    sort), the H formula and igamc p-value in shared driver Python."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    stats, ties = kw_group_stats(docs, "source", "n_chars")
+    n, k, h, h_tc, p = kw_statistic(stats, ties)
+    return spark.createDataFrame([(n, k, h, h_tc, p)], _KW_SCHEMA)
+
+
+def _kw_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+
+    con = _connect(oracle_sf_dir())
+    frm = "SELECT source, n_chars FROM documents"
+    stats = [
+        (str(g), int(n_g), int(s2))
+        for g, n_g, s2 in con.sql(
+            kw_oracle_stats_sql(frm, "source", "n_chars")
+        ).fetchall()
+    ]
+    ties = int(
+        con.sql(kw_oracle_ties_sql(frm, "source", "n_chars")).fetchone()[0]
+    )
+    n, k, h, h_tc, p = kw_statistic(sorted(stats), ties)
+    return (
+        f"SELECT CAST({n} AS BIGINT) AS n, CAST({k} AS INTEGER) AS k_groups,"
+        f" CAST('{h!r}' AS DOUBLE) AS h, CAST('{h_tc!r}' AS DOUBLE) AS h_tc,"
+        f" CAST('{p!r}' AS DOUBLE) AS p_value"
+    )
+
+
+ORACLES["kruskal_wallis"] = _kw_oracle
+
+
+# --- RAKE keyphrase extraction -----------------------------------------------
+
+from dqspark.operators.rake import RAKE_TOP_K, rake_keywords, rake_oracle_sql
+
+
+@register(
+    "rake_keywords",
+    rake_oracle_sql("SELECT text FROM documents"),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phrase, n_words, n_occurrences, score_milli) — top-25 RAKE
+    keyphrases of the corpus: stopword-delimited candidate phrases,
+    integer deg/freq word scores, phrase score = Σ word milli-scores;
+    no floats anywhere in the operator."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return rake_keywords(docs)

@@ -1,0 +1,59 @@
+"""Kruskal-Wallis: scipy-free closed-form check on a textbook case,
+tie handling, and distributed-vs-SQL stat parity via DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+
+from dqspark.operators.kruskal import (
+    kw_group_stats,
+    kw_oracle_stats_sql,
+    kw_oracle_ties_sql,
+    kw_statistic,
+)
+
+# three clearly shifted groups, no ties: ranks are unambiguous
+DATA = (
+    [("a", v) for v in (1, 2, 3, 4, 5)]
+    + [("b", v) for v in (11, 12, 13, 14, 15)]
+    + [("c", v) for v in (21, 22, 23, 24, 25)]
+)
+
+
+def test_kw_shifted_groups_significant(spark):
+    df = spark.createDataFrame(DATA, "g string, v long")
+    stats, ties = kw_group_stats(df, "g", "v")
+    n, k, h, h_tc, p = kw_statistic(stats, ties)
+    assert (n, k) == (15, 3) and ties == 0
+    # perfect separation of 3 groups of 5: H = 12/(15·16)·Σ R̄²... the
+    # textbook maximum for this layout is 12.5
+    assert abs(h - 12.5) < 1e-9 and h_tc == h
+    assert p < 0.01
+
+
+def test_kw_identical_groups_null(spark):
+    rows = [(g, v) for g in ("a", "b", "c") for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    stats, ties = kw_group_stats(df, "g", "v")
+    n, k, h, h_tc, p = kw_statistic(stats, ties)
+    assert ties > 0  # every value appears 3x
+    assert abs(h_tc) < 1e-6 and p > 0.99
+
+
+def test_kw_spark_stats_match_duckdb(spark):
+    df = spark.createDataFrame(DATA + [("a", 11), ("b", 11)], "g string, v long")
+    got_stats, got_ties = kw_group_stats(df, "g", "v")
+    con = duckdb.connect()
+    union = " UNION ALL ".join(
+        f"SELECT '{g}' AS g, {v} AS v" for g, v in DATA + [("a", 11), ("b", 11)]
+    )
+    want_stats = sorted(
+        (str(g), int(n), int(s))
+        for g, n, s in con.sql(
+            kw_oracle_stats_sql(union, "g", "v")
+        ).fetchall()
+    )
+    want_ties = int(
+        con.sql(kw_oracle_ties_sql(union, "g", "v")).fetchone()[0]
+    )
+    assert got_stats == want_stats and got_ties == want_ties

@@ -1,0 +1,30 @@
+"""RAKE: the textbook property — words living in long distinctive
+phrases outrank frequent isolated words — plus segmentation edges."""
+
+from __future__ import annotations
+
+from dqspark.operators.rake import rake_keywords, rake_phrases
+
+
+def test_rake_segmentation(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"), (2, "of the")],
+        "doc_id long, text string",
+    )
+    occ = {
+        (r["phrase"], r["n_words"]) for r in rake_phrases(df).collect()
+    }
+    # stopwords the/and/of delimit; doc 2 is all stopwords -> no phrase
+    assert occ == {("quick brown fox", 3), ("lazy dog", 2)}
+
+
+def test_rake_prefers_multiword_phrases(spark):
+    rows = [(i, "deep learning compiler optimizes the code fast") for i in range(5)]
+    rows += [(100 + i, "code") for i in range(10)]  # frequent lone word
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = rake_keywords(df, k=5).collect()
+    best = top[0]
+    assert best["phrase"] == "deep learning compiler optimizes"
+    scores = {r["phrase"]: r["score_milli"] for r in top}
+    # the isolated frequent word scores low (deg/freq ~ its own length)
+    assert scores[best["phrase"]] > scores.get("code", 0) * 2
