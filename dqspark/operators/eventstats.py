@@ -1,0 +1,201 @@
+"""Event-rate dispersion and forecast backtesting over the zero-filled
+hourly series (shared front end: operators/acf.py rate_series).
+
+- ``burstiness``: index of dispersion (Fano factor, variance/mean of
+  hourly counts — 1 under Poisson arrivals) and the bounded
+  burstiness coefficient B = (σ−μ)/(σ+μ) of Goh & Barabási (EPL
+  2008): B→−1 periodic, 0 Poisson, →1 bursty.  A Poisson-looking
+  event stream needs no rate-anomaly machinery; a bursty one defeats
+  naive thresholds — this one row per key says which regime you're in.
+
+- ``forecast_backtest``: walk-forward one-step evaluation of the three
+  zero-parameter baselines every anomaly detector must beat — naive
+  (last hour), seasonal-naive (24 h ago), 3-hour moving average —
+  reported as MAE plus MASE (Hyndman & Koehler, IJF 2006: MAE scaled
+  by the naive MAE, the standard scale-free comparison).
+
+Exactness: counts are integers on a shared spine; all error sums are
+exact int64 (the MA3 term keeps the ×3 numerator integral); the few
+final divisions are int/int doubles rounded 4 dp identically.
+
+Scale: one count aggregation + one window pass per key over the
+bounded bucket series — the heavy table is touched once (the ACF
+family's cost argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dqspark.operators.acf import WINDOW_SEC, rate_series
+
+SEASON = 24  # seasonal-naive horizon (hours)
+
+
+def burstiness(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_sec: int = WINDOW_SEC,
+) -> DataFrame:
+    """→ (k, n_buckets, total, fano, burstiness) per key."""
+    ser = rate_series(events, key_col, ts_col, window_sec)
+    agg = ser.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q").cast("double") / F.col("n")
+        - (F.col("s").cast("double") / F.col("n"))
+        * (F.col("s").cast("double") / F.col("n"))
+    )
+    sd = F.sqrt(var)
+    return agg.select(
+        "k",
+        F.col("n").alias("n_buckets"),
+        F.col("s").alias("total"),
+        F.round(var / mean, 4).alias("fano"),
+        F.round((sd - mean) / (sd + mean), 4).alias("burstiness"),
+    )
+
+
+def burstiness_oracle_sql(
+    events_sql: str,
+    key_expr: str = "event_type",
+    ts_expr: str = "ts",
+    window_sec: int = WINDOW_SEC,
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS k,
+         CAST(floor(epoch({ts_expr})) AS BIGINT) // {window_sec} AS b,
+         count(*)::BIGINT AS x
+  FROM ({events_sql}) e GROUP BY k, b
+),
+rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+spine AS (
+  SELECT k, unnest(range(b0, b1 + 1)) AS t
+  FROM (SELECT DISTINCT k FROM counts), rng
+),
+ser AS (
+  SELECT s.k, COALESCE(c.x, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN counts c ON c.k = s.k AND c.b = s.t
+),
+agg AS (
+  SELECT k, COUNT(*)::BIGINT AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM ser GROUP BY k
+)
+SELECT k, n AS n_buckets, s AS total,
+       round((CAST(q AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / (CAST(s AS DOUBLE) / n), 4) AS fano,
+       round((sqrt(CAST(q AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+              - CAST(s AS DOUBLE) / n)
+             / (sqrt(CAST(q AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                + CAST(s AS DOUBLE) / n), 4) AS burstiness
+FROM agg
+"""
+
+
+def forecast_backtest(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_sec: int = WINDOW_SEC,
+    season: int = SEASON,
+) -> DataFrame:
+    """→ (k, n_eval, mae_naive, mae_seasonal, mae_ma3, mase_seasonal,
+    mase_ma3) — walk-forward 1-step MAE of the three baselines over
+    buckets where all lags exist (t ≥ b0 + season)."""
+    ser = rate_series(events, key_col, ts_col, window_sec)
+    w = Window.partitionBy("k").orderBy("t")
+    led = ser.select(
+        "k",
+        "c",
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", 2).over(w).alias("l2"),
+        F.lag("c", 3).over(w).alias("l3"),
+        F.lag("c", season).over(w).alias("ls"),
+    ).where(F.col("ls").isNotNull())
+    agg = led.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("c") - F.col("l1"))).cast("long").alias("e1"),
+        F.sum(F.abs(F.col("c") - F.col("ls"))).cast("long").alias("es"),
+        F.sum(
+            F.abs(3 * F.col("c") - (F.col("l1") + F.col("l2") + F.col("l3")))
+        )
+        .cast("long")
+        .alias("e3"),
+    )
+    mae1 = F.col("e1").cast("double") / F.col("n")
+    maes = F.col("es").cast("double") / F.col("n")
+    mae3 = F.col("e3").cast("double") / F.col("n") / 3.0
+    return agg.select(
+        "k",
+        F.col("n").alias("n_eval"),
+        F.round(mae1, 4).alias("mae_naive"),
+        F.round(maes, 4).alias("mae_seasonal"),
+        F.round(mae3, 4).alias("mae_ma3"),
+        F.when(F.col("e1") > 0, F.round(maes / mae1, 4)).alias(
+            "mase_seasonal"
+        ),
+        F.when(F.col("e1") > 0, F.round(mae3 / mae1, 4)).alias("mase_ma3"),
+    )
+
+
+def forecast_backtest_oracle_sql(
+    events_sql: str,
+    key_expr: str = "event_type",
+    ts_expr: str = "ts",
+    window_sec: int = WINDOW_SEC,
+    season: int = SEASON,
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS k,
+         CAST(floor(epoch({ts_expr})) AS BIGINT) // {window_sec} AS b,
+         count(*)::BIGINT AS x
+  FROM ({events_sql}) e GROUP BY k, b
+),
+rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+spine AS (
+  SELECT k, unnest(range(b0, b1 + 1)) AS t
+  FROM (SELECT DISTINCT k FROM counts), rng
+),
+ser AS (
+  SELECT s.k, s.t, COALESCE(c.x, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN counts c ON c.k = s.k AND c.b = s.t
+),
+led AS (
+  SELECT k, c,
+         lag(c, 1) OVER (PARTITION BY k ORDER BY t) AS l1,
+         lag(c, 2) OVER (PARTITION BY k ORDER BY t) AS l2,
+         lag(c, 3) OVER (PARTITION BY k ORDER BY t) AS l3,
+         lag(c, {season}) OVER (PARTITION BY k ORDER BY t) AS ls
+  FROM ser
+),
+agg AS (
+  SELECT k, COUNT(*)::BIGINT AS n,
+         CAST(SUM(abs(c - l1)) AS BIGINT) AS e1,
+         CAST(SUM(abs(c - ls)) AS BIGINT) AS es,
+         CAST(SUM(abs(3 * c - (l1 + l2 + l3))) AS BIGINT) AS e3
+  FROM led WHERE ls IS NOT NULL GROUP BY k
+)
+SELECT k, n AS n_eval,
+       round(CAST(e1 AS DOUBLE) / n, 4) AS mae_naive,
+       round(CAST(es AS DOUBLE) / n, 4) AS mae_seasonal,
+       round(CAST(e3 AS DOUBLE) / n / 3.0, 4) AS mae_ma3,
+       CASE WHEN e1 > 0
+            THEN round((CAST(es AS DOUBLE) / n)
+                       / (CAST(e1 AS DOUBLE) / n), 4) END AS mase_seasonal,
+       CASE WHEN e1 > 0
+            THEN round((CAST(e3 AS DOUBLE) / n / 3.0)
+                       / (CAST(e1 AS DOUBLE) / n), 4) END AS mase_ma3
+FROM agg
+"""

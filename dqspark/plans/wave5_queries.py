@@ -874,3 +874,35 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     no floats anywhere in the operator."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return rake_keywords(docs)
+
+
+# --- event-rate dispersion + forecast backtest -------------------------------
+
+from dqspark.operators.eventstats import (
+    burstiness,
+    burstiness_oracle_sql,
+    forecast_backtest,
+    forecast_backtest_oracle_sql,
+)
+
+_EV_SQL = "SELECT event_type, ts FROM events"
+
+
+@register("event_burstiness", burstiness_oracle_sql(_EV_SQL))
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_buckets, total, fano, burstiness) — index of dispersion
+    and Goh-Barabási burstiness per event type over the zero-filled
+    hourly series: which streams are Poisson-like and which defeat
+    naive rate thresholds."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return burstiness(ev)
+
+
+@register("forecast_backtest", forecast_backtest_oracle_sql(_EV_SQL))
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n_eval, mae_naive, mae_seasonal, mae_ma3, mase_seasonal,
+    mase_ma3) — walk-forward 1-step baselines (naive / seasonal-naive
+    / MA3) per event type; MASE per Hyndman-Koehler.  Exact integer
+    error sums on the shared hourly spine."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return forecast_backtest(ev)

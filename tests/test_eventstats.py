@@ -1,0 +1,50 @@
+"""Burstiness regimes on constructed series and forecast-backtest
+sanity: the seasonal baseline must win on a perfectly periodic
+stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dqspark.operators.eventstats import burstiness, forecast_backtest
+
+D0 = dt.datetime(2024, 3, 1)
+
+
+def _events(spec):
+    """spec: {key: [count per hour]} → (event_type, ts) rows."""
+    rows = []
+    for k, counts in spec.items():
+        for h, c in enumerate(counts):
+            for j in range(c):
+                rows.append((k, D0 + dt.timedelta(hours=h, seconds=j)))
+    return rows
+
+
+def test_burstiness_regimes(spark):
+    spec = {
+        "steady": [5] * 48,                      # periodic: B -> -1
+        "bursty": [0] * 46 + [120, 120],         # spike: B near +
+    }
+    df = spark.createDataFrame(
+        _events(spec), "event_type string, ts timestamp"
+    )
+    rows = {r["k"]: r for r in burstiness(df).collect()}
+    assert rows["steady"]["fano"] == 0.0 and rows["steady"]["burstiness"] == -1.0
+    assert rows["bursty"]["fano"] > 20
+    assert rows["bursty"]["burstiness"] > 0.5
+
+
+def test_backtest_seasonal_wins_on_periodic(spark):
+    # period-24 pattern repeated 4 days: seasonal-naive is exact
+    day = [0, 0, 1, 3, 7, 9, 9, 7, 3, 1, 0, 0] * 2
+    spec = {"cyclic": day * 4}
+    df = spark.createDataFrame(
+        _events(spec), "event_type string, ts timestamp"
+    )
+    row = forecast_backtest(df).collect()[0]
+    assert row["mae_seasonal"] == 0.0 and row["mase_seasonal"] == 0.0
+    assert row["mae_naive"] > 0
+    # spine spans first..last NONZERO bucket (hours 2..93 -> 92 rows),
+    # minus the 24-lag warmup
+    assert row["n_eval"] == 92 - 24
