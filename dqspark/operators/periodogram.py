@@ -1,0 +1,145 @@
+"""Fixed-frequency periodogram of event rates (Schuster 1898; the
+classic DFT-power periodicity screen) over the zero-filled hourly
+series, exact in integers.
+
+The ACF family measures self-similarity at integer lags; the
+periodogram answers the sharper question "is there a daily cycle,
+and which harmonic carries it" — the power at frequency k/24 cycles
+per hour concentrates when counts repeat with period 24/k hours.
+
+Exactness protocol: for the daily harmonics the basis values
+cos(2πk·t/24), sin(2πk·t/24) repeat with period 24, so each basis is
+a 24-entry table — quantized to milli-int literals ONCE in driver
+Python and embedded identically in both engines (the nDCG discount
+discipline).  A_k = Σ c_t·cos_k[t mod 24] and B_k likewise are then
+exact int64 sums in any partition order; power combines the exact
+A, B in identically-shaped double arithmetic, rounded 4 dp.
+
+Scale: one pass over the bounded bucket series per key — the basis
+join is a literal lookup, no extra shuffle beyond the rate_series
+rollup.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dqspark.operators.acf import WINDOW_SEC, rate_series
+
+PERIOD = 24
+HARMONICS = 6
+_Q = 1000
+
+
+def basis_tables(period: int = PERIOD, harmonics: int = HARMONICS):
+    """{k: (cos_milli[24], sin_milli[24])} — shared literal tables."""
+    out = {}
+    for k in range(1, harmonics + 1):
+        cos_t = [
+            int(round(math.cos(2 * math.pi * k * t / period) * _Q))
+            for t in range(period)
+        ]
+        sin_t = [
+            int(round(math.sin(2 * math.pi * k * t / period) * _Q))
+            for t in range(period)
+        ]
+        out[k] = (cos_t, sin_t)
+    return out
+
+
+def rate_periodogram(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_sec: int = WINDOW_SEC,
+    period: int = PERIOD,
+    harmonics: int = HARMONICS,
+) -> DataFrame:
+    """→ (k, harmonic, a_milli, b_milli, power) per key and harmonic
+    1..6 of the daily cycle; power = (A² + B²)/(n·10⁶)."""
+    ser = rate_series(events, key_col, ts_col, window_sec)
+    tables = basis_tables(period, harmonics)
+    phase = (F.col("t") % period).cast("int")
+    cols = []
+    for k, (cos_t, sin_t) in tables.items():
+        ca = F.element_at(F.array(*[F.lit(v) for v in cos_t]), phase + 1)
+        sa = F.element_at(F.array(*[F.lit(v) for v in sin_t]), phase + 1)
+        cols += [
+            F.sum(F.col("c") * ca).cast("long").alias(f"a{k}"),
+            F.sum(F.col("c") * sa).cast("long").alias(f"b{k}"),
+        ]
+    agg = ser.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *cols
+    )
+    arms = []
+    for h in range(1, harmonics + 1):
+        a, b = F.col(f"a{h}").cast("double"), F.col(f"b{h}").cast("double")
+        arms.append(
+            agg.select(
+                "k",
+                F.lit(h).alias("harmonic"),
+                F.col(f"a{h}").alias("a_milli"),
+                F.col(f"b{h}").alias("b_milli"),
+                F.round(
+                    (a * a + b * b) / F.col("n").cast("double") / 1.0e6, 4
+                ).alias("power"),
+            )
+        )
+    out = arms[0]
+    for d in arms[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def rate_periodogram_oracle_sql(
+    events_sql: str,
+    key_expr: str = "event_type",
+    ts_expr: str = "ts",
+    window_sec: int = WINDOW_SEC,
+    period: int = PERIOD,
+    harmonics: int = HARMONICS,
+) -> str:
+    tables = basis_tables(period, harmonics)
+
+    def arr(vals):
+        return "[" + ", ".join(str(v) for v in vals) + "]"
+
+    sums = ", ".join(
+        f"CAST(SUM(c * ({arr(tables[k][0])})[(t % {period}) + 1]) AS BIGINT)"
+        f" AS a{k}, "
+        f"CAST(SUM(c * ({arr(tables[k][1])})[(t % {period}) + 1]) AS BIGINT)"
+        f" AS b{k}"
+        for k in tables
+    )
+    arms = " UNION ALL ".join(
+        f"""SELECT k, {h} AS harmonic, a{h} AS a_milli, b{h} AS b_milli,
+        round((CAST(a{h} AS DOUBLE) * CAST(a{h} AS DOUBLE)
+               + CAST(b{h} AS DOUBLE) * CAST(b{h} AS DOUBLE))
+              / CAST(n AS DOUBLE) / 1e6, 4) AS power
+        FROM agg"""
+        for h in range(1, harmonics + 1)
+    )
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS k,
+         CAST(floor(epoch({ts_expr})) AS BIGINT) // {window_sec} AS b,
+         count(*)::BIGINT AS x
+  FROM ({events_sql}) e GROUP BY k, b
+),
+rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM counts),
+spine AS (
+  SELECT k, unnest(range(b0, b1 + 1)) AS t
+  FROM (SELECT DISTINCT k FROM counts), rng
+),
+ser AS (
+  SELECT s.k, s.t, COALESCE(c.x, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN counts c ON c.k = s.k AND c.b = s.t
+),
+agg AS (
+  SELECT k, COUNT(*)::BIGINT AS n, {sums} FROM ser GROUP BY k
+)
+{arms}
+"""

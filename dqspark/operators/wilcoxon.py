@@ -1,0 +1,111 @@
+"""Wilcoxon signed-rank paired test (Wilcoxon, "Individual
+comparisons by ranking methods", Biometrics Bulletin 1945),
+tie-corrected, over integer paired differences.
+
+Completes the nonparametric family: Mann-Whitney/Kruskal-Wallis
+(operators/kruskal.py) compare INDEPENDENT groups; the signed-rank
+test compares PAIRED observations — here, per-cell event counts in
+the first vs second half of the observation window (did the rate
+profile shift?), robust to the heavy tails that invalidate paired
+t-tests.
+
+Construction: the same integer double-rank histogram as ranksim/
+kruskal, over |d| of the nonzero differences; W⁺ enters as the exact
+integer S2⁺ = Σ R2 over positive differences (W⁺ = S2⁺/2).  The
+normal approximation with tie-corrected variance
+
+    z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − ΣT/48)
+
+and its two-sided p (erfc) run in shared driver Python on both
+oracle paths (the igamc discipline of operators/fdr.py).
+
+Scale: one histogram groupBy + one O(distinct) window + one
+join-back; the pair table itself is bounded (cells, not rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def signed_rank_stats(
+    pairs: DataFrame, d_col: str = "d"
+) -> tuple[int, int, int]:
+    """→ (n_nonzero, s2_plus, tie_term) — exact integers from the
+    |d| double-rank histogram (zeros dropped, the standard
+    convention)."""
+    nz = pairs.where(F.col(d_col) != 0).select(
+        F.abs(F.col(d_col)).alias("_a"),
+        (F.col(d_col) > 0).alias("_pos"),
+    )
+    hist = nz.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w_ord = (
+        Window.partitionBy()
+        .orderBy("_a")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranks = hist.select(
+        "_a",
+        (
+            2 * (F.sum("_c").over(w_ord) - F.col("_c")) + F.col("_c") + 1
+        ).alias("_r2"),
+        "_c",
+    )
+    joined = nz.join(ranks.select("_a", "_r2"), "_a")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_pos"), F.col("_r2")).otherwise(0))
+        .cast("long")
+        .alias("s2p"),
+    ).collect()[0]
+    ties = ranks.agg(
+        F.sum(F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c"))
+        .cast("long")
+        .alias("t")
+    ).collect()[0]["t"]
+    return int(agg["n"]), int(agg["s2p"]), int(ties)
+
+
+def signed_rank_test(
+    n: int, s2_plus: int, tie_term: int
+) -> tuple[float, float, float]:
+    """(w_plus, z, p_two_sided) — shared Python on both oracle paths."""
+    if n == 0:
+        return 0.0, 0.0, 1.0
+    w_plus = s2_plus / 2.0
+    mean = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie_term / 48.0
+    if var <= 0:
+        return w_plus, 0.0, 1.0
+    z = (w_plus - mean) / math.sqrt(var)
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    return round(w_plus, 4), round(z, 6), round(p, 6)
+
+
+def signed_rank_oracle_stats_sql(pairs_sql: str, d_expr: str = "d") -> str:
+    """DuckDB: (n, s2_plus, tie_term) single row over the same pairs
+    relation."""
+    return f"""
+WITH nz AS (
+  SELECT abs({d_expr}) AS a, {d_expr} > 0 AS pos
+  FROM ({pairs_sql}) WHERE {d_expr} <> 0
+),
+hist AS (SELECT a, COUNT(*)::BIGINT AS c FROM nz GROUP BY a),
+ranks AS (
+  SELECT a,
+         2 * (SUM(c) OVER (ORDER BY a
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c) + c + 1 AS r2,
+         c
+  FROM hist
+),
+joined AS (SELECT nz.pos, r.r2 FROM nz JOIN ranks r ON nz.a = r.a)
+SELECT (SELECT COUNT(*) FROM joined)::BIGINT AS n,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN pos THEN r2 ELSE 0 END), 0)
+                    AS BIGINT) FROM joined) AS s2_plus,
+       (SELECT CAST(COALESCE(SUM(c * c * c - c), 0) AS BIGINT)
+        FROM ranks) AS tie_term
+"""

@@ -906,3 +906,109 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     error sums on the shared hourly spine."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
     return forecast_backtest(ev)
+
+
+# --- daily-cycle periodogram -------------------------------------------------
+
+from dqspark.operators.periodogram import (
+    rate_periodogram,
+    rate_periodogram_oracle_sql,
+)
+
+
+@register("rate_periodogram", rate_periodogram_oracle_sql(_EV_SQL))
+def q_rate_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, harmonic, a_milli, b_milli, power) — DFT power of the
+    hourly event-rate series at the six daily harmonics: milli-int
+    cos/sin basis tables shared across engines, exact integer A/B
+    sums, one rounded double power per (type, harmonic)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return rate_periodogram(ev)
+
+
+# --- Wilcoxon signed-rank: first-half vs second-half rate profile ------------
+
+from dqspark.operators.wilcoxon import (
+    signed_rank_oracle_stats_sql,
+    signed_rank_stats,
+    signed_rank_test,
+)
+
+_WX_PAIRS_SQL = """
+WITH ev AS (
+  SELECT event_type AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b
+  FROM events
+),
+rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+cells AS (
+  SELECT k, b % 24 AS hod,
+         CAST(SUM(CASE WHEN b < (b0 + b1 + 1) // 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN b >= (b0 + b1 + 1) // 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM ev, rng GROUP BY k, b % 24
+)
+SELECT k, hod, c2 - c1 AS d FROM cells
+"""
+
+_WX_SCHEMA = "n_pairs long, w_plus double, z double, p_value double"
+
+
+def _wx_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"),
+        (F.col("ts").cast("timestamp").cast("long") / 3600)
+        .cast("long")
+        .alias("b"),
+    )
+    rng = ev.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    mid = F.expr("(b0 + b1 + 1) div 2")
+    cells = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("k", (F.col("b") % 24).alias("hod"))
+        .agg(
+            F.sum(F.when(F.col("b") < mid, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("b") >= mid, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    return cells.select("k", "hod", (F.col("c2") - F.col("c1")).alias("d"))
+
+
+@register("wilcoxon_rate_shift")
+def q_wilcoxon_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_pairs, w_plus, z, p_value) — Wilcoxon signed-rank test of
+    whether the per-(type × hour-of-day) event-rate profile shifted
+    between the first and second half of the window; tie-exact integer
+    double-ranks, shared driver Python for z and the two-sided p."""
+    n, s2p, ties = signed_rank_stats(
+        _wx_pairs_spark(spark, sf_dir), "d"
+    )
+    w_plus, z, p = signed_rank_test(n, s2p, ties)
+    return spark.createDataFrame([(n, w_plus, z, p)], _WX_SCHEMA)
+
+
+def _wx_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir
+
+    con = _connect(oracle_sf_dir())
+    n, s2p, ties = (
+        int(x)
+        for x in con.sql(
+            signed_rank_oracle_stats_sql(_WX_PAIRS_SQL, "d")
+        ).fetchone()
+    )
+    w_plus, z, p = signed_rank_test(n, s2p, ties)
+    return (
+        f"SELECT CAST({n} AS BIGINT) AS n_pairs,"
+        f" CAST('{w_plus!r}' AS DOUBLE) AS w_plus,"
+        f" CAST('{z!r}' AS DOUBLE) AS z,"
+        f" CAST('{p!r}' AS DOUBLE) AS p_value"
+    )
+
+
+ORACLES["wilcoxon_rate_shift"] = _wx_oracle

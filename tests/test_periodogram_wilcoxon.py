@@ -1,0 +1,66 @@
+"""Periodogram: a planted 24h cycle concentrates power in harmonic 1;
+Wilcoxon: a planted uniform shift rejects, symmetric noise does not."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dqspark.operators.periodogram import basis_tables, rate_periodogram
+from dqspark.operators.wilcoxon import (
+    signed_rank_stats,
+    signed_rank_test,
+)
+
+D0 = dt.datetime(2024, 3, 1)
+
+
+def test_basis_tables_orthogonal_ish():
+    t = basis_tables()
+    assert t[1][0][0] == 1000 and t[1][1][0] == 0  # cos0=1, sin0=0
+    # each harmonic's milli-cos table sums to ~0 over one period
+    for k in range(1, 7):
+        assert abs(sum(t[k][0])) <= 6
+
+
+def test_periodogram_finds_daily_cycle(spark):
+    rows = []
+    for h in range(96):
+        c = 10 + (8 if h % 24 < 12 else 0)  # square daily wave
+        for j in range(c):
+            rows.append(("diurnal", D0 + dt.timedelta(hours=h, seconds=j)))
+        rows.append(("flat", D0 + dt.timedelta(hours=h, seconds=1)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    pw = {
+        (r["k"], r["harmonic"]): r["power"]
+        for r in rate_periodogram(df).collect()
+    }
+    # the square wave's fundamental dominates its even harmonics
+    assert pw[("diurnal", 1)] > 10 * pw[("diurnal", 2)]
+    # and dwarfs the flat stream at the same frequency
+    assert pw[("diurnal", 1)] > 100 * max(pw[("flat", 1)], 0.001)
+
+
+def test_wilcoxon_shift_vs_null(spark):
+    shifted = [(i, i % 7 + 3) for i in range(40)]  # d > 0 everywhere
+    df = spark.createDataFrame(
+        [(k, d) for k, d in shifted], "hod long, d long"
+    )
+    n, s2p, ties = signed_rank_stats(df, "d")
+    w, z, p = signed_rank_test(n, s2p, ties)
+    assert n == 40 and z > 5 and p < 1e-6
+
+    sym = [(i, (1 if i % 2 else -1) * (i % 5 + 1)) for i in range(40)]
+    df2 = spark.createDataFrame(sym, "hod long, d long")
+    n2, s2p2, ties2 = signed_rank_stats(df2, "d")
+    _, z2, p2 = signed_rank_test(n2, s2p2, ties2)
+    assert abs(z2) < 1.0 and p2 > 0.3
+
+
+def test_wilcoxon_textbook_no_ties(spark):
+    # d = +1..+5, -6: W+ = ranks of positives = 1+2+3+4+5 = 15 of 21
+    data = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, -6)]
+    df = spark.createDataFrame(data, "hod long, d long")
+    n, s2p, ties = signed_rank_stats(df, "d")
+    w, z, p = signed_rank_test(n, s2p, ties)
+    assert (n, ties) == (6, 0)
+    assert w == 15.0
