@@ -329,6 +329,33 @@ def main() -> None:
             "pps_ht_audit",
             "did_estimate",
             "detector_agreement",
+            # fourth continuation wave
+            "import_hits",
+            "import_hyperball",
+            "watermark_detect",
+            "source_lang_jsd",
+            "nfc_audit",
+            "record_linkage",
+            "kaplan_meier",
+            "kmeans_silhouette",
+            "dp_source_counts",
+            "dedup_bcubed",
+            "search_ndcg",
+            "name_jw_pairs",
+            "cross_lang_dups",
+            "keep_rate_parity",
+            "mixture_ot_plan",
+            "dedup_adjusted_mixture",
+            "jl_distortion",
+            "embedding_mmd",
+            "embedding_top_pc",
+            "brier_decomposition",
+            "kruskal_wallis",
+            "rake_keywords",
+            "event_burstiness",
+            "forecast_backtest",
+            "rate_periodogram",
+            "wilcoxon_rate_shift",
         )
         if q in driver_queries.QUERIES
     ]
