@@ -724,3 +724,59 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Margin-based active-learning batch selection (uncertainty sampling;
+# Lewis & Gale, "A sequential algorithm for training text classifiers",
+# SIGIR 1994)
+# ---------------------------------------------------------------------------
+#
+# The label-efficiency complement to the fitted filter: the k documents
+# the classifier is LEAST sure about (score nearest 0.5) are the ones
+# worth human labels next.  Pure composition: the fitted scores (same
+# engine-portable fast-sigmoid as lr_quality_scores) ranked by margin
+# under a total order — TakeOrderedAndProject, never a global sort.
+
+_AL_K = 32
+
+
+def _active_learning_oracle() -> str:
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    p = fast_sigmoid_sql(margin_sql(weights, feats))
+    sf = oracle_sf_dir()
+    return f"""
+WITH s AS (
+  SELECT doc_id, round({p}, 6)::DOUBLE AS score, {y}::INT AS label
+  FROM '{sf}/documents.parquet'
+)
+SELECT doc_id, score, label,
+       round(abs(score - 0.5), 6) AS margin
+FROM s
+ORDER BY abs(score - 0.5), doc_id
+LIMIT {_AL_K}
+"""
+
+
+@register("active_learning_batch", _active_learning_oracle)
+def q_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, label, margin) — the 32 documents the fitted
+    quality classifier is least certain about (margin sampling): the
+    next annotation batch under uncertainty sampling."""
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    feats = _feature_frame(spark, sf_dir)
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    score = F.round(_fast_sigmoid_col(_margin_col(w, _FEATURE_COLS)), 6)
+    s = feats.select(
+        "doc_id",
+        score.alias("score"),
+        F.col("y").cast("int").alias("label"),
+    )
+    return (
+        s.withColumn("margin", F.round(F.abs(F.col("score") - 0.5), 6))
+        .orderBy(F.abs(F.col("score") - 0.5), F.col("doc_id"))
+        .limit(_AL_K)
+    )
