@@ -1,0 +1,42 @@
+"""B-cubed closed-form checks: perfect clustering scores 1/1, the
+all-singletons system has perfect precision but low recall on merged
+truth, the one-giant-cluster system the reverse."""
+
+from __future__ import annotations
+
+from dqspark.operators.bcubed import bcubed_scores
+
+
+def _score(spark, assign):
+    df = spark.createDataFrame(assign, "cl long, tr long")
+    r = bcubed_scores(df).collect()[0]
+    return r["n_items"], r["b3_precision"], r["b3_recall"], r["b3_f1"]
+
+
+def test_perfect_clustering(spark):
+    assign = [(1, 1), (1, 1), (2, 2), (2, 2), (3, 3)]
+    n, p, r, f1 = _score(spark, assign)
+    assert (n, p, r, f1) == (5, 1.0, 1.0, 1.0)
+
+
+def test_all_singletons_oversplit(spark):
+    # truth: one cluster of 4; system: four singletons
+    assign = [(i, 9) for i in range(4)]
+    n, p, r, f1 = _score(spark, assign)
+    assert p == 1.0 and r == 0.25
+    assert abs(f1 - 2 * 1.0 * 0.25 / 1.25) < 1e-4
+
+
+def test_one_giant_cluster_overmerge(spark):
+    # truth: four singletons; system: one cluster of 4
+    assign = [(9, i) for i in range(4)]
+    n, p, r, f1 = _score(spark, assign)
+    assert r == 1.0 and p == 0.25
+
+
+def test_partial_merge(spark):
+    # truth {a,b} {c,d}; system merges everything
+    assign = [(9, 1), (9, 1), (9, 2), (9, 2)]
+    n, p, r, f1 = _score(spark, assign)
+    # per item: |C∩T|=2, |C|=4 -> precision 0.5; recall 1
+    assert p == 0.5 and r == 1.0
