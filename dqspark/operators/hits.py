@@ -103,7 +103,17 @@ def hits_fixed_point(
             "left",
         ).select("node", F.coalesce("hub_fp", F.lit(0)).alias("hub_fp"))
         hub = _normalize(hub, "hub_fp", scale)
-        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iters:
+        # checkpoint EVERY round: each half-step references the score
+        # table twice (contribution join + max-normalizer), so an
+        # untruncated lineage re-executes the duplicated subtree and
+        # compounds ~4x per iteration — measured 220 s at 8 iters with
+        # every-4 checkpoints vs ~10 s per-round (and lazy persist is
+        # worse still: Catalyst re-optimizes the nested crossJoin-
+        # aggregate tree each round and compile time explodes).  The
+        # remaining cost is fixed per-round JOB OVERHEAD, not data-
+        # scaled; on a real cluster these become durable checkpoints —
+        # also the resume point, same protocol as the components ops.
+        if i + 1 < iters:
             hub = hub.localCheckpoint()
             auth = auth.localCheckpoint()
     out = nodes.join(hub, "node").join(auth, "node").localCheckpoint()
