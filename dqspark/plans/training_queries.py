@@ -780,3 +780,107 @@ def q_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("score") - 0.5), F.col("doc_id"))
         .limit(_AL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Confident-learning label-noise audit (Northcutt, Jiang, Chuang,
+# "Confident learning: estimating uncertainty in dataset labels",
+# JAIR 2021)
+# ---------------------------------------------------------------------------
+#
+# The fitted classifier's scores double as a LABEL auditor: with
+# per-class confident thresholds t_j = mean score of examples LABELED
+# j, an example labeled i whose score clears t_1 (resp. stays under
+# t_0) is confidently predicted 1 (resp. 0); the off-diagonal counts
+# of the confident joint C[i][j] estimate how many labels are wrong.
+# Counts and micro-int score sums are exact; the two thresholds are
+# int/int divisions (identical doubles) compared against the same
+# rounded scores on both engines.
+
+
+def _confident_oracle() -> str:
+    weights = _local_fit()[-1]["weights"]
+    feats, y = _feature_sql_exprs()
+    p = fast_sigmoid_sql(margin_sql(weights, feats))
+    sf = oracle_sf_dir()
+    return f"""
+WITH s AS (
+  SELECT round({p}, 6)::DOUBLE AS score,
+         round({p} * 1000000)::BIGINT AS pu,
+         {y}::INT AS label
+  FROM '{sf}/documents.parquet'
+),
+thr AS (
+  SELECT CAST(SUM(CASE WHEN label = 0 THEN pu ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) / 1000000 AS t0,
+         CAST(SUM(CASE WHEN label = 1 THEN pu ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) / 1000000 AS t1
+  FROM s
+),
+c AS (
+  SELECT label,
+         CASE WHEN score >= t1 THEN 1
+              WHEN score < t0 THEN 0 END AS confident_pred
+  FROM s CROSS JOIN thr
+)
+SELECT label, confident_pred,
+       COUNT(*)::BIGINT AS n,
+       (label <> confident_pred) AS suspected_noise
+FROM c WHERE confident_pred IS NOT NULL
+GROUP BY label, confident_pred
+"""
+
+
+@register("confident_learning_audit", _confident_oracle)
+def q_confident_learning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, confident_pred, n, suspected_noise) — the confident
+    joint of the fitted quality classifier: off-diagonal cells count
+    examples whose label disagrees with a confident prediction, the
+    label-noise estimate of confident learning.  (The fixture labels
+    are derived noise-free from the features, so both off-diagonal
+    cells are empty here by construction — the query's value is the
+    machinery; rows appear as soon as labels and features disagree.)"""
+    from dqspark.operators.training import _fast_sigmoid_col, _margin_col
+
+    feats = _feature_frame(spark, sf_dir)
+    trace = gd_fit(feats, _FEATURE_COLS, "y", iters=_GD_ITERS, lr=_GD_LR)
+    w = trace[-1]["weights"]
+    score = F.round(_fast_sigmoid_col(_margin_col(w, _FEATURE_COLS)), 6)
+    s = feats.select(
+        score.alias("score"),
+        F.round(score * 1000000).cast("long").alias("pu"),
+        F.col("y").cast("int").alias("label"),
+    )
+    thr = s.agg(
+        (
+            F.sum(F.when(F.col("label") == 0, F.col("pu")).otherwise(0))
+            .cast("double")
+            / F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+            / 1000000
+        ).alias("t0"),
+        (
+            F.sum(F.when(F.col("label") == 1, F.col("pu")).otherwise(0))
+            .cast("double")
+            / F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+            / 1000000
+        ).alias("t1"),
+    )
+    c = s.crossJoin(F.broadcast(thr)).select(
+        "label",
+        F.when(F.col("score") >= F.col("t1"), F.lit(1))
+        .when(F.col("score") < F.col("t0"), F.lit(0))
+        .alias("confident_pred"),
+    )
+    return (
+        c.where(F.col("confident_pred").isNotNull())
+        .groupBy("label", "confident_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "confident_pred",
+            "n",
+            (F.col("label") != F.col("confident_pred")).alias(
+                "suspected_noise"
+            ),
+        )
+    )
