@@ -356,6 +356,8 @@ def main() -> None:
             "forecast_backtest",
             "rate_periodogram",
             "wilcoxon_rate_shift",
+            "active_learning_batch",
+            "confident_learning_audit",
         )
         if q in driver_queries.QUERIES
     ]
