@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 HITS_SCALE = 10**12
-CHECKPOINT_EVERY = 4
 
 
 def _normalize(df: DataFrame, col: str, scale: int) -> DataFrame:

@@ -860,7 +860,7 @@ ORACLES["kruskal_wallis"] = _kw_oracle
 
 # --- RAKE keyphrase extraction -----------------------------------------------
 
-from dqspark.operators.rake import RAKE_TOP_K, rake_keywords, rake_oracle_sql
+from dqspark.operators.rake import rake_keywords, rake_oracle_sql
 
 
 @register(
