@@ -358,6 +358,7 @@ def main() -> None:
             "wilcoxon_rate_shift",
             "active_learning_batch",
             "confident_learning_audit",
+            "import_graph_summary",
         )
         if q in driver_queries.QUERIES
     ]

@@ -300,3 +300,117 @@ def _hyperball_oracle() -> str:
 
 
 ORACLES["import_hyperball"] = _hyperball_oracle
+
+
+# --- global graph summary: reciprocity + transitivity ------------------------
+#
+# One-row structural fingerprint of the imports graph (Wasserman &
+# Faust, "Social Network Analysis", 1994): reciprocity = fraction of
+# directed edges whose reverse also exists (mutual import pairs —
+# usually vendoring or circular-dependency smells); transitivity =
+# 3·triangles / connected triples over the undirected projection.
+# Exact integer counts end-to-end; two rounded ratio doubles.
+
+
+@register(
+    "import_graph_summary",
+    f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+),
+recip AS (
+  SELECT COUNT(*)::BIGINT AS n_edges,
+         CAST(SUM(CASE WHEN EXISTS (
+           SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+         ) THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+  FROM e
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS n_tri
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3
+    ON e3.a = e1.a AND e3.b = e2.b
+),
+trip AS (
+  SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_triples,
+         COUNT(*)::BIGINT AS n_nodes
+  FROM deg
+)
+SELECT trip.n_nodes, recip.n_edges, recip.n_recip, tri.n_tri AS n_triangles,
+       trip.n_triples,
+       round(CAST(recip.n_recip AS DOUBLE) / recip.n_edges, 4)
+         AS reciprocity,
+       round(3.0 * tri.n_tri / trip.n_triples, 4) AS transitivity
+FROM recip, tri, trip
+""",
+)
+def q_import_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_nodes, n_edges, n_recip, n_triangles, n_triples,
+    reciprocity, transitivity) — one-row structural fingerprint of the
+    imports graph: mutual-import fraction and global clustering, exact
+    integer counts with two final rounded ratios."""
+    e = (
+        _import_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi").count()
+    )
+    n_edges = e.count()
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    trip_row = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_triples"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    ).collect()[0]
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    e.unpersist()
+    und.unpersist()
+    n_nodes, n_triples = int(trip_row["n_nodes"]), int(trip_row["n_triples"])
+    raw = spark.createDataFrame(
+        [(n_nodes, n_edges, recip, n_tri, n_triples)],
+        "n_nodes long, n_edges long, n_recip long, n_triangles long,"
+        " n_triples long",
+    )
+    # ratios via F.round (HALF_UP, same as DuckDB round) — Python's
+    # banker's round would diverge on exact half-ulp boundaries
+    return raw.select(
+        "*",
+        F.round(F.col("n_recip").cast("double") / F.col("n_edges"), 4).alias(
+            "reciprocity"
+        ),
+        F.round(3.0 * F.col("n_triangles") / F.col("n_triples"), 4).alias(
+            "transitivity"
+        ),
+    )
