@@ -359,6 +359,7 @@ def main() -> None:
             "active_learning_batch",
             "confident_learning_audit",
             "import_graph_summary",
+            "embedding_anisotropy",
         )
         if q in driver_queries.QUERIES
     ]

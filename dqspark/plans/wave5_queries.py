@@ -1012,3 +1012,80 @@ def _wx_oracle() -> str:
 
 
 ORACLES["wilcoxon_rate_shift"] = _wx_oracle
+
+
+# --- embedding anisotropy: top-eigenvalue share of variance ------------------
+#
+# Ethayarajh (EMNLP 2019) popularized the observation that contextual
+# embedding clouds are ANISOTROPIC — variance concentrates in a few
+# directions, degrading cosine-similarity contrast.  The one-row
+# fingerprint here is λ1/trace(S): ≈1/d for an isotropic cloud, →1 as
+# the cloud collapses to a line (whiten before cosine dedup if high).
+# Composes the PCA machinery: trace is the exact integer sum of the
+# scatter diagonal; λ1 the power-iteration Rayleigh quotient — the
+# whole derivation is replayed by the oracle bit-for-bit.
+
+from dqspark.operators.pca import (
+    power_iteration,
+    scatter_matrix,
+    scatter_replay,
+)
+
+_AN_SCHEMA = (
+    "n long, lambda1_fp long, trace_fp long, anisotropy double,"
+    " isotropic_floor double"
+)
+
+
+def _anisotropy_rows(means, m, n):
+    v, lam = power_iteration(m)
+    trace = sum(m[i][i] for i in range(len(m)))
+    # λ (Rayleigh in scale units of v) and trace share the scatter's
+    # units: anisotropy = λ1/trace with λ1 = vᵀMv/vᵀv exactly as
+    # power_iteration computes it
+    aniso = lam / trace if trace else None
+    return [
+        (
+            n,
+            lam,
+            trace,
+            round(aniso, 6) if aniso is not None else None,
+            round(1.0 / len(m), 6),
+        )
+    ]
+
+
+@register("embedding_anisotropy")
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, lambda1_fp, trace_fp, anisotropy, isotropic_floor) — share
+    of embedding variance carried by the leading principal direction;
+    near the 1/d floor the cloud is isotropic and cosine similarity is
+    well-conditioned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    means, m, n = scatter_matrix(emb, 64)
+    return spark.createDataFrame(_anisotropy_rows(means, m, n), _AN_SCHEMA)
+
+
+def _anisotropy_oracle() -> str:
+    from dqspark.plans.local_oracle import _connect, oracle_sf_dir, values_table
+
+    con = _connect(oracle_sf_dir())
+    vecs = [
+        list(v)
+        for (v,) in con.sql(
+            "SELECT embedding FROM embeddings ORDER BY vec_id"
+        ).fetchall()
+    ]
+    means, m, n = scatter_replay(vecs, 64)
+    vt = values_table(
+        _anisotropy_rows(means, m, n),
+        ["n", "lambda1_fp", "trace_fp", "anisotropy", "isotropic_floor"],
+    )
+    return (
+        "SELECT n::BIGINT AS n, lambda1_fp::BIGINT AS lambda1_fp,"
+        " trace_fp::BIGINT AS trace_fp, anisotropy, isotropic_floor"
+        f" FROM {vt}"
+    )
+
+
+ORACLES["embedding_anisotropy"] = _anisotropy_oracle
