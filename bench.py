@@ -360,6 +360,7 @@ def main() -> None:
             "confident_learning_audit",
             "import_graph_summary",
             "embedding_anisotropy",
+            "revenue_by_nation",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1089,3 +1089,75 @@ def _anisotropy_oracle() -> str:
 
 
 ORACLES["embedding_anisotropy"] = _anisotropy_oracle
+
+
+# --- multi-join revenue rollup (TPC-H Q5 shape) ------------------------------
+#
+# The classic star-shaped analytical join, included as the planner
+# showcase: region filter prunes through two broadcastable dims into
+# the orders date-range scan, lineitem joins on the shuffled fact key,
+# and the revenue aggregate is map-side combined.  The plan test
+# (tests/test_wave5_plans.py) asserts the dims actually broadcast and
+# the date filter reaches the scan.  Revenue terms are folded to
+# exact integer micro-units before summing (the calibration-query
+# discipline) so the rollup is partition-order-exact.
+
+_Q5_DATE_LO = "1996-01-01"
+_Q5_DATE_HI = "1997-01-01"
+
+
+@register(
+    "revenue_by_nation",
+    f"""
+SELECT n.n_name AS nation,
+       COUNT(*)::BIGINT AS n_items,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_micro
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '{_Q5_DATE_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{_Q5_DATE_HI} 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, n_items, revenue_micro) — Q5-shaped revenue rollup:
+    region → nation → customer broadcast chain, date-pruned orders,
+    lineitem fact join, exact integer micro-unit revenue."""
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q5_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_DATE_HI).cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        F.broadcast(region)
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    # dims is customer-sized (region/nation broadcast INTO customer) —
+    # never hint-broadcast it: at TPC-H scale customer is a fact-sized
+    # table, and the hint would override AQE's size-aware choice.  The
+    # orders⋈dims and lineitem⋈orders joins shuffle on their keys (or
+    # AQE-broadcast when the filtered side turns out small).
+    joined = (
+        orders.join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    rev_micro = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 1000000
+    ).cast("long")
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev_micro).cast("long").alias("revenue_micro"),
+    )

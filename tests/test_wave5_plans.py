@@ -78,3 +78,16 @@ def test_dp_plan_one_exchange_noise_post_agg(spark):
     plan = _plan(dp_release_counts(df, "k"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q5_plan_broadcasts_dims_and_prunes_dates(spark, sf_dir):
+    from dqspark.plans.wave5_queries import q_revenue_by_nation
+
+    df = q_revenue_by_nation(spark, sf_dir)
+    plan = _plan(df)
+    # region/nation reach customer via broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the date filter is pushed into the orders parquet scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters"
+    )[1][:400]
