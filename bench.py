@@ -361,6 +361,7 @@ def main() -> None:
             "import_graph_summary",
             "embedding_anisotropy",
             "revenue_by_nation",
+            "pricing_summary",
         )
         if q in driver_queries.QUERIES
     ]

@@ -1161,3 +1161,72 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(rev_micro).cast("long").alias("revenue_micro"),
     )
+
+
+# --- pricing summary (TPC-H Q1 shape) ----------------------------------------
+#
+# The canonical single-pass aggregation benchmark: one date-pruned
+# lineitem scan into a map-side-combined rollup.  All money sums fold
+# to exact integer micro-units first (disc_price/charge per row are
+# floor-quantized doubles computed identically on both engines), so
+# every aggregate is partition-order-exact; averages divide the exact
+# sums at the end.
+
+_Q1_SHIP_CUT = "2001-06-01"
+
+
+@register(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_base_micro,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                           * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_disc_micro,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                           * (1.0 + l_tax) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_charge_micro,
+       COUNT(*)::BIGINT AS n_items,
+       round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / COUNT(*), 4) AS avg_qty,
+       round(CAST(SUM(CAST(floor(l_extendedprice * 1000000) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{_Q1_SHIP_CUT} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, l_linestatus, sum_qty, sum_base_micro,
+    sum_disc_micro, sum_charge_micro, n_items, avg_qty, avg_price) —
+    Q1-shaped one-pass pricing rollup, integer-exact sums, pushed
+    shipdate filter."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit(_Q1_SHIP_CUT).cast("timestamp")
+    )
+    base = F.floor(F.col("l_extendedprice") * 1000000).cast("long")
+    disc = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 1000000
+    ).cast("long")
+    charge = F.floor(
+        F.col("l_extendedprice")
+        * (1.0 - F.col("l_discount"))
+        * (1.0 + F.col("l_tax"))
+        * 1000000
+    ).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("long").alias("sum_qty"),
+        F.sum(base).cast("long").alias("sum_base_micro"),
+        F.sum(disc).cast("long").alias("sum_disc_micro"),
+        F.sum(charge).cast("long").alias("sum_charge_micro"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_qty"
+        ),
+        F.round(
+            F.sum(base).cast("double") / F.count(F.lit(1)) / 1000000.0, 4
+        ).alias("avg_price"),
+    )
